@@ -1,0 +1,30 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Local testing runs `local[32]`; the same settings are what we'd set
+  * cluster-side (AQE on, skew-join handling on, sensible shuffle
+  * partitioning). Nothing here is local-mode-specific except the master.
+  */
+object GraftSession {
+
+  def local(cores: Int = 32, appName: String = "graft"): SparkSession =
+    builder(appName)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .getOrCreate()
+
+  /** Shared config: applied whether master is local or a real cluster. */
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.filterPushdown", "true")
+}
