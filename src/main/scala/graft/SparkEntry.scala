@@ -19,12 +19,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     IngestQueries.queries ++
-      TpchQueries.queries
+      TpchQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     IngestQueries.oracles ++
-      TpchQueries.oracles
+      TpchQueries.oracles ++
+      EventQueries.oracles
 }

@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Event-time analytics over the `events` table (SURVEY.md §7 Phase 4).
+  *
+  * These run here in batch mode for the oracle gate, but every operator
+  * is chosen to be streaming-transplantable: `window`/`session_window`
+  * are the exact expressions a `readStream` pipeline uses with a
+  * watermark (see [[graft.streaming]]); the JSON extraction is a
+  * codegen'd built-in. At 100 TB the tumbling/sliding aggregations are
+  * partial-aggregatable (map-side combine on (window, key)); session
+  * windows shuffle once on user_id.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour event-time windows per event type. */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val eventsTumblingSql: String =
+    s"""SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       |  event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1-hour length, 30-minute slide — every event
+    * lands in exactly two windows. The oracle reproduces Spark's
+    * epoch-aligned window assignment with a lateral offset join.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("n"), col("sum_value"))
+
+  val eventsSlidingSql: String =
+    s"""WITH assigned AS (
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+       |           - k.k * INTERVAL '30 minutes' AS win_start, value
+       |  FROM events, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k)
+       |SELECT win_start, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |FROM assigned GROUP BY 1""".stripMargin
+
+  /** Session windows: per-user sessions closed by a 30-minute
+    * inactivity gap. Spark's `session_window` ends `gap` after the
+    * last event, so session_start = min(ts) matches the oracle's
+    * gaps-and-islands formulation exactly.
+    */
+  def eventsSession(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("win"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("n"), col("sum_value"))
+
+  val eventsSessionSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    CASE WHEN CAST(ts AS TIMESTAMP)
+       |           - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL '30 minutes'
+       |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |ids AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+       |      ROWS UNBOUNDED PRECEDING) AS sess_id
+       |  FROM marked)
+       |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM ids GROUP BY user_id, sess_id""".stripMargin
+
+  /** Semi-structured extraction: JSON string column → typed field,
+    * aggregated. `get_json_object` is a codegen'd built-in — no UDF.
+    */
+  def eventsJson(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
+  val eventsJsonSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Pivot: per-day counts by event type as columns. Spark's `pivot`
+    * with an explicit value list (never let it scan for values at
+    * scale — that is an extra job over 100 TB).
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type",
+        Seq("click", "purchase", "error", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("day").cast("string").as("day"), col("click"),
+        col("purchase"), col("error"), col("signup"), col("view"))
+
+  val eventsPivotSql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY 1""".stripMargin
+
+  /** Funnel: per user, first signup vs. first purchase, conversion
+    * flag. One shuffle on user_id; conditional aggregation instead of
+    * a self-join.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .select(col("user_id"), col("first_signup"), col("first_purchase"),
+        (col("first_purchase").isNotNull && col("first_signup").isNotNull &&
+          col("first_purchase") > col("first_signup")).as("converted"))
+
+  val eventsFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+      |      AS first_signup,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)
+      |      AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, first_signup, first_purchase,
+      |  (first_purchase IS NOT NULL AND first_signup IS NOT NULL
+      |   AND first_purchase > first_signup) AS converted
+      |FROM f""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> (eventsTumbling _),
+    "events_sliding" -> (eventsSliding _),
+    "events_session" -> (eventsSession _),
+    "events_json" -> (eventsJson _),
+    "events_pivot" -> (eventsPivot _),
+    "events_funnel" -> (eventsFunnel _))
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling" -> eventsTumblingSql,
+    "events_sliding" -> eventsSlidingSql,
+    "events_session" -> eventsSessionSql,
+    "events_json" -> eventsJsonSql,
+    "events_pivot" -> eventsPivotSql,
+    "events_funnel" -> eventsFunnelSql)
+}

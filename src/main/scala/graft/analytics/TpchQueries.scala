@@ -1,25 +1,39 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
 
-/** Standard analytics operators (scan/filter/agg/join/sort/limit) over
-  * the driver's TPC-H-ish tables — the breadth layer of SURVEY.md §7
-  * Phase 4. Plans are declarative DataFrame code so Catalyst gets to
-  * push filters into the parquet scan, prune columns, and pick
-  * broadcast joins for the small dimensions.
+/** Relational breadth layer (SURVEY.md §7 Phase 4): scan / filter /
+  * multi-way join / semi / anti / window / rollup / cube / set-op /
+  * distinct / having / top-k over the driver's TPC-H-ish tables.
+  *
+  * Scale notes baked into every plan:
+  *  - dimensions (`region`, `nation`, `supplier`, `customer`) are
+  *    broadcast explicitly — at 100 TB the fact tables shuffle on
+  *    join keys only when both sides are large;
+  *  - aggregates run partial (map-side combine) because they are
+  *    plain `groupBy.agg` over codegen'd expressions;
+  *  - top-k is `orderBy.limit` which compiles to
+  *    TakeOrderedAndProject (per-partition heap, no global sort);
+  *  - money math is DECIMAL-cast so results are order-independent
+  *    and engine-independent (see [[QueryUtil.dsum]]).
   */
 object TpchQueries {
 
+  private def ts(s: String): Column = lit(Timestamp.valueOf(s))
+
+  // ------------------------------------------------------------ Q1
   /** Q1-style pricing summary: full-scan partial aggregation; at 100 TB
     * this is the map-side-combine workhorse — one shuffle of ~6 groups.
     */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")
-      .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(
-        "1998-09-02 00:00:00")))
+      .where(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -47,9 +61,346 @@ object TpchQueries {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------------ Q3
+  /** Q3-style shipping priority: filtered 3-way join, aggregate,
+    * global top-10. `customer` is a broadcast dim; `orders ⨝ lineitem`
+    * shuffles on the order key — the natural co-partitioning at scale.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = table(spark, dir, "lineitem")
+      .where(col("l_shipdate") > ts("1998-01-01 00:00:00"))
+    broadcast(c)
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------ Q5
+  /** Q5-style local-supplier volume: 6-way join; all four dims are
+    * broadcast so the only shuffle is lineitem ⨝ orders. The
+    * customer-nation = supplier-nation condition is applied post-join
+    * as a filter on two broadcast-sourced columns.
+    */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val r = table(spark, dir, "region").where(col("r_name") === "ASIA")
+    val n = table(spark, dir, "nation")
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val l = table(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name""".stripMargin
+
+  // ----------------------------------------------------- semi / anti
+  /** Left-semi join: orders with at least one high-quantity lineitem.
+    * Semi joins ship only the join key of the right side — at scale
+    * this is the EXISTS idiom that avoids materializing the match.
+    */
+  def joinSemiHighQty(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem").where(col("l_quantity") >= 48)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+  }
+
+  val joinSemiSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 48)""".stripMargin
+
+  /** Left-anti join: customers with no order since 2000. The anti side
+    * only needs the distinct key set — Spark builds a hash of o_custkey
+    * from the filtered (small) order subset.
+    */
+  def joinAntiNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val joinAntiSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin
+
+  // ------------------------------------------------------- windows
+  /** Ranking window: top-3 orders per customer by total price.
+    * Partitioned window (one shuffle on o_custkey), deterministic
+    * tiebreak on the key.
+    */
+  def windowTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"),
+        col("o_totalprice"))
+  }
+
+  val windowTopkSql: String =
+    """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      |  FROM orders) WHERE rnk <= 3""".stripMargin
+
+  /** Running-total + lag window over an unbounded-preceding frame,
+    * DECIMAL-cast so the running double sums agree across engines.
+    */
+  def windowRunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    table(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_total"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total,
+      |  lag(o_orderkey, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_orderkey
+      |FROM orders""".stripMargin
+
+  // ------------------------------------------------- rollup / cube
+  /** ROLLUP with GROUPING markers: subtotal + grand-total rows. The
+    * grouping-id columns disambiguate genuine NULL keys from subtotal
+    * rows — required for an unambiguous oracle compare.
+    */
+  def aggRollupLineitem(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("long").as("g_rf"),
+        grouping(col("l_linestatus")).cast("long").as("g_ls"))
+
+  val aggRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** CUBE over status × order year (all four grouping combinations). */
+  def aggCubeOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_totalprice"))
+      .cube(col("o_orderstatus"), col("o_year"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderstatus")).cast("long").as("g_st"),
+        grouping(col("o_year")).cast("long").as("g_yr"))
+
+  val aggCubeSql: String =
+    s"""WITH t AS (SELECT o_orderstatus,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  o_totalprice FROM orders)
+       |SELECT o_orderstatus, o_year, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price,
+       |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_st,
+       |  CAST(GROUPING(o_year) AS BIGINT) AS g_yr
+       |FROM t GROUP BY CUBE(o_orderstatus, o_year)""".stripMargin
+
+  // ------------------------------------------------------- set ops
+  /** UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
+    * sets, tagged so one result exercises all three operators.
+    */
+  def setopSegments(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val building = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val rich = c.where(col("c_acctbal") > 5000)
+      .select(col("c_custkey"))
+    val i = building.intersect(rich).select(lit("both").as("op"),
+      col("c_custkey"))
+    val e = building.except(rich).select(lit("building_only").as("op"),
+      col("c_custkey"))
+    val u = building.union(rich).distinct()
+      .select(lit("either").as("op"), col("c_custkey"))
+    i.union(e).union(u)
+  }
+
+  val setopSql: String =
+    """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+      |SELECT 'both' AS op, c_custkey FROM (SELECT * FROM b INTERSECT SELECT * FROM r)
+      |UNION ALL
+      |SELECT 'building_only' AS op, c_custkey FROM (SELECT * FROM b EXCEPT SELECT * FROM r)
+      |UNION ALL
+      |SELECT 'either' AS op, c_custkey FROM (SELECT * FROM b UNION SELECT * FROM r)""".stripMargin
+
+  // ------------------------------------------- distinct aggregation
+  /** Exact COUNT(DISTINCT) per group — expands to a two-phase
+    * aggregate; at scale prefer approx_count_distinct (provided as a
+    * separate rows-only query since HLL sketches are engine-specific).
+    */
+  def distinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  val distinctSql: String =
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Approximate distinct (HLL++). Sketches are engine-specific, so
+    * this is correctness-checked only as rows>0 (no oracle entry) —
+    * it exists because exact distinct at 100 TB is the wrong default.
+    */
+  def approxDistinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+
+  // --------------------------------------------------- having + join back
+  /** Q18-style: large orders by total quantity (HAVING), joined back to
+    * order + customer detail. The aggregate runs first and is the
+    * small side of the join-back — broadcast it.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = table(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 250)
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    broadcast(big)
+      .join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  val q18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${sqlDsum("l_quantity")} > 250)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM big JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  // ---------------------------------------------- scalar functions
+  /** Scalar-function breadth: date parts, formatting, string ops —
+    * all codegen'd built-ins, grouped to a small result.
+    */
+  def scalarFuncsOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        upper(substring(col("o_orderpriority"), 3, 20)).as("prio_name"),
+        length(col("o_orderpriority")).cast("long").as("prio_len"),
+        col("o_totalprice"))
+      .groupBy(col("ym"), col("qtr"), col("prio_name"), col("prio_len"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_totalprice")).as("min_price"))
+
+  val scalarFuncsSql: String =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+       |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+       |  upper(substr(o_orderpriority, 3, 20)) AS prio_name,
+       |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price,
+       |  MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
+       |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
+
+  // ---------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> (q1PricingSummary _))
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "join_semi_highqty" -> (joinSemiHighQty _),
+    "join_anti_no_orders" -> (joinAntiNoOrders _),
+    "window_topk_orders" -> (windowTopkOrders _),
+    "window_running_total" -> (windowRunningTotal _),
+    "agg_rollup_lineitem" -> (aggRollupLineitem _),
+    "agg_cube_orders" -> (aggCubeOrders _),
+    "setop_segments" -> (setopSegments _),
+    "distinct_customers" -> (distinctCustomers _),
+    "approx_distinct_customers" -> (approxDistinctCustomers _),
+    "q18_large_orders" -> (q18LargeOrders _),
+    "scalar_funcs_orders" -> (scalarFuncsOrders _))
 
   val oracles: Map[String, String] = Map(
-    "q1_pricing_summary" -> q1Sql)
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "join_semi_highqty" -> joinSemiSql,
+    "join_anti_no_orders" -> joinAntiSql,
+    "window_topk_orders" -> windowTopkSql,
+    "window_running_total" -> windowRunningSql,
+    "agg_rollup_lineitem" -> aggRollupSql,
+    "agg_cube_orders" -> aggCubeSql,
+    "setop_segments" -> setopSql,
+    "distinct_customers" -> distinctSql,
+    "q18_large_orders" -> q18Sql,
+    "scalar_funcs_orders" -> scalarFuncsSql)
 }

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine hashing.
+  *
+  * The driver checks every query against a DuckDB oracle, so any hash
+  * used in a checked query must produce bit-identical values in both
+  * engines. Engine-native hashes (Spark `hash`/`xxhash64`, DuckDB
+  * `hash`) differ, but MD5 is MD5 everywhere: both engines emit the
+  * same lowercase hex for the same UTF-8 bytes. We take the first 14
+  * hex digits (56 bits — always fits an int64) as the integer hash.
+  *
+  * Spark side: `conv(substr(md5(x),1,14),16,10)::long`.
+  * DuckDB side: `CAST('0x' || substr(md5(x),1,14) AS BIGINT)`.
+  *
+  * Derived hash families use modular arithmetic in a 31-bit prime
+  * field so every product stays < 2^62 (no 64-bit overflow in either
+  * engine): h_i(x) = (a_i * (x mod P) + b_i) mod P.
+  */
+object CrossHash {
+
+  /** 2^31 - 1, prime. Field for derived hash families. */
+  val P: Long = 2147483647L
+
+  /** 56-bit integer hash of a string column, identical in DuckDB. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Long]]. `x` is a SQL expression string. */
+  def sqlMd5Long(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 14) AS BIGINT)"
+
+  /** i-th universal hash over the P field, from a base 56-bit hash.
+    * Coefficients are fixed odd constants so both engines agree.
+    */
+  def affine(h: Column, i: Int): Column =
+    ((lit(coefA(i)) * (h % P) + coefB(i)) % P)
+
+  def sqlAffine(h: String, i: Int): String =
+    s"((${coefA(i)} * (($h) % $P) + ${coefB(i)}) % $P)"
+
+  /** Deterministic per-family coefficients in [1, P). Any fixed
+    * pseudo-random scheme works as long as both emitters share it.
+    */
+  def coefA(i: Int): Long = (2654435761L * (i + 1) + 1) % P
+  def coefB(i: Int): Long = (40503L * (i + 1) * (i + 1) + 7) % P
+}
