@@ -20,7 +20,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     IngestQueries.queries ++
       TpchQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +30,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     IngestQueries.oracles ++
       TpchQueries.oracles ++
-      EventQueries.oracles
+      EventQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles
 }

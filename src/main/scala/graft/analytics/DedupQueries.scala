@@ -1,0 +1,256 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash._
+import QueryUtil._
+
+/** Deduplication operators over `documents` — the core of a
+  * training-data pipeline at 100 TB:
+  *
+  *  - exact dedup: hash-groupBy on content (one shuffle on text hash);
+  *  - MinHash signatures: pure per-row array expressions, NO explode
+  *    and NO shuffle — each doc's K-wide signature is computed inside
+  *    whole-stage codegen from its shingle set;
+  *  - LSH banding: signatures → (band, band_key) buckets; candidate
+  *    pairs come from a self-join on the bucket key (shuffle on
+  *    bucket, never all-pairs n²), then exact Jaccard verification
+  *    on just the candidates;
+  *  - SimHash: one explode pass, 32 conditional aggregates, then the
+  *    bits reassemble into a 32-bit fingerprint.
+  *
+  * All hashes are [[graft.functions.CrossHash]] md5-based so the
+  * DuckDB oracle reproduces them bit-for-bit.
+  */
+object DedupQueries {
+
+  val K = 16 // minhash signature width
+  val Bands = 4 // LSH bands (rows per band = K / Bands = 4)
+  val SimBits = 32
+
+  // --------------------------------------------------------- shingles
+  /** Distinct 3-token shingle hashes of a document, as a pure column
+    * expression. Docs with <3 tokens fall back to the whole text as
+    * one shingle.
+    */
+  private def shingleHashes: Column = {
+    val t = split(col("text"), " ")
+    val shingles = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3)))))
+      .otherwise(array(col("text")))
+    array_distinct(transform(shingles, s => md5Long(s) % P))
+  }
+
+  /** DuckDB twin of [[shingleHashes]] given a `toks` list column. */
+  private def sqlShingleHashes(toks: String, text: String): String = {
+    val sh = s"""CASE WHEN len($toks) >= 3
+      THEN list_transform(generate_series(1, len($toks) - 2),
+             i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2])
+      ELSE [$text] END"""
+    s"list_distinct(list_transform($sh, s -> ${sqlMd5Long("s")} % $P))"
+  }
+
+  // ------------------------------------------------------ exact dedup
+  /** Exact dedup: canonical = min doc_id among identical texts. A
+    * window over the content hash — at scale this is one shuffle on
+    * md5(text), never on the text bytes themselves.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("text_hash"))
+    table(spark, dir, "documents")
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("text_hash"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"))
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, md5(text) AS text_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- minhash signature
+  /** K-wide MinHash signature per document. sig_i = min over shingles
+    * of h_i(shingle) where h_i is an affine universal hash over the P
+    * field. Pure expression — scales linearly, no shuffle.
+    */
+  def dedupMinhashSig(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = (0 until K).map(i =>
+      array_min(transform(col("sh"), h => affine(h, i))).as(s"sig_$i"))
+    table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id") +: sigs: _*)
+  }
+
+  val dedupMinhashSigSql: String = {
+    val sigs = (0 until K).map(i =>
+      s"list_aggregate(list_transform(sh, h -> ${sqlAffine("h", i)}), 'min') AS sig_$i")
+      .mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t)
+       |SELECT doc_id,
+       |  $sigs
+       |FROM s""".stripMargin
+  }
+
+  // ------------------------------------------------------- LSH pairs
+  /** LSH candidate pairs + exact Jaccard verification.
+    *
+    * Pipeline: signature → `Bands` band keys per doc → self-join on
+    * (band, key) → distinct candidate pairs → join each side's
+    * shingle set → exact Jaccard in ppm. The self-join shuffles on
+    * the band key only; with B bands of R rows a pair collides iff
+    * some band matches entirely — the classic (B,R) S-curve.
+    */
+  def dedupLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), col("sh"))
+    docs.cache()
+    val R = K / Bands
+    val sigCols = (0 until K).map(i =>
+      array_min(transform(col("sh"), h => affine(h, i))))
+    val bandKey = (b: Int) => concat_ws("-",
+      sigCols.slice(b * R, b * R + R).map(_.cast("string")): _*)
+    val banded = docs.select(
+      col("doc_id"),
+      posexplode(array((0 until Bands).map(b => bandKey(b)): _*))
+        .as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard_ppm",
+        floor(lit(1e6) * col("n_common").cast("double") /
+          col("n_union").cast("double")).cast("long"))
+  }
+
+  val dedupLshPairsSql: String = {
+    val R = K / Bands
+    val sig = (i: Int) =>
+      s"list_aggregate(list_transform(sh, h -> ${sqlAffine("h", i)}), 'min')"
+    val bandRows = (0 until Bands).map { b =>
+      val key = (b * R until b * R + R)
+        .map(i => s"CAST(${sig(i)} AS VARCHAR)").mkString(" || '-' || ")
+      s"SELECT doc_id, $b AS band, $key AS key, sh FROM s"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |banded AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+       |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,
+       |  CAST(floor(1e6 * CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM pairs p
+       |JOIN s sa ON p.doc_a = sa.doc_id
+       |JOIN s sb ON p.doc_b = sb.doc_id""".stripMargin
+  }
+
+  // --------------------------------------------------------- simhash
+  /** 32-bit SimHash per document: one explode pass over token hashes,
+    * 32 signed bit-sums as parallel aggregates, bits with sum >= 0
+    * set. Near-dup docs differ in few bits (compare via Hamming
+    * distance downstream).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val exploded = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), (md5Long(col("tok")) % P).as("h"))
+    val bitSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s_$b"))
+    val simhash = (0 until SimBits).map(b =>
+      when(col(s"s_$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    exploded.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until SimBits).map(b =>
+      s"SUM((h >> $b) % 2 * 2 - 1) AS s_$b").mkString(",\n  ")
+    val simhash = (0 until SimBits).map(b =>
+      s"CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT doc_id, ${sqlMd5Long("tok.t")} % $P AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |    LATERAL (SELECT unnest(toks) AS t) tok),
+       |b AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM e GROUP BY doc_id)
+       |SELECT doc_id, $simhash AS simhash FROM b""".stripMargin
+  }
+
+  // --------------------------------------- blocked n-gram jaccard
+  /** N-gram Jaccard near-dup with min-hash blocking: pairs are only
+    * formed within a block (docs sharing the same minimum shingle
+    * hash), so the join shuffles on the block key — linear-ish in
+    * practice vs. the n² all-pairs.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), col("sh"), array_min(col("sh")).as("block"))
+    val a = docs.select(col("block"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = docs.select(col("block"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1e6) *
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+          .cast("long").as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= 100000)
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |blocked AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS block FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(floor(1e6 * CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM blocked a JOIN blocked b
+       |  ON a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE CAST(floor(1e6 * CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
+       |  >= 100000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_sig" -> (dedupMinhashSig _),
+    "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_minhash_sig" -> dedupMinhashSigSql,
+    "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_simhash" -> dedupSimhashSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+}

@@ -1,0 +1,190 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash
+import QueryUtil._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, content fingerprinting —
+  * the per-document preprocessing stages of a training-data pipeline.
+  *
+  * Everything is a codegen'd built-in expression over one scan — no
+  * UDFs, no shuffle except the final fingerprint aggregation (keyed by
+  * doc_id, which is the natural partitioning for per-doc work at
+  * 100 TB). Ratios are emitted as integer parts-per-million
+  * (`floor(1e6·a/b)`), which is bit-identical across engines because
+  * both divide the same exact integers in IEEE double.
+  */
+object TextQueries {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private def ppm(num: Column, den: Column): Column =
+    floor(lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
+
+  private def sqlPpm(num: String, den: String): String =
+    s"CAST(floor(1e6 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) AS BIGINT)"
+
+  // ------------------------------------------------------ token stats
+  /** Whitespace + regex token counting with distinct ratio and a mean
+    * token length in ppm.
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{4,}"), lit(0)))
+          .cast("long").as("n_long_tokens"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("n_letter_chars"))
+      .withColumn("mean_token_len_ppm",
+        ppm(col("n_letter_chars"), col("n_tokens")))
+
+  val textStatsSql: String =
+    s"""SELECT doc_id, lang,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |  CAST(len(regexp_extract_all(text, '[a-z]{4,}')) AS BIGINT) AS n_long_tokens,
+       |  CAST(length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_letter_chars,
+       |  ${sqlPpm("length(regexp_replace(text, ' ', '', 'g'))",
+                   "len(string_split(text, ' '))")} AS mean_token_len_ppm
+       |FROM documents""".stripMargin
+
+  // --------------------------------------------------- quality score
+  /** Quality scoring: stopword ratio + lexical diversity → bucket.
+    * The thresholds are arbitrary but fixed; what matters is that the
+    * scoring pipeline (ratios → bucket) is the real shape of a
+    * training-data quality filter.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val stop = size(filter(toks, t => t === "the" || t === "a"))
+    val base = table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        stop.cast("long").as("n_stopwords"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"))
+      .withColumn("stop_ppm", ppm(col("n_stopwords"), col("n_tokens")))
+      .withColumn("diversity_ppm", ppm(col("n_distinct"), col("n_tokens")))
+    base.withColumn("quality",
+      when(col("stop_ppm") > 120000, "low")
+        .when(col("diversity_ppm") > 400000, "high")
+        .otherwise("mid"))
+  }
+
+  val textQualitySql: String = {
+    val stop = "len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))"
+    val ntok = "len(string_split(text, ' '))"
+    val ndis = "len(list_distinct(string_split(text, ' ')))"
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST($ntok AS BIGINT) AS n_tokens,
+       |    CAST($stop AS BIGINT) AS n_stopwords,
+       |    CAST($ndis AS BIGINT) AS n_distinct,
+       |    ${sqlPpm(stop, ntok)} AS stop_ppm,
+       |    ${sqlPpm(ndis, ntok)} AS diversity_ppm
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_stopwords, n_distinct, stop_ppm,
+       |  diversity_ppm,
+       |  CASE WHEN stop_ppm > 120000 THEN 'low'
+       |       WHEN diversity_ppm > 400000 THEN 'high'
+       |       ELSE 'mid' END AS quality
+       |FROM b""".stripMargin
+  }
+
+  // -------------------------------------------------------- lang id
+  /** Language-ID by character-bigram scoring: each candidate language
+    * has a fixed marker-bigram set; score = total occurrences; argmax
+    * with a fixed tie order. Tiny marker sets, but the real n-gram
+    * scorer shape — swap in bigger tables for production.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("th", "he"),
+    "fr" -> Seq("le", "ou"),
+    "de" -> Seq("ch", "ei"),
+    "es" -> Seq("el", "la"),
+    "zh" -> Seq("sh", "ng"))
+
+  private def bigramCount(text: Column, bg: String): Column =
+    ((length(text) - length(regexp_replace(text, bg, ""))) / 2).cast("long")
+
+  private def sqlBigramCount(bg: String): String =
+    s"CAST((length(text) - length(regexp_replace(text, '$bg', '', 'g'))) / 2 AS BIGINT)"
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(table(spark, dir, "documents")) {
+      case (df, (lang, bgs)) =>
+        df.withColumn(s"score_$lang",
+          bgs.map(bigramCount(col("text"), _)).reduce(_ + _))
+    }
+    val best = greatest(langMarkers.map(m => col(s"score_${m._1}")): _*)
+    val pred = langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"score_$lang") === best && best > 0, lang).otherwise(acc)
+    }
+    // foldRight keeps declaration order as tie-break priority (en first)
+    scored.select(
+      (col("doc_id") +: col("lang").as("actual_lang") +:
+        langMarkers.map(m => col(s"score_${m._1}"))) :+
+        pred.as("pred_lang"): _*)
+  }
+
+  val textLangidSql: String = {
+    val scores = langMarkers.map { case (lang, bgs) =>
+      s"(${bgs.map(sqlBigramCount).mkString(" + ")}) AS score_$lang"
+    }.mkString(",\n  ")
+    val best = s"greatest(${langMarkers.map(m => s"score_${m._1}").mkString(", ")})"
+    val pred = langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |  $scores
+       |  FROM documents)
+       |SELECT doc_id, actual_lang,
+       |  ${langMarkers.map(m => s"score_${m._1}").mkString(", ")},
+       |  $pred AS pred_lang
+       |FROM s""".stripMargin
+  }
+
+  // ---------------------------------------------------- fingerprint
+  /** Document fingerprint: position-weighted token-hash sum mod P,
+    * plus the content min-hash. Order-sensitive (swapping two tokens
+    * changes it), associative-safe (sum of exact ints), and
+    * cross-engine via [[CrossHash.md5Long]].
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .select(col("doc_id"),
+        ((CrossHash.md5Long(col("tok")) % CrossHash.P) *
+          (col("pos") + 1)).as("term"),
+        (CrossHash.md5Long(col("tok")) % CrossHash.P).as("h"))
+      .groupBy(col("doc_id"))
+      .agg((sum(col("term")) % CrossHash.P).as("fingerprint"),
+        min(col("h")).as("min_hash"),
+        count(lit(1)).as("n_tokens"))
+
+  val textFingerprintSql: String = {
+    val h = CrossHash.sqlMd5Long("t.toks[g.pos]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (
+       |  SELECT t.doc_id, g.pos, ($h % ${CrossHash.P}) AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS pos) g)
+       |SELECT doc_id, SUM(h * pos) % ${CrossHash.P} AS fingerprint,
+       |  MIN(h) AS min_hash, COUNT(*) AS n_tokens
+       |FROM e GROUP BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> (textStats _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql)
+}
