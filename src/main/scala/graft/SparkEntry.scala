@@ -22,7 +22,8 @@ object SparkEntry {
       TpchQueries.queries ++
       EventQueries.queries ++
       TextQueries.queries ++
-      DedupQueries.queries
+      DedupQueries.queries ++
+      EmbeddingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       TpchQueries.oracles ++
       EventQueries.oracles ++
       TextQueries.oracles ++
-      DedupQueries.oracles
+      DedupQueries.oracles ++
+      EmbeddingQueries.oracles
 }

@@ -1,0 +1,196 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHash.{coefA, coefB, P}
+import QueryUtil._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the correctness baseline, a
+  * random-hyperplane LSH bucketed variant as the scale path, and a
+  * label-blocked near-duplicate pair search.
+  *
+  * Determinism strategy: float components are quantized to integers
+  * (`floor(x · 4096)`) before any arithmetic, so dot products and
+  * norms are EXACT int64 sums — order-independent, engine-independent
+  * — and the final cosine is one IEEE-exact divide+sqrt on identical
+  * operands in both engines. Norms stay < 2^53 so the double cast is
+  * lossless. Scores are emitted as ppm (floor(1e6·cos)).
+  *
+  * Scale notes: the query side is tiny and broadcast; brute force is
+  * one pass over the corpus per query batch (the right baseline up to
+  * ~10^7 vectors/executor); the LSH variant buckets the corpus once
+  * (8 hyperplanes → 256 buckets) and probes only the query's bucket —
+  * the shuffle moves (bucket, vec) instead of all-pairs.
+  */
+object EmbeddingQueries {
+
+  val Scale = 4096
+  val TopK = 10
+  val Planes = 8
+
+  /** Quantized vector + exact squared norm. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+      .withColumn("norm2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+
+  private val sqlQuantized: String =
+    s"""q AS (SELECT vec_id, label,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, qv,
+       |  list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q)""".stripMargin
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** ppm cosine from exact integer dot/norms — identical IEEE ops on
+    * identical operands in both engines.
+    */
+  private def scorePpm(d: Column, na: Column, nb: Column): Column =
+    floor((lit(1e6) * d.cast("double")) /
+      sqrt((na * nb).cast("double"))).cast("long")
+
+  private def sqlScorePpm(d: String, na: String, nb: String): String =
+    s"CAST(floor((1e6 * CAST($d AS DOUBLE)) / sqrt(CAST($na * $nb AS DOUBLE))) AS BIGINT)"
+
+  private val sqlDot =
+    "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+
+  // ------------------------------------------------- brute-force kNN
+  /** Top-10 cosine neighbors for each query vector (vec_id < 10) by
+    * full corpus scan. The query side is broadcast; ranking is a
+    * per-query-partition window over the scored corpus.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+    val scored = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnBruteForceSql: String =
+    s"""WITH $sqlQuantized,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS score_ppm
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+
+  // ------------------------------------------------- LSH bucketed kNN
+  /** Random-hyperplane LSH: 8 pseudo-random ±1 hyperplanes (signs from
+    * the shared CrossHash affine family, so the oracle derives the
+    * same planes), vector → 8-bit bucket; neighbors searched only
+    * within the query's bucket, then exact-cosine ranked. Recall is
+    * bucket-limited by design — this is the n >> 10^7 scale path where
+    * brute force stops being an option.
+    */
+  def knnLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    // sign(p, j) for 1-based dim j: ±1 from affine-hash parity
+    def sign(p: Int, i: Column): Column =
+      ((lit(coefA(p)) * (i + 1) + lit(coefB(p))) % P % 2) * 2 - 1
+    val bucket = (0 until Planes).map { p =>
+      val s = aggregate(
+        transform(col("q"), (x, i) => x * sign(p, i)),
+        lit(0L), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = quantized(spark, dir).withColumn("bucket", bucket)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"), col("bucket"))
+    val scored = broadcast(qs).join(e,
+        Seq("bucket")).where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("bucket"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnLshBucketedSql: String = {
+    val sgn = s"((((2654435761 * (p.p + 1) + 1) % $P) * d.d + " +
+      s"((40503 * (p.p + 1) * (p.p + 1) + 7) % $P)) % $P % 2) * 2 - 1"
+    s"""WITH $sqlQuantized,
+       |planesum AS (
+       |  SELECT vec_id, p.p, SUM(qv[d.d] * ($sgn)) AS s
+       |  FROM n,
+       |    LATERAL (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
+       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+       |  GROUP BY 1, 2),
+       |bucketed AS (
+       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
+       |  FROM n JOIN (
+       |    SELECT vec_id,
+       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id, a.bucket,
+       |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS score_ppm
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |SELECT query_id, vec_id, bucket, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, bucket, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
+  // ------------------------------------------- near-dup pair search
+  /** Embedding-cosine near-duplicate pairs, blocked by label (the
+    * pre-existing coarse partitioner) — pairs only form within a
+    * block, so the join shuffles on label, never all-pairs.
+    */
+  def embNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    a.join(b, Seq("label"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"),
+        scorePpm(dot(col("qa"), col("qb")), col("na"), col("nb"))
+          .as("score_ppm"))
+      .where(col("score_ppm") >= 250000)
+  }
+
+  val embNeardupPairsSql: String =
+    s"""WITH $sqlQuantized
+       |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS score_ppm
+       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} >= 250000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_brute_force" -> (knnBruteForce _),
+    "knn_lsh_bucketed" -> (knnLshBucketed _),
+    "emb_neardup_pairs" -> (embNeardupPairs _))
+
+  val oracles: Map[String, String] = Map(
+    "knn_brute_force" -> knnBruteForceSql,
+    "knn_lsh_bucketed" -> knnLshBucketedSql,
+    "emb_neardup_pairs" -> embNeardupPairsSql)
+}
