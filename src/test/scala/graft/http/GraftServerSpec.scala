@@ -1,0 +1,90 @@
+package graft.http
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{GraftConfig, Priority}
+import graft.streaming.{IngestEngine, SystemSleeper}
+
+/** Black-box HTTP parity (the reference's test style, test_api.js —
+  * real HTTP against a live server) for shapes and status codes; the
+  * timing scenarios live in EngineSpec under virtual time.
+  */
+class GraftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val engine = new IngestEngine(GraftConfig.bench, SystemSleeper)
+  private val server = new GraftServer(engine, port = 0)
+  private var port: Int = _
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = { port = server.start() }
+  override def afterAll(): Unit = server.stop()
+
+  private def post(body: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString())
+
+  test("POST /ingest accepts a valid request and returns an ingestion_id") {
+    val res = post("""{"ids": [1, 2, 3, 4, 5], "priority": "MEDIUM"}""")
+    assert(res.statusCode() == 200)
+    assert(res.body().contains("ingestion_id"))
+  }
+
+  test("POST /ingest rejects non-integer ids with 400 Invalid input") {
+    val res = post("""{"ids": [1, 2, "a"], "priority": "HIGH"}""")
+    assert(res.statusCode() == 400)
+    assert(res.body().contains("Invalid input"))
+  }
+
+  test("POST /ingest rejects bad priority and out-of-range ids") {
+    assert(post("""{"ids": [1, 2, 3], "priority": "VERY_HIGH"}""")
+      .statusCode() == 400)
+    assert(post("""{"ids": [0], "priority": "LOW"}""").statusCode() == 400)
+    assert(post("""{"ids": [1000000008], "priority": "LOW"}""")
+      .statusCode() == 400)
+  }
+
+  test("POST /ingest rejects malformed JSON") {
+    assert(post("""{"ids": [1,""").statusCode() == 400)
+    assert(post("""[]""").statusCode() == 400)
+  }
+
+  test("empty ids: 200, immediately completed, batches []") {
+    val res = post("""{"ids": [], "priority": "LOW"}""")
+    assert(res.statusCode() == 200)
+    val id = extractId(res.body())
+    val st = get(s"/status/$id")
+    assert(st.statusCode() == 200)
+    assert(st.body().contains("\"completed\""))
+    assert(st.body().replaceAll("\\s", "").contains("\"batches\":[]"))
+  }
+
+  test("GET /status returns the batch split in order") {
+    val res = post("""{"ids": [1, 2, 3, 4, 5, 6, 7], "priority": "HIGH"}""")
+    val id = extractId(res.body())
+    val body = get(s"/status/$id").body().replaceAll("\\s", "")
+    assert(body.contains("\"ids\":[1,2,3]"))
+    assert(body.contains("\"ids\":[4,5,6]"))
+    assert(body.contains("\"ids\":[7]"))
+    assert(body.contains("\"yet_to_start\""))
+  }
+
+  test("GET /status on unknown id is 404 with the reference error shape") {
+    val res = get("/status/does-not-exist")
+    assert(res.statusCode() == 404)
+    assert(res.body().contains("Ingestion ID not found"))
+  }
+
+  private def extractId(body: String): String =
+    "\"ingestion_id\": \"([0-9a-f-]+)\"".r
+      .findFirstMatchIn(body).get.group(1)
+}
