@@ -23,7 +23,8 @@ object SparkEntry {
       EventQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      EmbeddingQueries.queries
+      EmbeddingQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
-      EmbeddingQueries.oracles
+      EmbeddingQueries.oracles ++
+      MultimodalQueries.oracles
 }

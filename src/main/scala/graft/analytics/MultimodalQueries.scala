@@ -1,0 +1,72 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.MultimodalOps
+
+/** Oracle-checked surface of the multimodal plumbing: the query runs
+  * the REAL pipeline (binary synthesis → partition-batched
+  * [[MultimodalOps.extractFeatures]]) and exposes the SQL-expressible
+  * projection of the stub decode — content hash, byte length, and the
+  * md5-derived fake dimensions — so DuckDB independently re-derives
+  * what the executors computed. The float feature vector itself is
+  * covered by MultimodalSpec (arrays don't hash-compare stably).
+  */
+object MultimodalQueries {
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFromDocuments(spark, dir))
+      .select(
+        col("mediaId").as("media_id"),
+        col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"),
+        col("contentHash").as("content_hash"),
+        col("width"),
+        col("height"))
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash,
+      |  1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
+      |  1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
+      |FROM documents""".stripMargin
+
+  /** Frame sampling over synthetic "video" rows — plumbing shape:
+    * explode to one row per sampled frame, hash each frame.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.sampleFrames(
+      MultimodalOps.mediaFromDocuments(spark, dir)
+        .filter(col("mediaType") === "video"))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("frame_bytes")).as("sampled_bytes"),
+        countDistinct(col("frame_hash")).as("n_distinct_frames"))
+
+  val multimodalFramesSql: String =
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |  WHERE CAST(doc_id % 3 AS INT) = 2),
+      |frames AS (
+      |  SELECT media_id, g.i - 1 AS frame_index,
+      |    substr(text, (g.i - 1) * 16 + 1, 16) AS frame
+      |  FROM v, LATERAL (SELECT unnest(generate_series(
+      |    1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS i) g
+      |  WHERE (g.i - 1) % 2 = 0)
+      |SELECT media_id, COUNT(*) AS n_frames,
+      |  SUM(strlen(frame)) AS sampled_bytes,
+      |  COUNT(DISTINCT md5(frame)) AS n_distinct_frames
+      |FROM frames GROUP BY media_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (multimodalFeatures _),
+    "multimodal_frames" -> (multimodalFrames _))
+
+  val oracles: Map[String, String] = Map(
+    "multimodal_features" -> multimodalFeaturesSql,
+    "multimodal_frames" -> multimodalFramesSql)
+}

@@ -1,0 +1,54 @@
+package graft.multimodal
+
+import graft.SparkSuite
+import graft.multimodal.MultimodalOps._
+
+/** The plumbing the oracle can't check: float feature vectors, batch
+  * shape, partitioning behavior, frame-sampling mechanics.
+  */
+class MultimodalSpec extends SparkSuite {
+
+  private lazy val media = mediaFromDocuments(spark, sf0001)
+
+  test("feature extraction is deterministic and schema-complete") {
+    val f1 = extractFeatures(media).collect().sortBy(_.mediaId)
+    val f2 = extractFeatures(media).collect().sortBy(_.mediaId)
+    assert(f1.length == media.count())
+    assert(f1.map(_.contentHash).toSeq == f2.map(_.contentHash).toSeq)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+    f1.foreach { f =>
+      assert(f.features.length == 8)
+      assert(f.features.forall(v => v >= 0f && v <= 1f))
+      assert(f.width >= 1 && f.width <= 640)
+      assert(f.height >= 1 && f.height <= 480)
+      assert(f.contentHash.matches("[0-9a-f]{32}"))
+    }
+  }
+
+  test("feature extraction agrees with the stub decoder row-by-row") {
+    val row = media.filter(_.mediaId == 0L).collect().head
+    val (w, h, feats) = StubDecoder.decode(row.content)
+    val extracted = extractFeatures(media).filter(_.mediaId == 0L)
+      .collect().head
+    assert(extracted.width == w && extracted.height == h)
+    assert(extracted.features.toSeq == feats.toSeq)
+  }
+
+  test("extraction is narrow: partition count is preserved (no shuffle)") {
+    val repartitioned = media.repartition(7)
+    assert(extractFeatures(repartitioned).rdd.getNumPartitions == 7)
+  }
+
+  test("frame sampling takes every 2nd 16-byte slice, order preserved") {
+    val one = media.filter(_.mediaId == 0L)
+    val content = one.collect().head.content
+    val frames = sampleFrames(one).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+      .sortBy(_._1)
+    val expectedCount = (content.grouped(16).size + 1) / 2
+    assert(frames.length == expectedCount)
+    assert(frames.map(_._1).toSeq ==
+      (0 until content.grouped(16).size by 2).toSeq)
+    assert(frames.init.forall(_._2 == 16)) // all but possibly the tail
+  }
+}
