@@ -202,6 +202,54 @@ object DedupQueries {
        |SELECT doc_id, $simhash AS simhash FROM b""".stripMargin
   }
 
+  /** SimHash near-dup pairs by bit-sampling LSH: split the 32-bit
+    * fingerprint into 4 bytes; by pigeonhole, any pair within Hamming
+    * distance 3 shares at least one byte intact, so the self-join on
+    * (band, byte) finds all such pairs without n² — then exact
+    * Hamming distance (bit_count of xor) filters. This is how simhash
+    * dedup shards at 100 TB: the shuffle key is the band byte.
+    */
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sims = dedupSimhash(spark, dir)
+    val banded = sims.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 8) % 256): _*))
+          .as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+  }
+
+  val dedupSimhashPairsSql: String = {
+    val bitSums = (0 until SimBits).map(b =>
+      s"SUM((h >> $b) % 2 * 2 - 1) AS s_$b").mkString(",\n  ")
+    val simhash = (0 until SimBits).map(b =>
+      s"CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT doc_id, ${sqlMd5Long("tok.t")} % $P AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |    LATERAL (SELECT unnest(toks) AS t) tok),
+       |bs AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM e GROUP BY doc_id),
+       |sims AS (SELECT doc_id, $simhash AS simhash FROM bs),
+       |banded AS (
+       |  SELECT doc_id, simhash, band.b AS band,
+       |         (simhash >> (band.b * 8)) % 256 AS key
+       |  FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) band)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
   // --------------------------------------- blocked n-gram jaccard
   /** N-gram Jaccard near-dup with min-hash blocking: pairs are only
     * formed within a block (docs sharing the same minimum shingle
@@ -245,6 +293,7 @@ object DedupQueries {
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
 
   val oracles: Map[String, String] = Map(
@@ -252,5 +301,6 @@ object DedupQueries {
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
 }

@@ -180,15 +180,67 @@ object IngestQueries {
       |         o_orderkey, priority
       |  FROM weighted) WHERE position <= 100""".stripMargin
 
+  /** J1 — the reference's only join: per-batch status lookup with
+    * yet_to_start default for misses (reference: src/app.js:166, 179 —
+    * `batches.get(id)?.status || 'yet_to_start'`). Batch stubs are all
+    * lineitem rows; the live-status side holds only A/R rows, so N
+    * rows exercise the coalesce default. Runs the production
+    * [[IngestOps.withBatchStatus]] (broadcast left join).
+    */
+  def ingestBatchStatusJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    val stubs = li.select(
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("batch_id"),
+      col("l_orderkey"))
+    val live = li
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("batch_id"),
+        when(col("l_returnflag") === "A", Status.Completed)
+          .otherwise(Status.Triggered).as("status"))
+    IngestOps.withBatchStatus(stubs, live)
+  }
+
+  val ingestBatchStatusJoinSql: String =
+    """WITH stubs AS (
+      |  SELECT l_orderkey || '-' || l_linenumber AS batch_id, l_orderkey
+      |  FROM lineitem),
+      |live AS (
+      |  SELECT l_orderkey || '-' || l_linenumber AS batch_id,
+      |         CASE l_returnflag WHEN 'A' THEN 'completed'
+      |                           ELSE 'triggered' END AS status
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R'))
+      |SELECT s.batch_id, s.l_orderkey,
+      |       COALESCE(l.status, 'yet_to_start') AS status
+      |FROM stubs s LEFT JOIN live l ON s.batch_id = l.batch_id""".stripMargin
+
+  /** S4 — point lookup by key (reference: src/app.js:160 —
+    * `ingestions.get(id)`). The predicate reaches the parquet scan as
+    * an In filter, so at scale this reads only matching row groups.
+    */
+  def ingestPointLookup(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .where(col("o_orderkey").isin(1L, 2L, 3L))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice"))
+
+  val ingestPointLookupSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+      |FROM orders WHERE o_orderkey IN (1, 2, 3)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ingest_chunk" -> (ingestChunk _),
     "ingest_validate" -> (ingestValidate _),
     "ingest_status_fold" -> (ingestStatusFold _),
-    "ingest_priority_queue" -> (ingestPriorityQueue _))
+    "ingest_priority_queue" -> (ingestPriorityQueue _),
+    "ingest_batch_status_join" -> (ingestBatchStatusJoin _),
+    "ingest_point_lookup" -> (ingestPointLookup _))
 
   val oracles: Map[String, String] = Map(
     "ingest_chunk" -> ingestChunkSql,
     "ingest_validate" -> ingestValidateSql,
     "ingest_status_fold" -> ingestStatusFoldSql,
-    "ingest_priority_queue" -> ingestPriorityQueueSql)
+    "ingest_priority_queue" -> ingestPriorityQueueSql,
+    "ingest_batch_status_join" -> ingestBatchStatusJoinSql,
+    "ingest_point_lookup" -> ingestPointLookupSql)
 }

@@ -372,6 +372,36 @@ object TpchQueries {
        |  MAX(o_totalprice) AS max_price, MIN(o_totalprice) AS min_price
        |FROM orders GROUP BY 1, 2, 3, 4""".stripMargin
 
+  // ------------------------------------------------- percentiles
+  /** Exact percentiles (median / p90) per group. Exact `percentile`
+    * needs the group's values together (fine for bounded groups); at
+    * unbounded scale swap for approx_percentile — provided as the
+    * rows-only companion below.
+    */
+  def percentileQuantity(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+        count(lit(1)).as("n"))
+
+  val percentileSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Approximate percentile (engine-specific sketch → rows-only check),
+    * the 100 TB default.
+    */
+  def approxPercentileQuantity(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+        .as("approx_median_qty"))
+
   // ---------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -387,7 +417,9 @@ object TpchQueries {
     "distinct_customers" -> (distinctCustomers _),
     "approx_distinct_customers" -> (approxDistinctCustomers _),
     "q18_large_orders" -> (q18LargeOrders _),
-    "scalar_funcs_orders" -> (scalarFuncsOrders _))
+    "scalar_funcs_orders" -> (scalarFuncsOrders _),
+    "percentile_quantity" -> (percentileQuantity _),
+    "approx_percentile_quantity" -> (approxPercentileQuantity _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -402,5 +434,6 @@ object TpchQueries {
     "setop_segments" -> setopSql,
     "distinct_customers" -> distinctSql,
     "q18_large_orders" -> q18Sql,
-    "scalar_funcs_orders" -> scalarFuncsSql)
+    "scalar_funcs_orders" -> scalarFuncsSql,
+    "percentile_quantity" -> percentileSql)
 }
