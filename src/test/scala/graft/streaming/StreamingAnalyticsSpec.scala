@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+import graft.SparkSuite
+
+final case class StreamEvent(ts: Timestamp, userId: Long,
+    eventType: String, value: Double)
+
+final case class UserAgg(userId: Long, nEvents: Long, sumValue: Double)
+
+/** Event-time streaming semantics over the real `readStream` path:
+  * watermarks, windowed aggregation, late-data dropping, and custom
+  * state via mapGroupsWithState. The batch-mode twins of these
+  * operators are oracle-checked in EventQueries; this suite proves the
+  * streaming execution with deterministic micro-batch boundaries
+  * (processAllAvailable between feeds).
+  */
+class StreamingAnalyticsSpec extends SparkSuite {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed aggregation with watermark over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val agg = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      ms.addData(
+        StreamEvent(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:25:00"), 2, "click", 2.0),
+        StreamEvent(t("2024-01-01 11:05:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select(col("window.start").cast("string"), col("eventType"),
+          col("n"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "view", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("append mode emits closed windows and drops late data past the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val agg = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late_drop")
+      .outputMode("append").start()
+    try {
+      // window [10:00, 11:00) accumulates two events
+      ms.addData(StreamEvent(t("2024-01-01 10:05:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:50:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("late_drop").count() == 0) // window still open
+      // advance event time: watermark 13:00-10m = 12:50 > 11:00 closes it
+      ms.addData(StreamEvent(t("2024-01-01 13:00:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      // a straggler for the closed window must be DROPPED
+      ms.addData(StreamEvent(t("2024-01-01 10:30:00"), 4, "late", 9.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 16:00:00"), 5, "view", 1.0))
+      q.processAllAvailable() // closes the 13:00 window too
+      val byStart = spark.table("late_drop")
+        .select(col("window.start").cast("string"), col("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byStart("2024-01-01 10:00:00") == 2L) // late event excluded
+      assert(byStart("2024-01-01 13:00:00") == 1L)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState maintains custom per-key state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val updated = ms.toDS()
+      .groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, events: Iterator[StreamEvent], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          val evs = events.toSeq
+          val next = UserAgg(userId, prev.nEvents + evs.size,
+            prev.sumValue + evs.map(_.value).sum)
+          state.update(next)
+          next
+      }
+    val q = updated.writeStream.format("memory").queryName("user_state")
+      .outputMode("update").start()
+    try {
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:01:00"), 1, "click", 2.0),
+        StreamEvent(t("2024-01-01 10:02:00"), 2, "view", 5.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 10:10:00"), 1, "view", 4.0))
+      q.processAllAvailable()
+      // state carried across micro-batches: user 1 saw 2 then 3 events
+      val last = spark.table("user_state")
+        .groupBy(col("userId"))
+        .agg(max(col("nEvents")).as("n"), max(col("sumValue")).as("s"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(last(1L) == ((3L, 7.0)))
+      assert(last(2L) == ((1L, 5.0)))
+    } finally q.stop()
+  }
+}
