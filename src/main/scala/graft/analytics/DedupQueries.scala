@@ -116,10 +116,13 @@ object DedupQueries {
       array_min(transform(col("sh"), h => affine(h, i))))
     val bandKey = (b: Int) => concat_ws("-",
       sigCols.slice(b * R, b * R + R).map(_.cast("string")): _*)
+    // cached: the band table feeds both sides of the self-join — without
+    // it Spark recomputes the 16 minhash transforms per side
     val banded = docs.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(b => bandKey(b)): _*))
         .as(Seq("band", "key")))
+      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
     val pairs = a.join(b,
@@ -257,9 +260,12 @@ object DedupQueries {
     * practice vs. the n² all-pairs.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // cached: both self-join sides read this — the md5 shingle pipeline
+    // is the expensive part, not the (blocked, small) pair join
     val docs = table(spark, dir, "documents")
       .withColumn("sh", shingleHashes)
       .select(col("doc_id"), col("sh"), array_min(col("sh")).as("block"))
+      .cache()
     val a = docs.select(col("block"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val b = docs.select(col("block"), col("doc_id").as("doc_b"),
