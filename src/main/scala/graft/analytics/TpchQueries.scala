@@ -402,6 +402,116 @@ object TpchQueries {
       .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
         .as("approx_median_qty"))
 
+  // ------------------------------------------------------ UDAF
+  /** Typed-Aggregator UDAF: top-3 order prices (exact cents) per
+    * status via [[graft.functions.TopKAgg]] — k-element buffers
+    * map-side, only k values cross the shuffle. DECIMAL-cast cents
+    * keep the values exact for the oracle.
+    */
+  def udafTopkPrices(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAgg(3))
+    table(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(topk(col("cents")).as("top3_cents_csv"))
+  }
+
+  val udafTopkSql: String =
+    """WITH c AS (
+      |  SELECT o_orderstatus,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderstatus, cents, row_number() OVER (
+      |    PARTITION BY o_orderstatus ORDER BY cents DESC) AS rn
+      |  FROM c)
+      |SELECT o_orderstatus,
+      |  string_agg(CAST(cents AS VARCHAR), ',' ORDER BY cents DESC)
+      |    AS top3_cents_csv
+      |FROM r WHERE rn <= 3 GROUP BY o_orderstatus""".stripMargin
+
+  // ------------------------------------------------ SQL front door
+  /** Q6-style revenue delta through the spark.sql entry point over
+    * registered views — the SQL surface users of the library get for
+    * free (same ANSI text runs in DuckDB modulo the decimal helper).
+    */
+  def sqlRevenueQ6(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24""".stripMargin)
+  }
+
+  val sqlRevenueQ6Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  // --------------------------------------- window-function breadth
+  /** lead / dense_rank / first_value / ntile over one partitioned
+    * window pass (single shuffle on o_custkey; dates+keys give a
+    * total order so every function is deterministic).
+    */
+  def windowFuncsBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("cents").desc)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      .select(col("o_custkey"), col("o_orderkey"), col("cents"),
+        dense_rank().over(byPrice).cast("long").as("price_rank"),
+        lead(col("o_orderkey"), 1).over(byDate).as("next_orderkey"),
+        first_value(col("o_orderkey")).over(byDate).as("first_orderkey"),
+        ntile(4).over(byDate).cast("long").as("quartile"))
+  }
+
+  val windowFuncsSql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, cents,
+      |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY cents DESC)
+      |    AS BIGINT) AS price_rank,
+      |  lead(o_orderkey, 1) OVER w AS next_orderkey,
+      |  first_value(o_orderkey) OVER w AS first_orderkey,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM c
+      |WINDOW w AS (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  // ------------------------------------------------ scalar subquery
+  /** Scalar-subquery shape: customers above the global mean balance.
+    * The scalar aggregates once and broadcasts; the mean goes through
+    * DECIMAL so the comparison threshold is identical in both engines.
+    */
+  def scalarSubqueryRich(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val thr = c.agg(davg(col("c_acctbal")).as("mean_bal"))
+    c.crossJoin(broadcast(thr))
+      .where(col("c_acctbal") > col("mean_bal"))
+      .select(col("c_custkey"), col("c_acctbal"))
+  }
+
+  val scalarSubquerySql: String =
+    s"""SELECT c_custkey, c_acctbal FROM customer
+       |WHERE c_acctbal > (SELECT ${sqlDavg("c_acctbal")} FROM customer)""".stripMargin
+
   // ---------------------------------------------------------- maps
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -419,7 +529,11 @@ object TpchQueries {
     "q18_large_orders" -> (q18LargeOrders _),
     "scalar_funcs_orders" -> (scalarFuncsOrders _),
     "percentile_quantity" -> (percentileQuantity _),
-    "approx_percentile_quantity" -> (approxPercentileQuantity _))
+    "approx_percentile_quantity" -> (approxPercentileQuantity _),
+    "udaf_topk_prices" -> (udafTopkPrices _),
+    "sql_revenue_q6" -> (sqlRevenueQ6 _),
+    "window_funcs_breadth" -> (windowFuncsBreadth _),
+    "scalar_subquery_rich" -> (scalarSubqueryRich _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -435,5 +549,9 @@ object TpchQueries {
     "distinct_customers" -> distinctSql,
     "q18_large_orders" -> q18Sql,
     "scalar_funcs_orders" -> scalarFuncsSql,
-    "percentile_quantity" -> percentileSql)
+    "percentile_quantity" -> percentileSql,
+    "udaf_topk_prices" -> udafTopkSql,
+    "sql_revenue_q6" -> sqlRevenueQ6Sql,
+    "window_funcs_breadth" -> windowFuncsSql,
+    "scalar_subquery_rich" -> scalarSubquerySql)
 }

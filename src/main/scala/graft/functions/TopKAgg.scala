@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (a category the reference lacks entirely —
+  * SURVEY.md §2 absent-categories row): bounded-memory top-k of a
+  * long-valued column per group.
+  *
+  * This is the aggregator shape that matters at 100 TB: the buffer is
+  * at most k elements, `reduce` runs map-side (partial aggregation),
+  * and only k-element buffers cross the shuffle — a global
+  * `orderBy.limit` per group would sort whole partitions instead.
+  * Output is the descending CSV of the top k values so the result is
+  * hash-comparable across engines.
+  */
+final case class TopKAgg(k: Int) extends Aggregator[Long, Seq[Long], String] {
+  require(k > 0)
+
+  def zero: Seq[Long] = Seq.empty
+
+  def reduce(buf: Seq[Long], v: Long): Seq[Long] = insert(buf, v)
+
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    b.foldLeft(a)(insert)
+
+  def finish(r: Seq[Long]): String = r.mkString(",")
+
+  /** Keep the buffer sorted descending and capped at k — O(k) per
+    * element, no full sort anywhere.
+    */
+  private def insert(buf: Seq[Long], v: Long): Seq[Long] = {
+    if (buf.size >= k && v <= buf.last) buf
+    else {
+      val (hi, lo) = buf.span(_ >= v)
+      (hi ++ (v +: lo)).take(k)
+    }
+  }
+
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}

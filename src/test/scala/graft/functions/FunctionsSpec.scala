@@ -1,0 +1,61 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+class FunctionsSpec extends SparkSuite {
+
+  // ---- TopKAgg ----
+  test("TopKAgg agrees with sort-take on random inputs, any merge order") {
+    val rnd = new Random(42)
+    val agg = TopKAgg(3)
+    for (_ <- 1 to 200) {
+      val xs = Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 1000)
+      // random partition into buffers, reduced then merged pairwise
+      val bufs = xs.grouped(math.max(1, rnd.nextInt(5) + 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val expected = xs.sorted(Ordering[Long].reverse).take(3)
+      assert(agg.finish(merged) == expected.mkString(","))
+    }
+  }
+
+  test("TopKAgg buffer never exceeds k") {
+    val agg = TopKAgg(3)
+    val buf = (1L to 100L).foldLeft(agg.zero)(agg.reduce)
+    assert(buf.size == 3 && buf == Seq(100L, 99L, 98L))
+  }
+
+  // ---- Skew.saltedJoin ----
+  test("salted join returns exactly the plain join's result") {
+    val o = Tables.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.load(spark, sf0001, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val plain = o.join(c, Seq("o_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = Skew.saltedJoin(o, c, "o_custkey", n = 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salting spreads a hot key across reducers") {
+    import spark.implicits._
+    // one key dominates: 10k rows of key=1, a handful of others
+    val hot = (1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong + 1, i.toLong))
+    val large = hot.toDF("k", "payload")
+    val salts = large
+      .withColumn("__salt", pmod(xxhash64(large.columns.map(col).toSeq: _*),
+        lit(8)))
+      .where(col("k") === 1L)
+      .groupBy(col("__salt")).count().collect()
+    assert(salts.length == 8) // the hot key occupies all 8 salt buckets
+    assert(salts.map(_.getLong(1)).max < 10000 * 0.25) // no bucket hogs it
+  }
+}
