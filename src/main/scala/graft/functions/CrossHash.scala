@@ -24,8 +24,16 @@ object CrossHash {
   /** 2^31 - 1, prime. Field for derived hash families. */
   val P: Long = 2147483647L
 
-  /** 56-bit integer hash of a string column, identical in DuckDB. */
-  def md5Long(c: Column): Column =
+  /** 56-bit integer hash of a string column, identical in DuckDB.
+    * Backed by the native codegen'd [[Md5Long56]] expression; the
+    * composed built-in form it replaced (and the DuckDB oracle still
+    * uses, proving equivalence every verify run) is
+    * `conv(substr(md5(x),1,14),16,10)::long`.
+    */
+  def md5Long(c: Column): Column = Md5Long56(c)
+
+  /** The built-in composition (kept for the equivalence property test). */
+  def md5LongComposed(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 14), 16, 10).cast("long")
 
   /** DuckDB twin of [[md5Long]]. `x` is a SQL expression string. */

@@ -30,6 +30,36 @@ class FunctionsSpec extends SparkSuite {
     assert(buf.size == 3 && buf == Seq(100L, 99L, 98L))
   }
 
+  // ---- Md5Long56 ----
+  test("native Md5Long56 equals the built-in composition on random strings") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val strings = Seq.fill(500)(rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", "a", "the quick brown fox", "héllo wörld 你好")
+    val df = strings.toDF("s")
+    val mismatches = df.select(
+        CrossHash.md5Long(col("s")).as("native"),
+        CrossHash.md5LongComposed(col("s")).as("composed"))
+      .where(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+    // values are non-negative 56-bit
+    val max = df.select(org.apache.spark.sql.functions.max(
+      CrossHash.md5Long(col("s")))).head.getLong(0)
+    assert(max >= 0 && max < (1L << 56))
+  }
+
+  test("Md5Long56 works inside higher-order lambdas (transform)") {
+    import spark.implicits._
+    val df = Seq(Seq("x", "y", "z")).toDF("toks")
+    val viaLambda = df.select(
+      transform(col("toks"), t => CrossHash.md5Long(t)).as("hs"))
+      .head.getSeq[Long](0)
+    val direct = Seq("x", "y", "z").map(s =>
+      Md5Long56.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    assert(viaLambda == direct)
+  }
+
   // ---- Skew.saltedJoin ----
   test("salted join returns exactly the plain join's result") {
     val o = Tables.load(spark, sf0001, "orders")
