@@ -24,7 +24,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       EmbeddingQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++
+      ScalarBreadthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       EmbeddingQueries.oracles ++
-      MultimodalQueries.oracles
+      MultimodalQueries.oracles ++
+      ScalarBreadthQueries.oracles
 }

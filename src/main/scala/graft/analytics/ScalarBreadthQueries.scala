@@ -1,0 +1,139 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Scalar/collection function breadth — the expression-library surface
+  * a reference user would expect from an analytics engine: array ops,
+  * regexp extraction, null handling, conditionals. All codegen'd
+  * built-ins over single scans (no shuffle beyond the final small
+  * aggregate where present).
+  */
+object ScalarBreadthQueries {
+
+  /** Array-function breadth over quantized embeddings: slice, reverse,
+    * sort, element access, containment, position arithmetic.
+    */
+  def arrayFuncsEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => floor(x.cast("double") * 1024).cast("long"))
+    table(spark, dir, "embeddings")
+      .select(col("vec_id"), q.as("q"))
+      .select(
+        col("vec_id"),
+        size(col("q")).cast("long").as("dim"),
+        element_at(col("q"), 1).as("first_q"),
+        element_at(col("q"), -1).as("last_q"),
+        element_at(reverse(col("q")), 1).as("rev_first_q"),
+        element_at(array_sort(col("q")), 1).as("min_q"),
+        element_at(array_sort(col("q")), 64).as("max_q"),
+        concat_ws(",", slice(col("q"), 1, 4)).as("head4_csv"),
+        array_position(col("q"), element_at(array_sort(col("q")), 64))
+          .cast("long").as("argmax_1based"),
+        array_contains(col("q"), 0L).as("has_zero"))
+  }
+
+  val arrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS q
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(q) AS BIGINT) AS dim,
+      |  q[1] AS first_q,
+      |  q[-1] AS last_q,
+      |  list_reverse(q)[1] AS rev_first_q,
+      |  list_sort(q)[1] AS min_q,
+      |  list_sort(q)[64] AS max_q,
+      |  array_to_string(q[1:4], ',') AS head4_csv,
+      |  CAST(list_position(q, list_sort(q)[64]) AS BIGINT) AS argmax_1based,
+      |  list_contains(q, 0) AS has_zero
+      |FROM t""".stripMargin
+
+  /** Regexp breadth over documents: group extraction, match filters,
+    * global replacement length accounting.
+    */
+  def regexpDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        regexp_extract(col("text"), "^(\\w+) (\\w+)", 2).as("second_word"),
+        col("text").rlike("merge .* spark").as("has_merge_then_spark"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long")
+          .as("len_no_vowels"),
+        size(regexp_extract_all(col("text"), lit("\\bspark\\b"), lit(0)))
+          .cast("long").as("n_spark"))
+      .drop("text")
+
+  val regexpDocsSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '^(\w+) (\w+)', 2) AS second_word,
+      |  regexp_matches(text, 'merge .* spark') AS has_merge_then_spark,
+      |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+      |    AS len_no_vowels,
+      |  CAST(len(regexp_extract_all(text, '\bspark\b')) AS BIGINT) AS n_spark
+      |FROM documents""".stripMargin
+
+  /** Null-handling breadth: nullif / coalesce / null-aware aggregation
+    * over a derived nullable column.
+    */
+  def nullHandlingOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(col("o_orderstatus"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        when(col("o_totalprice") > 300000, col("o_totalprice")).as("big_price"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(col("status_or_null")).as("n_nonnull_status"),
+        count(lit(1)).as("n_rows"),
+        count(col("big_price")).as("n_big"),
+        dsum(coalesce(col("big_price"), lit(0.0))).as("sum_big_or_zero"),
+        max(coalesce(col("status_or_null"), lit("ZZZ"))).as("max_coalesced"))
+
+  val nullHandlingSql: String =
+    s"""SELECT o_orderstatus,
+       |  COUNT(nullif(o_orderstatus, 'O')) AS n_nonnull_status,
+       |  COUNT(*) AS n_rows,
+       |  COUNT(CASE WHEN o_totalprice > 300000 THEN o_totalprice END) AS n_big,
+       |  ${sqlDsum("COALESCE(CASE WHEN o_totalprice > 300000 THEN o_totalprice END, 0.0)")}
+       |    AS sum_big_or_zero,
+       |  MAX(COALESCE(nullif(o_orderstatus, 'O'), 'ZZZ')) AS max_coalesced
+       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Day-over-day retention: users active on day d who return on d+1 —
+    * the self-join-on-time pattern (one shuffle on user_id+day).
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val days = table(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val d0 = days.as("d0")
+    val d1 = days.as("d1")
+    d0.join(d1, col("d0.user_id") === col("d1.user_id") &&
+        date_add(col("d0.day"), 1) === col("d1.day"))
+      .groupBy(col("d0.day").cast("string").as("day"))
+      .agg(countDistinct(col("d0.user_id")).as("retained_users"))
+  }
+
+  val eventsRetentionSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT strftime(d0.day, '%Y-%m-%d') AS day,
+      |  COUNT(DISTINCT d0.user_id) AS retained_users
+      |FROM days d0 JOIN days d1
+      |  ON d0.user_id = d1.user_id AND d0.day + 1 = d1.day
+      |GROUP BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
+    "regexp_docs" -> (regexpDocs _),
+    "null_handling_orders" -> (nullHandlingOrders _),
+    "events_retention" -> (eventsRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "array_funcs_embeddings" -> arrayFuncsSql,
+    "regexp_docs" -> regexpDocsSql,
+    "null_handling_orders" -> nullHandlingSql,
+    "events_retention" -> eventsRetentionSql)
+}
