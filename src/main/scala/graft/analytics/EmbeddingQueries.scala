@@ -158,6 +158,78 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  /** Multi-probe LSH kNN: the query probes its own bucket AND every
+    * Hamming-1 neighbor bucket (flip each of the 8 plane bits) — the
+    * standard recall fix for hyperplane LSH without adding tables.
+    * Probe fan-out is Planes+1 rows per QUERY only (the corpus stays
+    * single-bucketed), so the shuffle grows with queries, not corpus —
+    * exactly the asymmetry you want at 10^9 vectors.
+    */
+  def knnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    def sign(p: Int, i: Column): Column =
+      ((lit(coefA(p)) * (i + 1) + lit(coefB(p))) % P % 2) * 2 - 1
+    val bucket = (0 until Planes).map { p =>
+      val s = aggregate(
+        transform(col("q"), (x, i) => x * sign(p, i)),
+        lit(0L), (acc, x) => acc + x)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = quantized(spark, dir).withColumn("bucket", bucket)
+    val probes = array(lit(0L) +: (0 until Planes).map(p => lit(1L << p)): _*)
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val scored = broadcast(qs).join(e, Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+      .distinct() // a candidate can land in several probed buckets
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnLshMultiprobeSql: String = {
+    val sgn = s"((((2654435761 * (p.p + 1) + 1) % $P) * d.d + " +
+      s"((40503 * (p.p + 1) * (p.p + 1) + 7) % $P)) % $P % 2) * 2 - 1"
+    s"""WITH $sqlQuantized,
+       |planesum AS (
+       |  SELECT vec_id, p.p, SUM(qv[d.d] * ($sgn)) AS s
+       |  FROM n,
+       |    LATERAL (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
+       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+       |  GROUP BY 1, 2),
+       |bucketed AS (
+       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
+       |  FROM n JOIN (
+       |    SELECT vec_id,
+       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id),
+       |probes AS (
+       |  SELECT vec_id AS query_id, qv, norm2,
+       |    xor(bucket, m.m) AS bucket
+       |  FROM bucketed,
+       |    LATERAL (SELECT unnest([${(0L +: (0 until Planes)
+             .map(p => 1L << p)).mkString(", ")}]) AS m) m
+       |  WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT DISTINCT a.query_id, b.vec_id,
+       |    ${sqlScorePpm(
+             "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))",
+             "a.norm2", "b.norm2")} AS score_ppm
+       |  FROM probes a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.query_id <> b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ------------------------------------------- near-dup pair search
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
     * pre-existing coarse partitioner) — pairs only form within a
@@ -187,10 +259,12 @@ object EmbeddingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
+    "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
   val oracles: Map[String, String] = Map(
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,
+    "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }
