@@ -71,6 +71,9 @@ final class IngestEngine(
   private val ingestions = mutable.LinkedHashMap.empty[String, (String, Long)]
   // batchId -> state; insertion-ordered like the reference's Map
   private val batches = mutable.LinkedHashMap.empty[String, BatchState]
+  // deterministic record of completed batch cycles, in processing
+  // order — lets tests assert ordering without timing assumptions
+  private val processed = mutable.ArrayBuffer.empty[(String, String)]
 
   /** F1 validation, driver-side twin of [[IngestOps.validRequest]]
     * (reference: src/app.js:110-116). Empty ids are VALID.
@@ -144,10 +147,16 @@ final class IngestEngine(
         sleeper.sleep(cfg.perIdDelayMs) // simulateExternalApiCall
         val _ = (id, "processed") // result shape, discarded (app.js:31)
       }
-      synchronized { batch.status = Status.Completed }
+      synchronized {
+        batch.status = Status.Completed
+        processed += ((batch.batchId, batch.ingestionId))
+      }
       sleeper.sleep(cfg.rateLimitMs)
       true
   }
+
+  /** (batchId, ingestionId) pairs in completion order. */
+  def processLog: Seq[(String, String)] = synchronized(processed.toSeq)
 
   /** Drain everything (test convenience; the reference loops while the
     * queue is non-empty, src/app.js:65).
@@ -171,7 +180,7 @@ final class IngestEngine(
   }
 
   def resetState(): Unit = synchronized {
-    ingestions.clear(); batches.clear()
+    ingestions.clear(); batches.clear(); processed.clear()
   }
 
   def snapshotBatches: Seq[BatchState] = synchronized {

@@ -84,6 +84,36 @@ class GraftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.body().contains("Ingestion ID not found"))
   }
 
+  test("end-to-end: ingest over HTTP, processor drains, status completes") {
+    val e2eEngine = new IngestEngine(GraftConfig.bench, SystemSleeper)
+    val e2eServer = new GraftServer(e2eEngine, port = 0)
+    val p = e2eServer.start()
+    val proc = new graft.streaming.StreamingProcessor(
+      graft.SparkSuite.session, e2eEngine, triggerMs = 50L)
+    val query = proc.start()
+    try {
+      val res = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$p/ingest"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"ids": [1, 2, 3, 4], "priority": "HIGH"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      val id = extractId(res.body())
+      val deadline = System.currentTimeMillis() + 30000
+      var body = ""
+      // the OVERALL status precedes "batches" in the rendered doc; a
+      // bare substring would match an individual batch's status
+      while (System.currentTimeMillis() < deadline &&
+        !body.contains("\"status\": \"completed\", \"batches\"")) {
+        Thread.sleep(100)
+        body = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:$p/status/$id"))
+            .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+      }
+      assert(body.contains("\"status\": \"completed\", \"batches\""))
+      assert(e2eEngine.processLog.map(_._2) == Seq(id, id)) // 2 batches
+    } finally { query.stop(); e2eServer.stop() }
+  }
+
   private def extractId(body: String): String =
     "\"ingestion_id\": \"([0-9a-f-]+)\"".r
       .findFirstMatchIn(body).get.group(1)

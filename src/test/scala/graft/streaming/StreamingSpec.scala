@@ -32,6 +32,33 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("streaming processor respects priority order across live arrivals") {
+    // per-id delay keeps each cycle long enough that the HIGH ingest
+    // lands while LOW batch 1 is in flight; ordering is then asserted
+    // from the deterministic process log, not from wall-clock phases
+    val engine = new IngestEngine(
+      graft.ingest.GraftConfig(rateLimitMs = 0L, perIdDelayMs = 40L),
+      SystemSleeper)
+    val proc = new StreamingProcessor(spark, engine, triggerMs = 20L)
+    val Right(low) = engine.ingest(1L to 6L, Priority.Low) // L1, L2
+    val query = proc.start()
+    try {
+      // wait until L1 is actually in flight, then submit HIGH
+      val deadline = System.currentTimeMillis() + 30000
+      while (System.currentTimeMillis() < deadline &&
+        engine.status(low).get.status != Status.Triggered) Thread.sleep(5)
+      val Right(high) = engine.ingest(Seq(7L, 8L), Priority.High)
+      while (System.currentTimeMillis() < deadline &&
+        !(engine.status(low).get.status == Status.Completed &&
+          engine.status(high).get.status == Status.Completed))
+        Thread.sleep(20)
+      val order = engine.processLog.map(_._2)
+      assert(order.length == 3)
+      // HIGH ran before LOW's remaining batch
+      assert(order.indexOf(high) < order.lastIndexOf(low))
+    } finally query.stop()
+  }
+
   test("bulk-ingest stream chunks requests on executors into engine state") {
     import spark.implicits._
     val engine = new IngestEngine(GraftConfig.bench, SystemSleeper)
