@@ -146,13 +146,90 @@ object EventQueries {
       |   AND first_purchase > first_signup) AS converted
       |FROM f""".stripMargin
 
+  /** As-of join — an operator Spark has no built-in for, composed the
+    * scalable way (SURVEY.md §7 preference (a)): for each purchase,
+    * the user's most recent click at or before it.
+    *
+    * Instead of a range-condition join (which explodes) or a per-key
+    * sort-merge UDF, tag both sides, union them, and take a running
+    * `last(click, ignoreNulls)` over one (user, time)-ordered window —
+    * one shuffle on user_id, linear work, arbitrarily skew-tolerant
+    * via AQE. Clicks sort before purchases at equal timestamps, so
+    * "at or before" matches DuckDB's native ASOF (>=) semantics the
+    * oracle uses.
+    */
+  def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("side").asc,
+        coalesce(col("click_id"), col("purchase_id")).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    clicks.union(purchases)
+      .withColumn("asof_click_id",
+        last(col("click_id"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("asof_click_id"))
+  }
+
+  val eventsAsofJoinSql: String =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+      |  c.event_id AS asof_click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id
+      |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)""".stripMargin
+
+  /** Range join: events against derived hour-of-day activity bands
+    * (non-equi `BETWEEN` condition). The band table is tiny, so Spark
+    * correctly picks BroadcastNestedLoopJoin — the right plan for a
+    * small range dimension. When BOTH sides are large, the scale path
+    * is bucketing the range into an equi-join (assign each row every
+    * bucket its interval overlaps, join on bucket, re-filter) — the
+    * sliding-window oracle in [[eventsSliding]] is exactly that trick.
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("night", 0, 5), ("morning", 6, 11),
+      ("afternoon", 12, 17), ("evening", 18, 23))
+      .toDF("band", "h_lo", "h_hi")
+    val ev = table(spark, dir, "events")
+      .select(col("event_type"), hour(col("ts")).as("h"))
+    ev.join(broadcast(bands),
+        col("h") >= col("h_lo") && col("h") <= col("h_hi"))
+      .groupBy(col("band"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val eventsRangeJoinSql: String =
+    """WITH bands(band, h_lo, h_hi) AS (VALUES
+      |  ('night', 0, 5), ('morning', 6, 11),
+      |  ('afternoon', 12, 17), ('evening', 18, 23)),
+      |ev AS (SELECT event_type,
+      |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+      |  FROM events)
+      |SELECT band, event_type, COUNT(*) AS n
+      |FROM ev JOIN bands ON h >= h_lo AND h <= h_hi
+      |GROUP BY band, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_session" -> (eventsSession _),
     "events_json" -> (eventsJson _),
     "events_pivot" -> (eventsPivot _),
-    "events_funnel" -> (eventsFunnel _))
+    "events_funnel" -> (eventsFunnel _),
+    "events_asof_join" -> (eventsAsofJoin _),
+    "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
     "events_tumbling" -> eventsTumblingSql,
@@ -160,5 +237,7 @@ object EventQueries {
     "events_session" -> eventsSessionSql,
     "events_json" -> eventsJsonSql,
     "events_pivot" -> eventsPivotSql,
-    "events_funnel" -> eventsFunnelSql)
+    "events_funnel" -> eventsFunnelSql,
+    "events_asof_join" -> eventsAsofJoinSql,
+    "events_range_join" -> eventsRangeJoinSql)
 }
