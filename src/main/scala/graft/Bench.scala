@@ -24,28 +24,36 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def materialize(name: String, dir: String): Double = {
+    def materialize(name: String, dir: String): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(materialize(_, warmDir)) // warmup, unmeasured
     val results = names.map(n => n -> materialize(n, sfDir))
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failed = results.collect { case (k, None) => k }
 
-    val qs = results.map { case (k, v) => s""""$k":$v""" }
+    // failed queries are excluded from the timings and listed — a
+    // crash's elapsed time must never read as a fast green result
+    val qs = ok.map { case (k, v) => s""""$k":$v""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -105,17 +105,48 @@ object EmbeddingQueries {
     * bucket-limited by design — this is the n >> 10^7 scale path where
     * brute force stops being an option.
     */
-  def knnLshBucketed(spark: SparkSession, dir: String): DataFrame = {
-    // sign(p, j) for 1-based dim j: ±1 from affine-hash parity
+  /** Hyperplane bucket of the quantized vector column `q`:
+    * sign(p, j) for 1-based dim j is ±1 from affine-hash parity; the
+    * p-th bit is set when the signed projection is non-negative.
+    * Shared by both LSH variants (and mirrored by [[sqlBucketed]]).
+    */
+  private def bucketCol: Column = {
     def sign(p: Int, i: Column): Column =
       ((lit(coefA(p)) * (i + 1) + lit(coefB(p))) % P % 2) * 2 - 1
-    val bucket = (0 until Planes).map { p =>
+    (0 until Planes).map { p =>
       val s = aggregate(
         transform(col("q"), (x, i) => x * sign(p, i)),
         lit(0L), (acc, x) => acc + x)
       when(s >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val e = quantized(spark, dir).withColumn("bucket", bucket)
+  }
+
+  /** Shared oracle CTE chain: quantized vectors → per-plane signed
+    * projections → `bucketed(vec_id, qv, norm2, bucket)`. The sign
+    * formula is built from [[graft.functions.CrossHash.sqlCoefA]]/
+    * [[graft.functions.CrossHash.sqlCoefB]] so the coefficients can
+    * never drift from the Scala side.
+    */
+  private val sqlBucketed: String = {
+    val sgn = s"((${graft.functions.CrossHash.sqlCoefA("p.p")} * d.d + " +
+      s"${graft.functions.CrossHash.sqlCoefB("p.p")}) % $P % 2) * 2 - 1"
+    s"""$sqlQuantized,
+       |planesum AS (
+       |  SELECT vec_id, p.p, SUM(qv[d.d] * ($sgn)) AS s
+       |  FROM n,
+       |    LATERAL (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
+       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
+       |  GROUP BY 1, 2),
+       |bucketed AS (
+       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
+       |  FROM n JOIN (
+       |    SELECT vec_id,
+       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id)""".stripMargin
+  }
+
+  def knnLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).withColumn("bucket", bucketCol)
     val qs = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("bucket"))
@@ -131,21 +162,7 @@ object EmbeddingQueries {
   }
 
   val knnLshBucketedSql: String = {
-    val sgn = s"((((2654435761 * (p.p + 1) + 1) % $P) * d.d + " +
-      s"((40503 * (p.p + 1) * (p.p + 1) + 7) % $P)) % $P % 2) * 2 - 1"
-    s"""WITH $sqlQuantized,
-       |planesum AS (
-       |  SELECT vec_id, p.p, SUM(qv[d.d] * ($sgn)) AS s
-       |  FROM n,
-       |    LATERAL (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
-       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
-       |  GROUP BY 1, 2),
-       |bucketed AS (
-       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
-       |  FROM n JOIN (
-       |    SELECT vec_id,
-       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
-       |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id),
+    s"""WITH $sqlBucketed,
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id, a.bucket,
        |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS score_ppm
@@ -166,15 +183,7 @@ object EmbeddingQueries {
     * exactly the asymmetry you want at 10^9 vectors.
     */
   def knnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    def sign(p: Int, i: Column): Column =
-      ((lit(coefA(p)) * (i + 1) + lit(coefB(p))) % P % 2) * 2 - 1
-    val bucket = (0 until Planes).map { p =>
-      val s = aggregate(
-        transform(col("q"), (x, i) => x * sign(p, i)),
-        lit(0L), (acc, x) => acc + x)
-      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val e = quantized(spark, dir).withColumn("bucket", bucket)
+    val e = quantized(spark, dir).withColumn("bucket", bucketCol)
     val probes = array(lit(0L) +: (0 until Planes).map(p => lit(1L << p)): _*)
     val qs = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -194,21 +203,7 @@ object EmbeddingQueries {
   }
 
   val knnLshMultiprobeSql: String = {
-    val sgn = s"((((2654435761 * (p.p + 1) + 1) % $P) * d.d + " +
-      s"((40503 * (p.p + 1) * (p.p + 1) + 7) % $P)) % $P % 2) * 2 - 1"
-    s"""WITH $sqlQuantized,
-       |planesum AS (
-       |  SELECT vec_id, p.p, SUM(qv[d.d] * ($sgn)) AS s
-       |  FROM n,
-       |    LATERAL (SELECT unnest(generate_series(0, ${Planes - 1})) AS p) p,
-       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
-       |  GROUP BY 1, 2),
-       |bucketed AS (
-       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
-       |  FROM n JOIN (
-       |    SELECT vec_id,
-       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
-       |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id),
+    s"""WITH $sqlBucketed,
        |probes AS (
        |  SELECT vec_id AS query_id, qv, norm2,
        |    xor(bucket, m.m) AS bucket

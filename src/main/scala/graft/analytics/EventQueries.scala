@@ -63,15 +63,15 @@ object EventQueries {
 
   val eventsSessionSql: String =
     s"""WITH marked AS (
-       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
        |    CASE WHEN CAST(ts AS TIMESTAMP)
-       |           - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL '30 minutes'
+       |           - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL '30 minutes'
        |         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
        |  FROM events
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |ids AS (
        |  SELECT user_id, ts, value,
-       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS UNBOUNDED PRECEDING) AS sess_id
        |  FROM marked)
        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,

@@ -38,10 +38,18 @@ object MultimodalQueries {
   /** Frame sampling over synthetic "video" rows — plumbing shape:
     * explode to one row per sampled frame, hash each frame.
     */
+  /** The engine slices BYTES (correct for opaque media) while DuckDB
+    * can only slice characters (no blob substring/md5 in 1.0), so the
+    * oracle-checked surface is restricted to byte==char documents on
+    * BOTH sides; the byte semantics themselves are covered for
+    * arbitrary content by MultimodalSpec.
+    */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.sampleFrames(
       MultimodalOps.mediaFromDocuments(spark, dir)
-        .filter(col("mediaType") === "video"))
+        .filter(col("mediaType") === "video")
+        .filter(length(decode(col("content"), "utf-8")) ===
+          octet_length(col("content"))))
       .groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_frames"),
         sum(col("frame_bytes")).as("sampled_bytes"),
@@ -50,7 +58,8 @@ object MultimodalQueries {
   val multimodalFramesSql: String =
     """WITH v AS (
       |  SELECT doc_id AS media_id, text FROM documents
-      |  WHERE CAST(doc_id % 3 AS INT) = 2),
+      |  WHERE CAST(doc_id % 3 AS INT) = 2
+      |    AND strlen(text) = length(text)),
       |frames AS (
       |  SELECT media_id, g.i - 1 AS frame_index,
       |    substr(text, (g.i - 1) * 16 + 1, 16) AS frame

@@ -32,9 +32,18 @@ object QueryUtil {
     (sum(c.cast(DecimalType(18, scale))).cast("double") /
       count(c).cast("double"))
 
+  /** Integer parts-per-million ratio: `floor(1e6·a/b)` of exact
+    * integers is one IEEE-exact divide on identical operands in both
+    * engines → bit-identical. The cross-engine way to emit any ratio.
+    */
+  def ppm(num: Column, den: Column): Column =
+    floor(lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
+
   /** SQL twins (kept adjacent so Spark and oracle stay in lockstep). */
   def sqlDsum(x: String, scale: Int = 2): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(18,$scale))) AS DOUBLE)"
   def sqlDavg(x: String, scale: Int = 2): String =
     s"(CAST(SUM(CAST(($x) AS DECIMAL(18,$scale))) AS DOUBLE) / CAST(COUNT($x) AS DOUBLE))"
+  def sqlPpm(num: String, den: String): String =
+    s"CAST(floor(1e6 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) AS BIGINT)"
 }

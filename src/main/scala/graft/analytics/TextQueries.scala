@@ -21,12 +21,6 @@ object TextQueries {
 
   private def toks: Column = split(col("text"), " ")
 
-  private def ppm(num: Column, den: Column): Column =
-    floor(lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
-
-  private def sqlPpm(num: String, den: String): String =
-    s"CAST(floor(1e6 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) AS BIGINT)"
-
   // ------------------------------------------------------ token stats
   /** Whitespace + regex token counting with distinct ratio and a mean
     * token length in ppm.
@@ -157,8 +151,11 @@ object TextQueries {
     table(spark, dir, "documents")
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .select(col("doc_id"),
+        // per-term mod keeps every term < P, so the int64 sum is safe
+        // up to ~2^32 tokens per doc (an unreduced P·pos term would
+        // overflow ANSI Sum at ~92k tokens)
         ((CrossHash.md5Long(col("tok")) % CrossHash.P) *
-          (col("pos") + 1)).as("term"),
+          (col("pos") + 1) % CrossHash.P).as("term"),
         (CrossHash.md5Long(col("tok")) % CrossHash.P).as("h"))
       .groupBy(col("doc_id"))
       .agg((sum(col("term")) % CrossHash.P).as("fingerprint"),
@@ -171,7 +168,7 @@ object TextQueries {
        |e AS (
        |  SELECT t.doc_id, g.pos, ($h % ${CrossHash.P}) AS h
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS pos) g)
-       |SELECT doc_id, SUM(h * pos) % ${CrossHash.P} AS fingerprint,
+       |SELECT doc_id, SUM(h * pos % ${CrossHash.P}) % ${CrossHash.P} AS fingerprint,
        |  MIN(h) AS min_hash, COUNT(*) AS n_tokens
        |FROM e GROUP BY doc_id""".stripMargin
   }

@@ -13,13 +13,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Sessions created by [[GraftSession]], `Verify`, `Bench`, and
+    * `Explain` set `spark.sql.legacy.parquet.nanosAsLong` at build
+    * time: events.ts is TIMESTAMP(NANOS) parquet, which Spark 4
+    * rejects by default. The long nanos are truncated to microsecond
+    * timestamps here (same truncation DuckDB applies casting
+    * TIMESTAMP_NS → TIMESTAMP). Kept out of this loader: mutating
+    * session conf per table load would silently change how a library
+    * user's OWN nanos parquet reads.
+    */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    // default; read nanos as long and truncate to microseconds (same
-    // truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    if (name == "events" && df.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }

@@ -51,7 +51,17 @@ object CrossHash {
 
   /** Deterministic per-family coefficients in [1, P). Any fixed
     * pseudo-random scheme works as long as both emitters share it.
+    * MixA/MixB are the single source of truth — SQL emitters that need
+    * the formula symbolically (coefficient index as a SQL variable)
+    * build it from these same constants.
     */
-  def coefA(i: Int): Long = (2654435761L * (i + 1) + 1) % P
-  def coefB(i: Int): Long = (40503L * (i + 1) * (i + 1) + 7) % P
+  val MixA: Long = 2654435761L
+  val MixB: Long = 40503L
+  def coefA(i: Int): Long = (MixA * (i + 1) + 1) % P
+  def coefB(i: Int): Long = (MixB * (i + 1) * (i + 1) + 7) % P
+
+  /** DuckDB twins of coefA/coefB with the index as a SQL expression. */
+  def sqlCoefA(i: String): String = s"((${MixA} * (($i) + 1) + 1) % $P)"
+  def sqlCoefB(i: String): String =
+    s"((${MixB} * (($i) + 1) * (($i) + 1) + 7) % $P)"
 }

@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `large ⨝ small` on `key`, salted `n` ways. */
+  /** Equi-join `large ⨝ small` on `key`, salted `n` ways. Only join
+    * types that never null-pad the REPLICATED side are allowed: a
+    * right/full outer join would emit one null-padded row per replica
+    * (n duplicates) for each unmatched small-side row.
+    */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin does not preserve '$joinType' semantics " +
+        "(the replicated side would null-pad n times)")
     val salted = large.withColumn("__salt",
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(n)))
     val replicated = small.withColumn("__salt",

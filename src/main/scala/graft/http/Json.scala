@@ -141,8 +141,12 @@ object Json {
       if (peek == '-') next()
       while (!atEnd && (s.charAt(pos).isDigit || "+-.eE".contains(s.charAt(pos))))
         pos += 1
-      if (pos == start) throw ParseError(s"bad number at $start")
-      JNum(s.substring(start, pos))
+      val raw = s.substring(start, pos)
+      // enforce the JSON number grammar — the greedy scan above accepts
+      // digit/sign/dot soup like "1..2" that Express's parser 400s
+      if (!raw.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"))
+        throw ParseError(s"bad number '$raw' at $start")
+      JNum(raw)
     }
   }
 

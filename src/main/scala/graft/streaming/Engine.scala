@@ -46,7 +46,14 @@ final case class BatchState(
     var status: String,
     priority: String,
     createdAt: Long,
-    ordinal: Int)
+    ordinal: Int,
+    /** Engine-wide arrival sequence of the OWNING INGESTION. The
+      * reference's FIFO within a priority comes from a stable sort on
+      * ms-resolution createdAt — two ingestions in the same ms stay in
+      * arrival order there; this explicit sequence preserves that
+      * without relying on clock resolution.
+      */
+    ingestSeq: Long = 0L)
 
 final case class BatchDoc(batchId: String, ids: Seq[Long], status: String)
 final case class StatusDoc(ingestionId: String, status: String,
@@ -74,6 +81,9 @@ final class IngestEngine(
   // deterministic record of completed batch cycles, in processing
   // order — lets tests assert ordering without timing assumptions
   private val processed = mutable.ArrayBuffer.empty[(String, String)]
+  private var ingestCounter = 0L
+  // arrival sequence per ingestion (stable across importBatches calls)
+  private val ingestionSeq = mutable.Map.empty[String, Long]
 
   /** F1 validation, driver-side twin of [[IngestOps.validRequest]]
     * (reference: src/app.js:110-116). Empty ids are VALID.
@@ -92,11 +102,12 @@ final class IngestEngine(
       val createdAt = sleeper.now()
       val chunks = IngestOps.chunkSeq(ids, cfg.batchSize)
       synchronized {
+        val seq = nextSeq(ingestionId)
         ingestions(ingestionId) = (priority, createdAt)
         chunks.zipWithIndex.foreach { case (chunk, ordinal) =>
           val bid = UUID.randomUUID().toString
           batches(bid) = BatchState(bid, ingestionId, chunk,
-            Status.YetToStart, priority, createdAt, ordinal)
+            Status.YetToStart, priority, createdAt, ordinal, seq)
         }
       }
       Right(ingestionId)
@@ -126,9 +137,12 @@ final class IngestEngine(
     * batch slots (reference: test_api.js:216-267).
     */
   def pendingTop: Option[BatchState] = synchronized {
+    // ingestSeq before ordinal: two same-priority ingestions created in
+    // the same millisecond must drain in arrival order (the reference
+    // gets this from sort stability), not interleave by batch ordinal
     batches.values.filter(_.status == Status.YetToStart).toSeq
       .sortBy(b => (-Priority.weights.getOrElse(b.priority, 1),
-        b.createdAt, b.ordinal))
+        b.createdAt, b.ingestSeq, b.ordinal))
       .headOption
   }
 
@@ -174,13 +188,23 @@ final class IngestEngine(
     */
   def importBatches(rows: Seq[BatchState]): Unit = synchronized {
     rows.foreach { b =>
+      val seq = nextSeq(b.ingestionId)
       ingestions.getOrElseUpdate(b.ingestionId, (b.priority, b.createdAt))
-      batches(b.batchId) = b
+      batches(b.batchId) = b.copy(ingestSeq = seq)
     }
   }
 
+  /** Arrival-sequence number for an ingestion; first sight assigns the
+    * next counter value, later batches of the same ingestion reuse it.
+    */
+  private def nextSeq(ingestionId: String): Long =
+    ingestionSeq.getOrElseUpdate(ingestionId, {
+      val s = ingestCounter; ingestCounter += 1; s
+    })
+
   def resetState(): Unit = synchronized {
     ingestions.clear(); batches.clear(); processed.clear()
+    ingestionSeq.clear(); ingestCounter = 0L
   }
 
   def snapshotBatches: Seq[BatchState] = synchronized {

@@ -41,7 +41,10 @@ final class StreamingProcessor(
   def start(): StreamingQuery =
     spark.readStream
       .format("rate")
-      .option("rowsPerSecond", 1)
+      // rate must keep pace with the trigger: a micro-batch with no new
+      // offsets skips foreachBatch entirely, so rowsPerSecond=1 would
+      // gate processOnce to ~1/sec no matter how fast the trigger fires
+      .option("rowsPerSecond", math.max(1L, 1000L / math.max(1L, triggerMs)))
       .load()
       .writeStream
       .queryName("graft-processor")

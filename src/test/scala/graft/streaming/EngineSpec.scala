@@ -150,6 +150,20 @@ class EngineSpec extends AnyFunSuite {
     assert(e.status(med).get.status == Status.Completed)
   }
 
+  // ---- FIFO within a priority, same-millisecond arrivals ----
+  test("two ingestions in the same millisecond drain fully in arrival order") {
+    val (e, _) = freshEngine() // clock never advances during ingest
+    val Right(a) = e.ingest(1L to 6L, Priority.Low) // A0, A1
+    val Right(b) = e.ingest(Seq(7L), Priority.Low) // B0, same createdAt
+    // the reference's stable sort keeps ALL of A before B; a naive
+    // (createdAt, ordinal) key would interleave A0, B0, A1
+    assert(e.processOnce() && e.processOnce())
+    assert(e.status(a).get.status == Status.Completed)
+    assert(e.status(b).get.status == Status.YetToStart)
+    assert(e.drain() == 1)
+    assert(e.processLog.map(_._2) == Seq(a, a, b))
+  }
+
   // ---- FIFO within a priority ----
   test("same-priority ingestions process in arrival order") {
     val (e, clock) = freshEngine()
