@@ -125,15 +125,49 @@ object ScalarBreadthQueries {
       |  ON d0.user_id = d1.user_id AND d0.day + 1 = d1.day
       |GROUP BY 1""".stripMargin
 
+  /** Datetime arithmetic breadth: day difference, month shifting,
+    * truncation, epoch extraction, day-of-week — grouped to a small
+    * result so the expressions, not the scan, are under test.
+    */
+  def dateArithOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .select(
+        date_trunc("month", col("o_orderdate")).as("month"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_epoch_start"),
+        add_months(col("o_orderdate"), 3).cast("date").as("plus3m"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n"),
+        min(col("days_since_epoch_start")).as("min_days"),
+        max(col("plus3m")).cast("string").as("max_plus3m"),
+        sum(col("dow")).as("sum_dow"),
+        min(col("epoch_s")).as("min_epoch_s"))
+
+  val dateArithSql: String =
+    """SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS month,
+      |  COUNT(*) AS n,
+      |  MIN(date_diff('day', DATE '1995-01-01',
+      |    CAST(o_orderdate AS DATE))) AS min_days,
+      |  strftime(MAX(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH),
+      |    '%Y-%m-%d') AS max_plus3m,
+      |  SUM(CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) + 1)
+      |    AS sum_dow,
+      |  MIN(epoch(CAST(o_orderdate AS TIMESTAMP))) AS min_epoch_s
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
     "null_handling_orders" -> (nullHandlingOrders _),
-    "events_retention" -> (eventsRetention _))
+    "events_retention" -> (eventsRetention _),
+    "date_arith_orders" -> (dateArithOrders _))
 
   val oracles: Map[String, String] = Map(
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
     "null_handling_orders" -> nullHandlingSql,
-    "events_retention" -> eventsRetentionSql)
+    "events_retention" -> eventsRetentionSql,
+    "date_arith_orders" -> dateArithSql)
 }

@@ -13,6 +13,8 @@ final case class StreamEvent(ts: Timestamp, userId: Long,
 
 final case class UserAgg(userId: Long, nEvents: Long, sumValue: Double)
 
+final case class Sess(userId: Long, start: Timestamp, n: Long)
+
 /** Event-time streaming semantics over the real `readStream` path:
   * watermarks, windowed aggregation, late-data dropping, and custom
   * state via mapGroupsWithState. The batch-mode twins of these
@@ -81,6 +83,82 @@ class StreamingAnalyticsSpec extends SparkSuite {
       assert(byStart("2024-01-01 10:00:00") == 2L) // late event excluded
       assert(byStart("2024-01-01 13:00:00") == 1L)
     } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions on event-time timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val sessions = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Sess, Sess](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, events: Iterator[StreamEvent], state: GroupState[Sess]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the session deadline → emit and clear
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption
+            val start = prev.map(_.start).getOrElse(evs.map(_.ts).min)
+            val sess = Sess(userId, start,
+              prev.map(_.n).getOrElse(0L) + evs.size)
+            state.update(sess)
+            // close 30 event-time minutes after the last seen event
+            val lastMs = evs.map(_.ts.getTime).max
+            state.setTimeoutTimestamp(lastMs + 30 * 60 * 1000)
+            Iterator.empty
+          }
+      }
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:10:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("sessions").count() == 0) // session still open
+      // event far ahead advances the watermark past 10:40 → timeout fires
+      ms.addData(StreamEvent(t("2024-01-01 12:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 13:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[Sess].collect()
+      assert(closed.map(s => (s.userId, s.n)).toSet == Set((1L, 2L)))
+      assert(closed.head.start == t("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("streaming aggregation state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val checkpoint = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val ms = MemoryStream[StreamEvent]
+    def startQuery() = ms.toDS()
+      .groupBy(col("eventType"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("ckpt_agg")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("complete").start()
+    val q1 = startQuery()
+    ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+      StreamEvent(t("2024-01-01 10:01:00"), 2, "click", 1.0))
+    q1.processAllAvailable()
+    assert(spark.table("ckpt_agg").where(col("eventType") === "click")
+      .head.getLong(1) == 2L)
+    q1.stop()
+    // restart from the checkpoint: prior counts must carry over
+    val q2 = startQuery()
+    try {
+      ms.addData(StreamEvent(t("2024-01-01 10:02:00"), 3, "click", 1.0))
+      q2.processAllAvailable()
+      assert(spark.table("ckpt_agg").where(col("eventType") === "click")
+        .head.getLong(1) == 3L)
+    } finally q2.stop()
   }
 
   test("mapGroupsWithState maintains custom per-key state across batches") {
