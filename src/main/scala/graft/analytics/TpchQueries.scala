@@ -262,6 +262,50 @@ object TpchQueries {
        |  CAST(GROUPING(o_year) AS BIGINT) AS g_yr
        |FROM t GROUP BY CUBE(o_orderstatus, o_year)""".stripMargin
 
+  /** Explicit GROUPING SETS (disjoint dimension rollups in one pass)
+    * through the SQL front door — Spark plans one Expand + aggregate,
+    * not two scans.
+    */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+         |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  val aggGroupingSetsSql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty, COUNT(*) AS n,
+       |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin
+
+  /** Deterministic 10% sample by key hash — the reproducible sampling
+    * pattern (TABLESAMPLE/df.sample draw engine-specific randomness;
+    * a hash-mod predicate gives the same sample everywhere, pushes
+    * into the scan, and stays stable across reruns — what you want
+    * for debugging subsets of 100 TB).
+    */
+  def sampleHashOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .where(pmod(graft.functions.CrossHash.md5Long(
+        col("o_orderkey").cast("string")), lit(10)) === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val sampleHashSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |WHERE ${graft.functions.CrossHash.sqlMd5Long(
+           "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
+       |GROUP BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------- set ops
   /** UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
     * sets, tagged so one result exercises all three operators.
@@ -533,7 +577,9 @@ object TpchQueries {
     "udaf_topk_prices" -> (udafTopkPrices _),
     "sql_revenue_q6" -> (sqlRevenueQ6 _),
     "window_funcs_breadth" -> (windowFuncsBreadth _),
-    "scalar_subquery_rich" -> (scalarSubqueryRich _))
+    "scalar_subquery_rich" -> (scalarSubqueryRich _),
+    "agg_grouping_sets" -> (aggGroupingSets _),
+    "sample_hash_orders" -> (sampleHashOrders _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -553,5 +599,7 @@ object TpchQueries {
     "udaf_topk_prices" -> udafTopkSql,
     "sql_revenue_q6" -> sqlRevenueQ6Sql,
     "window_funcs_breadth" -> windowFuncsSql,
-    "scalar_subquery_rich" -> scalarSubquerySql)
+    "scalar_subquery_rich" -> scalarSubquerySql,
+    "agg_grouping_sets" -> aggGroupingSetsSql,
+    "sample_hash_orders" -> sampleHashSql)
 }
