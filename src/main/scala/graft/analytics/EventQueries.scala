@@ -154,24 +154,33 @@ object EventQueries {
     * sort-merge UDF, tag both sides, union them, and take a running
     * `last(click, ignoreNulls)` over one (user, time)-ordered window —
     * one shuffle on user_id, linear work, arbitrarily skew-tolerant
-    * via AQE. Clicks sort before purchases at equal timestamps, so
-    * "at or before" matches DuckDB's native ASOF (>=) semantics the
-    * oracle uses.
+    * via AQE — and ONE scan of events (side is derived, not two
+    * filtered reads). Clicks sort before purchases at equal
+    * timestamps, so "at or before" matches DuckDB's native ASOF (>=)
+    * semantics the oracle uses. Clicks are pre-deduped to one per
+    * (user, ts) — μs truncation can manufacture timestamp ties, and
+    * ASOF's pick among tied right rows is engine-arbitrary; a
+    * tie-free right side makes both engines deterministic.
     */
   def eventsAsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val events = table(spark, dir, "events")
-    val clicks = events.where(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), lit(0).as("side"),
-        col("event_id").as("click_id"), lit(null).cast("long").as("purchase_id"))
-    val purchases = events.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("long").as("click_id"), col("event_id").as("purchase_id"))
+    val both = table(spark, dir, "events")
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("side"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "purchase", col("event_id"))
+          .as("purchase_id"))
+    val clicks = both.where(col("side") === 0)
+      .groupBy(col("user_id"), col("ts"), col("side"))
+      .agg(max(col("click_id")).as("click_id"),
+        max(col("purchase_id")).as("purchase_id"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("side").asc,
         coalesce(col("click_id"), col("purchase_id")).asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    clicks.union(purchases)
+    clicks.select("user_id", "ts", "side", "click_id", "purchase_id")
+      .union(both.where(col("side") === 1))
       .withColumn("asof_click_id",
         last(col("click_id"), ignoreNulls = true).over(w))
       .where(col("side") === 1)
@@ -180,13 +189,17 @@ object EventQueries {
   }
 
   val eventsAsofJoinSql: String =
-    """SELECT p.event_id AS purchase_id, p.user_id,
+    """WITH clicks AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    MAX(event_id) AS event_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.event_id AS purchase_id, p.user_id,
       |  CAST(p.ts AS TIMESTAMP) AS purchase_ts,
       |  c.event_id AS asof_click_id
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN clicks c
       |  ON p.user_id = c.user_id
-      |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)""".stripMargin
+      |  AND CAST(p.ts AS TIMESTAMP) >= c.ts""".stripMargin
 
   /** Range join: events against derived hour-of-day activity bands
     * (non-equi `BETWEEN` condition). The band table is tiny, so Spark

@@ -28,7 +28,8 @@ object Skew {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       n: Int, joinType: String = "inner"): DataFrame = {
     require(n > 0)
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+      "semi", "anti")
       .contains(joinType.toLowerCase.replace("_", "")),
       s"saltedJoin does not preserve '$joinType' semantics " +
         "(the replicated side would null-pad n times)")

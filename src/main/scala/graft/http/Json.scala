@@ -144,10 +144,16 @@ object Json {
       val raw = s.substring(start, pos)
       // enforce the JSON number grammar — the greedy scan above accepts
       // digit/sign/dot soup like "1..2" that Express's parser 400s
-      if (!raw.matches("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"))
+      if (!Parser.NumberGrammar.matcher(raw).matches())
         throw ParseError(s"bad number '$raw' at $start")
       JNum(raw)
     }
+  }
+
+  private object Parser {
+    // compiled once: parseNum runs per numeric token on the request path
+    val NumberGrammar: java.util.regex.Pattern = java.util.regex.Pattern
+      .compile("-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?")
   }
 
   // ---------------------------------------------------------- writer

@@ -44,7 +44,8 @@ final class StreamingProcessor(
       // rate must keep pace with the trigger: a micro-batch with no new
       // offsets skips foreachBatch entirely, so rowsPerSecond=1 would
       // gate processOnce to ~1/sec no matter how fast the trigger fires
-      .option("rowsPerSecond", math.max(1L, 1000L / math.max(1L, triggerMs)))
+      .option("rowsPerSecond", // ceiling: floor would undersupply when
+        (1000L + triggerMs - 1) / math.max(1L, triggerMs)) // 1000 % triggerMs != 0
       .load()
       .writeStream
       .queryName("graft-processor")
