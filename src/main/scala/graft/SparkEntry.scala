@@ -17,15 +17,18 @@ object SparkEntry {
     TpchQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    IngestQueries.queries ++
-      TpchQueries.queries ++
-      EventQueries.queries ++
-      TextQueries.queries ++
-      DedupQueries.queries ++
-      EmbeddingQueries.queries ++
-      MultimodalQueries.queries ++
-      ScalarBreadthQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val parts = Seq(
+      IngestQueries.queries, TpchQueries.queries, EventQueries.queries,
+      TextQueries.queries, DedupQueries.queries, EmbeddingQueries.queries,
+      MultimodalQueries.queries, ScalarBreadthQueries.queries)
+    val merged = parts.reduce(_ ++ _)
+    // `++` silently drops colliding keys — a collision would skip a
+    // query from the correctness gate without any failure signal
+    require(merged.size == parts.map(_.size).sum,
+      "duplicate query keys across query modules")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
