@@ -100,11 +100,14 @@ object TextQueries {
     "es" -> Seq("el", "la"),
     "zh" -> Seq("sh", "ng"))
 
+  // literal (non-regex) replace: same count semantics for plain bigrams,
+  // no regex engine in the hot loop, no escaping concerns
   private def bigramCount(text: Column, bg: String): Column =
-    ((length(text) - length(regexp_replace(text, bg, ""))) / 2).cast("long")
+    ((length(text) - length(replace(text, lit(bg), lit("")))) / 2)
+      .cast("long")
 
   private def sqlBigramCount(bg: String): String =
-    s"CAST((length(text) - length(regexp_replace(text, '$bg', '', 'g'))) / 2 AS BIGINT)"
+    s"CAST((length(text) - length(replace(text, '$bg', ''))) / 2 AS BIGINT)"
 
   def textLangid(spark: SparkSession, dir: String): DataFrame = {
     val scored = langMarkers.foldLeft(table(spark, dir, "documents")) {
