@@ -176,15 +176,87 @@ object TextQueries {
        |FROM e GROUP BY doc_id""".stripMargin
   }
 
+  /** Corpus-level adjacent-bigram statistics: count, marginals, and an
+    * association ratio in ppm — the PMI shape with every operand an
+    * exact integer (a log-based PMI would hit libm's cross-engine ulp
+    * differences; the ratio `n_ab·N / (n_a·n_b)` doesn't). One explode
+    * + three partial-aggregatable groupBys, joined on broadcastable
+    * marginal tables.
+    */
+  def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val pairs = docs.select(posexplode(toks).as(Seq("pos", "tok")),
+        col("doc_id"))
+      .withColumn("next_tok", lead(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .where(col("next_tok").isNotNull)
+    val bigrams = pairs.groupBy(col("tok"), col("next_tok"))
+      .agg(count(lit(1)).as("n_ab"))
+    val left = pairs.groupBy(col("tok")).agg(count(lit(1)).as("n_a"))
+    val right = pairs.groupBy(col("next_tok")).agg(count(lit(1)).as("n_b"))
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    bigrams
+      .join(broadcast(left), Seq("tok"))
+      .join(broadcast(right), Seq("next_tok"))
+      .crossJoin(broadcast(total))
+      .where(col("n_ab") >= 20)
+      .select(col("tok"), col("next_tok"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        ppm(col("n_ab") * col("n_total"), col("n_a") * col("n_b"))
+          .as("assoc_ppm"))
+  }
+
+  val textCooccurrenceSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |p AS (
+       |  SELECT doc_id, g.i AS pos, toks[g.i] AS tok, toks[g.i + 1] AS next_tok
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) g),
+       |bigrams AS (SELECT tok, next_tok, COUNT(*) AS n_ab FROM p GROUP BY 1, 2),
+       |l AS (SELECT tok, COUNT(*) AS n_a FROM p GROUP BY 1),
+       |r AS (SELECT next_tok, COUNT(*) AS n_b FROM p GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_total FROM p)
+       |SELECT b.tok, b.next_tok, b.n_ab, l.n_a, r.n_b,
+       |  ${sqlPpm("b.n_ab * tot.n_total", "l.n_a * r.n_b")} AS assoc_ppm
+       |FROM bigrams b JOIN l USING (tok) JOIN r USING (next_tok), tot
+       |WHERE b.n_ab >= 20""".stripMargin
+
+  /** Inverted index: token → document frequency + the first 10 posting
+    * doc_ids. The postings CSV is capped (slice after sort) so the
+    * reducer-side state per token is bounded — the shape that survives
+    * a 100 TB corpus where a popular token's full posting list
+    * wouldn't fit anywhere.
+    */
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(array_distinct(toks)).as("tok"), col("doc_id"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 10))
+          .as("postings_head"))
+
+  val textInvertedIndexSql: String =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id, u.tok
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |    LATERAL (SELECT unnest(toks) AS tok) u)
+      |SELECT tok, COUNT(*) AS df,
+      |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
+      |FROM t GROUP BY tok""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_cooccurrence" -> (textCooccurrence _),
+    "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql)
+    "text_fingerprint" -> textFingerprintSql,
+    "text_cooccurrence" -> textCooccurrenceSql,
+    "text_inverted_index" -> textInvertedIndexSql)
 }

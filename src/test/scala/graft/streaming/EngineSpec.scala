@@ -177,6 +177,44 @@ class EngineSpec extends AnyFunSuite {
     assert(e.status(b).get.status == Status.Completed)
   }
 
+  // ---- concurrent ingest vs. drain (the event-loop atomicity claim) ----
+  test("concurrent ingests while draining lose no batches and keep valid transitions") {
+    val e = new IngestEngine(GraftConfig.bench, SystemSleeper)
+    val nThreads = 8
+    val perThread = 50
+    val ids = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads + 1)
+    val done = new java.util.concurrent.CountDownLatch(nThreads)
+    (1 to nThreads).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          (1 to perThread).foreach { i =>
+            e.ingest(Seq(t * 1000L + i), Priority.values(i % 3)) match {
+              case Right(id) => ids.add(id)
+              case Left(err) => fail(s"unexpected reject: $err")
+            }
+          }
+          done.countDown()
+        }
+      })
+    }
+    // drain concurrently with the ingests
+    val drainer = pool.submit(new Runnable {
+      def run(): Unit = { while (!done.await(0, java.util.concurrent.TimeUnit.MILLISECONDS) || e.processOnce()) () }
+    })
+    done.await()
+    drainer.get()
+    e.drain()
+    pool.shutdown()
+    // every ingestion completed exactly once; nothing lost or duplicated
+    assert(ids.size == nThreads * perThread)
+    ids.forEach { id =>
+      assert(e.status(id).exists(_.status == Status.Completed))
+    }
+    assert(e.processLog.size == nThreads * perThread)
+    assert(e.processLog.map(_._1).distinct.size == e.processLog.size)
+  }
+
   // ---- bench mode: no simulated latency ----
   test("bench config drains without advancing the virtual clock") {
     val clock = new VirtualSleeper
