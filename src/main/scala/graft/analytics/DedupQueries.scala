@@ -294,13 +294,67 @@ object DedupQueries {
        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
        |  >= 100000""".stripMargin
 
+  /** Cross-modal near-dup verification: candidate pairs from text
+    * blocking (min-shingle-hash) scored by BOTH n-gram Jaccard and
+    * embedding cosine (documents ⨝ embeddings on doc_id = vec_id).
+    * This is the production dedup shape: a cheap text blocker
+    * generates candidates, independent signals confirm — disagreement
+    * between the signals is exactly what a human reviews.
+    */
+  def dedupCrossmodal(spark: SparkSession, dir: String): DataFrame = {
+    val textPairs = dedupNgramJaccard(spark, dir)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 4096).cast("long")).as("q"))
+      .withColumn("norm2",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val ea = emb.select(col("vec_id").as("doc_a"), col("q").as("qa"),
+      col("norm2").as("na"))
+    val eb = emb.select(col("vec_id").as("doc_b"), col("q").as("qb"),
+      col("norm2").as("nb"))
+    textPairs.join(ea, "doc_a").join(eb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
+        floor((lit(1e6) * aggregate(zip_with(col("qa"), col("qb"),
+            (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double")) /
+          sqrt((col("na") * col("nb")).cast("double"))).cast("long")
+          .as("cosine_ppm"))
+  }
+
+  val dedupCrossmodalSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |blocked AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS block FROM s),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(floor(1e6 * CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
+       |      AS jaccard_ppm
+       |  FROM blocked a JOIN blocked b
+       |    ON a.block = b.block AND a.doc_id < b.doc_id),
+       |emb AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q,
+       |  list_sum(list_transform(q, x -> x * x)) AS norm2 FROM emb)
+       |SELECT p.doc_a, p.doc_b, p.jaccard_ppm,
+       |  CAST(floor((1e6 * CAST(list_sum(list_transform(
+       |      generate_series(1, 64), i -> a.q[i] * b.q[i])) AS DOUBLE))
+       |    / sqrt(CAST(a.norm2 * b.norm2 AS DOUBLE))) AS BIGINT) AS cosine_ppm
+       |FROM pairs p
+       |JOIN n a ON p.doc_a = a.vec_id
+       |JOIN n b ON p.doc_b = b.vec_id
+       |WHERE p.jaccard_ppm >= 100000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
-    "dedup_ngram_jaccard" -> (dedupNgramJaccard _))
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_crossmodal" -> (dedupCrossmodal _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -308,5 +362,6 @@ object DedupQueries {
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql)
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_crossmodal" -> dedupCrossmodalSql)
 }

@@ -161,6 +161,31 @@ class StreamingAnalyticsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("streaming dedup drops replayed event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val deduped = ms.toDS().toDF("event_id", "ts", "payload")
+      .withWatermark("ts", "10 minutes")
+      // state for an id is held until the watermark passes its ts + gap,
+      // so at-least-once upstream delivery becomes exactly-once here
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t("2024-01-01 10:00:00"), "a"),
+        (2L, t("2024-01-01 10:01:00"), "b"))
+      q.processAllAvailable()
+      // replay of id 1 in a LATER micro-batch (the at-least-once case)
+      ms.addData((1L, t("2024-01-01 10:00:00"), "a-dup"),
+        (3L, t("2024-01-01 10:02:00"), "c"))
+      q.processAllAvailable()
+      val seen = spark.table("stream_dedup")
+        .select("event_id").as[Long].collect().sorted
+      assert(seen.toSeq == Seq(1L, 2L, 3L)) // id 1 exactly once
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState maintains custom per-key state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
