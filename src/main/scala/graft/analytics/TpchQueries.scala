@@ -446,6 +446,40 @@ object TpchQueries {
       .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
         .as("approx_median_qty"))
 
+  /** Q10-style returned-item customer ranking: 4-way join (customer ⨝
+    * orders ⨝ lineitem ⨝ nation), revenue aggregate, global top-20.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer")
+    val n = table(spark, dir, "nation")
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1997-01-01 00:00:00"))
+    val l = table(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey ASC
+       |LIMIT 20""".stripMargin
+
   // ------------------------------------------------------ UDAF
   /** Typed-Aggregator UDAF: top-3 order prices (exact cents) per
     * status via [[graft.functions.TopKAgg]] — k-element buffers
@@ -579,6 +613,7 @@ object TpchQueries {
     "window_funcs_breadth" -> (windowFuncsBreadth _),
     "scalar_subquery_rich" -> (scalarSubqueryRich _),
     "agg_grouping_sets" -> (aggGroupingSets _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "sample_hash_orders" -> (sampleHashOrders _))
 
   val oracles: Map[String, String] = Map(
@@ -601,5 +636,6 @@ object TpchQueries {
     "window_funcs_breadth" -> windowFuncsSql,
     "scalar_subquery_rich" -> scalarSubquerySql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
+    "q10_returned_items" -> q10Sql,
     "sample_hash_orders" -> sampleHashSql)
 }

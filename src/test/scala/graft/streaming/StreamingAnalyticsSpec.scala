@@ -161,6 +161,28 @@ class StreamingAnalyticsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("stream-static join enriches a stream against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val ms = MemoryStream[StreamEvent]
+    val enriched = ms.toDS()
+      .join(org.apache.spark.sql.functions.broadcast(dim),
+        col("userId") === dim("user_id"), "left_outer")
+      .select(col("userId"), col("eventType"),
+        coalesce(col("tier"), lit("none")).as("tier"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:01:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(rows == Set((1L, "gold"), (3L, "none")))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed event ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
