@@ -161,6 +161,37 @@ class StreamingAnalyticsSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("stream-stream join matches clicks to impressions within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)] // (ad_id, imp_ts)
+    val clicks = MemoryStream[(Long, Timestamp)] // (ad_id, click_ts)
+    val i = imps.toDS().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 minutes")
+    val c = clicks.toDS().toDF("c_ad_id", "click_ts")
+      .withWatermark("click_ts", "10 minutes")
+    // click must land within 30 minutes AFTER its impression — the
+    // state-bounded interval join (watermarks let Spark drop old state)
+    val joined = i.join(c,
+      col("ad_id") === col("c_ad_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("ad_id"), col("imp_ts"), col("click_ts"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      imps.addData((10L, t("2024-01-01 10:00:00")),
+        (20L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      clicks.addData((10L, t("2024-01-01 10:20:00")), // within 30m → match
+        (20L, t("2024-01-01 11:30:00"))) // 85m later → no match
+      q.processAllAvailable()
+      val rows = spark.table("attributed")
+        .collect().map(_.getLong(0)).toSeq
+      assert(rows == Seq(10L))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a broadcast dimension") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
