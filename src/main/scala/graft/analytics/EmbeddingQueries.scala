@@ -141,7 +141,7 @@ object EmbeddingQueries {
        |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
        |  FROM n JOIN (
        |    SELECT vec_id,
-       |      SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS bucket
+       |      CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
        |    FROM planesum GROUP BY 1) b ON n.vec_id = b.vec_id)""".stripMargin
   }
 

@@ -67,7 +67,7 @@ object MultimodalQueries {
       |    1, CAST(ceil(strlen(text) / 16.0) AS BIGINT))) AS i) g
       |  WHERE (g.i - 1) % 2 = 0)
       |SELECT media_id, COUNT(*) AS n_frames,
-      |  SUM(strlen(frame)) AS sampled_bytes,
+      |  CAST(SUM(strlen(frame)) AS BIGINT) AS sampled_bytes,
       |  COUNT(DISTINCT md5(frame)) AS n_distinct_frames
       |FROM frames GROUP BY media_id""".stripMargin
 

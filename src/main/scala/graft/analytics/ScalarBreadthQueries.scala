@@ -152,9 +152,9 @@ object ScalarBreadthQueries {
       |    CAST(o_orderdate AS DATE))) AS min_days,
       |  strftime(MAX(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH),
       |    '%Y-%m-%d') AS max_plus3m,
-      |  SUM(CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) + 1)
-      |    AS sum_dow,
-      |  MIN(epoch(CAST(o_orderdate AS TIMESTAMP))) AS min_epoch_s
+      |  CAST(SUM(CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) + 1)
+      |    AS BIGINT) AS sum_dow,
+      |  CAST(MIN(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS min_epoch_s
       |FROM orders GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -171,7 +171,7 @@ object TextQueries {
        |e AS (
        |  SELECT t.doc_id, g.pos, ($h % ${CrossHash.P}) AS h
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS pos) g)
-       |SELECT doc_id, SUM(h * pos % ${CrossHash.P}) % ${CrossHash.P} AS fingerprint,
+       |SELECT doc_id, CAST(SUM(h * pos % ${CrossHash.P}) % ${CrossHash.P} AS BIGINT) AS fingerprint,
        |  MIN(h) AS min_hash, COUNT(*) AS n_tokens
        |FROM e GROUP BY doc_id""".stripMargin
   }

@@ -43,6 +43,34 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns got={list(got.columns)} want={list(want.columns)}")
             failures += 1
             continue
+        # dtype-strict: the driver hashes value REPRESENTATIONS, so an
+        # int64 Spark column vs a DuckDB HUGEINT/DOUBLE (float64/object
+        # in pandas) mismatches even when values compare ==. The one
+        # tolerated pair: tz-aware (Spark parquet) vs naive (DuckDB)
+        # timestamps — the driver normalizes those; strip tz and
+        # compare values.
+        dtype_bad = []
+        for c in got.columns:
+            gd, wd = str(got[c].dtype), str(want[c].dtype)
+            if gd == wd:
+                continue
+            if gd.startswith("datetime64") and wd.startswith("datetime64"):
+                try:
+                    got[c] = got[c].dt.tz_localize(None)
+                except TypeError:
+                    pass
+                try:
+                    want[c] = want[c].dt.tz_localize(None)
+                except TypeError:
+                    pass
+                if str(got[c].dtype) == str(want[c].dtype):
+                    continue
+            dtype_bad.append((c, gd, wd))
+        if dtype_bad:
+            print(f"FAIL {name}: dtype mismatch {dtype_bad} "
+                  f"(driver hash is representation-sensitive)")
+            failures += 1
+            continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows got={len(got)} want={len(want)}")
             failures += 1
