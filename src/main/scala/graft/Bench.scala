@@ -38,6 +38,11 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
+      } finally {
+        // some queries (DedupQueries) cache() self-join inputs scoped to
+        // one materialization; drop them so repeated runs in this
+        // long-lived session don't accumulate orphaned blocks
+        spark.catalog.clearCache()
       }
     }
 

@@ -23,6 +23,13 @@ import QueryUtil._
   *
   * All hashes are [[graft.functions.CrossHash]] md5-based so the
   * DuckDB oracle reproduces them bit-for-bit.
+  *
+  * Cache lifecycle: the pair queries `cache()` the self-join input for
+  * the duration of ONE materialization (the returned DataFrame is lazy,
+  * so the query itself cannot know when to unpersist). Callers that run
+  * many queries in one session (Verify, Bench) must call
+  * `spark.catalog.clearCache()` after materializing each result — both
+  * mains do.
   */
 object DedupQueries {
 

@@ -45,7 +45,12 @@ final class GraftServer(engine: IngestEngine, port: Int = 5001) {
     */
   private def handleIngest(ex: HttpExchange): Unit =
     guard(ex) {
-      if (ex.getRequestMethod != "POST") respond(ex, 404, err("Not found"))
+      // JDK HttpServer contexts match by raw string prefix, so
+      // /ingestfoo lands here too — require the exact route like
+      // Express's app.post('/ingest') does
+      if (ex.getRequestMethod != "POST" ||
+        ex.getRequestURI.getPath != "/ingest")
+        respond(ex, 404, err("Not found"))
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
           StandardCharsets.UTF_8)
@@ -65,8 +70,12 @@ final class GraftServer(engine: IngestEngine, port: Int = 5001) {
   private def handleStatus(ex: HttpExchange): Unit =
     guard(ex) {
       val path = ex.getRequestURI.getPath
-      val id = path.stripPrefix("/status").stripPrefix("/")
-      if (ex.getRequestMethod != "GET" || id.isEmpty)
+      // Express's '/status/:id' matches exactly one extra segment;
+      // /statusfoo and /status/a/b must fall through to plain 404
+      val id =
+        if (path.startsWith("/status/")) path.stripPrefix("/status/")
+        else ""
+      if (ex.getRequestMethod != "GET" || id.isEmpty || id.contains("/"))
         respond(ex, 404, err("Not found"))
       else engine.status(id) match {
         case Some(doc) => respond(ex, 200, renderStatus(doc))

@@ -14,8 +14,15 @@ object Json {
   final case class JArr(items: Vector[Value]) extends Value
   final case class JStr(s: String) extends Value
   final case class JNum(raw: String) extends Value {
-    def isIntegral: Boolean = !raw.exists(c => c == '.' || c == 'e' || c == 'E')
-    def toLong: Long = raw.toLong
+    private def dec: BigDecimal = BigDecimal(raw)
+    /** Whole-number check on the VALUE, not the lexical form — JS's
+      * Number.isInteger accepts 1.0 and 1e2 (JSON floats that parse to
+      * integers), and the reference validates with it (src/app.js:112).
+      * Values outside Long range report non-integral; the reference
+      * would accept then range-reject them — same 400 either way.
+      */
+    def isIntegral: Boolean = dec.isWhole && dec.isValidLong
+    def toLong: Long = dec.toLongExact
   }
   final case class JBool(b: Boolean) extends Value
   case object JNull extends Value
@@ -125,7 +132,11 @@ object Json {
             case 't' => sb += '\t'
             case 'u' =>
               val hex = s.substring(pos, math.min(pos + 4, s.length))
-              if (hex.length < 4) throw ParseError("bad \\u escape")
+              // non-hex chars must surface as the documented ParseError,
+              // not leak NumberFormatException from parseInt
+              if (hex.length < 4 ||
+                !hex.forall(c => c.isDigit || ('a' <= c.toLower && c.toLower <= 'f')))
+                throw ParseError("bad \\u escape")
               sb += Integer.parseInt(hex, 16).toChar
               pos += 4
             case c => throw ParseError(s"bad escape '\\$c'")

@@ -146,6 +146,15 @@ final class IngestEngine(
       .headOption
   }
 
+  /** Atomically claim the top pending batch: select it AND mark it
+    * `triggered` under one lock, so two concurrent `processOnce` callers
+    * can never pick the same batch (check-then-act would otherwise race
+    * between the selection and the status write).
+    */
+  private def claimTop(): Option[BatchState] = synchronized {
+    pendingTop.map { b => b.status = Status.Triggered; b }
+  }
+
   /** One T1 cycle (reference: src/app.js:61-103): top-1 → `triggered` →
     * sequential 500 ms-per-id simulated external call (src/app.js:28-34,
     * results deliberately discarded like the reference's, :79-85) →
@@ -153,10 +162,9 @@ final class IngestEngine(
     * work + 5 s, the reference's exact timing model, src/app.js:90-95).
     * Returns true iff a batch was processed.
     */
-  def processOnce(): Boolean = pendingTop match {
+  def processOnce(): Boolean = claimTop() match {
     case None => false
     case Some(batch) =>
-      synchronized { batch.status = Status.Triggered }
       batch.ids.foreach { id =>
         sleeper.sleep(cfg.perIdDelayMs) // simulateExternalApiCall
         val _ = (id, "processed") // result shape, discarded (app.js:31)

@@ -84,6 +84,36 @@ class GraftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.body().contains("Ingestion ID not found"))
   }
 
+  test("unintended routes fall through to plain 404, not handler output") {
+    // JDK HttpServer matches contexts by prefix — these must NOT be
+    // treated as /ingest and /status/:id (Express matches segments)
+    val r1 = post("""{"ids": [1], "priority": "LOW"}""").body()
+    val badIngest = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingestfoo"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"ids": [1], "priority": "LOW"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(badIngest.statusCode() == 404)
+    assert(!badIngest.body().contains("ingestion_id"))
+    val badStatus = get("/statusfoo")
+    assert(badStatus.statusCode() == 404)
+    assert(!badStatus.body().contains("Ingestion ID not found"))
+    val twoSegments = get(s"/status/${extractId(r1)}/extra")
+    assert(twoSegments.statusCode() == 404)
+    assert(!twoSegments.body().contains("Ingestion ID not found"))
+  }
+
+  test("integral-valued float literals are valid ids (JS Number.isInteger)") {
+    // JSON 1.0 and 1e2 parse to integers in the reference's JS runtime
+    val res = post("""{"ids": [1.0, 1e2, 3], "priority": "LOW"}""")
+    assert(res.statusCode() == 200)
+    val body = get(s"/status/${extractId(res.body())}").body()
+      .replaceAll("\\s", "")
+    assert(body.contains("\"ids\":[1,100,3]"))
+    // genuinely fractional still 400s
+    assert(post("""{"ids": [1.5], "priority": "LOW"}""").statusCode() == 400)
+  }
+
   test("end-to-end: ingest over HTTP, processor drains, status completes") {
     val e2eEngine = new IngestEngine(GraftConfig.bench, SystemSleeper)
     val e2eServer = new GraftServer(e2eEngine, port = 0)

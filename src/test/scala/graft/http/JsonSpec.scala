@@ -54,4 +54,28 @@ class JsonSpec extends AnyFunSuite {
       assert(v.fields("x").isInstanceOf[Json.JNum])
     }
   }
+
+  test("isIntegral follows JS Number.isInteger value semantics") {
+    def num(raw: String): Json.JNum =
+      Json.parse(s"""{"x": $raw}""").asInstanceOf[Json.JObj]
+        .fields("x").asInstanceOf[Json.JNum]
+    // integral VALUES, whatever the lexical form
+    Seq("1" -> 1L, "1.0" -> 1L, "1e2" -> 100L, "-3.000" -> -3L,
+      "2.5e+1" -> 25L).foreach { case (raw, want) =>
+      assert(num(raw).isIntegral, raw)
+      assert(num(raw).toLong == want, raw)
+    }
+    // fractional or beyond-Long values are not
+    Seq("1.5", "0.1", "1e-2", "1e20").foreach { raw =>
+      assert(!num(raw).isIntegral, raw)
+    }
+  }
+
+  test("\\u escape with non-hex chars is ParseError, not NumberFormatException") {
+    assertThrows[Json.ParseError](Json.parse("\"\\uzzzz\""))
+    assertThrows[Json.ParseError](Json.parse("\"\\u12g4\""))
+    assertThrows[Json.ParseError](Json.parse("\"\\u12\""))
+    assert(Json.parse("\"\\u0041\"") == Json.JStr("A"))
+    assert(Json.parse("\"\\u00E9\"") == Json.JStr("é"))
+  }
 }
