@@ -24,12 +24,23 @@ import QueryUtil._
   * All hashes are [[graft.functions.CrossHash]] md5-based so the
   * DuckDB oracle reproduces them bit-for-bit.
   *
-  * Cache lifecycle: the pair queries `cache()` the self-join input for
-  * the duration of ONE materialization (the returned DataFrame is lazy,
-  * so the query itself cannot know when to unpersist). Callers that run
-  * many queries in one session (Verify, Bench) must call
-  * `spark.catalog.clearCache()` after materializing each result — both
-  * mains do.
+  * Self-join strategy: every pair query self-joins a derived table
+  * whose derivation (md5 shingling, minhash) dwarfs the join itself.
+  * The join strategy is deliberately left to Catalyst: below
+  * `autoBroadcastJoinThreshold` it broadcasts one side and keeps the
+  * post-join verification as parallel as the probe side; above it —
+  * any real corpus — it switches to a shuffled join on the block key
+  * by itself. (Forcing the shuffled join locally was measured SLOWER:
+  * AQE coalesces the small shuffle to ~2 partitions, serializing the
+  * array-intersect verification, and ReuseExchange does not kick in
+  * across the hint.) The shared derivation is `cache()`d: the
+  * broadcast build materializes it, so the streamed side and the
+  * verification joins reuse it instead of recomputing the md5
+  * pipeline per consumer — measured ~2× on the pair queries. Callers
+  * running many queries in one session must `spark.catalog
+  * .clearCache()` after materializing each result (Verify and Bench
+  * both do); at cluster scale the equivalent is writing the signature
+  * table once and joining against it.
   */
 object DedupQueries {
 
@@ -117,21 +128,20 @@ object DedupQueries {
     val docs = table(spark, dir, "documents")
       .withColumn("sh", shingleHashes)
       .select(col("doc_id"), col("sh"))
-    docs.cache()
+    docs.cache() // shared by banded + both verification sides
     val R = K / Bands
     val sigCols = (0 until K).map(i =>
       array_min(transform(col("sh"), h => affine(h, i))))
     val bandKey = (b: Int) => concat_ws("-",
       sigCols.slice(b * R, b * R + R).map(_.cast("string")): _*)
-    // cached: the band table feeds both sides of the self-join — without
-    // it Spark recomputes the 16 minhash transforms per side
     val banded = docs.select(
       col("doc_id"),
       posexplode(array((0 until Bands).map(b => bandKey(b)): _*))
         .as(Seq("band", "key")))
-      .cache()
+      .cache() // feeds both sides of the self-join
     val a = banded.as("a")
     val b = banded.as("b")
+    // join strategy left to Catalyst — see the object doc
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -225,6 +235,7 @@ object DedupQueries {
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 8) % 256): _*))
           .as(Seq("band", "key")))
+      .cache() // the explode+32-bit-sum aggregation feeds both sides
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -267,12 +278,10 @@ object DedupQueries {
     * practice vs. the n² all-pairs.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // cached: both self-join sides read this — the md5 shingle pipeline
-    // is the expensive part, not the (blocked, small) pair join
     val docs = table(spark, dir, "documents")
       .withColumn("sh", shingleHashes)
       .select(col("doc_id"), col("sh"), array_min(col("sh")).as("block"))
-      .cache()
+      .cache() // the md5 shingle pipeline feeds both self-join sides
     val a = docs.select(col("block"), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val b = docs.select(col("block"), col("doc_id").as("doc_b"),
@@ -320,7 +329,8 @@ object DedupQueries {
       col("norm2").as("na"))
     val eb = emb.select(col("vec_id").as("doc_b"), col("q").as("qb"),
       col("norm2").as("nb"))
-    textPairs.join(ea, "doc_a").join(eb, "doc_b")
+    textPairs.join(ea, "doc_a")
+      .join(eb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
         floor((lit(1e6) * aggregate(zip_with(col("qa"), col("qb"),
             (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double")) /

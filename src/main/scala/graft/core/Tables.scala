@@ -23,10 +23,43 @@ object Tables {
     * user's OWN nanos parquet reads.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val df =
+      if (name == "events" && raw.schema("ts").dataType ==
+          org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    if (computeHeavy(name)) densify(spark, df) else df
+  }
+
+  /** Tables whose queries are dominated by per-row expression work
+    * (md5 shingling, minhash families, vector quantization) rather
+    * than scan/shuffle volume. Only these repay a densifying exchange
+    * when the scan is under-split; for wide fact tables the exchange
+    * costs more than the lost scan parallelism.
+    */
+  private val computeHeavy = Set("documents", "embeddings")
+
+  /** Redistribute a scan whose split count is far below the session's
+    * parallelism.
+    *
+    * Parquet parallelism is bounded by row groups: a table written as
+    * one row group (all the local testdata) is ONE task no matter what
+    * `maxPartitionBytes` says, so every downstream per-row expression
+    * (md5 shingling, vector quantization) runs on a single core. One
+    * round-robin exchange of the (pruned, filtered — Catalyst pushes
+    * predicates and projections through Repartition) rows fixes that.
+    * At production scale the scan has at least as many splits as the
+    * cluster has slots and this is a no-op — no exchange is added.
+    * Opt out per-session with `spark.graft.densify=false` (e.g. to
+    * audit raw scan plans).
+    */
+  private def densify(spark: SparkSession, df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    val enabled =
+      spark.conf.getOption("spark.graft.densify").forall(_.toBoolean)
+    if (enabled && df.rdd.getNumPartitions < math.max(want / 2, 1))
+      df.repartition(want)
     else df
   }
 
