@@ -247,12 +247,16 @@ object DedupQueries {
       .where(col("hamming") <= 3)
   }
 
-  val dedupSimhashPairsSql: String = {
+  /** Shared oracle CTE chain ending in
+    * `spairs(doc_a, doc_b, hamming)` — the simhash near-dup pairs.
+    * Reused by [[dedupSimhashPairsSql]] and [[dedupClustersSql]].
+    */
+  private val sqlSimhashPairCtes: String = {
     val bitSums = (0 until SimBits).map(b =>
       s"SUM((h >> $b) % 2 * 2 - 1) AS s_$b").mkString(",\n  ")
     val simhash = (0 until SimBits).map(b =>
       s"CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT doc_id, ${sqlMd5Long("tok.t")} % $P AS h
        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |    LATERAL (SELECT unnest(toks) AS t) tok),
@@ -263,13 +267,89 @@ object DedupQueries {
        |banded AS (
        |  SELECT doc_id, simhash, band.b AS band,
        |         (simhash >> (band.b * 8)) % 256 AS key
-       |  FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) band)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |FROM banded a JOIN banded b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+       |  FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) band),
+       |spairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
   }
+
+  val dedupSimhashPairsSql: String =
+    s"""WITH $sqlSimhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin
+
+  // ------------------------------------------------ dedup clustering
+  /** Connected components over the simhash near-dup pairs: the step a
+    * pipeline runs AFTER pair generation — transitive closure groups
+    * near-dups into clusters, and the minimum doc_id in each cluster
+    * is the canonical representative to keep. Every document appears
+    * in the output; docs with no near-dup form singleton clusters.
+    *
+    * Algorithm: min-label propagation to a fixpoint. Each round, every
+    * vertex takes the minimum label among itself and its neighbors —
+    * one shuffle per round, keyed by vertex, converging in O(graph
+    * diameter) rounds (near-dup components are dense, so the diameter
+    * is small in practice). Each round is materialized with
+    * `localCheckpoint` so the plan does not grow with the iteration
+    * count and the convergence check does not recompute the chain.
+    * This is the transparent formulation of the Kiveris et al.
+    * "Connected Components in MapReduce" family; at trillion-edge
+    * scale you would switch to its large-star/small-star variant,
+    * which bounds rounds by O(log² n) independent of diameter — the
+    * per-round dataflow (join, min-aggregate, re-key) is identical.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupSimhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = table(spark, dir, "documents")
+      .select(col("doc_id").as("v"))
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    val maxRounds = 64 // >> any real near-dup component diameter
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("v", "dst"), "dst")
+        .groupBy(col("src").as("v"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "v")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      round += 1
+    }
+    val sizes = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $sqlSimhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM spairs),
+       |walk AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT w.v, e.d AS r FROM walk w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT v, MIN(r) AS cluster_id FROM walk GROUP BY v),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+       |SELECT c.v AS doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
+       |FROM comp c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
 
   // --------------------------------------- blocked n-gram jaccard
   /** N-gram Jaccard near-dup with min-hash blocking: pairs are only
@@ -371,7 +451,8 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
-    "dedup_crossmodal" -> (dedupCrossmodal _))
+    "dedup_crossmodal" -> (dedupCrossmodal _),
+    "dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -380,5 +461,6 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_crossmodal" -> dedupCrossmodalSql)
+    "dedup_crossmodal" -> dedupCrossmodalSql,
+    "dedup_clusters" -> dedupClustersSql)
 }

@@ -225,6 +225,88 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ----------------------------------------------------- IVF kNN
+  /** IVF (inverted-file) ANN: partition the corpus into cells around
+    * centroids, search only the query's nearest `NProbe` cells.
+    *
+    * Centroids here are a deterministic arithmetic subset of the
+    * corpus (`vec_id % 97 == 5`, so the centroid count scales with the
+    * corpus) rather than k-means-trained — training would put a
+    * nondeterministic float iteration between us and the oracle, and
+    * the *search* dataflow is identical either way: an n×k assignment
+    * pass (the real IVF build cost), a cell-keyed corpus layout, and a
+    * probe that touches `NProbe` cells instead of the whole corpus.
+    * At 10^9 vectors the cell assignment is the shuffle key that makes
+    * the probe-side join read 2/k of the data.
+    */
+  val NProbe = 2
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val cents = e.where(col("vec_id") % 97 === 5)
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
+        col("norm2").as("cnorm2"))
+    // n×k assignment: every vector scored against every centroid; the
+    // centroid table is tiny and broadcast
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val ranked = assigned.withColumn("crnk", row_number().over(wAssign))
+    val cells = ranked.where(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"), col("q"),
+        col("norm2"))
+    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"), col("centroid_id").as("cell"))
+    val scored = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnIvfSql: String = {
+    val cdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    s"""WITH $sqlQuantized,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM n WHERE vec_id % 97 = 5),
+       |assigned AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM n v, cents c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |  FROM assigned),
+       |cells AS (
+       |  SELECT vec_id, centroid_id AS cell, qv, norm2
+       |  FROM ranked WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn,
+       |    centroid_id AS cell
+       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ------------------------------------------- near-dup pair search
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
     * pre-existing coarse partitioner) — pairs only form within a
@@ -255,11 +337,13 @@ object EmbeddingQueries {
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
+    "knn_ivf" -> (knnIvf _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
   val oracles: Map[String, String] = Map(
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
+    "knn_ivf" -> knnIvfSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

@@ -244,7 +244,124 @@ object TextQueries {
       |  array_to_string(list_sort(list(doc_id))[1:10], ',') AS postings_head
       |FROM t GROUP BY tok""".stripMargin
 
+  // ------------------------------------------- repetition filters
+  /** Repetition-based quality signals in the style of the Gopher /
+    * MassiveText filters: duplicate-token ratio, duplicate-3-gram
+    * ratio, and the fraction of all 2-grams taken by the single most
+    * frequent 2-gram. High values mean boilerplate or degenerate
+    * repetition — the standard cheap pre-filter before any model sees
+    * the text. The n-gram ratios are pure array expressions (one scan,
+    * no shuffle); the top-2-gram share needs one doc-keyed aggregation,
+    * which is the natural partitioning for per-doc work at scale.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents").where(size(toks) >= 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val top = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("next_tok", lead(col("tok"), 1).over(w))
+      .where(col("next_tok").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("next_tok"))
+        .as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_2gram_n"), sum(col("n")).as("n_2grams"))
+    val tri = transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ", slice(toks, i, lit(3))))
+    d.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_tok_distinct"),
+        size(tri).cast("long").as("n_3grams"),
+        size(array_distinct(tri)).cast("long").as("n_3distinct"))
+      .join(top, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        ppm(col("n_tokens") - col("n_tok_distinct"), col("n_tokens"))
+          .as("dup_token_ppm"),
+        ppm(col("n_3grams") - col("n_3distinct"), col("n_3grams"))
+          .as("dup_3gram_ppm"),
+        col("top_2gram_n").cast("long").as("top_2gram_n"),
+        ppm(col("top_2gram_n"), col("n_2grams")).as("top_2gram_ppm"))
+  }
+
+  val textRepetitionSql: String = {
+    val tri = "list_transform(generate_series(1, len(toks) - 2)," +
+      " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |g2 AS (
+       |  SELECT doc_id, toks[i.i] || ' ' || toks[i.i+1] AS bg
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) i),
+       |c2 AS (SELECT doc_id, bg, COUNT(*) AS n FROM g2 GROUP BY 1, 2),
+       |top AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS top_2gram_n,
+       |  CAST(SUM(n) AS BIGINT) AS n_2grams FROM c2 GROUP BY 1),
+       |tri AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_tok_distinct,
+       |    CAST(len($tri) AS BIGINT) AS n_3grams,
+       |    CAST(len(list_distinct($tri)) AS BIGINT) AS n_3distinct
+       |  FROM t)
+       |SELECT tri.doc_id, tri.n_tokens,
+       |  ${sqlPpm("tri.n_tokens - tri.n_tok_distinct", "tri.n_tokens")}
+       |    AS dup_token_ppm,
+       |  ${sqlPpm("tri.n_3grams - tri.n_3distinct", "tri.n_3grams")}
+       |    AS dup_3gram_ppm,
+       |  top.top_2gram_n,
+       |  ${sqlPpm("top.top_2gram_n", "top.n_2grams")} AS top_2gram_ppm
+       |FROM tri JOIN top ON tri.doc_id = top.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------- TF-IDF
+  /** Top-3 TF-IDF terms per document, with a LINEAR idf (`N/df`)
+    * instead of the textbook `log(N/df)`: log goes through libm, whose
+    * last-ulp rounding differs between engines, while `tf·N/(len·df)`
+    * is one IEEE divide on exact integers — bit-identical everywhere.
+    * Ranking by a monotone transform of idf preserves the top-k per
+    * document for any fixed tf, and the pipeline shape (term explode →
+    * doc-term counts → term document-frequency join → per-doc top-k)
+    * is exactly the scaled one: both aggregations are single-key
+    * shuffles, and the df table joins by term.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    val nDocs = d.count()
+    val tf = d.select(col("doc_id"), size(toks).as("doc_len"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("doc_len"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ppm(col("tf") * lit(nDocs), col("doc_len") * col("df"))
+          .as("score_ppm"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+  }
+
+  val textTfidfSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |e AS (
+       |  SELECT doc_id, len(toks) AS doc_len, u.term
+       |  FROM t, LATERAL (SELECT unnest(toks) AS term) u),
+       |tf AS (SELECT doc_id, doc_len, term, COUNT(*) AS tf
+       |  FROM e GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS nd FROM documents)
+       |SELECT doc_id, term, tf, df, score_ppm, rnk FROM (
+       |  SELECT f.doc_id, f.term, f.tf, d.df,
+       |    ${sqlPpm("f.tf * n.nd", "f.doc_len * d.df")} AS score_ppm,
+       |    row_number() OVER (PARTITION BY f.doc_id ORDER BY
+       |      ${sqlPpm("f.tf * n.nd", "f.doc_len * d.df")} DESC,
+       |      f.term ASC) AS rnk
+       |  FROM tf f JOIN dfq d USING (term), n)
+       |WHERE rnk <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition" -> (textRepetition _),
+    "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -253,6 +370,8 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_repetition" -> textRepetitionSql,
+    "text_tfidf" -> textTfidfSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

@@ -306,6 +306,68 @@ object TpchQueries {
            "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** Stratified deterministic sampling: per-stratum keep rates (the
+    * training-data shape: oversample scarce high-quality strata,
+    * downsample the bulk), implemented as a hash-mod threshold that
+    * varies by stratum. Still a pure scan predicate — no shuffle to
+    * sample, one aggregation to audit realized rates.
+    */
+  def sampleStratifiedOrders(spark: SparkSession, dir: String): DataFrame = {
+    val h = pmod(graft.functions.CrossHash.md5Long(
+      col("o_orderkey").cast("string")), lit(1000))
+    val thresh = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+      500).when(col("o_orderpriority") === "3-MEDIUM", 200).otherwise(50)
+    table(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        (h < thresh).as("keep"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("keep"), 1)).as("n_sampled"),
+        dsum(when(col("keep"), col("o_totalprice"))).as("sampled_price"))
+      .withColumn("realized_ppm", ppm(col("n_sampled"), col("n_total")))
+  }
+
+  val sampleStratifiedSql: String = {
+    val h = s"${graft.functions.CrossHash.sqlMd5Long(
+      "CAST(o_orderkey AS VARCHAR)")} % 1000"
+    val keep = s"""($h) < CASE
+      WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 500
+      WHEN o_orderpriority = '3-MEDIUM' THEN 200 ELSE 50 END"""
+    s"""SELECT o_orderpriority, COUNT(*) AS n_total,
+       |  COUNT(CASE WHEN $keep THEN 1 END) AS n_sampled,
+       |  ${sqlDsum(s"CASE WHEN $keep THEN o_totalprice END")} AS sampled_price,
+       |  ${sqlPpm(s"COUNT(CASE WHEN $keep THEN 1 END)", "COUNT(*)")}
+       |    AS realized_ppm
+       |FROM orders GROUP BY o_orderpriority""".stripMargin
+  }
+
+  /** Bitwise and boolean aggregate breadth: BIT_OR/BIT_AND/BIT_XOR
+    * (compact set/flag summaries — e.g. a membership bitmap per group)
+    * and BOOL_AND/BOOL_OR. All are associative single-pass aggregates
+    * with map-side partials, so they scale like SUM.
+    */
+  def aggBitwiseOrders(spark: SparkSession, dir: String): DataFrame = {
+    val flag = pmod(col("o_custkey"), lit(4096))
+    table(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(bit_or(flag).as("flags_or"),
+        bit_and(flag).as("flags_and"),
+        bit_xor(flag).as("flags_xor"),
+        bool_and(col("o_totalprice") > 900).as("all_over_900"),
+        bool_or(col("o_totalprice") > 500000).as("any_over_500k"),
+        count(lit(1)).as("n"))
+  }
+
+  val aggBitwiseSql: String =
+    """SELECT o_orderstatus,
+      |  BIT_OR(o_custkey % 4096) AS flags_or,
+      |  BIT_AND(o_custkey % 4096) AS flags_and,
+      |  BIT_XOR(o_custkey % 4096) AS flags_xor,
+      |  BOOL_AND(o_totalprice > 900) AS all_over_900,
+      |  BOOL_OR(o_totalprice > 500000) AS any_over_500k,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------- set ops
   /** UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
     * sets, tagged so one result exercises all three operators.
@@ -614,7 +676,9 @@ object TpchQueries {
     "scalar_subquery_rich" -> (scalarSubqueryRich _),
     "agg_grouping_sets" -> (aggGroupingSets _),
     "q10_returned_items" -> (q10ReturnedItems _),
-    "sample_hash_orders" -> (sampleHashOrders _))
+    "sample_hash_orders" -> (sampleHashOrders _),
+    "sample_stratified_orders" -> (sampleStratifiedOrders _),
+    "agg_bitwise_orders" -> (aggBitwiseOrders _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -637,5 +701,7 @@ object TpchQueries {
     "scalar_subquery_rich" -> scalarSubquerySql,
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "q10_returned_items" -> q10Sql,
-    "sample_hash_orders" -> sampleHashSql)
+    "sample_hash_orders" -> sampleHashSql,
+    "sample_stratified_orders" -> sampleStratifiedSql,
+    "agg_bitwise_orders" -> aggBitwiseSql)
 }

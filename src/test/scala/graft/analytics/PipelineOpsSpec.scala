@@ -1,0 +1,139 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-2 pipeline operators (the oracle
+  * hash-compare proves engine agreement; these pin the properties the
+  * numbers must have to MEAN what they claim).
+  */
+class PipelineOpsSpec extends SparkSuite {
+
+  test("dedup_clusters is a valid connected-components labeling") {
+    val clusters = DedupQueries.dedupClusters(spark, sf0001)
+      .select("doc_id", "cluster_id", "cluster_size").cache()
+    val pairs = DedupQueries.dedupSimhashPairs(spark, sf0001)
+      .select("doc_a", "doc_b").cache()
+
+    // every near-dup pair lands in one cluster
+    val split = pairs
+      .join(clusters.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb")), "doc_b")
+      .where(col("ca") =!= col("cb")).count()
+    assert(split == 0, s"$split pairs straddle clusters")
+
+    // the label is the minimum member (the canonical doc to keep)
+    val badLabel = clusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("lo"))
+      .where(col("cluster_id") =!= col("lo")).count()
+    assert(badLabel == 0)
+
+    // sizes partition the corpus: every doc appears exactly once
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    assert(clusters.count() == nDocs)
+    assert(clusters.select("cluster_id", "cluster_size").distinct()
+      .agg(sum("cluster_size")).head.getLong(0) == nDocs)
+
+    // docs in no pair are singletons labeled by themselves
+    val inPairs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val badSingleton = clusters.join(inPairs, Seq("doc_id"), "left_anti")
+      .where(col("cluster_id") =!= col("doc_id") ||
+        col("cluster_size") =!= 1).count()
+    assert(badSingleton == 0)
+    clusters.unpersist(); pairs.unpersist()
+  }
+
+  test("knn_ivf scores agree with brute force on shared pairs") {
+    val ivf = EmbeddingQueries.knnIvf(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("ivf_score"))
+    val brute = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("bf_score"))
+    val joined = ivf.join(brute, Seq("query_id", "vec_id")).cache()
+    assert(joined.where(col("ivf_score") =!= col("bf_score")).count() == 0)
+    // the probe actually finds most of the true top-k (cell recall);
+    // exact recall is data-dependent — pin a sane floor, not equality
+    val recall = joined.count().toDouble /
+      brute.count().toDouble
+    assert(recall > 0.3, f"IVF recall $recall%.2f vs brute force")
+    joined.unpersist()
+  }
+
+  test("knn_ivf per-query result shape") {
+    val ivf = EmbeddingQueries.knnIvf(spark, sf0001).cache()
+    assert(ivf.where(col("query_id") === col("vec_id")).count() == 0)
+    val byQuery = ivf.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(byQuery.where(col("n") > EmbeddingQueries.TopK).count() == 0)
+    assert(byQuery.where(col("mn") =!= 1).count() == 0)
+    assert(byQuery.where(col("mx") =!= col("n")).count() == 0)
+    ivf.unpersist()
+  }
+
+  test("text_repetition ratios are well-formed ppm signals") {
+    val rep = TextQueries.textRepetition(spark, sf0001).cache()
+    val bad = rep.where(
+      col("dup_token_ppm") < 0 || col("dup_token_ppm") > 1000000 ||
+      col("dup_3gram_ppm") < 0 || col("dup_3gram_ppm") > 1000000 ||
+      col("top_2gram_ppm") <= 0 || col("top_2gram_ppm") > 1000000 ||
+      col("top_2gram_n") < 1 || col("n_tokens") < 3).count()
+    assert(bad == 0)
+    // more token duplication than 3-gram duplication, always (a
+    // repeated 3-gram forces repeated tokens, not vice versa)
+    assert(rep.where(col("dup_3gram_ppm") > col("dup_token_ppm") * 3)
+      .count() == 0)
+    rep.unpersist()
+  }
+
+  test("text_tfidf emits a ranked top-3 per document") {
+    val tfidf = TextQueries.textTfidf(spark, sf0001).cache()
+    val byDoc = tfidf.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      min("rnk").as("mn"), max("rnk").as("mx"))
+    assert(byDoc.where(col("n") > 3 || col("mn") =!= 1 ||
+      col("mx") =!= col("n")).count() == 0)
+    // rank order follows score order within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val misordered = tfidf
+      .withColumn("prev", lag("score_ppm", 1).over(w))
+      .where(col("prev").isNotNull && col("prev") < col("score_ppm"))
+      .count()
+    assert(misordered == 0)
+    assert(tfidf.where(col("tf") < 1 || col("df") < 1).count() == 0)
+    tfidf.unpersist()
+  }
+
+  test("sample_stratified realized rates track the stratum thresholds") {
+    val s = TpchQueries.sampleStratifiedOrders(spark, sf001).cache()
+    assert(s.where(col("n_sampled") > col("n_total")).count() == 0)
+    val rates = s.select(col("o_orderpriority"), col("realized_ppm"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val high = Seq("1-URGENT", "2-HIGH").flatMap(rates.get).min
+    val mid = rates("3-MEDIUM")
+    val low = (rates.keySet -- Set("1-URGENT", "2-HIGH", "3-MEDIUM"))
+      .map(rates).max
+    assert(high > mid && mid > low,
+      s"stratum ordering violated: high=$high mid=$mid low=$low")
+    s.unpersist()
+  }
+
+  test("agg_bitwise booleans agree with recomputed extremes") {
+    val agg = TpchQueries.aggBitwiseOrders(spark, sf0001)
+    val check = spark.read.parquet(s"$sf0001/orders.parquet")
+      .groupBy(col("o_orderstatus"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val joined = agg.join(check, "o_orderstatus")
+    assert(joined.where(col("all_over_900") =!= (col("lo") > 900))
+      .count() == 0)
+    assert(joined.where(col("any_over_500k") =!= (col("hi") > 500000))
+      .count() == 0)
+    // OR contains AND bit-wise: and & or == and
+    assert(agg.where((col("flags_and").bitwiseAND(col("flags_or"))) =!=
+      col("flags_and")).count() == 0)
+  }
+}
