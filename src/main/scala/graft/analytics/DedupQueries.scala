@@ -390,6 +390,43 @@ object DedupQueries {
        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
        |  >= 100000""".stripMargin
 
+  /** Edit-distance verification of blocked candidate pairs: the same
+    * min-shingle blocking as [[dedupNgramJaccard]], scored by
+    * Levenshtein distance over a 200-char prefix instead of set
+    * Jaccard. The prefix bound caps the O(len²) DP per pair — the
+    * standard trick that keeps character-level verification affordable
+    * once the blocker has cut candidates from n² to ~linear.
+    * Levenshtein is integer-exact in both engines, so no quantization
+    * is needed.
+    */
+  def dedupEditdist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), substring(col("text"), 1, 200).as("prefix"),
+        array_min(col("sh")).as("block"))
+      .cache() // shingle pipeline feeds both self-join sides
+    val a = docs.select(col("block"), col("doc_id").as("doc_a"),
+      col("prefix").as("pa"))
+    val b = docs.select(col("block"), col("doc_id").as("doc_b"),
+      col("prefix").as("pb"))
+    a.join(b, Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+      .where(col("edit_dist") <= 80)
+  }
+
+  val dedupEditdistSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, substr(text, 1, 200) AS prefix,
+       |  ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |blocked AS (SELECT doc_id, prefix, list_aggregate(sh, 'min') AS block FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+       |FROM blocked a JOIN blocked b
+       |  ON a.block = b.block AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.prefix, b.prefix) <= 80""".stripMargin
+
   /** Cross-modal near-dup verification: candidate pairs from text
     * blocking (min-shingle-hash) scored by BOTH n-gram Jaccard and
     * embedding cosine (documents ⨝ embeddings on doc_id = vec_id).
@@ -452,7 +489,8 @@ object DedupQueries {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
-    "dedup_clusters" -> (dedupClusters _))
+    "dedup_clusters" -> (dedupClusters _),
+    "dedup_editdist" -> (dedupEditdist _))
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
@@ -462,5 +500,6 @@ object DedupQueries {
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
-    "dedup_clusters" -> dedupClustersSql)
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_editdist" -> dedupEditdistSql)
 }

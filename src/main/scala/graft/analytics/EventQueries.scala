@@ -234,7 +234,56 @@ object EventQueries {
       |FROM ev JOIN bands ON h >= h_lo AND h <= h_hi
       |GROUP BY band, event_type""".stripMargin
 
+  // ---------------------------------------------------- gap-fill
+  /** Time-series resampling with gap-fill: hourly counts per event
+    * type over a dense hour spine, missing buckets zero-filled — what
+    * a monitoring/training-data freshness query needs (a bucket with
+    * no rows must REPORT ZERO, not vanish). The spine is
+    * `sequence(min_hour, max_hour)` exploded from a 1-row aggregate
+    * and cross-joined with the distinct-type dimension: both sides are
+    * tiny whatever the fact-table size (hours × types, not rows), so
+    * Spark broadcasts them against the one real shuffle (the hourly
+    * aggregation).
+    */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val e = table(spark, dir, "events")
+    val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = e
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour"))
+    val types = e.select(col("event_type")).distinct()
+    spine.crossJoin(types)
+      .join(hourly, Seq("hour", "event_type"), "left_outer")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+  }
+
+  val eventsGapfillSql: String =
+    s"""WITH hourly AS (
+       |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |    event_type, COUNT(*) AS n, ${sqlDsum("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |span AS (
+       |  SELECT time_bucket(INTERVAL '1 hour', CAST(MIN(ts) AS TIMESTAMP)) AS lo,
+       |    time_bucket(INTERVAL '1 hour', CAST(MAX(ts) AS TIMESTAMP)) AS hi
+       |  FROM events),
+       |spine AS (
+       |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+       |  FROM span),
+       |types AS (SELECT DISTINCT event_type FROM events)
+       |SELECT s.hour, t.event_type,
+       |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n,
+       |  COALESCE(h.sum_value, 0.0) AS sum_value
+       |FROM spine s CROSS JOIN types t
+       |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill" -> (eventsGapfill _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_session" -> (eventsSession _),
@@ -245,6 +294,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_gapfill" -> eventsGapfillSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_session" -> eventsSessionSql,

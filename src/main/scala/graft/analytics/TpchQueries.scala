@@ -306,6 +306,31 @@ object TpchQueries {
            "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** Rank-ratio window functions: PERCENT_RANK and CUME_DIST are the
+    * two built-ins that emit doubles, and both stay bit-identical
+    * cross-engine because they are single IEEE divides of exact
+    * integers ((rank-1)/(N-1) and peers_cum/N) — no accumulation. Ties
+    * are handled by the rank definition itself, so no tiebreak column
+    * is needed for determinism.
+    */
+  def windowRankRatios(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"))
+    table(spark, dir, "orders")
+      .where(col("o_totalprice") > 250000) // keep the output focused
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
+  val windowRankRatiosSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM orders WHERE o_totalprice > 250000
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin
+
   /** Stratified deterministic sampling: per-stratum keep rates (the
     * training-data shape: oversample scarce high-quality strata,
     * downsample the bulk), implemented as a hash-mod threshold that
@@ -678,7 +703,8 @@ object TpchQueries {
     "q10_returned_items" -> (q10ReturnedItems _),
     "sample_hash_orders" -> (sampleHashOrders _),
     "sample_stratified_orders" -> (sampleStratifiedOrders _),
-    "agg_bitwise_orders" -> (aggBitwiseOrders _))
+    "agg_bitwise_orders" -> (aggBitwiseOrders _),
+    "window_rank_ratios" -> (windowRankRatios _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -703,5 +729,6 @@ object TpchQueries {
     "q10_returned_items" -> q10Sql,
     "sample_hash_orders" -> sampleHashSql,
     "sample_stratified_orders" -> sampleStratifiedSql,
-    "agg_bitwise_orders" -> aggBitwiseSql)
+    "agg_bitwise_orders" -> aggBitwiseSql,
+    "window_rank_ratios" -> windowRankRatiosSql)
 }
