@@ -440,8 +440,7 @@ object DedupQueries {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 4096).cast("long")).as("q"))
-      .withColumn("norm2",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("norm2", graft.functions.DotLong(col("q"), col("q")))
     val ea = emb.select(col("vec_id").as("doc_a"), col("q").as("qa"),
       col("norm2").as("na"))
     val eb = emb.select(col("vec_id").as("doc_b"), col("q").as("qb"),
@@ -449,8 +448,8 @@ object DedupQueries {
     textPairs.join(ea, "doc_a")
       .join(eb, "doc_b")
       .select(col("doc_a"), col("doc_b"), col("jaccard_ppm"),
-        floor((lit(1e6) * aggregate(zip_with(col("qa"), col("qb"),
-            (x, y) => x * y), lit(0L), (acc, x) => acc + x).cast("double")) /
+        floor((lit(1e6) * graft.functions.DotLong(col("qa"), col("qb"))
+            .cast("double")) /
           sqrt((col("na") * col("nb")).cast("double"))).cast("long")
           .as("cosine_ppm"))
   }

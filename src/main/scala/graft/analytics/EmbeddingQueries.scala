@@ -31,14 +31,15 @@ object EmbeddingQueries {
   val TopK = 10
   val Planes = 8
 
-  /** Quantized vector + exact squared norm. */
+  /** Quantized vector + exact squared norm (`norm² = dot(q, q)` via
+    * the native [[graft.functions.DotLong]] expression).
+    */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => floor(x.cast("double") * Scale).cast("long")).as("q"))
-      .withColumn("norm2",
-        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("norm2", graft.functions.DotLong(col("q"), col("q")))
 
   private val sqlQuantized: String =
     s"""q AS (SELECT vec_id, label,
@@ -48,9 +49,14 @@ object EmbeddingQueries {
        |n AS (SELECT vec_id, label, qv,
        |  list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q)""".stripMargin
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.DotLong]] (one fused loop, no
+    * intermediate array; bit-identical to the `aggregate`/`zip_with`
+    * composition the oracle mirrors, since int addition is
+    * associative).
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.DotLong(a, b)
 
   /** ppm cosine from exact integer dot/norms — identical IEEE ops on
     * identical operands in both engines.

@@ -30,6 +30,30 @@ class FunctionsSpec extends SparkSuite {
     assert(buf.size == 3 && buf == Seq(100L, 99L, 98L))
   }
 
+  // ---- DotLong ----
+  test("native DotLong equals the aggregate/zip_with composition") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(80) + 1
+      (Seq.fill(n)(rnd.nextLong() % 100000),
+        Seq.fill(n)(rnd.nextLong() % 100000))
+    } :+ ((Seq(0L), Seq(0L)))
+    val df = rows.toDF("a", "b")
+    val mismatches = df.select(
+        DotLong(col("a"), col("b")).as("native"),
+        DotLong.composed(col("a"), col("b")).as("composed"))
+      .where(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+    // norm form: dot(q, q) is non-negative
+    assert(df.select(min(DotLong(col("a"), col("a")))).head.getLong(0) >= 0)
+    // null propagation
+    val withNull = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]))
+      .toDF("a", "b")
+    assert(withNull.select(DotLong(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   // ---- Md5Long56 ----
   test("native Md5Long56 equals the built-in composition on random strings") {
     import spark.implicits._
