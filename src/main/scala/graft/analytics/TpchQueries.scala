@@ -306,6 +306,77 @@ object TpchQueries {
            "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** KMV (k-minimum-values / bottom-k) distinct-count sketch: keep the
+    * k smallest distinct hash values per group; the k-th one estimates
+    * the distinct count as `(k-1)·2^56 / h_k` (hashes are uniform in
+    * [0, 2^56)). Unlike HLL, the sketch content is DETERMINISTIC given
+    * the hash function, so this approx-distinct is exactly
+    * oracle-checkable — and like HLL it is mergeable with bounded
+    * state (a production aggregate keeps k values per partial, same
+    * shape as [[graft.functions.TopKAgg]]; here the bottom-k is
+    * expressed as distinct+rank, whose shuffle is also one key). The
+    * exact count rides along to expose the estimation error.
+    */
+  val KmvK = 64
+  def approxDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.CrossHash.md5Long(col("o_custkey").cast("string"))
+    val o = table(spark, dir, "orders")
+    val hashes = o.select(col("o_orderstatus"), h.as("h")).distinct()
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("h"))
+    val kth = hashes.withColumn("r", row_number().over(w))
+      .where(col("r") === KmvK)
+      .select(col("o_orderstatus"), col("h").as("kth_hash"))
+    val exact = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    exact.join(kth, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_exact"), col("kth_hash"),
+        floor(lit((KmvK - 1).toLong << 56).cast("double") /
+          col("kth_hash").cast("double")).cast("long").as("est_distinct"))
+  }
+
+  val approxDistinctKmvSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT o_orderstatus,
+       |    ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(o_custkey AS VARCHAR)")} AS h
+       |  FROM orders),
+       |r AS (SELECT o_orderstatus, h,
+       |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS r
+       |  FROM h),
+       |kth AS (SELECT o_orderstatus, h AS kth_hash FROM r WHERE r = $KmvK),
+       |e AS (SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact
+       |  FROM orders GROUP BY 1)
+       |SELECT e.o_orderstatus, e.n_exact, kth.kth_hash,
+       |  CAST(floor(CAST(${(KmvK - 1).toLong << 56} AS DOUBLE)
+       |    / CAST(kth.kth_hash AS DOUBLE)) AS BIGINT) AS est_distinct
+       |FROM e JOIN kth USING (o_orderstatus)""".stripMargin
+
+  /** Fixed-width histogram over order totals: bucket ordinal, bounds,
+    * count, and an exact mass sum per bucket — the one-shuffle shape
+    * of any distribution profile at scale (bucketing is a pure row
+    * expression; only the per-bucket aggregation moves data).
+    */
+  def histogramPrices(spark: SparkSession, dir: String): DataFrame = {
+    val width = 50000.0
+    val bucket = floor(col("o_totalprice") / width).cast("long")
+    table(spark, dir, "orders")
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("lo", (col("bucket") * width).cast("double"))
+      .withColumn("hi", ((col("bucket") + 1) * width).cast("double"))
+      .select(col("bucket"), col("lo"), col("hi"), col("n"),
+        col("sum_price"))
+  }
+
+  val histogramPricesSql: String =
+    s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       |  CAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0
+       |    AS DOUBLE) AS lo,
+       |  CAST((CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1) * 50000.0
+       |    AS DOUBLE) AS hi,
+       |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1""".stripMargin
+
   /** Rank-ratio window functions: PERCENT_RANK and CUME_DIST are the
     * two built-ins that emit doubles, and both stay bit-identical
     * cross-engine because they are single IEEE divides of exact
@@ -704,7 +775,9 @@ object TpchQueries {
     "sample_hash_orders" -> (sampleHashOrders _),
     "sample_stratified_orders" -> (sampleStratifiedOrders _),
     "agg_bitwise_orders" -> (aggBitwiseOrders _),
-    "window_rank_ratios" -> (windowRankRatios _))
+    "window_rank_ratios" -> (windowRankRatios _),
+    "approx_distinct_kmv" -> (approxDistinctKmv _),
+    "histogram_prices" -> (histogramPrices _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -730,5 +803,7 @@ object TpchQueries {
     "sample_hash_orders" -> sampleHashSql,
     "sample_stratified_orders" -> sampleStratifiedSql,
     "agg_bitwise_orders" -> aggBitwiseSql,
-    "window_rank_ratios" -> windowRankRatiosSql)
+    "window_rank_ratios" -> windowRankRatiosSql,
+    "approx_distinct_kmv" -> approxDistinctKmvSql,
+    "histogram_prices" -> histogramPricesSql)
 }
