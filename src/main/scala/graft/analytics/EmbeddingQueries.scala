@@ -313,6 +313,39 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ------------------------------------- SQL front door, native fns
+  /** The native expressions through the SQL front door: `md5long56`
+    * and `dot_long` are injected by
+    * [[graft.functions.GraftExtensions]] (via `withExtensions` /
+    * `spark.sql.extensions`), so a SQL user gets the same codegen'd
+    * hot loops as the Column API. The oracle runs the composed
+    * engine-neutral twins — every verify run re-proves the native ↔
+    * composed equivalence through the registry path too.
+    */
+  def sqlNativeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    graft.core.Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT vec_id,
+         |  dot_long(q, q) AS norm2,
+         |  md5long56(CAST(vec_id AS STRING)) AS id_hash
+         |FROM (
+         |  SELECT vec_id,
+         |    transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS q
+         |  FROM embeddings)""".stripMargin)
+  }
+
+  val sqlNativeFuncsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings)
+       |SELECT vec_id,
+       |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS norm2,
+       |  ${graft.functions.CrossHash.sqlMd5Long(
+           "CAST(vec_id AS VARCHAR)")} AS id_hash
+       |FROM q""".stripMargin
+
   // ------------------------------------------- near-dup pair search
   /** Embedding-cosine near-duplicate pairs, blocked by label (the
     * pre-existing coarse partitioner) — pairs only form within a
@@ -344,6 +377,7 @@ object EmbeddingQueries {
     "knn_lsh_bucketed" -> (knnLshBucketed _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_ivf" -> (knnIvf _),
+    "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
   val oracles: Map[String, String] = Map(
@@ -351,5 +385,6 @@ object EmbeddingQueries {
     "knn_lsh_bucketed" -> knnLshBucketedSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "knn_ivf" -> knnIvfSql,
+    "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

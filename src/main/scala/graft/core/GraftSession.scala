@@ -21,6 +21,8 @@ object GraftSession {
     SparkSession
       .builder()
       .appName(appName)
+      // native expressions available to spark.sql (md5long56, dot_long)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
+
+/** Session extension registering graft's native expressions as SQL
+  * functions, so the SQL front door can call them exactly like the
+  * Column API does:
+  *
+  *   `SELECT md5long56(text), dot_long(qa, qb) FROM ...`
+  *
+  * Wire-up: `GraftSession.builder` applies it via `withExtensions`;
+  * external users can instead set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — the
+  * standard deployment path on a shared cluster where the session is
+  * built by the platform, not the library.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("md5long56"),
+      new ExpressionInfo(classOf[Md5Long56].getName, "md5long56"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "md5long56 expects one argument")
+        Md5Long56(Cast(args.head, StringType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_long expects two arguments")
+        DotLong(args(0), args(1))
+      }))
+  }
+}

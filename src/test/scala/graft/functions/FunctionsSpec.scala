@@ -54,6 +54,21 @@ class FunctionsSpec extends SparkSuite {
     assert(withNull.select(DotLong(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  // ---- GraftExtensions (SQL registration) ----
+  test("native functions are callable from spark.sql via extensions") {
+    val row = spark.sql(
+      """SELECT md5long56('abc') AS h,
+        |  dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d,
+        |  md5long56(42) AS hc""".stripMargin).head
+    // against the Column-API native forms
+    import spark.implicits._
+    val want = Seq("abc", "42").toDF("s")
+      .select(CrossHash.md5Long(col("s"))).collect().map(_.getLong(0))
+    assert(row.getLong(0) == want(0))
+    assert(row.getLong(1) == 4 + 10 + 18)
+    assert(row.getLong(2) == want(1)) // non-string input is cast first
+  }
+
   // ---- Md5Long56 ----
   test("native Md5Long56 equals the built-in composition on random strings") {
     import spark.implicits._
