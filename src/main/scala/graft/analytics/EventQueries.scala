@@ -119,6 +119,27 @@ object EventQueries {
       |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** UNPIVOT — the inverse reshape of [[eventsPivot]]: the wide daily
+    * count matrix back to long (day, event_type, n) rows via `stack`
+    * (Spark's unpivot generator — a pure per-row expansion, no
+    * shuffle beyond the pivot's own aggregation). Zero-count cells
+    * survive the round trip, which is what makes unpivot the
+    * gap-preserving inverse rather than a re-aggregation.
+    */
+  def eventsUnpivot(spark: SparkSession, dir: String): DataFrame =
+    eventsPivot(spark, dir).select(col("day"),
+      expr("""stack(5,
+        'click', click, 'purchase', purchase, 'error', error,
+        'signup', signup, 'view', view) AS (event_type, n)"""))
+
+  val eventsUnpivotSql: String =
+    s"""WITH p AS ($eventsPivotSql)
+       |SELECT day, 'click' AS event_type, click AS n FROM p
+       |UNION ALL SELECT day, 'purchase', purchase FROM p
+       |UNION ALL SELECT day, 'error', error FROM p
+       |UNION ALL SELECT day, 'signup', signup FROM p
+       |UNION ALL SELECT day, 'view', view FROM p""".stripMargin
+
   /** Funnel: per user, first signup vs. first purchase, conversion
     * flag. One shuffle on user_id; conditional aggregation instead of
     * a self-join.
@@ -284,6 +305,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gapfill" -> (eventsGapfill _),
+    "events_unpivot" -> (eventsUnpivot _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_session" -> (eventsSession _),
@@ -295,6 +317,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_gapfill" -> eventsGapfillSql,
+    "events_unpivot" -> eventsUnpivotSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_session" -> eventsSessionSql,

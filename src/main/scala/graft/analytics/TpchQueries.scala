@@ -306,6 +306,38 @@ object TpchQueries {
            "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** RANGE window frame (vs. the ROWS frames elsewhere): trailing
+    * 30-day spend per customer. A RANGE frame is defined by the ORDER
+    * BY *values*, so peer rows (same day) always share a frame — the
+    * result is deterministic even under tied sort keys, where a ROWS
+    * frame would depend on shuffle order. The order key is an integer
+    * day number (exact in both engines).
+    */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        day.cast("long").as("day"), col("o_totalprice"))
+      .withColumn("trailing30_spend",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("trailing30_spend"))
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    AS BIGINT) AS day,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing30_spend
+      |FROM orders""".stripMargin
+
   /** KMV (k-minimum-values / bottom-k) distinct-count sketch: keep the
     * k smallest distinct hash values per group; the k-th one estimates
     * the distinct count as `(k-1)·2^56 / h_k` (hashes are uniform in
@@ -777,7 +809,8 @@ object TpchQueries {
     "agg_bitwise_orders" -> (aggBitwiseOrders _),
     "window_rank_ratios" -> (windowRankRatios _),
     "approx_distinct_kmv" -> (approxDistinctKmv _),
-    "histogram_prices" -> (histogramPrices _))
+    "histogram_prices" -> (histogramPrices _),
+    "window_range_frame" -> (windowRangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -805,5 +838,6 @@ object TpchQueries {
     "agg_bitwise_orders" -> aggBitwiseSql,
     "window_rank_ratios" -> windowRankRatiosSql,
     "approx_distinct_kmv" -> approxDistinctKmvSql,
-    "histogram_prices" -> histogramPricesSql)
+    "histogram_prices" -> histogramPricesSql,
+    "window_range_frame" -> windowRangeFrameSql)
 }
