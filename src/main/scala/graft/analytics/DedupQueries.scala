@@ -307,10 +307,15 @@ object DedupQueries {
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = table(spark, dir, "documents")
-      .select(col("doc_id").as("v"))
+    // only pair endpoints iterate — singletons (no edges) can never
+    // change label, so they rejoin as fixed clusters of one at the end
+    var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
       .localCheckpoint(true)
+    // Σlabel strictly decreases every non-converged round (labels only
+    // ever take a smaller value), so an unchanged sum IS the fixpoint —
+    // one cheap scalar aggregate per round instead of a change-join
+    var currentSum = sumLabels(labels)
     var converged = false
     var round = 0
     val maxRounds = 64 // >> any real near-dup component diameter
@@ -319,22 +324,45 @@ object DedupQueries {
         .join(labels.withColumnRenamed("v", "dst"), "dst")
         .groupBy(col("src").as("v"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("v"), "left_outer")
+      val stepped = labels.join(nbrMin, Seq("v"), "left_outer")
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
+      // pointer jumping (path halving): label(v) ← label(label(v)).
+      // Neighbor-min alone needs O(diameter) rounds; following the
+      // label chain one hop per round makes the effective distance
+      // halve, i.e. O(log d) rounds — the large-star/small-star idea
+      // in its simplest form
+      val ptr = stepped.select(col("v").as("pv"), col("label").as("plabel"))
+      labels = stepped.join(ptr, stepped("label") === ptr("pv"),
+          "left_outer")
+        .select(stepped("v"),
+          coalesce(col("plabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "v")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      val nextSum = sumLabels(labels)
+      converged = nextSum == currentSum
+      currentSum = nextSum
       round += 1
     }
-    val sizes = labels.groupBy(col("label"))
+    val singletons = table(spark, dir, "documents")
+      .select(col("doc_id").as("v"))
+      .join(labels.select(col("v")), Seq("v"), "left_anti")
+      .withColumn("label", col("v"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy(col("label"))
       .agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "label")
+    all.join(sizes, "label")
       .select(col("v").as("doc_id"), col("label").as("cluster_id"),
         col("cluster_size"))
   }
+
+  /** Scalar Σlabel of a (small, checkpointed) label table — the
+    * per-round convergence probe of [[dedupClusters]]. Empty input
+    * (no near-dup pairs at all) reads as converged immediately.
+    */
+  private def sumLabels(labels: DataFrame): Long =
+    Option(labels.agg(sum(col("label"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $sqlSimhashPairCtes,
