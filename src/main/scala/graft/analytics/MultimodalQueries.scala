@@ -71,11 +71,35 @@ object MultimodalQueries {
       |  COUNT(DISTINCT md5(frame)) AS n_distinct_frames
       |FROM frames GROUP BY media_id""".stripMargin
 
+  /** Stub resize through the real partition-batched plumbing: keep
+    * every 2nd content byte. DuckDB re-derives the downsampled bytes
+    * with character slicing (valid for the all-ASCII corpus — byte
+    * semantics for arbitrary content are covered by MultimodalSpec)
+    * and must reproduce the md5 of the resized blob exactly.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.resize(MultimodalOps.mediaFromDocuments(spark, dir))
+      .select(col("mediaId").as("media_id"),
+        col("origBytes").as("orig_bytes"),
+        col("resizedBytes").as("resized_bytes"),
+        col("resizedHash").as("resized_hash"))
+
+  val multimodalResizeSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(strlen(text) AS BIGINT) AS orig_bytes,
+      |  CAST((strlen(text) + 1) // 2 AS BIGINT) AS resized_bytes,
+      |  md5(array_to_string(list_transform(
+      |    generate_series(1, strlen(text), 2),
+      |    i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_hash
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
-    "multimodal_frames" -> (multimodalFrames _))
+    "multimodal_frames" -> (multimodalFrames _),
+    "multimodal_resize" -> (multimodalResize _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
-    "multimodal_frames" -> multimodalFramesSql)
+    "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_resize" -> multimodalResizeSql)
 }

@@ -98,6 +98,38 @@ object MultimodalOps {
     }.toDF("media_id", "frame_index", "frame_bytes", "frame_hash")
   }
 
+  /** Resized media: original dims from decode, downsampled content. */
+  final case class MediaResized(
+      mediaId: Long,
+      mediaType: String,
+      origBytes: Long,
+      resizedBytes: Long,
+      width: Int,
+      height: Int,
+      resizedHash: String)
+
+  /** Deterministic stub resize: keep every `factor`-th content byte
+    * (a real deployment decodes, scales, re-encodes at the
+    * [[StubDecoder]] boundary — the contract is the same: binary in,
+    * smaller binary + scaled dims out). Same partition-batched narrow
+    * shape as [[extractFeatures]]: content never shuffles, per-batch
+    * codec setup amortizes across the partition.
+    */
+  def resize(media: Dataset[MediaRecord],
+      factor: Int = 2): Dataset[MediaResized] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val resized = Array.range(0, m.content.length, factor)
+          .map(m.content)
+        val (w, h, _) = StubDecoder.decode(m.content)
+        MediaResized(m.mediaId, m.mediaType, m.content.length.toLong,
+          resized.length.toLong, math.max(w / factor, 1),
+          math.max(h / factor, 1), md5Hex(resized))
+      }
+    }
+  }
+
   /** Synthesize a media table from `documents` (the container has no
     * real media; utf-8 text bytes play the opaque blob — which is
     * exactly how the plumbing should treat real media anyway).

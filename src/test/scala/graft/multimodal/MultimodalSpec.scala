@@ -39,6 +39,28 @@ class MultimodalSpec extends SparkSuite {
     assert(extractFeatures(repartitioned).rdd.getNumPartitions == 7)
   }
 
+  test("resize keeps every 2nd byte, halves dims, stays narrow") {
+    val one = media.filter(_.mediaId == 0L)
+    val content = one.collect().head.content
+    val r = resize(one).collect().head
+    val expected = Array.range(0, content.length, 2).map(content)
+    assert(r.resizedBytes == (content.length + 1) / 2)
+    assert(r.resizedHash == md5Hex(expected))
+    val (w, h, _) = StubDecoder.decode(content)
+    assert(r.width == math.max(w / 2, 1) && r.height == math.max(h / 2, 1))
+    // arbitrary binary (not just ASCII) round-trips deterministically
+    import spark.implicits._
+    val blob = Array.tabulate(257)(i => (i % 256).toByte)
+    val ds = Seq(MediaRecord(99L, "image", blob, "synthetic://x"))
+      .toDS()
+    val rb = resize(ds).collect().head
+    assert(rb.resizedBytes == 129)
+    assert(rb.resizedHash ==
+      md5Hex(Array.range(0, 257, 2).map(blob)))
+    // narrow: partition count preserved
+    assert(resize(media.repartition(5)).rdd.getNumPartitions == 5)
+  }
+
   test("frame sampling takes every 2nd 16-byte slice, order preserved") {
     val one = media.filter(_.mediaId == 0L)
     val content = one.collect().head.content
