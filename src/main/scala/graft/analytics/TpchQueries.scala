@@ -306,6 +306,42 @@ object TpchQueries {
            "CAST(o_orderkey AS VARCHAR)")} % 10 = 0
        |GROUP BY o_orderstatus""".stripMargin
 
+  /** Q14-style promo revenue ratio: one month of lineitem joined to
+    * the part dimension (broadcast), two conditional exact-decimal
+    * sums, ratio as ppm. The classic "what fraction of revenue came
+    * from segment X" shape — dimension broadcast + one scan, no
+    * fact-side shuffle at all (global aggregate, map-side partials).
+    */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promo = when(col("p_type") === "ECONOMY", rev)
+    table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-02-01 00:00:00"))
+      .join(broadcast(table(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(dsum(promo, 4).as("promo_revenue"),
+        dsum(rev, 4).as("total_revenue"),
+        count(lit(1)).as("n"))
+      .withColumn("promo_ppm",
+        ppm(col("promo_revenue"), col("total_revenue")))
+  }
+
+  val q14PromoRevenueSql: String = {
+    val rev = "l_extendedprice * (1 - l_discount)"
+    s"""SELECT
+       |  ${sqlDsum(s"CASE WHEN p_type = 'ECONOMY' THEN $rev END", 4)}
+       |    AS promo_revenue,
+       |  ${sqlDsum(rev, 4)} AS total_revenue,
+       |  COUNT(*) AS n,
+       |  ${sqlPpm(
+           s"CAST(SUM(CAST((CASE WHEN p_type = 'ECONOMY' THEN $rev END) AS DECIMAL(18,4))) AS DOUBLE)",
+           s"CAST(SUM(CAST(($rev) AS DECIMAL(18,4))) AS DOUBLE)")} AS promo_ppm
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin
+  }
+
   /** RANGE window frame (vs. the ROWS frames elsewhere): trailing
     * 30-day spend per customer. A RANGE frame is defined by the ORDER
     * BY *values*, so peer rows (same day) always share a frame — the
@@ -810,7 +846,8 @@ object TpchQueries {
     "window_rank_ratios" -> (windowRankRatios _),
     "approx_distinct_kmv" -> (approxDistinctKmv _),
     "histogram_prices" -> (histogramPrices _),
-    "window_range_frame" -> (windowRangeFrame _))
+    "window_range_frame" -> (windowRangeFrame _),
+    "q14_promo_revenue" -> (q14PromoRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -839,5 +876,6 @@ object TpchQueries {
     "window_rank_ratios" -> windowRankRatiosSql,
     "approx_distinct_kmv" -> approxDistinctKmvSql,
     "histogram_prices" -> histogramPricesSql,
-    "window_range_frame" -> windowRangeFrameSql)
+    "window_range_frame" -> windowRangeFrameSql,
+    "q14_promo_revenue" -> q14PromoRevenueSql)
 }
