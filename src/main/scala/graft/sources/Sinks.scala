@@ -56,6 +56,16 @@ object Sinks {
       .saveAsTable(tableName)
   }
 
+  /** ORC sink — same columnar guarantees as parquet (predicate
+    * pushdown, column pruning, splittable stripes); the interchange
+    * format is configuration, not architecture.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Schema-explicit CSV read (header, typed). */
   def readCsv(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(ddl).option("header", "true").csv(path)

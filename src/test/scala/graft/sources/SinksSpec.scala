@@ -58,6 +58,22 @@ class SinksSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("orc round-trips and pushes filters into the scan") {
+    val dir = tmp("graft-orc")
+    val orders = Tables.load(spark, sf0001, "orders")
+    Sinks.writeOrc(orders, dir)
+    val read = Sinks.readOrc(spark, dir)
+      .where(col("o_totalprice") > 300000)
+      .select("o_orderkey", "o_totalprice")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("o_totalprice"), plan.take(500))
+    // pruned projection: only the two selected columns are read
+    assert(plan.contains("struct<o_orderkey:bigint,o_totalprice:double>"))
+    assert(read.count() ==
+      orders.where(col("o_totalprice") > 300000).count())
+  }
+
   test("csv and json round-trip with explicit schemas") {
     val dir = tmp("graft-fmt")
     val nation = Tables.load(spark, sf0001, "nation")

@@ -43,4 +43,31 @@ class FileStreamSpec extends SparkSuite {
       assert(total == events.count())
     } finally q.stop()
   }
+
+  test("Trigger.AvailableNow drains the backlog in bounded batches and stops") {
+    val dir = Files.createTempDirectory("graft-availnow").toString
+    val events = Tables.load(spark, sf0001, "events")
+    val schema = events.schema
+    // a multi-file backlog exists before the query starts — the
+    // batch-catchup shape: process everything that is there, in
+    // rate-limited micro-batches, then terminate (no always-on query)
+    events.where(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(dir)
+    events.where(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("append").parquet(dir)
+    val counts = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("avail_now")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // terminates on its own once the backlog is consumed
+    assert(q.awaitTermination(120000))
+    assert(spark.table("avail_now").agg(sum(col("n"))).head.getLong(0) ==
+      events.count())
+  }
 }
