@@ -45,12 +45,13 @@ object Bench {
     // two timed passes, per-query minimum: a single pass is hostage to
     // transient host contention (observed 3-5× swings on individual
     // queries between identical runs); the min of two temporally
-    // separated samples reports the machine's actual capability
+    // separated samples reports the machine's actual capability.
+    // A query must succeed in BOTH passes to count — an intermittent
+    // crash must surface in failed[], never hide behind the good pass
     val pass1 = names.map(n => n -> materialize(n, sfDir)).toMap
     val pass2 = names.map(n => n -> materialize(n, sfDir)).toMap
     val results = names.map { n =>
-      n -> (pass1(n).toSeq ++ pass2(n).toSeq)
-        .reduceOption((a: Double, b: Double) => math.min(a, b))
+      n -> (for (a <- pass1(n); b <- pass2(n)) yield math.min(a, b))
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }

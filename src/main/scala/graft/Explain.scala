@@ -28,7 +28,8 @@ object Explain {
           val df = fn(spark, sfDir)
           sb ++= df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode)
-        } catch { case e: Throwable => sb ++= s"FAILED: ${e.getMessage}\n" }
+        } catch { case e: Throwable => sb ++= s"FAILED: ${e.getMessage}\n"
+        } finally spark.catalog.clearCache() // per-query cache() scope
       }
     }
     Files.createDirectories(Paths.get(out).toAbsolutePath.getParent)

@@ -324,7 +324,10 @@ object TextQueries {
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents")
-    val nDocs = d.count()
+    // corpus size as a broadcast 1-row aggregate (same lazy shape as
+    // the oracle's `n AS (SELECT COUNT(*)...)` CTE) — no eager count
+    // job at construction time
+    val nDocs = d.agg(count(lit(1)).as("nd"))
     val tf = d.select(col("doc_id"), size(toks).as("doc_len"),
         explode(toks).as("term"))
       .groupBy(col("doc_id"), col("doc_len"), col("term"))
@@ -334,8 +337,9 @@ object TextQueries {
       .partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("term").asc)
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
-        ppm(col("tf") * lit(nDocs), col("doc_len") * col("df"))
+        ppm(col("tf") * col("nd"), col("doc_len") * col("df"))
           .as("score_ppm"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= 3)

@@ -53,6 +53,14 @@ object Tables {
     * cluster has slots and this is a no-op — no exchange is added.
     * Opt out per-session with `spark.graft.densify=false` (e.g. to
     * audit raw scan plans).
+    *
+    * Probe limitation: `getNumPartitions` counts BYTE-RANGE splits,
+    * which upper-bounds (never equals-from-below) the real row-group
+    * parallelism — a single >128 MB row group would show many splits
+    * yet still decode in one task, and this guard would skip. That
+    * window only opens for files written with a row-group size above
+    * `maxPartitionBytes`; standard writers (including this repo's
+    * sinks) cap row groups at 128 MB, where splits ≈ row groups.
     */
   private def densify(spark: SparkSession, df: DataFrame): DataFrame = {
     val want = spark.sparkContext.defaultParallelism

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.bridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native Catalyst expression for the exact int64 dot product of two
   * `array<bigint>` columns — the hot loop of every similarity query
@@ -15,34 +16,51 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * `aggregate(zip_with(a, b, (x, y) => x * y), 0L, (acc, x) => acc + x)`,
   * materializes an intermediate array and evaluates two higher-order
   * lambdas per row; this is one fused loop with zero allocation,
-  * inlined into whole-stage codegen via [[doGenCode]]. Integer
-  * addition is associative, so the value is bit-identical to the
-  * composed form (the equivalence is property-tested in FunctionsSpec
-  * and implicitly re-proven by every DuckDB oracle run, whose twin
-  * stays `list_sum(list_transform(...))`).
+  * inlined into whole-stage codegen via [[doGenCode]].
   *
-  * Inputs are expected non-null-elemented equal-length arrays (all
-  * quantized-embedding pipelines guarantee this); length mismatch
-  * truncates to the shorter, mirroring `zip_with`'s non-padding
-  * prefix.
+  * Semantics are bit-identical to that composition (the equivalence is
+  * property-tested in FunctionsSpec and implicitly re-proven by every
+  * DuckDB oracle run, whose twin stays `list_sum(list_transform(...))`):
+  * integer addition is associative, a NULL element anywhere poisons
+  * the sum to NULL (`acc + null` in the aggregate), and mismatched
+  * lengths yield NULL (`zip_with` pads the shorter side with nulls).
+  * Non-`array<bigint>` inputs are rejected at analysis time — the SQL
+  * registry path ([[GraftExtensions]]) hands this expression arbitrary
+  * user arguments, and a silent element-width mismatch would read
+  * garbage instead of failing.
   */
 final case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "dot_long"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var i = 0
-    var acc = 0L
-    while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var i = 0
+      var acc = 0L
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -52,10 +70,16 @@ final case class DotLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -47,9 +47,10 @@ final class GraftServer(engine: IngestEngine, port: Int = 5001) {
     guard(ex) {
       // JDK HttpServer contexts match by raw string prefix, so
       // /ingestfoo lands here too — require the exact route like
-      // Express's app.post('/ingest') does
+      // Express's app.post('/ingest') does (non-strict routing:
+      // exactly one trailing slash is tolerated)
       if (ex.getRequestMethod != "POST" ||
-        ex.getRequestURI.getPath != "/ingest")
+        ex.getRequestURI.getPath.stripSuffix("/") != "/ingest")
         respond(ex, 404, err("Not found"))
       else {
         val body = new String(ex.getRequestBody.readAllBytes(),
@@ -69,9 +70,10 @@ final class GraftServer(engine: IngestEngine, port: Int = 5001) {
   /** GET /status/:id (reference: src/app.js:158-187). */
   private def handleStatus(ex: HttpExchange): Unit =
     guard(ex) {
-      val path = ex.getRequestURI.getPath
-      // Express's '/status/:id' matches exactly one extra segment;
+      // Express's '/status/:id' matches exactly one extra segment
+      // (plus an optional trailing slash — non-strict routing);
       // /statusfoo and /status/a/b must fall through to plain 404
+      val path = ex.getRequestURI.getPath.stripSuffix("/")
       val id =
         if (path.startsWith("/status/")) path.stripPrefix("/status/")
         else ""

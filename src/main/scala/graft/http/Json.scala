@@ -134,8 +134,12 @@ object Json {
               val hex = s.substring(pos, math.min(pos + 4, s.length))
               // non-hex chars must surface as the documented ParseError,
               // not leak NumberFormatException from parseInt
+              // ASCII hex only: Char.isDigit also accepts Unicode
+              // digits (e.g. U+0660), which Integer.parseInt(16) then
+              // parses — JSON (and JS's JSON.parse) rejects those
               if (hex.length < 4 ||
-                !hex.forall(c => c.isDigit || ('a' <= c.toLower && c.toLower <= 'f')))
+                !hex.forall(c => ('0' <= c && c <= '9') ||
+                  ('a' <= c.toLower && c.toLower <= 'f')))
                 throw ParseError("bad \\u escape")
               sb += Integer.parseInt(hex, 16).toChar
               pos += 4

@@ -19,6 +19,13 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * store would use the store's own transaction for write+commit; the
   * call shape stays identical.
   *
+  * LEDGER LIFETIME = CHECKPOINT LIFETIME. Batch ids are scoped to one
+  * streaming checkpoint: a query restarted against a FRESH checkpoint
+  * restarts ids at 0, and a stale ledger would then silently skip
+  * every batch until the old high-water mark is passed. Delete (or
+  * [[reset]]) the ledger exactly when the checkpoint is deleted —
+  * they are one unit of progress state.
+  *
   * Usage:
   * {{{
   * val sink = new IdempotentSink("events_out", ledgerDir)
@@ -30,6 +37,11 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 final class IdempotentSink(name: String, ledgerDir: String) {
 
   private val ledger: Path = Paths.get(ledgerDir, s"$name.ledger")
+
+  /** Forget all commits — call iff the query's checkpoint is also
+    * being discarded (see the ledger-lifetime note above).
+    */
+  def reset(): Unit = synchronized { Files.deleteIfExists(ledger); () }
 
   /** Highest committed batch id, or -1 before any commit. */
   def lastCommitted: Long =

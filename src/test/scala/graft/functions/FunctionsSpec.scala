@@ -54,6 +54,34 @@ class FunctionsSpec extends SparkSuite {
     assert(withNull.select(DotLong(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("DotLong matches zip_with on edge shapes: length mismatch, null elements") {
+    import spark.implicits._
+    // zip_with pads the shorter array with nulls → composed sum is
+    // NULL; native must agree, not truncate
+    val edge = Seq(
+      (Seq[Option[Long]](Some(1L), Some(2L)),
+        Seq[Option[Long]](Some(3L))), // length mismatch
+      (Seq[Option[Long]](Some(1L), None),
+        Seq[Option[Long]](Some(3L), Some(4L))), // null element
+      (Seq[Option[Long]](Some(2L), Some(3L)),
+        Seq[Option[Long]](Some(4L), Some(5L))) // clean
+    ).toDF("a", "b")
+    val rows = edge.select(
+      DotLong(col("a"), col("b")).as("native"),
+      DotLong.composed(col("a"), col("b")).as("composed")).collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0))
+    assert(rows(2).getLong(0) == 8 + 15)
+    // SQL registry rejects wrong element types at analysis time
+    val err = intercept[Exception] {
+      spark.sql("SELECT dot_long(array(1, 2), array(3, 4))").collect()
+    }
+    assert(err.getMessage.contains("dot_long"))
+  }
+
   // ---- GraftExtensions (SQL registration) ----
   test("native functions are callable from spark.sql via extensions") {
     val row = spark.sql(

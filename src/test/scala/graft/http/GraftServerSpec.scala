@@ -103,6 +103,19 @@ class GraftServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!twoSegments.body().contains("Ingestion ID not found"))
   }
 
+  test("one trailing slash is tolerated (Express non-strict routing)") {
+    val viaSlash = client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port/ingest/"))
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"ids": [8], "priority": "LOW"}""")).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(viaSlash.statusCode() == 200)
+    val id = extractId(viaSlash.body())
+    assert(get(s"/status/$id/").statusCode() == 200)
+    // but only one — double slash does not match (as in Express)
+    assert(get(s"/status/$id//").statusCode() == 404)
+  }
+
   test("integral-valued float literals are valid ids (JS Number.isInteger)") {
     // JSON 1.0 and 1e2 parse to integers in the reference's JS runtime
     val res = post("""{"ids": [1.0, 1e2, 3], "priority": "LOW"}""")

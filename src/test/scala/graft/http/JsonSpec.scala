@@ -77,5 +77,8 @@ class JsonSpec extends AnyFunSuite {
     assertThrows[Json.ParseError](Json.parse("\"\\u12\""))
     assert(Json.parse("\"\\u0041\"") == Json.JStr("A"))
     assert(Json.parse("\"\\u00E9\"") == Json.JStr("é"))
+    // Unicode digits are NOT hex: Char.isDigit would accept U+0660
+    // (and parseInt(16) parses it) but JSON requires ASCII hex
+    assertThrows[Json.ParseError](Json.parse("\"\\u\u0660\u0660\u0034\u0031\""))
   }
 }

@@ -30,6 +30,10 @@ class IdempotentSinkSpec extends SparkSuite {
     val recovered = new IdempotentSink("t1", dir)
     assert(recovered.lastCommitted == 2L)
     assert(!recovered.commitOnce(2) { writes += 1 })
+    // reset pairs with checkpoint deletion: ids restart at 0
+    recovered.reset()
+    assert(recovered.lastCommitted == -1L)
+    assert(recovered.commitOnce(0) { writes += 1 } && writes == 4)
   }
 
   test("a failed write does not commit — the batch replays") {
