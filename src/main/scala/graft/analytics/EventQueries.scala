@@ -95,6 +95,47 @@ object EventQueries {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Map-type function breadth: build a typed map per event (JSON
+    * prop, scaled value, user bucket) and drive the map family —
+    * `element_at`, `size`, `map_keys` (construction order is
+    * preserved), `aggregate` over `map_values`, and the higher-order
+    * `map_filter`. The oracle re-derives every scalar from the flat
+    * columns, pinning the map pipeline's arithmetic end to end. All
+    * pure per-row expressions — no shuffle.
+    */
+  def eventsMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    val m = map(
+      lit("k"), k,
+      lit("cents"), floor(col("value") * 100).cast("long"),
+      lit("uid"), pmod(col("user_id"), lit(100)))
+    table(spark, dir, "events")
+      .select(col("event_id"),
+        element_at(m, "k").as("k_val"),
+        size(m).cast("long").as("m_size"),
+        concat_ws(",", map_keys(m)).as("keys_csv"),
+        aggregate(map_values(m), lit(0L), (acc, x) => acc + x)
+          .as("vals_sum"),
+        size(map_filter(m, (_, v) => v > 50)).cast("long")
+          .as("n_over_50"))
+  }
+
+  val eventsMapFuncsSql: String = {
+    val k = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+    val cents = "CAST(floor(value * 100) AS BIGINT)"
+    val uid = "user_id % 100"
+    s"""SELECT event_id,
+       |  $k AS k_val,
+       |  CAST(3 AS BIGINT) AS m_size,
+       |  'k,cents,uid' AS keys_csv,
+       |  $k + $cents + $uid AS vals_sum,
+       |  CAST((CASE WHEN $k > 50 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN $cents > 50 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN $uid > 50 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_over_50
+       |FROM events""".stripMargin
+  }
+
   /** Pivot: per-day counts by event type as columns. Spark's `pivot`
     * with an explicit value list (never let it scan for values at
     * scale — that is an extra job over 100 TB).
@@ -306,6 +347,7 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_gapfill" -> (eventsGapfill _),
     "events_unpivot" -> (eventsUnpivot _),
+    "events_map_funcs" -> (eventsMapFuncs _),
     "events_tumbling" -> (eventsTumbling _),
     "events_sliding" -> (eventsSliding _),
     "events_session" -> (eventsSession _),
@@ -318,6 +360,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_gapfill" -> eventsGapfillSql,
     "events_unpivot" -> eventsUnpivotSql,
+    "events_map_funcs" -> eventsMapFuncsSql,
     "events_tumbling" -> eventsTumblingSql,
     "events_sliding" -> eventsSlidingSql,
     "events_session" -> eventsSessionSql,
