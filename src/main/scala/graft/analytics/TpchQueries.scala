@@ -532,6 +532,64 @@ object TpchQueries {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * duplicate multiplicities (min/difference of per-value counts),
+    * unlike the distinct variants in [[setopSegments]]. Spark plans
+    * these as an aggregate of per-side counts plus a generate — one
+    * shuffle on the value, no join.
+    */
+  def setopAllSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+    val a = l.where(col("l_quantity") >= 45).select(col("l_suppkey"))
+    val b = l.where(col("l_discount") >= 0.09).select(col("l_suppkey"))
+    val i = a.intersectAll(b)
+      .select(lit("both_bag").as("op"), col("l_suppkey"))
+    val e = a.exceptAll(b)
+      .select(lit("a_minus_b_bag").as("op"), col("l_suppkey"))
+    i.union(e)
+  }
+
+  val setopAllSql: String =
+    """WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_quantity >= 45),
+      |b AS (SELECT l_suppkey FROM lineitem WHERE l_discount >= 0.09)
+      |SELECT 'both_bag' AS op, l_suppkey FROM
+      |  (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |UNION ALL
+      |SELECT 'a_minus_b_bag' AS op, l_suppkey FROM
+      |  (SELECT * FROM a EXCEPT ALL SELECT * FROM b)""".stripMargin
+
+  /** Null-safe equality join: `<=>` treats NULL as a joinable value
+    * (one extra null-bucket on the shuffle key) where plain `=` drops
+    * those rows — the semantics a dimension with genuinely-missing
+    * keys needs. DuckDB twin: `IS NOT DISTINCT FROM`.
+    */
+  def joinNullSafe(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "supplier")
+      .select(when(col("s_suppkey") % 5 === 0, lit(null))
+        .otherwise(col("s_suppkey") % 50).as("k"),
+        col("s_suppkey"))
+    val c = table(spark, dir, "customer")
+      .select(when(col("c_custkey") % 7 === 0, lit(null))
+        .otherwise(col("c_custkey") % 50).as("k"),
+        col("c_custkey"))
+    s.join(c, s("k") <=> c("k"))
+      .groupBy(s("k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+  }
+
+  val joinNullSafeSql: String =
+    """WITH s AS (
+      |  SELECT CASE WHEN s_suppkey % 5 = 0 THEN NULL
+      |    ELSE s_suppkey % 50 END AS k, s_suppkey FROM supplier),
+      |c AS (
+      |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |    ELSE c_custkey % 50 END AS k, c_custkey FROM customer)
+      |SELECT s.k, COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT c.c_custkey) AS n_customers
+      |FROM s JOIN c ON s.k IS NOT DISTINCT FROM c.k
+      |GROUP BY s.k""".stripMargin
+
   // ------------------------------------------------------- set ops
   /** UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
     * sets, tagged so one result exercises all three operators.
@@ -847,7 +905,9 @@ object TpchQueries {
     "approx_distinct_kmv" -> (approxDistinctKmv _),
     "histogram_prices" -> (histogramPrices _),
     "window_range_frame" -> (windowRangeFrame _),
-    "q14_promo_revenue" -> (q14PromoRevenue _))
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "setop_all_suppliers" -> (setopAllSuppliers _),
+    "join_null_safe" -> (joinNullSafe _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -877,5 +937,7 @@ object TpchQueries {
     "approx_distinct_kmv" -> approxDistinctKmvSql,
     "histogram_prices" -> histogramPricesSql,
     "window_range_frame" -> windowRangeFrameSql,
-    "q14_promo_revenue" -> q14PromoRevenueSql)
+    "q14_promo_revenue" -> q14PromoRevenueSql,
+    "setop_all_suppliers" -> setopAllSql,
+    "join_null_safe" -> joinNullSafeSql)
 }
