@@ -309,12 +309,44 @@ object DedupQueries {
       .localCheckpoint(true)
     // only pair endpoints iterate — singletons (no edges) can never
     // change label, so they rejoin as fixed clusters of one at the end
-    var labels = edges.select(col("src").as("v")).distinct()
+    val init = edges.select(col("src").as("v")).distinct()
       .withColumn("label", col("v"))
-      .localCheckpoint(true)
-    // Σlabel strictly decreases every non-converged round (labels only
-    // ever take a smaller value), so an unchanged sum IS the fixpoint —
-    // one cheap scalar aggregate per round instead of a change-join
+    val labels = propagateLabels(edges, init)
+    val singletons = table(spark, dir, "documents")
+      .select(col("doc_id").as("v"))
+      .join(labels.select(col("v")), Seq("v"), "left_anti")
+      .withColumn("label", col("v"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Min-label propagation to a fixpoint over `edges(src, dst)`
+    * (directed rows; callers pass both directions), starting from
+    * `init(v, label)`.
+    *
+    * The warm-start parameter is what makes clustering INCREMENTAL:
+    * when a new batch of near-dup pairs arrives, seed with the
+    * previous fixpoint's labels (new vertices labeled by themselves)
+    * and only the components the new edges touch move — convergence
+    * in 1-2 rounds instead of re-clustering the corpus. Valid because
+    * a previous fixpoint label is always a vertex of the same
+    * component, and adding edges only ever MERGES components (labels
+    * keep strictly decreasing toward the new minimum). This is the
+    * `foreachBatch` maintenance loop of a streaming dedup pipeline —
+    * see IncrementalClusterSpec.
+    *
+    * Each round: neighbor-min join + pointer jumping (path halving:
+    * label(v) ← label(label(v)), turning O(diameter) rounds into
+    * O(log d)), materialized with `localCheckpoint` so the plan does
+    * not grow, converged when the strictly-decreasing Σlabel is
+    * unchanged.
+    */
+  def propagateLabels(edges: DataFrame, init: DataFrame): DataFrame = {
+    var labels = init.select(col("v"), col("label")).localCheckpoint(true)
     var currentSum = sumLabels(labels)
     var converged = false
     var round = 0
@@ -328,11 +360,6 @@ object DedupQueries {
         .select(col("v"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
             .as("label"))
-      // pointer jumping (path halving): label(v) ← label(label(v)).
-      // Neighbor-min alone needs O(diameter) rounds; following the
-      // label chain one hop per round makes the effective distance
-      // halve, i.e. O(log d) rounds — the large-star/small-star idea
-      // in its simplest form
       val ptr = stepped.select(col("v").as("pv"), col("label").as("plabel"))
       labels = stepped.join(ptr, stepped("label") === ptr("pv"),
           "left_outer")
@@ -344,20 +371,11 @@ object DedupQueries {
       currentSum = nextSum
       round += 1
     }
-    val singletons = table(spark, dir, "documents")
-      .select(col("doc_id").as("v"))
-      .join(labels.select(col("v")), Seq("v"), "left_anti")
-      .withColumn("label", col("v"))
-    val all = labels.union(singletons)
-    val sizes = all.groupBy(col("label"))
-      .agg(count(lit(1)).as("cluster_size"))
-    all.join(sizes, "label")
-      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
-        col("cluster_size"))
+    labels
   }
 
   /** Scalar Σlabel of a (small, checkpointed) label table — the
-    * per-round convergence probe of [[dedupClusters]]. Empty input
+    * per-round convergence probe of [[propagateLabels]]. Empty input
     * (no near-dup pairs at all) reads as converged immediately.
     */
   private def sumLabels(labels: DataFrame): Long =
