@@ -11,6 +11,10 @@ object Verify {
     // without paying for the whole sweep); oracle_sql.json is filtered
     // to match so check_oracle compares exactly what was dumped
     val only = args.drop(2).toSet
+    // a typo'd name would otherwise dump nothing and the oracle
+    // compare would pass vacuously ("0/0 match")
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: $unknown")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = graft.core.GraftSession.builder("graft-verify")
       .master(s"local[$cpus]")

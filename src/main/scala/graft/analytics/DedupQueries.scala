@@ -345,7 +345,28 @@ object DedupQueries {
     * not grow, converged when the strictly-decreasing Σlabel is
     * unchanged.
     */
-  def propagateLabels(edges: DataFrame, init: DataFrame): DataFrame = {
+  def propagateLabels(edges: DataFrame, init: DataFrame): DataFrame =
+    propagateLabelsWithRounds(edges, init)._1
+
+  /** Warm-start seed for [[propagateLabels]] over a grown edge set:
+    * every current vertex keeps its previous fixpoint label; vertices
+    * the previous run never saw start as themselves.
+    */
+  def warmStart(edges: DataFrame, prev: DataFrame): DataFrame = {
+    val ident = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+    ident.as("i")
+      .join(prev.as("p"), col("i.v") === col("p.v"), "left_outer")
+      .select(col("i.v"), coalesce(col("p.label"), col("i.label"))
+        .as("label"))
+  }
+
+  /** [[propagateLabels]] plus the number of rounds run — the
+    * observable that proves a warm start converges faster than a cold
+    * one (see IncrementalClusterSpec).
+    */
+  def propagateLabelsWithRounds(edges: DataFrame,
+      init: DataFrame): (DataFrame, Int) = {
     var labels = init.select(col("v"), col("label")).localCheckpoint(true)
     var currentSum = sumLabels(labels)
     var converged = false
@@ -371,7 +392,7 @@ object DedupQueries {
       currentSum = nextSum
       round += 1
     }
-    labels
+    (labels, round)
   }
 
   /** Scalar Σlabel of a (small, checkpointed) label table — the

@@ -108,7 +108,9 @@ object EventQueries {
     val m = map(
       lit("k"), k,
       lit("cents"), floor(col("value") * 100).cast("long"),
-      lit("uid"), pmod(col("user_id"), lit(100)))
+      // `%` (not pmod): Spark's % matches DuckDB's sign-of-dividend
+      // semantics on ALL inputs; pmod would diverge on negatives
+      lit("uid"), col("user_id") % 100)
     table(spark, dir, "events")
       .select(col("event_id"),
         element_at(m, "k").as("k_val"),

@@ -10,12 +10,12 @@ import graft.SparkSuite
 /** Incremental connected components: maintaining cluster labels across
   * arriving edge batches (the `foreachBatch` loop of a streaming dedup
   * pipeline) must land on exactly the labeling a from-scratch batch
-  * run produces — and the warm start must actually pay (fewer rounds
-  * touched than a cold re-cluster).
+  * run produces — AND the warm start must observably pay (round count
+  * is exposed for exactly this assertion).
   */
 class IncrementalClusterSpec extends SparkSuite {
 
-  import DedupQueries.propagateLabels
+  import DedupQueries.{propagateLabels, propagateLabelsWithRounds, warmStart}
 
   private def bidir(pairs: Seq[(Long, Long)]): DataFrame = {
     import spark.implicits._
@@ -42,26 +42,27 @@ class IncrementalClusterSpec extends SparkSuite {
     // accumulated edges, warm-started from the previous fixpoint
     var accumulated = Seq.empty[(Long, Long)]
     var labels: Option[DataFrame] = None
+    var lastWarmRounds = 0
     batches.foreach { batch =>
       accumulated ++= batch
       val edges = bidir(accumulated).localCheckpoint(true)
-      val warm = labels match {
+      val seed = labels match {
         case None => identityLabels(edges)
-        case Some(prev) =>
-          // new vertices start as themselves; known ones keep their
-          // previous component label
-          identityLabels(edges).as("i")
-            .join(prev.as("p"), col("i.v") === col("p.v"), "left_outer")
-            .select(col("i.v"),
-              coalesce(col("p.label"), col("i.label")).as("label"))
+        case Some(prev) => warmStart(edges, prev)
       }
-      labels = Some(propagateLabels(edges, warm))
+      val (next, rounds) = propagateLabelsWithRounds(edges, seed)
+      labels = Some(next)
+      lastWarmRounds = rounds
     }
     val incremental = labelMap(labels.get)
-    val batchRun = labelMap(
-      propagateLabels(bidir(all).localCheckpoint(true),
-        identityLabels(bidir(all))))
-    assert(incremental == batchRun)
+    val full = bidir(all).localCheckpoint(true)
+    val (cold, coldRounds) =
+      propagateLabelsWithRounds(full, identityLabels(full))
+    assert(incremental == labelMap(cold))
+    // the warm start pays: the final incremental step starts from an
+    // almost-converged labeling, the cold run from identity
+    assert(lastWarmRounds <= coldRounds,
+      s"warm=$lastWarmRounds cold=$coldRounds")
     // and the labeling is a true CC fixpoint: every edge intra-cluster
     val l = labels.get
     val split = bidir(all)
@@ -81,12 +82,13 @@ class IncrementalClusterSpec extends SparkSuite {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     val e2 = bidir(Seq((1L, 2L), (2L, 3L), (10L, 11L), (3L, 10L)))
       .localCheckpoint(true)
-    val warm = identityLabels(e2).as("i")
-      .join(first.as("p"), col("i.v") === col("p.v"), "left_outer")
-      .select(col("i.v"),
-        coalesce(col("p.label"), col("i.label")).as("label"))
-    val merged = labelMap(propagateLabels(e2, warm))
-    assert(merged.values.toSet == Set(1L))
-    assert(merged.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    val (merged, rounds) =
+      propagateLabelsWithRounds(e2, warmStart(e2, first))
+    val m = labelMap(merged)
+    assert(m.values.toSet == Set(1L))
+    assert(m.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    // warm-started merge is near-instant: one changing round plus the
+    // convergence-confirming round
+    assert(rounds <= 2, s"rounds=$rounds")
   }
 }
