@@ -15,6 +15,10 @@ final case class UserAgg(userId: Long, nEvents: Long, sumValue: Double)
 
 final case class Sess(userId: Long, start: Timestamp, n: Long)
 
+final case class Heartbeat(lastSeen: Timestamp, n: Long)
+
+final case class GapAlert(eventType: String, lastSeen: Timestamp, n: Long)
+
 /** Event-time streaming semantics over the real `readStream` path:
   * watermarks, windowed aggregation, late-data dropping, and custom
   * state via mapGroupsWithState. The batch-mode twins of these
@@ -129,6 +133,65 @@ class StreamingAnalyticsSpec extends SparkSuite {
       val closed = spark.table("sessions").as[Sess].collect()
       assert(closed.map(s => (s.userId, s.n)).toSet == Set((1L, 2L)))
       assert(closed.head.start == t("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("gap detector alerts on per-key silence via event-time timers") {
+    // the streaming complement of the batch events_gapfill query: a
+    // dense spine can report zero-count buckets after the fact, but
+    // only an event-time TIMER can notice that a key has gone silent
+    // while the stream is live — the monitoring/freshness shape
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapMs = 15 * 60 * 1000L
+    val ms = MemoryStream[StreamEvent]
+    val alerts = ms.toDS()
+      .withWatermark("ts", "5 minutes")
+      .groupByKey(_.eventType)
+      .flatMapGroupsWithState[Heartbeat, GapAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: String, events: Iterator[StreamEvent],
+            state: GroupState[Heartbeat]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastSeen + gap with no new events:
+            // the key is silent — alert once and drop the heartbeat
+            // (it re-arms when the key speaks again)
+            val hb = state.get
+            state.remove()
+            Iterator.single(GapAlert(key, hb.lastSeen, hb.n))
+          } else {
+            val evs = events.toSeq
+            val prev = state.getOption
+            val lastMs = (prev.map(_.lastSeen.getTime).toSeq ++
+              evs.map(_.ts.getTime)).max
+            state.update(Heartbeat(new Timestamp(lastMs),
+              prev.map(_.n).getOrElse(0L) + evs.size))
+            state.setTimeoutTimestamp(lastMs + gapMs)
+            Iterator.empty
+          }
+      }
+    val q = alerts.writeStream.format("memory").queryName("gap_alerts")
+      .outputMode("append").start()
+    try {
+      // both keys alive at 10:00; click stops, view keeps beating
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:05:00"), 2, "click", 1.0),
+        StreamEvent(t("2024-01-01 10:00:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("gap_alerts").count() == 0) // nothing silent yet
+      // view beats advance the watermark past click's 10:20 deadline
+      ms.addData(StreamEvent(t("2024-01-01 10:30:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 10:45:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      val a = spark.table("gap_alerts").as[GapAlert].collect()
+      assert(a.map(g => (g.eventType, g.n)).toSet == Set(("click", 2L)))
+      assert(a.head.lastSeen == t("2024-01-01 10:05:00"))
+      // the silent key coming back re-arms without a duplicate alert
+      ms.addData(StreamEvent(t("2024-01-01 10:50:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("gap_alerts").count() == 1)
     } finally q.stop()
   }
 
