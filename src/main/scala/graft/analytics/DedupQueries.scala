@@ -309,9 +309,7 @@ object DedupQueries {
       .localCheckpoint(true)
     // only pair endpoints iterate — singletons (no edges) can never
     // change label, so they rejoin as fixed clusters of one at the end
-    val init = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-    val labels = propagateLabels(edges, init)
+    val labels = propagateLabels(edges, identityLabels(edges))
     val singletons = table(spark, dir, "documents")
       .select(col("doc_id").as("v"))
       .join(labels.select(col("v")), Seq("v"), "left_anti")
@@ -348,18 +346,22 @@ object DedupQueries {
   def propagateLabels(edges: DataFrame, init: DataFrame): DataFrame =
     propagateLabelsWithRounds(edges, init)._1
 
+  /** Cold-start seed for [[propagateLabels]]: every vertex of
+    * `edges(src, dst)` labeled by itself.
+    */
+  def identityLabels(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+
   /** Warm-start seed for [[propagateLabels]] over a grown edge set:
     * every current vertex keeps its previous fixpoint label; vertices
     * the previous run never saw start as themselves.
     */
-  def warmStart(edges: DataFrame, prev: DataFrame): DataFrame = {
-    val ident = edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
-    ident.as("i")
+  def warmStart(edges: DataFrame, prev: DataFrame): DataFrame =
+    identityLabels(edges).as("i")
       .join(prev.as("p"), col("i.v") === col("p.v"), "left_outer")
       .select(col("i.v"), coalesce(col("p.label"), col("i.label"))
         .as("label"))
-  }
 
   /** [[propagateLabels]] plus the number of rounds run — the
     * observable that proves a warm start converges faster than a cold
@@ -503,11 +505,8 @@ object DedupQueries {
     */
   def dedupCrossmodal(spark: SparkSession, dir: String): DataFrame = {
     val textPairs = dedupNgramJaccard(spark, dir)
-    val emb = table(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 4096).cast("long")).as("q"))
-      .withColumn("norm2", graft.functions.DotLong(col("q"), col("q")))
+    val emb = EmbeddingQueries.quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2"))
     val ea = emb.select(col("vec_id").as("doc_a"), col("q").as("qa"),
       col("norm2").as("na"))
     val eb = emb.select(col("vec_id").as("doc_b"), col("q").as("qb"),

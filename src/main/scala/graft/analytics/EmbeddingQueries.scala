@@ -32,9 +32,11 @@ object EmbeddingQueries {
   val Planes = 8
 
   /** Quantized vector + exact squared norm (`norm² = dot(q, q)` via
-    * the native [[graft.functions.DotLong]] expression).
+    * the native [[graft.functions.DotLong]] expression). Shared with
+    * the cross-modal dedup verifier, which scores the same vectors.
     */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private[analytics] def quantized(spark: SparkSession,
+      dir: String): DataFrame =
     table(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),

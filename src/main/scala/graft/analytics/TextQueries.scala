@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CrossHash
@@ -188,8 +189,7 @@ object TextQueries {
     val pairs = docs.select(posexplode(toks).as(Seq("pos", "tok")),
         col("doc_id"))
       .withColumn("next_tok", lead(col("tok"), 1).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
       .where(col("next_tok").isNotNull)
     val bigrams = pairs.groupBy(col("tok"), col("next_tok"))
       .agg(count(lit(1)).as("n_ab"))
@@ -256,8 +256,7 @@ object TextQueries {
     */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     val d = table(spark, dir, "documents").where(size(toks) >= 3)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val top = d.select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
       .withColumn("next_tok", lead(col("tok"), 1).over(w))
       .where(col("next_tok").isNotNull)
@@ -333,8 +332,7 @@ object TextQueries {
       .groupBy(col("doc_id"), col("doc_len"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_ppm").desc, col("term").asc)
     tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))

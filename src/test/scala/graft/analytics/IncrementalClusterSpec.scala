@@ -15,7 +15,8 @@ import graft.SparkSuite
   */
 class IncrementalClusterSpec extends SparkSuite {
 
-  import DedupQueries.{propagateLabels, propagateLabelsWithRounds, warmStart}
+  import DedupQueries.{identityLabels, propagateLabels,
+    propagateLabelsWithRounds, warmStart}
 
   private def bidir(pairs: Seq[(Long, Long)]): DataFrame = {
     import spark.implicits._
@@ -23,10 +24,6 @@ class IncrementalClusterSpec extends SparkSuite {
     df.select(col("a").as("src"), col("b").as("dst"))
       .union(df.select(col("b"), col("a")))
   }
-
-  private def identityLabels(edges: DataFrame): DataFrame =
-    edges.select(col("src").as("v")).distinct()
-      .withColumn("label", col("v"))
 
   private def labelMap(labels: DataFrame): Map[Long, Long] =
     labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
