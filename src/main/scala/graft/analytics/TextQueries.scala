@@ -361,7 +361,30 @@ object TextQueries {
        |  FROM tf f JOIN dfq d USING (term), n)
        |WHERE rnk <= 3""".stripMargin
 
+  // --------------------------------------------- explode_outer
+  /** Null-preserving lateral expansion: `explode_outer` keeps a row
+    * (with NULL) for documents whose match list is empty, where plain
+    * `explode` silently drops them — the difference between "no
+    * matches" being observable and vanishing. The match pattern is
+    * deliberately rare so both branches carry real rows.
+    */
+  def explodeOuterDocs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode_outer(regexp_extract_all(col("text"), lit("[a-z]*qu[a-z]*"),
+          lit(0))).as("match"))
+
+  val explodeOuterDocsSql: String =
+    """SELECT doc_id, u.m AS match
+      |FROM (
+      |  SELECT doc_id, regexp_extract_all(text, '[a-z]*qu[a-z]*') AS l
+      |  FROM documents),
+      |  LATERAL (SELECT unnest(
+      |    CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END)
+      |    AS m) u""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "explode_outer_docs" -> (explodeOuterDocs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
@@ -372,6 +395,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "explode_outer_docs" -> explodeOuterDocsSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
     "text_stats" -> textStatsSql,

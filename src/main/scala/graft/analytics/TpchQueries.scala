@@ -590,6 +590,28 @@ object TpchQueries {
       |FROM s JOIN c ON s.k IS NOT DISTINCT FROM c.k
       |GROUP BY s.k""".stripMargin
 
+  /** JSON generation: `to_json(named_struct(...))` — the outbound
+    * twin of the parsing queries (events_json reads JSON; this writes
+    * it). Both engines emit compact `{"k":v}` with field order as
+    * declared, so the string itself is oracle-comparable for
+    * integer/string fields (doubles are excluded: float formatting is
+    * the one place the engines' printers may diverge).
+    */
+  def jsonGenOrders(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .where(col("o_totalprice") > 450000)
+      .select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderkey").as("key"),
+          col("o_orderstatus").as("status"),
+          col("o_custkey").as("cust"))).as("doc"))
+
+  val jsonGenOrdersSql: String =
+    """SELECT o_orderkey,
+      |  CAST(to_json(struct_pack(key := o_orderkey,
+      |    status := o_orderstatus, cust := o_custkey)) AS VARCHAR) AS doc
+      |FROM orders WHERE o_totalprice > 450000""".stripMargin
+
   // ------------------------------------------------------- set ops
   /** UNION / INTERSECT / EXCEPT (distinct semantics) over customer key
     * sets, tagged so one result exercises all three operators.
@@ -907,7 +929,8 @@ object TpchQueries {
     "window_range_frame" -> (windowRangeFrame _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "setop_all_suppliers" -> (setopAllSuppliers _),
-    "join_null_safe" -> (joinNullSafe _))
+    "join_null_safe" -> (joinNullSafe _),
+    "json_gen_orders" -> (jsonGenOrders _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -939,5 +962,6 @@ object TpchQueries {
     "window_range_frame" -> windowRangeFrameSql,
     "q14_promo_revenue" -> q14PromoRevenueSql,
     "setop_all_suppliers" -> setopAllSql,
-    "join_null_safe" -> joinNullSafeSql)
+    "join_null_safe" -> joinNullSafeSql,
+    "json_gen_orders" -> jsonGenOrdersSql)
 }
