@@ -590,6 +590,35 @@ object TpchQueries {
       |FROM s JOIN c ON s.k IS NOT DISTINCT FROM c.k
       |GROUP BY s.k""".stripMargin
 
+  /** Two-stage salted aggregation — the hot-key mitigation written
+    * out: stage 1 aggregates (key, salt) partials so a skewed key's
+    * rows spread over 16 reducers, stage 2 merges the ≤16 partials per
+    * key. The DECIMAL partials stay exact through BOTH stages (cast to
+    * double only at the end), so the result is bit-identical to the
+    * single-stage plain GROUP BY the oracle runs — the equality IS the
+    * proof that salting preserves semantics. (AQE's skew handling
+    * covers sort-merge joins; aggregation skew still wants this shape
+    * when one group dominates.)
+    */
+  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val salt = pmod(graft.functions.CrossHash.md5Long(
+      col("l_orderkey").cast("string")), lit(16))
+    val partials = table(spark, dir, "lineitem")
+      .withColumn("salt", salt)
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(sum(col("l_extendedprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).as("p_sum"),
+        count(lit(1)).as("p_n"))
+    partials.groupBy(col("l_returnflag"))
+      .agg(sum(col("p_sum")).cast("double").as("sum_price"),
+        sum(col("p_n")).as("n"))
+  }
+
+  val aggSaltedSkewSql: String =
+    s"""SELECT l_returnflag, ${sqlDsum("l_extendedprice")} AS sum_price,
+       |  COUNT(*) AS n
+       |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   /** JSON generation: `to_json(named_struct(...))` — the outbound
     * twin of the parsing queries (events_json reads JSON; this writes
     * it). Both engines emit compact `{"k":v}` with field order as
@@ -930,7 +959,8 @@ object TpchQueries {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "setop_all_suppliers" -> (setopAllSuppliers _),
     "join_null_safe" -> (joinNullSafe _),
-    "json_gen_orders" -> (jsonGenOrders _))
+    "json_gen_orders" -> (jsonGenOrders _),
+    "agg_salted_skew" -> (aggSaltedSkew _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -963,5 +993,6 @@ object TpchQueries {
     "q14_promo_revenue" -> q14PromoRevenueSql,
     "setop_all_suppliers" -> setopAllSql,
     "join_null_safe" -> joinNullSafeSql,
-    "json_gen_orders" -> jsonGenOrdersSql)
+    "json_gen_orders" -> jsonGenOrdersSql,
+    "agg_salted_skew" -> aggSaltedSkewSql)
 }
