@@ -18,8 +18,8 @@ import QueryUtil._
   *    pairs come from a self-join on the bucket key (shuffle on
   *    bucket, never all-pairs n²), then exact Jaccard verification
   *    on just the candidates;
-  *  - SimHash: one explode pass, 32 conditional aggregates, then the
-  *    bits reassemble into a 32-bit fingerprint.
+  *  - SimHash: one explode pass, 64 conditional aggregates, then the
+  *    bits reassemble into a 64-bit fingerprint (two 32-bit halves).
   *
   * All hashes are [[graft.functions.CrossHash]] md5-based so the
   * DuckDB oracle reproduces them bit-for-bit.
@@ -46,7 +46,7 @@ object DedupQueries {
 
   val K = 16 // minhash signature width
   val Bands = 4 // LSH bands (rows per band = K / Bands = 4)
-  val SimBits = 32
+  val SimBits = 32 // simhash bits PER HALF; two halves = 64-bit fingerprint
 
   // --------------------------------------------------------- shingles
   /** Distinct 3-token shingle hashes of a document, as a pure column
@@ -188,92 +188,128 @@ object DedupQueries {
   }
 
   // --------------------------------------------------------- simhash
-  /** 32-bit SimHash per document: one explode pass over token hashes,
-    * 32 signed bit-sums as parallel aggregates, bits with sum >= 0
-    * set. Near-dup docs differ in few bits (compare via Hamming
-    * distance downstream).
+  /** 64-bit SimHash per document, stored as two non-negative 32-bit
+    * halves (`simhash_lo`, `simhash_hi`). One explode pass over token
+    * hashes, 64 signed bit-sums as parallel aggregates, bits with
+    * sum >= 0 set. Near-dup docs differ in few bits (compare via
+    * Hamming distance over both halves downstream).
+    *
+    * Why two 32-bit columns instead of one signed 64-bit value: bit 63
+    * of a single-column fingerprint would be the BIGINT sign bit,
+    * dragging arithmetic-shift sign-fill, `%`-of-negative semantics
+    * and DuckDB's overflow-checked/HUGEINT-promoting literals into the
+    * cross-engine contract. Two halves keep every value in [0, 2^32)
+    * where `>>`/`%` agree everywhere, at zero cost to the banding math.
+    * The halves draw their bits from two DISJOINT 56-bit chunks of the
+    * same md5 (hex digits 1-14 and 15-28), so they are independent.
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val exploded = table(spark, dir, "documents")
+    val hashed = table(spark, dir, "documents")
       .select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"), (md5Long(col("tok")) % P).as("h"))
-    val bitSums = (0 until SimBits).map(b =>
-      sum(shiftright(col("h"), b) % 2 * 2 - 1).as(s"s_$b"))
-    val simhash = (0 until SimBits).map(b =>
-      when(col(s"s_$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
-    exploded.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+      .select(col("doc_id"), md5(col("tok").cast("binary")).as("hex"))
+      .select(col("doc_id"),
+        conv(substring(col("hex"), 1, 14), 16, 10).cast("long").as("h1"),
+        conv(substring(col("hex"), 15, 14), 16, 10).cast("long").as("h2"))
+    val loSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("h1"), b) % 2 * 2 - 1).as(s"lo_$b"))
+    val hiSums = (0 until SimBits).map(b =>
+      sum(shiftright(col("h2"), b) % 2 * 2 - 1).as(s"hi_$b"))
+    def assemble(prefix: String): Column = (0 until SimBits).map(b =>
+      when(col(s"${prefix}_$b") >= 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    hashed.groupBy(col("doc_id"))
+      .agg((loSums ++ hiSums).head, (loSums ++ hiSums).tail: _*)
+      .select(col("doc_id"), assemble("lo").as("simhash_lo"),
+        assemble("hi").as("simhash_hi"))
   }
 
-  val dedupSimhashSql: String = {
-    val bitSums = (0 until SimBits).map(b =>
-      s"SUM((h >> $b) % 2 * 2 - 1) AS s_$b").mkString(",\n  ")
-    val simhash = (0 until SimBits).map(b =>
-      s"CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT doc_id, ${sqlMd5Long("tok.t")} % $P AS h
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |    LATERAL (SELECT unnest(toks) AS t) tok),
-       |b AS (SELECT doc_id,
-       |  $bitSums
-       |  FROM e GROUP BY doc_id)
-       |SELECT doc_id, $simhash AS simhash FROM b""".stripMargin
-  }
+  val dedupSimhashSql: String =
+    s"""WITH $sqlSimhashCtes
+       |SELECT doc_id, simhash_lo, simhash_hi FROM sims""".stripMargin
 
-  /** SimHash near-dup pairs by bit-sampling LSH: split the 32-bit
-    * fingerprint into 4 bytes; by pigeonhole, any pair within Hamming
-    * distance 3 shares at least one byte intact, so the self-join on
-    * (band, byte) finds all such pairs without n² — then exact
-    * Hamming distance (bit_count of xor) filters. This is how simhash
-    * dedup shards at 100 TB: the shuffle key is the band byte.
+  /** SimHash near-dup pairs by bit-sampling LSH: split the 64-bit
+    * fingerprint into 4 bands of 16 bits; by pigeonhole, any pair
+    * within Hamming distance 3 shares at least one band intact, so
+    * the self-join on (band, band_key) finds all such pairs without
+    * n² — then exact Hamming distance (bit_count of xor, summed over
+    * both halves) filters. The 4×65536-value key space (vs 4×256 for
+    * a 32-bit/8-bit-band scheme) is what keeps the within-bucket
+    * self-join subquadratic on a web-scale corpus: expected bucket
+    * size is n/65536 per band, and widening the fingerprint further
+    * (more halves) scales the key space without touching the
+    * dataflow. The shuffle key is the band key.
     */
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val sims = dedupSimhash(spark, dir)
-    val banded = sims.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("simhash"), b * 8) % 256): _*))
+    val banded = sims.select(col("doc_id"), col("simhash_lo"),
+        col("simhash_hi"),
+        posexplode(array(
+          col("simhash_lo") % 65536,
+          shiftright(col("simhash_lo"), 16),
+          col("simhash_hi") % 65536,
+          shiftright(col("simhash_hi"), 16)))
           .as(Seq("band", "key")))
-      .cache() // the explode+32-bit-sum aggregation feeds both sides
+      .cache() // the explode+64-bit-sum aggregation feeds both sides
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        (bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
+          bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))))
           .cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
+  }
+
+  /** Shared oracle CTE chain ending in `sims(doc_id, simhash_lo,
+    * simhash_hi)`. Reused by [[dedupSimhashSql]] and
+    * [[sqlSimhashPairCtes]].
+    */
+  private lazy val sqlSimhashCtes: String = {
+    val bitSums = ((0 until SimBits).map(b =>
+      s"SUM((h1 >> $b) % 2 * 2 - 1) AS lo_$b") ++
+      (0 until SimBits).map(b =>
+        s"SUM((h2 >> $b) % 2 * 2 - 1) AS hi_$b")).mkString(",\n  ")
+    def assemble(prefix: String): String = (0 until SimBits).map(b =>
+      s"CASE WHEN ${prefix}_$b >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    s"""e AS (
+       |  SELECT doc_id, md5(tok.t) AS hex
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |    LATERAL (SELECT unnest(toks) AS t) tok),
+       |hs AS (SELECT doc_id,
+       |  CAST('0x' || substr(hex, 1, 14) AS BIGINT) AS h1,
+       |  CAST('0x' || substr(hex, 15, 14) AS BIGINT) AS h2 FROM e),
+       |bs AS (SELECT doc_id,
+       |  $bitSums
+       |  FROM hs GROUP BY doc_id),
+       |sims AS (SELECT doc_id, ${assemble("lo")} AS simhash_lo,
+       |  ${assemble("hi")} AS simhash_hi FROM bs)""".stripMargin
   }
 
   /** Shared oracle CTE chain ending in
     * `spairs(doc_a, doc_b, hamming)` — the simhash near-dup pairs.
     * Reused by [[dedupSimhashPairsSql]] and [[dedupClustersSql]].
     */
-  private val sqlSimhashPairCtes: String = {
-    val bitSums = (0 until SimBits).map(b =>
-      s"SUM((h >> $b) % 2 * 2 - 1) AS s_$b").mkString(",\n  ")
-    val simhash = (0 until SimBits).map(b =>
-      s"CASE WHEN s_$b >= 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""e AS (
-       |  SELECT doc_id, ${sqlMd5Long("tok.t")} % $P AS h
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |    LATERAL (SELECT unnest(toks) AS t) tok),
-       |bs AS (SELECT doc_id,
-       |  $bitSums
-       |  FROM e GROUP BY doc_id),
-       |sims AS (SELECT doc_id, $simhash AS simhash FROM bs),
+  private lazy val sqlSimhashPairCtes: String = {
+    val ham = "bit_count(xor(a.simhash_lo, b.simhash_lo)) + " +
+      "bit_count(xor(a.simhash_hi, b.simhash_hi))"
+    s"""$sqlSimhashCtes,
        |banded AS (
-       |  SELECT doc_id, simhash, band.b AS band,
-       |         (simhash >> (band.b * 8)) % 256 AS key
+       |  SELECT doc_id, simhash_lo, simhash_hi, band.b AS band,
+       |         CASE band.b
+       |           WHEN 0 THEN simhash_lo % 65536
+       |           WHEN 1 THEN simhash_lo // 65536
+       |           WHEN 2 THEN simhash_hi % 65536
+       |           ELSE simhash_hi // 65536 END AS key
        |  FROM sims, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) band),
        |spairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |    CAST($ham AS BIGINT) AS hamming
        |  FROM banded a JOIN banded b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin
+       |  WHERE $ham <= 3)""".stripMargin
   }
 
   val dedupSimhashPairsSql: String =

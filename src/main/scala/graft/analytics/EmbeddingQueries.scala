@@ -146,7 +146,7 @@ object EmbeddingQueries {
        |    LATERAL (SELECT unnest(generate_series(1, 64)) AS d) d
        |  GROUP BY 1, 2),
        |bucketed AS (
-       |  SELECT n.vec_id, n.qv, n.norm2, b.bucket
+       |  SELECT n.vec_id, n.label, n.qv, n.norm2, b.bucket
        |  FROM n JOIN (
        |    SELECT vec_id,
        |      CAST(SUM(CASE WHEN s >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
@@ -237,20 +237,38 @@ object EmbeddingQueries {
   /** IVF (inverted-file) ANN: partition the corpus into cells around
     * centroids, search only the query's nearest `NProbe` cells.
     *
-    * Centroids here are a deterministic arithmetic subset of the
-    * corpus (`vec_id % 97 == 5`, so the centroid count scales with the
-    * corpus) rather than k-means-trained — training would put a
-    * nondeterministic float iteration between us and the oracle, and
-    * the *search* dataflow is identical either way: an n×k assignment
-    * pass (the real IVF build cost), a cell-keyed corpus layout, and a
-    * probe that touches `NProbe` cells instead of the whole corpus.
-    * At 10^9 vectors the cell assignment is the shuffle key that makes
-    * the probe-side join read 2/k of the data.
+    * Centroids are a BOUNDED deterministic sample of the corpus: the
+    * k vectors with the smallest `md5Long(vec_id)` (vec_id tiebreak),
+    * with k = ⌈√n⌉ clamped to [[CentKMin]]..[[CentKMax]] — the
+    * standard IVF sizing rule (nlist ≈ √n balances cell count against
+    * cell size). A hash-ordered bottom-k is a uniform sample and is
+    * engine-reproducible (no k-means float iteration between us and
+    * the oracle). Unlike an arithmetic filter such as `vec_id % m`
+    * (whose output GROWS with the corpus), k is capped, so the n×k
+    * assignment pass is O(n·√n) worst case with a broadcast bounded
+    * at `CentKMax` rows (~2 MB) at any corpus size. The *search*
+    * dataflow is identical to a trained IVF: assignment (the real IVF
+    * build cost), a cell-keyed corpus layout, and a probe that
+    * touches `NProbe` cells, so the probe-side join reads ~NProbe/k
+    * of the data. The bottom-k itself compiles to
+    * TakeOrderedAndProject: O(k) state per partition, no shuffle of
+    * vector payloads.
     */
-  val NProbe = 2
+  val NProbe = 4
+  val CentKMin = 4
+  val CentKMax = 4096
+  /** nlist = clamp(⌈√n⌉): both engines evaluate ceil∘sqrt on the same
+    * integer with correctly-rounded IEEE ops, so they agree exactly.
+    */
+  private def centK(n: Long): Int =
+    math.max(CentKMin,
+      math.min(CentKMax, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
-    val cents = e.where(col("vec_id") % 97 === 5)
+    val cents = e
+      .orderBy(graft.functions.CrossHash.md5Long(
+        col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
     // n×k assignment: every vector scored against every centroid; the
@@ -285,9 +303,15 @@ object EmbeddingQueries {
     val pdot =
       "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
     s"""WITH $sqlQuantized,
+       |cranked AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
+       |  FROM n),
        |cents AS (
        |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
-       |  FROM n WHERE vec_id % 97 = 5),
+       |  FROM cranked WHERE hrnk <= GREATEST($CentKMin, LEAST($CentKMax,
+       |    CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))),
        |assigned AS (
        |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
        |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
@@ -349,17 +373,25 @@ object EmbeddingQueries {
        |FROM q""".stripMargin
 
   // ------------------------------------------- near-dup pair search
-  /** Embedding-cosine near-duplicate pairs, blocked by label (the
-    * pre-existing coarse partitioner) — pairs only form within a
-    * block, so the join shuffles on label, never all-pairs.
+  /** Embedding-cosine near-duplicate pairs, blocked on the COMPOSED
+    * key (label, hyperplane bucket). Label alone is a property of the
+    * data, not the corpus size — its blocks grow linearly with the
+    * corpus, making the within-block self-join quadratic. Composing
+    * with the 8-plane LSH [[bucketCol]] multiplies the key space by
+    * 256 and, crucially, the bucket key DOES scale with the corpus
+    * distribution (more planes can be added without touching the
+    * dataflow). High-cosine pairs collide in the same bucket with
+    * probability (1 - θ/π)^8, so the block is where the near-dups
+    * actually live; the join shuffles on (label, bucket), never
+    * all-pairs within a label.
     */
   def embNeardupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
-    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+    val e = quantized(spark, dir).withColumn("bucket", bucketCol)
+    val a = e.select(col("label"), col("bucket"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("norm2").as("na"))
-    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+    val b = e.select(col("label"), col("bucket"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("norm2").as("nb"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "bucket"))
       .where(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"),
         scorePpm(dot(col("qa"), col("qb")), col("na"), col("nb"))
@@ -368,10 +400,12 @@ object EmbeddingQueries {
   }
 
   val embNeardupPairsSql: String =
-    s"""WITH $sqlQuantized
+    s"""WITH $sqlBucketed
        |SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS score_ppm
-       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.label = b.label AND a.bucket = b.bucket
+       |  AND a.vec_id < b.vec_id
        |WHERE ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} >= 250000""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -181,8 +181,13 @@ object TextQueries {
     * association ratio in ppm — the PMI shape with every operand an
     * exact integer (a log-based PMI would hit libm's cross-engine ulp
     * differences; the ratio `n_ab·N / (n_a·n_b)` doesn't). One explode
-    * + three partial-aggregatable groupBys, joined on broadcastable
-    * marginal tables.
+    * + three partial-aggregatable groupBys. The marginal joins carry
+    * NO broadcast hint: the marginals are VOCABULARY-sized (10^8+
+    * terms on a web corpus), so a forced broadcast is an executor OOM
+    * at scale — a shuffle join on the term key is the right plan
+    * there, and below the autoBroadcastJoinThreshold Catalyst/AQE
+    * still broadcasts on its own. Only the 1-row `total` keeps the
+    * hint.
     */
   def textCooccurrence(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -197,8 +202,8 @@ object TextQueries {
     val right = pairs.groupBy(col("next_tok")).agg(count(lit(1)).as("n_b"))
     val total = pairs.agg(count(lit(1)).as("n_total"))
     bigrams
-      .join(broadcast(left), Seq("tok"))
-      .join(broadcast(right), Seq("next_tok"))
+      .join(left, Seq("tok"))
+      .join(right, Seq("next_tok"))
       .crossJoin(broadcast(total))
       .where(col("n_ab") >= 20)
       .select(col("tok"), col("next_tok"), col("n_ab"), col("n_a"),
