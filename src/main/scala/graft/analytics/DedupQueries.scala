@@ -331,21 +331,38 @@ object DedupQueries {
     * `localCheckpoint` so the plan does not grow with the iteration
     * count and the convergence check does not recompute the chain.
     * This is the transparent formulation of the Kiveris et al.
-    * "Connected Components in MapReduce" family; at trillion-edge
-    * scale you would switch to its large-star/small-star variant,
-    * which bounds rounds by O(log² n) independent of diameter — the
-    * per-round dataflow (join, min-aggregate, re-key) is identical.
+    * "Connected Components in MapReduce" family; [[dedupClustersStar]]
+    * is its large-star/small-star sibling, which bounds rounds by
+    * O(log² n) independent of diameter — the per-round dataflow
+    * (join, min-aggregate, re-key) is identical.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersWith(e => propagateLabels(e, identityLabels(e)))(spark, dir)
+
+  /** [[dedupClusters]] computed by large-star/small-star contraction
+    * instead of min-label propagation — same output (both are exact
+    * connected components, so the shared oracle re-proves agreement
+    * every verify run), different round bound: O(log² n) regardless
+    * of graph DIAMETER, which is what survives pathological chain
+    * components in a trillion-edge dedup graph.
+    */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    clustersWith(starContractLabels)(spark, dir)
+
+  /** Shared clusters pipeline: simhash near-dup pairs → symmetric
+    * edge list → `labeler` → singleton rejoin → cluster sizes. Only
+    * pair endpoints iterate — singletons (no edges) can never change
+    * label, so they rejoin as fixed clusters of one at the end.
+    */
+  private def clustersWith(labeler: DataFrame => DataFrame)(
+      spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupSimhashPairs(spark, dir)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    // only pair endpoints iterate — singletons (no edges) can never
-    // change label, so they rejoin as fixed clusters of one at the end
-    val labels = propagateLabels(edges, identityLabels(edges))
+    val labels = labeler(edges)
     val singletons = table(spark, dir, "documents")
       .select(col("doc_id").as("v"))
       .join(labels.select(col("v")), Seq("v"), "left_anti")
@@ -440,6 +457,92 @@ object DedupQueries {
   private def sumLabels(labels: DataFrame): Long =
     Option(labels.agg(sum(col("label"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  // ---------------------------------- large-star/small-star contraction
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the variant whose round count is
+    * O(log² n) INDEPENDENT of graph diameter, where
+    * [[propagateLabels]]' pointer-jumped propagation is O(log d).
+    * Near-dup components are dense (small d), so propagation wins
+    * there; on adversarial chain-shaped components — exactly what
+    * web-boilerplate edges produce at trillion-edge scale — this is
+    * the safe bound. Per round: two self-joins keyed on the vertex,
+    * each a single shuffle; edges stay canonically oriented
+    * src > dst, so the edge set only ever contracts toward the stars
+    * that ARE the final labeling (no separate label table).
+    *
+    * Input: `edges(src, dst)` in either or both directions;
+    * self-loops ignored. Output: `(v, label)` for every vertex with
+    * at least one edge, label = component minimum — identical to
+    * [[propagateLabels]] on the same edges (spec-proven, and the
+    * shared dedup_clusters oracle re-proves it every verify run).
+    */
+  def starContractLabels(edges: DataFrame): DataFrame =
+    starContractWithRounds(edges)._1
+
+  /** [[starContractLabels]] plus rounds run — the observable for the
+    * diameter-independence spec.
+    */
+  def starContractWithRounds(edges0: DataFrame): (DataFrame, Int) = {
+    var edges = edges0.where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct().localCheckpoint(true)
+    var sig = edgeSig(edges)
+    var converged = sig._1 == 0L // no edges ⇒ nothing to label
+    var round = 0
+    val maxRounds = 64 // >> log²(any real corpus)
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = edgeSig(edges)
+      converged = next == sig
+      sig = next
+      round += 1
+    }
+    val labels = edges.select(col("src").as("v"), col("dst").as("label"))
+      .union(edges.select(col("dst").as("v"), col("dst").as("label")))
+      .distinct()
+    (labels, round)
+  }
+
+  /** Large-star: every vertex points its LARGER neighbors at the
+    * minimum of its closed neighborhood. Output keeps the src > dst
+    * invariant (v > u ≥ m).
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("nm"))
+      .select(col("u"), least(col("u"), col("nm")).as("m"))
+    sym.join(mins, "u").where(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: every vertex points its smaller neighbors (and
+    * itself) at the minimum of its closed neighborhood. Input and
+    * output both satisfy src > dst.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    e.join(mins, "src").where(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .union(mins.select(col("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** (edge count, Σsrc, Σdst) — the contraction fixpoint probe: the
+    * canonical edge set is stable iff a large+small round leaves the
+    * signature unchanged (Σdst only ever decreases; Σsrc+count pin
+    * the rest).
+    */
+  private def edgeSig(e: DataFrame): (Long, Long, Long) = {
+    val r = e.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head
+    (r.getLong(0),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (r.isNullAt(2)) 0L else r.getLong(2))
+  }
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $sqlSimhashPairCtes,
@@ -591,6 +694,7 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_editdist" -> (dedupEditdist _))
 
   val oracles: Map[String, String] = Map(
@@ -602,5 +706,8 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,
+    // exact CC is exact CC: the star-contraction variant must produce
+    // the SAME clustering, so it shares the recursive-CTE oracle
+    "dedup_clusters_star" -> dedupClustersSql,
     "dedup_editdist" -> dedupEditdistSql)
 }
