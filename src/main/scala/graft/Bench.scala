@@ -62,7 +62,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // per-pass totals (queries that succeeded in both passes) ride
+    // along so round-over-round comparisons can see the raw samples
+    // behind the min — host contention shows up as pass spread
+    def passTotal(p: Map[String, Option[Double]]): Double =
+      ok.map { case (k, _) => p(k).getOrElse(0.0) }.sum
+    val passes = s"[${passTotal(pass1)},${passTotal(pass2)}]"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -309,8 +309,14 @@ object EventQueries {
     * Spark broadcasts them against the one real shuffle (the hourly
     * aggregation).
     */
-  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
-    val e = table(spark, dir, "events")
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame =
+    gapfillFrame(table(spark, dir, "events"))
+
+  /** The gap-fill core over any `(ts, event_type, value)` frame —
+    * shared with the streaming twin's batch/stream agreement spec
+    * (StreamGapfillSpec replays a timeline through both paths).
+    */
+  def gapfillFrame(e: DataFrame): DataFrame = {
     val hourly = e.groupBy(date_trunc("hour", col("ts")).as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))

@@ -84,4 +84,29 @@ final class StreamingProcessor(
       }
       .start()
   }
+
+  /** [[startBulkIngest]]'s at-scale twin: the same validated stream,
+    * but the batch rows land in a [[TableStateStore]] instead of the
+    * driver map — NOTHING is collected; validation, chunking and the
+    * state write all stay on executors, so control-plane throughput
+    * scales with the cluster, not one JVM's heap. Status reads become
+    * partition-pruned queries over the table.
+    */
+  def startBulkIngestToTable(
+      stream: MemoryStream[(String, Seq[Long], String, Long)],
+      store: TableStateStore): StreamingQuery = {
+    import spark.implicits._
+    val cfg = engine.cfg
+    stream.toDS()
+      .toDF("ingestion_id", "ids", "priority", "created_at")
+      .where(IngestOps.validRequest(col("ids"), col("priority"), cfg))
+      .writeStream
+      .queryName("graft-bulk-ingest-table")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        store.ingestRequests(df, cfg)
+        ()
+      }
+      .start()
+  }
 }

@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.{GraftConfig, IngestOps, Status}
+
+/** Spark-managed batch-state store — the at-scale alternative to
+  * [[IngestEngine]]'s driver-side maps.
+  *
+  * The driver-map store is faithful to the reference (a 243-line
+  * Express app holds everything in one process) but bounds
+  * control-plane throughput: every bulk-ingested batch row passes
+  * through a single JVM's memory. This store keeps the SAME state
+  * model fully distributed:
+  *
+  *  - an APPEND-ONLY state log in parquet, hash-partitioned into
+  *    [[buckets]] directories by `md5(ingestion_id) % buckets` — a
+  *    status point-lookup prunes to ONE partition directory however
+  *    large the log grows, and the bucket count is fixed so small
+  *    files do not proliferate with ingestion count;
+  *  - every write (new batches from a stream epoch, status
+  *    transitions from the processing loop) APPENDS rows stamped with
+  *    a monotonically increasing `seq_no`; current state is resolved
+  *    at read time as latest-seq_no-wins per batch_id — the classic
+  *    log+merge-on-read model that needs no file rewrites on the hot
+  *    path (an upsert-capable table format would fold the resolution
+  *    into the commit; plain parquet keeps this dependency-free);
+  *  - [[compact]] is the maintenance job: fold the log to its
+  *    resolved rows and atomically swap, bounding read amplification.
+  *
+  * Zero-batch ingestions (valid empty `ids`) are recorded as marker
+  * rows (`ordinal = -1`) so the reference's vacuous-`completed` status
+  * survives the move out of the driver (test_api.js:47-57 semantics).
+  *
+  * Concurrency: `seq_no` comes from one [[AtomicLong]] per store
+  * instance, re-seeded from `max(seq_no)` on open — a single writer
+  * (the streaming query + its processing loop) is assumed, exactly
+  * like the reference's single event loop; multiple writers would
+  * coordinate through a table format's commit protocol instead.
+  */
+final class TableStateStore(spark: SparkSession, path: String,
+    val buckets: Int = 64) {
+
+  private val seq = new AtomicLong(
+    read().map(_.agg(max(col("seq_no"))).head).flatMap(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).getOrElse(0L))
+
+  // ------------------------------------------------------------ writes
+  /** Fold one micro-batch of VALIDATED requests (columns:
+    * ingestion_id, ids, priority, created_at) into the log: one
+    * marker row per ingestion + one row per exploded batch. Chunking
+    * runs distributed ([[IngestOps.explodeBatches]]); nothing is
+    * collected to the driver.
+    */
+  def ingestRequests(requests: DataFrame,
+      cfg: GraftConfig = GraftConfig.parity): Unit = {
+    val s = seq.incrementAndGet()
+    val markers = requests.select(
+      col("ingestion_id"),
+      lit("").as("batch_id"),
+      array().cast("array<bigint>").as("ids"),
+      lit(Status.Completed).as("status"), // vacuous unless batches exist
+      col("created_at"),
+      lit(-1).as("ordinal"),
+      col("priority"))
+    val batches = IngestOps.explodeBatches(requests, cfg)
+      .select(col("ingestion_id"), col("batch_id"), col("ids"),
+        col("status"), col("created_at"), col("ordinal"), col("priority"))
+    append(markers.unionByName(batches), s)
+  }
+
+  /** Record a status transition for the given batches (the processing
+    * loop's `yet_to_start → triggered → completed` writes): re-emit
+    * their resolved rows with the new status and a fresh `seq_no`.
+    */
+  def markStatus(batchIds: Seq[String], newStatus: String): Unit = {
+    val s = seq.incrementAndGet()
+    val rows = latestBatches()
+      .where(col("batch_id").isin(batchIds: _*))
+      .withColumn("status", lit(newStatus))
+      .drop("part", "seq_no")
+    append(rows, s)
+  }
+
+  private def append(rows: DataFrame, seqNo: Long): Unit =
+    rows
+      .withColumn("seq_no", lit(seqNo))
+      .withColumn("part",
+        pmod(graft.functions.CrossHash.md5Long(col("ingestion_id")),
+          lit(buckets.toLong)))
+      .write.partitionBy("part").mode("append").parquet(path)
+
+  // ------------------------------------------------------------- reads
+  private def read(): Option[DataFrame] =
+    try {
+      val df = spark.read.parquet(path)
+      if (df.columns.isEmpty) None else Some(df)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Resolved current state: latest `seq_no` wins per batch_id (per
+    * ingestion_id for the zero-batch markers).
+    */
+  def latestBatches(): DataFrame = read() match {
+    case None =>
+      spark.emptyDataFrame // no log yet; callers see zero rows
+    case Some(df) =>
+      val w = Window.partitionBy(col("ingestion_id"), col("batch_id"))
+        .orderBy(col("seq_no").desc)
+      df.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1).drop("rn")
+  }
+
+  /** Driver-side twin of `Engine.bucketCol`: which partition directory
+    * holds this ingestion (same md5 the write side uses, so a status
+    * read prunes to one directory).
+    */
+  private def bucketOf(id: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(id.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 14), 16) % buckets
+  }
+
+  /** GET /status/:id over the table: a partition-pruned point read
+    * (filter on `part` reaches the parquet scan), latest-wins
+    * resolution, then the reference's A1 fold. The per-ingestion row
+    * set is a handful of batches, so collecting it is a point lookup,
+    * not a driver-side loop.
+    */
+  def statusOf(ingestionId: String): Option[StatusDoc] = read().flatMap { df =>
+    val w = Window.partitionBy(col("batch_id")).orderBy(col("seq_no").desc)
+    val rows = df
+      .where(col("part") === bucketOf(ingestionId) &&
+        col("ingestion_id") === ingestionId)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .orderBy(col("ordinal"))
+      .select(col("batch_id"), col("ids"), col("status"))
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val docs = rows.toSeq
+        .filter(_.getString(0).nonEmpty) // drop the ingestion marker
+        .map(r => BatchDoc(r.getString(0), r.getSeq[Long](1), r.getString(2)))
+      val overall =
+        if (docs.forall(_.status == Status.Completed)) Status.Completed
+        else if (docs.exists(_.status == Status.Triggered)) Status.Triggered
+        else Status.YetToStart
+      Some(StatusDoc(ingestionId, overall, docs))
+    }
+  }
+
+  /** The live queue as a view: pending batches in O1 order (weight
+    * DESC, created_at ASC, ordinal ASC). `limit(1)` on this compiles
+    * to TakeOrderedAndProject — the scheduler's claim read never
+    * sorts the full table.
+    */
+  def pendingView(): DataFrame = {
+    val pending = latestBatches()
+      .where(col("batch_id") =!= "" && col("status") === Status.YetToStart)
+    if (pending.columns.isEmpty) pending
+    else pending.orderBy(IngestOps.queueOrder(col("priority"),
+      col("created_at"), col("ordinal")): _*)
+  }
+
+  // ------------------------------------------------------- maintenance
+  /** Fold the log down to its resolved rows: read latest-wins state,
+    * materialize it off the source files (`localCheckpoint` truncates
+    * the lineage so the overwrite below never reads what it is
+    * deleting), rewrite the table. On a cluster this would be a
+    * reliable checkpoint / staging path + atomic rename; the model —
+    * append-log reads stay cheap because a periodic job folds history
+    * — is the same.
+    */
+  def compact(): Unit = read().foreach { _ =>
+    val resolved = latestBatches().localCheckpoint(true)
+    resolved.write.partitionBy("part").mode("overwrite").parquet(path)
+  }
+}

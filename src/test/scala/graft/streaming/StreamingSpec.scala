@@ -81,4 +81,62 @@ class StreamingSpec extends SparkSuite {
       assert(engine.pendingTop.get.ingestionId == "ing-1")
     } finally query.stop()
   }
+
+  test("table-backed store twin: ingest, status reads, transitions, compaction") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val engine = new IngestEngine(GraftConfig.bench, SystemSleeper)
+    val proc = new StreamingProcessor(spark, engine)
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Seq[Long], String, Long)]
+    val query = proc.startBulkIngestToTable(stream, store)
+    try {
+      stream.addData(("ing-1", 1L to 7L, Priority.High, 42L))
+      stream.addData(("ing-2", Seq(9L), Priority.Low, 43L))
+      stream.addData(("bad", Seq(-1L), Priority.Low, 44L)) // filtered out
+      stream.addData(("empty", Seq.empty[Long], Priority.Low, 45L))
+      query.processAllAvailable()
+
+      // status reads over the table match the driver-map semantics
+      val doc = store.statusOf("ing-1").get
+      assert(doc.batches.map(_.ids) ==
+        Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L)))
+      assert(doc.status == Status.YetToStart)
+      assert(store.statusOf("ing-2").get.batches.map(_.ids) == Seq(Seq(9L)))
+      assert(store.statusOf("bad").isEmpty) // invalid never landed
+      assert(store.statusOf("nope").isEmpty) // unknown id is a 404
+      // the reference's vacuous-completed for a zero-batch ingestion
+      assert(store.statusOf("empty").get.status == Status.Completed)
+
+      // the queue view orders by priority weight, then created_at
+      val top = store.pendingView()
+        .select("batch_id", "ingestion_id", "ordinal").limit(1).head
+      assert(top.getString(1) == "ing-1" && top.getInt(2) == 0)
+
+      // status transitions append; latest seq_no wins on read
+      store.markStatus(Seq(top.getString(0)), Status.Triggered)
+      assert(store.statusOf("ing-1").get.status == Status.Triggered)
+      assert(store.pendingView()
+        .where(col("ingestion_id") === "ing-1").count() == 2)
+      val rest = store.statusOf("ing-1").get.batches.map(_.batchId)
+      store.markStatus(rest, Status.Completed)
+      assert(store.statusOf("ing-1").get.status == Status.Completed)
+
+      // compaction folds the log without changing any answer
+      val before = (store.statusOf("ing-1").get,
+        store.statusOf("ing-2").get, store.statusOf("empty").get)
+      store.compact()
+      assert(store.latestBatches()
+        .groupBy(col("ingestion_id"), col("batch_id")).count()
+        .where(col("count") > 1).count() == 0)
+      val after = (store.statusOf("ing-1").get,
+        store.statusOf("ing-2").get, store.statusOf("empty").get)
+      assert(after == before)
+      // a reopened store resumes the seq_no ordering (append still wins)
+      val reopened = new TableStateStore(spark, s"$dir/state", buckets = 8)
+      assert(reopened.statusOf("ing-1").get.status == Status.Completed)
+    } finally query.stop()
+  }
 }
