@@ -339,6 +339,141 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  // ---------------------------------------------- trained-IVF kNN
+  /** IVF with a TRAINED coarse quantizer: one Lloyd (k-means)
+    * refinement round on top of [[knnIvf]]'s hash-sampled seeds —
+    * the step a real IVF build performs so cells sit at data-density
+    * centroids instead of on sample points.
+    *
+    * Determinism is the whole trick: the refinement runs in EXACT
+    * integer arithmetic. Assignment maximizes the same ppm cosine as
+    * the search; the updated centroid is the component-wise
+    * `floor(Σq_d / count)` of its members — sums and counts are exact
+    * int64, the one division is IEEE-exact on identical operands — so
+    * both engines train the IDENTICAL quantizer and the oracle can
+    * hash-check the full pipeline (a float k-means would diverge by
+    * ulps and be uncheckable). Dataflow per round: one O(n·k)
+    * assignment against a ≤[[CentKMax]]-row broadcast, one groupBy
+    * producing 64 per-dimension sums (partial-aggregatable, no
+    * explode), and the same probe as [[knnIvf]] — adding rounds
+    * repeats the same two shuffles, nothing grows with n.
+    */
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+    val seeds = e
+      .orderBy(graft.functions.CrossHash.md5Long(
+        col("vec_id").cast("string")).asc, col("vec_id").asc)
+      .limit(centK(e.count()))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
+        col("norm2").as("cnorm2"))
+    val assign0 = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+    val w0 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val cell0 = assign0.withColumn("crnk", row_number().over(w0))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("q"), col("norm2"),
+        col("centroid_id").as("cell"))
+    // Lloyd update: integer mean per dimension over each cell's members
+    val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
+    val trained = cell0.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), dimSums: _*)
+      .select(col("cell"), array((0 until 64).map(d =>
+        floor(col(s"d_$d").cast("double") / col("cnt")).cast("long")): _*)
+        .as("tq"))
+      .withColumn("tnorm2", graft.functions.DotLong(col("tq"), col("tq")))
+      .where(col("tnorm2") > 0) // a zero centroid has no direction
+    // re-assignment + probe against the trained quantizer
+    val assign1 = e.crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val ranked = assign1.withColumn("crnk", row_number().over(w1))
+    val cells = ranked.where(col("crnk") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"), col("cell"))
+    val scored = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnIvfTrainedSql: String = {
+    val sdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val tdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val meanList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
+    s"""WITH $sqlQuantized,
+       |cranked AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
+       |  FROM n),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM cranked WHERE hrnk <= GREATEST($CentKMin, LEAST($CentKMax,
+       |    CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))),
+       |assign0 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(sdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM n v, seeds c),
+       |cell0 AS (
+       |  SELECT vec_id, qv, norm2, centroid_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |    FROM assign0) WHERE crnk = 1),
+       |sums AS (
+       |  SELECT cell, COUNT(*) AS cnt, $dimSums
+       |  FROM cell0 GROUP BY cell),
+       |trained0 AS (
+       |  SELECT cell, [$meanList] AS tq FROM sums),
+       |trained AS (
+       |  SELECT cell, tq,
+       |    list_sum(list_transform(tq, x -> x * x)) AS tnorm2
+       |  FROM trained0
+       |  WHERE list_sum(list_transform(tq, x -> x * x)) > 0),
+       |assign1 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.cell,
+       |    ${sqlScorePpm(tdot, "v.norm2", "c.tnorm2")} AS cscore
+       |  FROM n v, trained c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC, cell ASC) AS crnk
+       |  FROM assign1),
+       |cells AS (
+       |  SELECT vec_id, cell, qv, norm2 FROM ranked WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn, cell
+       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ------------------------------------- SQL front door, native fns
   /** The native expressions through the SQL front door: `md5long56`
     * and `dot_long` are injected by
@@ -413,6 +548,7 @@ object EmbeddingQueries {
     "knn_lsh_bucketed" -> (knnLshBucketed _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_ivf" -> (knnIvf _),
+    "knn_ivf_trained" -> (knnIvfTrained _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
@@ -421,6 +557,7 @@ object EmbeddingQueries {
     "knn_lsh_bucketed" -> knnLshBucketedSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "knn_ivf" -> knnIvfSql,
+    "knn_ivf_trained" -> knnIvfTrainedSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

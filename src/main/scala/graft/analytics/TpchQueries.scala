@@ -815,6 +815,76 @@ object TpchQueries {
        |ORDER BY revenue DESC, c_custkey ASC
        |LIMIT 20""".stripMargin
 
+  // ------------------------------------------------------------ Q4
+  /** Q4-style order-priority checking: EXISTS over a correlated
+    * non-equi condition — counts orders in a quarter having at least
+    * one line item shipped after the order date (the testdata's
+    * lateness signal; TPC-H proper uses commit < receipt, columns this
+    * schema does not carry). Compiles to a left-semi join on the order
+    * key with the date comparison as a residual condition: only the
+    * key and two dates cross the shuffle, the match is never
+    * materialized — the EXISTS idiom that survives a 100 TB lineitem.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-07-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-10-01 00:00:00"))
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, o("o_orderkey") === l("l_orderkey") &&
+        l("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ----------------------------------------------------------- Q19
+  /** Q19-style disjunctive revenue: an OR-of-ANDs predicate across
+    * both sides of `part ⨝ lineitem` (brand/size/quantity bands, the
+    * testdata's columns). The per-side conjuncts that appear in every
+    * branch cannot be pushed below the join, but Catalyst derives and
+    * pushes the PER-TABLE disjunctions (size ranges to the part scan,
+    * quantity bands to the lineitem scan), so the join sees pre-shrunk
+    * inputs and `part` broadcasts; the full disjunction evaluates as
+    * the join's residual. The classic "predicate too tangled to
+    * factor by hand" plan test.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part")
+    val l = table(spark, dir, "lineitem")
+    val branch1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val branch2 = col("p_brand") === "Brand#22" &&
+      col("p_size").between(1, 30) && col("l_quantity").between(10, 30)
+    val branch3 = col("p_brand") === "Brand#33" &&
+      col("p_size").between(1, 45) && col("l_quantity").between(20, 40)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+       |  COUNT(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1 AND 20)
+       |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 30
+       |       AND l_quantity BETWEEN 10 AND 30)
+       |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 45
+       |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   // ------------------------------------------------------ UDAF
   /** Typed-Aggregator UDAF: top-3 order prices (exact cents) per
     * status via [[graft.functions.TopKAgg]] — k-element buffers
@@ -940,6 +1010,8 @@ object TpchQueries {
     "distinct_customers" -> (distinctCustomers _),
     "approx_distinct_customers" -> (approxDistinctCustomers _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q19_disjunctive_revenue" -> (q19DisjunctiveRevenue _),
     "scalar_funcs_orders" -> (scalarFuncsOrders _),
     "percentile_quantity" -> (percentileQuantity _),
     "approx_percentile_quantity" -> (approxPercentileQuantity _),
@@ -975,6 +1047,8 @@ object TpchQueries {
     "setop_segments" -> setopSql,
     "distinct_customers" -> distinctSql,
     "q18_large_orders" -> q18Sql,
+    "q4_order_priority" -> q4Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
     "scalar_funcs_orders" -> scalarFuncsSql,
     "percentile_quantity" -> percentileSql,
     "udaf_topk_prices" -> udafTopkSql,

@@ -75,6 +75,22 @@ class PipelineOpsSpec extends SparkSuite {
     ivf.unpersist()
   }
 
+  test("trained IVF keeps exact scores and a recall floor vs brute force") {
+    val ivf = EmbeddingQueries.knnIvfTrained(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("ivf_score"))
+    val brute = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("bf_score"))
+    val joined = ivf.join(brute, Seq("query_id", "vec_id")).cache()
+    // candidates the probe finds carry EXACT scores (training changes
+    // which cells are probed, never the scoring)
+    assert(joined.where(col("ivf_score") =!= col("bf_score")).count() == 0)
+    val recall = joined.count().toDouble / brute.count().toDouble
+    assert(recall > 0.3, f"trained-IVF recall $recall%.2f vs brute force")
+    joined.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
