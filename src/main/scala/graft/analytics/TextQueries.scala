@@ -48,6 +48,65 @@ object TextQueries {
                    "len(string_split(text, ' '))")} AS mean_token_len_ppm
        |FROM documents""".stripMargin
 
+  // --------------------------------------------- BPE-ish tokenization
+  /** BPE-style pre-tokenization counting: the GPT-2 pre-tokenizer
+    * shape reduced to its ASCII core — a token is a letter run, a
+    * digit run, or a single non-alphanumeric glyph (`[a-z]+|[0-9]+|
+    * [^a-z0-9 ]`). Subword models split INSIDE these pre-tokens, so
+    * their count upper-bounds whitespace tokens and is the budget
+    * number a training pipeline actually meters. Pure per-row regex
+    * expressions — Java and RE2 agree on this alternation over the
+    * all-ASCII corpus; one scan, no shuffle.
+    */
+  def textTokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val pat = lit("[a-z]+|[0-9]+|[^a-z0-9 ]")
+    val pieces = regexp_extract_all(col("text"), pat, lit(0))
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_ws_tokens"),
+        size(pieces).cast("long").as("n_bpe_pieces"),
+        size(array_distinct(pieces)).cast("long").as("n_distinct_pieces"),
+        aggregate(pieces, lit(0L), (acc, p) => acc + length(p))
+          .as("piece_chars"))
+      .withColumn("pieces_per_ws_token_ppm",
+        ppm(col("n_bpe_pieces"), col("n_ws_tokens")))
+  }
+
+  val textTokenBpeSql: String = {
+    val pieces = "regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')"
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len($pieces) AS BIGINT) AS n_bpe_pieces,
+       |  CAST(len(list_distinct($pieces)) AS BIGINT) AS n_distinct_pieces,
+       |  CAST(list_sum(list_transform($pieces, p -> length(p)))
+       |    AS BIGINT) AS piece_chars,
+       |  ${sqlPpm(s"len($pieces)", "len(string_split(text, ' '))")}
+       |    AS pieces_per_ws_token_ppm
+       |FROM documents""".stripMargin
+  }
+
+  // ---------------------------------------------------- heavy hitters
+  /** Corpus heavy hitters: global top-20 tokens by frequency. The
+    * plan is the one that survives a 100 TB corpus: partial (map-side)
+    * counts per token → one shuffle keyed by token → global top-k as
+    * TakeOrderedAndProject (per-partition heap, never a full sort).
+    * Deterministic tiebreak on the token itself.
+    */
+  def textHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(explode(toks).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+      .limit(20)
+
+  val textHeavyHittersSql: String =
+    """SELECT tok, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |GROUP BY tok
+      |ORDER BY n DESC, tok ASC
+      |LIMIT 20""".stripMargin
+
   // --------------------------------------------------- quality score
   /** Quality scoring: stopword ratio + lexical diversity → bucket.
     * The thresholds are arbitrary but fixed; what matters is that the
@@ -393,6 +452,8 @@ object TextQueries {
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
+    "text_token_bpe" -> (textTokenBpe _),
+    "text_heavy_hitters" -> (textHeavyHitters _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -404,6 +465,8 @@ object TextQueries {
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
     "text_stats" -> textStatsSql,
+    "text_token_bpe" -> textTokenBpeSql,
+    "text_heavy_hitters" -> textHeavyHittersSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
