@@ -264,7 +264,11 @@ object EmbeddingQueries {
     math.max(CentKMin,
       math.min(CentKMax, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
+    // count + bottom-k + assignment + probe all read the quantized
+    // table: cache it (callers clearCache per materialization — the
+    // object-doc contract; at cluster scale, write the signature table
+    // once instead)
+    val e = quantized(spark, dir).cache()
     val cents = e
       .orderBy(graft.functions.CrossHash.md5Long(
         col("vec_id").cast("string")).asc, col("vec_id").asc)
@@ -359,7 +363,9 @@ object EmbeddingQueries {
     * repeats the same two shuffles, nothing grows with n.
     */
   def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir)
+    // five consumers of the quantized table (count, seeds, both
+    // assignment passes, probe) — cache it; see knnIvf
+    val e = quantized(spark, dir).cache()
     val seeds = e
       .orderBy(graft.functions.CrossHash.md5Long(
         col("vec_id").cast("string")).asc, col("vec_id").asc)
