@@ -203,9 +203,16 @@ object DedupQueries {
     * The halves draw their bits from two DISJOINT 56-bit chunks of the
     * same md5 (hex digits 1-14 and 15-28), so they are independent.
     */
-  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(table(spark, dir, "documents"))
+
+  /** The simhash core over any `(doc_id, text)` frame — shared with
+    * the streaming dedup pipeline (StreamingDedupSpec feeds arriving
+    * micro-batches through it).
+    */
+  def simhashFrame(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    val hashed = table(spark, dir, "documents")
+    val hashed = docs
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"), md5(col("tok").cast("binary")).as("hex"))
       .select(col("doc_id"),
@@ -239,25 +246,40 @@ object DedupQueries {
     * (more halves) scales the key space without touching the
     * dataflow. The shuffle key is the band key.
     */
-  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sims = dedupSimhash(spark, dir)
-    val banded = sims.select(col("doc_id"), col("simhash_lo"),
-        col("simhash_hi"),
-        posexplode(array(
-          col("simhash_lo") % 65536,
-          shiftright(col("simhash_lo"), 16),
-          col("simhash_hi") % 65536,
-          shiftright(col("simhash_hi"), 16)))
-          .as(Seq("band", "key")))
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrame(table(spark, dir, "documents"))
+
+  /** 16-bit banding of [[simhashFrame]] output: one row per (doc,
+    * band) keyed for the LSH self-join. Exposed so an INCREMENTAL
+    * pipeline can band only newly arrived docs and join them against
+    * a persisted banded corpus (new×all instead of all×all — the
+    * foreachBatch dataflow StreamingDedupSpec proves).
+    */
+  def simhashBanded(docs: DataFrame): DataFrame =
+    simhashFrame(docs).select(col("doc_id"), col("simhash_lo"),
+      col("simhash_hi"),
+      posexplode(array(
+        col("simhash_lo") % 65536,
+        shiftright(col("simhash_lo"), 16),
+        col("simhash_hi") % 65536,
+        shiftright(col("simhash_hi"), 16)))
+        .as(Seq("band", "key")))
+
+  /** Exact Hamming distance between two banded rows' fingerprints. */
+  def simhashHamming(a: String, b: String): Column =
+    (bit_count(col(s"$a.simhash_lo").bitwiseXOR(col(s"$b.simhash_lo"))) +
+      bit_count(col(s"$a.simhash_hi").bitwiseXOR(col(s"$b.simhash_hi"))))
+      .cast("long")
+
+  def simhashPairsFrame(docs: DataFrame): DataFrame = {
+    val banded = simhashBanded(docs)
       .cache() // the explode+64-bit-sum aggregation feeds both sides
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (bit_count(col("a.simhash_lo").bitwiseXOR(col("b.simhash_lo"))) +
-          bit_count(col("a.simhash_hi").bitwiseXOR(col("b.simhash_hi"))))
-          .cast("long").as("hamming"))
+        simhashHamming("a", "b").as("hamming"))
       .distinct()
       .where(col("hamming") <= 3)
   }

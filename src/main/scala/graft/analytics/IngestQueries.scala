@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -228,7 +228,81 @@ object IngestQueries {
     """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
       |FROM orders WHERE o_orderkey IN (1, 2, 3)""".stripMargin
 
+  /** Data-quality profile: the analytics-scale face of the
+    * reference's F1 validation — instead of accepting/rejecting one
+    * request, profile WHOLE TABLES for constraint violations before
+    * training consumes them. One metric row per check: row counts,
+    * domain-range violations (the reference's [1, 1e9+7] id window
+    * applied to order keys), null/empty payloads, schema-shape drift
+    * (embedding dimensionality), and referential orphans both ways
+    * across orders ⨝ customer / lineitem ⨝ orders (anti-join counts —
+    * only join keys shuffle). Each check is a partial-aggregatable
+    * scan or a key-only anti join, so the profile costs one pass per
+    * table at any scale; the union is of 1-row aggregates.
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    val l = table(spark, dir, "lineitem")
+    val c = table(spark, dir, "customer")
+    val d = table(spark, dir, "documents")
+    val e = table(spark, dir, "embeddings")
+    def metric(name: String, v: Column, from: DataFrame): DataFrame =
+      from.agg(v.cast("long").as("value"))
+        .select(lit(name).as("metric"), col("value"))
+    metric("orders_rows", count(lit(1)), o)
+      .unionByName(metric("orders_key_out_of_domain",
+        count(when(col("o_orderkey") < 1 ||
+          col("o_orderkey") > 1000000007L, 1)), o))
+      .unionByName(metric("orders_null_date",
+        count(when(col("o_orderdate").isNull, 1)), o))
+      .unionByName(metric("orders_nonpositive_total",
+        count(when(col("o_totalprice") <= 0, 1)), o))
+      .unionByName(metric("orders_orphan_custkey",
+        count(lit(1)), o.join(c, o("o_custkey") === c("c_custkey"),
+          "left_anti")))
+      .unionByName(metric("lineitem_orphan_orderkey",
+        count(lit(1)), l.join(o, l("l_orderkey") === o("o_orderkey"),
+          "left_anti")))
+      .unionByName(metric("lineitem_qty_out_of_range",
+        count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)), l))
+      .unionByName(metric("lineitem_discount_out_of_range",
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)), l))
+      .unionByName(metric("documents_empty_text",
+        count(when(length(col("text")) === 0, 1)), d))
+      .unionByName(metric("documents_nchars_drift",
+        count(when(length(col("text")) =!= col("n_chars"), 1)), d))
+      .unionByName(metric("embeddings_dim_violations",
+        count(when(size(col("embedding")) =!= 64, 1)), e))
+  }
+
+  val dqProfileSql: String =
+    """SELECT 'orders_rows' AS metric, COUNT(*) AS value FROM orders
+      |UNION ALL SELECT 'orders_key_out_of_domain',
+      |  COUNT(CASE WHEN o_orderkey < 1 OR o_orderkey > 1000000007 THEN 1 END)
+      |  FROM orders
+      |UNION ALL SELECT 'orders_null_date',
+      |  COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END) FROM orders
+      |UNION ALL SELECT 'orders_nonpositive_total',
+      |  COUNT(CASE WHEN o_totalprice <= 0 THEN 1 END) FROM orders
+      |UNION ALL SELECT 'orders_orphan_custkey', COUNT(*) FROM orders
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |UNION ALL SELECT 'lineitem_orphan_orderkey', COUNT(*) FROM lineitem
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+      |UNION ALL SELECT 'lineitem_qty_out_of_range',
+      |  COUNT(CASE WHEN l_quantity <= 0 OR l_quantity > 50 THEN 1 END)
+      |  FROM lineitem
+      |UNION ALL SELECT 'lineitem_discount_out_of_range',
+      |  COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END)
+      |  FROM lineitem
+      |UNION ALL SELECT 'documents_empty_text',
+      |  COUNT(CASE WHEN length(text) = 0 THEN 1 END) FROM documents
+      |UNION ALL SELECT 'documents_nchars_drift',
+      |  COUNT(CASE WHEN length(text) <> n_chars THEN 1 END) FROM documents
+      |UNION ALL SELECT 'embeddings_dim_violations',
+      |  COUNT(CASE WHEN len(embedding) <> 64 THEN 1 END) FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_profile" -> (dqProfile _),
     "ingest_chunk" -> (ingestChunk _),
     "ingest_validate" -> (ingestValidate _),
     "ingest_status_fold" -> (ingestStatusFold _),
@@ -237,6 +311,7 @@ object IngestQueries {
     "ingest_point_lookup" -> (ingestPointLookup _))
 
   val oracles: Map[String, String] = Map(
+    "dq_profile" -> dqProfileSql,
     "ingest_chunk" -> ingestChunkSql,
     "ingest_validate" -> ingestValidateSql,
     "ingest_status_fold" -> ingestStatusFoldSql,
