@@ -480,6 +480,158 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  // --------------------------------------------------- PQ (ADC) kNN
+  /** Product-quantization ANN with asymmetric distance computation —
+    * the third classic ANN family beside hyperplane LSH and IVF (the
+    * FAISS `IndexPQ` core). The 64-dim space splits into [[PqSub]]
+    * subspaces of [[PqSubDim]] dims; each subspace gets a
+    * [[PqCodeK]]-entry codebook (subvectors of a deterministic
+    * bottom-k hash sample, so both engines hold the identical
+    * codebook); a corpus vector compresses to [[PqSub]] 4-bit codes —
+    * 4 bytes instead of 256, the memory ratio that lets 10^10 vectors
+    * sit in RAM. Search is ADC: the query builds a
+    * [[PqSub]]×[[PqCodeK]] dot-product lookup table against the
+    * UNCOMPRESSED codebook, scores every code tuple by summing 8
+    * table entries, takes the top-[[PqRerank]] candidates, and
+    * re-ranks them with exact cosine.
+    *
+    * Everything is exact integer arithmetic: encode = argmin of
+    * `c·c − 2v·c` per subspace (the shared `v·v` term cannot change
+    * the argmin), with the (distance, code) pair packed into one
+    * int64 so a plain MIN is the deterministic tie-broken argmin in
+    * both engines. Scale shape: encoding is O(n·k) against a 16-row
+    * broadcast; ADC scoring shuffles (query, vec) partial sums — at
+    * production scale PQ composes with IVF (probe cells first, ADC
+    * within), which is exactly the [[knnIvf]] dataflow upstream.
+    */
+  val PqSub = 8
+  val PqSubDim = 8
+  val PqCodeK = 16
+  val PqRerank = 50
+  private val PqOffset = 1000000000L // makes the packed distance key positive
+
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // encode + LUT + re-rank reads
+    // deterministic 16-vector codebook sample: bottom-k via
+    // TakeOrderedAndProject, then ranked for stable codes (the
+    // row_number window runs over 16 rows, never the corpus)
+    val hcol = graft.functions.CrossHash.md5Long(col("vec_id").cast("string"))
+    val seeds = e.select(col("vec_id"), col("q"), hcol.as("h"))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(PqCodeK)
+      .withColumn("cid", row_number().over(
+        Window.orderBy(col("h").asc, col("vec_id").asc)))
+      .select(col("cid"), col("q").as("cq"))
+    def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
+    def sdot(a: Column, b: Column, s: Int): Column =
+      graft.functions.DotLong(sub(a, s), sub(b, s))
+    // encode: per (vector, subspace) the argmin code via packed MIN
+    val keyCols = (0 until PqSub).map { s =>
+      ((sdot(col("cq"), col("cq"), s) - lit(2L) * sdot(col("q"), col("cq"), s)
+        + lit(PqOffset)) * PqCodeK + (col("cid") - 1)).as(s"k_$s")
+    }
+    val codes = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id") +: keyCols: _*)
+      .groupBy(col("vec_id"))
+      .agg(min(col("k_0")).as("m_0"),
+        (1 until PqSub).map(s => min(col(s"k_$s")).as(s"m_$s")): _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until PqSub).map(s =>
+          col(s"m_$s") % PqCodeK + 1): _*)).as(Seq("s", "cid")))
+    // ADC lookup table: query × codebook × subspace exact dots
+    val lut = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      .crossJoin(broadcast(seeds))
+      .select(col("query_id"), col("cid"),
+        posexplode(array((0 until PqSub).map(s =>
+          sdot(col("qq"), col("cq"), s)): _*)).as(Seq("s", "qd")))
+    val approx = codes.join(broadcast(lut), Seq("s", "cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("approx_dot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk", row_number().over(wCand))
+      .where(col("crnk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    // exact re-rank of the PQ candidates
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+    val scored = cands
+      .join(broadcast(qs), "query_id")
+      .join(e, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnPqAdcSql: String = {
+    def sdot(a: String, b: String, s: Int): String =
+      s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> $a[${s * PqSubDim} + i] * $b[${s * PqSubDim} + i]))"
+    val keyCols = (0 until PqSub).map { s =>
+      s"((${sdot("c.cq", "c.cq", s)} - 2 * ${sdot("v.qv", "c.cq", s)}" +
+        s" + $PqOffset) * $PqCodeK + (c.cid - 1)) AS k_$s"
+    }.mkString(",\n    ")
+    val mins = (0 until PqSub).map(s => s"MIN(k_$s) AS m_$s").mkString(", ")
+    val codeCase = (0 until PqSub).map(s =>
+      s"WHEN ${s} THEN m_$s % $PqCodeK + 1").mkString(" ")
+    val qdCase = (0 until PqSub).map(s =>
+      s"WHEN ${s} THEN ${sdot("q.qq", "c.cq", s)}").mkString(" ")
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qq[i] * b.qv[i]))"
+    s"""WITH $sqlQuantized,
+       |seeds AS (
+       |  SELECT cid, cq FROM (
+       |    SELECT row_number() OVER (ORDER BY ${graft.functions.CrossHash
+               .sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id) AS cid,
+       |      qv AS cq
+       |    FROM n) WHERE cid <= $PqCodeK),
+       |keys AS (
+       |  SELECT v.vec_id, c.cid,
+       |    $keyCols
+       |  FROM n v, seeds c),
+       |mins AS (SELECT vec_id, $mins FROM keys GROUP BY vec_id),
+       |codes AS (
+       |  SELECT vec_id, sp.s,
+       |    CASE sp.s $codeCase END AS cid
+       |  FROM mins, LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1}))
+       |    AS s) sp),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.cid, sp.s,
+       |    CASE sp.s $qdCase END AS qd
+       |  FROM (SELECT vec_id, qv AS qq FROM n WHERE vec_id < 10) q,
+       |    seeds c,
+       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp),
+       |approx AS (
+       |  SELECT l.query_id, c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS approx_dot
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
+       |    FROM approx) WHERE crnk <= $PqRerank),
+       |scored AS (
+       |  SELECT t.query_id, t.vec_id,
+       |    ${sqlScorePpm(pdot, "a.norm2", "b.norm2")} AS score_ppm
+       |  FROM cands t
+       |  JOIN (SELECT vec_id, qv AS qq, norm2 FROM n) a
+       |    ON t.query_id = a.vec_id
+       |  JOIN n b ON t.vec_id = b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
   // ------------------------------------- SQL front door, native fns
   /** The native expressions through the SQL front door: `md5long56`
     * and `dot_long` are injected by
@@ -555,6 +707,7 @@ object EmbeddingQueries {
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
+    "knn_pq_adc" -> (knnPqAdc _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
@@ -564,6 +717,7 @@ object EmbeddingQueries {
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
+    "knn_pq_adc" -> knnPqAdcSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

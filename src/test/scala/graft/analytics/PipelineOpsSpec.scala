@@ -91,6 +91,22 @@ class PipelineOpsSpec extends SparkSuite {
     joined.unpersist()
   }
 
+  test("PQ-ADC re-ranked scores are exact and recall clears the floor") {
+    val pq = EmbeddingQueries.knnPqAdc(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("pq_score"))
+    val brute = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("bf_score"))
+    val joined = pq.join(brute, Seq("query_id", "vec_id")).cache()
+    // the 4-byte codes only pick CANDIDATES; survivors carry exact
+    // cosine from the re-rank, so shared rows must agree to the ppm
+    assert(joined.where(col("pq_score") =!= col("bf_score")).count() == 0)
+    val recall = joined.count().toDouble / brute.count().toDouble
+    assert(recall > 0.3, f"PQ-ADC recall $recall%.2f vs brute force")
+    joined.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
