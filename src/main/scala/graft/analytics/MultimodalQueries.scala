@@ -93,13 +93,51 @@ object MultimodalQueries {
       |    i -> substr(text, CAST(i AS INT), 1)), '')) AS resized_hash
       |FROM documents""".stripMargin
 
+  /** Exact dedup of opaque media: canonical = min media_id among
+    * byte-identical content within a (media_type, n_bytes) block.
+    * Only the md5 content hash ever crosses the shuffle — at 100 TB
+    * of images/video the bytes stay where they were scanned, which is
+    * the entire point of hash-first media dedup; the byte-length
+    * block key means even hash computation could be skipped for
+    * unique lengths in a real pipeline.
+    */
+  def multimodalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("media_type"), col("n_bytes"),
+      col("content_hash"))
+    MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFromDocuments(spark, dir))
+      .select(col("mediaId").as("media_id"),
+        col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"),
+        col("contentHash").as("content_hash"))
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("is_duplicate", col("media_id") =!= col("canonical_id"))
+  }
+
+  val multimodalDedupSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    md5(text) AS content_hash
+      |  FROM documents)
+      |SELECT media_id, media_type, n_bytes, content_hash,
+      |  MIN(media_id) OVER (PARTITION BY media_type, n_bytes, content_hash)
+      |    AS canonical_id,
+      |  media_id <> MIN(media_id) OVER (PARTITION BY media_type, n_bytes,
+      |    content_hash) AS is_duplicate
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
-    "multimodal_resize" -> (multimodalResize _))
+    "multimodal_resize" -> (multimodalResize _),
+    "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_resize" -> multimodalResizeSql)
+    "multimodal_resize" -> multimodalResizeSql,
+    "multimodal_dedup" -> multimodalDedupSql)
 }

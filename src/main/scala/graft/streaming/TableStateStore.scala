@@ -167,6 +167,31 @@ final class TableStateStore(spark: SparkSession, path: String,
       col("created_at"), col("ordinal")): _*)
   }
 
+  /** One T1 processing cycle driven ENTIRELY off the table — the
+    * at-scale twin of [[IngestEngine.processOnce]]: claim the O1-top
+    * pending batch from [[pendingView]] (a TakeOrderedAndProject point
+    * read), mark it `triggered`, run the simulated per-id external
+    * calls, mark `completed`, then the post-work rate-limit sleep —
+    * the reference's exact cycle shape with no driver map anywhere.
+    * Claim atomicity rests on the store's single-writer contract (the
+    * class doc); a multi-writer deployment would swap the two
+    * markStatus appends for a table format's conditional commit.
+    */
+  def processOnce(cfg: GraftConfig, sleeper: Sleeper): Boolean = {
+    val top = pendingView().limit(1).collect().headOption
+    top match {
+      case None => false
+      case Some(r) =>
+        val batchId = r.getAs[String]("batch_id")
+        val ids = r.getSeq[Long](r.fieldIndex("ids"))
+        markStatus(Seq(batchId), Status.Triggered)
+        ids.foreach(_ => sleeper.sleep(cfg.perIdDelayMs))
+        markStatus(Seq(batchId), Status.Completed)
+        sleeper.sleep(cfg.rateLimitMs)
+        true
+    }
+  }
+
   // ------------------------------------------------------- maintenance
   /** Fold the log down to its resolved rows: read latest-wins state,
     * materialize it off the source files (`localCheckpoint` truncates

@@ -139,4 +139,34 @@ class StreamingSpec extends SparkSuite {
       assert(reopened.statusOf("ing-1").get.status == Status.Completed)
     } finally query.stop()
   }
+
+  test("table-backed processing loop drains the queue in priority order") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val engine = new IngestEngine(GraftConfig.bench, SystemSleeper)
+    val proc = new StreamingProcessor(spark, engine)
+    val dir = java.nio.file.Files.createTempDirectory("graft-state2").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 4)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Seq[Long], String, Long)]
+    val query = proc.startBulkIngestToTable(stream, store)
+    try {
+      stream.addData(("low", 1L to 6L, Priority.Low, 10L)) // 2 batches
+      stream.addData(("high", Seq(7L, 8L), Priority.High, 20L))
+      query.processAllAvailable()
+    } finally query.stop()
+    var cycles = 0
+    while (store.processOnce(GraftConfig.bench, SystemSleeper)) cycles += 1
+    assert(cycles == 3)
+    assert(store.statusOf("low").get.status == Status.Completed)
+    assert(store.statusOf("high").get.status == Status.Completed)
+    // completion ORDER lives in the log's seq_no trail: the HIGH batch
+    // must have completed before either LOW batch despite arriving later
+    val doneSeq = store.latestBatches()
+      .where(col("batch_id") =!= "" && col("status") === Status.Completed)
+      .select(col("ingestion_id"), col("seq_no"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val highDone = doneSeq.filter(_._1 == "high").map(_._2).min
+    assert(doneSeq.filter(_._1 == "low").map(_._2).forall(_ > highDone))
+  }
 }
