@@ -511,15 +511,21 @@ object DedupQueries {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint(true)
-    var sig = edgeSig(edges)
-    var converged = sig._1 == 0L // no edges ⇒ nothing to label
+    var count = edges.count()
+    var converged = count == 0L // no edges ⇒ nothing to label
     var round = 0
     val maxRounds = 64 // >> log²(any real corpus)
     while (!converged && round < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val next = edgeSig(edges)
-      converged = next == sig
-      sig = next
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextCount = next.count()
+      // EXACT set-equality fixpoint probe: both sets are distinct, so
+      // equal cardinality + empty one-sided difference ⇔ equal sets (a
+      // scalar signature could in principle collide and stop early on
+      // a non-star edge set — this can't). One extra key-only join per
+      // round, against checkpointed frames.
+      converged = nextCount == count && next.except(edges).isEmpty
+      edges = next
+      count = nextCount
       round += 1
     }
     val labels = edges.select(col("src").as("v"), col("dst").as("label"))
@@ -554,17 +560,6 @@ object DedupQueries {
       .distinct()
   }
 
-  /** (edge count, Σsrc, Σdst) — the contraction fixpoint probe: the
-    * canonical edge set is stable iff a large+small round leaves the
-    * signature unchanged (Σdst only ever decreases; Σsrc+count pin
-    * the rest).
-    */
-  private def edgeSig(e: DataFrame): (Long, Long, Long) = {
-    val r = e.agg(count(lit(1)), sum(col("src")), sum(col("dst"))).head
-    (r.getLong(0),
-      if (r.isNullAt(1)) 0L else r.getLong(1),
-      if (r.isNullAt(2)) 0L else r.getLong(2))
-  }
 
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $sqlSimhashPairCtes,

@@ -73,6 +73,37 @@ object EmbeddingQueries {
   private val sqlDot =
     "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
 
+  // -------------------------------------- deterministic corpus sample
+  /** The ONE hash order behind every deterministic corpus sample
+    * (IVF seeds, trained-IVF seeds, PQ codebook): md5(vec_id) with
+    * vec_id tiebreak. Centralized so the Spark and oracle sides can
+    * never drift one site at a time.
+    */
+  private def hashOrder: Seq[Column] = Seq(
+    graft.functions.CrossHash.md5Long(col("vec_id").cast("string")).asc,
+    col("vec_id").asc)
+
+  /** Bottom-k of the corpus by [[hashOrder]] — a uniform,
+    * engine-reproducible sample that compiles to
+    * TakeOrderedAndProject (O(k) state per partition, no shuffle of
+    * vector payloads).
+    */
+  private def hashBottomK(e: DataFrame, k: Int): DataFrame =
+    e.orderBy(hashOrder: _*).limit(k)
+
+  /** Oracle twin: the corpus ranked by the same hash order. */
+  private val sqlCranked: String =
+    s"""cranked AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
+       |  FROM n)""".stripMargin
+
+  /** Oracle twin of [[centK]]: the clamped ⌈√n⌉ nlist rule. */
+  private def sqlCentK: String =
+    s"GREATEST($CentKMin, LEAST($CentKMax, " +
+      "CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))"
+
   // ------------------------------------------------- brute-force kNN
   /** Top-10 cosine neighbors for each query vector (vec_id < 10) by
     * full corpus scan. The query side is broadcast; ranking is a
@@ -269,10 +300,7 @@ object EmbeddingQueries {
     // object-doc contract; at cluster scale, write the signature table
     // once instead)
     val e = quantized(spark, dir).cache()
-    val cents = e
-      .orderBy(graft.functions.CrossHash.md5Long(
-        col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(centK(e.count()))
+    val cents = hashBottomK(e, centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
     // n×k assignment: every vector scored against every centroid; the
@@ -307,15 +335,10 @@ object EmbeddingQueries {
     val pdot =
       "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
     s"""WITH $sqlQuantized,
-       |cranked AS (
-       |  SELECT vec_id, qv, norm2, row_number() OVER (
-       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
-             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
-       |  FROM n),
+       |$sqlCranked,
        |cents AS (
        |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
-       |  FROM cranked WHERE hrnk <= GREATEST($CentKMin, LEAST($CentKMax,
-       |    CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))),
+       |  FROM cranked WHERE hrnk <= $sqlCentK),
        |assigned AS (
        |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
        |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
@@ -366,10 +389,7 @@ object EmbeddingQueries {
     // five consumers of the quantized table (count, seeds, both
     // assignment passes, probe) — cache it; see knnIvf
     val e = quantized(spark, dir).cache()
-    val seeds = e
-      .orderBy(graft.functions.CrossHash.md5Long(
-        col("vec_id").cast("string")).asc, col("vec_id").asc)
-      .limit(centK(e.count()))
+    val seeds = hashBottomK(e, centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
     val assign0 = e.crossJoin(broadcast(seeds))
@@ -427,15 +447,10 @@ object EmbeddingQueries {
     val meanList = (0 until 64).map(d =>
       s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
     s"""WITH $sqlQuantized,
-       |cranked AS (
-       |  SELECT vec_id, qv, norm2, row_number() OVER (
-       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
-             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
-       |  FROM n),
+       |$sqlCranked,
        |seeds AS (
        |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
-       |  FROM cranked WHERE hrnk <= GREATEST($CentKMin, LEAST($CentKMax,
-       |    CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))),
+       |  FROM cranked WHERE hrnk <= $sqlCentK),
        |assign0 AS (
        |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
        |    ${sqlScorePpm(sdot, "v.norm2", "c.cnorm2")} AS cscore
@@ -512,14 +527,10 @@ object EmbeddingQueries {
 
   def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache() // encode + LUT + re-rank reads
-    // deterministic 16-vector codebook sample: bottom-k via
-    // TakeOrderedAndProject, then ranked for stable codes (the
-    // row_number window runs over 16 rows, never the corpus)
-    val hcol = graft.functions.CrossHash.md5Long(col("vec_id").cast("string"))
-    val seeds = e.select(col("vec_id"), col("q"), hcol.as("h"))
-      .orderBy(col("h").asc, col("vec_id").asc).limit(PqCodeK)
-      .withColumn("cid", row_number().over(
-        Window.orderBy(col("h").asc, col("vec_id").asc)))
+    // deterministic 16-vector codebook sample, ranked for stable
+    // codes (the row_number window runs over 16 rows, never the corpus)
+    val seeds = hashBottomK(e, PqCodeK)
+      .withColumn("cid", row_number().over(Window.orderBy(hashOrder: _*)))
       .select(col("cid"), col("q").as("cq"))
     def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
     def sdot(a: Column, b: Column, s: Int): Column =
@@ -585,12 +596,10 @@ object EmbeddingQueries {
     val pdot =
       "list_sum(list_transform(generate_series(1, 64), i -> a.qq[i] * b.qv[i]))"
     s"""WITH $sqlQuantized,
+       |$sqlCranked,
        |seeds AS (
-       |  SELECT cid, cq FROM (
-       |    SELECT row_number() OVER (ORDER BY ${graft.functions.CrossHash
-               .sqlMd5Long("CAST(vec_id AS VARCHAR)")}, vec_id) AS cid,
-       |      qv AS cq
-       |    FROM n) WHERE cid <= $PqCodeK),
+       |  SELECT hrnk AS cid, qv AS cq FROM cranked
+       |  WHERE hrnk <= $PqCodeK),
        |keys AS (
        |  SELECT v.vec_id, c.cid,
        |    $keyCols

@@ -246,33 +246,42 @@ object IngestQueries {
     val c = table(spark, dir, "customer")
     val d = table(spark, dir, "documents")
     val e = table(spark, dir, "embeddings")
-    def metric(name: String, v: Column, from: DataFrame): DataFrame =
-      from.agg(v.cast("long").as("value"))
-        .select(lit(name).as("metric"), col("value"))
-    metric("orders_rows", count(lit(1)), o)
-      .unionByName(metric("orders_key_out_of_domain",
-        count(when(col("o_orderkey") < 1 ||
-          col("o_orderkey") > 1000000007L, 1)), o))
-      .unionByName(metric("orders_null_date",
-        count(when(col("o_orderdate").isNull, 1)), o))
-      .unionByName(metric("orders_nonpositive_total",
-        count(when(col("o_totalprice") <= 0, 1)), o))
-      .unionByName(metric("orders_orphan_custkey",
-        count(lit(1)), o.join(c, o("o_custkey") === c("c_custkey"),
-          "left_anti")))
-      .unionByName(metric("lineitem_orphan_orderkey",
-        count(lit(1)), l.join(o, l("l_orderkey") === o("o_orderkey"),
-          "left_anti")))
-      .unionByName(metric("lineitem_qty_out_of_range",
-        count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)), l))
-      .unionByName(metric("lineitem_discount_out_of_range",
-        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)), l))
-      .unionByName(metric("documents_empty_text",
-        count(when(length(col("text")) === 0, 1)), d))
-      .unionByName(metric("documents_nchars_drift",
-        count(when(length(col("text")) =!= col("n_chars"), 1)), d))
-      .unionByName(metric("embeddings_dim_violations",
-        count(when(size(col("embedding")) =!= 64, 1)), e))
+    // all of a table's conditional counts ride ONE aggregate over one
+    // scan, then stack() unpivots the single row into metric rows —
+    // so the profile genuinely costs one pass per table
+    def metrics(from: DataFrame, checks: (String, Column)*): DataFrame = {
+      val agged = from.agg(
+        checks.head._2.cast("long").as(checks.head._1),
+        checks.tail.map { case (n, v) => v.cast("long").as(n) }: _*)
+      val stackArgs = checks.map { case (n, _) => s"'$n', `$n`" }
+        .mkString(", ")
+      agged.select(
+        expr(s"stack(${checks.size}, $stackArgs) AS (metric, value)"))
+    }
+    metrics(o,
+      "orders_rows" -> count(lit(1)),
+      "orders_key_out_of_domain" -> count(when(col("o_orderkey") < 1 ||
+        col("o_orderkey") > 1000000007L, 1)),
+      "orders_null_date" -> count(when(col("o_orderdate").isNull, 1)),
+      "orders_nonpositive_total" -> count(when(col("o_totalprice") <= 0, 1)))
+      .unionByName(metrics(
+        o.join(c, o("o_custkey") === c("c_custkey"), "left_anti"),
+        "orders_orphan_custkey" -> count(lit(1))))
+      .unionByName(metrics(
+        l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti"),
+        "lineitem_orphan_orderkey" -> count(lit(1))))
+      .unionByName(metrics(l,
+        "lineitem_qty_out_of_range" ->
+          count(when(col("l_quantity") <= 0 || col("l_quantity") > 50, 1)),
+        "lineitem_discount_out_of_range" ->
+          count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))))
+      .unionByName(metrics(d,
+        "documents_empty_text" -> count(when(length(col("text")) === 0, 1)),
+        "documents_nchars_drift" ->
+          count(when(length(col("text")) =!= col("n_chars"), 1))))
+      .unionByName(metrics(e,
+        "embeddings_dim_violations" ->
+          count(when(size(col("embedding")) =!= 64, 1))))
   }
 
   val dqProfileSql: String =

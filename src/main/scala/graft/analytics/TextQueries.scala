@@ -78,7 +78,7 @@ object TextQueries {
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
        |  CAST(len($pieces) AS BIGINT) AS n_bpe_pieces,
        |  CAST(len(list_distinct($pieces)) AS BIGINT) AS n_distinct_pieces,
-       |  CAST(list_sum(list_transform($pieces, p -> length(p)))
+       |  CAST(COALESCE(list_sum(list_transform($pieces, p -> length(p))), 0)
        |    AS BIGINT) AS piece_chars,
        |  ${sqlPpm(s"len($pieces)", "len(string_split(text, ' '))")}
        |    AS pieces_per_ws_token_ppm

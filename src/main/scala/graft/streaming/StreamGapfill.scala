@@ -35,11 +35,15 @@ object StreamGapfill {
   final case class Bucket(eventType: String, hour: Timestamp, n: Long,
       sumValue: Double)
 
-  /** (next hour to emit, pending per open hour). Kept as a sorted Map
-    * keyed by hour-start millis; size ≤ watermarkDelay/1h + 1.
+  /** (next hour to emit, pending per open hour, whether anything has
+    * been emitted yet). Pending is keyed by hour-start millis; size ≤
+    * watermarkDelay/1h + 1. Before the first emission `nextHourMs` is
+    * merely the earliest hour SEEN, and a non-late out-of-order event
+    * may still lower it; once emission starts it is the frontier and
+    * anything behind it is by construction behind the watermark.
     */
   final case class GapState(nextHourMs: Long,
-      pending: Map[Long, (Long, Double)])
+      pending: Map[Long, (Long, Double)], emitted: Boolean)
 
   private def hourFloor(ms: Long): Long = ms - math.floorMod(ms, HourMs)
 
@@ -59,7 +63,7 @@ object StreamGapfill {
         (key: String, evs: Iterator[(Timestamp, String, Double)],
             state: GroupState[GapState]) =>
           val wm = state.getCurrentWatermarkMs()
-          var st = state.getOption.getOrElse(GapState(-1L, Map.empty))
+          var st = state.getOption.getOrElse(GapState(-1L, Map.empty, false))
           // fold the micro-batch into pending hour buckets
           val newEvs = evs.toSeq
           if (newEvs.nonEmpty) {
@@ -67,13 +71,16 @@ object StreamGapfill {
             var first = st.nextHourMs
             newEvs.foreach { case (ts, _, v) =>
               val h = hourFloor(ts.getTime)
-              if (h >= st.nextHourMs) { // never reopen an emitted hour
+              // an hour behind the frontier was only truly emitted if
+              // emission has started; before that, a non-late
+              // out-of-order event legitimately extends the spine down
+              if (h >= st.nextHourMs || !st.emitted) {
                 val (n0, s0) = pending.getOrElse(h, (0L, 0.0))
                 pending = pending + (h -> (n0 + 1L, s0 + v))
                 if (first < 0L || h < first) first = h
               }
             }
-            st = GapState(first, pending)
+            st = GapState(first, pending, st.emitted)
           }
           // emit every hour the watermark has closed, silent ones as 0
           val out = Vector.newBuilder[Bucket]
@@ -86,7 +93,7 @@ object StreamGapfill {
               pending -= h
               h += HourMs
             }
-            st = GapState(h, pending)
+            st = GapState(h, pending, st.emitted || h > st.nextHourMs)
             state.update(st)
             // re-arm: wake when the watermark passes the next hour end,
             // even if no further event for this key ever arrives

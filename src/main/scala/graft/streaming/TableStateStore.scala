@@ -55,6 +55,13 @@ final class TableStateStore(spark: SparkSession, path: String,
     * marker row per ingestion + one row per exploded batch. Chunking
     * runs distributed ([[IngestOps.explodeBatches]]); nothing is
     * collected to the driver.
+    *
+    * Batch ids are DETERMINISTIC (`md5(ingestion_id-ordinal)`), not
+    * minted uuids: `foreachBatch` is at-least-once, and when a crashed
+    * epoch replays, re-derived rows carry the SAME keys, so the
+    * latest-seq_no-wins read makes the duplicate append a no-op —
+    * idempotence by construction, the same at-least-once × idempotent
+    * = exactly-once argument as IdempotentSink.
     */
   def ingestRequests(requests: DataFrame,
       cfg: GraftConfig = GraftConfig.parity): Unit = {
@@ -68,6 +75,9 @@ final class TableStateStore(spark: SparkSession, path: String,
       lit(-1).as("ordinal"),
       col("priority"))
     val batches = IngestOps.explodeBatches(requests, cfg)
+      .withColumn("batch_id",
+        md5(concat_ws("-", col("ingestion_id"), col("ordinal"))
+          .cast("binary")))
       .select(col("ingestion_id"), col("batch_id"), col("ids"),
         col("status"), col("created_at"), col("ordinal"), col("priority"))
     append(markers.unionByName(batches), s)
@@ -78,12 +88,15 @@ final class TableStateStore(spark: SparkSession, path: String,
     * their resolved rows with the new status and a fresh `seq_no`.
     */
   def markStatus(batchIds: Seq[String], newStatus: String): Unit = {
-    val s = seq.incrementAndGet()
-    val rows = latestBatches()
-      .where(col("batch_id").isin(batchIds: _*))
-      .withColumn("status", lit(newStatus))
-      .drop("part", "seq_no")
-    append(rows, s)
+    val latest = latestBatches()
+    if (latest.columns.nonEmpty) { // empty store → nothing to mark
+      val s = seq.incrementAndGet()
+      val rows = latest
+        .where(col("batch_id").isin(batchIds: _*))
+        .withColumn("status", lit(newStatus))
+        .drop("part", "seq_no")
+      append(rows, s)
+    }
   }
 
   private def append(rows: DataFrame, seqNo: Long): Unit =
@@ -160,11 +173,12 @@ final class TableStateStore(spark: SparkSession, path: String,
     * sorts the full table.
     */
   def pendingView(): DataFrame = {
-    val pending = latestBatches()
+    val latest = latestBatches()
+    if (latest.columns.isEmpty) latest // empty store: zero-row view
+    else latest
       .where(col("batch_id") =!= "" && col("status") === Status.YetToStart)
-    if (pending.columns.isEmpty) pending
-    else pending.orderBy(IngestOps.queueOrder(col("priority"),
-      col("created_at"), col("ordinal")): _*)
+      .orderBy(IngestOps.queueOrder(col("priority"),
+        col("created_at"), col("ordinal")): _*)
   }
 
   /** One T1 processing cycle driven ENTIRELY off the table — the

@@ -83,6 +83,33 @@ class StreamGapfillSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("a non-late out-of-order event before first emission extends the spine down") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamGapfill(ms.toDS().withWatermark("_1", "10 minutes"))
+      .writeStream.format("memory").queryName("gapfill_ooo")
+      .outputMode("append").start()
+    try {
+      // first batch pins the frontier at 12:00 (nothing emitted: wm=0)
+      ms.addData((t("2024-01-01 12:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // wm is now 11:55; 11:58 is NOT late and must reopen hour 11:00
+      ms.addData((t("2024-01-01 11:58:00"), "click", 2.0))
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 13:30:00"), "click", 0.0)) // closes 11,12
+      q.processAllAvailable()
+      ms.addData((t("2024-01-01 13:31:00"), "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("gapfill_ooo")
+        .collect().map(r => (r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((t("2024-01-01 11:00:00"), 1L, 2.0)),
+        s"hour 11 lost: $rows")
+      assert(rows.contains((t("2024-01-01 12:00:00"), 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming gapfill emits each closed hour exactly once across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

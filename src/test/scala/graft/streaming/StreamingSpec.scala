@@ -140,6 +140,26 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("table store is safe when empty and idempotent under epoch replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state3").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 4)
+    // empty store: the loop reports no work instead of throwing
+    assert(!store.processOnce(GraftConfig.bench, SystemSleeper))
+    assert(store.pendingView().collect().isEmpty)
+    store.markStatus(Seq("nope"), Status.Triggered) // no-op, no throw
+    // at-least-once foreachBatch: the same request batch applied twice
+    // (a crashed epoch replay) must not duplicate state — batch ids
+    // are deterministic, so latest-seq_no-wins absorbs the replay
+    val reqs = Seq(("ing-r", Seq(1L, 2L, 3L, 4L), Priority.High, 7L))
+      .toDF("ingestion_id", "ids", "priority", "created_at")
+    store.ingestRequests(reqs, GraftConfig.bench)
+    store.ingestRequests(reqs, GraftConfig.bench) // replay
+    val doc = store.statusOf("ing-r").get
+    assert(doc.batches.map(_.ids) == Seq(Seq(1L, 2L, 3L), Seq(4L)))
+    assert(doc.batches.map(_.batchId).distinct.size == 2)
+  }
+
   test("table-backed processing loop drains the queue in priority order") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
