@@ -525,22 +525,29 @@ object EmbeddingQueries {
   val PqRerank = 50
   private val PqOffset = 1000000000L // makes the packed distance key positive
 
-  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val e = quantized(spark, dir).cache() // encode + LUT + re-rank reads
-    // deterministic 16-vector codebook sample, ranked for stable
-    // codes (the row_number window runs over 16 rows, never the corpus)
-    val seeds = hashBottomK(e, PqCodeK)
+  /** Integer dot product restricted to subspace `s`. */
+  private def subDot(a: Column, b: Column, s: Int): Column =
+    graft.functions.DotLong(slice(a, s * PqSubDim + 1, PqSubDim),
+      slice(b, s * PqSubDim + 1, PqSubDim))
+
+  /** Deterministic 16-vector codebook sample, ranked for stable codes
+    * (the row_number window runs over 16 rows, never the corpus).
+    */
+  private def pqSeeds(e: DataFrame): DataFrame =
+    hashBottomK(e, PqCodeK)
       .withColumn("cid", row_number().over(Window.orderBy(hashOrder: _*)))
       .select(col("cid"), col("q").as("cq"))
-    def sub(c: Column, s: Int): Column = slice(c, s * PqSubDim + 1, PqSubDim)
-    def sdot(a: Column, b: Column, s: Int): Column =
-      graft.functions.DotLong(sub(a, s), sub(b, s))
-    // encode: per (vector, subspace) the argmin code via packed MIN
+
+  /** PQ encode: per (vector, subspace) the argmin code via packed MIN.
+    * Output: one row per (vec_id, s) with its 4-bit code `cid`.
+    */
+  private def pqCodes(e: DataFrame, seeds: DataFrame): DataFrame = {
     val keyCols = (0 until PqSub).map { s =>
-      ((sdot(col("cq"), col("cq"), s) - lit(2L) * sdot(col("q"), col("cq"), s)
+      ((subDot(col("cq"), col("cq"), s) -
+        lit(2L) * subDot(col("q"), col("cq"), s)
         + lit(PqOffset)) * PqCodeK + (col("cid") - 1)).as(s"k_$s")
     }
-    val codes = e.crossJoin(broadcast(seeds))
+    e.crossJoin(broadcast(seeds))
       .select(col("vec_id") +: keyCols: _*)
       .groupBy(col("vec_id"))
       .agg(min(col("k_0")).as("m_0"),
@@ -548,23 +555,20 @@ object EmbeddingQueries {
       .select(col("vec_id"),
         posexplode(array((0 until PqSub).map(s =>
           col(s"m_$s") % PqCodeK + 1): _*)).as(Seq("s", "cid")))
-    // ADC lookup table: query × codebook × subspace exact dots
-    val lut = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"))
-      .crossJoin(broadcast(seeds))
+  }
+
+  /** ADC lookup table: per (query, subspace, code) the exact dot of
+    * the query's subvector with the code's UNCOMPRESSED centroid.
+    * `queries` must carry (query_id, qq).
+    */
+  private def pqLut(queries: DataFrame, seeds: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(seeds))
       .select(col("query_id"), col("cid"),
         posexplode(array((0 until PqSub).map(s =>
-          sdot(col("qq"), col("cq"), s)): _*)).as(Seq("s", "qd")))
-    val approx = codes.join(broadcast(lut), Seq("s", "cid"))
-      .where(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("approx_dot"))
-    val wCand = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dot").desc, col("vec_id").asc)
-    val cands = approx.withColumn("crnk", row_number().over(wCand))
-      .where(col("crnk") <= PqRerank)
-      .select(col("query_id"), col("vec_id"))
-    // exact re-rank of the PQ candidates
+          subDot(col("qq"), col("cq"), s)): _*)).as(Seq("s", "qd")))
+
+  /** Top-[[TopK]] per query by exact cosine over a candidate set. */
+  private def exactRerank(e: DataFrame, cands: DataFrame): DataFrame = {
     val qs = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"))
@@ -580,30 +584,51 @@ object EmbeddingQueries {
       .where(col("rnk") <= TopK)
   }
 
-  val knnPqAdcSql: String = {
-    def sdot(a: String, b: String, s: Int): String =
-      s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
-        s"i -> $a[${s * PqSubDim} + i] * $b[${s * PqSubDim} + i]))"
+  def knnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // encode + LUT + re-rank reads
+    val seeds = pqSeeds(e)
+    val codes = pqCodes(e, seeds)
+    val lut = pqLut(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")), seeds)
+    val approx = codes.join(broadcast(lut), Seq("s", "cid"))
+      .where(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("approx_dot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk", row_number().over(wCand))
+      .where(col("crnk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(e, cands)
+  }
+
+  /** Shared oracle CTE text for the PQ machinery: `pqseeds` (ranked
+    * codebook sample off `cranked`), `keys`/`mins`/`codes` (packed-MIN
+    * encode) and `lut` (query-side ADC table). Reused verbatim by
+    * [[knnPqAdcSql]] and [[knnIvfPqSql]] so the two pipelines can
+    * never drift one site at a time.
+    */
+  private def sqlSubDot(a: String, b: String, s: Int): String =
+    s"list_sum(list_transform(generate_series(1, $PqSubDim), " +
+      s"i -> $a[${s * PqSubDim} + i] * $b[${s * PqSubDim} + i]))"
+
+  private lazy val sqlPqCtes: String = {
     val keyCols = (0 until PqSub).map { s =>
-      s"((${sdot("c.cq", "c.cq", s)} - 2 * ${sdot("v.qv", "c.cq", s)}" +
+      s"((${sqlSubDot("c.cq", "c.cq", s)} - 2 * ${sqlSubDot("v.qv", "c.cq", s)}" +
         s" + $PqOffset) * $PqCodeK + (c.cid - 1)) AS k_$s"
     }.mkString(",\n    ")
     val mins = (0 until PqSub).map(s => s"MIN(k_$s) AS m_$s").mkString(", ")
     val codeCase = (0 until PqSub).map(s =>
       s"WHEN ${s} THEN m_$s % $PqCodeK + 1").mkString(" ")
     val qdCase = (0 until PqSub).map(s =>
-      s"WHEN ${s} THEN ${sdot("q.qq", "c.cq", s)}").mkString(" ")
-    val pdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> a.qq[i] * b.qv[i]))"
-    s"""WITH $sqlQuantized,
-       |$sqlCranked,
-       |seeds AS (
+      s"WHEN ${s} THEN ${sqlSubDot("q.qq", "c.cq", s)}").mkString(" ")
+    s"""pqseeds AS (
        |  SELECT hrnk AS cid, qv AS cq FROM cranked
        |  WHERE hrnk <= $PqCodeK),
        |keys AS (
        |  SELECT v.vec_id, c.cid,
        |    $keyCols
-       |  FROM n v, seeds c),
+       |  FROM n v, pqseeds c),
        |mins AS (SELECT vec_id, $mins FROM keys GROUP BY vec_id),
        |codes AS (
        |  SELECT vec_id, sp.s,
@@ -614,20 +639,15 @@ object EmbeddingQueries {
        |  SELECT q.vec_id AS query_id, c.cid, sp.s,
        |    CASE sp.s $qdCase END AS qd
        |  FROM (SELECT vec_id, qv AS qq FROM n WHERE vec_id < 10) q,
-       |    seeds c,
-       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp),
-       |approx AS (
-       |  SELECT l.query_id, c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS approx_dot
-       |  FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
-       |  WHERE l.query_id <> c.vec_id
-       |  GROUP BY 1, 2),
-       |cands AS (
-       |  SELECT query_id, vec_id FROM (
-       |    SELECT query_id, vec_id, row_number() OVER (
-       |      PARTITION BY query_id
-       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
-       |    FROM approx) WHERE crnk <= $PqRerank),
-       |scored AS (
+       |    pqseeds c,
+       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp)""".stripMargin
+  }
+
+  /** Shared oracle tail: exact re-rank of `cands(query_id, vec_id)`. */
+  private lazy val sqlExactRerank: String = {
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qq[i] * b.qv[i]))"
+    s"""scored AS (
        |  SELECT t.query_id, t.vec_id,
        |    ${sqlScorePpm(pdot, "a.norm2", "b.norm2")} AS score_ppm
        |  FROM cands t
@@ -639,6 +659,110 @@ object EmbeddingQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
+  val knnPqAdcSql: String =
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |$sqlPqCtes,
+       |approx AS (
+       |  SELECT l.query_id, c.vec_id, CAST(SUM(l.qd) AS BIGINT) AS approx_dot
+       |  FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+       |  WHERE l.query_id <> c.vec_id
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
+       |    FROM approx) WHERE crnk <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
+
+  // --------------------------------------------------- IVF-PQ kNN
+  /** The production composition — FAISS `IndexIVFPQ`: the IVF cell
+    * layout prunes WHICH vectors are scored (probe `NProbe` of k
+    * cells ⇒ ~NProbe/k of the corpus), and PQ codes shrink WHAT is
+    * scored (8 table lookups per candidate instead of a 64-dim dot),
+    * with exact-cosine re-rank of the survivors. Both stages are the
+    * already-verified [[knnIvf]] and [[knnPqAdc]] dataflows; this
+    * query chains them so the candidate generation never touches the
+    * full corpus and the scoring never touches full vectors — the
+    * shape that serves 10^10-vector search.
+    */
+  def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val cents = hashBottomK(e, centK(e.count()))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
+        col("norm2").as("cnorm2"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val ranked = assigned.withColumn("crnk", row_number().over(wAssign))
+    val cells = ranked.where(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell"))
+    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
+    val cand = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val seeds = pqSeeds(e)
+    val codes = pqCodes(e, seeds)
+    val lut = pqLut(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")), seeds)
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("approx_dot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk2", row_number().over(wCand))
+      .where(col("crnk2") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(e, cands)
+  }
+
+  val knnIvfPqSql: String = {
+    val cdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM cranked WHERE hrnk <= $sqlCentK),
+       |assign AS (
+       |  SELECT v.vec_id, c.centroid_id,
+       |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM n v, cents c),
+       |rankedc AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |  FROM assign),
+       |cells AS (
+       |  SELECT vec_id, centroid_id AS cell FROM rankedc WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell
+       |  FROM rankedc WHERE vec_id < 10 AND crnk <= $NProbe),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id),
+       |$sqlPqCtes,
+       |approx AS (
+       |  SELECT cd.query_id, cd.vec_id, CAST(SUM(l.qd) AS BIGINT) AS approx_dot
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.cid = c.cid
+       |  GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk2
+       |    FROM approx) WHERE crnk2 <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
   }
 
   // ------------------------------------- SQL front door, native fns
@@ -717,6 +841,7 @@ object EmbeddingQueries {
     "knn_ivf" -> (knnIvf _),
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_pq_adc" -> (knnPqAdc _),
+    "knn_ivfpq" -> (knnIvfPq _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
@@ -727,6 +852,7 @@ object EmbeddingQueries {
     "knn_ivf" -> knnIvfSql,
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_pq_adc" -> knnPqAdcSql,
+    "knn_ivfpq" -> knnIvfPqSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

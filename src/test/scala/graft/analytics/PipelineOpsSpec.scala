@@ -107,6 +107,22 @@ class PipelineOpsSpec extends SparkSuite {
     joined.unpersist()
   }
 
+  test("IVF-PQ candidates score exactly and clear the recall floor") {
+    val ivfpq = EmbeddingQueries.knnIvfPq(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("ivfpq_score"))
+    val brute = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("bf_score"))
+    val joined = ivfpq.join(brute, Seq("query_id", "vec_id")).cache()
+    assert(joined.where(col("ivfpq_score") =!= col("bf_score")).count() == 0)
+    // two pruning stages stack (cells × codes), so the floor is lower
+    // than either alone — what matters is exactness + a sane recall
+    val recall = joined.count().toDouble / brute.count().toDouble
+    assert(recall > 0.2, f"IVF-PQ recall $recall%.2f vs brute force")
+    joined.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
