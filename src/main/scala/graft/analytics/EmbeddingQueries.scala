@@ -294,17 +294,18 @@ object EmbeddingQueries {
   private def centK(n: Long): Int =
     math.max(CentKMin,
       math.min(CentKMax, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
-    // count + bottom-k + assignment + probe all read the quantized
-    // table: cache it (callers clearCache per materialization — the
-    // object-doc contract; at cluster scale, write the signature table
-    // once instead)
-    val e = quantized(spark, dir).cache()
+  /** The IVF coarse stage shared by [[knnIvf]] and [[knnIvfPq]]:
+    * bottom-k hash-sampled centroids, n×k assignment (centroid table
+    * tiny and broadcast), argmax cell per vector. Returns
+    * `cells(vec_id, cell, q, norm2)` and the query-side
+    * `qprobe(query_id, qq, qnorm2, cell)` probing [[NProbe]] cells.
+    * One implementation (and one [[sqlIvfCtes]] oracle text) so the
+    * two pipelines can never drift one site at a time.
+    */
+  private def ivfCoarse(e: DataFrame): (DataFrame, DataFrame) = {
     val cents = hashBottomK(e, centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
-    // n×k assignment: every vector scored against every centroid; the
-    // centroid table is tiny and broadcast
     val assigned = e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
         scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
@@ -318,25 +319,17 @@ object EmbeddingQueries {
     val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("centroid_id").as("cell"))
-    val scored = broadcast(qprobe).join(cells, Seq("cell"))
-      .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
-          .as("score_ppm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_ppm").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= TopK)
+    (cells, qprobe)
   }
 
-  val knnIvfSql: String = {
+  /** Oracle twin of [[ivfCoarse]]: `cents` → `assigned` → `ranked` →
+    * `cells(vec_id, cell, qv, norm2)` + `qprobe(query_id, qq, qn,
+    * cell)`.
+    */
+  private def sqlIvfCtes: String = {
     val cdot =
       "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
-    val pdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
-    s"""WITH $sqlQuantized,
-       |$sqlCranked,
-       |cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
        |  FROM cranked WHERE hrnk <= $sqlCentK),
        |assigned AS (
@@ -353,7 +346,33 @@ object EmbeddingQueries {
        |qprobe AS (
        |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn,
        |    centroid_id AS cell
-       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe),
+       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe)""".stripMargin
+  }
+
+  def knnIvf(spark: SparkSession, dir: String): DataFrame = {
+    // count + bottom-k + assignment + probe all read the quantized
+    // table: cache it (callers clearCache per materialization — the
+    // object-doc contract; at cluster scale, write the signature table
+    // once instead)
+    val e = quantized(spark, dir).cache()
+    val (cells, qprobe) = ivfCoarse(e)
+    val scored = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnIvfSql: String = {
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |$sqlIvfCtes,
        |scored AS (
        |  SELECT p.query_id, b.vec_id,
        |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
@@ -691,21 +710,9 @@ object EmbeddingQueries {
     */
   def knnIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
-    val cents = hashBottomK(e, centK(e.count()))
-      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
-        col("norm2").as("cnorm2"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
-          .as("cscore"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("centroid_id").asc)
-    val ranked = assigned.withColumn("crnk", row_number().over(wAssign))
-    val cells = ranked.where(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cell"))
-    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
-      .select(col("vec_id").as("query_id"), col("centroid_id").as("cell"))
-    val cand = broadcast(qprobe).join(cells, Seq("cell"))
+    val (cells, qprobe) = ivfCoarse(e)
+    val cand = broadcast(qprobe.select(col("query_id"), col("cell")))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"))
     val seeds = pqSeeds(e)
@@ -725,26 +732,9 @@ object EmbeddingQueries {
   }
 
   val knnIvfPqSql: String = {
-    val cdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
     s"""WITH $sqlQuantized,
        |$sqlCranked,
-       |cents AS (
-       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
-       |  FROM cranked WHERE hrnk <= $sqlCentK),
-       |assign AS (
-       |  SELECT v.vec_id, c.centroid_id,
-       |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
-       |  FROM n v, cents c),
-       |rankedc AS (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cscore DESC, centroid_id ASC) AS crnk
-       |  FROM assign),
-       |cells AS (
-       |  SELECT vec_id, centroid_id AS cell FROM rankedc WHERE crnk = 1),
-       |qprobe AS (
-       |  SELECT vec_id AS query_id, centroid_id AS cell
-       |  FROM rankedc WHERE vec_id < 10 AND crnk <= $NProbe),
+       |$sqlIvfCtes,
        |cand AS (
        |  SELECT p.query_id, b.vec_id
        |  FROM qprobe p JOIN cells b

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,8 +58,11 @@ final class TableStateStore(spark: SparkSession, path: String,
     *
     * Batch ids are DETERMINISTIC (`md5(ingestion_id-ordinal)`), not
     * minted uuids: `foreachBatch` is at-least-once, and when a crashed
-    * epoch replays, re-derived rows carry the SAME keys, so the
-    * latest-seq_no-wins read makes the duplicate append a no-op —
+    * epoch replays, re-derived rows carry the SAME keys. Together with
+    * the monotone status-rank resolution (see [[latestBatches]]) the
+    * duplicate append is a true no-op even when the processing loop
+    * advanced a batch BETWEEN the original epoch and its replay — the
+    * replayed `yet_to_start` row can never outrank a transition —
     * idempotence by construction, the same at-least-once × idempotent
     * = exactly-once argument as IdempotentSink.
     */
@@ -114,15 +117,28 @@ final class TableStateStore(spark: SparkSession, path: String,
       if (df.columns.isEmpty) None else Some(df)
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
-  /** Resolved current state: latest `seq_no` wins per batch_id (per
-    * ingestion_id for the zero-batch markers).
+  /** Status transitions are MONOTONE (`yet_to_start → triggered →
+    * completed`, never backward), so the furthest-advanced status IS
+    * the current state; `seq_no` only tiebreaks equal-status rows.
+    * Ranking by status first makes resolution replay-proof: a crashed
+    * epoch's re-appended `yet_to_start` rows (stamped with a fresh,
+    * HIGHER seq_no) can never resurrect a batch the processing loop
+    * already advanced.
+    */
+  private def statusRank: Column =
+    when(col("status") === Status.Completed, 2)
+      .when(col("status") === Status.Triggered, 1)
+      .otherwise(0)
+
+  /** Resolved current state per batch_id (per ingestion_id for the
+    * zero-batch markers): max status rank, then latest `seq_no`.
     */
   def latestBatches(): DataFrame = read() match {
     case None =>
       spark.emptyDataFrame // no log yet; callers see zero rows
     case Some(df) =>
       val w = Window.partitionBy(col("ingestion_id"), col("batch_id"))
-        .orderBy(col("seq_no").desc)
+        .orderBy(statusRank.desc, col("seq_no").desc)
       df.withColumn("rn", row_number().over(w))
         .where(col("rn") === 1).drop("rn")
   }
@@ -145,7 +161,8 @@ final class TableStateStore(spark: SparkSession, path: String,
     * not a driver-side loop.
     */
   def statusOf(ingestionId: String): Option[StatusDoc] = read().flatMap { df =>
-    val w = Window.partitionBy(col("batch_id")).orderBy(col("seq_no").desc)
+    val w = Window.partitionBy(col("batch_id"))
+      .orderBy(statusRank.desc, col("seq_no").desc)
     val rows = df
       .where(col("part") === bucketOf(ingestionId) &&
         col("ingestion_id") === ingestionId)

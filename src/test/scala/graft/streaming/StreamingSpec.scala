@@ -158,6 +158,14 @@ class StreamingSpec extends SparkSuite {
     val doc = store.statusOf("ing-r").get
     assert(doc.batches.map(_.ids) == Seq(Seq(1L, 2L, 3L), Seq(4L)))
     assert(doc.batches.map(_.batchId).distinct.size == 2)
+    // the harder replay: the loop PROCESSES the batches, then the
+    // crashed epoch replays its yet_to_start rows with a higher
+    // seq_no — monotone status-rank resolution must not resurrect them
+    while (store.processOnce(GraftConfig.bench, SystemSleeper)) ()
+    assert(store.statusOf("ing-r").get.status == Status.Completed)
+    store.ingestRequests(reqs, GraftConfig.bench) // late replay
+    assert(store.statusOf("ing-r").get.status == Status.Completed)
+    assert(store.pendingView().collect().isEmpty)
   }
 
   test("table-backed processing loop drains the queue in priority order") {
