@@ -89,6 +89,47 @@ class StreamingAnalyticsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("native session_window merges and closes sessions under the watermark") {
+    // the batch events_session query is oracle-checked on exactly this
+    // operator; here the SAME session_window expression runs in
+    // streaming mode — sessions merge across micro-batches and emit
+    // only once the watermark passes the session end
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamEvent]
+    val sessions = ms.toDS()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("userId"),
+        session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = sessions.writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      // two events 20 min apart in DIFFERENT micro-batches must merge
+      // into one session (gap 30 min covers the spread)
+      ms.addData(StreamEvent(t("2024-01-01 10:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 10:20:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("native_sessions").count() == 0) // still open
+      // watermark passes 10:50 (session end) → the merged session emits
+      ms.addData(StreamEvent(t("2024-01-01 12:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      ms.addData(StreamEvent(t("2024-01-01 13:00:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("native_sessions")
+        .select(col("userId"), col("win.start").cast("string"),
+          col("win.end").cast("string"), col("n"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // user 1's merged session AND user 2's 12:00 session (closed by
+      // the 13:00 watermark advance) are both out
+      assert(rows == Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 10:50:00", 2L, 3.0),
+        (2L, "2024-01-01 12:00:00", "2024-01-01 12:30:00", 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState closes sessions on event-time timeout") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import spark.implicits._
