@@ -19,9 +19,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val parts = Seq(
-      IngestQueries.queries, TpchQueries.queries, EventQueries.queries,
-      TextQueries.queries, DedupQueries.queries, EmbeddingQueries.queries,
-      MultimodalQueries.queries, ScalarBreadthQueries.queries)
+      IngestQueries.queries, TpchQueries.queries, TpchDeepQueries.queries,
+      EventQueries.queries, TextQueries.queries, DedupQueries.queries,
+      EmbeddingQueries.queries, MultimodalQueries.queries,
+      ScalarBreadthQueries.queries, PipelineQueries.queries)
     val merged = parts.reduce(_ ++ _)
     // `++` silently drops colliding keys — a collision would skip a
     // query from the correctness gate without any failure signal
@@ -36,10 +37,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     IngestQueries.oracles ++
       TpchQueries.oracles ++
+      TpchDeepQueries.oracles ++
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
       EmbeddingQueries.oracles ++
       MultimodalQueries.oracles ++
-      ScalarBreadthQueries.oracles
+      ScalarBreadthQueries.oracles ++
+      PipelineQueries.oracles
 }

@@ -314,7 +314,7 @@ object DedupQueries {
     * `spairs(doc_a, doc_b, hamming)` — the simhash near-dup pairs.
     * Reused by [[dedupSimhashPairsSql]] and [[dedupClustersSql]].
     */
-  private lazy val sqlSimhashPairCtes: String = {
+  private[analytics] lazy val sqlSimhashPairCtes: String = {
     val ham = "bit_count(xor(a.simhash_lo, b.simhash_lo)) + " +
       "bit_count(xor(a.simhash_hi, b.simhash_hi))"
     s"""$sqlSimhashCtes,

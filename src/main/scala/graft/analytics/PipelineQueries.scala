@@ -1,0 +1,408 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+import graft.functions.CrossHash
+
+/** Training-data pipeline compositions (round 4): the whole-pipeline
+  * operators a 100 TB pretraining corpus build runs AFTER the
+  * per-document primitives (TextQueries) and pair generators
+  * (DedupQueries) exist —
+  *
+  *  - benchmark-contamination detection (n-gram overlap between the
+  *    corpus and a held-out eval slice),
+  *  - chunk-level exact substring dedup (the C4 "three-sentence"
+  *    dedup shape at fixed word-window granularity),
+  *  - deterministic train/valid/test splitting (hash-bucket
+  *    assignment — reproducible across engines and re-runs),
+  *  - a composed C4/RefinedWeb-style keep/drop filter (quality rules
+  *    + near-dup verdict with a first-reject-reason audit column),
+  *  - triangle census over the near-dup graph (how clustered is the
+  *    duplicate structure — distinguishes star-shaped template spam
+  *    from pairwise-chained crawl dups),
+  *  - bloom-filter join pruning (the bounded-size broadcast that
+  *    replaces shuffling a 100 TB fact table against a selective
+  *    dimension; false-positive rate measured in-band, zero false
+  *    negatives asserted in-band).
+  *
+  * Scale notes: every text-derived join key is pre-hashed to a 56-bit
+  * md5 long ([[CrossHash.md5Long]]) so shuffles move 8-byte keys, never
+  * text; the eval-gram and bloom-word tables are bounded by
+  * construction (eval-set size, m/32 words) so their broadcasts hold at
+  * any corpus size; the chunk-dedup output is capped (top duplicated
+  * chunks) because at corpus scale the full duplicate list is itself a
+  * large dataset — the cap is logged in the plan via the LIMIT.
+  */
+object PipelineQueries {
+
+  private val Gram = 4 // contamination n-gram width (words)
+  private val Chunk = 5 // chunk-dedup window width (words)
+  private val BloomBits = 8192 // m: bloom filter size in bits
+  private val WordBits = 32 // bits packed per bloom word (sign-safe)
+
+  private def toks: Column = split(col("text"), " ")
+
+  // ------------------------------------------------ contamination
+  /** Benchmark-contamination scan: documents sharing any word 4-gram
+    * with the held-out eval slice (doc_id ≡ 0 mod 97 stands in for an
+    * external benchmark table). Grams are hashed to 56-bit longs
+    * before the join — the eval side is DISTINCT gram hashes, small by
+    * construction (eval sets are fixed-size), hence broadcast; the
+    * corpus side streams through it without a shuffle of gram text.
+    */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .where(size(toks) >= Gram)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(toks) - Gram),
+          i => array_join(slice(toks, i + 1, lit(Gram)), " "))).as("gram"))
+      .select(col("doc_id"), CrossHash.md5Long(col("gram")).as("gh"))
+      .distinct()
+    val eval_ = grams.where(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct()
+    grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eval_), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .orderBy(col("n_shared_grams").desc, col("doc_id"))
+  }
+
+  val textContaminationSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $Gram),
+       |g AS (SELECT DISTINCT doc_id,
+       |    ${CrossHash.sqlMd5Long(s"array_to_string(toks[i:i+${Gram - 1}], ' ')")} AS gh
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    len(toks) - ${Gram - 1})) AS i) s),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |FROM g JOIN ev USING (gh)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id
+       |ORDER BY n_shared_grams DESC, doc_id""".stripMargin
+
+  // ------------------------------------------------ chunk dedup
+  /** Chunk-level exact dedup: each document split into consecutive
+    * 5-word windows (last window may be short), windows hashed, and
+    * the corpus-wide duplicated windows reported with occurrence and
+    * document counts. This is substring-granularity exact dedup (C4
+    * removed repeated three-sentence spans the same way). Only 8-byte
+    * hashes shuffle; the report is capped at the top 1000 duplicated
+    * chunks (at corpus scale the full list is a dataset, not a query
+    * result — downstream removal joins against the uncapped frame).
+    */
+  def dedupChunk(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0),
+            ceil(size(toks) / lit(Chunk.toDouble)).cast("int") - 1),
+          i => array_join(slice(toks, i * Chunk + 1, lit(Chunk)), " ")))
+        .as("chunk"))
+      .select(col("doc_id"), CrossHash.md5Long(col("chunk")).as("chunk_hash"))
+      .groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("chunk_hash"))
+      .limit(1000)
+
+  val dedupChunkSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id,
+       |    ${CrossHash.sqlMd5Long(
+        s"array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ')")} AS chunk_hash
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    CAST(ceil(len(toks) / $Chunk.0) AS INT))) AS i) s)
+       |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM c
+       |GROUP BY chunk_hash
+       |HAVING COUNT(*) > 1
+       |ORDER BY n_occurrences DESC, chunk_hash
+       |LIMIT 1000""".stripMargin
+
+  // ------------------------------------------------ split assignment
+  /** Deterministic train/valid/test split: hash-bucket each document
+    * (900/50/50 of 1000 buckets) and report per-split counts and
+    * shares. Pure per-row expression + a 3-group aggregate — the split
+    * column itself costs nothing at any scale, and the same hash
+    * reproduces the assignment in any engine (no RNG state, no order
+    * dependence — the property a training pipeline needs to keep
+    * held-out data held out across re-runs and backfills).
+    */
+  def pipelineSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("bucket",
+        CrossHash.md5Long(concat(lit("split:"), col("doc_id").cast("string")))
+          % 1000)
+      .withColumn("split",
+        when(col("bucket") < 900, "train")
+          .when(col("bucket") < 950, "valid").otherwise("test"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bucket")).as("min_bucket"),
+        max(col("bucket")).as("max_bucket"))
+      .join(broadcast(total))
+      .select(col("split"), col("n_docs"),
+        col("min_bucket"), col("max_bucket"),
+        ppm(col("n_docs"), col("n_total")).as("share_ppm"))
+      .orderBy(col("split"))
+  }
+
+  val pipelineSplitSql: String = {
+    val bucket = CrossHash.sqlMd5Long("'split:' || CAST(doc_id AS VARCHAR)") +
+      " % 1000"
+    s"""WITH d AS (SELECT doc_id, $bucket AS bucket,
+       |    CASE WHEN $bucket < 900 THEN 'train'
+       |         WHEN $bucket < 950 THEN 'valid' ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(bucket) AS min_bucket, MAX(bucket) AS max_bucket,
+       |  ${sqlPpm("COUNT(*)", "(SELECT COUNT(*) FROM d)")} AS share_ppm
+       |FROM d
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+  }
+
+  // ------------------------------------------------ composed filter
+  /** C4/RefinedWeb-style keep/drop pipeline: length floor, stopword
+    * ceiling, repetition ceiling, then near-dup removal (keep the
+    * lowest doc_id of each simhash near-dup pair), with the FIRST
+    * failing rule recorded — the audit column every production filter
+    * pipeline carries so corpus composition changes are attributable.
+    * All ratios are integer ppm; the near-dup verdict reuses the
+    * banded simhash pair generator, so the only non-trivial cost is
+    * the pair join the dedup stage already pays.
+    */
+  def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      size(filter(toks, t => t === "the" || t === "a")).cast("long")
+        .as("n_stop"))
+    val topShare = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
+    val dupB = DedupQueries.simhashPairsFrame(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val reason = when(col("n_tok") < 15, "too_short")
+      .when(ppm(col("n_stop"), col("n_tok")) >= 150000, "stopwordy")
+      .when(ppm(col("top_cnt"), col("n_tok")) >= 200000, "repetitive")
+      .when(col("is_dup"), "near_dup")
+    base.join(topShare, "doc_id")
+      .join(broadcast(dupB), Seq("doc_id"), "left_outer")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("keep", col("reason").isNull)
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineFilterSql: String =
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t = 'the' OR t = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |tc AS (
+       |  SELECT doc_id, MAX(c) AS top_cnt FROM (
+       |    SELECT doc_id, COUNT(*) AS c
+       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |          FROM documents) x
+       |    GROUP BY doc_id, tok) y
+       |  GROUP BY doc_id),
+       |dup AS (SELECT DISTINCT doc_b AS doc_id FROM spairs),
+       |verdict AS (
+       |  SELECT base.doc_id,
+       |    CASE WHEN n_tok < 15 THEN 'too_short'
+       |         WHEN ${sqlPpm("n_stop", "n_tok")} >= 150000 THEN 'stopwordy'
+       |         WHEN ${sqlPpm("top_cnt", "n_tok")} >= 200000 THEN 'repetitive'
+       |         WHEN dup.doc_id IS NOT NULL THEN 'near_dup'
+       |         ELSE NULL END AS reason
+       |  FROM base
+       |  JOIN tc ON base.doc_id = tc.doc_id
+       |  LEFT JOIN dup ON base.doc_id = dup.doc_id)
+       |SELECT doc_id, reason, reason IS NULL AS keep
+       |FROM verdict
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ triangle census
+  /** Triangle census of the simhash near-dup graph: nodes, edges,
+    * wedges (open 2-paths), triangles, and the global clustering
+    * coefficient as ppm. Distinguishes template spam (dense cliques →
+    * high clustering) from chained crawl dups (paths → low). The
+    * triangle join is edge⨝edge⨝edge on oriented edges (doc_a <
+    * doc_b), the standard distributed formulation — each join shuffles
+    * 16-byte edge rows on one endpoint, and orientation means every
+    * triangle is counted exactly once.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val edges = DedupQueries.simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")).cache()
+    val deg = edges.select(col("doc_a").as("node"))
+      .union(edges.select(col("doc_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val counts = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    val e1 = edges.as("e1"); val e2 = edges.as("e2"); val e3 = edges.as("e3")
+    val tri = e1.join(e2, col("e1.doc_b") === col("e2.doc_a"))
+      .join(e3, col("e3.doc_a") === col("e1.doc_a") &&
+        col("e3.doc_b") === col("e2.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    counts.join(broadcast(nEdges)).join(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, 0L)
+          .otherwise(ppm(col("n_triangles") * 3, col("n_wedges")))
+          .as("clustering_ppm"))
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (SELECT doc_a, doc_b FROM spairs),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS node FROM edges
+       |    UNION ALL SELECT doc_b AS node FROM edges) u
+       |  GROUP BY node),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.doc_b = e2.doc_a
+       |  JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+       |SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+       |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+       |  (SELECT n_triangles FROM tri) AS n_triangles,
+       |  CASE WHEN SUM(deg * (deg - 1) // 2) = 0 THEN 0
+       |       ELSE ${sqlPpm("(SELECT n_triangles FROM tri) * 3",
+        "SUM(deg * (deg - 1) // 2)")} END AS clustering_ppm
+       |FROM deg""".stripMargin
+
+  // ------------------------------------------------ bloom pruning
+  /** Bloom-filter join pruning: build an m=8192-bit, k=2 bloom filter
+    * over a selective dimension key set (BUILDING-segment customers)
+    * as 256 packed 32-bit words — a byte-bounded structure at ANY
+    * dimension size — then pre-filter the fact table (orders) through
+    * it before the real join. The report row carries the measured
+    * false-positive count and asserts zero false negatives in-band
+    * (n_missed — rows the exact join matches but the bloom rejected —
+    * must be 0, the bloom guarantee). At 100 TB this is the pattern
+    * that turns a full fact shuffle into a broadcast prefilter: the
+    * bloom words table never exceeds m/32 rows no matter how large the
+    * dimension grows, unlike broadcasting the dimension itself.
+    */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val m = BloomBits
+    def h(c: Column): Column = CrossHash.md5Long(concat(lit("bloom:"),
+      c.cast("string")))
+    val dim = table(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+    val positions = dim.select(col("key"), h(col("key")).as("hv"))
+      .select(explode(array(col("hv") % m, (col("hv") / m).cast("long") % m))
+        .as("pos"))
+    val words = positions
+      .select((col("pos") / WordBits).cast("long").as("word_idx"),
+        (col("pos") % WordBits).cast("int").as("bit"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("wv"))
+    val facts = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), h(col("o_custkey")).as("hv"))
+      .withColumn("p1", col("hv") % m)
+      .withColumn("p2", (col("hv") / m).cast("long") % m)
+    val w1 = words.select(col("word_idx").as("wi1"), col("wv").as("wv1"))
+    val w2 = words.select(col("word_idx").as("wi2"), col("wv").as("wv2"))
+    val truth = dim.withColumn("true_match", lit(true))
+    val probed = facts
+      .join(broadcast(w1), (col("p1") / WordBits).cast("long") === col("wi1"),
+        "left_outer")
+      .join(broadcast(w2), (col("p2") / WordBits).cast("long") === col("wi2"),
+        "left_outer")
+      .withColumn("pass_bloom",
+        expr(s"(coalesce(wv1, 0L) div shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(p1 % $WordBits AS INT))) % 2 = 1") &&
+        expr(s"(coalesce(wv2, 0L) div shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(p2 % $WordBits AS INT))) % 2 = 1"))
+      .join(broadcast(truth), col("o_custkey") === col("key"), "left_outer")
+      .withColumn("true_match", coalesce(col("true_match"), lit(false)))
+    probed.agg(
+      count(lit(1)).as("n_fact"),
+      count(when(col("pass_bloom"), 1)).as("n_pass_bloom"),
+      count(when(col("true_match"), 1)).as("n_true_match"),
+      count(when(col("pass_bloom") && !col("true_match"), 1))
+        .as("n_false_pos"),
+      count(when(col("true_match") && !col("pass_bloom"), 1))
+        .as("n_missed"))
+  }
+
+  val bloomJoinPruneSql: String = {
+    val m = BloomBits
+    def h(x: String): String =
+      CrossHash.sqlMd5Long(s"'bloom:' || CAST($x AS VARCHAR)")
+    s"""WITH dim AS (
+       |  SELECT DISTINCT c_custkey AS key FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |pos AS (
+       |  SELECT p.pos FROM (
+       |    SELECT ${h("key")} % $m AS pos FROM dim
+       |    UNION ALL
+       |    SELECT (${h("key")} // $m) % $m AS pos FROM dim) p),
+       |words AS (
+       |  SELECT pos // $WordBits AS word_idx,
+       |    bit_or(CAST(1 AS BIGINT) << CAST(pos % $WordBits AS INT)) AS wv
+       |  FROM pos GROUP BY pos // $WordBits),
+       |facts AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    ${h("o_custkey")} % $m AS p1,
+       |    (${h("o_custkey")} // $m) % $m AS p2
+       |  FROM orders),
+       |probed AS (
+       |  SELECT f.o_custkey,
+       |    (COALESCE(w1.wv, 0) // (CAST(1 AS BIGINT) <<
+       |       CAST(f.p1 % $WordBits AS INT))) % 2 = 1
+       |    AND (COALESCE(w2.wv, 0) // (CAST(1 AS BIGINT) <<
+       |       CAST(f.p2 % $WordBits AS INT))) % 2 = 1 AS pass_bloom,
+       |    dim.key IS NOT NULL AS true_match
+       |  FROM facts f
+       |  LEFT JOIN words w1 ON f.p1 // $WordBits = w1.word_idx
+       |  LEFT JOIN words w2 ON f.p2 // $WordBits = w2.word_idx
+       |  LEFT JOIN dim ON f.o_custkey = dim.key)
+       |SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_fact,
+       |  CAST(COUNT(CASE WHEN pass_bloom THEN 1 END) AS BIGINT)
+       |    AS n_pass_bloom,
+       |  CAST(COUNT(CASE WHEN true_match THEN 1 END) AS BIGINT)
+       |    AS n_true_match,
+       |  CAST(COUNT(CASE WHEN pass_bloom AND NOT true_match THEN 1 END)
+       |    AS BIGINT) AS n_false_pos,
+       |  CAST(COUNT(CASE WHEN true_match AND NOT pass_bloom THEN 1 END)
+       |    AS BIGINT) AS n_missed
+       |FROM probed""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_contamination" -> (textContamination _),
+    "dedup_chunk" -> (dedupChunk _),
+    "pipeline_split" -> (pipelineSplit _),
+    "pipeline_filter" -> (pipelineFilter _),
+    "graph_triangles" -> (graphTriangles _),
+    "bloom_join_prune" -> (bloomJoinPrune _))
+
+  val oracles: Map[String, String] = Map(
+    "text_contamination" -> textContaminationSql,
+    "dedup_chunk" -> dedupChunkSql,
+    "pipeline_split" -> pipelineSplitSql,
+    "pipeline_filter" -> pipelineFilterSql,
+    "graph_triangles" -> graphTrianglesSql,
+    "bloom_join_prune" -> bloomJoinPruneSql)
+}

@@ -1,0 +1,352 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** Deeper TPC-H-shaped relational coverage (round 4): the remaining
+  * dwarf shapes expressible over the driver's column subset — nation
+  * pair flow analysis (q7), market-share ratio over a double
+  * aggregation (q8), outer-join distribution (q13), argmax-by-group via
+  * scalar subquery (q15), correlated per-group average threshold (q17),
+  * double-correlated EXISTS/NOT-EXISTS (q21), and anti-join +
+  * ungrouped-average threshold (q22).
+  *
+  * Column adaptations (testdata lacks some TPC-H columns; semantics
+  * preserved, parameters renamed):
+  *  - q13 drops the o_comment NOT LIKE filter (no comment column).
+  *  - q17 keys the quantity threshold on p_brand only (no p_container).
+  *  - q21 defines "late" as l_shipdate > o_orderdate + 60 days (no
+  *    l_receiptdate/l_commitdate), keeping the exists/not-exists shape.
+  *  - q22 selects countries by c_nationkey parity-slice (no c_phone).
+  *
+  * Scale notes: every plan shuffles fact tables on their join keys
+  * only; nation/region/supplier and all derived per-group thresholds
+  * are broadcast; q21's per-order supplier profile is ONE extra
+  * aggregation on the already-shuffled order key (no second lineitem
+  * scan pass beyond the self-aggregate); ratios/averages go through
+  * DECIMAL so results are partition-order independent (QueryUtil).
+  */
+object TpchDeepQueries {
+
+  private def ts(s: String): Column = lit(Timestamp.valueOf(s))
+
+  // ------------------------------------------------------------ Q7
+  /** Q7 volume shipping between NATION_1 and NATION_2, by year.
+    * lineitem⨝orders shuffles on orderkey; both nation sides and
+    * customer/supplier are broadcast dims.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+    val o = table(spark, dir, "orders")
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val n1 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${sqlDsum("volume", 4)} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ------------------------------------------------------------ Q8
+  /** Q8 market share of NATION_2 suppliers within ASIA-customer ECONOMY
+    * orders, per year, as an integer ppm ratio (ratio of two exact
+    * DECIMAL sums → one IEEE divide → engine-identical).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part").where(col("p_type") === "ECONOMY")
+    val l = table(spark, dir, "lineitem")
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
+    val c = table(spark, dir, "customer")
+    val s = table(spark, dir, "supplier")
+    val n1 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+    val r = table(spark, dir, "region").where(col("r_name") === "ASIA")
+    val n2 = table(spark, dir, "nation")
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .select(year(col("o_orderdate")).cast("long").as("o_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+      .groupBy(col("o_year"))
+      .agg(ppm(
+        sum(when(col("supp_nation") === "NATION_2", col("volume"))
+          .otherwise(lit(0.0)).cast(dec)),
+        sum(col("volume").cast(dec))).as("mkt_share_ppm"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8Sql: String =
+    s"""SELECT o_year,
+       |  ${sqlPpm(
+        "SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0.0 END AS DECIMAL(18,4)))",
+        "SUM(CAST(volume AS DECIMAL(18,4)))")} AS mkt_share_ppm
+       |FROM (
+       |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |    l_extendedprice * (1 - l_discount) AS volume,
+       |    n2.n_name AS supp_nation
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------------------ Q13
+  /** Q13 customer order-count distribution: LEFT OUTER join (customers
+    * with zero orders must appear as c_count=0), double aggregation.
+    * The outer join shuffles on custkey; the second aggregate is over
+    * ≤ a few hundred distinct counts — near-free.
+    */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = table(spark, dir, "customer").select(col("c_custkey"))
+    val o = table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ------------------------------------------------------------ Q15
+  /** Q15 top supplier: per-supplier quarterly revenue, then the
+    * supplier(s) achieving the global max (argmax via scalar subquery —
+    * revenue is an exact DECIMAL sum, so the max and the equality
+    * comparison are engine-identical). The revenue aggregate shuffles
+    * on suppkey; the max is a 1-row broadcast back over it.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = table(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("total_revenue"))
+    val top = rev.agg(max(col("total_revenue")).as("mx"))
+    val s = table(spark, dir, "supplier")
+    rev.join(broadcast(top), rev("total_revenue") === top("mx"))
+      .join(broadcast(s), col("supplier_no") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ------------------------------------------------------------ Q17
+  /** Q17 small-quantity-order revenue: lineitems of one brand whose
+    * quantity is below 20% of that part's average quantity. The
+    * per-part average is a broadcast-back threshold (exact DECIMAL sum
+    * over exact count, then one IEEE multiply+compare). Adapted:
+    * threshold keyed on p_brand parts only (no p_container column).
+    */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = table(spark, dir, "part").where(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"))
+    val l = table(spark, dir, "lineitem")
+    val branded = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val avgQ = l.groupBy(col("l_partkey").as("ak"))
+      .agg(davg(col("l_quantity")).as("avg_qty"))
+    branded.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((dsum(col("l_extendedprice")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${sqlDsum("l_extendedprice")} / 7.0 AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN (
+       |  SELECT l_partkey AS ak, ${sqlDavg("l_quantity")} AS avg_qty
+       |  FROM lineitem GROUP BY l_partkey) pa ON l_partkey = ak
+       |WHERE p_brand = 'Brand#13' AND l_quantity < 0.2 * avg_qty""".stripMargin
+
+  // ------------------------------------------------------------ Q21
+  /** Q21 suppliers who kept orders waiting (adapted): for finished
+    * orders, a lineitem is "late" when it shipped more than 60 days
+    * after the order date; count, per supplier of one nation, the late
+    * lineitems in multi-supplier orders where NO other supplier was
+    * late. The EXISTS / NOT-EXISTS pair collapses into one per-order
+    * profile aggregate (distinct suppliers, distinct late suppliers) —
+    * one extra shuffle on the order key the join already uses, instead
+    * of two correlated re-scans of lineitem.
+    */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val lo = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .withColumn("late",
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > lit(60))
+    val profile = lo.groupBy(col("l_orderkey").as("pk"))
+      .agg(countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+    val s = table(spark, dir, "supplier")
+    val n = table(spark, dir, "nation").where(col("n_name") === "NATION_3")
+    lo.join(profile, col("l_orderkey") === col("pk"))
+      .where(col("late") && col("nsupp") > 1 && col("nlate") === 1)
+      .join(broadcast(s), col("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    date_diff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) > 60 AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'),
+      |profile AS (
+      |  SELECT l_orderkey AS pk,
+      |    COUNT(DISTINCT l_suppkey) AS nsupp,
+      |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate
+      |  FROM lo GROUP BY l_orderkey)
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM lo
+      |JOIN profile ON l_orderkey = pk
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE late AND nsupp > 1 AND nlate = 1 AND n_name = 'NATION_3'
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  // ------------------------------------------------------------ Q22
+  /** Q22 global sales opportunity (adapted): customers in an odd-keyed
+    * nation slice with above-average positive balance and no RECENT
+    * orders (none since 2000-01-01 — q22's "lapsed customers" intent;
+    * an unqualified no-orders-ever set is empty in this data) — an
+    * ungrouped-average broadcast threshold plus a left-anti join
+    * against the filtered orders (shuffles custkey only, and the date
+    * filter prunes the anti-join's build side before the shuffle).
+    */
+  def q22GlobalSales(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq(1, 3, 5, 7, 9, 11, 13).map(_.toString)
+    val c = table(spark, dir, "customer")
+      .where(col("c_nationkey").isin(nations: _*))
+    val avgBal = c.where(col("c_acctbal") > 0)
+      .agg(davg(col("c_acctbal")).as("ab"))
+    val o = table(spark, dir, "orders")
+      .where(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+      .select(col("o_custkey"))
+    c.join(broadcast(avgBal))
+      .where(col("c_acctbal") > col("ab"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").cast("long").as("cntry"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntry"))
+  }
+
+  val q22Sql: String =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+       |  CAST(COUNT(*) AS BIGINT) AS numcust,
+       |  ${sqlDsum("c_acctbal")} AS totacctbal
+       |FROM customer
+       |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+       |  AND c_acctbal > (
+       |    SELECT ${sqlDavg("c_acctbal")} FROM customer
+       |    WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+       |GROUP BY c_nationkey
+       |ORDER BY cntry""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_smallqty_revenue" -> (q17SmallQtyRevenue _),
+    "q21_waiting_supplier" -> (q21WaitingSupplier _),
+    "q22_global_sales" -> (q22GlobalSales _))
+
+  val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" -> q7Sql,
+    "q8_market_share" -> q8Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_smallqty_revenue" -> q17Sql,
+    "q21_waiting_supplier" -> q21Sql,
+    "q22_global_sales" -> q22Sql)
+}
