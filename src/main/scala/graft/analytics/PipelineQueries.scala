@@ -40,6 +40,9 @@ object PipelineQueries {
   private val Gram = 4 // contamination n-gram width (words)
   private val Chunk = 5 // chunk-dedup window width (words)
   private val BloomBits = 8192 // m: bloom filter size in bits
+  private val BloomShift = 13 // log2(BloomBits); md5Long >= 0, so
+  // shiftright is exact floor division — long `/` would round through
+  // an IEEE double and diverge from the oracle's `//` above 2^53
   private val WordBits = 32 // bits packed per bloom word (sign-safe)
 
   private def toks: Column = split(col("text"), " ")
@@ -175,7 +178,10 @@ object PipelineQueries {
     * pipeline carries so corpus composition changes are attributable.
     * All ratios are integer ppm; the near-dup verdict reuses the
     * banded simhash pair generator, so the only non-trivial cost is
-    * the pair join the dedup stage already pays.
+    * the pair join the dedup stage already pays. The dup-id set scales
+    * with the corpus (duplicate fraction of 100 TB is itself huge), so
+    * its join shuffles on the 8-byte doc_id — deliberately NOT hinted
+    * broadcast; AQE may still choose broadcast when it measures small.
     */
   def pipelineFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
@@ -195,7 +201,7 @@ object PipelineQueries {
       .when(ppm(col("top_cnt"), col("n_tok")) >= 200000, "repetitive")
       .when(col("is_dup"), "near_dup")
     base.join(topShare, "doc_id")
-      .join(broadcast(dupB), Seq("doc_id"), "left_outer")
+      .join(dupB, Seq("doc_id"), "left_outer")
       .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
       .select(col("doc_id"), reason.as("reason"))
       .withColumn("keep", col("reason").isNull)
@@ -250,7 +256,7 @@ object PipelineQueries {
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val counts = deg.agg(
       count(lit(1)).as("n_nodes"),
-      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+      sum(shiftright(col("deg") * (col("deg") - 1), 1)).as("n_wedges"))
     val e1 = edges.as("e1"); val e2 = edges.as("e2"); val e3 = edges.as("e3")
     val tri = e1.join(e2, col("e1.doc_b") === col("e2.doc_a"))
       .join(e3, col("e3.doc_a") === col("e1.doc_a") &&
@@ -309,7 +315,7 @@ object PipelineQueries {
       .where(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key")).distinct()
     val positions = dim.select(col("key"), h(col("key")).as("hv"))
-      .select(explode(array(col("hv") % m, (col("hv") / m).cast("long") % m))
+      .select(explode(array(col("hv") % m, shiftright(col("hv"), BloomShift) % m))
         .as("pos"))
     val words = positions
       .select((col("pos") / WordBits).cast("long").as("word_idx"),
@@ -319,7 +325,7 @@ object PipelineQueries {
     val facts = table(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), h(col("o_custkey")).as("hv"))
       .withColumn("p1", col("hv") % m)
-      .withColumn("p2", (col("hv") / m).cast("long") % m)
+      .withColumn("p2", shiftright(col("hv"), BloomShift) % m)
     val w1 = words.select(col("word_idx").as("wi1"), col("wv").as("wv1"))
     val w2 = words.select(col("word_idx").as("wi2"), col("wv").as("wv2"))
     val truth = dim.withColumn("true_match", lit(true))
