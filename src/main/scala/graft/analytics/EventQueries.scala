@@ -352,7 +352,72 @@ object EventQueries {
        |FROM spine s CROSS JOIN types t
        |LEFT JOIN hourly h ON h.hour = s.hour AND h.event_type = t.event_type""".stripMargin
 
+  // ------------------------------------------------ SCD2 dimension
+  /** Slowly-changing-dimension (type 2) build from the event log: each
+    * user's activity segment (value tercile of the event) collapsed
+    * into validity intervals — the lakehouse dimension-maintenance
+    * operator (one history row per contiguous segment run, with
+    * `valid_to` = next run's start and NULL marking the current row).
+    * Gaps-and-islands via two ROW_NUMBERs (their difference is
+    * constant within a run); both windows partition by user_id, so at
+    * 100 TB this is one shuffle on the user key and no global sort.
+    * (ts, event_id) ordering makes runs tie-deterministic; first_eid
+    * disambiguates runs that start on the same timestamp.
+    */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val seg = when(col("value") < 10, "low")
+      .when(col("value") < 100, "mid").otherwise("high")
+    val byTime = w.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bySeg = w.partitionBy(col("user_id"), col("seg"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), seg.as("seg"))
+      .withColumn("grp",
+        row_number().over(byTime) - row_number().over(bySeg))
+      .groupBy(col("user_id"), col("seg"), col("grp"))
+      .agg(min(col("ts")).as("valid_from"),
+        min(col("event_id")).as("first_eid"),
+        count(lit(1)).as("n_events"))
+    val byStart = w.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("first_eid"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("seg"), col("valid_from"),
+        col("valid_to"), col("first_eid"), col("n_events"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("first_eid"))
+  }
+
+  val eventsScd2Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN value < 10 THEN 'low'
+      |         WHEN value < 100 THEN 'mid' ELSE 'high' END AS seg
+      |  FROM events),
+      |grps AS (
+      |  SELECT user_id, ts, event_id, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    - ROW_NUMBER() OVER (PARTITION BY user_id, seg
+      |                         ORDER BY ts, event_id) AS grp
+      |  FROM marked),
+      |runs AS (
+      |  SELECT user_id, seg, grp, MIN(ts) AS valid_from,
+      |    MIN(event_id) AS first_eid, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM grps GROUP BY user_id, seg, grp)
+      |SELECT user_id, seg, valid_from,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_eid) AS valid_to,
+      |  first_eid, n_events,
+      |  LEAD(valid_from, 1) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from, first_eid) IS NULL AS is_current
+      |FROM runs
+      |ORDER BY user_id, valid_from, first_eid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_scd2" -> (eventsScd2 _),
     "events_gapfill" -> (eventsGapfill _),
     "events_unpivot" -> (eventsUnpivot _),
     "events_map_funcs" -> (eventsMapFuncs _),
@@ -366,6 +431,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_scd2" -> eventsScd2Sql,
     "events_gapfill" -> eventsGapfillSql,
     "events_unpivot" -> eventsUnpivotSql,
     "events_map_funcs" -> eventsMapFuncsSql,

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
@@ -396,7 +397,233 @@ object PipelineQueries {
        |FROM probed""".stripMargin
   }
 
+  // ------------------------------------------------ distributed scan
+  /** Exclusive prefix sum of `n_tok` over the global (ord, doc_id)
+    * order WITHOUT a single-partition window: the classic two-phase
+    * scan. Phase 1 windows within each of 256 order-preserving buckets
+    * (the top 8 bits of the 56-bit order hash — the bucket is a prefix
+    * of the sort key, so bucket order == global order); phase 2
+    * computes per-bucket offsets on a (|partCols distinct| × 256)-row
+    * frame — bounded regardless of corpus size, safe to broadcast —
+    * and adds them back. A plain global `Window.orderBy` would move
+    * the entire corpus through one task; this shape keeps every
+    * executor busy on ~0.4% of the data and is how packing/budgeting
+    * stays feasible at 100 TB. Input must carry `ord` (56-bit
+    * nonnegative hash), `doc_id`, `n_tok` and `partCols`; output adds
+    * `pos`, the tokens strictly before this doc in its partition's
+    * global order.
+    */
+  private def scanPos(df: DataFrame, partCols: Seq[String]): DataFrame = {
+    val withB = df.withColumn("bkt", shiftright(col("ord"), 48))
+    val part = (partCols :+ "bkt").map(col)
+    val inW = Window.partitionBy(part: _*)
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = withB.withColumn("pre_in",
+      coalesce(sum(col("n_tok")).over(inW), lit(0L)))
+    val offW = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withB.groupBy(part: _*)
+      .agg(sum(col("n_tok")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(offW), lit(0L)))
+      .select(part :+ col("boff"): _*)
+    within.join(broadcast(offs), partCols :+ "bkt")
+      .withColumn("pos", col("boff") + col("pre_in"))
+      .drop("bkt", "pre_in", "boff")
+  }
+
+  // ------------------------------------------------ sequence packing
+  private val SeqLen = 512 // tokens per packed training sequence
+  private val SeqShift = 9 // log2(SeqLen): exact floor div, pos >= 0
+
+  /** Sequence packing — the GPT-style "concatenate the corpus in a
+    * fixed shuffle order, then split into SeqLen-token training
+    * sequences" operator. Each document's placement is determined by
+    * an exclusive prefix sum of token counts over a deterministic
+    * hash order ([[scanPos]] — two-phase scan, no global-sort
+    * bottleneck), from which its first/last sequence index and the
+    * number of sequence boundaries it straddles follow by integer
+    * division. Padding-free by construction (documents flow across
+    * boundaries), which is why this shape beats per-bin first-fit at
+    * corpus scale: placement is one scan + one broadcast join,
+    * embarrassingly parallel, and reproducible across engines.
+    */
+  def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      CrossHash.md5Long(concat(lit("pack:"), col("doc_id").cast("string")))
+        .as("ord"))
+    scanPos(base, Nil)
+      .select(col("doc_id"), col("n_tok"),
+        shiftright(col("pos"), SeqShift).as("start_seq"),
+        shiftright(col("pos") + col("n_tok") - 1, SeqShift).as("end_seq"))
+      .withColumn("n_crossed", col("end_seq") - col("start_seq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelinePackSql: String = {
+    val h = CrossHash.sqlMd5Long("'pack:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $h AS ord
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (
+       |    ORDER BY ord, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS pos
+       |  FROM base)
+       |SELECT doc_id, n_tok,
+       |  pos // $SeqLen AS start_seq,
+       |  (pos + n_tok - 1) // $SeqLen AS end_seq,
+       |  (pos + n_tok - 1) // $SeqLen - pos // $SeqLen AS n_crossed
+       |FROM pos ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------ corpus mixture
+  private val MixBudget = 20000L // token budget for the mixture
+  private val MixWeights = Seq( // ppm of the budget per language
+    "de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+    "fr" -> 150000L, "zh" -> 150000L)
+
+  /** Corpus mixing — fill a per-language token budget (ppm weights of
+    * a total budget) by taking documents in deterministic hash order
+    * until the next whole document would overflow the language's
+    * allocation. This is the data-mixture step of a pretraining run
+    * (so many tokens of each language/domain), made reproducible: the
+    * hash order is engine-independent, and the per-language running
+    * token total comes from the same two-phase scan as
+    * [[pipelinePack]] (partitioned by lang), so no global sort exists
+    * at any scale. Reports per-language fill: docs kept, tokens kept,
+    * and attained fraction of target in ppm.
+    */
+  def pipelineMix(spark: SparkSession, dir: String): DataFrame = {
+    val wtCol = MixWeights.foldRight(lit(0L): Column) {
+      case ((l, w), e) => when(col("lang") === l, lit(w)).otherwise(e)
+    }
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tok"),
+      CrossHash.md5Long(concat(lit("mix:"), col("doc_id").cast("string")))
+        .as("ord"))
+    scanPos(base, Seq("lang"))
+      .withColumn("wt", wtCol)
+      .withColumn("tgt_tok", expr(s"(wt * $MixBudget) div 1000000"))
+      .withColumn("keep", col("pos") + col("n_tok") <= col("tgt_tok"))
+      .groupBy(col("lang"))
+      .agg(max(col("tgt_tok")).as("tgt_tok"),
+        count(when(col("keep"), 1)).as("n_docs_kept"),
+        coalesce(sum(when(col("keep"), col("n_tok"))), lit(0L))
+          .as("n_tok_kept"))
+      .withColumn("fill_ppm",
+        when(col("tgt_tok") > 0, ppm(col("n_tok_kept"), col("tgt_tok")))
+          .otherwise(lit(0L)))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineMixSql: String = {
+    val h = CrossHash.sqlMd5Long("'mix:' || CAST(doc_id AS VARCHAR)")
+    val wt = MixWeights
+      .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    $h AS ord
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, n_tok, CAST(COALESCE(SUM(n_tok) OVER (
+       |    PARTITION BY lang ORDER BY ord, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS pos
+       |  FROM base),
+       |k AS (
+       |  SELECT lang, n_tok,
+       |    (CAST(($wt) AS BIGINT) * $MixBudget) // 1000000 AS tgt_tok,
+       |    pos + n_tok <= (CAST(($wt) AS BIGINT) * $MixBudget) // 1000000 AS keep
+       |  FROM pos)
+       |SELECT lang, MAX(tgt_tok) AS tgt_tok,
+       |  CAST(COUNT(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_docs_kept,
+       |  CAST(COALESCE(SUM(CASE WHEN keep THEN n_tok END), 0) AS BIGINT)
+       |    AS n_tok_kept,
+       |  CASE WHEN MAX(tgt_tok) > 0
+       |    THEN ${sqlPpm("COALESCE(SUM(CASE WHEN keep THEN n_tok END), 0)",
+        "MAX(tgt_tok)")}
+       |    ELSE 0 END AS fill_ppm
+       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ------------------------------------------------ graph centrality
+  private val PrIters = 3 // fixed power-iteration count
+  private val PrBase = 150000L // (1 - d) scaled by 1e6
+  private val PrDamp = 850000L // damping d scaled by 1e6
+
+  /** PageRank over the near-dup graph (top 20 hub documents): which
+    * documents sit at the center of duplicate clusters — the
+    * template/boilerplate detector that degree alone misses (a hub of
+    * hubs outranks a leaf of one big star). Fixed 3-round power
+    * iteration in integer arithmetic scaled by 1e6: per-edge
+    * contribution `(d * (pr div deg)) div 1e6` keeps every
+    * intermediate within int64 for realistic rank magnitudes (damping
+    * applied BEFORE the aggregate, so the summed column is bounded by
+    * total rank mass, not 1e6× it) and makes all three rounds
+    * bit-identical across engines — no float fixpoint to disagree on.
+    * Each round is one shuffle of (dst, contribution) pairs keyed by
+    * 8-byte ids; the edge and degree frames are computed once and
+    * cached. Unrolled, not iterated-to-convergence: round count fixed
+    * means plan depth fixed — the 100 TB-safe choice.
+    */
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")).cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(pr, edges("src") === pr("node"))
+        .join(deg.withColumnRenamed("src", "dk"), col("src") === col("dk"))
+        .select(col("dst"),
+          expr(s"($PrDamp * (pr div deg)) div 1000000").as("c"))
+      pr = contrib.groupBy(col("dst"))
+        .agg((lit(PrBase) + sum(col("c"))).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+    }
+    pr.orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
+  val graphPagerankSql: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""p$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST($PrBase + SUM(($PrDamp * (p.pr // d.deg)) // 1000000)
+         |      AS BIGINT) AS pr
+         |  FROM edges e
+         |  JOIN p${i - 1} p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)"""
+    }.mkString(",\n")
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM spairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM spairs),
+       |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |$iters
+       |SELECT node, pr FROM p$PrIters
+       |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack" -> (pipelinePack _),
+    "pipeline_mix" -> (pipelineMix _),
+    "graph_pagerank" -> (graphPagerank _),
     "text_contamination" -> (textContamination _),
     "dedup_chunk" -> (dedupChunk _),
     "pipeline_split" -> (pipelineSplit _),
@@ -405,6 +632,9 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack" -> pipelinePackSql,
+    "pipeline_mix" -> pipelineMixSql,
+    "graph_pagerank" -> graphPagerankSql,
     "text_contamination" -> textContaminationSql,
     "dedup_chunk" -> dedupChunkSql,
     "pipeline_split" -> pipelineSplitSql,

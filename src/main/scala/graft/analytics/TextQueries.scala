@@ -447,7 +447,55 @@ object TextQueries {
       |    CASE WHEN len(l) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE l END)
       |    AS m) u""".stripMargin
 
+  // ------------------------------------------------ PII scanning
+  /** PII pattern scan — the redaction pre-pass every training-data
+    * pipeline runs before anything else sees the text: per-document
+    * counts of email-, phone-, IPv4- and long-numeric-ID-shaped
+    * substrings plus a combined flag. The patterns avoid backslash
+    * escapes entirely (character classes only) so the identical
+    * pattern string is handed to both engines' regex libraries — no
+    * escape-translation layer to drift. Pure per-row expressions: zero
+    * shuffles at any corpus size, and the counts piggyback on a single
+    * scan of the text column.
+    */
+  private val PiiEmail =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  private val PiiPhone = "[0-9]{3}[-][0-9]{3,4}[-][0-9]{4}"
+  private val PiiIpv4 =
+    "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val PiiIdLike = "[0-9]{9,}"
+
+  def textPii(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        n(PiiEmail).as("n_email"),
+        n(PiiPhone).as("n_phone"),
+        n(PiiIpv4).as("n_ipv4"),
+        n(PiiIdLike).as("n_idlike"))
+      .withColumn("has_pii",
+        col("n_email") + col("n_phone") + col("n_ipv4") +
+          col("n_idlike") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiSql: String = {
+    def n(pat: String): String =
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    s"""SELECT doc_id,
+       |  ${n(PiiEmail)} AS n_email,
+       |  ${n(PiiPhone)} AS n_phone,
+       |  ${n(PiiIpv4)} AS n_ipv4,
+       |  ${n(PiiIdLike)} AS n_idlike,
+       |  ${n(PiiEmail)} + ${n(PiiPhone)} + ${n(PiiIpv4)}
+       |    + ${n(PiiIdLike)} > 0 AS has_pii
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii" -> (textPii _),
     "explode_outer_docs" -> (explodeOuterDocs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
@@ -461,6 +509,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_pii" -> textPiiSql,
     "explode_outer_docs" -> explodeOuterDocsSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,
