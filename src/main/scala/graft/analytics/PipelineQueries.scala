@@ -575,10 +575,18 @@ object PipelineQueries {
     * cached. Unrolled, not iterated-to-convergence: round count fixed
     * means plan depth fixed — the 100 TB-safe choice.
     */
-  def graphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries
+  def graphPagerank(spark: SparkSession, dir: String): DataFrame =
+    pagerankFrame(DedupQueries
       .simhashPairsFrame(table(spark, dir, "documents"))
-      .select(col("doc_a"), col("doc_b")).cache()
+      .select(col("doc_a"), col("doc_b")))
+      .orderBy(col("pr").desc, col("node")).limit(20)
+
+  /** The iteration itself over an undirected pair list (doc_a, doc_b),
+    * one row per edge — factored so specs can drive it on synthetic
+    * graphs (star/chain shape checks).
+    */
+  private[analytics] def pagerankFrame(undirected: DataFrame): DataFrame = {
+    val pairs = undirected.toDF("doc_a", "doc_b").cache()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").cache()
@@ -594,7 +602,7 @@ object PipelineQueries {
         .agg((lit(PrBase) + sum(col("c"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
     }
-    pr.orderBy(col("pr").desc, col("node")).limit(20)
+    pr
   }
 
   val graphPagerankSql: String = {

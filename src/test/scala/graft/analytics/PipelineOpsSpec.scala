@@ -170,6 +170,90 @@ class PipelineOpsSpec extends SparkSuite {
     s.unpersist()
   }
 
+  test("pipeline_pack tiles the token stream without gaps") {
+    val packed = PipelineQueries.pipelinePack(spark, sf0001).cache()
+    val nDocs = QueryUtil.table(spark, sf0001, "documents").count()
+    assert(packed.count() == nDocs, "packing must place every document")
+    val total = packed.agg(sum("n_tok")).head.getLong(0)
+    val maxSeq = packed.agg(max("end_seq")).head.getLong(0)
+    // the last sequence index is exactly ceil(total/512) - 1: the
+    // concatenation covers the token space with no padding slack
+    assert(maxSeq == (total - 1) / 512, s"maxSeq=$maxSeq total=$total")
+    // every sequence index in [0, maxSeq] is owned by some document
+    val covered = packed
+      .select(explode(sequence(col("start_seq"), col("end_seq"))).as("s"))
+      .distinct().count()
+    assert(covered == maxSeq + 1, "sequence index space has holes")
+    assert(packed.where(col("end_seq") < col("start_seq")).count() == 0)
+    assert(packed
+      .where(col("n_crossed") =!= col("end_seq") - col("start_seq"))
+      .count() == 0)
+    packed.unpersist()
+  }
+
+  test("pipeline_mix never overflows a budget and is greedily maximal") {
+    val mix = PipelineQueries.pipelineMix(spark, sf0001).cache()
+    assert(mix.where(col("n_tok_kept") > col("tgt_tok")).count() == 0)
+    assert(mix.where(col("fill_ppm") > 1000000L).count() == 0)
+    // greedy maximality in aggregate: for each language, either the
+    // whole corpus slice was kept (budget not reached) or the unfilled
+    // remainder is smaller than the language's largest document (so no
+    // whole document could have been added without overflow)
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(sum("n_tok").as("avail"), max("n_tok").as("biggest"))
+    val bad = mix.join(docs, "lang")
+      .where(col("n_tok_kept") =!= col("avail") &&
+        col("tgt_tok") - col("n_tok_kept") >= col("biggest"))
+      .count()
+    assert(bad == 0, "a whole document was skippable without overflow")
+    mix.unpersist()
+  }
+
+  test("graph_pagerank ranks a star's hub first and floors at 1-d") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("doc_a", "doc_b")
+    val pr = PipelineQueries.pagerankFrame(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(pr(0L) > pr(1L), "hub must outrank leaves")
+    assert(Set(1L, 2L, 3L, 4L).map(pr).size == 1, "leaves tie by symmetry")
+    assert(pr.values.forall(_ >= 150000L), "rank floor is (1-d)")
+    // chain: interior nodes outrank endpoints
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val cr = PipelineQueries.pagerankFrame(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cr(2L) > cr(0L) && cr(2L) > cr(4L))
+    assert(cr(0L) == cr(4L) && cr(1L) == cr(3L), "chain is symmetric")
+  }
+
+  test("events_scd2 runs tile each user's history exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val scd = EventQueries.eventsScd2(spark, sf0001).cache()
+    val w = Window.partitionBy("user_id")
+      .orderBy("valid_from", "first_eid")
+    // adjacent runs never carry the same segment (they'd be one run)
+    assert(scd.withColumn("next_seg", lead(col("seg"), 1).over(w))
+      .where(col("next_seg") === col("seg")).count() == 0)
+    // exactly one open (current) row per user
+    assert(scd.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+      .where(col("n") =!= 1).count() == 0)
+    // run event counts partition the user's events
+    val ev = QueryUtil.table(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("ne"))
+    assert(scd.groupBy("user_id").agg(sum("n_events").as("n"))
+      .join(ev, "user_id").where(col("n") =!= col("ne")).count() == 0)
+    // each run's valid_to is exactly the successor's valid_from
+    assert(scd.withColumn("nf", lead(col("valid_from"), 1).over(w))
+      .where(!(col("valid_to") <=> col("nf"))).count() == 0)
+    scd.unpersist()
+  }
+
   test("agg_bitwise booleans agree with recomputed extremes") {
     val agg = TpchQueries.aggBitwiseOrders(spark, sf0001)
     val check = spark.read.parquet(s"$sf0001/orders.parquet")
