@@ -22,7 +22,8 @@ object SparkEntry {
       IngestQueries.queries, TpchQueries.queries, TpchDeepQueries.queries,
       EventQueries.queries, TextQueries.queries, DedupQueries.queries,
       EmbeddingQueries.queries, MultimodalQueries.queries,
-      ScalarBreadthQueries.queries, PipelineQueries.queries)
+      ScalarBreadthQueries.queries, PipelineQueries.queries,
+      LakehouseQueries.queries)
     val merged = parts.reduce(_ ++ _)
     // `++` silently drops colliding keys — a collision would skip a
     // query from the correctness gate without any failure signal
@@ -44,5 +45,6 @@ object SparkEntry {
       EmbeddingQueries.oracles ++
       MultimodalQueries.oracles ++
       ScalarBreadthQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      LakehouseQueries.oracles
 }

@@ -1,0 +1,276 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import QueryUtil._
+import graft.functions.CrossHash
+
+/** Table-maintenance / governance operators — the lakehouse jobs that
+  * run AROUND a 100 TB corpus rather than inside a single query:
+  *
+  *  - GDPR deletion cascade (right-to-be-forgotten impact across the
+  *    customer → orders → lineitem key chain),
+  *  - incremental aggregate maintenance (merge a delta partition's
+  *    partial aggregate into a base aggregate without rescanning the
+  *    base's inputs — the materialized-view refresh primitive),
+  *  - Z-order layout analysis (interleaved-bit space-filling curve
+  *    over two predicate columns; the locality score that justifies a
+  *    `OPTIMIZE ZORDER BY` rewrite),
+  *  - point-in-time state reconstruction (latest event per key AS OF a
+  *    timestamp — the time-travel read over an append-only changelog).
+  *
+  * Scale notes: cohort membership is a pure hash predicate wherever
+  * the key is locally available (no join to decide membership), and
+  * only propagates through joins where the chain genuinely requires it
+  * (lineitem has no customer key); those joins shuffle 8-byte keys
+  * with no broadcast hints, since a deletion cohort grows with the
+  * data. The aggregate merge touches only (base agg ⨝ delta agg) —
+  * group-cardinality-sized inputs, never the raw fact rows. All money
+  * sums stay DECIMAL until the final cast ([[QueryUtil]] rationale).
+  */
+object LakehouseQueries {
+
+  private val GdprMod = 20L // 1-in-20 customers request deletion
+
+  // ------------------------------------------------ deletion cascade
+  /** GDPR cascade impact report: rows purged vs kept in each table of
+    * the customer → orders → lineitem foreign-key chain when a
+    * deterministic 5% customer cohort exercises deletion. customer and
+    * orders decide membership from their own key column (pure hash
+    * predicate, zero joins); lineitem inherits through a semi-join on
+    * purged order keys — the one place the chain forces a join.
+    */
+  def gdprCascade(spark: SparkSession, dir: String): DataFrame = {
+    def inCohort(key: Column): Column =
+      CrossHash.md5Long(concat(lit("gdpr:"), key.cast("string"))) %
+        GdprMod === 0
+    val cust = table(spark, dir, "customer")
+      .select(lit("1_customer").as("tbl"),
+        inCohort(col("c_custkey")).as("purged"))
+    val orders = table(spark, dir, "orders")
+    val ordersFlag = orders
+      .select(lit("2_orders").as("tbl"),
+        inCohort(col("o_custkey")).as("purged"))
+    val purgedOrders = orders.where(inCohort(col("o_custkey")))
+      .select(col("o_orderkey").as("l_orderkey"))
+    val lineFlag = table(spark, dir, "lineitem")
+      .join(purgedOrders.withColumn("hit", lit(true)),
+        Seq("l_orderkey"), "left_outer")
+      .select(lit("3_lineitem").as("tbl"),
+        coalesce(col("hit"), lit(false)).as("purged"))
+    cust.union(ordersFlag).union(lineFlag)
+      .groupBy(col("tbl"))
+      .agg(count(when(col("purged"), 1)).as("n_purged"),
+        count(when(!col("purged"), 1)).as("n_kept"))
+      .withColumn("purged_ppm", ppm(col("n_purged"),
+        col("n_purged") + col("n_kept")))
+      .orderBy(col("tbl"))
+  }
+
+  val gdprCascadeSql: String = {
+    def inCohort(key: String): String =
+      s"${CrossHash.sqlMd5Long(s"'gdpr:' || CAST($key AS VARCHAR)")} % $GdprMod = 0"
+    s"""WITH flags AS (
+       |  SELECT '1_customer' AS tbl, ${inCohort("c_custkey")} AS purged
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT '2_orders' AS tbl, ${inCohort("o_custkey")} AS purged
+       |  FROM orders
+       |  UNION ALL
+       |  SELECT '3_lineitem' AS tbl, o.o_orderkey IS NOT NULL AS purged
+       |  FROM lineitem l
+       |  LEFT JOIN (SELECT o_orderkey FROM orders
+       |             WHERE ${inCohort("o_custkey")}) o
+       |    ON l.l_orderkey = o.o_orderkey)
+       |SELECT tbl,
+       |  CAST(COUNT(CASE WHEN purged THEN 1 END) AS BIGINT) AS n_purged,
+       |  CAST(COUNT(CASE WHEN NOT purged THEN 1 END) AS BIGINT) AS n_kept,
+       |  ${sqlPpm("COUNT(CASE WHEN purged THEN 1 END)", "COUNT(*)")}
+       |    AS purged_ppm
+       |FROM flags GROUP BY tbl ORDER BY tbl""".stripMargin
+  }
+
+  // ------------------------------------------------ aggregate merge
+  private val MergeCut = "1997-01-01 00:00:00"
+
+  /** Incremental aggregate maintenance: per-customer order counts and
+    * revenue are maintained as base (before the cut date) plus delta
+    * (on/after), merged by FULL OUTER JOIN with coalesced partials —
+    * the materialized-view refresh that never rescans the base facts.
+    * The report is self-verifying: it joins the merged aggregate
+    * against a direct recompute over all facts and emits the mismatch
+    * count in-band (must be 0), alongside the group provenance split.
+    * Count and DECIMAL sum are the mergeable-aggregate pair (avg and
+    * ratios derive from them after the merge, never merged directly).
+    */
+  def incrAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val orders = table(spark, dir, "orders")
+    def slice(pred: Column, nc: String, sc: String): DataFrame = orders
+      .where(pred)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as(nc),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as(sc))
+    val cut = lit(java.sql.Timestamp.valueOf(MergeCut))
+    val base = slice(col("o_orderdate") < cut, "n_b", "s_b")
+    val delta = slice(col("o_orderdate") >= cut, "n_d", "s_d")
+    val merged = base.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        col("n_b").isNotNull.as("in_base"),
+        col("n_d").isNotNull.as("in_delta"),
+        (coalesce(col("n_b"), lit(0L)) + coalesce(col("n_d"), lit(0L)))
+          .as("n_m"),
+        (coalesce(col("s_b"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("s_d"), lit(0).cast(DecimalType(18, 2))))
+          .as("s_m"))
+    val direct = orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_t"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("s_t"))
+    merged.join(direct, Seq("o_custkey"), "full_outer")
+      .agg(count(lit(1)).as("n_groups"),
+        count(when(col("in_base") && !col("in_delta"), 1))
+          .as("n_base_only"),
+        count(when(!col("in_base") && col("in_delta"), 1))
+          .as("n_delta_only"),
+        count(when(col("in_base") && col("in_delta"), 1)).as("n_both"),
+        count(when(!(col("n_m") <=> col("n_t")) ||
+          !(col("s_m") <=> col("s_t")), 1)).as("n_mismatch"))
+  }
+
+  val incrAggMergeSql: String =
+    s"""WITH base AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_b,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_b
+       |  FROM orders WHERE o_orderdate < TIMESTAMP '$MergeCut'
+       |  GROUP BY o_custkey),
+       |delta AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_d,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_d
+       |  FROM orders WHERE o_orderdate >= TIMESTAMP '$MergeCut'
+       |  GROUP BY o_custkey),
+       |merged AS (
+       |  SELECT COALESCE(base.o_custkey, delta.o_custkey) AS o_custkey,
+       |    base.o_custkey IS NOT NULL AS in_base,
+       |    delta.o_custkey IS NOT NULL AS in_delta,
+       |    COALESCE(n_b, 0) + COALESCE(n_d, 0) AS n_m,
+       |    COALESCE(s_b, CAST(0 AS DECIMAL(18,2)))
+       |      + COALESCE(s_d, CAST(0 AS DECIMAL(18,2))) AS s_m
+       |  FROM base FULL OUTER JOIN delta ON base.o_custkey = delta.o_custkey),
+       |direct AS (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_t,
+       |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s_t
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  CAST(COUNT(CASE WHEN in_base AND NOT in_delta THEN 1 END)
+       |    AS BIGINT) AS n_base_only,
+       |  CAST(COUNT(CASE WHEN NOT in_base AND in_delta THEN 1 END)
+       |    AS BIGINT) AS n_delta_only,
+       |  CAST(COUNT(CASE WHEN in_base AND in_delta THEN 1 END)
+       |    AS BIGINT) AS n_both,
+       |  CAST(COUNT(CASE WHEN n_m IS DISTINCT FROM n_t
+       |    OR s_m IS DISTINCT FROM s_t THEN 1 END) AS BIGINT)
+       |    AS n_mismatch
+       |FROM merged FULL OUTER JOIN direct USING (o_custkey)""".stripMargin
+
+  // ------------------------------------------------ Z-order layout
+  private val ZBits = 8 // bits per dimension; z-values span 16 bits
+
+  /** Z-order (Morton curve) layout analysis over the two predicate
+    * columns a warehouse filters orders by — customer key and order
+    * day. Each row's interleaved-bit z-value is computed in pure
+    * integer arithmetic (per-bit divide/mod — the identical expression
+    * text runs on both engines); rows are then grouped into 256
+    * curve-contiguous file buckets and each bucket reports its x/y
+    * bounding box. Small boxes on both dimensions are the point:
+    * a file-level min/max index prunes on BOTH columns, where a
+    * single-column sort gives perfect pruning on one and none on the
+    * other. The whole analysis is one scan plus a 256-group aggregate;
+    * at 100 TB the same z-value is the clustering key a writer sorts
+    * by before producing files.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    def z(xe: String, ye: String, divOp: String): String =
+      (0 until ZBits).map { i =>
+        val p = 1L << i
+        s"((($xe) $divOp $p) % 2 + 2 * ((($ye) $divOp $p) % 2)) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+    val x = s"o_custkey % 256"
+    val orders = table(spark, dir, "orders")
+      .withColumn("yday",
+        (datediff(to_date(col("o_orderdate")), lit("1992-01-01")) % 256)
+          .cast("long"))
+    val zcol = expr(z(x, "yday", "div"))
+    orders
+      .select(col("o_custkey"), col("yday"), zcol.as("zval"))
+      .withColumn("bucket", shiftright(col("zval"), 8))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        (max(expr(x)) - min(expr(x))).as("x_span"),
+        (max(col("yday")) - min(col("yday"))).as("y_span"))
+      .orderBy(col("bucket"))
+  }
+
+  val layoutZorderSql: String = {
+    def z(xe: String, ye: String): String =
+      (0 until ZBits).map { i =>
+        val p = 1L << i
+        s"((($xe) // $p) % 2 + 2 * ((($ye) // $p) % 2)) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+    s"""WITH pts AS (
+       |  SELECT o_custkey % 256 AS x,
+       |    date_diff('day', DATE '1992-01-01',
+       |      CAST(o_orderdate AS DATE)) % 256 AS yday
+       |  FROM orders),
+       |zed AS (SELECT x, yday, ${z("x", "yday")} AS zval FROM pts)
+       |SELECT zval // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MAX(x) - MIN(x) AS x_span, MAX(yday) - MIN(yday) AS y_span
+       |FROM zed GROUP BY zval // 256 ORDER BY bucket""".stripMargin
+  }
+
+  // ------------------------------------------------ time travel read
+  private val AsOf = "2024-01-15 00:00:00" // mid-range of the event log
+
+  /** Point-in-time state reconstruction: each user's latest event at
+    * or before the AS-OF timestamp, read from the append-only event
+    * log — the time-travel query a changelog-backed table serves
+    * without any snapshot having been materialized. One shuffle on the
+    * user key; the window is per-user (no global sort), and the
+    * timestamp filter reaches the scan so the log's future is never
+    * read. (ts, event_id) ordering makes the winner tie-deterministic.
+    */
+  def eventsStateAt(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    table(spark, dir, "events")
+      .where(col("ts") <= lit(java.sql.Timestamp.valueOf(AsOf)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"),
+        col("event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsStateAtSql: String =
+    s"""SELECT user_id, event_type AS last_type, value AS last_value,
+       |  ts AS last_ts, event_id AS last_event_id
+       |FROM events
+       |WHERE ts <= TIMESTAMP '$AsOf'
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+       |  ORDER BY ts DESC, event_id DESC) = 1
+       |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gdpr_cascade" -> (gdprCascade _),
+    "incr_agg_merge" -> (incrAggMerge _),
+    "layout_zorder" -> (layoutZorder _),
+    "events_state_at" -> (eventsStateAt _))
+
+  val oracles: Map[String, String] = Map(
+    "gdpr_cascade" -> gdprCascadeSql,
+    "incr_agg_merge" -> incrAggMergeSql,
+    "layout_zorder" -> layoutZorderSql,
+    "events_state_at" -> eventsStateAtSql)
+}
