@@ -589,13 +589,16 @@ object PipelineQueries {
     val pairs = undirected.toDF("doc_a", "doc_b").cache()
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").cache()
+      .toDF("src", "dst")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) computed ONCE: the degree join is loop-invariant,
+    // so hoisting it halves the per-iteration stage count — each round
+    // is exactly one join (edge × rank on src) plus one aggregate
+    // (sum of damped contributions on dst)
+    val wEdges = edges.join(deg, "src").cache()
     var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
     for (_ <- 1 to PrIters) {
-      val contrib = edges
-        .join(pr, edges("src") === pr("node"))
-        .join(deg.withColumnRenamed("src", "dk"), col("src") === col("dk"))
+      val contrib = wEdges.join(pr, col("src") === col("node"))
         .select(col("dst"),
           expr(s"($PrDamp * (pr div deg)) div 1000000").as("c"))
       pr = contrib.groupBy(col("dst"))
