@@ -372,23 +372,27 @@ object EventQueries {
       .orderBy(col("ts"), col("event_id"))
     val bySeg = w.partitionBy(col("user_id"), col("seg"))
       .orderBy(col("ts"), col("event_id"))
+    // first_rn — the run's first event's global (ts, event_id) row
+    // number — is unique per run AND temporally monotone, so it orders
+    // runs correctly even when two runs of a user share a valid_from
+    // timestamp (min(event_id) would not: a later run can contain a
+    // smaller id)
     val runs = table(spark, dir, "events")
       .select(col("user_id"), col("ts"), col("event_id"), seg.as("seg"))
-      .withColumn("grp",
-        row_number().over(byTime) - row_number().over(bySeg))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("grp", col("rn") - row_number().over(bySeg))
       .groupBy(col("user_id"), col("seg"), col("grp"))
       .agg(min(col("ts")).as("valid_from"),
-        min(col("event_id")).as("first_eid"),
+        min(col("rn")).cast("long").as("first_rn"),
         count(lit(1)).as("n_events"))
-    val byStart = w.partitionBy(col("user_id"))
-      .orderBy(col("valid_from"), col("first_eid"))
+    val byStart = w.partitionBy(col("user_id")).orderBy(col("first_rn"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col("user_id"), col("seg"), col("valid_from"),
-        col("valid_to"), col("first_eid"), col("n_events"),
+        col("valid_to"), col("first_rn"), col("n_events"),
         col("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("first_eid"))
+      .orderBy(col("user_id"), col("first_rn"))
   }
 
   val eventsScd2Sql: String =
@@ -399,22 +403,25 @@ object EventQueries {
       |  FROM events),
       |grps AS (
       |  SELECT user_id, ts, event_id, seg,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn,
       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
       |    - ROW_NUMBER() OVER (PARTITION BY user_id, seg
       |                         ORDER BY ts, event_id) AS grp
       |  FROM marked),
       |runs AS (
       |  SELECT user_id, seg, grp, MIN(ts) AS valid_from,
-      |    MIN(event_id) AS first_eid, CAST(COUNT(*) AS BIGINT) AS n_events
+      |    CAST(MIN(rn) AS BIGINT) AS first_rn,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
       |  FROM grps GROUP BY user_id, seg, grp)
       |SELECT user_id, seg, valid_from,
       |  LEAD(valid_from, 1) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from, first_eid) AS valid_to,
-      |  first_eid, n_events,
+      |    ORDER BY first_rn) AS valid_to,
+      |  first_rn, n_events,
       |  LEAD(valid_from, 1) OVER (PARTITION BY user_id
-      |    ORDER BY valid_from, first_eid) IS NULL AS is_current
+      |    ORDER BY first_rn) IS NULL AS is_current
       |FROM runs
-      |ORDER BY user_id, valid_from, first_eid""".stripMargin
+      |ORDER BY user_id, first_rn""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_scd2" -> (eventsScd2 _),

@@ -176,6 +176,7 @@ object LakehouseQueries {
 
   // ------------------------------------------------ Z-order layout
   private val ZBits = 8 // bits per dimension; z-values span 16 bits
+  private val ZBucketShift = 8 // z-values per file bucket = 1 << shift
 
   /** Z-order (Morton curve) layout analysis over the two predicate
     * columns a warehouse filters orders by — customer key and order
@@ -204,7 +205,7 @@ object LakehouseQueries {
     val zcol = expr(z(x, "yday", "div"))
     orders
       .select(col("o_custkey"), col("yday"), zcol.as("zval"))
-      .withColumn("bucket", shiftright(col("zval"), 8))
+      .withColumn("bucket", shiftright(col("zval"), ZBucketShift))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         (max(expr(x)) - min(expr(x))).as("x_span"),
@@ -224,9 +225,11 @@ object LakehouseQueries {
        |      CAST(o_orderdate AS DATE)) % 256 AS yday
        |  FROM orders),
        |zed AS (SELECT x, yday, ${z("x", "yday")} AS zval FROM pts)
-       |SELECT zval // 256 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |SELECT zval // ${1L << ZBucketShift} AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
        |  MAX(x) - MIN(x) AS x_span, MAX(yday) - MIN(yday) AS y_span
-       |FROM zed GROUP BY zval // 256 ORDER BY bucket""".stripMargin
+       |FROM zed GROUP BY zval // ${1L << ZBucketShift}
+       |ORDER BY bucket""".stripMargin
   }
 
   // ------------------------------------------------ time travel read

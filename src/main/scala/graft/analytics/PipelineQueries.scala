@@ -45,6 +45,9 @@ object PipelineQueries {
   // shiftright is exact floor division — long `/` would round through
   // an IEEE double and diverge from the oracle's `//` above 2^53
   private val WordBits = 32 // bits packed per bloom word (sign-safe)
+  // the shift and width constants MUST stay in lockstep or the Spark
+  // shiftright silently diverges from the oracle's integer division
+  require(1L << BloomShift == BloomBits, "BloomShift != log2(BloomBits)")
 
   private def toks: Column = split(col("text"), " ")
 
@@ -414,7 +417,12 @@ object PipelineQueries {
     * global order.
     */
   private def scanPos(df: DataFrame, partCols: Seq[String]): DataFrame = {
+    // the explicit not-null filter on the join keys is a no-op for
+    // callers (hash keys are never null) but keeps BOTH consumers of
+    // the exchange textually identical — without it the join injects
+    // IsNotNull on the streamed side only and ReuseExchange can't fire
     val withB = df.withColumn("bkt", shiftright(col("ord"), 48))
+      .where((partCols :+ "bkt").map(col(_).isNotNull).reduce(_ && _))
     val part = (partCols :+ "bkt").map(col)
     val inW = Window.partitionBy(part: _*)
       .orderBy(col("ord"), col("doc_id"))
@@ -423,8 +431,13 @@ object PipelineQueries {
       coalesce(sum(col("n_tok")).over(inW), lit(0L)))
     val offW = Window.partitionBy(partCols.map(col): _*)
       .orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withB.groupBy(part: _*)
-      .agg(sum(col("n_tok")).as("btot"))
+    // bucket totals are derived from the WINDOWED frame, not the
+    // source: pre_in + n_tok is nondecreasing in window order, so its
+    // max is the bucket's token total, and because this aggregate
+    // consumes the same (partCols, bkt) exchange the window produced,
+    // ReuseExchange serves both from ONE scan of the source
+    val offs = within.groupBy(part: _*)
+      .agg(max(col("pre_in") + col("n_tok")).as("btot"))
       .withColumn("boff", coalesce(sum(col("btot")).over(offW), lit(0L)))
       .select(part :+ col("boff"): _*)
     within.join(broadcast(offs), partCols :+ "bkt")
@@ -435,6 +448,7 @@ object PipelineQueries {
   // ------------------------------------------------ sequence packing
   private val SeqLen = 512 // tokens per packed training sequence
   private val SeqShift = 9 // log2(SeqLen): exact floor div, pos >= 0
+  require(1L << SeqShift == SeqLen, "SeqShift != log2(SeqLen)")
 
   /** Sequence packing — the GPT-style "concatenate the corpus in a
     * fixed shuffle order, then split into SeqLen-token training
@@ -503,8 +517,11 @@ object PipelineQueries {
     val wtCol = MixWeights.foldRight(lit(0L): Column) {
       case ((l, w), e) => when(col("lang") === l, lit(w)).otherwise(e)
     }
+    // lang is nullable in the schema; a NULL key would be dropped by
+    // the scan's equi-join while the oracle's GROUP BY keeps it — map
+    // NULL to a sentinel group on both sides so no document is lost
     val base = table(spark, dir, "documents").select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), coalesce(col("lang"), lit("<null>")).as("lang"),
       size(toks).cast("long").as("n_tok"),
       CrossHash.md5Long(concat(lit("mix:"), col("doc_id").cast("string")))
         .as("ord"))
@@ -529,7 +546,7 @@ object PipelineQueries {
       .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }
       .mkString("CASE ", " ", " ELSE 0 END")
     s"""WITH base AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, COALESCE(lang, '<null>') AS lang,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |    $h AS ord
        |  FROM documents),

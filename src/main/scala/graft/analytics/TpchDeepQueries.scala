@@ -221,7 +221,7 @@ object TpchDeepQueries {
     val p = table(spark, dir, "part").where(col("p_brand") === "Brand#13")
       .select(col("p_partkey"))
     val l = table(spark, dir, "lineitem")
-    val branded = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+    val branded = l.join(p, l("l_partkey") === p("p_partkey"))
     val avgQ = l.groupBy(col("l_partkey").as("ak"))
       .agg(davg(col("l_quantity")).as("avg_qty"))
     branded.join(avgQ, col("l_partkey") === col("ak"))

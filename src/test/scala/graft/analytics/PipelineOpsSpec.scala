@@ -234,8 +234,7 @@ class PipelineOpsSpec extends SparkSuite {
   test("events_scd2 runs tile each user's history exactly") {
     import org.apache.spark.sql.expressions.Window
     val scd = EventQueries.eventsScd2(spark, sf0001).cache()
-    val w = Window.partitionBy("user_id")
-      .orderBy("valid_from", "first_eid")
+    val w = Window.partitionBy("user_id").orderBy("first_rn")
     // adjacent runs never carry the same segment (they'd be one run)
     assert(scd.withColumn("next_seg", lead(col("seg"), 1).over(w))
       .where(col("next_seg") === col("seg")).count() == 0)
