@@ -37,11 +37,24 @@ import graft.ingest.{GraftConfig, IngestOps, Status}
   * survives the move out of the driver (test_api.js:47-57 semantics).
   *
   * Concurrency: `seq_no` comes from one [[AtomicLong]] per store
-  * instance, re-seeded from `max(seq_no)` on open — a single writer
-  * (the streaming query + its processing loop) is assumed, exactly
-  * like the reference's single event loop; multiple writers would
-  * coordinate through a table format's commit protocol instead.
+  * instance, re-seeded from `max(seq_no)` on open. The default
+  * [[processOnce]] loop assumes a single writer (the streaming query +
+  * its processing loop), exactly like the reference's single event
+  * loop. [[processOnceMulti]] lifts that: workers arbitrate batch
+  * ownership through the `_claims/` exclusive-create ledger (see
+  * [[tryClaim]]), after which every status append for a batch comes
+  * from one owner — the log stays single-writer per batch, which is
+  * all the latest-wins resolution needs. Cross-writer `seq_no`
+  * collisions can then only occur BETWEEN batches, where resolution
+  * is independent.
   */
+object TableStateStore {
+  /** See [[TableStateStore# append]]: the local stand-in for a table
+    * format's atomic-commit protocol.
+    */
+  private[streaming] val AppendLock = new Object
+}
+
 final class TableStateStore(spark: SparkSession, path: String,
     val buckets: Int = 64) {
 
@@ -102,13 +115,26 @@ final class TableStateStore(spark: SparkSession, path: String,
     }
   }
 
+  /** Appends serialize through [[TableStateStore.AppendLock]]: two
+    * concurrent Spark append jobs share one `_temporary` committer
+    * staging directory and corrupt each other's renames — the concrete
+    * reason bare parquet is not a multi-writer table. A production
+    * table format makes each append an atomic commit (log rename on
+    * HDFS, conditional put on object stores); this JVM-wide lock is
+    * that commit protocol's stand-in for local multi-threaded writers.
+    * Ownership arbitration does NOT depend on it — that is
+    * [[tryClaim]]'s exclusive-create ledger, which stays correct
+    * across separate processes.
+    */
   private def append(rows: DataFrame, seqNo: Long): Unit =
-    rows
-      .withColumn("seq_no", lit(seqNo))
-      .withColumn("part",
-        pmod(graft.functions.CrossHash.md5Long(col("ingestion_id")),
-          lit(buckets.toLong)))
-      .write.partitionBy("part").mode("append").parquet(path)
+    TableStateStore.AppendLock.synchronized {
+      rows
+        .withColumn("seq_no", lit(seqNo))
+        .withColumn("part",
+          pmod(graft.functions.CrossHash.md5Long(col("ingestion_id")),
+            lit(buckets.toLong)))
+        .write.partitionBy("part").mode("append").parquet(path)
+    }
 
   // ------------------------------------------------------------- reads
   private def read(): Option[DataFrame] =
@@ -212,14 +238,75 @@ final class TableStateStore(spark: SparkSession, path: String,
     val top = pendingView().limit(1).collect().headOption
     top match {
       case None => false
-      case Some(r) =>
-        val batchId = r.getAs[String]("batch_id")
-        val ids = r.getSeq[Long](r.fieldIndex("ids"))
-        markStatus(Seq(batchId), Status.Triggered)
-        ids.foreach(_ => sleeper.sleep(cfg.perIdDelayMs))
-        markStatus(Seq(batchId), Status.Completed)
-        sleeper.sleep(cfg.rateLimitMs)
-        true
+      case Some(r) => runBatch(r, cfg, sleeper); true
+    }
+  }
+
+  private def runBatch(r: org.apache.spark.sql.Row, cfg: GraftConfig,
+      sleeper: Sleeper): Unit = {
+    val batchId = r.getAs[String]("batch_id")
+    val ids = r.getSeq[Long](r.fieldIndex("ids"))
+    markStatus(Seq(batchId), Status.Triggered)
+    ids.foreach(_ => sleeper.sleep(cfg.perIdDelayMs))
+    markStatus(Seq(batchId), Status.Completed)
+    sleeper.sleep(cfg.rateLimitMs)
+  }
+
+  // ------------------------------------------------ multi-writer mode
+  /** Exclusive claim on one batch for MULTI-writer deployments. The
+    * append-only state rows cannot arbitrate two workers racing for
+    * the same batch (both appends land; any deterministic resolution
+    * rule flips as late rows arrive), so claims go through the one
+    * primitive that IS atomic on every real filesystem: exclusive
+    * file creation. This is exactly the role the commit lock plays in
+    * production table formats (rename-based mutual exclusion on HDFS,
+    * a conditional put / lock service on object stores); the claim
+    * ledger lives under `_claims/` — an underscore-prefixed directory,
+    * so table reads ignore it. Claim files record the owner for audit.
+    * A production deployment would add lease expiry (claim mtime) so a
+    * crashed winner's batch is eventually reclaimed; out of scope here.
+    */
+  def tryClaim(batchId: String, writerId: String): Boolean = {
+    val dir = java.nio.file.Paths.get(
+      path.stripPrefix("file:"), "_claims")
+    java.nio.file.Files.createDirectories(dir)
+    try {
+      java.nio.file.Files.write(dir.resolve(batchId),
+        writerId.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Who holds a batch's claim, if anyone (audit read). */
+  def claimOwner(batchId: String): Option[String] = {
+    val f = java.nio.file.Paths.get(
+      path.stripPrefix("file:"), "_claims", batchId)
+    if (java.nio.file.Files.exists(f))
+      Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    else None
+  }
+
+  /** One processing cycle under the multi-writer protocol: read the
+    * top `lookahead` pending batches in O1 order and process the FIRST
+    * one whose claim this worker wins — claim-skip scheduling, so
+    * contending workers fan out across the queue head instead of
+    * serializing on the single top batch. Returns false only when no
+    * candidate in the window could be claimed (queue drained or all
+    * claimed by peers). Each batch is processed by exactly one worker:
+    * the claim file is the arbiter, and status appends for a claimed
+    * batch come only from its owner, so the append-only log stays
+    * single-writer PER BATCH — which is all the latest-wins resolution
+    * needs.
+    */
+  def processOnceMulti(cfg: GraftConfig, sleeper: Sleeper,
+      writerId: String, lookahead: Int = 4): Boolean = {
+    val cands = pendingView().limit(lookahead).collect()
+    cands.find(r => tryClaim(r.getAs[String]("batch_id"), writerId)) match {
+      case None => false
+      case Some(r) => runBatch(r, cfg, sleeper); true
     }
   }
 

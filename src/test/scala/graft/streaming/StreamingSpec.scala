@@ -168,6 +168,67 @@ class StreamingSpec extends SparkSuite {
     assert(store.pendingView().collect().isEmpty)
   }
 
+  test("multi-writer claims give exactly-once processing under contention") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state4").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 4)
+    val reqs = (1 to 10)
+      .map(i => (s"ing-$i", Seq(i.toLong), Priority.Low, 100L + i))
+      .toDF("ingestion_id", "ids", "priority", "created_at")
+    store.ingestRequests(reqs, GraftConfig.bench)
+
+    // four workers drain the same queue concurrently; each records
+    // which batches IT won, then we prove the claim ledger made the
+    // processed set a partition: nothing lost, nothing claimed twice
+    // (violations are collected, not asserted, because an exception
+    // inside a thread would fail silently)
+    val processed =
+      new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val violations =
+      new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 4).map { w =>
+      new Thread(() => {
+        val me = s"worker-$w"
+        var live = true
+        while (live) {
+          val cands = store.pendingView().limit(4).collect()
+          cands.find(r =>
+            store.tryClaim(r.getAs[String]("batch_id"), me)) match {
+            case None => live = cands.nonEmpty // drained OR all claimed
+            case Some(r) =>
+              val id = r.getAs[String]("batch_id")
+              val prev = processed.putIfAbsent(id, me)
+              if (prev != null)
+                violations.add(s"$id claimed twice: $prev and $me")
+              store.markStatus(Seq(id), Status.Triggered)
+              store.markStatus(Seq(id), Status.Completed)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(violations.isEmpty, violations.toString)
+    val done = store.latestBatches()
+      .where(col("batch_id") =!= "" &&
+        col("status") === Status.Completed)
+      .select("batch_id").collect().map(_.getString(0)).toSet
+    val all = store.latestBatches().where(col("batch_id") =!= "")
+      .select("batch_id").collect().map(_.getString(0)).toSet
+    assert(done == all && all.size == 10,
+      s"completed ${done.size} of ${all.size}")
+    assert(processed.size == 10, s"workers processed ${processed.size}")
+    // every batch's claim owner is the worker that processed it
+    processed.forEach((id, owner) =>
+      if (store.claimOwner(id) != Some(owner))
+        violations.add(s"$id owner mismatch"))
+    assert(violations.isEmpty, violations.toString)
+    // a late single-writer sweep finds nothing left to do
+    assert(!store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "sweeper"))
+  }
+
   test("table-backed processing loop drains the queue in priority order") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
