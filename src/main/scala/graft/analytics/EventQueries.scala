@@ -361,8 +361,11 @@ object EventQueries {
     * Gaps-and-islands via two ROW_NUMBERs (their difference is
     * constant within a run); both windows partition by user_id, so at
     * 100 TB this is one shuffle on the user key and no global sort.
-    * (ts, event_id) ordering makes runs tie-deterministic; first_eid
-    * disambiguates runs that start on the same timestamp.
+    * Runs are ordered by first_rn — the first member's global
+    * (ts, event_id) row number — which is unique per run and
+    * temporally monotone even when two runs share a start timestamp.
+    * Bound: row_number is 32-bit in Spark, capping a SINGLE user's
+    * history at 2^31 events (per-key, not corpus-wide — ample).
     */
   def eventsScd2(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

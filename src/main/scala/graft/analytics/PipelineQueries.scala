@@ -463,9 +463,13 @@ object PipelineQueries {
     * embarrassingly parallel, and reproducible across engines.
     */
   def pipelinePack(spark: SparkSession, dir: String): DataFrame = {
+    // NULL text would make size(split) = -1, corrupting the running
+    // totals (scanPos assumes n_tok >= 0) — coalesce to the empty
+    // string on BOTH engines so such a row counts one empty token
     val base = table(spark, dir, "documents").select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tok"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tok"),
       CrossHash.md5Long(concat(lit("pack:"), col("doc_id").cast("string")))
         .as("ord"))
     scanPos(base, Nil)
@@ -480,7 +484,8 @@ object PipelineQueries {
     val h = CrossHash.sqlMd5Long("'pack:' || CAST(doc_id AS VARCHAR)")
     s"""WITH base AS (
        |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+       |      AS n_tok,
        |    $h AS ord
        |  FROM documents),
        |pos AS (
@@ -522,7 +527,8 @@ object PipelineQueries {
     // NULL to a sentinel group on both sides so no document is lost
     val base = table(spark, dir, "documents").select(
       col("doc_id"), coalesce(col("lang"), lit("<null>")).as("lang"),
-      size(toks).cast("long").as("n_tok"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tok"),
       CrossHash.md5Long(concat(lit("mix:"), col("doc_id").cast("string")))
         .as("ord"))
     scanPos(base, Seq("lang"))
@@ -547,7 +553,8 @@ object PipelineQueries {
       .mkString("CASE ", " ", " ELSE 0 END")
     s"""WITH base AS (
        |  SELECT doc_id, COALESCE(lang, '<null>') AS lang,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+       |      AS n_tok,
        |    $h AS ord
        |  FROM documents),
        |pos AS (

@@ -50,9 +50,28 @@ import graft.ingest.{GraftConfig, IngestOps, Status}
   */
 object TableStateStore {
   /** See [[TableStateStore# append]]: the local stand-in for a table
-    * format's atomic-commit protocol.
+    * format's atomic-commit protocol. Keyed by table path — stores on
+    * different paths have no shared committer staging and must not
+    * serialize against each other.
     */
-  private[streaming] val AppendLock = new Object
+  private val AppendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[streaming] def appendLock(path: String): Object =
+    AppendLocks.computeIfAbsent(path, _ => new Object)
+
+  /** Result of one multi-writer cycle — `false` alone cannot tell a
+    * drained queue from a head window transiently claimed by peers.
+    */
+  sealed trait MultiCycle
+  /** This worker claimed and fully processed `batchId`. */
+  final case class Processed(batchId: String) extends MultiCycle
+  /** Pending work exists but every candidate in the lookahead window
+    * is claimed by a peer — retry later (or report, if peers died
+    * holding claims; lease expiry is the production answer).
+    */
+  case object Contended extends MultiCycle
+  /** No pending batches at all. */
+  case object Drained extends MultiCycle
 }
 
 final class TableStateStore(spark: SparkSession, path: String,
@@ -127,7 +146,7 @@ final class TableStateStore(spark: SparkSession, path: String,
     * across separate processes.
     */
   private def append(rows: DataFrame, seqNo: Long): Unit =
-    TableStateStore.AppendLock.synchronized {
+    TableStateStore.appendLock(path).synchronized {
       rows
         .withColumn("seq_no", lit(seqNo))
         .withColumn("part",
@@ -261,14 +280,16 @@ final class TableStateStore(spark: SparkSession, path: String,
     * file creation. This is exactly the role the commit lock plays in
     * production table formats (rename-based mutual exclusion on HDFS,
     * a conditional put / lock service on object stores); the claim
-    * ledger lives under `_claims/` — an underscore-prefixed directory,
-    * so table reads ignore it. Claim files record the owner for audit.
-    * A production deployment would add lease expiry (claim mtime) so a
-    * crashed winner's batch is eventually reclaimed; out of scope here.
+    * ledger lives in a SIBLING directory (`<path>_claims`), NOT inside
+    * the table path — [[compact]]'s overwrite deletes the table
+    * directory wholesale, and wiping the ledger there would reopen
+    * every in-flight batch to re-claiming. Claim files record the
+    * owner for audit. A production deployment would add lease expiry
+    * (claim mtime) so a crashed winner's batch is eventually
+    * reclaimed; out of scope here.
     */
   def tryClaim(batchId: String, writerId: String): Boolean = {
-    val dir = java.nio.file.Paths.get(
-      path.stripPrefix("file:"), "_claims")
+    val dir = java.nio.file.Paths.get(claimsDir)
     java.nio.file.Files.createDirectories(dir)
     try {
       java.nio.file.Files.write(dir.resolve(batchId),
@@ -280,10 +301,11 @@ final class TableStateStore(spark: SparkSession, path: String,
     }
   }
 
+  private def claimsDir: String = path.stripPrefix("file:") + "_claims"
+
   /** Who holds a batch's claim, if anyone (audit read). */
   def claimOwner(batchId: String): Option[String] = {
-    val f = java.nio.file.Paths.get(
-      path.stripPrefix("file:"), "_claims", batchId)
+    val f = java.nio.file.Paths.get(claimsDir, batchId)
     if (java.nio.file.Files.exists(f))
       Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
     else None
@@ -293,20 +315,25 @@ final class TableStateStore(spark: SparkSession, path: String,
     * top `lookahead` pending batches in O1 order and process the FIRST
     * one whose claim this worker wins — claim-skip scheduling, so
     * contending workers fan out across the queue head instead of
-    * serializing on the single top batch. Returns false only when no
-    * candidate in the window could be claimed (queue drained or all
-    * claimed by peers). Each batch is processed by exactly one worker:
-    * the claim file is the arbiter, and status appends for a claimed
-    * batch come only from its owner, so the append-only log stays
-    * single-writer PER BATCH — which is all the latest-wins resolution
-    * needs.
+    * serializing on the single top batch. The three-state result
+    * distinguishes a drained queue from a head window transiently
+    * claimed by peers (a plain Boolean cannot, and a drain loop would
+    * exit early under contention). Each batch is processed by exactly
+    * one worker: the claim file is the arbiter, and status appends for
+    * a claimed batch come only from its owner, so the append-only log
+    * stays single-writer PER BATCH — which is all the latest-wins
+    * resolution needs.
     */
   def processOnceMulti(cfg: GraftConfig, sleeper: Sleeper,
-      writerId: String, lookahead: Int = 4): Boolean = {
+      writerId: String, lookahead: Int = 4): TableStateStore.MultiCycle = {
     val cands = pendingView().limit(lookahead).collect()
-    cands.find(r => tryClaim(r.getAs[String]("batch_id"), writerId)) match {
-      case None => false
-      case Some(r) => runBatch(r, cfg, sleeper); true
+    if (cands.isEmpty) TableStateStore.Drained
+    else cands.find(r =>
+      tryClaim(r.getAs[String]("batch_id"), writerId)) match {
+      case None => TableStateStore.Contended
+      case Some(r) =>
+        runBatch(r, cfg, sleeper)
+        TableStateStore.Processed(r.getAs[String]("batch_id"))
     }
   }
 

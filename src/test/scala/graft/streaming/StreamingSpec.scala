@@ -192,17 +192,14 @@ class StreamingSpec extends SparkSuite {
         val me = s"worker-$w"
         var live = true
         while (live) {
-          val cands = store.pendingView().limit(4).collect()
-          cands.find(r =>
-            store.tryClaim(r.getAs[String]("batch_id"), me)) match {
-            case None => live = cands.nonEmpty // drained OR all claimed
-            case Some(r) =>
-              val id = r.getAs[String]("batch_id")
+          store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+            me) match {
+            case TableStateStore.Processed(id) =>
               val prev = processed.putIfAbsent(id, me)
               if (prev != null)
                 violations.add(s"$id claimed twice: $prev and $me")
-              store.markStatus(Seq(id), Status.Triggered)
-              store.markStatus(Seq(id), Status.Completed)
+            case TableStateStore.Contended => () // peers hold the head
+            case TableStateStore.Drained => live = false
           }
         }
       })
@@ -224,9 +221,9 @@ class StreamingSpec extends SparkSuite {
       if (store.claimOwner(id) != Some(owner))
         violations.add(s"$id owner mismatch"))
     assert(violations.isEmpty, violations.toString)
-    // a late single-writer sweep finds nothing left to do
-    assert(!store.processOnceMulti(GraftConfig.bench, SystemSleeper,
-      "sweeper"))
+    // a late sweep sees a drained queue, not contention
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "sweeper") == TableStateStore.Drained)
   }
 
   test("table-backed processing loop drains the queue in priority order") {
