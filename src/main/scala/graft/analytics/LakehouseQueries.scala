@@ -174,6 +174,95 @@ object LakehouseQueries {
        |    AS n_mismatch
        |FROM merged FULL OUTER JOIN direct USING (o_custkey)""".stripMargin
 
+  // ------------------------------------------------ join maintenance
+  /** Incremental JOIN maintenance — the delta-join identity that keeps
+    * a materialized join view fresh without rescanning the base
+    * tables: with each table split into base/delta by its OWN clock
+    * (orders by order date, lineitem by ship date — independent
+    * ingestion times, as in a real lakehouse),
+    *
+    *   A ⨝ B  =  Ab⨝Bb  ∪  Ab⨝Bd  ∪  Ad⨝Bb  ∪  Ad⨝Bd
+    *
+    * and a refresh only computes the three delta quadrants (the bb
+    * quadrant is the previously materialized view). The report carries
+    * each quadrant's row count and DECIMAL revenue, the incremental
+    * totals, a direct-join recompute, and the match verdicts in-band
+    * (must be true) — the same self-verifying shape as
+    * [[incrAggMerge]]. Every quadrant shuffles only on the 8-byte join
+    * key; the split predicates reach both parquet scans.
+    */
+  def incrJoinMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf(MergeCut))
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_extendedprice"))
+    def quad(tag: String, oldO: Boolean, oldL: Boolean): DataFrame =
+      o.where(if (oldO) col("o_orderdate") < cut
+              else col("o_orderdate") >= cut)
+        .join(l.where(if (oldL) col("l_shipdate") < cut
+                      else col("l_shipdate") >= cut),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+            lit(0).cast(DecimalType(18, 2))).as("s"))
+        .withColumn("quad", lit(tag))
+    val quads = quad("bb", oldO = true, oldL = true)
+      .unionByName(quad("bd", oldO = true, oldL = false))
+      .unionByName(quad("db", oldO = false, oldL = true))
+      .unionByName(quad("dd", oldO = false, oldL = false))
+    val incr = quads.agg(
+      max(when(col("quad") === "bb", col("n"))).as("n_bb"),
+      max(when(col("quad") === "bd", col("n"))).as("n_bd"),
+      max(when(col("quad") === "db", col("n"))).as("n_db"),
+      max(when(col("quad") === "dd", col("n"))).as("n_dd"),
+      sum(col("n")).as("n_incr"),
+      sum(col("s")).as("s_incr_d"))
+    val direct = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .agg(count(lit(1)).as("n_direct"),
+        coalesce(sum(col("l_extendedprice").cast(DecimalType(18, 2))),
+          lit(0).cast(DecimalType(18, 2))).as("s_direct_d"))
+    incr.join(broadcast(direct)) // 1 row × 1 row
+      .select(col("n_bb"), col("n_bd"), col("n_db"), col("n_dd"),
+        col("n_incr"), col("n_direct"),
+        col("s_incr_d").cast("double").as("s_incr"),
+        col("s_direct_d").cast("double").as("s_direct"),
+        (col("n_incr") === col("n_direct")).as("counts_match"),
+        (col("s_incr_d").cast("double") ===
+          col("s_direct_d").cast("double")).as("sums_match"))
+  }
+
+  val incrJoinMergeSql: String = {
+    def quadSql(tag: String, oldO: Boolean, oldL: Boolean): String = {
+      val po = if (oldO) "<" else ">="
+      val pl = if (oldL) "<" else ">="
+      s"""q$tag AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+         |      CAST(0 AS DECIMAL(18,2))) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |  WHERE o_orderdate $po TIMESTAMP '$MergeCut'
+         |    AND l_shipdate $pl TIMESTAMP '$MergeCut')"""
+    }
+    s"""WITH ${quadSql("bb", true, true)},
+       |${quadSql("bd", true, false)},
+       |${quadSql("db", false, true)},
+       |${quadSql("dd", false, false)},
+       |direct AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_direct,
+       |    COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+       |      CAST(0 AS DECIMAL(18,2))) AS s_direct_d
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+       |SELECT qbb.n AS n_bb, qbd.n AS n_bd, qdb.n AS n_db, qdd.n AS n_dd,
+       |  qbb.n + qbd.n + qdb.n + qdd.n AS n_incr, n_direct,
+       |  CAST(qbb.s + qbd.s + qdb.s + qdd.s AS DOUBLE) AS s_incr,
+       |  CAST(s_direct_d AS DOUBLE) AS s_direct,
+       |  qbb.n + qbd.n + qdb.n + qdd.n = n_direct AS counts_match,
+       |  CAST(qbb.s + qbd.s + qdb.s + qdd.s AS DOUBLE)
+       |    = CAST(s_direct_d AS DOUBLE) AS sums_match
+       |FROM qbb, qbd, qdb, qdd, direct""".stripMargin
+  }
+
   // ------------------------------------------------ Z-order layout
   private val ZBits = 8 // bits per dimension; z-values span 16 bits
   private val ZBucketShift = 8 // z-values per file bucket = 1 << shift
@@ -268,12 +357,14 @@ object LakehouseQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gdpr_cascade" -> (gdprCascade _),
     "incr_agg_merge" -> (incrAggMerge _),
+    "incr_join_merge" -> (incrJoinMerge _),
     "layout_zorder" -> (layoutZorder _),
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
     "gdpr_cascade" -> gdprCascadeSql,
     "incr_agg_merge" -> incrAggMergeSql,
+    "incr_join_merge" -> incrJoinMergeSql,
     "layout_zorder" -> layoutZorderSql,
     "events_state_at" -> eventsStateAtSql)
 }
