@@ -20,6 +20,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val parts = Seq(
       IngestQueries.queries, TpchQueries.queries, TpchDeepQueries.queries,
+      TpchSupplyQueries.queries,
       EventQueries.queries, TextQueries.queries, DedupQueries.queries,
       EmbeddingQueries.queries, MultimodalQueries.queries,
       ScalarBreadthQueries.queries, PipelineQueries.queries,
@@ -39,6 +40,7 @@ object SparkEntry {
     IngestQueries.oracles ++
       TpchQueries.oracles ++
       TpchDeepQueries.oracles ++
+      TpchSupplyQueries.oracles ++
       EventQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
