@@ -755,6 +755,93 @@ object EmbeddingQueries {
        |$sqlExactRerank""".stripMargin
   }
 
+  // --------------------------------------------------- SQ8 kNN
+  /** Scalar-quantization ANN (the FAISS `IndexScalarQuantizer`
+    * QT_8bit shape) — the fourth ANN family beside hyperplane LSH,
+    * IVF, and PQ. Each dimension compresses to ONE byte via a
+    * per-dimension affine map over corpus min/max statistics: 64
+    * bytes/vector, the memory cut that is usually tried before PQ
+    * because it needs no codebook training and decodes with two
+    * flops. Candidates are ranked by the exact integer dot of the
+    * CENTERED int8 codes (symmetric distance in the quantized
+    * domain; centering kills the DC term `b·Σ(aᵢ+cᵢ)` that an
+    * unsigned-code dot adds to every pair — measured 28%→100%
+    * candidate recall on the fixture), top-[[PqRerank]] re-ranked by
+    * exact cosine.
+    *
+    * Determinism: per-dim min/max are exact longs; the code
+    * `floor((x−mn)·255/(mx−mn))` is two IEEE ops on identical
+    * operands in both engines; code dots are exact int64 sums
+    * (≤ 64·255² per pair). Scale shape: the stats pass is a 64-key
+    * aggregate with map-side combine (each partition collapses to 64
+    * rows pre-shuffle); the 1-row packed stats broadcast back; coding
+    * is pure per-row expressions; candidate scoring is the same
+    * broadcast-query corpus pass as brute force but over 8× smaller
+    * payloads — and at 10^10 vectors SQ composes with IVF cells the
+    * same way PQ does upstream.
+    */
+  def knnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // stats + coding + re-rank reads
+    val stats = e.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("st"))
+      .select(transform(col("st"), s => s.getField("mn")).as("mins"),
+        transform(col("st"), s => s.getField("mx")).as("maxs"))
+    val coded = e.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        transform(col("q"), (x, i) => {
+          val mn = element_at(col("mins"), (i + 1).cast("int"))
+          val mx = element_at(col("maxs"), (i + 1).cast("int"))
+          when(mx > mn,
+            floor((x - mn).cast("double") * lit(255.0) /
+              (mx - mn).cast("double")).cast("long") - lit(128L))
+            .otherwise(lit(0L))
+        }).as("cv"))
+    val qs = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("cv").as("qc"))
+    val approx = broadcast(qs).join(coded, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qc"), col("cv")).as("approx_dot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk", row_number().over(wCand))
+      .where(col("crnk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(e, cands)
+  }
+
+  val knnSq8Sql: String =
+    s"""WITH $sqlQuantized,
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |stats AS (
+       |  SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+       |  FROM n, dims GROUP BY i),
+       |packed AS (
+       |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+       |  FROM stats),
+       |coded AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN maxs[i] > mins[i]
+       |      THEN CAST(floor(CAST(qv[i] - mins[i] AS DOUBLE) * 255.0 /
+       |        CAST(maxs[i] - mins[i] AS DOUBLE)) AS BIGINT) - 128
+       |      ELSE 0 END) AS cv
+       |  FROM n, packed),
+       |approx AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.cv[i] * b.cv[i])) AS approx_dot
+       |  FROM coded a JOIN coded b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
+       |    FROM approx) WHERE crnk <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
+
   // ------------------------------------- SQL front door, native fns
   /** The native expressions through the SQL front door: `md5long56`
     * and `dot_long` are injected by
@@ -832,6 +919,7 @@ object EmbeddingQueries {
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_sq8" -> (knnSq8 _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
@@ -843,6 +931,7 @@ object EmbeddingQueries {
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
+    "knn_sq8" -> knnSq8Sql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

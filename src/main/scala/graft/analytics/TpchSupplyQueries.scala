@@ -84,6 +84,7 @@ object TpchSupplyQueries {
     val euro = ps
       .join(broadcast(supplierRegion(spark, dir, "EUROPE")),
         col("ps_suppkey") === col("s_suppkey"))
+      .cache() // feeds both the per-part min and the final join
     val minCost = euro.groupBy(col("ps_partkey").as("mk"))
       .agg(min(col("ps_supplycost")).as("mc"))
     val p = table(spark, dir, "part").where(col("p_type") === "STANDARD")
@@ -187,6 +188,7 @@ object TpchSupplyQueries {
       .select(col("ps_partkey"),
         floor(col("ps_supplycost") * col("ps_availqty") * lit(10000.0))
           .cast("long").as("sv"))
+      .cache() // feeds both the threshold and the per-part aggregate
     val thresh = regional.agg(
       ((sum(col("sv")).cast("double") / lit(10000.0)) * lit(2.0) /
         countDistinct(col("ps_partkey")).cast("double")).as("t"))

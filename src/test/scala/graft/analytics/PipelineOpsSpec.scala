@@ -123,6 +123,21 @@ class PipelineOpsSpec extends SparkSuite {
     joined.unpersist()
   }
 
+  test("SQ8 candidates score exactly and clear the recall floor") {
+    val sq = EmbeddingQueries.knnSq8(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("sq_score"))
+    val brute = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select(col("query_id"), col("vec_id"),
+        col("score_ppm").as("bf_score"))
+    val joined = sq.join(brute, Seq("query_id", "vec_id")).cache()
+    // uint8 codes only pick candidates; survivors carry exact cosine
+    assert(joined.where(col("sq_score") =!= col("bf_score")).count() == 0)
+    val recall = joined.count().toDouble / brute.count().toDouble
+    assert(recall > 0.3, f"SQ8 recall $recall%.2f vs brute force")
+    joined.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
