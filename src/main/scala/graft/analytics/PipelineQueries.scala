@@ -655,7 +655,71 @@ object PipelineQueries {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------- linear quality classifier
+  /** Model-based quality filtering, the inference half: a linear
+    * classifier with FIXED integer weights over per-document features
+    * (lexical diversity, stopword rate, mean token length, digit
+    * density) — the fasttext-classifier shape every pretraining
+    * pipeline runs (keep/drop + a margin score), with the training
+    * externalized (weights arrive as constants, exactly like a shipped
+    * model artifact). The score is a pure integer dot product of
+    * ppm-scaled features, so classify-then-threshold is bit-identical
+    * in both engines; a logistic sigmoid would add nothing but libm
+    * drift — it is monotone, so the threshold is equivalent.
+    *
+    * Plan: one scan, zero shuffles, all codegen'd built-ins — per-doc
+    * inference stays embarrassingly parallel at any corpus size.
+    */
+  def pipelineClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val stop = size(filter(ts, t => t === "the" || t === "a"))
+    val feats = table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(ts).cast("long").as("n_tokens"),
+        ppm(size(array_distinct(ts)), size(ts)).as("diversity_ppm"),
+        ppm(stop, size(ts)).as("stop_ppm"),
+        ppm(length(regexp_replace(col("text"), " ", "")), size(ts))
+          .as("mean_len_ppm"),
+        ppm(length(regexp_replace(col("text"), "[^0-9]", "")),
+          length(col("text"))).as("digit_ppm"))
+    feats.withColumn("score",
+        lit(2L) * col("diversity_ppm") - lit(3L) * col("stop_ppm") +
+          col("mean_len_ppm") - lit(2L) * col("digit_ppm") - lit(400000L))
+      .withColumn("verdict",
+        when(col("score") > 5400000L, "high")
+          .when(col("score") > 4500000L, "mid")
+          .otherwise("drop"))
+      .orderBy(col("doc_id"))
+  }
+
+  val pipelineClassifierSql: String = {
+    val ntok = "len(string_split(text, ' '))"
+    val ndis = "len(list_distinct(string_split(text, ' ')))"
+    val stop = "len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))"
+    val letters = "length(regexp_replace(text, ' ', '', 'g'))"
+    val digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, CAST($ntok AS BIGINT) AS n_tokens,
+       |    ${sqlPpm(ndis, ntok)} AS diversity_ppm,
+       |    ${sqlPpm(stop, ntok)} AS stop_ppm,
+       |    ${sqlPpm(letters, ntok)} AS mean_len_ppm,
+       |    ${sqlPpm(digits, "length(text)")} AS digit_ppm
+       |  FROM documents)
+       |SELECT doc_id, lang, n_tokens, diversity_ppm, stop_ppm,
+       |  mean_len_ppm, digit_ppm,
+       |  2 * diversity_ppm - 3 * stop_ppm + mean_len_ppm
+       |    - 2 * digit_ppm - 400000 AS score,
+       |  CASE WHEN 2 * diversity_ppm - 3 * stop_ppm + mean_len_ppm
+       |    - 2 * digit_ppm - 400000 > 5400000 THEN 'high'
+       |       WHEN 2 * diversity_ppm - 3 * stop_ppm + mean_len_ppm
+       |    - 2 * digit_ppm - 400000 > 4500000 THEN 'mid'
+       |       ELSE 'drop' END AS verdict
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_mix" -> (pipelineMix _),
     "graph_pagerank" -> (graphPagerank _),
@@ -667,6 +731,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_mix" -> pipelineMixSql,
     "graph_pagerank" -> graphPagerankSql,

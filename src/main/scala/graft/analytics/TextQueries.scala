@@ -494,7 +494,126 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ LM-frequency score
+  /** Language-model-proxy scoring without a language model: each
+    * document's mean CORPUS frequency of its token bigrams — the
+    * integer-exact stand-in for the perplexity-bucket filter every
+    * pretraining pipeline runs (CCNet shape). High mean frequency =
+    * boilerplate made of corpus-common word pairs; low = rare/novel
+    * text. A real perplexity needs log-probs (libm → ulp drift across
+    * engines); the mean-count signal ranks documents the same
+    * direction and stays exactly hash-checkable.
+    *
+    * Plan: one explode to (doc, bigram), ONE shuffle keyed by bigram
+    * for corpus counts (map-side partial agg), a shuffled join back on
+    * the bigram key — the count table is vocabulary²-sized so it is
+    * NEVER broadcast (the advisor-flagged OOM class) — then a doc_id
+    * regroup. Documents with fewer than 2 tokens have no bigrams and
+    * drop out, mirrored exactly by the oracle.
+    */
+  def textLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bg = table(spark, dir, "documents")
+      .select(col("doc_id"), toks.as("ts"))
+      .where(size(col("ts")) >= 2) // Spark sequence(0,-1) would DEscend
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => concat_ws(" ", element_at(col("ts"), (i + 1).cast("int")),
+            element_at(col("ts"), (i + 2).cast("int"))))).as("bg"))
+      .cache() // feeds both the corpus counts and the per-doc join
+    val counts = bg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    bg.join(counts, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("sum_freq"))
+      .withColumn("mean_bigram_freq_x1e6",
+        ppm(col("sum_freq"), col("n_bigrams")))
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH ts AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])) AS bg
+       |  FROM ts),
+       |counts AS (SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+       |  ${sqlPpm("SUM(cnt)", "COUNT(*)")} AS mean_bigram_freq_x1e6
+       |FROM bg JOIN counts USING (bg)
+       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------ Count-Min sketch
+  /** Count-Min sketch over corpus tokens, with its guarantees measured
+    * in-band: [[CmDepth]] affine hash rows × [[CmWidth]] cells (the
+    * shared CrossHash family, so both engines place every token in the
+    * identical cells), point estimates for the exact top-20 tokens as
+    * `min` over rows. The sketch NEVER undercounts (est ≥ exact, the
+    * CM guarantee) — `overcount = est − exact ≥ 0` rides along per
+    * token so the gate itself proves it.
+    *
+    * Scale shape: the sketch build is one explode ×[[CmDepth]] and a
+    * groupBy over [[CmDepth]]·[[CmWidth]] = 4096 keys — partial
+    * aggregation collapses each partition to ≤4096 rows before the
+    * shuffle, the property that makes CM THE streaming/distributed
+    * counting summary (constant state at any corpus size; the
+    * streaming Misra–Gries twin lives in StreamHeavyHitters).
+    */
+  val CmDepth = 4
+  val CmWidth = 1024L
+
+  def sketchCountmin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(explode(toks).as("tok"))
+      .cache() // sketch build + exact top-20 both read it
+    val h = CrossHash.md5Long(col("tok"))
+    val cells = tok.select(
+      posexplode(array((0 until CmDepth).map(d =>
+        CrossHash.affine(h, d) % CmWidth): _*)).as(Seq("d", "cell")))
+      .groupBy(col("d"), col("cell"))
+      .agg(count(lit(1)).as("cellcount"))
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(20)
+    val probes = top.select(col("tok"), col("n"),
+      posexplode(array((0 until CmDepth).map(d =>
+        CrossHash.affine(CrossHash.md5Long(col("tok")), d) % CmWidth): _*))
+        .as(Seq("pd", "pcell")))
+    probes.join(broadcast(cells),
+        col("pd") === col("d") && col("pcell") === col("cell"))
+      .groupBy(col("tok"), col("n"))
+      .agg(min(col("cellcount")).as("est_n"))
+      .withColumn("overcount", col("est_n") - col("n"))
+      .orderBy(col("n").desc, col("tok").asc)
+  }
+
+  val sketchCountminSql: String = {
+    val h = CrossHash.sqlMd5Long("tok")
+    val cell = s"((${CrossHash.sqlCoefA("d.d")} * (($h) % ${CrossHash.P}) " +
+      s"+ ${CrossHash.sqlCoefB("d.d")}) % ${CrossHash.P}) % $CmWidth"
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |dd AS (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS d),
+       |cells AS (
+       |  SELECT d.d, $cell AS cell, COUNT(*) AS cellcount
+       |  FROM tok, dd d GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+       |  ORDER BY n DESC, tok ASC LIMIT 20),
+       |probes AS (
+       |  SELECT t.tok, t.n, d.d AS pd, $cell AS pcell
+       |  FROM (SELECT tok, n FROM top) t, dd d),
+       |est AS (
+       |  SELECT p.tok, p.n, MIN(c.cellcount) AS est_n
+       |  FROM probes p JOIN cells c ON p.pd = c.d AND p.pcell = c.cell
+       |  GROUP BY p.tok, p.n)
+       |SELECT tok, n, CAST(est_n AS BIGINT) AS est_n,
+       |  CAST(est_n - n AS BIGINT) AS overcount
+       |FROM est
+       |ORDER BY n DESC, tok ASC""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> (textLmScore _),
+    "sketch_countmin" -> (sketchCountmin _),
     "text_pii" -> (textPii _),
     "explode_outer_docs" -> (explodeOuterDocs _),
     "text_repetition" -> (textRepetition _),
@@ -509,6 +628,8 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_lm_score" -> textLmScoreSql,
+    "sketch_countmin" -> sketchCountminSql,
     "text_pii" -> textPiiSql,
     "explode_outer_docs" -> explodeOuterDocsSql,
     "text_repetition" -> textRepetitionSql,

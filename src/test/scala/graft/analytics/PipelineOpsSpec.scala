@@ -138,6 +138,40 @@ class PipelineOpsSpec extends SparkSuite {
     joined.unpersist()
   }
 
+  test("count-min estimates never undercount and bound by corpus size") {
+    val cm = TextQueries.sketchCountmin(spark, sf0001).cache()
+    // the CM guarantee: est >= exact for EVERY point query
+    assert(cm.where(col("overcount") < 0).count() == 0,
+      "count-min undercounted a token")
+    val totalTokens = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(size(split(col("text"), " ")).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    // a cell can never exceed the whole corpus token count
+    assert(cm.where(col("est_n") > totalTokens).count() == 0)
+    cm.unpersist()
+  }
+
+  test("lm score: every bigram counts itself, so mean frequency >= 1") {
+    val lm = TextQueries.textLmScore(spark, sf0001).cache()
+    assert(lm.where(col("sum_freq") < col("n_bigrams")).count() == 0,
+      "a bigram's corpus count fell below its own occurrence")
+    assert(lm.where(col("mean_bigram_freq_x1e6") < 1000000L).count() == 0)
+    lm.unpersist()
+  }
+
+  test("classifier verdicts respect the score thresholds and all occur") {
+    val cls = PipelineQueries.pipelineClassifier(spark, sf0001).cache()
+    assert(cls.where(col("verdict") === "high" &&
+      col("score") <= 5400000L).count() == 0)
+    assert(cls.where(col("verdict") === "drop" &&
+      col("score") > 4500000L).count() == 0)
+    val verdicts = cls.select(col("verdict")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(verdicts == Set("high", "mid", "drop"),
+      s"fixture only exercises $verdicts — thresholds no longer split")
+    cls.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
