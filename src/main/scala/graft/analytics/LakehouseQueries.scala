@@ -354,7 +354,38 @@ object LakehouseQueries {
        |  ORDER BY ts DESC, event_id DESC) = 1
        |ORDER BY user_id""".stripMargin
 
+  /** CDC apply — MERGE with delete semantics: treat the event log as
+    * a change stream per user (`error` = tombstone/DELETE, anything
+    * else = UPSERT of the row's value), apply in event order, and emit
+    * the surviving final table. This is the lakehouse `MERGE INTO`
+    * core: latest-wins conflict resolution plus tombstone filtering in
+    * ONE window pass over the log — no iterative apply loop, one
+    * shuffle on the merge key, which is how a 100 TB change backlog
+    * replays in a single job. Deletes must actually delete: a user
+    * whose LAST event is a tombstone is absent from the output even
+    * though earlier upserts exist.
+    */
+  def eventsCdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    table(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") =!= "error")
+      .select(col("user_id"), col("event_type").as("op_type"),
+        col("value").as("merged_value"), col("event_id").as("version_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsCdcApplySql: String =
+    """SELECT user_id, event_type AS op_type, value AS merged_value,
+      |  event_id AS version_id
+      |FROM events
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_cdc_apply" -> (eventsCdcApply _),
     "gdpr_cascade" -> (gdprCascade _),
     "incr_agg_merge" -> (incrAggMerge _),
     "incr_join_merge" -> (incrJoinMerge _),
@@ -362,6 +393,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "events_cdc_apply" -> eventsCdcApplySql,
     "gdpr_cascade" -> gdprCascadeSql,
     "incr_agg_merge" -> incrAggMergeSql,
     "incr_join_merge" -> incrJoinMergeSql,

@@ -419,6 +419,141 @@ object TpchQueries {
        |    / CAST(kth.kth_hash AS DOUBLE)) AS BIGINT) AS est_distinct
        |FROM e JOIN kth USING (o_orderstatus)""".stripMargin
 
+  /** KMV sketch ALGEBRA — the mergeability that makes bottom-k the
+    * production distinct sketch: two customer sets (1996 vs 1997
+    * buyers) each reduce to a [[KmvK]]-value sketch, the UNION
+    * estimate comes from merging the two sketches (bottom-k of their
+    * concatenation — raw data is never revisited), and the
+    * INTERSECTION estimate is ρ·|U| where ρ is the fraction of the
+    * union sketch present in both input sketches (the standard KMV
+    * Jaccard estimator). Exact counts ride along to expose the error.
+    * Short-set guard: a sketch with fewer than k values IS its set,
+    * so the estimate collapses to the exact count (`m < k ⇒ est = m`).
+    *
+    * Scale shape: each sketch is `orderBy(h).limit(k)` —
+    * TakeOrderedAndProject, O(k) state per partition, no global sort;
+    * every estimator after that runs on ≤3k rows on the driver-side
+    * plan. Deterministic because the sketch CONTENT (not just the
+    * estimate) is a pure function of the md5 hash order.
+    */
+  def sketchKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash.md5Long
+    val o = table(spark, dir, "orders")
+    def slice(y: Int): DataFrame = o
+      .where(year(col("o_orderdate")) === y)
+      .select(md5Long(col("o_custkey").cast("string")).as("h"))
+      .distinct()
+    val a = slice(1996).cache()
+    val b = slice(1997).cache()
+    def sk(s: DataFrame): DataFrame = s.orderBy(col("h")).limit(KmvK)
+    val skA = sk(a).cache()
+    val skB = sk(b).cache()
+    val skU = sk(skA.union(skB).distinct()).cache()
+    // est from a sketch: m < k ⇒ exact m; else (k-1)·2^56 / kth
+    def est(s: DataFrame, out: String): DataFrame =
+      s.agg(count(lit(1)).as("m"), max(col("h")).as("kth"))
+        .select(when(col("m") < KmvK, col("m"))
+          .otherwise(floor(lit((KmvK - 1).toLong << 56).cast("double") /
+            col("kth").cast("double")).cast("long")).as(out))
+    // ρ = |skU present in both A and B| / |skU|
+    val common = skU.join(skA, "h").join(skB, "h")
+      .agg(count(lit(1)).as("c"))
+    val estU = skU.agg(count(lit(1)).as("mu"), max(col("h")).as("kthu"))
+      .select(when(col("mu") < KmvK, col("mu"))
+        .otherwise(floor(lit((KmvK - 1).toLong << 56).cast("double") /
+          col("kthu").cast("double")).cast("long")).as("est_union"),
+        col("mu"))
+    val exact = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+    val estA = est(skA, "est_a")
+    val estB = est(skB, "est_b")
+    exact.crossJoin(estA).crossJoin(estB)
+      .crossJoin(estU).crossJoin(common)
+      .select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+        col("est_a"), col("est_b"), col("est_union"),
+        floor(col("c").cast("double") * col("est_union").cast("double") /
+          col("mu").cast("double")).cast("long").as("est_inter"))
+  }
+
+  val sketchKmvSetopsSql: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("CAST(o_custkey AS VARCHAR)")
+    val top = (KmvK - 1).toLong << 56
+    def est(src: String, m: String, kth: String): String =
+      s"CASE WHEN $m < $KmvK THEN $m ELSE CAST(floor(CAST($top AS DOUBLE) " +
+        s"/ CAST($kth AS DOUBLE)) AS BIGINT) END"
+    s"""WITH a AS (SELECT DISTINCT $h AS h FROM orders
+       |  WHERE year(o_orderdate) = 1996),
+       |b AS (SELECT DISTINCT $h AS h FROM orders
+       |  WHERE year(o_orderdate) = 1997),
+       |ska AS (SELECT h FROM a ORDER BY h LIMIT $KmvK),
+       |skb AS (SELECT h FROM b ORDER BY h LIMIT $KmvK),
+       |sku AS (SELECT h FROM (SELECT DISTINCT h FROM (
+       |  SELECT h FROM ska UNION ALL SELECT h FROM skb))
+       |  ORDER BY h LIMIT $KmvK),
+       |ea AS (SELECT ${est("ska", "COUNT(*)", "MAX(h)")} AS est_a FROM ska),
+       |eb AS (SELECT ${est("skb", "COUNT(*)", "MAX(h)")} AS est_b FROM skb),
+       |eu AS (SELECT ${est("sku", "COUNT(*)", "MAX(h)")} AS est_union,
+       |  COUNT(*) AS mu FROM sku),
+       |cm AS (SELECT COUNT(*) AS c FROM sku
+       |  JOIN ska USING (h) JOIN skb USING (h)),
+       |ex AS (SELECT (SELECT COUNT(*) FROM a) AS n_a,
+       |  (SELECT COUNT(*) FROM b) AS n_b,
+       |  (SELECT COUNT(*) FROM (SELECT DISTINCT h FROM (
+       |    SELECT h FROM a UNION ALL SELECT h FROM b))) AS n_union)
+       |SELECT n_a, n_b, n_union, n_a + n_b - n_union AS n_inter,
+       |  est_a, est_b, est_union,
+       |  CAST(floor(CAST(c AS DOUBLE) * CAST(est_union AS DOUBLE)
+       |    / CAST(mu AS DOUBLE)) AS BIGINT) AS est_inter
+       |FROM ex, ea, eb, eu, cm""".stripMargin
+  }
+
+  /** Join-cardinality estimation by CORRELATED key sampling — the
+    * planner-statistics technique for sizing a join without running
+    * it: sample both sides with the SAME hash predicate on the join
+    * key (keeping 1/[[CardMod]] of the KEY space, not of the rows),
+    * join the samples, and scale the count back up by [[CardMod]].
+    * Independent per-side row sampling would square the keep rate and
+    * massively undercount; key-correlated sampling keeps matching
+    * pairs together and is unbiased over key buckets. Exact count and
+    * signed error (ppm of exact) ride along in-band.
+    */
+  val CardMod = 16L
+  def joinCardinalityEst(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash.md5Long
+    val keep = (c: Column) => md5Long(c.cast("string")) % CardMod === 0L
+    val l = table(spark, dir, "lineitem").select(col("l_orderkey"))
+    val o = table(spark, dir, "orders").select(col("o_orderkey"))
+    val exact = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n_exact"))
+    val sampled = l.where(keep(col("l_orderkey")))
+      .join(o.where(keep(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg((count(lit(1)) * CardMod).as("n_est"))
+    exact.crossJoin(sampled)
+      .select(col("n_exact"), col("n_est"),
+        (floor(lit(1e6) * (col("n_est") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double"))).cast("long").as("err_ppm"))
+  }
+
+  val joinCardinalityEstSql: String = {
+    def keep(c: String): String =
+      s"${graft.functions.CrossHash.sqlMd5Long(s"CAST($c AS VARCHAR)")} % $CardMod = 0"
+    s"""WITH ex AS (
+       |  SELECT COUNT(*) AS n_exact
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |sm AS (
+       |  SELECT COUNT(*) * $CardMod AS n_est
+       |  FROM (SELECT l_orderkey FROM lineitem WHERE ${keep("l_orderkey")}) l
+       |  JOIN (SELECT o_orderkey FROM orders WHERE ${keep("o_orderkey")}) o
+       |    ON l_orderkey = o_orderkey)
+       |SELECT n_exact, n_est,
+       |  CAST(floor(1e6 * CAST(n_est - n_exact AS DOUBLE)
+       |    / CAST(n_exact AS DOUBLE)) AS BIGINT) AS err_ppm
+       |FROM ex, sm""".stripMargin
+  }
+
   /** Fixed-width histogram over order totals: bucket ordinal, bounds,
     * count, and an exact mass sum per bucket — the one-shuffle shape
     * of any distribution profile at scale (bucketing is a pure row
@@ -1022,6 +1157,8 @@ object TpchQueries {
     "agg_grouping_sets" -> (aggGroupingSets _),
     "q10_returned_items" -> (q10ReturnedItems _),
     "sample_hash_orders" -> (sampleHashOrders _),
+    "sketch_kmv_setops" -> (sketchKmvSetops _),
+    "join_cardinality_est" -> (joinCardinalityEst _),
     "sample_stratified_orders" -> (sampleStratifiedOrders _),
     "agg_bitwise_orders" -> (aggBitwiseOrders _),
     "window_rank_ratios" -> (windowRankRatios _),
@@ -1058,6 +1195,8 @@ object TpchQueries {
     "agg_grouping_sets" -> aggGroupingSetsSql,
     "q10_returned_items" -> q10Sql,
     "sample_hash_orders" -> sampleHashSql,
+    "sketch_kmv_setops" -> sketchKmvSetopsSql,
+    "join_cardinality_est" -> joinCardinalityEstSql,
     "sample_stratified_orders" -> sampleStratifiedSql,
     "agg_bitwise_orders" -> aggBitwiseSql,
     "window_rank_ratios" -> windowRankRatiosSql,

@@ -172,6 +172,42 @@ class PipelineOpsSpec extends SparkSuite {
     cls.unpersist()
   }
 
+  test("KMV set-algebra estimates land within the sketch's error regime") {
+    val r = TpchQueries.sketchKmvSetops(spark, sf0001).collect()(0)
+    def rel(est: Long, exact: Long): Double =
+      math.abs(est - exact).toDouble / exact
+    assert(rel(r.getAs[Long]("est_a"), r.getAs[Long]("n_a")) < 0.5)
+    assert(rel(r.getAs[Long]("est_b"), r.getAs[Long]("n_b")) < 0.5)
+    assert(rel(r.getAs[Long]("est_union"), r.getAs[Long]("n_union")) < 0.5)
+    assert(rel(r.getAs[Long]("est_inter"), r.getAs[Long]("n_inter")) < 0.5)
+    // inclusion-exclusion on the EXACT side is definitional
+    assert(r.getAs[Long]("n_inter") ==
+      r.getAs[Long]("n_a") + r.getAs[Long]("n_b") - r.getAs[Long]("n_union"))
+  }
+
+  test("correlated-sample join estimate lands near the true cardinality") {
+    val r = TpchQueries.joinCardinalityEst(spark, sf0001).collect()(0)
+    val err = math.abs(r.getAs[Long]("err_ppm"))
+    assert(err < 300000L, s"sampling error ${err}ppm exceeds 30%")
+  }
+
+  test("CDC apply honors tombstones: deleted users are absent") {
+    val out = LakehouseQueries.eventsCdcApply(spark, sf0001).cache()
+    assert(out.where(col("op_type") === "error").count() == 0)
+    // users whose LAST event is a tombstone must not appear at all
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val deleted = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("event_type") === "error")
+      .select(col("user_id"))
+    assert(out.join(deleted, "user_id", "left_semi").count() == 0,
+      "a tombstoned user survived the merge")
+    assert(deleted.count() > 0, "fixture exercises no tombstones")
+    out.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
