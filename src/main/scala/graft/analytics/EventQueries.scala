@@ -426,7 +426,74 @@ object EventQueries {
       |FROM runs
       |ORDER BY user_id, first_rn""".stripMargin
 
+  // --------------------------------------------- point-in-time join
+  /** Point-in-time (PIT) join — the feature-store anti-leakage
+    * operation: each purchase event (the label row) joins the SCD2
+    * dimension run that was valid AT ITS TIMESTAMP, never a later one
+    * (training-serving skew comes precisely from joining "current"
+    * dimension values onto historical facts). Composes the
+    * [[eventsScd2]] build: runs tile each user's history, so every
+    * fact lands in EXACTLY one run — proven by the bijectivity spec.
+    *
+    * Scale shape: both sides shuffle once on user_id; the interval
+    * predicate evaluates inside the co-partitioned join, and per-user
+    * run counts bound the within-key work (no global interval index
+    * needed). `valid_from <= ts < valid_to` with a NULL-open current
+    * row is the standard SCD2 lookup predicate.
+    */
+  def eventsPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = eventsScd2(spark, dir)
+      .select(col("user_id").as("d_user"), col("seg"),
+        col("valid_from"), col("valid_to"), col("first_rn"))
+    val facts = table(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("fact_id"), col("user_id"),
+        col("ts").as("fact_ts"), col("value").as("fact_value"))
+    facts.join(dim, col("user_id") === col("d_user") &&
+        col("valid_from") <= col("fact_ts") &&
+        (col("valid_to").isNull || col("fact_ts") < col("valid_to")))
+      .select(col("fact_id"), col("user_id"), col("fact_ts"),
+        col("fact_value"), col("seg").as("seg_at_fact"),
+        col("first_rn").as("dim_run"))
+      .orderBy(col("fact_id"))
+  }
+
+  val eventsPitJoinSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN value < 10 THEN 'low'
+       |         WHEN value < 100 THEN 'mid' ELSE 'high' END AS seg
+       |  FROM events),
+       |grps AS (
+       |  SELECT user_id, ts, event_id, seg,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |                       ORDER BY ts, event_id) AS rn,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |    - ROW_NUMBER() OVER (PARTITION BY user_id, seg
+       |                         ORDER BY ts, event_id) AS grp
+       |  FROM marked),
+       |runs AS (
+       |  SELECT user_id, seg, grp, MIN(ts) AS valid_from,
+       |    CAST(MIN(rn) AS BIGINT) AS first_rn
+       |  FROM grps GROUP BY user_id, seg, grp),
+       |dim AS (
+       |  SELECT user_id AS d_user, seg, valid_from, first_rn,
+       |    LEAD(valid_from, 1) OVER (PARTITION BY user_id
+       |      ORDER BY first_rn) AS valid_to
+       |  FROM runs),
+       |facts AS (
+       |  SELECT event_id AS fact_id, user_id, ts AS fact_ts,
+       |    value AS fact_value
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT fact_id, user_id, fact_ts, fact_value,
+       |  seg AS seg_at_fact, first_rn AS dim_run
+       |FROM facts JOIN dim ON user_id = d_user
+       |  AND valid_from <= fact_ts
+       |  AND (valid_to IS NULL OR fact_ts < valid_to)
+       |ORDER BY fact_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pit_join" -> (eventsPitJoin _),
     "events_scd2" -> (eventsScd2 _),
     "events_gapfill" -> (eventsGapfill _),
     "events_unpivot" -> (eventsUnpivot _),
@@ -441,6 +508,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_pit_join" -> eventsPitJoinSql,
     "events_scd2" -> eventsScd2Sql,
     "events_gapfill" -> eventsGapfillSql,
     "events_unpivot" -> eventsUnpivotSql,

@@ -384,7 +384,114 @@ object LakehouseQueries {
       |  ORDER BY ts DESC, event_id DESC) = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
+  /** Min/max data-skipping analyzer: the quantified case for
+    * clustering. The same orders rows are laid out two ways —
+    * date-clustered (partitioned by month, 128-row blocks in date
+    * order: the layout a date-sorted write produces) and
+    * hash-scattered (64 hash buckets, blocks in hash order: the
+    * layout an unsorted parallel write produces) — and each block
+    * records the min/max of the predicate column, exactly what
+    * parquet row-group footers (and Delta/Iceberg file stats) hold. A
+    * six-month predicate then prunes every block whose [min,max]
+    * window misses it. The date-clustered layout skips ~the
+    * predicate's non-selectivity; the scattered layout skips ~nothing
+    * (every block's min/max spans the whole domain) — the before/after
+    * that justifies OPTIMIZE/ZORDER, measured in-band as ppm.
+    *
+    * Windows partition by the LAYOUT's physical unit (month dir /
+    * hash bucket), so no global sort exists at any scale — mirroring
+    * how a real analyzer reads per-file footer stats, a
+    * metadata-sized table.
+    */
+  val PruneBlockRows = 128L
+  val PruneLo = "1996-01-01 00:00:00"
+  val PruneHi = "1996-07-01 00:00:00"
+
+  def layoutMinmaxPrune(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CrossHash.md5Long
+    val w = Window
+    val o = table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val monthly = o.withColumn("unit",
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long"))
+      .withColumn("blk", floor((row_number().over(
+        w.partitionBy(col("unit"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))) - 1)
+        / PruneBlockRows))
+      .withColumn("layout", lit("date_clustered"))
+    val hashed = o.withColumn("h", md5Long(col("o_orderkey").cast("string")))
+      .withColumn("unit", col("h") % 64)
+      .withColumn("blk", floor((row_number().over(
+        w.partitionBy(col("unit")).orderBy(col("h"), col("o_orderkey"))) - 1)
+        / PruneBlockRows))
+      .withColumn("layout", lit("hash_scattered"))
+    val lo = lit(java.sql.Timestamp.valueOf(PruneLo))
+    val hi = lit(java.sql.Timestamp.valueOf(PruneHi))
+    monthly.select(col("layout"), col("unit"), col("blk"), col("o_orderdate"))
+      .union(hashed.select(col("layout"), col("unit"), col("blk"),
+        col("o_orderdate")))
+      .groupBy(col("layout"), col("unit"), col("blk"))
+      .agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("pruned", col("mx") < lo || col("mn") >= hi)
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("pruned_blocks"),
+        sum(when(col("pruned"), col("n_rows")).otherwise(0L))
+          .as("rows_skipped"))
+      .withColumn("prune_ppm", ppm(col("pruned_blocks"), col("n_blocks")))
+      .orderBy(col("layout"))
+  }
+
+  val layoutMinmaxPruneSql: String =
+    s"""WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+       |monthly AS (
+       |  SELECT 'date_clustered' AS layout,
+       |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+       |      AS unit,
+       |    CAST(floor((ROW_NUMBER() OVER (
+       |      PARTITION BY year(o_orderdate) * 100 + month(o_orderdate)
+       |      ORDER BY o_orderdate, o_orderkey) - 1) / $PruneBlockRows)
+       |      AS BIGINT) AS blk,
+       |    o_orderdate
+       |  FROM o),
+       |hashed AS (
+       |  SELECT 'hash_scattered' AS layout,
+       |    ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(o_orderkey AS VARCHAR)")} % 64 AS unit,
+       |    CAST(floor((ROW_NUMBER() OVER (
+       |      PARTITION BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(o_orderkey AS VARCHAR)")} % 64
+       |      ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(o_orderkey AS VARCHAR)")}, o_orderkey) - 1)
+       |      / $PruneBlockRows) AS BIGINT) AS blk,
+       |    o_orderdate
+       |  FROM o),
+       |blocks AS (
+       |  SELECT layout, unit, blk, MIN(o_orderdate) AS mn,
+       |    MAX(o_orderdate) AS mx, COUNT(*) AS n_rows
+       |  FROM (SELECT * FROM monthly UNION ALL SELECT * FROM hashed)
+       |  GROUP BY 1, 2, 3),
+       |flagged AS (
+       |  SELECT layout,
+       |    (mx < TIMESTAMP '$PruneLo' OR mn >= TIMESTAMP '$PruneHi')
+       |      AS pruned,
+       |    n_rows
+       |  FROM blocks)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |  CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS pruned_blocks,
+       |  CAST(SUM(CASE WHEN pruned THEN n_rows ELSE 0 END) AS BIGINT)
+       |    AS rows_skipped,
+       |  ${sqlPpm("SUM(CASE WHEN pruned THEN 1 ELSE 0 END)", "COUNT(*)")}
+       |    AS prune_ppm
+       |FROM flagged
+       |GROUP BY layout
+       |ORDER BY layout""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_minmax_prune" -> (layoutMinmaxPrune _),
     "events_cdc_apply" -> (eventsCdcApply _),
     "gdpr_cascade" -> (gdprCascade _),
     "incr_agg_merge" -> (incrAggMerge _),
@@ -393,6 +500,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "layout_minmax_prune" -> layoutMinmaxPruneSql,
     "events_cdc_apply" -> eventsCdcApplySql,
     "gdpr_cascade" -> gdprCascadeSql,
     "incr_agg_merge" -> incrAggMergeSql,

@@ -208,6 +208,37 @@ class PipelineOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("PIT join is a bijection on purchase facts with no future leakage") {
+    val pit = EventQueries.eventsPitJoin(spark, sf0001).cache()
+    val facts = spark.read.parquet(s"$sf0001/events.parquet")
+      .where(col("event_type") === "purchase")
+    // every fact matched exactly once (runs tile each user's history)
+    assert(pit.count() == facts.count(),
+      "PIT join is not 1:1 on facts")
+    assert(pit.select(col("fact_id")).distinct().count() == pit.count())
+    // anti-leakage: the joined dimension run never starts after the fact
+    val dim = EventQueries.eventsScd2(spark, sf0001)
+      .select(col("user_id").as("du"), col("first_rn").as("dim_run"),
+        col("valid_from"))
+    val leaked = pit.join(dim,
+      col("user_id") === col("du") && pit("dim_run") === dim("dim_run"))
+      .where(col("valid_from") > col("fact_ts"))
+    assert(leaked.count() == 0, "a fact joined a FUTURE dimension version")
+    pit.unpersist()
+  }
+
+  test("min/max pruning: clustering skips blocks, scattering cannot") {
+    val rows = LakehouseQueries.layoutMinmaxPrune(spark, sf0001)
+      .collect().map(r => r.getAs[String]("layout") -> r).toMap
+    val clustered = rows("date_clustered").getAs[Long]("prune_ppm")
+    val scattered = rows("hash_scattered").getAs[Long]("prune_ppm")
+    assert(clustered > 500000L,
+      s"date-clustered layout pruned only ${clustered}ppm")
+    assert(scattered < 100000L,
+      s"hash layout pruned ${scattered}ppm — min/max spans should cover the domain")
+    assert(clustered > scattered * 5)
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
