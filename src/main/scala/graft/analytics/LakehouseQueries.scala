@@ -490,7 +490,71 @@ object LakehouseQueries {
        |GROUP BY layout
        |ORDER BY layout""".stripMargin
 
+  /** Ingest-volume anomaly detection — the data-quality monitor that
+    * pages someone before a broken upstream poisons a week of
+    * training data: daily order counts against their trailing 7-day
+    * mean, deviation as integer ppm of the baseline, rows flagged
+    * beyond ±50%. The deviation is `(n·c − s)/s` over exact integers
+    * (n today's count, s/c the trailing sum/count), so both engines
+    * floor the identical IEEE quotient. Warm-up days (fewer than 3
+    * trailing observations) are excluded rather than compared against
+    * a meaningless baseline.
+    *
+    * Scale shape: the per-day aggregate shuffles once on the date key
+    * and collapses to one row per day, so the unpartitioned trailing
+    * window runs over a METADATA-sized series (thousands of rows per
+    * decade), not the fact table.
+    */
+  val AnomalyPpm = 500000L
+
+  def dqAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // day as an epoch-day integer: a DATE output column reads back
+    // with engine-specific pandas dtypes in the driver compare
+    val daily = table(spark, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
+    daily
+      .withColumn("tsum", sum(col("n")).over(w))
+      .withColumn("tcnt", count(col("n")).over(w))
+      .where(col("tcnt") >= 3)
+      .withColumn("dev_ppm",
+        floor(lit(1e6) * (col("n") * col("tcnt") - col("tsum")).cast("double")
+          / col("tsum").cast("double")).cast("long"))
+      .withColumn("is_anomaly",
+        col("dev_ppm") > AnomalyPpm || col("dev_ppm") < -AnomalyPpm)
+      .select(col("day"), col("n"), col("tsum"), col("tcnt"),
+        col("dev_ppm"), col("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val dqAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+       |  FROM orders GROUP BY 1),
+       |trail AS (
+       |  SELECT day, n,
+       |    SUM(n) OVER (ORDER BY day
+       |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tsum,
+       |    COUNT(n) OVER (ORDER BY day
+       |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tcnt
+       |  FROM daily)
+       |SELECT day, n, CAST(tsum AS BIGINT) AS tsum,
+       |  CAST(tcnt AS BIGINT) AS tcnt,
+       |  CAST(floor(1e6 * CAST(n * tcnt - tsum AS DOUBLE)
+       |    / CAST(tsum AS DOUBLE)) AS BIGINT) AS dev_ppm,
+       |  (CAST(floor(1e6 * CAST(n * tcnt - tsum AS DOUBLE)
+       |    / CAST(tsum AS DOUBLE)) AS BIGINT) > $AnomalyPpm
+       |   OR CAST(floor(1e6 * CAST(n * tcnt - tsum AS DOUBLE)
+       |    / CAST(tsum AS DOUBLE)) AS BIGINT) < -$AnomalyPpm) AS is_anomaly
+       |FROM trail
+       |WHERE tcnt >= 3
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly" -> (dqAnomaly _),
     "layout_minmax_prune" -> (layoutMinmaxPrune _),
     "events_cdc_apply" -> (eventsCdcApply _),
     "gdpr_cascade" -> (gdprCascade _),
@@ -500,6 +564,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "dq_anomaly" -> dqAnomalySql,
     "layout_minmax_prune" -> layoutMinmaxPruneSql,
     "events_cdc_apply" -> eventsCdcApplySql,
     "gdpr_cascade" -> gdprCascadeSql,

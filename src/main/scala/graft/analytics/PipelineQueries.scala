@@ -718,7 +718,42 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- dataset card
+  /** Dataset-card aggregate — the datasheet table every corpus release
+    * ships: per (lang, source) cell plus per-lang and grand-total
+    * rollup rows, each with document/token/char counts and mean
+    * document length, in ONE pass (ROLLUP plans a single Expand +
+    * aggregate, not three scans — the only shape that works when the
+    * corpus is 100 TB and every extra scan costs hours). GROUPING ids
+    * disambiguate a real NULL dimension from a rolled-up one.
+    */
+  def pipelineDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    table(spark, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(ts).cast("long").as("toks"), col("n_chars"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping(col("lang")).cast("long").as("g_lang"),
+        grouping(col("source")).cast("long").as("g_source"))
+      .withColumn("mean_doc_tokens_x1e6", ppm(col("n_tokens"), col("n_docs")))
+  }
+
+  val pipelineDatasetCardSql: String =
+    s"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+       |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+       |  ${sqlPpm("SUM(len(string_split(text, ' ')))", "COUNT(*)")}
+       |    AS mean_doc_tokens_x1e6
+       |FROM documents
+       |GROUP BY ROLLUP(lang, source)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_mix" -> (pipelineMix _),
@@ -731,6 +766,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_mix" -> pipelineMixSql,

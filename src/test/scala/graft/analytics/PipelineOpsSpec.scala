@@ -239,6 +239,30 @@ class PipelineOpsSpec extends SparkSuite {
     assert(clustered > scattered * 5)
   }
 
+  test("dataset card rollup rows cohere with the grand total") {
+    val card = PipelineQueries.pipelineDatasetCard(spark, sf0001).cache()
+    val total = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    val grand = card.where(col("g_lang") === 1 && col("g_source") === 1)
+    assert(grand.count() == 1)
+    assert(grand.collect()(0).getAs[Long]("n_docs") == total)
+    // per-lang subtotals tile the corpus exactly
+    val perLang = card.where(col("g_lang") === 0 && col("g_source") === 1)
+      .agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(perLang == total, s"per-lang rollup $perLang != corpus $total")
+    card.unpersist()
+  }
+
+  test("volume anomaly flags match the deviation threshold exactly") {
+    val dq = LakehouseQueries.dqAnomaly(spark, sf0001).cache()
+    assert(dq.where(col("is_anomaly") =!=
+      (abs(col("dev_ppm")) > 500000L)).count() == 0)
+    assert(dq.where(col("tcnt") < 3 || col("tcnt") > 7).count() == 0)
+    // the detector is live on the fixture (both classes occur)
+    assert(dq.where(col("is_anomaly")).count() > 0)
+    assert(dq.where(!col("is_anomaly")).count() > 0)
+    dq.unpersist()
+  }
+
   test("text_repetition ratios are well-formed ppm signals") {
     val rep = TextQueries.textRepetition(spark, sf0001).cache()
     val bad = rep.where(
