@@ -39,6 +39,19 @@ object QueryUtil {
   def ppm(num: Column, den: Column): Column =
     floor(lit(1e6) * num.cast("double") / den.cast("double")).cast("long")
 
+  /** Exact, order-independent sum of a COMPUTED double expression.
+    * `dsum`'s double→DECIMAL cast rounds half-up in Spark but not
+    * always identically in DuckDB at .00005 boundaries (observed
+    * 1-row-in-70 divergences); flooring the identical IEEE double
+    * first is bit-identical in both engines. The long partials are
+    * summed through DECIMAL(38,0) so the total cannot overflow int64
+    * at any corpus size (DuckDB auto-promotes its SUM to HUGEINT —
+    * same exact integer, same nearest-double cast).
+    */
+  def fsum(c: Column, scale: Double = 10000.0): Column =
+    sum(floor(c * lit(scale)).cast("long").cast(DecimalType(38, 0)))
+      .cast("double") / lit(scale)
+
   /** SQL twins (kept adjacent so Spark and oracle stay in lockstep). */
   def sqlDsum(x: String, scale: Int = 2): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(18,$scale))) AS DOUBLE)"
@@ -46,4 +59,6 @@ object QueryUtil {
     s"(CAST(SUM(CAST(($x) AS DECIMAL(18,$scale))) AS DOUBLE) / CAST(COUNT($x) AS DOUBLE))"
   def sqlPpm(num: String, den: String): String =
     s"CAST(floor(1e6 * CAST($num AS DOUBLE) / CAST($den AS DOUBLE)) AS BIGINT)"
+  def sqlFsum(x: String, scale: String = "10000.0"): String =
+    s"CAST(SUM(CAST(floor(($x) * $scale) AS BIGINT)) AS DOUBLE) / $scale"
 }

@@ -449,25 +449,25 @@ object TpchQueries {
     val skA = sk(a).cache()
     val skB = sk(b).cache()
     val skU = sk(skA.union(skB).distinct()).cache()
-    // est from a sketch: m < k ⇒ exact m; else (k-1)·2^56 / kth
-    def est(s: DataFrame, out: String): DataFrame =
+    // est from a sketch: m < k ⇒ exact m; else (k-1)·2^56 / kth.
+    // The sketch size m rides along (aliased per caller) so the union
+    // estimator can reuse THIS code path for its ρ denominator instead
+    // of re-deriving the formula inline
+    def est(s: DataFrame, out: String, mOut: String): DataFrame =
       s.agg(count(lit(1)).as("m"), max(col("h")).as("kth"))
         .select(when(col("m") < KmvK, col("m"))
           .otherwise(floor(lit((KmvK - 1).toLong << 56).cast("double") /
-            col("kth").cast("double")).cast("long")).as(out))
+            col("kth").cast("double")).cast("long")).as(out),
+          col("m").as(mOut))
     // ρ = |skU present in both A and B| / |skU|
     val common = skU.join(skA, "h").join(skB, "h")
       .agg(count(lit(1)).as("c"))
-    val estU = skU.agg(count(lit(1)).as("mu"), max(col("h")).as("kthu"))
-      .select(when(col("mu") < KmvK, col("mu"))
-        .otherwise(floor(lit((KmvK - 1).toLong << 56).cast("double") /
-          col("kthu").cast("double")).cast("long")).as("est_union"),
-        col("mu"))
+    val estU = est(skU, "est_union", "mu")
     val exact = a.agg(count(lit(1)).as("n_a"))
       .crossJoin(b.agg(count(lit(1)).as("n_b")))
       .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
-    val estA = est(skA, "est_a")
-    val estB = est(skB, "est_b")
+    val estA = est(skA, "est_a", "ma").drop("ma")
+    val estB = est(skB, "est_b", "mb").drop("mb")
     exact.crossJoin(estA).crossJoin(estB)
       .crossJoin(estU).crossJoin(common)
       .select(col("n_a"), col("n_b"), col("n_union"),

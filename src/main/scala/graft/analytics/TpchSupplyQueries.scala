@@ -144,20 +144,18 @@ object TpchSupplyQueries {
       .join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("o_year"))
-      // floor-scaled integer sum, not a DECIMAL cast: the profit term is
-      // a computed double, and double→DECIMAL rounding diverges between
-      // engines at .00005 boundaries (observed: 1 row in 70 at sf0.001);
-      // floor(x·1e4) of the identical IEEE double is bit-identical
-      .agg((sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        col("ps_supplycost") * col("l_quantity")) * lit(10000.0))
-        .cast("long")).cast("double") / lit(10000.0)).as("sum_profit"))
+      // fsum, not dsum: the profit term is a computed double, and
+      // double→DECIMAL rounding diverges between engines at .00005
+      // boundaries (observed: 1 row in 70 at sf0.001)
+      .agg(fsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q9Sql: String =
     s"""WITH $psSql
        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-       |  CAST(SUM(CAST(floor((l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_profit
+       |  ${sqlFsum("l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity")} AS sum_profit
        |FROM lineitem
        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
        |JOIN part ON l_partkey = p_partkey
@@ -178,22 +176,22 @@ object TpchSupplyQueries {
     */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val ps = partsupp(spark, dir)
-    // floor-scaled integer sums (not DECIMAL casts): v is a computed
-    // double product, and double→DECIMAL rounding diverges between
-    // engines at boundary values — floor(v·1e4) is bit-identical
+    // fsum (floor-scaled sums through DECIMAL), not dsum: v is a
+    // computed double product, and double→DECIMAL rounding diverges
+    // between engines at boundary values; the DECIMAL leg also keeps
+    // the GLOBAL threshold sum overflow-free at any corpus size
     val regional = ps
       .join(broadcast(supplierRegion(spark, dir, "ASIA")
         .select(col("s_suppkey"))),
         col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
-        floor(col("ps_supplycost") * col("ps_availqty") * lit(10000.0))
-          .cast("long").as("sv"))
+        (col("ps_supplycost") * col("ps_availqty")).as("v"))
       .cache() // feeds both the threshold and the per-part aggregate
     val thresh = regional.agg(
-      ((sum(col("sv")).cast("double") / lit(10000.0)) * lit(2.0) /
+      (fsum(col("v")) * lit(2.0) /
         countDistinct(col("ps_partkey")).cast("double")).as("t"))
     regional.groupBy(col("ps_partkey"))
-      .agg((sum(col("sv")).cast("double") / lit(10000.0)).as("part_value"))
+      .agg(fsum(col("v")).as("part_value"))
       .join(broadcast(thresh))
       .where(col("part_value") > col("t"))
       .select(col("ps_partkey"), col("part_value"))
@@ -203,20 +201,19 @@ object TpchSupplyQueries {
   val q11Sql: String =
     s"""WITH $psSql,
        |regional AS (
-       |  SELECT ps_partkey,
-       |    CAST(floor(ps_supplycost * ps_availqty * 10000.0) AS BIGINT) AS sv
+       |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
        |  FROM ps JOIN supplier ON ps_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
        |  JOIN region ON n_regionkey = r_regionkey
        |  WHERE r_name = 'ASIA'),
        |thresh AS (
-       |  SELECT (CAST(SUM(sv) AS DOUBLE) / 10000.0) * 2.0 /
+       |  SELECT ${sqlFsum("v")} * 2.0 /
        |    CAST(COUNT(DISTINCT ps_partkey) AS DOUBLE) AS t
        |  FROM regional)
-       |SELECT ps_partkey, CAST(SUM(sv) AS DOUBLE) / 10000.0 AS part_value
+       |SELECT ps_partkey, ${sqlFsum("v")} AS part_value
        |FROM regional
        |GROUP BY ps_partkey
-       |HAVING CAST(SUM(sv) AS DOUBLE) / 10000.0 > (SELECT t FROM thresh)
+       |HAVING ${sqlFsum("v")} > (SELECT t FROM thresh)
        |ORDER BY part_value DESC, ps_partkey""".stripMargin
 
   // ------------------------------------------------------------ Q12
@@ -238,8 +235,12 @@ object TpchSupplyQueries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .groupBy(when(delay <= 30, "FAST").when(delay <= 60, "NORMAL")
         .otherwise("SLOW").as("ship_bucket"))
+      // low counts via the NEGATED predicate, not otherwise(1): a NULL
+      // priority must count in neither bucket (the oracle's CASE WHEN
+      // NOT IN ... THEN 1 ELSE 0 yields 0 for NULL; otherwise(1)
+      // would yield 1 and silently diverge)
       .agg(sum(when(high, 1).otherwise(0)).as("high_line_count"),
-        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
       .orderBy(col("ship_bucket"))
   }
 
@@ -288,7 +289,8 @@ object TpchSupplyQueries {
        |FROM ps JOIN part ON ps_partkey = p_partkey
        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
-       |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |  AND NOT EXISTS (SELECT 1 FROM supplier
+       |    WHERE s_acctbal < 0 AND s_suppkey = ps_suppkey)
        |GROUP BY p_brand, p_type, p_size
        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 

@@ -37,15 +37,41 @@ class TpchSupplySpec extends SparkSuite {
       "a reported supplier's cost exceeds the regional minimum")
   }
 
-  test("q11: reported parts all exceed 2x the mean regional part value") {
-    val out = TpchSupplyQueries.q11ImportantStock(spark, sf0001)
-      .select(col("part_value")).collect().map(_.getDouble(0))
-    assert(out.nonEmpty)
-    // values sorted descending and the floor is above 2x mean of ALL
-    // regional parts (recomputed coarsely: reported min > 2 * total/n
-    // is exactly the query's threshold, so just check ordering + > 0)
-    assert(out.sameElements(out.sortBy(-_)), "not sorted by value desc")
-    assert(out.forall(_ > 0))
+  test("q11: reported parts are exactly those above 2x the mean share") {
+    val rows = TpchSupplyQueries.q11ImportantStock(spark, sf0001).collect()
+    val reported = rows.map(_.getAs[Long]("ps_partkey")).toSet
+    val values = rows.map(_.getAs[Double]("part_value"))
+    assert(values.nonEmpty)
+    assert(values.sameElements(values.sortBy(-(_: Double))),
+      "not sorted by value desc")
+    // independent recompute with PLAIN double sums (not the query's
+    // floor-scaled path): the threshold semantics must survive a
+    // different summation, so dropping the 2x factor — the one thing
+    // this query adds over a group-by — fails here even though the
+    // oracle (same formula) cannot see it
+    val ps = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"),
+        sum(col("l_quantity")).as("qty"))
+    val asia = spark.read.parquet(s"$sf0001/supplier.parquet")
+      .join(spark.read.parquet(s"$sf0001/nation.parquet"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(spark.read.parquet(s"$sf0001/region.parquet")
+        .where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val perPart = ps.join(asia, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("cost") * col("qty")).as("pv"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val thr = 2.0 * perPart.values.sum / perPart.size
+    val eps = 1e-9
+    val above = perPart.filter { case (_, v) => v > thr * (1 + eps) }.keySet
+    val below = perPart.filter { case (_, v) => v <= thr * (1 - eps) }.keySet
+    assert(above.subsetOf(reported),
+      s"parts clearly above threshold missing: ${above -- reported}")
+    assert(below.intersect(reported).isEmpty,
+      s"parts clearly below threshold reported: ${below.intersect(reported)}")
   }
 
   test("q12: bucket line counts tile the filtered join exactly") {
@@ -113,9 +139,8 @@ class TpchSupplySpec extends SparkSuite {
     val want = l
       .join(widgets, col("l_partkey") === col("p_partkey"))
       .join(ps, col("l_partkey") === col("pk") && col("l_suppkey") === col("sk"))
-      .agg((sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
-        col("cost") * col("l_quantity")) * lit(10000.0)).cast("long"))
-        .cast("double") / lit(10000.0)))
+      .agg(QueryUtil.fsum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("cost") * col("l_quantity")))
       .collect()(0).getDouble(0)
     assert(math.abs(total - want) < 1e-6,
       s"q9 total $total != independent recompute $want")
