@@ -615,6 +615,49 @@ object DedupQueries {
        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
        |  >= 100000""".stripMargin
 
+  // --------------------------------------- asymmetric containment
+  /** Shingle CONTAINMENT — the asymmetric near-dup metric:
+    * `|A∩B| / min(|A|,|B|)`. Jaccard misses a short document quoted
+    * inside a much longer one (the union denominator dilutes the
+    * overlap); containment is exactly the quote/excerpt/boilerplate
+    * detector used alongside Jaccard in corpus dedup (Broder's
+    * original resemblance/containment pair). Same min-shingle
+    * blocking and shuffle shape as [[dedupNgramJaccard]] — one
+    * self-join on the block key; `shingleHashes` is already distinct,
+    * so `size()` is the set cardinality.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), col("sh"), array_min(col("sh")).as("block"))
+      .cache() // shingle pipeline feeds both self-join sides
+    val a = docs.select(col("block"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = docs.select(col("block"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, Seq("block"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        floor(lit(1e6) *
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          least(size(col("sh_a")), size(col("sh_b"))).cast("double"))
+          .cast("long").as("containment_ppm"))
+      .where(col("containment_ppm") >= 300000)
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |blocked AS (SELECT doc_id, sh, list_aggregate(sh, 'min') AS block FROM s)
+       |SELECT doc_a, doc_b, containment_ppm FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(floor(1e6 * CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |      / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE)) AS BIGINT)
+       |      AS containment_ppm
+       |  FROM blocked a JOIN blocked b
+       |    ON a.block = b.block AND a.doc_id < b.doc_id)
+       |WHERE containment_ppm >= 300000""".stripMargin
+
   /** Edit-distance verification of blocked candidate pairs: the same
     * min-shingle blocking as [[dedupNgramJaccard]], scored by
     * Levenshtein distance over a 200-char prefix instead of set
@@ -709,6 +752,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_star" -> (dedupClustersStar _),
@@ -721,6 +765,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,
     // exact CC is exact CC: the star-contraction variant must produce

@@ -911,7 +911,70 @@ object EmbeddingQueries {
        |  AND a.vec_id < b.vec_id
        |WHERE ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} >= 250000""".stripMargin
 
+  // ---------------------------------------- centroid outlier scan
+  /** Label-centroid outlier detection — the mislabel/contamination
+    * scan run before training on labeled embeddings: each vector's
+    * cosine to its OWN label's centroid; low cosine ⇒ the vector
+    * doesn't belong where its label says (annotation error, near-OOD
+    * sample, poisoning candidate).
+    *
+    * The centroid is the per-dimension TRUNCATED mean of the quantized
+    * components (`sum div count` — truncation toward zero is identical
+    * in Spark's `div` and DuckDB's `//`, verified on negatives), so
+    * centroid components stay in the same bounded range as vector
+    * components and every overflow bound is corpus-size-independent:
+    * the exact-int64 dot/norm machinery of the kNN family applies
+    * unchanged at any corpus size.
+    *
+    * Scale shape: one posexplode + (label, dim) aggregate with
+    * map-side combine — 64·|labels| cells — then a broadcast join of
+    * the label-cardinality centroid table back onto the corpus. No
+    * self-join, no per-pair work; linear in corpus size.
+    */
+  val OutlierPpm = 250000L
+
+  def embOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = quantized(spark, dir)
+    val cents = v
+      .select(col("label"), posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr("s div n"))
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+      .withColumn("cnorm2", dot(col("cent"), col("cent")))
+    v.join(broadcast(cents), "label")
+      .withColumn("cos_ppm",
+        scorePpm(dot(col("q"), col("cent")), col("norm2"), col("cnorm2")))
+      .select(col("vec_id"), col("label"), col("cos_ppm"),
+        (col("cos_ppm") < OutlierPpm).as("is_outlier"))
+  }
+
+  val embOutliersSql: String =
+    s"""WITH $sqlQuantized,
+       |comps AS (
+       |  SELECT label, i AS pos, qv[i] AS x
+       |  FROM n, LATERAL (SELECT unnest(generate_series(1, 64)) AS i) g),
+       |csum AS (
+       |  SELECT label, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS nn
+       |  FROM comps GROUP BY 1, 2),
+       |cent AS (
+       |  SELECT label, list(s // CAST(nn AS BIGINT) ORDER BY pos) AS cent
+       |  FROM csum GROUP BY label),
+       |scored AS (
+       |  SELECT n.vec_id, n.label,
+       |    ${sqlScorePpm(
+      "list_sum(list_transform(generate_series(1, 64), i -> n.qv[i] * c.cent[i]))",
+      "n.norm2",
+      "list_sum(list_transform(c.cent, x -> x * x))")} AS cos_ppm
+       |  FROM n JOIN cent c ON n.label = c.label)
+       |SELECT vec_id, label, cos_ppm, cos_ppm < $OutlierPpm AS is_outlier
+       |FROM scored""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_outliers" -> (embOutliers _),
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
     "knn_lsh_multiprobe" -> (knnLshMultiprobe _),
@@ -924,6 +987,7 @@ object EmbeddingQueries {
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
   val oracles: Map[String, String] = Map(
+    "emb_outliers" -> embOutliersSql,
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,
     "knn_lsh_multiprobe" -> knnLshMultiprobeSql,

@@ -492,7 +492,79 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // ----------------------------------------- interval merge (coalesce)
+  /** Overlapping-interval merge (temporal coalesce): each event opens
+    * an availability window of `floor(value·60)` seconds; per user,
+    * transitively overlapping windows collapse into maximal islands.
+    * This is the interval analog of sessionization — sessions close on
+    * a FIXED inactivity gap, islands close when the (variable-length)
+    * coverage actually ends — and the primitive behind uptime/coverage
+    * reporting and SCD row compaction.
+    *
+    * Classic two-window-pass algorithm: running max of interval end
+    * over earlier rows detects breaks (`start > max end so far` ⇒ new
+    * island), then a running sum of breaks numbers the islands. Both
+    * windows partition by user_id — one shuffle on the user key, no
+    * global sort at any scale; per-user history length bounds the
+    * within-key work. All arithmetic in epoch seconds (exact longs;
+    * `unix_timestamp` floors sub-second parts, the oracle's
+    * `floor(epoch(ts))` twin matches bit-for-bit).
+    */
+  def eventsIntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val byTime = w.partitionBy(col("user_id"))
+      .orderBy(col("s"), col("event_id"))
+    val iv = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("s"),
+        (unix_timestamp(col("ts")) +
+          floor(col("value") * 60).cast("long")).as("e"))
+    iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(byTime.rowsBetween(w.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        byTime.rowsBetween(w.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("island_start_s"),
+        max(col("e")).as("island_end_s"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("island_start_s"), col("island_end_s"),
+        (col("island_end_s") - col("island_start_s")).as("covered_s"),
+        col("n_events"))
+  }
+
+  val eventsIntervalMergeSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      + CAST(floor(value * 60) AS BIGINT) AS e
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, s, e,
+      |    CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND 1 PRECEDING) IS NULL
+      |           OR s > MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                               ROWS BETWEEN UNBOUNDED PRECEDING
+      |                               AND 1 PRECEDING)
+      |         THEN 1 ELSE 0 END AS brk,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, s, e,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM marked)
+      |SELECT user_id, MIN(s) AS island_start_s, MAX(e) AS island_end_s,
+      |  MAX(e) - MIN(s) AS covered_s, COUNT(*) AS n_events
+      |FROM isl GROUP BY user_id, island""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_merge" -> (eventsIntervalMerge _),
     "events_pit_join" -> (eventsPitJoin _),
     "events_scd2" -> (eventsScd2 _),
     "events_gapfill" -> (eventsGapfill _),
@@ -508,6 +580,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_interval_merge" -> eventsIntervalMergeSql,
     "events_pit_join" -> eventsPitJoinSql,
     "events_scd2" -> eventsScd2Sql,
     "events_gapfill" -> eventsGapfillSql,

@@ -553,7 +553,169 @@ object LakehouseQueries {
        |WHERE tcnt >= 3
        |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ vacuum planner
+  /** VACUUM planner — quantifies what a retention sweep would delete
+    * before anyone runs it: treating `events` as the append-only
+    * versioned log (the same framing as [[eventsCdcApply]] /
+    * [[eventsStateAt]]), a row is reclaimable when it is SUPERSEDED
+    * (not its user's latest version) AND older than the retention
+    * cutoff (max ts − 7 days) — Delta/Iceberg VACUUM semantics, where
+    * only stale versions past the retention window are eligible and
+    * the current version is always kept.
+    *
+    * Scale shape: one shuffle on user_id for the latest-version
+    * window, the cutoff is a 1-row broadcast, and the report
+    * aggregates to one row per day. No global sort.
+    */
+  def layoutVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val v = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .withColumn("rn", row_number().over(w))
+    val cutoff = table(spark, dir, "events")
+      .agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cutoff"))
+    v.crossJoin(broadcast(cutoff))
+      .withColumn("reclaimable", col("rn") > 1 && col("ts") < col("cutoff"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("reclaimable"), 1)).as("n_reclaimable"))
+      .select(col("day"), col("n_rows"), col("n_reclaimable"),
+        ppm(col("n_reclaimable"), col("n_rows")).as("reclaim_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val layoutVacuumSql: String =
+    s"""WITH v AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(ts AS DATE)) AS BIGINT) AS day,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM events),
+       |wm AS (SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events)
+       |SELECT day, COUNT(*) AS n_rows,
+       |  CAST(COUNT(*) FILTER (WHERE rn > 1 AND ts < cutoff) AS BIGINT)
+       |    AS n_reclaimable,
+       |  ${sqlPpm(
+      "COUNT(*) FILTER (WHERE rn > 1 AND ts < cutoff)", "COUNT(*)")}
+       |    AS reclaim_ppm
+       |FROM v, wm GROUP BY day ORDER BY day""".stripMargin
+
+  // --------------------------------------------- compaction planner
+  /** Small-file compaction planner — the OPTIMIZE bin-packer: files
+    * (simulated as 256 hash buckets of orders, sizes = row counts)
+    * are packed in file order into output groups of ≥ [[CompactTarget]]
+    * rows via an exclusive prefix sum (`group = prefix div target` —
+    * the same deterministic placement primitive as pipeline_pack,
+    * applied at FILE granularity where the list is metadata-sized).
+    *
+    * Scale shape: the per-file aggregate shuffles once with map-side
+    * combine and collapses to the file count (thousands of rows for
+    * millions of files); the unpartitioned packing window runs over
+    * that metadata-sized list, never the fact table. Real OPTIMIZE
+    * planners work exactly on this file-stats table.
+    */
+  val CompactTarget = 1000L
+
+  def layoutCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val files = table(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % 256).as("fid"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("fid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("pre", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("out_group", expr(s"pre div $CompactTarget"))
+      .groupBy(col("out_group"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("total_rows"),
+        min(col("fid")).as("first_fid"), max(col("fid")).as("last_fid"))
+      .orderBy(col("out_group"))
+  }
+
+  val layoutCompactionSql: String =
+    s"""WITH files AS (
+       |  SELECT o_orderkey % 256 AS fid, COUNT(*) AS n_rows
+       |  FROM orders GROUP BY 1),
+       |packed AS (
+       |  SELECT fid, n_rows,
+       |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY fid
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) // $CompactTarget AS out_group
+       |  FROM files)
+       |SELECT out_group, COUNT(*) AS n_files,
+       |  CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+       |  MIN(fid) AS first_fid, MAX(fid) AS last_fid
+       |FROM packed GROUP BY out_group ORDER BY out_group""".stripMargin
+
+  // ------------------------------------------- distribution drift
+  /** Distribution drift monitor — [[dqAnomaly]] flags VOLUME spikes;
+    * this flags SHAPE changes that volume alone misses (a day with a
+    * normal event count but values suddenly skewed is the classic
+    * silent-upstream-change failure). Each day's value histogram
+    * (10 fixed-width buckets) is compared to the corpus-wide histogram
+    * by L1 distance in exact integer ppm — the total-variation-style
+    * score drift monitors report.
+    *
+    * Scale shape: one shuffle on (day, bucket) with map-side combine
+    * collapses the fact table to histogram cells; everything after
+    * runs on METADATA-sized rows (days × 10 buckets), with the corpus
+    * histogram a 10-row broadcast. Missing cells are restored by a
+    * day×bucket grid so absent buckets contribute their full corpus
+    * share to the distance (a day missing a bucket IS drift).
+    */
+  val DriftPpm = 200000L
+
+  def dqDistributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"),
+        least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"))
+    val daily = ev.groupBy(col("day"), col("bucket"))
+      .agg(count(lit(1)).as("n_db"))
+    val dayTot = daily.groupBy(col("day")).agg(sum(col("n_db")).as("n_d"))
+    val corpus = ev.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+    val total = ev.agg(count(lit(1)).as("n_total"))
+    dayTot.crossJoin(broadcast(corpus.crossJoin(total)))
+      .join(daily, Seq("day", "bucket"), "left_outer")
+      .withColumn("n_db", coalesce(col("n_db"), lit(0L)))
+      .withColumn("diff_ppm",
+        abs(ppm(col("n_db"), col("n_d")) - ppm(col("n_b"), col("n_total"))))
+      .groupBy(col("day"), col("n_d"))
+      .agg(sum(col("diff_ppm")).as("drift_ppm"))
+      .select(col("day"), col("n_d"), col("drift_ppm"),
+        (col("drift_ppm") > DriftPpm).as("is_drift"))
+      .orderBy(col("day"))
+  }
+
+  val dqDistributionDriftSql: String =
+    s"""WITH ev AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(ts AS DATE)) AS BIGINT) AS day,
+       |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+       |  FROM events),
+       |daily AS (SELECT day, bucket, COUNT(*) AS n_db FROM ev GROUP BY 1, 2),
+       |daytot AS (SELECT day, CAST(SUM(n_db) AS BIGINT) AS n_d
+       |  FROM daily GROUP BY 1),
+       |corpus AS (SELECT bucket, COUNT(*) AS n_b FROM ev GROUP BY 1),
+       |total AS (SELECT COUNT(*) AS n_total FROM ev),
+       |cells AS (
+       |  SELECT g.day, g.n_d,
+       |    abs(${sqlPpm("COALESCE(dl.n_db, 0)", "g.n_d")}
+       |      - ${sqlPpm("g.n_b", "g.n_total")}) AS diff_ppm
+       |  FROM (SELECT d.day, d.n_d, c.bucket, c.n_b, t.n_total
+       |        FROM daytot d, corpus c, total t) g
+       |  LEFT JOIN daily dl ON g.day = dl.day AND g.bucket = dl.bucket)
+       |SELECT day, n_d, CAST(SUM(diff_ppm) AS BIGINT) AS drift_ppm,
+       |  CAST(SUM(diff_ppm) AS BIGINT) > $DriftPpm AS is_drift
+       |FROM cells GROUP BY day, n_d ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_vacuum" -> (layoutVacuum _),
+    "layout_compaction" -> (layoutCompaction _),
+    "dq_distribution_drift" -> (dqDistributionDrift _),
     "dq_anomaly" -> (dqAnomaly _),
     "layout_minmax_prune" -> (layoutMinmaxPrune _),
     "events_cdc_apply" -> (eventsCdcApply _),
@@ -564,6 +726,9 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "layout_vacuum" -> layoutVacuumSql,
+    "layout_compaction" -> layoutCompactionSql,
+    "dq_distribution_drift" -> dqDistributionDriftSql,
     "dq_anomaly" -> dqAnomalySql,
     "layout_minmax_prune" -> layoutMinmaxPruneSql,
     "events_cdc_apply" -> eventsCdcApplySql,

@@ -1,0 +1,110 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-5 third-context operators (the
+  * oracle hash-compare proves engine agreement; these pin the
+  * properties the numbers must have to MEAN what they claim).
+  */
+class Round5OpsSpec extends SparkSuite {
+
+  test("interval merge islands tile each user's coverage") {
+    val islands = EventQueries.eventsIntervalMerge(spark, sf0001).cache()
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+
+    // islands partition the events: per-user counts add up
+    assert(islands.agg(sum("n_events")).head.getLong(0) == events.count())
+
+    // islands are well-formed and maximal: each covers a positive
+    // span, and consecutive islands of a user do NOT touch (a touch
+    // would mean the merge failed to coalesce them)
+    assert(islands.where(col("covered_s") <= 0).count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("island_start_s")
+    val overlapping = islands
+      .withColumn("prev_end", lag("island_end_s", 1).over(w))
+      .where(col("prev_end").isNotNull &&
+        col("island_start_s") <= col("prev_end"))
+      .count()
+    assert(overlapping == 0, s"$overlapping islands touch their predecessor")
+    islands.unpersist()
+  }
+
+  test("containment dominates jaccard on every shared pair") {
+    val cont = DedupQueries.dedupContainment(spark, sf0001)
+    val jac = DedupQueries.dedupNgramJaccard(spark, sf0001)
+    val joined = cont.join(jac, Seq("doc_a", "doc_b")).cache()
+    // |A∩B|/min ≥ |A∩B|/|A∪B| always; ppm floor preserves ≥
+    assert(joined.where(col("containment_ppm") < col("jaccard_ppm"))
+      .count() == 0)
+    assert(cont.where(col("containment_ppm") > 1000000).count() == 0)
+    joined.unpersist()
+  }
+
+  test("distribution drift is a bounded L1 distance over all days") {
+    val drift = LakehouseQueries.dqDistributionDrift(spark, sf0001).cache()
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    // every day is reported and day volumes re-add to the corpus
+    assert(drift.agg(sum("n_d")).head.getLong(0) == events.count())
+    // L1 distance of two probability distributions is ≤ 2 (2e6 ppm)
+    assert(drift.where(col("drift_ppm") < 0 ||
+      col("drift_ppm") > 2000000).count() == 0)
+    drift.unpersist()
+  }
+
+  test("centroid outliers score every vector once, in cosine range") {
+    val out = EmbeddingQueries.embOutliers(spark, sf0001).cache()
+    val n = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    // cosine is in [-1, 1] ⇒ ppm in [-1e6, 1e6]
+    assert(out.where(col("cos_ppm") > 1000000 ||
+      col("cos_ppm") < -1000000).count() == 0)
+    // the flag is exactly the threshold predicate
+    assert(out.where(col("is_outlier") =!=
+      (col("cos_ppm") < EmbeddingQueries.OutlierPpm)).count() == 0)
+    out.unpersist()
+  }
+
+  test("vacuum plan never reclaims a user's live version") {
+    val plan = LakehouseQueries.layoutVacuum(spark, sf0001).cache()
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    assert(plan.agg(sum("n_rows")).head.getLong(0) == events.count())
+    // each user's latest row is kept, so at least n_users rows survive
+    val nUsers = events.select("user_id").distinct().count()
+    val reclaimed = plan.agg(sum("n_reclaimable")).head.getLong(0)
+    assert(reclaimed <= events.count() - nUsers)
+    assert(plan.where(col("n_reclaimable") > col("n_rows")).count() == 0)
+    plan.unpersist()
+  }
+
+  test("compaction groups partition the file list in order") {
+    val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+    assert(groups.agg(sum("total_rows")).head.getLong(0) == orders.count())
+    // packing is order-preserving: group fid ranges never interleave
+    val w = org.apache.spark.sql.expressions.Window.orderBy("out_group")
+    val interleaved = groups
+      .withColumn("prev_last", lag("last_fid", 1).over(w))
+      .where(col("prev_last").isNotNull &&
+        col("first_fid") <= col("prev_last"))
+      .count()
+    assert(interleaved == 0)
+    // prefix-div packing bound: a non-last group's total is at least
+    // target − (largest file − 1) — the exact worst case when a big
+    // file straddles the group boundary (equality to target is NOT a
+    // theorem; sizes 800,800,800,800 at target 1000 give a middle
+    // group of one 800-row file)
+    val maxFile = orders.groupBy((col("o_orderkey") % 256).as("fid"))
+      .count().agg(max("count")).head.getLong(0)
+    val undersized = groups
+      .withColumn("next", lead("out_group", 1).over(w))
+      .where(col("next").isNotNull && col("total_rows") <
+        LakehouseQueries.CompactTarget - maxFile + 1)
+      .count()
+    assert(undersized == 0)
+    groups.unpersist()
+  }
+}
