@@ -157,7 +157,43 @@ object ScalarBreadthQueries {
       |  CAST(MIN(epoch(CAST(o_orderdate AS TIMESTAMP))) AS BIGINT) AS min_epoch_s
       |FROM orders GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- DSv2 custom source
+  /** Aggregate over the [[graft.sources.SyntheticV2Source]] DSv2
+    * table: the `id` range predicate is CONSUMED by the source's
+    * `pushFilters` (the scan generates only [25000, 175000)), the
+    * `tag` predicate stays residual, and column pruning reaches the
+    * readers. The deterministic generator lets DuckDB's `range()`
+    * reproduce the table exactly, so the custom-source path sits
+    * behind the same oracle gate as every file-based query. The `dir`
+    * parameter is unused — this source reads no files by design.
+    */
+  def sourceDsv2(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "200000").option("parts", "8").load()
+      .where(col("id") >= 25000 && col("id") < 175000 &&
+        col("tag") =!= "t3")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("hv")).as("sum_hv"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  val sourceDsv2Sql: String = {
+    import graft.functions.CrossHash
+    s"""WITH t AS (
+       |  SELECT CAST(r.range AS BIGINT) AS id FROM range(0, 200000) r),
+       |s AS (
+       |  SELECT id, id % 97 AS bucket,
+       |    ${CrossHash.sqlAffine("id", 0)} AS hv,
+       |    't' || CAST(id % 7 AS VARCHAR) AS tag
+       |  FROM t)
+       |SELECT bucket, COUNT(*) AS n, CAST(SUM(hv) AS BIGINT) AS sum_hv,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM s
+       |WHERE id >= 25000 AND id < 175000 AND tag <> 't3'
+       |GROUP BY bucket""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_dsv2" -> (sourceDsv2 _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
     "null_handling_orders" -> (nullHandlingOrders _),
@@ -165,6 +201,7 @@ object ScalarBreadthQueries {
     "date_arith_orders" -> (dateArithOrders _))
 
   val oracles: Map[String, String] = Map(
+    "source_dsv2" -> sourceDsv2Sql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
     "null_handling_orders" -> nullHandlingSql,
