@@ -492,6 +492,50 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // -------------------------------------- Markov transition matrix
+  /** First-order transition matrix over per-user event sequences —
+    * the sequence-modeling primitive behind next-action prediction
+    * and journey analysis: for each (from, to) event-type pair, the
+    * transition count and row-normalized probability in exact ppm.
+    *
+    * Scale shape: `lead` over (user_id, time) is one shuffle on the
+    * user key; the transition counts collapse to |types|² cells with
+    * map-side combine, and the row-total join is enum-sized. Linear
+    * in the corpus, output bounded by the type vocabulary.
+    */
+  def eventsTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    trans.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        ppm(col("n"), col("n_from")).as("p_ppm"))
+  }
+
+  val eventsTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT event_type AS from_type,
+       |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS to_type
+       |  FROM events),
+       |trans AS (
+       |  SELECT from_type, to_type, COUNT(*) AS n FROM seq
+       |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |  FROM trans GROUP BY 1)
+       |SELECT t.from_type, t.to_type, t.n,
+       |  ${sqlPpm("t.n", "tot.n_from")} AS p_ppm
+       |FROM trans t JOIN tot ON t.from_type = tot.from_type""".stripMargin
+
   // ----------------------------------------- interval merge (coalesce)
   /** Overlapping-interval merge (temporal coalesce): each event opens
     * an availability window of `floor(value·60)` seconds; per user,
@@ -564,6 +608,7 @@ object EventQueries {
       |FROM isl GROUP BY user_id, island""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> (eventsTransitions _),
     "events_interval_merge" -> (eventsIntervalMerge _),
     "events_pit_join" -> (eventsPitJoin _),
     "events_scd2" -> (eventsScd2 _),
@@ -580,6 +625,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_transitions" -> eventsTransitionsSql,
     "events_interval_merge" -> eventsIntervalMergeSql,
     "events_pit_join" -> eventsPitJoinSql,
     "events_scd2" -> eventsScd2Sql,

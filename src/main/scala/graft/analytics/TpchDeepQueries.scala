@@ -336,7 +336,76 @@ object TpchDeepQueries {
        |GROUP BY c_nationkey
        |ORDER BY cntry""".stripMargin
 
+  // ------------------------------------------ market-basket mining
+  /** Association mining over order baskets — support and LIFT for
+    * part pairs co-purchased in the same order (the market-basket /
+    * recommender primitive: lift > 1e6 ppm ⇒ the parts co-occur more
+    * than independence predicts).
+    *
+    * Scale shape: baskets come from ONE distinct over (orderkey,
+    * partkey); the pair generation is a self-join co-partitioned on
+    * orderkey whose per-order work is bounded by basket size² (TPC-H
+    * baskets are ≤ 7 lines — bounded by schema, not corpus); pair
+    * counts aggregate with map-side combine on the (pa, pb) key; the
+    * two item-frequency joins key on partkey. The min-support filter
+    * keeps the output to genuinely repeated pairs. No step is
+    * quadratic in the corpus.
+    *
+    * Overflow: lift's n_ab·N product would exceed int64 once the
+    * order count passes ~2^31.5, so the ratio multiplies exact longs
+    * AS DOUBLES — identical IEEE ops on identical integer operands in
+    * both engines, corpus-size-safe.
+    */
+  val MinSupport = 2L
+
+  def basketLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .cache() // feeds both self-join sides + item frequencies
+    val freq = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val nOrders = items.select(col("ok")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val a = items.select(col("ok"), col("pk").as("pa"))
+    val b = items.select(col("ok"), col("pk").as("pb"))
+    val pairs = a.join(b, Seq("ok"))
+      .where(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= MinSupport)
+    pairs
+      .join(freq.select(col("pk").as("pa"), col("n_item").as("n_a")), "pa")
+      .join(freq.select(col("pk").as("pb"), col("n_item").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        ppm(col("n_ab"), col("n_orders")).as("support_ppm"),
+        floor(lit(1e6) * col("n_ab").cast("double") *
+          col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .cast("long").as("lift_ppm"))
+  }
+
+  val basketLiftSql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |freq AS (SELECT pk, COUNT(*) AS n_item FROM items GROUP BY pk),
+       |no AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+       |pairs AS (
+       |  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n_ab
+       |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)
+       |SELECT pa, pb, n_ab,
+       |  ${sqlPpm("n_ab", "n_orders")} AS support_ppm,
+       |  CAST(floor(1e6 * CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+       |    / (CAST(fa.n_item AS DOUBLE) * CAST(fb.n_item AS DOUBLE)))
+       |    AS BIGINT) AS lift_ppm
+       |FROM pairs
+       |JOIN freq fa ON pairs.pa = fa.pk
+       |JOIN freq fb ON pairs.pb = fb.pk
+       |CROSS JOIN no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_lift" -> (basketLift _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
@@ -346,6 +415,7 @@ object TpchDeepQueries {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "basket_lift" -> basketLiftSql,
     "q7_volume_shipping" -> q7Sql,
     "q8_market_share" -> q8Sql,
     "q13_customer_distribution" -> q13Sql,

@@ -80,6 +80,42 @@ class Round5OpsSpec extends SparkSuite {
     plan.unpersist()
   }
 
+  test("transition matrix rows are probability distributions") {
+    val t = EventQueries.eventsTransitions(spark, sf0001).cache()
+    // each from-row's ppm mass sums to 1e6 (up to one floor ulp per
+    // cell — floor(1e6·n/total) loses < 1 ppm per transition cell)
+    val nTypes = t.select("to_type").distinct().count()
+    val bad = t.groupBy("from_type")
+      .agg(sum("p_ppm").as("mass"), count(lit(1)).as("cells"))
+      .where(col("mass") > 1000000 ||
+        col("mass") <= lit(1000000) - col("cells"))
+      .count()
+    assert(bad == 0)
+    // transition counts re-add to (events − one per user sequence)
+    val events = spark.read.parquet(s"$sf0001/events.parquet")
+    val nUsers = events.select("user_id").distinct().count()
+    assert(t.agg(sum("n")).head.getLong(0) == events.count() - nUsers)
+    assert(nTypes <= 5)
+    t.unpersist()
+  }
+
+  test("basket lift agrees with independent recounts on a sample pair") {
+    val lift = TpchDeepQueries.basketLift(spark, sf0001).cache()
+    // spot-verify the top-lift pair against first-principles recounts
+    val top = lift.orderBy(col("lift_ppm").desc, col("pa"), col("pb")).head
+    val (pa, pb) = (top.getLong(0), top.getLong(1))
+    val items = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().cache()
+    val nAb = items.where(col("pk") === pa).select("ok")
+      .intersect(items.where(col("pk") === pb).select("ok")).count()
+    assert(top.getLong(2) == nAb, "n_ab mismatch vs recount")
+    // support is monotone with n_ab and every pair meets min-support
+    assert(lift.where(col("n_ab") < TpchDeepQueries.MinSupport)
+      .count() == 0)
+    items.unpersist(); lift.unpersist()
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
