@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
@@ -492,6 +492,77 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // ------------------------------------- last-touch attribution
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent click or view within a 7-day lookback —
+    * whichever touched LAST — or to "direct" when neither did. The
+    * revenue-attribution primitive behind every channel report, and a
+    * per-event as-of lookup expressed as running window maxima (no
+    * self-join): `max(when(type=click, ts))` over earlier rows IS the
+    * as-of predecessor of each purchase.
+    *
+    * Scale shape: one shuffle on user_id for the two running maxima,
+    * then a channel-sized aggregate. Epoch-seconds arithmetic keeps
+    * the lookback compare exact; all sums are fsum-floored.
+    */
+  val LookbackS = 604800L // 7 days
+
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val within = (t: Column) =>
+      t.isNotNull && (col("s") - t) <= LookbackS
+    val touched = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_timestamp(col("ts")).as("s"))
+      .withColumn("last_click",
+        max(when(col("event_type") === "click", col("s"))).over(w))
+      .withColumn("last_view",
+        max(when(col("event_type") === "view", col("s"))).over(w))
+    touched
+      .where(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(within(col("last_click")) &&
+          (col("last_view").isNull || col("last_click") >= col("last_view")),
+          "click")
+          .when(within(col("last_view")), "view")
+          .otherwise("direct"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        fsum(col("value")).as("attributed_value"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS s, ts
+       |  FROM events),
+       |touched AS (
+       |  SELECT *,
+       |    MAX(CASE WHEN event_type = 'click' THEN s END)
+       |      OVER (PARTITION BY user_id ORDER BY s, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_click,
+       |    MAX(CASE WHEN event_type = 'view' THEN s END)
+       |      OVER (PARTITION BY user_id ORDER BY s, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS last_view
+       |  FROM t)
+       |SELECT CASE
+       |    WHEN last_click IS NOT NULL AND s - last_click <= $LookbackS
+       |      AND (last_view IS NULL OR last_click >= last_view)
+       |    THEN 'click'
+       |    WHEN last_view IS NOT NULL AND s - last_view <= $LookbackS
+       |    THEN 'view'
+       |    ELSE 'direct' END AS channel,
+       |  COUNT(*) AS n_purchases,
+       |  ${sqlFsum("value")} AS attributed_value
+       |FROM touched
+       |WHERE event_type = 'purchase'
+       |GROUP BY 1""".stripMargin
+
   // -------------------------------------- Markov transition matrix
   /** First-order transition matrix over per-user event sequences —
     * the sequence-modeling primitive behind next-action prediction
@@ -608,6 +679,7 @@ object EventQueries {
       |FROM isl GROUP BY user_id, island""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "events_transitions" -> (eventsTransitions _),
     "events_interval_merge" -> (eventsIntervalMerge _),
     "events_pit_join" -> (eventsPitJoin _),
@@ -625,6 +697,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_attribution" -> eventsAttributionSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_interval_merge" -> eventsIntervalMergeSql,
     "events_pit_join" -> eventsPitJoinSql,

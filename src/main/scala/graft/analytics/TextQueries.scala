@@ -611,7 +611,101 @@ object TextQueries {
        |ORDER BY n DESC, tok ASC""".stripMargin
   }
 
+  // --------------------------------- mergeable quantile sketch
+  /** Histogram quantile sketch — the MERGEABLE distributed-quantile
+    * primitive (the role t-digest/KLL play in real engines, in the
+    * deterministic equi-width form both engines reproduce exactly):
+    * one map-side-combinable aggregate collapses any corpus to ≤ 256
+    * bucket counts, quantiles are then rank-interpolated inside the
+    * covering bucket in pure integer arithmetic. The in-band `exact_*`
+    * columns re-derive each quantile with the engines' EXACT
+    * percentile (which must gather a group's values — the very cost
+    * the sketch exists to avoid at 100 TB) and publish the sketch's
+    * error in ppm, so the approximation quality ships with the answer.
+    *
+    * Joins after the histogram are all on ≤ 256-row metadata;
+    * `t − 1 − cum_prev` is the rank offset inside the covering bucket
+    * and the interpolation divide is exact integer `div`.
+    */
+  // bucket width: 256 buckets cover prices < 131 072 — comfortably
+  // past the ~105 000 price ceiling, so the clamp bucket stays empty
+  // and the ≤-one-bucket-width error bound holds for every quantile
+  val QW = 512L
+
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+      .select(col("l_extendedprice").as("x"))
+    val hist = li
+      .groupBy(least(floor(col("x") / QW).cast("long"), lit(255L)).as("b"))
+      .agg(count(lit(1)).as("n_b"))
+    val wb = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum(col("n_b")).over(wb))
+      .withColumn("cum_prev", col("cum") - col("n_b"))
+    val n = li.agg(count(lit(1)).as("n_total"))
+    val exact = li.agg(
+      percentile(col("x"), lit(0.5)).as("e50"),
+      percentile(col("x"), lit(0.9)).as("e90"),
+      percentile(col("x"), lit(0.99)).as("e99"))
+    Seq(0.5, 0.9, 0.99).toDF("q")
+      .crossJoin(broadcast(n))
+      .withColumn("t",
+        least(floor(col("q") * col("n_total")).cast("long") + 1,
+          col("n_total")))
+      .join(broadcast(cum),
+        col("cum_prev") < col("t") && col("cum") >= col("t"))
+      .withColumn("est",
+        col("b") * QW + expr(s"((t - 1 - cum_prev) * $QW) div n_b"))
+      .crossJoin(broadcast(exact))
+      .withColumn("exact_cents",
+        floor(when(col("q") === 0.5, col("e50"))
+          .when(col("q") === 0.9, col("e90"))
+          .otherwise(col("e99")) * 100).cast("long"))
+      .select(col("q"), col("t"), col("est"), col("exact_cents"),
+        ppm(abs(col("est") * 100 - col("exact_cents")),
+          col("exact_cents")).as("err_ppm"))
+  }
+
+  val sketchQuantileSql: String =
+    s"""WITH x AS (SELECT l_extendedprice AS x FROM lineitem),
+       |hist AS (
+       |  SELECT least(CAST(floor(x / $QW) AS BIGINT), 255) AS b,
+       |    COUNT(*) AS n_b
+       |  FROM x GROUP BY 1),
+       |cum AS (
+       |  SELECT b, n_b,
+       |    CAST(SUM(n_b) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cum
+       |  FROM hist),
+       |cum2 AS (SELECT b, n_b, cum, cum - n_b AS cum_prev FROM cum),
+       |nt AS (SELECT COUNT(*) AS n_total FROM x),
+       |qs AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+       |  CAST(0.99 AS DOUBLE)]) AS q),
+       |tg AS (
+       |  SELECT q,
+       |    least(CAST(floor(q * n_total) AS BIGINT) + 1, n_total) AS t
+       |  FROM qs, nt),
+       |est AS (
+       |  SELECT q, t,
+       |    b * $QW + ((t - 1 - cum_prev) * $QW) // n_b AS est
+       |  FROM tg JOIN cum2 ON cum_prev < t AND cum >= t),
+       |ex AS (
+       |  SELECT quantile_cont(x, 0.5) AS e50, quantile_cont(x, 0.9) AS e90,
+       |    quantile_cont(x, 0.99) AS e99
+       |  FROM x),
+       |sc AS (
+       |  SELECT q, t, est,
+       |    CAST(floor((CASE WHEN q = 0.5 THEN e50 WHEN q = 0.9 THEN e90
+       |      ELSE e99 END) * 100) AS BIGINT) AS exact_cents
+       |  FROM est, ex)
+       |SELECT q, t, est, exact_cents,
+       |  ${sqlPpm("abs(est * 100 - exact_cents)", "exact_cents")} AS err_ppm
+       |FROM sc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
     "sketch_countmin" -> (sketchCountmin _),
     "text_pii" -> (textPii _),
@@ -628,6 +722,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
     "sketch_countmin" -> sketchCountminSql,
     "text_pii" -> textPiiSql,

@@ -404,7 +404,110 @@ object TpchDeepQueries {
        |JOIN freq fb ON pairs.pb = fb.pk
        |CROSS JOIN no""".stripMargin
 
+  // ------------------------------------------- RFM segmentation
+  /** RFM customer segmentation — the classic BI scoring: per customer
+    * Recency (days since last order), Frequency (order count), and
+    * Monetary (exact total spend), each scored 1–5 against the
+    * customer population's quintile boundaries, rolled up to segment
+    * counts.
+    *
+    * Scale shape: the per-customer aggregate is one shuffle on
+    * custkey with map-side combine; quintile boundaries collapse to
+    * ONE broadcast row, so scoring is a per-row comparison — no
+    * global sort, no ntile window over the customer table (the
+    * rank-based formulation would order all customers globally; the
+    * boundary-based one is the distributed form, and at 100 TB the
+    * exact-percentile boundary aggregate swaps for the
+    * [[TextQueries.sketchQuantile]] histogram — same contract,
+    * mergeable build).
+    *
+    * Determinism: counts and day-diffs are exact ints, spend is
+    * fsum-floored; `percentile`/`quantile_cont` interpolate
+    * identically on identical operands (the proven
+    * percentile_quantity pattern), and score assignment only
+    * compares those exact values against the shared boundaries.
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+        count(lit(1)).as("freq"),
+        fsum(col("o_totalprice"), 100.0).as("spend"))
+    val refDate = table(spark, dir, "orders")
+      .agg(max(col("o_orderdate").cast("date")).as("ref_date"))
+    val rfm = cust.crossJoin(broadcast(refDate))
+      .select(col("o_custkey"),
+        datediff(col("ref_date"), col("last_order")).cast("long")
+          .as("recency"),
+        col("freq"), col("spend"))
+      .cache() // feeds both the boundary aggregate and the scoring pass
+    val bounds = rfm.agg(
+      percentile(col("recency"), lit(0.2)).as("r20"),
+      percentile(col("recency"), lit(0.4)).as("r40"),
+      percentile(col("recency"), lit(0.6)).as("r60"),
+      percentile(col("recency"), lit(0.8)).as("r80"),
+      percentile(col("freq"), lit(0.2)).as("f20"),
+      percentile(col("freq"), lit(0.4)).as("f40"),
+      percentile(col("freq"), lit(0.6)).as("f60"),
+      percentile(col("freq"), lit(0.8)).as("f80"),
+      percentile(col("spend"), lit(0.2)).as("m20"),
+      percentile(col("spend"), lit(0.4)).as("m40"),
+      percentile(col("spend"), lit(0.6)).as("m60"),
+      percentile(col("spend"), lit(0.8)).as("m80"))
+    def above(x: Column, b: String*): Column =
+      b.map(n => (x > col(n)).cast("long")).reduce(_ + _) + 1L
+    rfm.crossJoin(broadcast(bounds))
+      // recency: LOWER is better, so invert the ascending score
+      .withColumn("r_score",
+        lit(6L) - above(col("recency"), "r20", "r40", "r60", "r80"))
+      .withColumn("f_score", above(col("freq"), "f20", "f40", "f60", "f80"))
+      .withColumn("m_score", above(col("spend"), "m20", "m40", "m60", "m80"))
+      .groupBy((col("r_score") * 100 + col("f_score") * 10 +
+        col("m_score")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        fsum(col("spend"), 100.0).as("segment_spend"))
+      .orderBy(col("segment"))
+  }
+
+  val ordersRfmSql: String = {
+    def above(x: String, pfx: String): String =
+      Seq(20, 40, 60, 80)
+        .map(p => s"(CASE WHEN $x > $pfx$p THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", " + 1)")
+    s"""WITH cust AS (
+       |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+       |    COUNT(*) AS freq, ${sqlFsum("o_totalprice", "100.0")} AS spend
+       |  FROM orders GROUP BY 1),
+       |ref AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref_date FROM orders),
+       |rfm AS (
+       |  SELECT o_custkey,
+       |    CAST(date_diff('day', last_order, ref_date) AS BIGINT) AS recency,
+       |    freq, spend
+       |  FROM cust, ref),
+       |bounds AS (
+       |  SELECT
+       |    quantile_cont(recency, 0.2) AS r20, quantile_cont(recency, 0.4) AS r40,
+       |    quantile_cont(recency, 0.6) AS r60, quantile_cont(recency, 0.8) AS r80,
+       |    quantile_cont(freq, 0.2) AS f20, quantile_cont(freq, 0.4) AS f40,
+       |    quantile_cont(freq, 0.6) AS f60, quantile_cont(freq, 0.8) AS f80,
+       |    quantile_cont(spend, 0.2) AS m20, quantile_cont(spend, 0.4) AS m40,
+       |    quantile_cont(spend, 0.6) AS m60, quantile_cont(spend, 0.8) AS m80
+       |  FROM rfm),
+       |scored AS (
+       |  SELECT
+       |    6 - ${above("recency", "r")} AS r_score,
+       |    ${above("freq", "f")} AS f_score,
+       |    ${above("spend", "m")} AS m_score,
+       |    spend
+       |  FROM rfm, bounds)
+       |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+       |    AS segment,
+       |  COUNT(*) AS n_customers, ${sqlFsum("spend", "100.0")} AS segment_spend
+       |FROM scored GROUP BY 1 ORDER BY segment""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_rfm" -> (ordersRfm _),
     "basket_lift" -> (basketLift _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
@@ -415,6 +518,7 @@ object TpchDeepQueries {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "orders_rfm" -> ordersRfmSql,
     "basket_lift" -> basketLiftSql,
     "q7_volume_shipping" -> q7Sql,
     "q8_market_share" -> q8Sql,

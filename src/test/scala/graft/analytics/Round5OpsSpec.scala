@@ -116,6 +116,45 @@ class Round5OpsSpec extends SparkSuite {
     items.unpersist(); lift.unpersist()
   }
 
+  test("quantile sketch lands inside the covering bucket") {
+    val sk = TextQueries.sketchQuantile(spark, sf0001).cache()
+    assert(sk.count() == 3)
+    // est and the exact quantile share the covering bucket, so the
+    // sketch can never be off by more than one bucket width
+    val off = sk.where(abs(col("est") * 100 - col("exact_cents")) >
+      TextQueries.QW * 100).count()
+    assert(off == 0)
+    val n = spark.read.parquet(s"$sf0001/lineitem.parquet").count()
+    assert(sk.where(col("t") < 1 || col("t") > n).count() == 0)
+    sk.unpersist()
+  }
+
+  test("RFM segments partition the customer base with valid scores") {
+    val seg = TpchDeepQueries.ordersRfm(spark, sf0001).cache()
+    val nCust = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(seg.agg(sum("n_customers")).head.getLong(0) == nCust)
+    // segment digits are each 1..5
+    val bad = seg.where(
+      col("segment") < 111 || col("segment") > 555 ||
+        col("segment") % 10 < 1 || col("segment") % 10 > 5 ||
+        expr("(segment div 10) % 10") < 1 ||
+        expr("(segment div 10) % 10") > 5)
+      .count()
+    assert(bad == 0)
+    seg.unpersist()
+  }
+
+  test("attribution credits every purchase to exactly one channel") {
+    val att = EventQueries.eventsAttribution(spark, sf0001).cache()
+    val purchases = spark.read.parquet(s"$sf0001/events.parquet")
+      .where(col("event_type") === "purchase").count()
+    assert(att.agg(sum("n_purchases")).head.getLong(0) == purchases)
+    val channels = att.select("channel").collect().map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("click", "view", "direct")))
+    att.unpersist()
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
