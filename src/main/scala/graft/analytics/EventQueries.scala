@@ -492,6 +492,72 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // ------------------------------- recursive EWMA (WITH RECURSIVE)
+  /** Exponentially-weighted moving average of daily event volume via
+    * a RECURSIVE CTE — the one aggregation family window functions
+    * cannot express (the multiplicative carry `s_d = (s_{d-1}·7)/8 +
+    * n_d·8` makes every output depend on the whole prefix, not a
+    * frame), run through Spark's `WITH RECURSIVE` (UnionLoop, new in
+    * Spark 4.x) and DuckDB's native recursion identically.
+    *
+    * Fixed-point ×8 integer arithmetic: `div` truncation is identical
+    * in both engines, so the smoothed series is exact — no float
+    * accumulation order to diverge. The recursion advances one day
+    * per step and terminates at the fixpoint when the LEFT-JOIN probe
+    * runs past max(day) — strictly acyclic (see RecursiveCteProbeSpec
+    * for why cyclic recursions can't do this). Missing days decay
+    * through a zero-volume step rather than stalling the walk.
+    *
+    * Scale shape: the fact table collapses to the per-day aggregate
+    * first (one shuffle, map-side combine); the recursion runs over
+    * that METADATA-sized series (a decade is 3650 steps — raise
+    * spark.sql.cteRecursionLevelLimit accordingly; the data's 30 days
+    * sit well inside the default 100).
+    */
+  def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    table(spark, dir, "events")
+      .select(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .createOrReplaceTempView("ewma_daily")
+    spark.sql(
+      """WITH RECURSIVE
+        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ewma_daily),
+        |ewma(day, n, s) AS (
+        |  SELECT d.day, d.n, d.n * 8 AS s
+        |  FROM ewma_daily d JOIN bounds b ON d.day = b.d0
+        |  UNION ALL
+        |  SELECT e.day + 1, COALESCE(d.n, 0L),
+        |    (e.s * 7) div 8 + COALESCE(d.n, 0L) * 8
+        |  FROM ewma e
+        |  CROSS JOIN bounds b
+        |  LEFT JOIN ewma_daily d ON d.day = e.day + 1
+        |  WHERE e.day < b.d1)
+        |SELECT day, n, s AS ewma_fp8, s div 8 AS ewma
+        |FROM ewma ORDER BY day""".stripMargin)
+  }
+
+  val eventsEwmaSql: String =
+    """WITH RECURSIVE
+      |daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(ts AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1),
+      |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+      |ewma(day, n, s) AS (
+      |  SELECT d.day, d.n, d.n * 8 AS s
+      |  FROM daily d JOIN bounds b ON d.day = b.d0
+      |  UNION ALL
+      |  SELECT e.day + 1, COALESCE(d.n, 0),
+      |    (e.s * 7) // 8 + COALESCE(d.n, 0) * 8
+      |  FROM ewma e
+      |  CROSS JOIN bounds b
+      |  LEFT JOIN daily d ON d.day = e.day + 1
+      |  WHERE e.day < b.d1)
+      |SELECT day, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS ewma_fp8,
+      |  CAST(s // 8 AS BIGINT) AS ewma
+      |FROM ewma ORDER BY day""".stripMargin
+
   // ------------------------------------- last-touch attribution
   /** Last-touch marketing attribution: each purchase is credited to
     * the user's most recent click or view within a 7-day lookback —
@@ -679,6 +745,7 @@ object EventQueries {
       |FROM isl GROUP BY user_id, island""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma" -> (eventsEwma _),
     "events_attribution" -> (eventsAttribution _),
     "events_transitions" -> (eventsTransitions _),
     "events_interval_merge" -> (eventsIntervalMerge _),
@@ -697,6 +764,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_ewma" -> eventsEwmaSql,
     "events_attribution" -> eventsAttributionSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_interval_merge" -> eventsIntervalMergeSql,
