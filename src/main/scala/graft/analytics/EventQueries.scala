@@ -492,6 +492,148 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // ------------------------------------------- A/B test readout
+  /** A/B experiment readout: users are deterministically bucketed by
+    * md5-hash parity (the stable assignment every experimentation
+    * platform uses — engine-reproducible, uniform, independent of
+    * arrival order), conversion = any purchase, and the readout ships
+    * rates in exact ppm plus the two-proportion pooled z statistic
+    * (×1000) — the significance number an experimenter actually reads.
+    *
+    * Determinism: counts are exact longs; the z formula is IEEE
+    * arithmetic on identical integer operands in both engines (one
+    * divide chain + one sqrt — no libm beyond sqrt, which is
+    * correctly-rounded by IEEE 754). Scale: one shuffle on user_id,
+    * then a single 1-row conditional aggregate.
+    */
+  def eventsAbtest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = a purchase of at least 100 — thresholded so both
+    // outcomes occur at every SF (an all-convert cohort would zero the
+    // pooled variance; the guard below also handles that degenerate
+    // case explicitly rather than dividing by zero under ANSI mode)
+    val users = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= 100, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        graft.functions.CrossHash.md5Long(col("user_id").cast("string")) % 2)
+    val d = (c: Column) => c.cast("double")
+    val p = d(col("conv_a") + col("conv_b")) / d(col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    users.agg(
+      count(when(col("variant") === 0, 1)).as("n_a"),
+      sum(when(col("variant") === 0, col("converted")).otherwise(0L))
+        .as("conv_a"),
+      count(when(col("variant") === 1, 1)).as("n_b"),
+      sum(when(col("variant") === 1, col("converted")).otherwise(0L))
+        .as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        ppm(col("conv_a"), col("n_a")).as("rate_a_ppm"),
+        ppm(col("conv_b"), col("n_b")).as("rate_b_ppm"),
+        when(se > 0, floor(lit(1000.0) *
+          (d(col("conv_a")) / d(col("n_a")) -
+            d(col("conv_b")) / d(col("n_b"))) / se)
+          .cast("long")).otherwise(0L).as("z_milli"))
+  }
+
+  val eventsAbtestSql: String = {
+    import graft.functions.CrossHash.sqlMd5Long
+    val p = "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val se = s"sqrt($p * (1.0 - $p) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'purchase' AND value >= 100
+       |      THEN 1 ELSE 0 END) AS converted
+       |  FROM events GROUP BY 1),
+       |v AS (
+       |  SELECT ${sqlMd5Long("CAST(user_id AS VARCHAR)")} % 2 AS variant,
+       |    converted
+       |  FROM u),
+       |agg AS (
+       |  SELECT
+       |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+       |    CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_a,
+       |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+       |    CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END)
+       |      AS BIGINT) AS conv_b
+       |  FROM v)
+       |SELECT n_a, conv_a, n_b, conv_b,
+       |  ${sqlPpm("conv_a", "n_a")} AS rate_a_ppm,
+       |  ${sqlPpm("conv_b", "n_b")} AS rate_b_ppm,
+       |  CASE WHEN $se > 0 THEN CAST(floor(1000.0 *
+       |    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       |    / $se) AS BIGINT) ELSE 0 END AS z_milli
+       |FROM agg""".stripMargin
+  }
+
+  // ----------------------------------- ordered multi-step funnel
+  /** Strict-order 3-step funnel (signup → click → purchase): each
+    * later step must happen AFTER the user's earliest completion of
+    * the previous step — the product-analytics funnel, not just
+    * co-occurrence (a click before signup does not count).
+    *
+    * Three chained conditional-min aggregates, each one shuffle on
+    * user_id against the co-partitioned join of the previous step's
+    * timestamps (AQE coalesces; no window over raw events needed).
+    * Emits per-step user counts and step-to-step conversion in ppm.
+    */
+  def eventsFunnel3(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"), col("event_id"))
+    val s1 = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("s"))).as("t1"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"),
+        min(when(col("event_type") === "click" && col("t1").isNotNull &&
+          col("s") > col("t1"), col("s"))).as("t2"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        min(when(col("event_type") === "purchase" && col("t2").isNotNull &&
+          col("s") > col("t2"), col("s"))).as("t3"))
+    s3.agg(
+      count(when(col("t1").isNotNull, 1)).as("n_signup"),
+      count(when(col("t2").isNotNull, 1)).as("n_clicked"),
+      count(when(col("t3").isNotNull, 1)).as("n_purchased"))
+      .select(col("n_signup"), col("n_clicked"), col("n_purchased"),
+        ppm(col("n_clicked"), col("n_signup")).as("step2_ppm"),
+        ppm(col("n_purchased"), col("n_clicked")).as("step3_ppm"))
+  }
+
+  val eventsFunnel3Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+       |  FROM events),
+       |s1 AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'signup' THEN s END) AS t1
+       |  FROM ev GROUP BY 1),
+       |s2 AS (
+       |  SELECT ev.user_id, ANY_VALUE(t1) AS t1,
+       |    MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+       |      AND s > t1 THEN s END) AS t2
+       |  FROM ev JOIN s1 ON ev.user_id = s1.user_id GROUP BY 1),
+       |s3 AS (
+       |  SELECT ev.user_id, ANY_VALUE(t1) AS t1, ANY_VALUE(t2) AS t2,
+       |    MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+       |      AND s > t2 THEN s END) AS t3
+       |  FROM ev JOIN s2 ON ev.user_id = s2.user_id GROUP BY 1)
+       |SELECT
+       |  COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_signup,
+       |  COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n_clicked,
+       |  COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END) AS n_purchased,
+       |  ${sqlPpm("COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)",
+      "COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END)")} AS step2_ppm,
+       |  ${sqlPpm("COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END)",
+      "COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)")} AS step3_ppm
+       |FROM s3""".stripMargin
+
   // ------------------------------- recursive EWMA (WITH RECURSIVE)
   /** Exponentially-weighted moving average of daily event volume via
     * a RECURSIVE CTE — the one aggregation family window functions
@@ -745,6 +887,8 @@ object EventQueries {
       |FROM isl GROUP BY user_id, island""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_abtest" -> (eventsAbtest _),
+    "events_funnel3" -> (eventsFunnel3 _),
     "events_ewma" -> (eventsEwma _),
     "events_attribution" -> (eventsAttribution _),
     "events_transitions" -> (eventsTransitions _),
@@ -764,6 +908,8 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_abtest" -> eventsAbtestSql,
+    "events_funnel3" -> eventsFunnel3Sql,
     "events_ewma" -> eventsEwmaSql,
     "events_attribution" -> eventsAttributionSql,
     "events_transitions" -> eventsTransitionsSql,

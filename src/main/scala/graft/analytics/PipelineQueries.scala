@@ -655,6 +655,84 @@ object PipelineQueries {
        |ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------- label propagation communities
+  /** Label-propagation community detection (LPA) over the near-dup
+    * graph — the fourth graph family next to connectivity
+    * (dedup_clusters), census (graph_triangles), and centrality
+    * (graph_pagerank): communities are DENSITY structures, so a
+    * bridge edge that joins two clusters into one connected component
+    * still leaves them as two communities (proven on a
+    * bridged-triangles fixture in the spec).
+    *
+    * Determinism: synchronous rounds with a total-ordered vote —
+    * neighbor-label counts ranked by (count DESC, label ASC), so the
+    * classic random tie-break is replaced by min-label and both
+    * engines unroll the identical [[LpaIters]] rounds.
+    *
+    * Scale shape: per round, one join of the edge list against the
+    * label table (both keyed on the vertex — co-partitioned after the
+    * first shuffle) and one (node, label) count with map-side
+    * combine; the argmax window partitions by node. Rounds are fixed
+    * (LPA converges in a handful of sweeps; fixed rounds keep the
+    * cross-engine unroll exact).
+    */
+  val LpaIters = 3
+
+  def graphLpa(spark: SparkSession, dir: String): DataFrame =
+    lpaFrame(DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")))
+
+  private[analytics] def lpaFrame(undirected: DataFrame): DataFrame = {
+    val pairs = undirected.toDF("doc_a", "doc_b").cache()
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").cache() // reused every round
+    var lab = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to LpaIters) {
+      lab = edges.join(lab, col("dst") === col("node"))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+    }
+    val sizes = lab.groupBy(col("label"))
+      .agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select(col("node"), col("label").as("community"),
+        col("community_size"))
+  }
+
+  val graphLpaSql: String = {
+    val rounds = (1 to LpaIters).map { i =>
+      s"""v$i AS (
+         |  SELECT e.src, l.label, COUNT(*) AS cnt
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.node
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT src AS node, label FROM (
+         |    SELECT src, label,
+         |      ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY cnt DESC, label) AS rn
+         |    FROM v$i)
+         |  WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM spairs
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM spairs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+       |$rounds,
+       |sz AS (SELECT label, COUNT(*) AS community_size
+       |       FROM l$LpaIters GROUP BY 1)
+       |SELECT l.node, l.label AS community,
+       |  CAST(sz.community_size AS BIGINT) AS community_size
+       |FROM l$LpaIters l JOIN sz ON l.label = sz.label""".stripMargin
+  }
+
   // ------------------------------------------- linear quality classifier
   /** Model-based quality filtering, the inference half: a linear
     * classifier with FIXED integer weights over per-document features
@@ -758,6 +836,7 @@ object PipelineQueries {
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_mix" -> (pipelineMix _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
     "dedup_chunk" -> (dedupChunk _),
     "pipeline_split" -> (pipelineSplit _),
@@ -771,6 +850,7 @@ object PipelineQueries {
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_mix" -> pipelineMixSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,
     "dedup_chunk" -> dedupChunkSql,
     "pipeline_split" -> pipelineSplitSql,

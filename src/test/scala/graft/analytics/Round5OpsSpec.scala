@@ -155,6 +155,24 @@ class Round5OpsSpec extends SparkSuite {
     att.unpersist()
   }
 
+  test("LPA separates bridged triangles that connectivity would merge") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge (3–4): ONE connected
+    // component, but TWO density communities — hand-traced through 3
+    // deterministic (count DESC, label ASC) rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = PipelineQueries.lpaFrame(edges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (1L, 3L) && got(2L) == (1L, 3L) &&
+      got(3L) == (1L, 3L), s"left triangle: $got")
+    assert(got(4L) == (3L, 3L) && got(5L) == (3L, 3L) &&
+      got(6L) == (3L, 3L), s"right triangle: $got")
+    // the fixture is one connected component — LPA still splits it
+    assert(got.values.map(_._1).toSet.size == 2)
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
