@@ -492,6 +492,56 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // -------------------------------------------- DAU/WAU stickiness
+  /** DAU / trailing-7-day WAU / stickiness — the daily-active product
+    * metric. Rolling DISTINCT counts cannot come from a window sum
+    * (users overlap between days), so each (day, user) activity pair
+    * is exploded to the 7 trailing report days it supports and
+    * re-distinct-counted — the standard distributed rolling-distinct
+    * shape: one corpus-size shuffle for the (day, user) dedup, a
+    * bounded 7× expansion of that already-reduced pair set, and one
+    * (day, user) count-distinct per report day. Only days with a full
+    * 7-day lookback are reported (no partial-window lies).
+    */
+  def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
+    val ad = table(spark, dir, "events")
+      .select(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"),
+        col("user_id"))
+      .distinct()
+      .cache() // feeds DAU, the WAU expansion, and the day bounds
+    val dau = ad.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ad
+      .select(explode(sequence(col("day"), col("day") + 6))
+        .as("report_day"), col("user_id"))
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val bounds = ad.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    dau.join(wau, col("day") === col("report_day"))
+      .crossJoin(broadcast(bounds))
+      .where(col("day") >= col("dmin") + 6 && col("day") <= col("dmax"))
+      .select(col("day"), col("dau"), col("wau"),
+        ppm(col("dau"), col("wau")).as("stickiness_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsDauWauSql: String =
+    s"""WITH ad AS (
+       |  SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
+       |    CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+       |  FROM events),
+       |dau AS (SELECT day, COUNT(*) AS dau FROM ad GROUP BY 1),
+       |wau AS (
+       |  SELECT day + k.k AS report_day, COUNT(DISTINCT user_id) AS wau
+       |  FROM ad, LATERAL (SELECT unnest(generate_series(0, 6)) AS k) k
+       |  GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM ad)
+       |SELECT day, dau, wau,
+       |  ${sqlPpm("dau", "wau")} AS stickiness_ppm
+       |FROM dau JOIN wau ON day = report_day, bounds
+       |WHERE day >= dmin + 6 AND day <= dmax
+       |ORDER BY day""".stripMargin
+
   // ------------------------------------------- A/B test readout
   /** A/B experiment readout: users are deterministically bucketed by
     * md5-hash parity (the stable assignment every experimentation
@@ -887,6 +937,7 @@ object EventQueries {
       |FROM isl GROUP BY user_id, island""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_dau_wau" -> (eventsDauWau _),
     "events_abtest" -> (eventsAbtest _),
     "events_funnel3" -> (eventsFunnel3 _),
     "events_ewma" -> (eventsEwma _),
@@ -908,6 +959,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_dau_wau" -> eventsDauWauSql,
     "events_abtest" -> eventsAbtestSql,
     "events_funnel3" -> eventsFunnel3Sql,
     "events_ewma" -> eventsEwmaSql,

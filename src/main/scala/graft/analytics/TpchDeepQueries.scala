@@ -3,6 +3,7 @@ package graft.analytics
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import QueryUtil._
@@ -404,6 +405,145 @@ object TpchDeepQueries {
        |JOIN freq fb ON pairs.pb = fb.pk
        |CROSS JOIN no""".stripMargin
 
+  // ------------------------------------- revenue concentration
+  /** Pareto / revenue-concentration readout: the smallest top slice
+    * of customers covering ≥ 80% of total spend ("do 20% of
+    * customers carry 80% of revenue?"). Spend is bucketed into 256
+    * fixed-width cells so the cumulative walk runs top-down over a
+    * METADATA-sized histogram — no global sort of the customer table
+    * at any scale (the per-customer aggregate is the only corpus-size
+    * shuffle). The 80% threshold test is pure integer arithmetic
+    * (`cum·5 ≥ total·4`), and the covering bucket's exact coverage
+    * ships in-band.
+    */
+  val ParetoBucketCents = 5000000L // 50k-dollar cells
+
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    val cust = table(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val buckets = cust
+      .groupBy(least(expr(s"cents div $ParetoBucketCents"), lit(255L))
+        .as("b"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents_b"))
+    val w = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val walked = buckets
+      .withColumn("cum_cents", sum(col("cents_b")).over(w))
+      .withColumn("cum_cust", sum(col("n_cust")).over(w))
+    val totals = cust.agg(count(lit(1)).as("n_customers"),
+      sum(col("cents")).as("total_cents"))
+    walked.crossJoin(broadcast(totals))
+      .where(col("cum_cents") * 5 >= col("total_cents") * 4 &&
+        (col("cum_cents") - col("cents_b")) * 5 < col("total_cents") * 4)
+      .select(col("n_customers"), col("total_cents"),
+        col("cum_cust").as("n_top_customers"),
+        col("cum_cents").as("covered_cents"),
+        ppm(col("cum_cents"), col("total_cents")).as("covered_ppm"),
+        ppm(col("cum_cust"), col("n_customers")).as("top_customer_ppm"))
+  }
+
+  val ordersParetoSql: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |buckets AS (
+       |  SELECT least(cents // $ParetoBucketCents, 255) AS b,
+       |    COUNT(*) AS n_cust, CAST(SUM(cents) AS BIGINT) AS cents_b
+       |  FROM cust GROUP BY 1),
+       |walked AS (
+       |  SELECT b, n_cust, cents_b,
+       |    CAST(SUM(cents_b) OVER (ORDER BY b DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+       |    CAST(SUM(n_cust) OVER (ORDER BY b DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cust
+       |  FROM buckets),
+       |totals AS (
+       |  SELECT COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT)
+       |    AS total_cents
+       |  FROM cust)
+       |SELECT n_customers, total_cents, cum_cust AS n_top_customers,
+       |  cum_cents AS covered_cents,
+       |  ${sqlPpm("cum_cents", "total_cents")} AS covered_ppm,
+       |  ${sqlPpm("cum_cust", "n_customers")} AS top_customer_ppm
+       |FROM walked, totals
+       |WHERE cum_cents * 5 >= total_cents * 4
+       |  AND (cum_cents - cents_b) * 5 < total_cents * 4""".stripMargin
+
+  // --------------------------------------- OLS trend regression
+  /** Ordinary-least-squares revenue trend — the statistics family:
+    * regress daily revenue on the day index with slope, intercept,
+    * and r² all derived from EXACT sums (the normal equations'
+    * Σx, Σy, Σxy, Σx², Σy² accumulate as integers — second-order sums
+    * through DECIMAL(38,0)/HUGEINT so y² cannot overflow int64 at any
+    * corpus — and the final divides are IEEE ops on identical
+    * operands). The fact table collapses to the per-day series first;
+    * the regression itself runs over metadata.
+    */
+  def statOlsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val d0 = daily.agg(min(col("day")).as("d0"))
+    val xy = daily.crossJoin(broadcast(d0))
+      .select((col("day") - col("d0")).as("x"), col("cents").as("y"))
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types
+      .DecimalType(38, 0))
+    val sums = xy.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("y")) * dec(col("y"))).as("syy"))
+    val d = (c: Column) => c.cast("double")
+    val covN = d(sums("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val varX = d(sums("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val varY = d(sums("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    sums.select(
+      col("n"),
+      floor(lit(1e3) * covN / varX).cast("long").as("slope_milli"),
+      floor((d(col("sy")) - (covN / varX) * d(col("sx"))) / d(sums("n")))
+        .cast("long").as("intercept_cents"),
+      floor(lit(1e6) * covN * covN / (varX * varY)).cast("long")
+        .as("r2_ppm"))
+  }
+
+  val statOlsRevenueSql: String = {
+    val covN = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val varX = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+      "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val varY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |xy AS (
+       |  SELECT day - (SELECT MIN(day) FROM daily) AS x, cents AS y
+       |  FROM daily),
+       |sums AS (
+       |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+       |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+       |  FROM xy)
+       |SELECT n,
+       |  CAST(floor(1e3 * $covN / $varX) AS BIGINT) AS slope_milli,
+       |  CAST(floor((CAST(sy AS DOUBLE) - ($covN / $varX)
+       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+       |    AS intercept_cents,
+       |  CAST(floor(1e6 * $covN * $covN / ($varX * $varY)) AS BIGINT)
+       |    AS r2_ppm
+       |FROM sums""".stripMargin
+  }
+
   // ------------------------------------------- RFM segmentation
   /** RFM customer segmentation — the classic BI scoring: per customer
     * Recency (days since last order), Frequency (order count), and
@@ -507,6 +647,8 @@ object TpchDeepQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_pareto" -> (ordersPareto _),
+    "stat_ols_revenue" -> (statOlsRevenue _),
     "orders_rfm" -> (ordersRfm _),
     "basket_lift" -> (basketLift _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
@@ -518,6 +660,8 @@ object TpchDeepQueries {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "orders_pareto" -> ordersParetoSql,
+    "stat_ols_revenue" -> statOlsRevenueSql,
     "orders_rfm" -> ordersRfmSql,
     "basket_lift" -> basketLiftSql,
     "q7_volume_shipping" -> q7Sql,

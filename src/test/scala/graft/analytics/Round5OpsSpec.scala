@@ -173,6 +173,24 @@ class Round5OpsSpec extends SparkSuite {
     assert(got.values.map(_._1).toSet.size == 2)
   }
 
+  test("pareto, OLS, and DAU/WAU readouts satisfy their definitions") {
+    val par = TpchDeepQueries.ordersPareto(spark, sf0001).head
+    // covering slice reaches 80% and is a subset of the customer base
+    assert(par.getAs[Long]("covered_ppm") >= 800000L)
+    assert(par.getAs[Long]("n_top_customers") <=
+      par.getAs[Long]("n_customers"))
+
+    val ols = TpchDeepQueries.statOlsRevenue(spark, sf0001).head
+    val r2 = ols.getAs[Long]("r2_ppm")
+    assert(r2 >= 0 && r2 <= 1000000L, s"r² out of range: $r2")
+
+    val dw = EventQueries.eventsDauWau(spark, sf0001).cache()
+    // a day's actives are a subset of its trailing week's actives
+    assert(dw.where(col("dau") > col("wau")).count() == 0)
+    assert(dw.where(col("stickiness_ppm") > 1000000).count() == 0)
+    dw.unpersist()
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
