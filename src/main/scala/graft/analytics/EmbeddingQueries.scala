@@ -911,6 +911,61 @@ object EmbeddingQueries {
        |  AND a.vec_id < b.vec_id
        |WHERE ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} >= 250000""".stripMargin
 
+  // ------------------------------------ contrastive pair batches
+  /** In-batch contrastive pair generation — the data-prep step for
+    * embedding training (SimCLR/InfoNCE-style): vectors are hash-
+    * assigned to training batches, and within each batch every pair
+    * is emitted labeled positive (same class) or negative (different
+    * class) with its exact cosine — the margin the loss will see.
+    *
+    * Batch COUNT scales with the corpus (`n div 8` batches from a
+    * 1-row count broadcast ⇒ batch SIZE stays ~8 at any scale) — the
+    * same adaptive rule as knn_ivf's √n centroid cap, avoiding the
+    * fixed-key-space trap where buckets grow with the corpus and
+    * within-bucket pairing turns quadratic. One shuffle on the batch
+    * key; per-batch work is a constant ~8² regardless of corpus size.
+    */
+  def embContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val n = quantized(spark, dir)
+      .agg(greatest(floor(count(lit(1)) / 8).cast("long"), lit(1L))
+        .as("nb"))
+    val batched = quantized(spark, dir)
+      .crossJoin(broadcast(n))
+      .select((graft.functions.CrossHash
+        .md5Long(col("vec_id").cast("string")) % col("nb")).as("batch"),
+        col("vec_id"), col("label"), col("q"), col("norm2"))
+      .cache() // both self-join sides
+    val a = batched.select(col("batch"), col("vec_id").as("vec_a"),
+      col("label").as("la"), col("q").as("qa"), col("norm2").as("na"))
+    val b = batched.select(col("batch"), col("vec_id").as("vec_b"),
+      col("label").as("lb"), col("q").as("qb"), col("norm2").as("nb2"))
+    a.join(b, Seq("batch"))
+      .where(col("vec_a") < col("vec_b"))
+      .select(col("batch"), col("vec_a"), col("vec_b"),
+        (col("la") === col("lb")).as("is_positive"),
+        scorePpm(dot(col("qa"), col("qb")), col("na"), col("nb2"))
+          .as("cos_ppm"))
+  }
+
+  val embContrastivePairsSql: String =
+    s"""WITH $sqlQuantized,
+       |nb AS (
+       |  SELECT greatest(CAST(floor(COUNT(*) / 8) AS BIGINT), 1) AS nb
+       |  FROM n),
+       |batched AS (
+       |  SELECT ${graft.functions.CrossHash.sqlMd5Long(
+            "CAST(vec_id AS VARCHAR)")} % nb.nb AS batch,
+       |    vec_id, label, qv, norm2
+       |  FROM n, nb)
+       |SELECT a.batch, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  a.label = b.label AS is_positive,
+       |  ${sqlScorePpm(
+            "list_sum(list_transform(generate_series(1, 64), " +
+              "i -> a.qv[i] * b.qv[i]))",
+            "a.norm2", "b.norm2")} AS cos_ppm
+       |FROM batched a JOIN batched b
+       |  ON a.batch = b.batch AND a.vec_id < b.vec_id""".stripMargin
+
   // ---------------------------------------- centroid outlier scan
   /** Label-centroid outlier detection — the mislabel/contamination
     * scan run before training on labeled embeddings: each vector's
@@ -974,6 +1029,7 @@ object EmbeddingQueries {
        |FROM scored""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_contrastive_pairs" -> (embContrastivePairs _),
     "emb_outliers" -> (embOutliers _),
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
@@ -987,6 +1043,7 @@ object EmbeddingQueries {
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
   val oracles: Map[String, String] = Map(
+    "emb_contrastive_pairs" -> embContrastivePairsSql,
     "emb_outliers" -> embOutliersSql,
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,

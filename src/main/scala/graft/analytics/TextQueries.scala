@@ -611,7 +611,72 @@ object TextQueries {
        |ORDER BY n DESC, tok ASC""".stripMargin
   }
 
-  // --------------------------------- mergeable quantile sketch
+  // ----------------------------------- BPE tokenizer merge round
+  /** One round of BPE tokenizer TRAINING — the pair-counting + merge
+    * step (Sennrich et al.) that text_token_bpe's pre-tokenizer
+    * feeds: adjacent character-pair frequencies weighted by word
+    * frequency, the top candidates ranked deterministically
+    * (count DESC, pair ASC — the random tiebreak replaced), and for
+    * each candidate the number of merges that would ACTUALLY apply
+    * (non-overlapping left-to-right, exactly `replace()` semantics in
+    * both engines — 'aaa' counts two 'aa' pair positions but admits
+    * only one merge; shipping both numbers pins that BPE subtlety).
+    *
+    * Scale shape: training runs on the WORD-FREQUENCY table, not the
+    * corpus — one shuffle collapses the corpus to its vocabulary,
+    * pair counting aggregates to the alphabet² key space, and the
+    * apply-count joins the 10 candidates back against the vocabulary
+    * as a broadcast. Corpus size only affects the first aggregate.
+    */
+  def textBpeMerge(spark: SparkSession, dir: String): DataFrame = {
+    val words = table(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .cache() // feeds pair counting AND the apply-count join
+    val top = words
+      .select(col("w"), col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("pair_count"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("pair_count").desc, col("pair"))
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pair_count").desc, col("pair"))).cast("long"))
+    words.crossJoin(broadcast(top)) // 10 candidates stream past the vocab
+      .groupBy(col("rank"), col("pair"), col("pair_count"), col("n_words"))
+      .agg(sum(col("wc") *
+        (length(col("w")) - length(expr("replace(w, pair, '_')"))))
+        .as("applied"))
+      .orderBy(col("rank"))
+  }
+
+  val textBpeMergeSql: String =
+    """WITH words AS (
+      |  SELECT w, COUNT(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substring(w, i, 2) AS pair, w, wc
+      |  FROM words, LATERAL (SELECT unnest(generate_series(1,
+      |    length(w) - 1)) AS i) s),
+      |top AS (
+      |  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count,
+      |    COUNT(DISTINCT w) AS n_words
+      |  FROM pairs GROUP BY pair
+      |  ORDER BY pair_count DESC, pair LIMIT 10),
+      |ranked AS (
+      |  SELECT pair, pair_count, n_words,
+      |    ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rank
+      |  FROM top)
+      |SELECT rank, pair, pair_count, n_words,
+      |  CAST(SUM(wc * (length(w) - length(replace(w, pair, '_'))))
+      |    AS BIGINT) AS applied
+      |FROM ranked, words
+      |GROUP BY rank, pair, pair_count, n_words
+      |ORDER BY rank""".stripMargin
   /** Histogram quantile sketch — the MERGEABLE distributed-quantile
     * primitive (the role t-digest/KLL play in real engines, in the
     * deterministic equi-width form both engines reproduce exactly):
@@ -705,6 +770,7 @@ object TextQueries {
        |FROM sc""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_merge" -> (textBpeMerge _),
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
     "sketch_countmin" -> (sketchCountmin _),
@@ -722,6 +788,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_bpe_merge" -> textBpeMergeSql,
     "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
     "sketch_countmin" -> sketchCountminSql,

@@ -472,6 +472,100 @@ object TpchDeepQueries {
        |WHERE cum_cents * 5 >= total_cents * 4
        |  AND (cum_cents - cents_b) * 5 < total_cents * 4""".stripMargin
 
+  // ----------------------------------------- seasonality profile
+  /** Day-of-week seasonality: per-weekday order volume and revenue
+    * indexed against the uniform expectation in exact ppm (1e6/7 per
+    * day ⇒ index > 1e6 means an over-trafficked weekday). One
+    * shuffle collapsing the fact table to 7 cells; both engines use
+    * the same 0=Sunday weekday numbering via explicit `dayofweek`
+    * alignment (DuckDB is 0-based, Spark 1-based — normalized here).
+    */
+  def ordersSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = table(spark, dir, "orders")
+      .groupBy((dayofweek(col("o_orderdate").cast("date")) - 1)
+        .cast("long").as("dow"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val tot = byDow.agg(sum(col("n")).as("n_total"),
+      sum(col("cents")).as("cents_total"))
+    byDow.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n"), col("cents"),
+        ppm(col("n") * 7, col("n_total")).as("volume_index_ppm"),
+        ppm(col("cents") * 7, col("cents_total")).as("revenue_index_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  val ordersSeasonalitySql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT)
+       |      AS dow,
+       |    COUNT(*) AS n,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+       |  CAST(SUM(cents) AS BIGINT) AS cents_total FROM d)
+       |SELECT dow, n, cents,
+       |  ${sqlPpm("n * 7", "n_total")} AS volume_index_ppm,
+       |  ${sqlPpm("cents * 7", "cents_total")} AS revenue_index_ppm
+       |FROM d, t ORDER BY dow""".stripMargin
+
+  // ------------------------------------- market concentration (HHI)
+  /** Herfindahl–Hirschman market-concentration index per nation: the
+    * sum of squared supplier market shares (shares of the nation's
+    * derived supply volume, in ppm) — the antitrust-style
+    * concentration readout; 1e12 = monopoly, 1e12/n = perfect
+    * competition. Shares square exactly as int64 (ppm ≤ 1e6 ⇒ share²
+    * ≤ 1e12, and ≤ |suppliers|·1e12 per nation stays far under 2^63).
+    * One lineitem shuffle on suppkey, nation-sized joins after.
+    */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val supVol = table(spark, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("cents"))
+      .join(table(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+    val natTot = supVol.groupBy(col("s_nationkey"))
+      .agg(sum(col("cents")).as("nat_cents"),
+        count(lit(1)).as("n_suppliers"))
+    supVol.join(natTot, "s_nationkey")
+      .select(col("s_nationkey"),
+        ppm(col("cents"), col("nat_cents")).as("share_ppm"),
+        col("n_suppliers"))
+      .groupBy(col("s_nationkey"))
+      .agg(first(col("n_suppliers")).as("n_suppliers"),
+        sum(col("share_ppm") * col("share_ppm")).as("hhi_pptr"))
+      .join(broadcast(table(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("hhi_pptr"))
+      .orderBy(col("n_name"))
+  }
+
+  val supplierHhiSql: String =
+    s"""WITH sv AS (
+       |  SELECT l_suppkey,
+       |    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1),
+       |sn AS (
+       |  SELECT sv.l_suppkey, sv.cents, s.s_nationkey
+       |  FROM sv JOIN supplier s ON sv.l_suppkey = s.s_suppkey),
+       |nt AS (
+       |  SELECT s_nationkey, CAST(SUM(cents) AS BIGINT) AS nat_cents,
+       |    COUNT(*) AS n_suppliers
+       |  FROM sn GROUP BY 1),
+       |shares AS (
+       |  SELECT sn.s_nationkey, n_suppliers,
+       |    ${sqlPpm("sn.cents", "nt.nat_cents")} AS share_ppm
+       |  FROM sn JOIN nt ON sn.s_nationkey = nt.s_nationkey)
+       |SELECT n.n_name, ANY_VALUE(n_suppliers) AS n_suppliers,
+       |  CAST(SUM(share_ppm * share_ppm) AS BIGINT) AS hhi_pptr
+       |FROM shares JOIN nation n ON shares.s_nationkey = n.n_nationkey
+       |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
   // --------------------------------------- OLS trend regression
   /** Ordinary-least-squares revenue trend — the statistics family:
     * regress daily revenue on the day index with slope, intercept,
@@ -647,6 +741,8 @@ object TpchDeepQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "orders_seasonality" -> (ordersSeasonality _),
+    "supplier_hhi" -> (supplierHhi _),
     "orders_pareto" -> (ordersPareto _),
     "stat_ols_revenue" -> (statOlsRevenue _),
     "orders_rfm" -> (ordersRfm _),
@@ -660,6 +756,8 @@ object TpchDeepQueries {
     "q22_global_sales" -> (q22GlobalSales _))
 
   val oracles: Map[String, String] = Map(
+    "orders_seasonality" -> ordersSeasonalitySql,
+    "supplier_hhi" -> supplierHhiSql,
     "orders_pareto" -> ordersParetoSql,
     "stat_ols_revenue" -> statOlsRevenueSql,
     "orders_rfm" -> ordersRfmSql,

@@ -191,6 +191,46 @@ class Round5OpsSpec extends SparkSuite {
     dw.unpersist()
   }
 
+  test("BPE merge round: applied merges never exceed counted pairs") {
+    val bpe = TextQueries.textBpeMerge(spark, sf0001).cache()
+    assert(bpe.count() == 10)
+    // overlapping positions count pairs the greedy merge can't apply,
+    // so applied ≤ pair_count always; both are positive
+    assert(bpe.where(col("applied") > col("pair_count")).count() == 0)
+    assert(bpe.where(col("applied") <= 0 || col("pair_count") <= 0)
+      .count() == 0)
+    bpe.unpersist()
+  }
+
+  test("HHI sits between perfect competition and monopoly per nation") {
+    val hhi = TpchDeepQueries.supplierHhi(spark, sf0001).cache()
+    // Σ share² over shares summing to ≤1e6: bounded by 1e12 (monopoly)
+    // and below by 1e12/n (perfect competition), up to ppm floor loss
+    assert(hhi.where(col("hhi_pptr") > 1000000000000L).count() == 0)
+    assert(hhi.where(col("hhi_pptr") * col("n_suppliers") <
+      lit(1000000000000L) - col("n_suppliers") * lit(2000000L))
+      .count() == 0)
+    hhi.unpersist()
+  }
+
+  test("contrastive batches emit exactly size-choose-2 pairs each") {
+    val pairs = EmbeddingQueries.embContrastivePairs(spark, sf0001).cache()
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").count()
+    // per-batch pair counts re-add to Σ size·(size−1)/2 — recomputed
+    // from the same hash assignment
+    val nb = math.max(emb / 8, 1L)
+    val sizes = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(graft.functions.CrossHash
+        .md5Long(col("vec_id").cast("string")).mod(nb).as("batch"))
+      .groupBy("batch").count()
+    val expect = sizes.agg(sum(expr("count * (count - 1) div 2")))
+      .head.getLong(0)
+    assert(pairs.count() == expect)
+    assert(pairs.where(col("cos_ppm") > 1000000 ||
+      col("cos_ppm") < -1000000).count() == 0)
+    pairs.unpersist()
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
