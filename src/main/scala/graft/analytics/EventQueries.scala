@@ -492,6 +492,57 @@ object EventQueries {
        |  AND (valid_to IS NULL OR fact_ts < valid_to)
        |ORDER BY fact_id""".stripMargin
 
+  // --------------------------------------- forecast backtest (MAPE)
+  /** Seasonal-naive forecast backtest: each day's volume is predicted
+    * as the truncated mean of all PRIOR same-weekday volumes, and the
+    * absolute percentage error ships per day in exact ppm — the
+    * walk-forward baseline every forecasting system is benchmarked
+    * against (and the honest way to report a forecaster: backtested,
+    * never in-sample).
+    *
+    * The prior-mean is a window over the per-day series partitioned
+    * by weekday — metadata-sized, exact integers (`tsum div tcnt`
+    * truncation identical in both engines). Days with no prior
+    * same-weekday observation are excluded rather than predicted
+    * from nothing.
+    */
+  def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", col("day") % 7)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dow")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    daily
+      .withColumn("tsum", sum(col("n")).over(w))
+      .withColumn("tcnt", count(col("n")).over(w))
+      .where(col("tcnt") >= 1)
+      .withColumn("fcst", expr("tsum div tcnt"))
+      .select(col("day"), col("n"), col("fcst"),
+        ppm(abs(col("n") - col("fcst")), col("n")).as("ape_ppm"))
+      .orderBy(col("day"))
+  }
+
+  val eventsForecastSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |    CAST(ts AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |t AS (
+       |  SELECT day, n,
+       |    SUM(n) OVER (PARTITION BY day % 7 ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tsum,
+       |    COUNT(n) OVER (PARTITION BY day % 7 ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tcnt
+       |  FROM daily)
+       |SELECT day, n,
+       |  CAST(tsum AS BIGINT) // tcnt AS fcst,
+       |  ${sqlPpm("abs(n - CAST(tsum AS BIGINT) // tcnt)", "n")} AS ape_ppm
+       |FROM t WHERE tcnt >= 1 ORDER BY day""".stripMargin
+
   // -------------------------------------------- DAU/WAU stickiness
   /** DAU / trailing-7-day WAU / stickiness — the daily-active product
     * metric. Rolling DISTINCT counts cannot come from a window sum
@@ -938,6 +989,7 @@ object EventQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_dau_wau" -> (eventsDauWau _),
+    "events_forecast" -> (eventsForecast _),
     "events_abtest" -> (eventsAbtest _),
     "events_funnel3" -> (eventsFunnel3 _),
     "events_ewma" -> (eventsEwma _),
@@ -960,6 +1012,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_dau_wau" -> eventsDauWauSql,
+    "events_forecast" -> eventsForecastSql,
     "events_abtest" -> eventsAbtestSql,
     "events_funnel3" -> eventsFunnel3Sql,
     "events_ewma" -> eventsEwmaSql,

@@ -472,6 +472,57 @@ object TpchDeepQueries {
        |WHERE cum_cents * 5 >= total_cents * 4
        |  AND (cum_cents - cents_b) * 5 < total_cents * 4""".stripMargin
 
+  // --------------------------------------------- cohort LTV matrix
+  /** Cohort lifetime-value matrix — the BI readout behind every
+    * retention-revenue dashboard: customers are cohorted by their
+    * FIRST order month, and each (cohort, months-since-first) cell
+    * accumulates the cohort's revenue, with per-customer LTV as exact
+    * integer division. Month arithmetic uses a flat year·12+month
+    * index so both engines subtract identical integers.
+    *
+    * Scale shape: one shuffle on custkey for the first-order
+    * aggregate, one co-partitioned join back, then a (cohort, age)
+    * aggregate — cells are calendar-bounded metadata regardless of
+    * corpus size.
+    */
+  def ordersCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val midx = (d: Column) => (year(d) * 12 + month(d) - 1).cast("long")
+    val o = table(spark, dir, "orders")
+      .select(col("o_custkey"),
+        midx(col("o_orderdate").cast("date")).as("m"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("m0"))
+    val sized = first.groupBy(col("m0"))
+      .agg(count(lit(1)).as("n_customers"))
+    o.join(first, "o_custkey")
+      .groupBy(col("m0").as("cohort_month"), (col("m") - col("m0"))
+        .as("age_months"))
+      .agg(sum(col("cents")).as("cents"))
+      .join(sized.select(col("m0").as("cohort_month"),
+        col("n_customers")), "cohort_month")
+      .select(col("cohort_month"), col("age_months"), col("n_customers"),
+        col("cents"),
+        expr("cents div n_customers").as("cents_per_customer"))
+  }
+
+  val ordersCohortLtvSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey,
+      |    CAST(year(CAST(o_orderdate AS DATE)) * 12
+      |      + month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS m,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1),
+      |sz AS (SELECT m0, COUNT(*) AS n_customers FROM f GROUP BY 1),
+      |cells AS (
+      |  SELECT f.m0 AS cohort_month, o.m - f.m0 AS age_months,
+      |    CAST(SUM(o.cents) AS BIGINT) AS cents
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort_month, c.age_months, sz.n_customers, c.cents,
+      |  c.cents // sz.n_customers AS cents_per_customer
+      |FROM cells c JOIN sz ON c.cohort_month = sz.m0""".stripMargin
+
   // ----------------------------------------- seasonality profile
   /** Day-of-week seasonality: per-weekday order volume and revenue
     * indexed against the uniform expectation in exact ppm (1e6/7 per
@@ -742,6 +793,7 @@ object TpchDeepQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orders_seasonality" -> (ordersSeasonality _),
+    "orders_cohort_ltv" -> (ordersCohortLtv _),
     "supplier_hhi" -> (supplierHhi _),
     "orders_pareto" -> (ordersPareto _),
     "stat_ols_revenue" -> (statOlsRevenue _),
@@ -757,6 +809,7 @@ object TpchDeepQueries {
 
   val oracles: Map[String, String] = Map(
     "orders_seasonality" -> ordersSeasonalitySql,
+    "orders_cohort_ltv" -> ordersCohortLtvSql,
     "supplier_hhi" -> supplierHhiSql,
     "orders_pareto" -> ordersParetoSql,
     "stat_ols_revenue" -> statOlsRevenueSql,
