@@ -755,13 +755,23 @@ object EventQueries {
     * first (one shuffle, map-side combine); the recursion runs over
     * that METADATA-sized series (a decade is 3650 steps — raise
     * spark.sql.cteRecursionLevelLimit accordingly; the data's 30 days
-    * sit well inside the default 100).
+    * sit well inside the default 100). Cost model: each recursion
+    * step is one Spark job, so wall-clock is ~(fixed scheduling cost
+    * × days) REGARDLESS of corpus size — metadata-bound by design;
+    * the production path for continuous series is the incremental
+    * [[graft.streaming.StreamEwma]] twin, which pays per new hour,
+    * not per history replay.
     */
   def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
+    // cache the per-day aggregate BEHIND the view: every recursion
+    // step joins the view (and its bounds), so an uncached plan would
+    // re-scan the fact table ~2× per step — measured as the whole
+    // cost of this query
     table(spark, dir, "events")
       .select(datediff(col("ts").cast("date"),
         lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .cache()
       .createOrReplaceTempView("ewma_daily")
     spark.sql(
       """WITH RECURSIVE

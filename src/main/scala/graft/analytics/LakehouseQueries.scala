@@ -712,7 +712,58 @@ object LakehouseQueries {
        |  CAST(SUM(diff_ppm) AS BIGINT) > $DriftPpm AS is_drift
        |FROM cells GROUP BY day, n_d ORDER BY day""".stripMargin
 
+  // --------------------------------------- robust (MAD) anomaly
+  /** Robust anomaly detection via median absolute deviation — the
+    * estimator [[dqAnomaly]]'s trailing MEAN lacks: a mean-based
+    * monitor is dragged by the very outliers it hunts (one 10× day
+    * inflates the baseline and masks the next spike), while the
+    * median/MAD pair has a 50% breakdown point. Flags days where
+    * |n − median| > 3·MAD — the standard robust z-score rule.
+    *
+    * The fact table collapses to the per-day series first; both
+    * median aggregates run over that METADATA-sized series and
+    * broadcast back as one row. Exact-percentile interpolation on
+    * identical integer operands is engine-identical (the proven
+    * percentile_quantity pattern); centi-scaled floors ship the
+    * medians as exact integers.
+    */
+  def dqAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "orders")
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .cache() // feeds the median, the MAD, and the final scan
+    val med = daily.agg(percentile(col("n"), lit(0.5)).as("med"))
+    val mad = daily.crossJoin(broadcast(med))
+      .agg(percentile(abs(col("n") - col("med")), lit(0.5)).as("mad"),
+        first(col("med")).as("med"))
+    daily.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"),
+        floor(col("med") * 100).cast("long").as("med_centi"),
+        floor(col("mad") * 100).cast("long").as("mad_centi"),
+        (abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+          .as("is_anomaly"))
+      .orderBy(col("day"))
+  }
+
+  val dqAnomalyMadSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+      |  FROM orders GROUP BY 1),
+      |med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
+      |mad AS (
+      |  SELECT quantile_cont(abs(n - med), 0.5) AS mad,
+      |    ANY_VALUE(med) AS med
+      |  FROM daily, med)
+      |SELECT day, n,
+      |  CAST(floor(med * 100) AS BIGINT) AS med_centi,
+      |  CAST(floor(mad * 100) AS BIGINT) AS mad_centi,
+      |  abs(n - med) > 3.0 * mad AS is_anomaly
+      |FROM daily, mad ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_anomaly_mad" -> (dqAnomalyMad _),
     "layout_vacuum" -> (layoutVacuum _),
     "layout_compaction" -> (layoutCompaction _),
     "dq_distribution_drift" -> (dqDistributionDrift _),
@@ -726,6 +777,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "dq_anomaly_mad" -> dqAnomalyMadSql,
     "layout_vacuum" -> layoutVacuumSql,
     "layout_compaction" -> layoutCompactionSql,
     "dq_distribution_drift" -> dqDistributionDriftSql,
