@@ -926,10 +926,11 @@ object EmbeddingQueries {
     * key; per-batch work is a constant ~8² regardless of corpus size.
     */
   def embContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
-    val n = quantized(spark, dir)
+    val q = quantized(spark, dir).cache() // count + batching + both sides
+    val n = q
       .agg(greatest(floor(count(lit(1)) / 8).cast("long"), lit(1L))
         .as("nb"))
-    val batched = quantized(spark, dir)
+    val batched = q
       .crossJoin(broadcast(n))
       .select((graft.functions.CrossHash
         .md5Long(col("vec_id").cast("string")) % col("nb")).as("batch"),

@@ -508,8 +508,7 @@ object EventQueries {
     */
   def eventsForecast(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "events")
-      .groupBy(datediff(col("ts").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .groupBy(epochDay(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
       .withColumn("dow", col("day") % 7)
     val w = org.apache.spark.sql.expressions.Window
@@ -528,8 +527,7 @@ object EventQueries {
 
   val eventsForecastSql: String =
     s"""WITH daily AS (
-       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-       |    CAST(ts AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+       |  SELECT ${sqlEpochDay("ts")} AS day, COUNT(*) AS n
        |  FROM events GROUP BY 1),
        |t AS (
        |  SELECT day, n,
@@ -556,8 +554,7 @@ object EventQueries {
     */
   def eventsDauWau(spark: SparkSession, dir: String): DataFrame = {
     val ad = table(spark, dir, "events")
-      .select(datediff(col("ts").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"),
+      .select(epochDay(col("ts")).as("day"),
         col("user_id"))
       .distinct()
       .cache() // feeds DAU, the WAU expansion, and the day bounds
@@ -578,8 +575,7 @@ object EventQueries {
 
   val eventsDauWauSql: String =
     s"""WITH ad AS (
-       |  SELECT DISTINCT CAST(date_diff('day', DATE '1970-01-01',
-       |    CAST(ts AS DATE)) AS BIGINT) AS day, user_id
+       |  SELECT DISTINCT ${sqlEpochDay("ts")} AS day, user_id
        |  FROM events),
        |dau AS (SELECT day, COUNT(*) AS dau FROM ad GROUP BY 1),
        |wau AS (
@@ -630,12 +626,16 @@ object EventQueries {
       sum(when(col("variant") === 1, col("converted")).otherwise(0L))
         .as("conv_b"))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        ppm(col("conv_a"), col("n_a")).as("rate_a_ppm"),
-        ppm(col("conv_b"), col("n_b")).as("rate_b_ppm"),
-        when(se > 0, floor(lit(1000.0) *
-          (d(col("conv_a")) / d(col("n_a")) -
-            d(col("conv_b")) / d(col("n_b"))) / se)
-          .cast("long")).otherwise(0L).as("z_milli"))
+        // empty-variant guard, same reason as the z guard below
+        when(col("n_a") > 0, ppm(col("conv_a"), col("n_a")))
+          .otherwise(0L).as("rate_a_ppm"),
+        when(col("n_b") > 0, ppm(col("conv_b"), col("n_b")))
+          .otherwise(0L).as("rate_b_ppm"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+          floor(lit(1000.0) *
+            (d(col("conv_a")) / d(col("n_a")) -
+              d(col("conv_b")) / d(col("n_b"))) / se)
+            .cast("long")).otherwise(0L).as("z_milli"))
   }
 
   val eventsAbtestSql: String = {
@@ -662,9 +662,12 @@ object EventQueries {
        |      AS BIGINT) AS conv_b
        |  FROM v)
        |SELECT n_a, conv_a, n_b, conv_b,
-       |  ${sqlPpm("conv_a", "n_a")} AS rate_a_ppm,
-       |  ${sqlPpm("conv_b", "n_b")} AS rate_b_ppm,
-       |  CASE WHEN $se > 0 THEN CAST(floor(1000.0 *
+       |  CASE WHEN n_a > 0 THEN ${sqlPpm("conv_a", "n_a")}
+       |    ELSE 0 END AS rate_a_ppm,
+       |  CASE WHEN n_b > 0 THEN ${sqlPpm("conv_b", "n_b")}
+       |    ELSE 0 END AS rate_b_ppm,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND $se > 0
+       |    THEN CAST(floor(1000.0 *
        |    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
        |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
        |    / $se) AS BIGINT) ELSE 0 END AS z_milli
@@ -703,8 +706,14 @@ object EventQueries {
       count(when(col("t2").isNotNull, 1)).as("n_clicked"),
       count(when(col("t3").isNotNull, 1)).as("n_purchased"))
       .select(col("n_signup"), col("n_clicked"), col("n_purchased"),
-        ppm(col("n_clicked"), col("n_signup")).as("step2_ppm"),
-        ppm(col("n_purchased"), col("n_clicked")).as("step3_ppm"))
+        // guard empty steps: 0/0 would floor(NaN) and throw under
+        // ANSI; an empty funnel stage reads as 0 conversion
+        when(col("n_signup") > 0,
+          ppm(col("n_clicked"), col("n_signup"))).otherwise(0L)
+          .as("step2_ppm"),
+        when(col("n_clicked") > 0,
+          ppm(col("n_purchased"), col("n_clicked"))).otherwise(0L)
+          .as("step3_ppm"))
   }
 
   val eventsFunnel3Sql: String =
@@ -729,10 +738,14 @@ object EventQueries {
        |  COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) AS n_signup,
        |  COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END) AS n_clicked,
        |  COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END) AS n_purchased,
-       |  ${sqlPpm("COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)",
-      "COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END)")} AS step2_ppm,
-       |  ${sqlPpm("COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END)",
-      "COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)")} AS step3_ppm
+       |  CASE WHEN COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END) > 0
+       |    THEN ${sqlPpm("COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)",
+      "COUNT(CASE WHEN t1 IS NOT NULL THEN 1 END)")}
+       |    ELSE 0 END AS step2_ppm,
+       |  CASE WHEN COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END) > 0
+       |    THEN ${sqlPpm("COUNT(CASE WHEN t3 IS NOT NULL THEN 1 END)",
+      "COUNT(CASE WHEN t2 IS NOT NULL THEN 1 END)")}
+       |    ELSE 0 END AS step3_ppm
        |FROM s3""".stripMargin
 
   // ------------------------------- recursive EWMA (WITH RECURSIVE)
@@ -768,8 +781,7 @@ object EventQueries {
     // re-scan the fact table ~2× per step — measured as the whole
     // cost of this query
     table(spark, dir, "events")
-      .select(datediff(col("ts").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .select(epochDay(col("ts")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
       .cache()
       .createOrReplaceTempView("ewma_daily")
@@ -791,10 +803,9 @@ object EventQueries {
   }
 
   val eventsEwmaSql: String =
-    """WITH RECURSIVE
+    s"""WITH RECURSIVE
       |daily AS (
-      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-      |    CAST(ts AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+      |  SELECT ${sqlEpochDay("ts")} AS day, COUNT(*) AS n
       |  FROM events GROUP BY 1),
       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
       |ewma(day, n, s) AS (

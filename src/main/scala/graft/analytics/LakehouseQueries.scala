@@ -511,8 +511,7 @@ object LakehouseQueries {
     // day as an epoch-day integer: a DATE output column reads back
     // with engine-specific pandas dtypes in the driver compare
     val daily = table(spark, dir, "orders")
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"))
     val w = Window.orderBy(col("day")).rowsBetween(-7, -1)
     daily
@@ -531,8 +530,7 @@ object LakehouseQueries {
 
   val dqAnomalySql: String =
     s"""WITH daily AS (
-       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-       |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+       |  SELECT ${sqlEpochDay("o_orderdate")} AS day, COUNT(*) AS n
        |  FROM orders GROUP BY 1),
        |trail AS (
        |  SELECT day, n,
@@ -572,8 +570,7 @@ object LakehouseQueries {
       .orderBy(col("ts").desc, col("event_id").desc)
     val v = table(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"),
-        datediff(col("ts").cast("date"),
-          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+        epochDay(col("ts")).as("day"))
       .withColumn("rn", row_number().over(w))
     val cutoff = table(spark, dir, "events")
       .agg((max(col("ts")) - expr("INTERVAL 7 DAYS")).as("cutoff"))
@@ -590,8 +587,7 @@ object LakehouseQueries {
   val layoutVacuumSql: String =
     s"""WITH v AS (
        |  SELECT user_id, event_id, ts,
-       |    CAST(date_diff('day', DATE '1970-01-01',
-       |      CAST(ts AS DATE)) AS BIGINT) AS day,
+       |    ${sqlEpochDay("ts")} AS day,
        |    ROW_NUMBER() OVER (PARTITION BY user_id
        |      ORDER BY ts DESC, event_id DESC) AS rn
        |  FROM events),
@@ -670,14 +666,17 @@ object LakehouseQueries {
 
   def dqDistributionDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-      .select(datediff(col("ts").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"),
+      .select(epochDay(col("ts")).as("day"),
         least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"))
+    // ONE fact-table scan: the day/corpus/total marginals are all
+    // rollups of the (day, bucket) cells
     val daily = ev.groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("n_db"))
+      .cache()
     val dayTot = daily.groupBy(col("day")).agg(sum(col("n_db")).as("n_d"))
-    val corpus = ev.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
-    val total = ev.agg(count(lit(1)).as("n_total"))
+    val corpus = daily.groupBy(col("bucket"))
+      .agg(sum(col("n_db")).as("n_b"))
+    val total = daily.agg(sum(col("n_db")).as("n_total"))
     dayTot.crossJoin(broadcast(corpus.crossJoin(total)))
       .join(daily, Seq("day", "bucket"), "left_outer")
       .withColumn("n_db", coalesce(col("n_db"), lit(0L)))
@@ -692,8 +691,7 @@ object LakehouseQueries {
 
   val dqDistributionDriftSql: String =
     s"""WITH ev AS (
-       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-       |      CAST(ts AS DATE)) AS BIGINT) AS day,
+       |  SELECT ${sqlEpochDay("ts")} AS day,
        |    least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
        |  FROM events),
        |daily AS (SELECT day, bucket, COUNT(*) AS n_db FROM ev GROUP BY 1, 2),
@@ -729,8 +727,7 @@ object LakehouseQueries {
     */
   def dqAnomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "orders")
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"))
       .cache() // feeds the median, the MAD, and the final scan
     val med = daily.agg(percentile(col("n"), lit(0.5)).as("med"))
@@ -747,9 +744,8 @@ object LakehouseQueries {
   }
 
   val dqAnomalyMadSql: String =
-    """WITH daily AS (
-      |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, COUNT(*) AS n
+    s"""WITH daily AS (
+      |  SELECT ${sqlEpochDay("o_orderdate")} AS day, COUNT(*) AS n
       |  FROM orders GROUP BY 1),
       |med AS (SELECT quantile_cont(n, 0.5) AS med FROM daily),
       |mad AS (

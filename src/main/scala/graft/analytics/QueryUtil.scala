@@ -52,7 +52,18 @@ object QueryUtil {
     sum(floor(c * lit(scale)).cast("long").cast(DecimalType(38, 0)))
       .cast("double") / lit(scale)
 
+  /** Epoch-day integer of a timestamp/date column — the cross-engine
+    * date key (a DATE output column reads back with engine-specific
+    * pandas dtypes in the driver compare; an int64 day never does).
+    */
+  def epochDay(c: Column): Column =
+    datediff(c.cast("date"), lit(java.sql.Date.valueOf("1970-01-01")))
+      .cast("long")
+
   /** SQL twins (kept adjacent so Spark and oracle stay in lockstep). */
+  def sqlEpochDay(x: String): String =
+    s"CAST(date_diff('day', DATE '1970-01-01', CAST($x AS DATE)) AS BIGINT)"
+
   def sqlDsum(x: String, scale: Int = 2): String =
     s"CAST(SUM(CAST(($x) AS DECIMAL(18,$scale))) AS DOUBLE)"
   def sqlDavg(x: String, scale: Int = 2): String =

@@ -433,9 +433,15 @@ object TpchDeepQueries {
       .withColumn("cum_cust", sum(col("n_cust")).over(w))
     val totals = cust.agg(count(lit(1)).as("n_customers"),
       sum(col("cents")).as("total_cents"))
+    // threshold compare in DECIMAL(38,0): cents·5 would pass 2^63 once
+    // total revenue exceeds ~1.8e18 cents — exact at any corpus, and
+    // the oracle's HUGEINT arithmetic matches
+    val dec38 = (c: Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     walked.crossJoin(broadcast(totals))
-      .where(col("cum_cents") * 5 >= col("total_cents") * 4 &&
-        (col("cum_cents") - col("cents_b")) * 5 < col("total_cents") * 4)
+      .where(dec38(col("cum_cents")) * 5 >= dec38(col("total_cents")) * 4 &&
+        dec38(col("cum_cents") - col("cents_b")) * 5 <
+          dec38(col("total_cents")) * 4)
       .select(col("n_customers"), col("total_cents"),
         col("cum_cust").as("n_top_customers"),
         col("cum_cents").as("covered_cents"),
@@ -469,8 +475,10 @@ object TpchDeepQueries {
        |  ${sqlPpm("cum_cents", "total_cents")} AS covered_ppm,
        |  ${sqlPpm("cum_cust", "n_customers")} AS top_customer_ppm
        |FROM walked, totals
-       |WHERE cum_cents * 5 >= total_cents * 4
-       |  AND (cum_cents - cents_b) * 5 < total_cents * 4""".stripMargin
+       |WHERE CAST(cum_cents AS HUGEINT) * 5
+       |    >= CAST(total_cents AS HUGEINT) * 4
+       |  AND CAST(cum_cents - cents_b AS HUGEINT) * 5
+       |    < CAST(total_cents AS HUGEINT) * 4""".stripMargin
 
   // --------------------------------------------- cohort LTV matrix
   /** Cohort lifetime-value matrix — the BI readout behind every
@@ -566,9 +574,11 @@ object TpchDeepQueries {
     * sum of squared supplier market shares (shares of the nation's
     * derived supply volume, in ppm) — the antitrust-style
     * concentration readout; 1e12 = monopoly, 1e12/n = perfect
-    * competition. Shares square exactly as int64 (ppm ≤ 1e6 ⇒ share²
-    * ≤ 1e12, and ≤ |suppliers|·1e12 per nation stays far under 2^63).
-    * One lineitem shuffle on suppkey, nation-sized joins after.
+    * competition. Overflow-safe at ANY supplier count: non-negative
+    * shares summing to ≤ 1e6 give Σ share² ≤ (Σ share)² = 1e12 — the
+    * per-nation SUM is bounded by the monopoly value itself, not by
+    * the supplier count. One lineitem shuffle on suppkey,
+    * nation-sized joins after.
     */
   def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
     val supVol = table(spark, dir, "lineitem")
@@ -629,8 +639,7 @@ object TpchDeepQueries {
     */
   def statOlsRevenue(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "orders")
-      .groupBy(datediff(col("o_orderdate").cast("date"),
-        lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day"))
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
       .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("cents"))
     val d0 = daily.agg(min(col("day")).as("d0"))
     val xy = daily.crossJoin(broadcast(d0))
@@ -664,8 +673,7 @@ object TpchDeepQueries {
     val varY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
       "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
     s"""WITH daily AS (
-       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
-       |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |  SELECT ${sqlEpochDay("o_orderdate")} AS day,
        |    CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
        |      AS cents
        |  FROM orders GROUP BY 1),

@@ -93,13 +93,20 @@ private class SynthScanBuilder(rows: Long, parts: Int)
     case _ => None
   }
 
+  // saturating successor: `n + 1` on Long.MaxValue would wrap negative
+  // and silently corrupt the consumed-filter narrowing (id >
+  // Long.MaxValue must yield an EMPTY scan, id <= Long.MaxValue a
+  // full one — both fall out of saturation since hi ≤ rows)
+  private def succ(n: Long): Long =
+    if (n == Long.MaxValue) Long.MaxValue else n + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition {
-      case EqualTo("id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, n + 1); true }
-      case GreaterThan("id", v) => num(v).exists { n => lo = math.max(lo, n + 1); true }
+      case EqualTo("id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, succ(n)); true }
+      case GreaterThan("id", v) => num(v).exists { n => lo = math.max(lo, succ(n)); true }
       case GreaterThanOrEqual("id", v) => num(v).exists { n => lo = math.max(lo, n); true }
       case LessThan("id", v) => num(v).exists { n => hi = math.min(hi, n); true }
-      case LessThanOrEqual("id", v) => num(v).exists { n => hi = math.min(hi, n + 1); true }
+      case LessThanOrEqual("id", v) => num(v).exists { n => hi = math.min(hi, succ(n)); true }
       case IsNotNull(_) => true // no column is nullable — vacuously true
       case _ => false
     }

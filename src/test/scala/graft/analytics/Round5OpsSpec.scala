@@ -119,8 +119,11 @@ class Round5OpsSpec extends SparkSuite {
   test("quantile sketch lands inside the covering bucket") {
     val sk = TextQueries.sketchQuantile(spark, sf0001).cache()
     assert(sk.count() == 3)
-    // est and the exact quantile share the covering bucket, so the
-    // sketch can never be off by more than one bucket width
+    // est and the exact quantile share the covering bucket on this
+    // data (adjacent order statistics are dense around the quantiles;
+    // interpolation across a wide gap could leave the bucket on
+    // adversarial data — see the QW contract note), so the sketch is
+    // within one bucket width of the interpolated exact here
     val off = sk.where(abs(col("est") * 100 - col("exact_cents")) >
       TextQueries.QW * 100).count()
     assert(off == 0)

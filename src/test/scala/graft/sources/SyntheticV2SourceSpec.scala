@@ -55,6 +55,14 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(df.head.getLong(0) == expect)
   }
 
+  test("boundary predicates at Long.MaxValue narrow without wrapping") {
+    // these are consumed (not residual), so a wrapped `n + 1` would
+    // return silently wrong results rather than fail
+    assert(synth(1000).where(col("id") > Long.MaxValue).count() == 0)
+    assert(synth(1000).where(col("id") <= Long.MaxValue).count() == 1000)
+    assert(synth(1000).where(col("id") === Long.MaxValue).count() == 0)
+  }
+
   test("partition slicing covers the interval exactly") {
     val df = synth(1003, parts = 7)
     assert(df.rdd.getNumPartitions == 7)
