@@ -129,13 +129,56 @@ object MultimodalQueries {
       |    content_hash) AS is_duplicate
       |FROM m""".stripMargin
 
+  /** Perceptual near-dup clustering: the 16-bit byte-histogram
+    * fingerprint ([[MultimodalOps.perceptualHash]]) grouped into
+    * perceptual buckets — media whose byte distributions match land
+    * in one bucket even when exact hashes differ (the complement to
+    * multimodal_dedup's exact md5 grouping). Bytes never shuffle —
+    * only the 2-byte fingerprint; the report is fingerprint-space
+    * bounded (≤ 2^16 rows) at any corpus size. Oracle restricted to
+    * byte==char documents (the multimodal_frames precedent: DuckDB
+    * 1.0 cannot histogram blob bytes, so the checked surface is the
+    * ASCII slice where char counts ARE byte counts; the byte
+    * semantics for arbitrary content are covered by MultimodalSpec).
+    */
+  def multimodalPhash(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.perceptualHash(
+      MultimodalOps.mediaFromDocuments(spark, dir)
+        .filter(length(decode(col("content"), "utf-8")) ===
+          octet_length(col("content"))))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_media"),
+        min(col("media_id")).as("representative"))
+      .orderBy(col("phash"))
+
+  val multimodalPhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE length(text) = strlen(text)),
+      |ch AS (
+      |  SELECT doc_id, ascii(substring(text, i, 1)) % 16 AS b
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+      |    strlen(text))) AS i) u),
+      |hist AS (SELECT doc_id, b, COUNT(*) AS n FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS total FROM t),
+      |ph AS (
+      |  SELECT hist.doc_id,
+      |    CAST(SUM(CASE WHEN n * 16 > total THEN 1 << b ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM hist JOIN tot ON hist.doc_id = tot.doc_id
+      |  GROUP BY hist.doc_id)
+      |SELECT phash, COUNT(*) AS n_media, MIN(doc_id) AS representative
+      |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_phash" -> (multimodalPhash _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
     "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_phash" -> multimodalPhashSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,

@@ -134,6 +134,34 @@ object MultimodalOps {
     * real media; utf-8 text bytes play the opaque blob — which is
     * exactly how the plumbing should treat real media anyway).
     */
+  /** 16-bit perceptual fingerprint from the byte-value histogram:
+    * bit b is set iff low-nibble bucket b holds more than a uniform
+    * share of the content's bytes. Similar content ⇒ similar byte
+    * distribution ⇒ small Hamming distance — the pHash shape over the
+    * stub decode (a real deployment fingerprints decoded pixels/PCM
+    * the same way: histogram → above-mean bits). Computed where the
+    * bytes live; only the 2-byte fingerprint ever shuffles.
+    */
+  def perceptualHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < m.content.length) {
+        counts((m.content(i) & 0xff) % 16) += 1
+        i += 1
+      }
+      val total = m.content.length.toLong
+      var ph = 0L
+      var b = 0
+      while (b < 16) {
+        if (counts(b) * 16L > total) ph |= (1L << b)
+        b += 1
+      }
+      (m.mediaId, ph)
+    }.toDF("media_id", "phash")
+  }
+
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     graft.core.Tables.load(spark, dir, "documents")
