@@ -162,11 +162,11 @@ object MultimodalQueries {
       |hist AS (SELECT doc_id, b, COUNT(*) AS n FROM ch GROUP BY 1, 2),
       |tot AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS total FROM t),
       |ph AS (
-      |  SELECT hist.doc_id,
-      |    CAST(SUM(CASE WHEN n * 16 > total THEN 1 << b ELSE 0 END)
-      |      AS BIGINT) AS phash
-      |  FROM hist JOIN tot ON hist.doc_id = tot.doc_id
-      |  GROUP BY hist.doc_id)
+      |  SELECT tot.doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN n * 16 > total THEN 1 << b
+      |      ELSE 0 END), 0) AS BIGINT) AS phash
+      |  FROM tot LEFT JOIN hist ON tot.doc_id = hist.doc_id
+      |  GROUP BY tot.doc_id)
       |SELECT phash, COUNT(*) AS n_media, MIN(doc_id) AS representative
       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
 

@@ -234,6 +234,33 @@ class Round5OpsSpec extends SparkSuite {
     pairs.unpersist()
   }
 
+  test("perceptual buckets partition the corpus in fingerprint space") {
+    val ph = MultimodalQueries.multimodalPhash(spark, sf0001).cache()
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // every (byte==char) doc lands in exactly one bucket; the corpus
+    // here is pure ASCII so that is all of it
+    assert(ph.agg(sum("n_media")).head.getLong(0) == nDocs)
+    // 16-bit fingerprint domain
+    assert(ph.where(col("phash") < 0 || col("phash") >= 65536)
+      .count() == 0)
+    ph.unpersist()
+  }
+
+  test("MAD anomaly flags match the robust rule they claim") {
+    val mad = LakehouseQueries.dqAnomalyMad(spark, sf0001).cache()
+    // centi-scaled medians are consistent with the flag on every row:
+    // flagged ⟺ |n·100 − med_centi| > 3·mad_centi, allowing the one
+    // floor ulp the centi scaling can lose on each side
+    val bad = mad.where(
+      (col("is_anomaly") &&
+        abs(col("n") * 100 - col("med_centi")) <= lit(3) * col("mad_centi")) ||
+      (!col("is_anomaly") &&
+        abs(col("n") * 100 - col("med_centi")) > lit(3) * col("mad_centi") + 4))
+      .count()
+    assert(bad == 0)
+    mad.unpersist()
+  }
+
   test("compaction groups partition the file list in order") {
     val groups = LakehouseQueries.layoutCompaction(spark, sf0001).cache()
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
