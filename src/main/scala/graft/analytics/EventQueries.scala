@@ -766,40 +766,84 @@ object EventQueries {
     *
     * Scale shape: the fact table collapses to the per-day aggregate
     * first (one shuffle, map-side combine); the recursion runs over
-    * that METADATA-sized series (a decade is 3650 steps — raise
-    * spark.sql.cteRecursionLevelLimit accordingly; the data's 30 days
-    * sit well inside the default 100). Cost model: each recursion
-    * step is one Spark job, so wall-clock is ~(fixed scheduling cost
-    * × days) REGARDLESS of corpus size — metadata-bound by design;
-    * the production path for continuous series is the incremental
+    * that METADATA-sized series. Each recursion step is one Spark job
+    * with a fixed scheduling cost, so the recursion is UNROLLED
+    * [[EwmaStride]] days per step: the dense day series is packed into
+    * stride-sized blocks (an `ns` array per block), the recursive
+    * member advances one BLOCK at a time by folding the recurrence
+    * over the array with the `aggregate` higher-order function (stride
+    * integer ops, one job), and the per-day rows are recovered
+    * non-recursively from each block's frontier value via posexplode +
+    * a ≤stride-element prefix fold. A decade is 229 steps instead of
+    * 3650 — wall-clock stays ~(fixed cost × days/stride) regardless of
+    * corpus size; the production path
+    * for continuous series is the incremental
     * [[graft.streaming.StreamEwma]] twin, which pays per new hour,
     * not per history replay.
     */
+  /** Days composed per recursion step — sets both the per-block
+    * array size and the recursion job count (days/stride).
+    */
+  val EwmaStride = 16
+
   def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
-    // cache the per-day aggregate BEHIND the view: every recursion
-    // step joins the view (and its bounds), so an uncached plan would
-    // re-scan the fact table ~2× per step — measured as the whole
-    // cost of this query
-    table(spark, dir, "events")
+    // cache the per-day aggregate BEHIND the view: the bounds, block
+    // packing, and every recursion step probe it — uncached it would
+    // re-scan the fact table per step. The view name is unique per
+    // invocation (reentrant within a session) and dropped — and the
+    // cache released — after the metadata-sized result is eagerly
+    // materialized by localCheckpoint, so repeated calls leak nothing.
+    val view = s"ewma_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val daily = table(spark, dir, "events")
       .select(epochDay(col("ts")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
       .cache()
-      .createOrReplaceTempView("ewma_daily")
-    spark.sql(
-      """WITH RECURSIVE
-        |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ewma_daily),
-        |ewma(day, n, s) AS (
-        |  SELECT d.day, d.n, d.n * 8 AS s
-        |  FROM ewma_daily d JOIN bounds b ON d.day = b.d0
-        |  UNION ALL
-        |  SELECT e.day + 1, COALESCE(d.n, 0L),
-        |    (e.s * 7) div 8 + COALESCE(d.n, 0L) * 8
-        |  FROM ewma e
-        |  CROSS JOIN bounds b
-        |  LEFT JOIN ewma_daily d ON d.day = e.day + 1
-        |  WHERE e.day < b.d1)
-        |SELECT day, n, s AS ewma_fp8, s div 8 AS ewma
-        |FROM ewma ORDER BY day""".stripMargin)
+    daily.createOrReplaceTempView(view)
+    try {
+      spark.sql(
+        s"""WITH RECURSIVE
+          |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM $view),
+          |dense AS (
+          |  SELECT explode(sequence(d0, d1)) AS day FROM bounds),
+          |filled AS (
+          |  SELECT dense.day, COALESCE(v.n, 0L) AS n
+          |  FROM dense LEFT JOIN $view v ON v.day = dense.day),
+          |blocks AS (
+          |  SELECT b.d0 + ((f.day - b.d0 - 1) div $EwmaStride)
+          |      * $EwmaStride AS start,
+          |    f.day - b.d0 - ((f.day - b.d0 - 1) div $EwmaStride)
+          |      * $EwmaStride AS k, f.n
+          |  FROM filled f CROSS JOIN bounds b
+          |  WHERE f.day > b.d0),
+          |packed AS (
+          |  SELECT start,
+          |    transform(sort_array(collect_list(struct(k, n))), x -> x.n)
+          |      AS ns
+          |  FROM blocks GROUP BY start),
+          |front(day, s) AS (
+          |  SELECT f.day, f.n * 8 AS s
+          |  FROM filled f JOIN bounds b ON f.day = b.d0
+          |  UNION ALL
+          |  SELECT fr.day + $EwmaStride,
+          |    aggregate(p.ns, fr.s, (acc, m) -> (acc * 7) div 8 + m * 8)
+          |  FROM front fr JOIN packed p ON p.start = fr.day),
+          |perday AS (
+          |  SELECT f.day, f.n, f.n * 8 AS s
+          |  FROM filled f JOIN bounds b ON f.day = b.d0
+          |  UNION ALL
+          |  SELECT p.start + x.pos + 1 AS day, x.m AS n,
+          |    aggregate(slice(p.ns, 1, x.pos + 1), fr.s,
+          |      (acc, m) -> (acc * 7) div 8 + m * 8) AS s
+          |  FROM packed p
+          |  JOIN front fr ON fr.day = p.start
+          |  LATERAL VIEW posexplode(p.ns) x AS pos, m)
+          |SELECT day, n, s AS ewma_fp8, s div 8 AS ewma
+          |FROM perday ORDER BY day""".stripMargin)
+        .localCheckpoint()
+    } finally {
+      spark.catalog.dropTempView(view)
+      daily.unpersist()
+    }
   }
 
   val eventsEwmaSql: String =

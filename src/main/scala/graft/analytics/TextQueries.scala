@@ -286,18 +286,21 @@ object TextQueries {
        |WHERE b.n_ab >= 20""".stripMargin
 
   /** Inverted index: token → document frequency + the first 10 posting
-    * doc_ids. The postings CSV is capped (slice after sort) so the
-    * reducer-side state per token is bounded — the shape that survives
-    * a 100 TB corpus where a popular token's full posting list
-    * wouldn't fit anywhere.
+    * doc_ids. The postings head is computed by [[graft.functions.BottomKAgg]],
+    * a typed aggregator whose buffer is at most 10 longs, so reducer-side
+    * state per token really is bounded and the partial buffers merge
+    * map-side — the shape that survives a 100 TB corpus where a stopword's
+    * full posting list (collect_list would buffer it whole before any
+    * slice) wouldn't fit on one reducer.
     */
-  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame =
+  def textInvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val bottomk = udaf(graft.functions.BottomKAgg(10))
     table(spark, dir, "documents")
       .select(explode(array_distinct(toks)).as("tok"), col("doc_id"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"),
-        concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 10))
-          .as("postings_head"))
+        bottomk(col("doc_id")).as("postings_head"))
+  }
 
   val textInvertedIndexSql: String =
     """WITH t AS (

@@ -656,12 +656,19 @@ object TpchDeepQueries {
     val covN = d(sums("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
     val varX = d(sums("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
     val varY = d(sums("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+    // degenerate series (single day, or constant revenue) make varX or
+    // varY zero: Spark's non-ANSI floor(NaN).cast(long) would emit 0
+    // while the DuckDB twin's CAST errors — guard BOTH sides with the
+    // same explicit zero (same divergence class as events_abtest)
     sums.select(
       col("n"),
-      floor(lit(1e3) * covN / varX).cast("long").as("slope_milli"),
-      floor((d(col("sy")) - (covN / varX) * d(col("sx"))) / d(sums("n")))
-        .cast("long").as("intercept_cents"),
-      floor(lit(1e6) * covN * covN / (varX * varY)).cast("long")
+      when(varX === 0, lit(0L)).otherwise(
+        floor(lit(1e3) * covN / varX).cast("long")).as("slope_milli"),
+      when(varX === 0, lit(0L)).otherwise(
+        floor((d(col("sy")) - (covN / varX) * d(col("sx"))) / d(sums("n")))
+          .cast("long")).as("intercept_cents"),
+      when(varX === 0 || varY === 0, lit(0L)).otherwise(
+        floor(lit(1e6) * covN * covN / (varX * varY)).cast("long"))
         .as("r2_ppm"))
   }
 
@@ -688,12 +695,16 @@ object TpchDeepQueries {
        |    SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
        |  FROM xy)
        |SELECT n,
-       |  CAST(floor(1e3 * $covN / $varX) AS BIGINT) AS slope_milli,
-       |  CAST(floor((CAST(sy AS DOUBLE) - ($covN / $varX)
-       |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
-       |    AS intercept_cents,
-       |  CAST(floor(1e6 * $covN * $covN / ($varX * $varY)) AS BIGINT)
-       |    AS r2_ppm
+       |  CASE WHEN $varX = 0 THEN 0
+       |    ELSE CAST(floor(1e3 * $covN / $varX) AS BIGINT)
+       |  END AS slope_milli,
+       |  CASE WHEN $varX = 0 THEN 0
+       |    ELSE CAST(floor((CAST(sy AS DOUBLE) - ($covN / $varX)
+       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)
+       |  END AS intercept_cents,
+       |  CASE WHEN $varX = 0 OR $varY = 0 THEN 0
+       |    ELSE CAST(floor(1e6 * $covN * $covN / ($varX * $varY)) AS BIGINT)
+       |  END AS r2_ppm
        |FROM sums""".stripMargin
   }
 

@@ -41,3 +41,37 @@ final case class TopKAgg(k: Int) extends Aggregator[Long, Seq[Long], String] {
   def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
+
+/** Ascending twin of [[TopKAgg]]: bounded-memory bottom-k of a
+  * long-valued column per group, emitted as the ascending CSV. Same
+  * scale contract — a ≤k buffer that partial-aggregates map-side, so
+  * a group with 10⁹ members still only ships k longs per partition
+  * across the shuffle. Used for posting-list heads in the inverted
+  * index, where `collect_list` would buffer the full list per token.
+  */
+final case class BottomKAgg(k: Int) extends Aggregator[Long, Seq[Long], String] {
+  require(k > 0)
+
+  def zero: Seq[Long] = Seq.empty
+
+  def reduce(buf: Seq[Long], v: Long): Seq[Long] = insert(buf, v)
+
+  def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    b.foldLeft(a)(insert)
+
+  def finish(r: Seq[Long]): String = r.mkString(",")
+
+  /** Keep the buffer sorted ascending and capped at k — O(k) per
+    * element, no full sort anywhere.
+    */
+  private def insert(buf: Seq[Long], v: Long): Seq[Long] = {
+    if (buf.size >= k && v >= buf.last) buf
+    else {
+      val (lo, hi) = buf.span(_ <= v)
+      (lo ++ (v +: hi)).take(k)
+    }
+  }
+
+  def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+  def outputEncoder: Encoder[String] = Encoders.STRING
+}

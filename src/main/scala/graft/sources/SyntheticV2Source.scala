@@ -42,10 +42,15 @@ class SyntheticV2Source extends TableProvider with DataSourceRegister {
     SyntheticV2Source.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
+      properties: util.Map[String, String]): Table = {
+    // DataFrameReader options are case-insensitive by convention;
+    // `properties` is a plain map, so normalize before lookup or
+    // .option("Rows", …) silently falls through to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(
-      rows = Option(properties.get("rows")).map(_.toLong).getOrElse(100000L),
-      parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8))
+      rows = Option(opts.get("rows")).map(_.toLong).getOrElse(100000L),
+      parts = Option(opts.get("parts")).map(_.toInt).getOrElse(8))
+  }
 }
 
 object SyntheticV2Source {
@@ -131,12 +136,18 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
       s"cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
+    // compare BEFORE subtracting: contradictory pushed bounds at
+    // extreme magnitudes (id > 9e18 AND id < -9e18) make `hi - lo`
+    // underflow Long and wrap positive — the scan must be empty
+    if (hi <= lo) return Array.empty
+    val n = hi - lo
     val k = math.max(1, parts)
-    // contiguous slices, remainder spread over the first partitions
+    // contiguous slices, remainder spread over the first (n % k)
+    // partitions; `n / k * i` never overflows (≤ n ≤ Long.MaxValue),
+    // unlike the naive `i * n / k`
     (0 until k).map { i =>
-      val start = lo + i * n / k
-      val end = lo + (i + 1) * n / k
+      val start = lo + n / k * i + math.min(i.toLong, n % k)
+      val end = lo + n / k * (i + 1) + math.min(i + 1L, n % k)
       SynthSlice(start, end, required.fieldNames): InputPartition
     }.filter { case s: SynthSlice => s.end > s.start }.toArray
   }
