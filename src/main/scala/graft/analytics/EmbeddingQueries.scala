@@ -404,14 +404,18 @@ object EmbeddingQueries {
     * explode), and the same probe as [[knnIvf]] — adding rounds
     * repeats the same two shuffles, nothing grows with n.
     */
-  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
-    // five consumers of the quantized table (count, seeds, both
-    // assignment passes, probe) — cache it; see knnIvf
-    val e = quantized(spark, dir).cache()
-    val seeds = hashBottomK(e, centK(e.count()))
+  /** The trained coarse quantizer over any quantized corpus frame:
+    * hash-sampled seeds + one exact-integer Lloyd round (see
+    * [[knnIvfTrained]] for why the arithmetic is exact). Output:
+    * `(cell, tq, tnorm2)`, ≤[[CentKMax]] rows. Shared by the
+    * in-corpus search and the held-out variant, which trains on the
+    * query-free corpus only.
+    */
+  private def trainIvf(corpus: DataFrame): DataFrame = {
+    val seeds = hashBottomK(corpus, centK(corpus.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
-    val assign0 = e.crossJoin(broadcast(seeds))
+    val assign0 = corpus.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
         scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
           .as("cscore"))
@@ -423,13 +427,20 @@ object EmbeddingQueries {
         col("centroid_id").as("cell"))
     // Lloyd update: integer mean per dimension over each cell's members
     val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
-    val trained = cell0.groupBy(col("cell"))
+    cell0.groupBy(col("cell"))
       .agg(count(lit(1)).as("cnt"), dimSums: _*)
       .select(col("cell"), array((0 until 64).map(d =>
         floor(col(s"d_$d").cast("double") / col("cnt")).cast("long")): _*)
         .as("tq"))
       .withColumn("tnorm2", graft.functions.DotLong(col("tq"), col("tq")))
       .where(col("tnorm2") > 0) // a zero centroid has no direction
+  }
+
+  def knnIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    // five consumers of the quantized table (count, seeds, both
+    // assignment passes, probe) — cache it; see knnIvf
+    val e = quantized(spark, dir).cache()
+    val trained = trainIvf(e)
     // re-assignment + probe against the trained quantizer
     val assign1 = e.crossJoin(broadcast(trained))
       .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
@@ -587,10 +598,17 @@ object EmbeddingQueries {
           subDot(col("qq"), col("cq"), s)): _*)).as(Seq("s", "qd")))
 
   /** Top-[[TopK]] per query by exact cosine over a candidate set. */
-  private def exactRerank(e: DataFrame, cands: DataFrame): DataFrame = {
-    val qs = e.where(col("vec_id") < 10)
+  private def exactRerank(e: DataFrame, cands: DataFrame): DataFrame =
+    exactRerankWith(e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("norm2").as("qnorm2"))
+        col("norm2").as("qnorm2")), e, cands)
+
+  /** Same exact-cosine tail against an explicit query frame
+    * `(query_id, qq, qnorm2)` — the held-out searches pass queries
+    * that are NOT drawn from the candidate corpus.
+    */
+  private def exactRerankWith(qs: DataFrame, e: DataFrame,
+      cands: DataFrame): DataFrame = {
     val scored = cands
       .join(broadcast(qs), "query_id")
       .join(e, "vec_id")
@@ -842,6 +860,273 @@ object EmbeddingQueries {
        |    FROM approx) WHERE crnk <= $PqRerank),
        |$sqlExactRerank""".stripMargin
 
+  // ------------------------------------- held-out query search
+  /** Held-out split: ~1/[[HeldoutMod]] of the corpus (by the same md5
+    * family as every other deterministic sample) becomes a disjoint
+    * QUERY table; everything else is the searchable corpus. This is
+    * how a retrieval user actually calls ANN — queries that were
+    * never seen at index-build time — and it proves the quantizers
+    * generalize: training (IVF centroids, SQ8 stats) runs on the
+    * corpus side ONLY, so a query can't leak into its own index.
+    */
+  val HeldoutMod = 20L
+  val HeldoutQueries = 10
+
+  private def isHeldout: Column =
+    graft.functions.CrossHash.md5Long(col("vec_id").cast("string")) %
+      HeldoutMod === 0
+
+  /** The 10-query held-out probe set `(query_id, qq, qnorm2)`. */
+  private def heldoutQueries(e: DataFrame): DataFrame =
+    hashBottomK(e.where(isHeldout), HeldoutQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+
+  /** Oracle CTEs: `corpus`, and `queries(query_id, qq, qn)` ranked by
+    * the shared hash order within the held-out slice.
+    */
+  private lazy val sqlHeldoutCtes: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("CAST(vec_id AS VARCHAR)")
+    s"""ho AS (SELECT vec_id, qv, norm2 FROM n WHERE $h % $HeldoutMod = 0),
+       |corpus AS (
+       |  SELECT vec_id, qv, norm2 FROM n WHERE $h % $HeldoutMod <> 0),
+       |hq AS (
+       |  SELECT vec_id, qv, norm2,
+       |    row_number() OVER (ORDER BY $h, vec_id) AS qrnk FROM ho),
+       |queries AS (
+       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn
+       |  FROM hq WHERE qrnk <= $HeldoutQueries)""".stripMargin
+  }
+
+  /** Brute-force exact top-k for the held-out queries — the recall
+    * baseline the approximate held-out searches are measured against
+    * (Round6OpsSpec asserts the floor).
+    */
+  def knnBruteHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // split + queries read it twice
+    val corpus = e.where(!isHeldout)
+    val scored = corpus.crossJoin(broadcast(heldoutQueries(e)))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnBruteHeldoutSql: String = {
+    val qdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qq[i] * b.qv[i]))"
+    s"""WITH $sqlQuantized,
+       |$sqlHeldoutCtes,
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |    ${sqlScorePpm(qdot, "q.qn", "b.norm2")} AS score_ppm
+       |  FROM queries q, corpus b)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** Trained-IVF search for held-out queries: the quantizer trains on
+    * the corpus side only ([[trainIvf]]); the query is assigned its
+    * [[NProbe]] nearest TRAINED cells in a separate tiny pass (queries
+    * × ≤[[CentKMax]]-row broadcast) — exactly how a production IVF
+    * serves out-of-corpus traffic. Same dataflow scale shape as
+    * [[knnIvfTrained]]; only the probe side changed provenance.
+    */
+  def knnIvfTrainedHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val corpus = e.where(!isHeldout)
+    val trained = trainIvf(corpus)
+      .cache() // feeds corpus assignment AND the query probe pass
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val cells = corpus.crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(w1))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val qprobe = heldoutQueries(e).crossJoin(broadcast(trained))
+      .select(col("query_id"), col("qq"), col("qnorm2"), col("cell"),
+        scorePpm(dot(col("qq"), col("tq")), col("qnorm2"), col("tnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(wq))
+      .where(col("crnk") <= NProbe)
+      .select(col("query_id"), col("qq"), col("qnorm2"), col("cell"))
+    val scored = broadcast(qprobe).join(cells, Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnIvfTrainedHeldoutSql: String = {
+    val sdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val tdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
+    val qtdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qq[i] * c.tq[i]))"
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val meanList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
+    val centK = s"GREATEST($CentKMin, LEAST($CentKMax, " +
+      "CAST(ceil(sqrt((SELECT COUNT(*) FROM corpus))) AS BIGINT)))"
+    s"""WITH $sqlQuantized,
+       |$sqlHeldoutCtes,
+       |crankedc AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS hrnk
+       |  FROM corpus),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM crankedc WHERE hrnk <= $centK),
+       |assign0 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(sdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM corpus v, seeds c),
+       |cell0 AS (
+       |  SELECT vec_id, qv, norm2, centroid_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |    FROM assign0) WHERE crnk = 1),
+       |sums AS (
+       |  SELECT cell, COUNT(*) AS cnt, $dimSums
+       |  FROM cell0 GROUP BY cell),
+       |trained0 AS (
+       |  SELECT cell, [$meanList] AS tq FROM sums),
+       |trained AS (
+       |  SELECT cell, tq,
+       |    list_sum(list_transform(tq, x -> x * x)) AS tnorm2
+       |  FROM trained0
+       |  WHERE list_sum(list_transform(tq, x -> x * x)) > 0),
+       |cassign AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.cell,
+       |    ${sqlScorePpm(tdot, "v.norm2", "c.tnorm2")} AS cscore
+       |  FROM corpus v, trained c),
+       |cells AS (
+       |  SELECT vec_id, cell, qv, norm2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, cell ASC) AS crnk
+       |    FROM cassign) WHERE crnk = 1),
+       |qassign AS (
+       |  SELECT q.query_id, q.qq, q.qn, c.cell,
+       |    ${sqlScorePpm(qtdot, "q.qn", "c.tnorm2")} AS cscore
+       |  FROM queries q, trained c),
+       |qprobe AS (
+       |  SELECT query_id, qq, qn, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cscore DESC, cell ASC) AS crnk
+       |    FROM qassign) WHERE crnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
+       |  FROM qprobe p JOIN cells b ON p.cell = b.cell)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
+  /** SQ8 search for held-out queries: per-dimension min/max stats come
+    * from the CORPUS only; queries are coded through the same affine
+    * map with codes clamped to [0, 255] (an out-of-corpus query can
+    * exceed the corpus range — the clamp is what a real scalar
+    * quantizer does to out-of-distribution components; corpus codes
+    * are unaffected since the stats bound them by construction).
+    */
+  def knnSq8Heldout(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val corpus = e.where(!isHeldout)
+    val stats = corpus.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("i"), col("mn"), col("mx"))))
+        .as("st"))
+      .select(transform(col("st"), s => s.getField("mn")).as("mins"),
+        transform(col("st"), s => s.getField("mx")).as("maxs"))
+    def code(df: DataFrame): DataFrame = df.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        transform(col("q"), (x, i) => {
+          val mn = element_at(col("mins"), (i + 1).cast("int"))
+          val mx = element_at(col("maxs"), (i + 1).cast("int"))
+          when(mx > mn,
+            greatest(lit(0L), least(lit(255L),
+              floor((x - mn).cast("double") * lit(255.0) /
+                (mx - mn).cast("double")).cast("long"))) - lit(128L))
+            .otherwise(lit(0L))
+        }).as("cv"))
+    val qs = heldoutQueries(e).cache() // coding + exact re-rank
+    val codedQ = code(qs.select(col("query_id").as("vec_id"),
+      col("qq").as("q")))
+      .select(col("vec_id").as("query_id"), col("cv").as("qc"))
+    val approx = code(corpus).crossJoin(broadcast(codedQ))
+      .select(col("query_id"), col("vec_id"),
+        dot(col("qc"), col("cv")).as("approx_dot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk", row_number().over(wCand))
+      .where(col("crnk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerankWith(qs, e, cands)
+  }
+
+  val knnSq8HeldoutSql: String =
+    s"""WITH $sqlQuantized,
+       |$sqlHeldoutCtes,
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |stats AS (
+       |  SELECT i, MIN(qv[i]) AS mn, MAX(qv[i]) AS mx
+       |  FROM corpus, dims GROUP BY i),
+       |packed AS (
+       |  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+       |  FROM stats),
+       |codedc AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN maxs[i] > mins[i]
+       |      THEN GREATEST(0, LEAST(255,
+       |        CAST(floor(CAST(qv[i] - mins[i] AS DOUBLE) * 255.0 /
+       |          CAST(maxs[i] - mins[i] AS DOUBLE)) AS BIGINT))) - 128
+       |      ELSE 0 END) AS cv
+       |  FROM corpus, packed),
+       |codedq AS (
+       |  SELECT query_id, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN maxs[i] > mins[i]
+       |      THEN GREATEST(0, LEAST(255,
+       |        CAST(floor(CAST(qq[i] - mins[i] AS DOUBLE) * 255.0 /
+       |          CAST(maxs[i] - mins[i] AS DOUBLE)) AS BIGINT))) - 128
+       |      ELSE 0 END) AS qc
+       |  FROM queries, packed),
+       |approx AS (
+       |  SELECT a.query_id, b.vec_id,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.qc[i] * b.cv[i])) AS approx_dot
+       |  FROM codedq a, codedc b),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
+       |    FROM approx) WHERE crnk <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
+
   // ------------------------------------- SQL front door, native fns
   /** The native expressions through the SQL front door: `md5long56`
     * and `dot_long` are injected by
@@ -1040,6 +1325,9 @@ object EmbeddingQueries {
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_sq8" -> (knnSq8 _),
+    "knn_brute_heldout" -> (knnBruteHeldout _),
+    "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
+    "knn_sq8_heldout" -> (knnSq8Heldout _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _))
 
@@ -1054,6 +1342,9 @@ object EmbeddingQueries {
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_sq8" -> knnSq8Sql,
+    "knn_brute_heldout" -> knnBruteHeldoutSql,
+    "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,
+    "knn_sq8_heldout" -> knnSq8HeldoutSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql)
 }

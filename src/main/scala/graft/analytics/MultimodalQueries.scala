@@ -151,8 +151,12 @@ object MultimodalQueries {
         min(col("media_id")).as("representative"))
       .orderBy(col("phash"))
 
-  val multimodalPhashSql: String =
-    """WITH t AS (
+  /** Oracle CTE chain ending in `ph(doc_id, phash)` — the DuckDB twin
+    * of [[MultimodalOps.perceptualHash]] over byte==char documents.
+    * Shared by the cluster report and the near-dup pair query.
+    */
+  private val phashCtes: String =
+    """t AS (
       |  SELECT doc_id, text FROM documents
       |  WHERE length(text) = strlen(text)),
       |ch AS (
@@ -166,12 +170,72 @@ object MultimodalQueries {
       |    CAST(COALESCE(SUM(CASE WHEN n * 16 > total THEN 1 << b
       |      ELSE 0 END), 0) AS BIGINT) AS phash
       |  FROM tot LEFT JOIN hist ON tot.doc_id = hist.doc_id
-      |  GROUP BY tot.doc_id)
+      |  GROUP BY tot.doc_id)""".stripMargin
+
+  val multimodalPhashSql: String =
+    s"""WITH $phashCtes
       |SELECT phash, COUNT(*) AS n_media, MIN(doc_id) AS representative
       |FROM ph GROUP BY phash ORDER BY phash""".stripMargin
 
+  /** Hamming-near perceptual-hash pairs — the near-dup complement to
+    * [[multimodalPhash]]'s exact-fingerprint clustering: media whose
+    * byte distributions differ in ≤2 of the 16 fingerprint bits.
+    *
+    * Pairing happens in FINGERPRINT space, not media space: the corpus
+    * first collapses to its ≤2^16 distinct phash values (the same
+    * aggregate the cluster report runs), and only those are paired —
+    * each 16-bit value has C(16,1)+C(16,2)=136 neighbors within
+    * distance 2, so the pair relation is ≤2^16·136/2 rows at ANY
+    * corpus size, and per-media near-dups are a join away through the
+    * cluster table. The candidate join uses bit-sampling LSH exactly
+    * like [[DedupQueries.simhashBanded]]: 3 bands of 6/5/5 bits — by
+    * pigeonhole a pair differing in ≤2 bits agrees on ≥1 intact band —
+    * then exact `bit_count(xor)` verifies. The DuckDB twin is the
+    * brute-force pairwise compare, so a banding gap (a distance-≤2
+    * pair the bands missed) would fail the oracle, not just a spec.
+    */
+  def multimodalPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = MultimodalOps.perceptualHash(
+      MultimodalOps.mediaFromDocuments(spark, dir)
+        .filter(length(decode(col("content"), "utf-8")) ===
+          octet_length(col("content"))))
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep"))
+      .cache() // one histogram pass feeds both join sides
+    val banded = clusters.select(col("phash"), col("n_media"), col("rep"),
+      posexplode(array(
+        col("phash") % 64,
+        shiftright(col("phash"), 6) % 32,
+        shiftright(col("phash"), 11)))
+        .as(Seq("band", "key")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("phash_a"), col("b.phash").as("phash_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).cast("long")
+          .as("hamming"),
+        col("a.n_media").as("n_media_a"), col("b.n_media").as("n_media_b"),
+        col("a.rep").as("rep_a"), col("b.rep").as("rep_b"))
+      .distinct()
+      .where(col("hamming") <= 2)
+  }
+
+  val multimodalPhashPairsSql: String =
+    s"""WITH $phashCtes,
+      |g AS (
+      |  SELECT phash, COUNT(*) AS n_media, MIN(doc_id) AS rep
+      |  FROM ph GROUP BY phash)
+      |SELECT a.phash AS phash_a, b.phash AS phash_b,
+      |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming,
+      |  a.n_media AS n_media_a, b.n_media AS n_media_b,
+      |  a.rep AS rep_a, b.rep AS rep_b
+      |FROM g a JOIN g b ON a.phash < b.phash
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_phash" -> (multimodalPhash _),
+    "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_features" -> (multimodalFeatures _),
     "multimodal_frames" -> (multimodalFrames _),
     "multimodal_resize" -> (multimodalResize _),
@@ -179,6 +243,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_features" -> multimodalFeaturesSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_resize" -> multimodalResizeSql,
