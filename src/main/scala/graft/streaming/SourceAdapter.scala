@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingress abstraction for the bulk-ingest data plane (SURVEY.md §2 S1).
+  *
+  * The reference accepts ingest requests over one transport (HTTP POST,
+  * reference src/app.js:103-146). At 100 TB the transport is the LEAST
+  * interesting part of ingress — what matters is that every transport
+  * lands on the same canonical streaming DataFrame so validation,
+  * chunking ([[graft.ingest.IngestOps.explodeBatches]]) and state
+  * upsert run identically (and identically-tested) regardless of where
+  * bytes came from. A `SourceAdapter` is exactly that seam: transport
+  * in, canonical request stream out.
+  *
+  * Canonical schema (see [[SourceAdapter.schema]]):
+  * {{{
+  *   ingestion_id STRING, ids ARRAY<BIGINT>, priority STRING, created_at BIGINT
+  * }}}
+  *
+  * Bindings:
+  *  - [[MemorySourceAdapter]] — embedded/test transport (MemoryStream);
+  *  - [[FileSourceAdapter]]   — spool-directory transport: request JSON
+  *    files appear in a directory, discovered incrementally with
+  *    bounded per-trigger intake;
+  *  - [[KafkaSourceAdapter]]  — broker transport. The plan it builds is
+  *    the standard `format("kafka")` read + `from_json(value)` projection.
+  *    NOTE: this sandbox has no Kafka broker and no
+  *    `spark-sql-kafka-0-10` connector jar, so this binding cannot be
+  *    exercised here — it is real code, not a stub, but its test
+  *    coverage is necessarily the shared downstream pipeline (which the
+  *    Memory and File bindings drive end-to-end through the SAME
+  *    `requests()` seam). On a cluster, add the connector package and
+  *    it is live.
+  */
+trait SourceAdapter {
+
+  /** Transport name, for query naming / logs. */
+  def name: String
+
+  /** The canonical streaming request frame ([[SourceAdapter.schema]]).
+    * Implementations must return a STREAMING DataFrame (isStreaming);
+    * casting/renaming to the canonical schema happens inside.
+    */
+  def requests(spark: SparkSession): DataFrame
+}
+
+object SourceAdapter {
+  /** ingestion_id, ids, priority, created_at — the shape
+    * [[graft.ingest.IngestOps.validRequest]] and
+    * [[graft.ingest.IngestOps.explodeBatches]] consume.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("ingestion_id", StringType, nullable = false),
+    StructField("ids", ArrayType(LongType, containsNull = false)),
+    StructField("priority", StringType),
+    StructField("created_at", LongType, nullable = false)))
+
+  /** Conform a raw frame to the canonical column order/names. Keeps
+    * adapters honest: every binding funnels through one projection, so
+    * a transport can't leak extra columns into the pipeline.
+    */
+  private[streaming] def conform(df: DataFrame): DataFrame =
+    df.select(
+      col("ingestion_id").cast(StringType).as("ingestion_id"),
+      col("ids").cast(ArrayType(LongType)).as("ids"),
+      col("priority").cast(StringType).as("priority"),
+      col("created_at").cast(LongType).as("created_at"))
+}
+
+/** Embedded transport: requests pushed from the driving process.
+  * This is the test seam, and also the right shape for an in-JVM
+  * producer (e.g. the HTTP server handing its parsed POST bodies
+  * straight to the stream).
+  */
+final class MemorySourceAdapter(
+    stream: MemoryStream[(String, Seq[Long], String, Long)])
+    extends SourceAdapter {
+  override def name: String = "memory"
+  override def requests(spark: SparkSession): DataFrame =
+    SourceAdapter.conform(
+      stream.toDF().toDF("ingestion_id", "ids", "priority", "created_at"))
+}
+
+/** Spool-directory transport: one JSON object per line, canonical
+  * field names. `maxFilesPerTrigger` bounds per-micro-batch intake so
+  * a backlog burst can't produce an unbounded batch (the same
+  * bounded-intake discipline FileStreamSpec pins for parquet).
+  */
+final class FileSourceAdapter(dir: String, maxFilesPerTrigger: Int = 4)
+    extends SourceAdapter {
+  override def name: String = "file"
+  override def requests(spark: SparkSession): DataFrame =
+    SourceAdapter.conform(
+      spark.readStream
+        .schema(SourceAdapter.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .json(dir))
+}
+
+/** Broker transport: standard Kafka source + JSON value decode.
+  *
+  * Requires the `spark-sql-kafka-0-10` connector on the classpath and
+  * a reachable broker — neither exists in this offline sandbox (no
+  * egress, no broker), so there is deliberately no spec that calls
+  * `requests()` here; constructing the read is the standard public
+  * recipe and the downstream pipeline is covered via the other
+  * bindings. `startingOffsets=earliest` by default so a new consumer
+  * group drains the topic backlog exactly like FileSourceAdapter
+  * drains a spool directory.
+  */
+final class KafkaSourceAdapter(
+    bootstrapServers: String,
+    topic: String,
+    startingOffsets: String = "earliest",
+    maxOffsetsPerTrigger: Long = 100000L)
+    extends SourceAdapter {
+  override def name: String = "kafka"
+  override def requests(spark: SparkSession): DataFrame =
+    SourceAdapter.conform(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        // bounded per-trigger intake: same discipline as
+        // maxFilesPerTrigger on the spool path
+        .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+        .load()
+        .select(from_json(col("value").cast(StringType),
+          SourceAdapter.schema).as("r"))
+        .select(col("r.*")))
+}

@@ -94,14 +94,22 @@ final class StreamingProcessor(
     */
   def startBulkIngestToTable(
       stream: MemoryStream[(String, Seq[Long], String, Long)],
+      store: TableStateStore): StreamingQuery =
+    startBulkIngestFrom(new MemorySourceAdapter(stream), store)
+
+  /** Transport-agnostic bulk ingest: any [[SourceAdapter]] (memory,
+    * spool directory, Kafka on a real cluster) lands on the SAME
+    * validate → chunk → table-upsert pipeline. The transport changes;
+    * the tested data plane does not — that is the point of the seam.
+    */
+  def startBulkIngestFrom(
+      adapter: SourceAdapter,
       store: TableStateStore): StreamingQuery = {
-    import spark.implicits._
     val cfg = engine.cfg
-    stream.toDS()
-      .toDF("ingestion_id", "ids", "priority", "created_at")
+    adapter.requests(spark)
       .where(IngestOps.validRequest(col("ids"), col("priority"), cfg))
       .writeStream
-      .queryName("graft-bulk-ingest-table")
+      .queryName(s"graft-bulk-ingest-${adapter.name}")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
         store.ingestRequests(df, cfg)

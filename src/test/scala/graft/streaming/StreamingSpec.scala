@@ -140,6 +140,49 @@ class StreamingSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("source adapter seam: spool-directory transport lands on the same pipeline") {
+    // the FileSourceAdapter drives the IDENTICAL validate→chunk→upsert
+    // pipeline the Memory adapter does — proving the SourceAdapter seam
+    // with a second transport. (The Kafka binding builds the same
+    // canonical frame; no broker/connector exists in this sandbox, so
+    // its coverage IS this shared downstream path — see SourceAdapter
+    // scaladoc.)
+    val engine = new IngestEngine(GraftConfig.bench, SystemSleeper)
+    val proc = new StreamingProcessor(spark, engine)
+    val dir = java.nio.file.Files.createTempDirectory("graft-spool").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-state-sa").toString
+    val store = new TableStateStore(spark, s"$stateDir/state", buckets = 8)
+    def spool(fileName: String, lines: String*): Unit = {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      // write-then-rename so the stream never reads a half-written file
+      val tmp = Paths.get(dir, s".$fileName.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(dir, fileName),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    spool("r1.json",
+      """{"ingestion_id":"ing-f1","ids":[1,2,3,4,5,6,7],"priority":"HIGH","created_at":42}""",
+      """{"ingestion_id":"bad","ids":[-1],"priority":"LOW","created_at":44}""")
+    val query = proc.startBulkIngestFrom(new FileSourceAdapter(dir), store)
+    try {
+      query.processAllAvailable()
+      val doc = store.statusOf("ing-f1").get
+      assert(doc.batches.map(_.ids) ==
+        Seq(Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L)))
+      assert(doc.status == Status.YetToStart)
+      assert(store.statusOf("bad").isEmpty) // invalid filtered, same as memory path
+      // a late-arriving spool file is discovered without restart
+      spool("r2.json",
+        """{"ingestion_id":"ing-f2","ids":[9],"priority":"LOW","created_at":43}""")
+      query.processAllAvailable()
+      assert(store.statusOf("ing-f2").get.batches.map(_.ids) == Seq(Seq(9L)))
+      // priority order holds across transports' requests
+      val top = store.pendingView()
+        .select("ingestion_id").limit(1).head.getString(0)
+      assert(top == "ing-f1")
+    } finally query.stop()
+  }
+
   test("table store is safe when empty and idempotent under epoch replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-state3").toString
