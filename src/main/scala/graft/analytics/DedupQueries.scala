@@ -745,8 +745,102 @@ object DedupQueries {
        |JOIN n b ON p.doc_b = b.vec_id
        |WHERE p.jaccard_ppm >= 100000""".stripMargin
 
+  // ------------------------------------------------ incremental dedup
+  /** Incremental (delta-vs-corpus) near-dup detection — the nightly
+    * operational shape at 100 TB: a new shard arrives and must be
+    * deduplicated against the existing corpus AND against itself,
+    * WITHOUT ever re-pairing corpus docs with each other. The delta is
+    * modeled as `doc_id % 17 == 0` (a hash split in production).
+    *
+    * Candidate generation is the same (band, key) LSH collision as
+    * [[dedupLshPairs]], but the join predicate admits ONLY pairs with
+    * a delta doc on the new side: corpus×corpus collisions are never
+    * generated, so per-night work scales with |delta| · collision
+    * rate, not |corpus|². In production the corpus side is the
+    * PERSISTED signature/band table maintained by previous runs — one
+    * linear scan here stands in for that read; nothing else touches
+    * corpus content. The delta side is corpus-proportional, so it
+    * carries NO broadcast hint (the same data-growing-hint rule
+    * PlanAuditSpec pins for pipeline_filter); AQE broadcasts it at
+    * runtime while it measures small.
+    *
+    * Output: one row per verified candidate pair — the new doc, the
+    * existing doc it collides with (`vs` = corpus|delta), and the
+    * exact Jaccard over shingle sets, same verification as
+    * [[dedupLshPairs]].
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), col("sh"),
+        (col("doc_id") % 17 === 0).as("is_delta"))
+    docs.cache() // banding + both verification sides
+    val R = K / Bands
+    val sigCols = (0 until K).map(i =>
+      array_min(transform(col("sh"), h => affine(h, i))))
+    val bandKey = (b: Int) => concat_ws("-",
+      sigCols.slice(b * R, b * R + R).map(_.cast("string")): _*)
+    val banded = docs.select(
+      col("doc_id"), col("is_delta"),
+      posexplode(array((0 until Bands).map(b => bandKey(b)): _*))
+        .as(Seq("band", "key")))
+      .cache() // delta slice + full side of the collision join
+    val delta = banded.where(col("is_delta")).as("a")
+    val full = banded.as("b")
+    // delta-vs-delta pairs orient doc_b < doc_a so each pair appears
+    // once; delta-vs-corpus pairs keep every corpus partner
+    val pairs = delta.join(full,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          (!col("b.is_delta") || col("b.doc_id") < col("a.doc_id")))
+      .select(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"),
+        when(col("b.is_delta"), lit("delta")).otherwise(lit("corpus"))
+          .as("vs"))
+      .distinct()
+    val sa = docs.select(col("doc_id").as("doc_new"), col("sh").as("sh_a"))
+    val sb = docs.select(col("doc_id").as("doc_old"), col("sh").as("sh_b"))
+    pairs.join(sa, "doc_new").join(sb, "doc_old")
+      .select(col("doc_new"), col("doc_old"), col("vs"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_common"),
+        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("n_union"))
+      .withColumn("jaccard_ppm",
+        floor(lit(1e6) * col("n_common").cast("double") /
+          col("n_union").cast("double")).cast("long"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val R = K / Bands
+    val sig = (i: Int) =>
+      s"list_aggregate(list_transform(sh, h -> ${sqlAffine("h", i)}), 'min')"
+    val bandRows = (0 until Bands).map { b =>
+      val key = (b * R until b * R + R)
+        .map(i => s"CAST(${sig(i)} AS VARCHAR)").mkString(" || '-' || ")
+      s"SELECT doc_id, doc_id % 17 = 0 AS is_delta, $b AS band, $key AS key FROM s"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |banded AS (
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old,
+       |    CASE WHEN b.is_delta THEN 'delta' ELSE 'corpus' END AS vs
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key
+       |    AND a.is_delta AND (NOT b.is_delta OR b.doc_id < a.doc_id))
+       |SELECT p.doc_new, p.doc_old, p.vs,
+       |  CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+       |  CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS BIGINT) AS n_union,
+       |  CAST(floor(1e6 * CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)) AS BIGINT)
+       |    AS jaccard_ppm
+       |FROM pairs p
+       |JOIN s sa ON p.doc_new = sa.doc_id
+       |JOIN s sb ON p.doc_old = sb.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -760,6 +854,7 @@ object DedupQueries {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -465,18 +465,24 @@ object EmbeddingQueries {
       .where(col("rnk") <= TopK)
   }
 
-  val knnIvfTrainedSql: String = {
+  /** Shared oracle CTE chain for the trained quantizer: quantize →
+    * hash-rank → seeds → assign → Lloyd update → re-assign, ending at
+    * `ranked` (every vector × trained centroid, crnk) and `cells`
+    * (each vector's home cell) — the twin of [[trainIvf]] + the
+    * re-assignment pass. Used by the trained-IVF searches and the
+    * semantic-dedup query so the trained quantizer can never drift
+    * between oracles one site at a time.
+    */
+  private val sqlTrainedCells: String = {
     val sdot =
       "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
     val tdot =
       "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
-    val pdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
     val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
       .mkString(", ")
     val meanList = (0 until 64).map(d =>
       s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
-    s"""WITH $sqlQuantized,
+    s"""$sqlQuantized,
        |$sqlCranked,
        |seeds AS (
        |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
@@ -509,7 +515,13 @@ object EmbeddingQueries {
        |    ORDER BY cscore DESC, cell ASC) AS crnk
        |  FROM assign1),
        |cells AS (
-       |  SELECT vec_id, cell, qv, norm2 FROM ranked WHERE crnk = 1),
+       |  SELECT vec_id, cell, qv, norm2 FROM ranked WHERE crnk = 1)""".stripMargin
+  }
+
+  val knnIvfTrainedSql: String = {
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    s"""WITH $sqlTrainedCells,
        |qprobe AS (
        |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn, cell
        |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe),
@@ -1196,6 +1208,77 @@ object EmbeddingQueries {
        |  AND a.vec_id < b.vec_id
        |WHERE ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} >= 250000""".stripMargin
 
+  // --------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication: cluster the corpus with
+    * the trained coarse quantizer ([[trainIvf]] — the SAME quantizer
+    * the IVF searches use), then compare vectors ONLY within their
+    * home cell and mark each one a duplicate iff an earlier (smaller
+    * vec_id) cell-mate sits above the cosine threshold. This is the
+    * published SemDeDup recipe (Abbas et al., 2023: k-means the
+    * embeddings, dedup inside clusters): the clustering turns the n²
+    * all-pairs problem into Σ|cell|² with ~√n-sized cells — O(n^1.5)
+    * total, each cell's pairing an independent task, no corpus-sized
+    * state anywhere.
+    *
+    * Output is one row per CORPUS vector (row count is corpus-stable,
+    * threshold only moves the flags): home cell, how many earlier
+    * cell-mates clear the threshold, the earliest such mate
+    * (`dup_of`, = own id when none), and the keep/drop flag.
+    */
+  val SemThresh = 250000 // ppm cosine — same bar as emb_neardup_pairs
+  def embSemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // quantized feeds count + seeds + two assignment passes (knnIvf
+    // doc); cells feeds both pair sides + the final left join
+    val e = quantized(spark, dir).cache()
+    val trained = trainIvf(e)
+    val assign = e.crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val cells = assign.withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+      .cache()
+    val a = cells.select(col("cell"), col("vec_id"),
+      col("q").as("qa"), col("norm2").as("na"))
+    val b = cells.select(col("cell"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("norm2").as("nb"))
+    // within-cell pairs against earlier ids only — the join shuffles
+    // on the cell key, never all-pairs (strategy left to Catalyst,
+    // same reasoning as the object doc's self-join note)
+    val dups = a.join(b, Seq("cell"))
+      .where(col("vec_b") < col("vec_id"))
+      .select(col("vec_id"), col("vec_b"),
+        scorePpm(dot(col("qa"), col("qb")), col("na"), col("nb")).as("s"))
+      .where(col("s") >= SemThresh)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("nd"), min(col("vec_b")).as("df"))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("nd"), lit(0L)).as("n_earlier_dups"),
+        coalesce(col("df"), col("vec_id")).as("dup_of"),
+        col("df").isNotNull.as("is_duplicate"))
+  }
+
+  val embSemanticDedupSql: String = {
+    val pairDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    s"""WITH $sqlTrainedCells,
+       |dups AS (
+       |  SELECT a.vec_id, COUNT(*) AS nd, MIN(b.vec_id) AS df
+       |  FROM cells a JOIN cells b
+       |    ON a.cell = b.cell AND b.vec_id < a.vec_id
+       |  WHERE ${sqlScorePpm(pairDot, "a.norm2", "b.norm2")} >= $SemThresh
+       |  GROUP BY a.vec_id)
+       |SELECT c.vec_id, c.cell,
+       |  COALESCE(d.nd, 0) AS n_earlier_dups,
+       |  COALESCE(d.df, c.vec_id) AS dup_of,
+       |  d.vec_id IS NOT NULL AS is_duplicate
+       |FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id""".stripMargin
+  }
+
   // ------------------------------------ contrastive pair batches
   /** In-batch contrastive pair generation — the data-prep step for
     * embedding training (SimCLR/InfoNCE-style): vectors are hash-
@@ -1329,7 +1412,8 @@ object EmbeddingQueries {
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
     "knn_sq8_heldout" -> (knnSq8Heldout _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
-    "emb_neardup_pairs" -> (embNeardupPairs _))
+    "emb_neardup_pairs" -> (embNeardupPairs _),
+    "emb_semantic_dedup" -> (embSemanticDedup _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -1346,5 +1430,6 @@ object EmbeddingQueries {
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,
     "knn_sq8_heldout" -> knnSq8HeldoutSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
-    "emb_neardup_pairs" -> embNeardupPairsSql)
+    "emb_neardup_pairs" -> embNeardupPairsSql,
+    "emb_semantic_dedup" -> embSemanticDedupSql)
 }

@@ -46,6 +46,59 @@ class Round6OpsSpec extends SparkSuite {
     pairs.unpersist(); clusters.unpersist()
   }
 
+  test("incremental dedup never pairs corpus docs with each other") {
+    val pairs = DedupQueries.dedupIncremental(spark, sf0001).cache()
+    assert(pairs.count() > 0) // the query proves something on this corpus
+    // every pair has a delta doc on the new side — corpus×corpus work
+    // is structurally impossible, which is the whole point
+    assert(pairs.where(col("doc_new") % 17 =!= 0).count() == 0)
+    // delta-vs-delta pairs are oriented (old < new) so none repeats;
+    // corpus partners are never delta docs
+    assert(pairs.where(col("vs") === "delta" &&
+      (col("doc_old") % 17 =!= 0 || col("doc_old") >= col("doc_new")))
+      .count() == 0)
+    assert(pairs.where(col("vs") === "corpus" && col("doc_old") % 17 === 0)
+      .count() == 0)
+    // verification is a true Jaccard: bounded, and common ≤ union
+    assert(pairs.where(col("jaccard_ppm") < 0 || col("jaccard_ppm") > 1000000
+      || col("n_common") > col("n_union")).count() == 0)
+    // agreement with the full pair search: every incremental pair that
+    // a full LSH sweep would also emit carries the SAME jaccard
+    val full = DedupQueries.dedupLshPairs(spark, sf0001)
+      .select(least(col("doc_a"), col("doc_b")).as("lo"),
+        greatest(col("doc_a"), col("doc_b")).as("hi"),
+        col("jaccard_ppm").as("full_j"))
+    val joined = pairs.select(least(col("doc_new"), col("doc_old")).as("lo"),
+        greatest(col("doc_new"), col("doc_old")).as("hi"), col("jaccard_ppm"))
+      .join(full, Seq("lo", "hi"))
+    assert(joined.where(col("jaccard_ppm") =!= col("full_j")).count() == 0)
+    pairs.unpersist()
+  }
+
+  test("semantic dedup covers the corpus and keeps exactly the cell-first docs") {
+    val sd = EmbeddingQueries.embSemanticDedup(spark, sf0001).cache()
+    val n = graft.core.Tables.load(spark, sf0001, "embeddings").count()
+    // one verdict per corpus vector, no threshold-dependent row count
+    assert(sd.count() == n)
+    assert(sd.select("vec_id").distinct().count() == n)
+    // flag/agg consistency: duplicate ⇔ an earlier mate exists
+    assert(sd.where(col("is_duplicate") =!=
+      (col("n_earlier_dups") > 0)).count() == 0)
+    assert(sd.where(col("is_duplicate") && col("dup_of") >= col("vec_id"))
+      .count() == 0)
+    assert(sd.where(!col("is_duplicate") && col("dup_of") =!= col("vec_id"))
+      .count() == 0)
+    // the earliest vector of every cell can never be a duplicate
+    val firsts = sd.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+    assert(sd.join(firsts, Seq("cell", "vec_id"))
+      .where(col("is_duplicate")).count() == 0)
+    // dup_of points inside the same cell (comparisons are cell-local)
+    val byId = sd.select(col("vec_id").as("dup_of"), col("cell").as("oc"))
+    assert(sd.where(col("is_duplicate")).join(byId, "dup_of")
+      .where(col("cell") =!= col("oc")).count() == 0)
+    sd.unpersist()
+  }
+
   test("held-out ANN searches clear their recall floor vs brute force") {
     val brute = EmbeddingQueries.knnBruteHeldout(spark, sf0001).cache()
     val nQueries = brute.select("query_id").distinct().count()
