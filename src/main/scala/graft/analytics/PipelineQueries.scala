@@ -579,6 +579,72 @@ object PipelineQueries {
        |FROM k GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------- temperature-sampled mixing
+  /** Temperature-sampled mixture weights — the multilingual/multi-
+    * source pretraining recipe (p_i ∝ n_i^(1/T)) that upsamples the
+    * tail without letting the head drown it. T = 2 ⇒ √n scaling,
+    * chosen deliberately: `sqrt` of an exact integer is ONE correctly-
+    * rounded IEEE op in both engines (any other exponent goes through
+    * libm's `pow` and drifts by ulps — the cross-engine hazard class
+    * the survey bans). The √-weights are floored to integer
+    * milli-units BEFORE the cross-group normalizer sum, so the
+    * normalizer is an exact long — the groups frame is
+    * vocabulary-sized (|langs| rows), making every downstream step
+    * metadata-scale arithmetic on one broadcast row.
+    *
+    * Output per language: corpus counts, temperature weight vs
+    * natural share (both exact ppm), tokens drawn from this language
+    * under [[MixBudget]], and the oversampling factor
+    * (`epochs_ppm` > 1e6 ⇔ the language's data repeats within one
+    * pass of the mixture — the number the curriculum designer
+    * actually reads). `draw_tok · w_total` stays far inside int64 here;
+    * at extreme budgets divide before multiplying or route the product
+    * through DECIMAL(38,0).
+    */
+  def pipelineTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val counts = table(spark, dir, "documents")
+      .select(coalesce(col("lang"), lit("<null>")).as("lang"),
+        size(split(coalesce(col("text"), lit("")), " "))
+          .cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tok"))
+    val scaled = counts.withColumn("w_scaled",
+      floor(sqrt(col("n_tok").cast("double")) * 1000).cast("long"))
+    val totals = scaled.agg(sum(col("w_scaled")).as("w_total"),
+      sum(col("n_tok")).as("tok_total"))
+    scaled.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("n_tok"),
+        ppm(col("w_scaled"), col("w_total")).as("weight_ppm"),
+        ppm(col("n_tok"), col("tok_total")).as("natural_ppm"),
+        expr(s"(w_scaled * $MixBudget) div w_total").as("draw_tok"))
+      .withColumn("epochs_ppm", ppm(col("draw_tok"), col("n_tok")))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineTemperatureMixSql: String =
+    s"""WITH counts AS (
+       |  SELECT COALESCE(lang, '<null>') AS lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(COALESCE(text, ''), ' '))) AS BIGINT)
+       |      AS n_tok
+       |  FROM documents GROUP BY 1),
+       |s AS (
+       |  SELECT lang, n_docs, n_tok,
+       |    CAST(floor(sqrt(CAST(n_tok AS DOUBLE)) * 1000) AS BIGINT)
+       |      AS w_scaled
+       |  FROM counts),
+       |t AS (
+       |  SELECT CAST(SUM(w_scaled) AS BIGINT) AS w_total,
+       |    CAST(SUM(n_tok) AS BIGINT) AS tok_total
+       |  FROM s)
+       |SELECT lang, n_docs, n_tok,
+       |  ${sqlPpm("w_scaled", "w_total")} AS weight_ppm,
+       |  ${sqlPpm("n_tok", "tok_total")} AS natural_ppm,
+       |  (w_scaled * $MixBudget) // w_total AS draw_tok,
+       |  ${sqlPpm(s"(w_scaled * $MixBudget) // w_total", "n_tok")}
+       |    AS epochs_ppm
+       |FROM s, t ORDER BY lang""".stripMargin
+
   // ------------------------------------------------ graph centrality
   private val PrIters = 3 // fixed power-iteration count
   private val PrBase = 150000L // (1 - d) scaled by 1e6
@@ -835,6 +901,7 @@ object PipelineQueries {
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_mix" -> (pipelineMix _),
+    "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
@@ -849,6 +916,7 @@ object PipelineQueries {
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_mix" -> pipelineMixSql,
+    "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,

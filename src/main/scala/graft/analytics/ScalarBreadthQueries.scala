@@ -192,8 +192,46 @@ object ScalarBreadthQueries {
        |GROUP BY bucket""".stripMargin
   }
 
+  /** DSv2 WRITE path under the oracle gate: a deterministic orders
+    * slice goes THROUGH the manifest-committed sink
+    * ([[graft.sources.ManifestV2Sink]]) — staged files, commit,
+    * manifest publish — and the aggregate is computed from
+    * `readCommitted` (manifest-listed files only). The DuckDB twin
+    * aggregates the same slice straight from parquet, so any loss,
+    * duplication, or mangling in the sink round-trip (escaping,
+    * nulls, promotion, manifest) diverges the hashes. (Special-char
+    * and null escaping are pinned separately in ManifestSinkSpec.)
+    */
+  def sinkManifestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-manifest-rt").toString
+    table(spark, dir, "orders")
+      .where(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format("graft-manifest").mode("append").save(out)
+    graft.sources.ManifestV2Sink.readCommitted(spark, out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        sum(length(col("o_orderstatus"))).as("sum_status_chars"))
+  }
+
+  val sinkManifestRoundtripSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(SUM(length(o_orderstatus)) AS BIGINT) AS sum_status_chars
+      |FROM orders
+      |WHERE o_orderkey % 13 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_dsv2" -> (sourceDsv2 _),
+    "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
     "null_handling_orders" -> (nullHandlingOrders _),
@@ -202,6 +240,7 @@ object ScalarBreadthQueries {
 
   val oracles: Map[String, String] = Map(
     "source_dsv2" -> sourceDsv2Sql,
+    "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
     "null_handling_orders" -> nullHandlingSql,

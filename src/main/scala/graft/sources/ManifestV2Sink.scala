@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 WRITE path — the transactional half of the connector
+  * surface ([[SyntheticV2Source]] is the read half): a
+  * manifest-committed batch sink with the Iceberg/Delta core idea in
+  * miniature.
+  *
+  * Protocol (the part that matters at any scale):
+  *  - every task writes its rows to a STAGED file keyed by
+  *    (queryId, partitionId, taskId) — concurrent attempts of the same
+  *    partition (retries, speculation) write DIFFERENT files and never
+  *    interfere;
+  *  - a task's `commit()` hands the driver just the staged file name;
+  *    Spark's commit coordinator guarantees at most one attempt per
+  *    partition commits, and losing attempts get `abort()` → their
+  *    staged files are deleted;
+  *  - the job-level `commit()` promotes the committed attempts' files
+  *    into the data directory and then publishes ONE manifest file by
+  *    atomic rename. Readers resolve the manifest first and read only
+  *    the files it lists — a crash at ANY earlier point leaves the
+  *    previous manifest (and therefore the previous table state)
+  *    fully intact; promoted-but-unreferenced files are garbage, not
+  *    corruption (a vacuum sweep reclaims them);
+  *  - `mode("append")` merges the old manifest's file list;
+  *    `mode("overwrite")` arrives as [[SupportsTruncate]] and replaces
+  *    it. The manifest also carries the schema, so reads need no
+  *    inference pass.
+  *
+  * Data files are JSON lines (primitive columns), written with a
+  * hand-rolled escaper so the sink has zero codec dependencies and
+  * [[ManifestV2Sink.readCommitted]] can hand the file list straight to
+  * Spark's JSON reader. The FORMAT is deliberately boring — the commit
+  * protocol is the feature. Files here move through `java.nio` against
+  * a shared filesystem (the local[32] rig); a cluster port swaps in
+  * the Hadoop `FileSystem` calls one-for-one (same rename-commit
+  * contract HDFS and object-store committers provide).
+  *
+  * Concurrency note: concurrent APPEND jobs race on the
+  * read-merge-publish of the manifest (last writer wins). A production
+  * deployment serializes publishes through a log/catalog CAS — the
+  * staged-file and manifest layout here is exactly what that CAS would
+  * protect.
+  */
+class ManifestV2Sink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-manifest"
+
+  // write-side schema comes from the DataFrame being written
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ManifestV2Sink.readManifest(ManifestV2Sink.pathOf(options))
+      .map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft-manifest: no manifest at ${ManifestV2Sink.pathOf(options)}" +
+          " — write first, or read via ManifestV2Sink.readCommitted"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ManifestTable(schema, ManifestV2Sink.pathOf(opts))
+  }
+}
+
+object ManifestV2Sink {
+  private[sources] def pathOf(opts: CaseInsensitiveStringMap): String =
+    Option(opts.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-manifest requires a path"))
+
+  private def manifestFile(path: String): Path = Paths.get(path, "_MANIFEST")
+
+  /** Parse the manifest: (schema, committed relative file names).
+    * Line 1 is the schema json; the rest are file names.
+    */
+  private[sources] def readManifest(path: String): Option[(StructType, Seq[String])] = {
+    val mf = manifestFile(path)
+    if (!Files.exists(mf)) None
+    else {
+      val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
+      val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
+      Some((schema, lines.tail.filter(_.nonEmpty)))
+    }
+  }
+
+  /** The committed view of the table: only manifest-listed files are
+    * read, with the manifest's schema — never an inference pass, never
+    * a stray (crashed/unreferenced) file.
+    */
+  def readCommitted(spark: SparkSession, path: String): DataFrame = {
+    val (schema, files) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).json(
+        files.map(f => Paths.get(path, f).toString): _*)
+  }
+
+  /** Data files present on disk but not referenced by the manifest —
+    * crash debris from failed commits / lost attempts. Safe to delete
+    * any time (the vacuum sweep); returned instead of deleted so the
+    * policy stays with the caller.
+    */
+  def unreferencedFiles(path: String): Seq[String] = {
+    val committed = readManifest(path).map(_._2.toSet).getOrElse(Set.empty)
+    val dataDir = Paths.get(path, "data")
+    if (!Files.exists(dataDir)) Seq.empty
+    else Files.list(dataDir).iterator().asScala
+      .map(p => s"data/${p.getFileName}")
+      .filterNot(committed)
+      .toSeq.sorted
+  }
+}
+
+private[sources] class ManifestTable(schema0: StructType, path: String)
+    extends Table with SupportsWrite {
+  override def name(): String = s"graft-manifest($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ManifestBatchWrite(path, info.schema(), info.queryId(), replace)
+      }
+    }
+}
+
+private[sources] case class StagedFile(name: String, rows: Long)
+    extends WriterCommitMessage
+
+private[sources] class ManifestBatchWrite(path: String, schema: StructType,
+    queryId: String, replace: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(path, schema, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    // promote committed attempts' staged files into the data dir;
+    // names carry (queryId, partition, task) so runs never collide
+    val promoted = messages.collect { case StagedFile(name, _) =>
+      val from = Paths.get(path, "_staged", queryId, name)
+      Files.move(from, dataDir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      s"data/$name"
+    }.sorted
+    val previous =
+      if (replace) Seq.empty
+      else ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+    // publish: write-then-atomic-rename; readers see old or new state,
+    // never a torn manifest
+    val tmp = Paths.get(path, s"_MANIFEST.tmp.$queryId")
+    Files.write(tmp,
+      ((schema.json +: (previous ++ promoted)).mkString("\n") + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, "_MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    cleanupStaged()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // job failed after some tasks committed: none of their files were
+    // promoted or referenced, so deleting the staging dir restores the
+    // exact pre-job state
+    cleanupStaged()
+
+  private def cleanupStaged(): Unit = {
+    val staged = Paths.get(path, "_staged", queryId)
+    if (Files.exists(staged)) {
+      Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staged)
+    }
+    ()
+  }
+}
+
+private[sources] class ManifestWriterFactory(path: String,
+    schema: StructType, queryId: String) extends DataWriterFactory {
+  // fail fast on types the JSON writer doesn't cover — at plan time,
+  // not per row on an executor
+  require(schema.fields.forall(f => f.dataType match {
+    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
+    case _ => false
+  }), s"graft-manifest supports primitive columns only, got: $schema")
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new ManifestDataWriter(path, schema, queryId, partitionId, taskId)
+}
+
+private[sources] class ManifestDataWriter(path: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val name = s"part-$queryId-$partitionId-$taskId.jsonl"
+  private val staged = {
+    val dir = Paths.get(path, "_staged", queryId)
+    Files.createDirectories(dir)
+    dir.resolve(name)
+  }
+  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case '\n' => sb ++= "\\n"
+      case '\r' => sb ++= "\\r"
+      case '\t' => sb ++= "\\t"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    sb.result()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val fields = schema.fields.indices.map { i =>
+      val f = schema.fields(i)
+      val v =
+        if (row.isNullAt(i)) "null"
+        else f.dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case DoubleType =>
+            val d = row.getDouble(i)
+            // bare NaN/Infinity are not JSON; Spark's reader accepts
+            // the quoted spellings with allowNonNumericNumbers
+            if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+          case BooleanType => row.getBoolean(i).toString
+          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
+          case other => throw new IllegalStateException(s"unreachable: $other")
+        }
+      "\"" + jsonEscape(f.name) + "\":" + v
+    }
+    out.write(fields.mkString("{", ",", "}"))
+    out.write("\n")
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    StagedFile(name, rows)
+  }
+
+  override def abort(): Unit = {
+    // losing attempt (failure, retry loser, speculation loser): remove
+    // the staged file so only committed attempts can ever be promoted
+    out.close()
+    Files.deleteIfExists(staged)
+    ()
+  }
+
+  override def close(): Unit = ()
+}

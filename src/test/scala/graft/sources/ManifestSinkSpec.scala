@@ -1,0 +1,129 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** The transactional contract of the DSv2 manifest sink: committed
+  * state is exactly the manifest, a failed job changes nothing
+  * visible, retries can never double-commit a partition, and
+  * append/overwrite modes do what they say.
+  */
+class ManifestSinkSpec extends SparkSuite {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-manifest").toString
+
+  private def sample = {
+    import spark.implicits._
+    Seq(
+      (1L, "plain", 1.5, true),
+      (2L, "tab\tand\nnewline \"quoted\" back\\slash", -0.25, false),
+      (3L, null.asInstanceOf[String], 0.0, true))
+      .toDF("id", "s", "d", "b")
+  }
+
+  test("round-trips rows, special characters, and nulls exactly") {
+    val dir = tmpTable()
+    sample.coalesce(2).write.format("graft-manifest")
+      .mode("append").save(dir)
+    val back = ManifestV2Sink.readCommitted(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "d", "b"))
+    assert(back.orderBy("id").collect().toSeq ==
+      sample.orderBy("id").collect().toSeq)
+    // nothing is left staged after a successful commit
+    assert(!Files.exists(Paths.get(dir, "_staged")) ||
+      Files.list(Paths.get(dir, "_staged")).count() == 0)
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
+  }
+
+  test("a failing job leaves the previous committed state untouched") {
+    val dir = tmpTable()
+    sample.write.format("graft-manifest").mode("append").save(dir)
+    val before = ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+
+    // second job fails mid-write on an executor (ANSI division by a
+    // zero column after a few rows stream out)
+    import spark.implicits._
+    val bad = spark.range(100)
+      .select(col("id"),
+        (lit(1L) / when(col("id") < 50, lit(1L)).otherwise(lit(0L)))
+          .cast("double").as("d"))
+      .select(col("id"), lit("x").as("s"), col("d"), lit(true).as("b"))
+    val err = intercept[Exception] {
+      bad.coalesce(1).write.format("graft-manifest").mode("append").save(dir)
+    }
+    assert(err != null)
+
+    // committed view: bit-identical to before the failed job
+    val after = ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+    assert(after == before)
+  }
+
+  test("commit protocol: losing attempts never reach the manifest") {
+    // drive the write protocol directly — deterministic stand-in for
+    // a task retry, which local[32]'s maxTaskFailures=1 cannot replay
+    val dir = tmpTable()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType)))
+    val factory = new ManifestWriterFactory(dir, schema, "q1")
+
+    // attempt 1 of partition 0 writes rows, then fails → abort()
+    val lose = factory.createWriter(0, taskId = 1L)
+    lose.write(org.apache.spark.sql.catalyst.InternalRow(
+      7L, org.apache.spark.unsafe.types.UTF8String.fromString("stale")))
+    lose.abort()
+
+    // attempt 2 of partition 0 succeeds; partition 1 succeeds
+    val win0 = factory.createWriter(0, taskId = 2L)
+    win0.write(org.apache.spark.sql.catalyst.InternalRow(
+      1L, org.apache.spark.unsafe.types.UTF8String.fromString("a")))
+    val m0 = win0.commit()
+    val win1 = factory.createWriter(1, taskId = 3L)
+    win1.write(org.apache.spark.sql.catalyst.InternalRow(
+      2L, org.apache.spark.unsafe.types.UTF8String.fromString("b")))
+    val m1 = win1.commit()
+
+    new ManifestBatchWrite(dir, schema, "q1", replace = false)
+      .commit(Array(m0, m1))
+
+    val rows = ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+    assert(rows == Seq(Row(1L, "a"), Row(2L, "b"))) // no 'stale' row
+    // exactly the two committed files exist — the aborted attempt's
+    // staged file is gone, nothing is unreferenced
+    assert(Files.list(Paths.get(dir, "data")).count() == 2)
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
+  }
+
+  test("append merges the manifest; overwrite replaces it") {
+    val dir = tmpTable()
+    import spark.implicits._
+    def one(id: Long) = Seq(id).toDF("id")
+    one(1L).write.format("graft-manifest").mode("append").save(dir)
+    one(2L).write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    one(3L).write.format("graft-manifest").mode("overwrite").save(dir)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .as[Long].collect().toSeq == Seq(3L))
+    // overwrite orphans the old files (vacuum's job), never breaks reads
+    assert(ManifestV2Sink.unreferencedFiles(dir).nonEmpty)
+  }
+
+  test("non-primitive schemas are rejected at plan time") {
+    val dir = tmpTable()
+    import spark.implicits._
+    val arr = Seq((1L, Seq(1, 2))).toDF("id", "xs")
+    val e = intercept[Exception] {
+      arr.write.format("graft-manifest").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+  }
+}
