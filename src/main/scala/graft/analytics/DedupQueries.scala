@@ -91,6 +91,57 @@ object DedupQueries {
       |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
       |FROM documents""".stripMargin
 
+  // ------------------------------------------- normalized exact dedup
+  /** Exact dedup under text NORMALIZATION — the C4 recipe: lowercase,
+    * strip punctuation, collapse runs of whitespace, trim, THEN hash.
+    * Catches the near-identical pairs raw hashing misses (same page
+    * re-crawled with different casing/punctuation artifacts) while
+    * staying one shuffle on an 8-byte-equivalent hash. The
+    * `caught_by_norm_only` flag isolates exactly the pairs
+    * normalization added over [[dedupExact]] — the number that tells
+    * a pipeline owner whether the normalization pass pays for itself.
+    * Normalization is three simple character-class regex passes that
+    * Java and RE2-family engines agree on for ASCII input.
+    */
+  /** The frame on any `(doc_id, text)` input — factored so the spec
+    * can prove the normalization semantics on a constructed fixture
+    * (the synthetic corpus happens to contain no casing/punctuation
+    * twins, so the oracle gate alone would leave the flags vacuous).
+    */
+  private[analytics] def dedupExactNormFrame(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+      " +", " "))
+    val wN = Window.partitionBy(col("norm_hash"))
+    val wR = Window.partitionBy(col("raw_hash"))
+    docs
+      .withColumn("norm_hash", md5(norm.cast("binary")))
+      .withColumn("raw_hash", md5(col("text").cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(wN))
+      .withColumn("raw_canonical", min(col("doc_id")).over(wR))
+      .select(col("doc_id"), col("norm_hash"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_duplicate"),
+        (col("doc_id") =!= col("canonical_id") &&
+          col("doc_id") === col("raw_canonical"))
+          .as("caught_by_norm_only"))
+  }
+
+  def dedupExactNorm(spark: SparkSession, dir: String): DataFrame =
+    dedupExactNormFrame(table(spark, dir, "documents"))
+
+  val dedupExactNormSql: String = {
+    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"""SELECT doc_id, md5($norm) AS norm_hash,
+       |  MIN(doc_id) OVER (PARTITION BY md5($norm)) AS canonical_id,
+       |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5($norm))
+       |    AS is_duplicate,
+       |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5($norm))
+       |    AND doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+       |    AS caught_by_norm_only
+       |FROM documents""".stripMargin
+  }
+
   // ------------------------------------------------- minhash signature
   /** K-wide MinHash signature per document. sig_i = min over shingles
     * of h_i(shingle) where h_i is an affine universal hash over the P
@@ -841,6 +892,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
     "dedup_simhash" -> (dedupSimhash _),
@@ -855,6 +907,7 @@ object DedupQueries {
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -186,23 +186,82 @@ object TextQueries {
         pred.as("pred_lang"): _*)
   }
 
-  val textLangidSql: String = {
+  /** Shared oracle pieces of the langid scorer (the `s` CTE computing
+    * per-language scores, and the argmax CASE) — used by both the
+    * per-document query and the evaluation matrix so the classifier
+    * definition can never drift between them.
+    */
+  private val sqlLangScores: String = {
     val scores = langMarkers.map { case (lang, bgs) =>
       s"(${bgs.map(sqlBigramCount).mkString(" + ")}) AS score_$lang"
     }.mkString(",\n  ")
-    val best = s"greatest(${langMarkers.map(m => s"score_${m._1}").mkString(", ")})"
-    val pred = langMarkers.map { case (lang, _) =>
-      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
-    s"""WITH s AS (
+    s"""s AS (
        |  SELECT doc_id, lang AS actual_lang,
        |  $scores
-       |  FROM documents)
+       |  FROM documents)""".stripMargin
+  }
+
+  private val sqlLangPred: String = {
+    val best = s"greatest(${langMarkers.map(m => s"score_${m._1}").mkString(", ")})"
+    langMarkers.map { case (lang, _) =>
+      s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  val textLangidSql: String =
+    s"""WITH $sqlLangScores
        |SELECT doc_id, actual_lang,
        |  ${langMarkers.map(m => s"score_${m._1}").mkString(", ")},
-       |  $pred AS pred_lang
+       |  $sqlLangPred AS pred_lang
        |FROM s""".stripMargin
+
+  // ------------------------------------------- langid evaluation
+  /** Confusion matrix of the langid heuristic against the corpus's
+    * ground-truth `lang` label — the classifier-quality monitor every
+    * pipeline runs before trusting a filter: one (actual, predicted)
+    * cell per combination that occurs, with the cell's share of its
+    * actual row (recall decomposition) and of its predicted column
+    * (precision decomposition) in exact ppm. The matrix is
+    * vocabulary²-sized (≤ |langs|·|langs+1| cells) — every join after
+    * the one corpus-size count aggregate is metadata-scale, and the
+    * row/column totals broadcast.
+    */
+  def textLangidEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = textLangid(spark, dir)
+      .select(coalesce(col("actual_lang"), lit("<null>")).as("actual_lang"),
+        col("pred_lang"))
+    val cm = pred.groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cm.groupBy(col("actual_lang")).agg(sum(col("n")).as("n_actual"))
+    val colT = cm.groupBy(col("pred_lang")).agg(sum(col("n")).as("n_pred"))
+    cm.join(broadcast(rowT), "actual_lang")
+      .join(broadcast(colT), "pred_lang")
+      .select(col("actual_lang"), col("pred_lang"), col("n"),
+        ppm(col("n"), col("n_actual")).as("share_of_actual_ppm"),
+        ppm(col("n"), col("n_pred")).as("share_of_pred_ppm"))
+      .orderBy(col("actual_lang"), col("pred_lang"))
   }
+
+  val textLangidEvalSql: String =
+    s"""WITH $sqlLangScores,
+       |p AS (
+       |  SELECT COALESCE(actual_lang, '<null>') AS actual_lang,
+       |    $sqlLangPred AS pred_lang
+       |  FROM s),
+       |cm AS (
+       |  SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p GROUP BY 1, 2),
+       |rt AS (SELECT actual_lang, CAST(SUM(n) AS BIGINT) AS n_actual
+       |  FROM cm GROUP BY 1),
+       |ct AS (SELECT pred_lang, CAST(SUM(n) AS BIGINT) AS n_pred
+       |  FROM cm GROUP BY 1)
+       |SELECT cm.actual_lang, cm.pred_lang, cm.n,
+       |  ${sqlPpm("cm.n", "rt.n_actual")} AS share_of_actual_ppm,
+       |  ${sqlPpm("cm.n", "ct.n_pred")} AS share_of_pred_ppm
+       |FROM cm
+       |JOIN rt USING (actual_lang)
+       |JOIN ct USING (pred_lang)
+       |ORDER BY actual_lang, pred_lang""".stripMargin
 
   // ---------------------------------------------------- fingerprint
   /** Document fingerprint: position-weighted token-hash sum mod P,
@@ -798,6 +857,7 @@ object TextQueries {
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
+    "text_langid_eval" -> (textLangidEval _),
     "text_fingerprint" -> (textFingerprint _),
     "text_cooccurrence" -> (textCooccurrence _),
     "text_inverted_index" -> (textInvertedIndex _))
@@ -816,6 +876,7 @@ object TextQueries {
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
+    "text_langid_eval" -> textLangidEvalSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_cooccurrence" -> textCooccurrenceSql,
     "text_inverted_index" -> textInvertedIndexSql)

@@ -99,6 +99,37 @@ class Round6OpsSpec extends SparkSuite {
     sd.unpersist()
   }
 
+  test("normalized dedup collapses casing/punctuation twins, and only those") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox."), // canonical of the norm-twin group
+      (2L, "the  QUICK brown fox"), // casing + double space + no period
+      (3L, "the quick brown fox!!"), // punctuation only
+      (4L, "the quick brown fox"), // already normal — still the same group
+      (5L, "a different document"), // unique
+      (6L, "a different document"), // RAW duplicate of 5
+      (7L, "thequickbrownfox")) // normalization must NOT merge this
+      .toDF("doc_id", "text")
+    val out = DedupQueries.dedupExactNormFrame(docs).cache()
+    val byId = out.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(2), r.getBoolean(3), r.getBoolean(4)))).toMap
+    // the four norm-twins share canonical 1; only 2..4 are duplicates
+    assert(byId(1L) == ((1L, false, false)))
+    for (id <- Seq(2L, 3L, 4L))
+      assert(byId(id) == ((1L, true, true)), s"doc $id")
+    // raw duplicates are duplicates here too, but NOT norm-only catches
+    assert(byId(5L) == ((5L, false, false)))
+    assert(byId(6L) == ((5L, true, false)))
+    // no over-merge: token-joined text stays its own group
+    assert(byId(7L) == ((7L, false, false)))
+    // norm groups refine to a partition: every group's canonical is a
+    // member with the minimum id
+    assert(out.groupBy(col("norm_hash"))
+      .agg(min(col("doc_id")).as("lo"), min(col("canonical_id")).as("c"))
+      .where(col("lo") =!= col("c")).count() == 0)
+    out.unpersist()
+  }
+
   test("held-out ANN searches clear their recall floor vs brute force") {
     val brute = EmbeddingQueries.knnBruteHeldout(spark, sf0001).cache()
     val nQueries = brute.select("query_id").distinct().count()
