@@ -119,10 +119,14 @@ object ManifestV2Sink {
     val committed = readManifest(path).map(_._2.toSet).getOrElse(Set.empty)
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) Seq.empty
-    else Files.list(dataDir).iterator().asScala
-      .map(p => s"data/${p.getFileName}")
-      .filterNot(committed)
-      .toSeq.sorted
+    else {
+      val s = Files.list(dataDir)
+      try s.iterator().asScala
+        .map(p => s"data/${p.getFileName}")
+        .filterNot(committed)
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 }
 
@@ -188,7 +192,9 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
   private def cleanupStaged(): Unit = {
     val staged = Paths.get(path, "_staged", queryId)
     if (Files.exists(staged)) {
-      Files.list(staged).iterator().asScala.foreach(Files.deleteIfExists(_))
+      val s = Files.list(staged)
+      val leftovers = try s.iterator().asScala.toList finally s.close()
+      leftovers.foreach(Files.deleteIfExists(_))
       Files.deleteIfExists(staged)
     }
     ()

@@ -23,7 +23,9 @@ class ManifestSinkSpec extends SparkSuite {
     Seq(
       (1L, "plain", 1.5, true),
       (2L, "tab\tand\nnewline \"quoted\" back\\slash", -0.25, false),
-      (3L, null.asInstanceOf[String], 0.0, true))
+      (3L, null.asInstanceOf[String], 0.0, true),
+      (4L, "nonfinite", Double.NaN, false),
+      (5L, "inf", Double.PositiveInfinity, true))
       .toDF("id", "s", "d", "b")
   }
 

@@ -32,12 +32,20 @@ def load(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
     thr = 1.3
-    for a in argv:
+    args = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1]) if "=" in a else float(
-                argv[argv.index(a) + 1])
+            if "=" in a:
+                thr = float(a.split("=", 1)[1])
+            else:
+                thr = float(argv[i + 1])
+                i += 1
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
     (dold, qold), (dnew, qnew) = load(args[0]), load(args[1])
