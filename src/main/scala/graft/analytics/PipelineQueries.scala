@@ -130,6 +130,81 @@ object PipelineQueries {
        |ORDER BY n_occurrences DESC, chunk_hash
        |LIMIT 1000""".stripMargin
 
+  // ------------------------------------------------ chunk removal
+  /** Chunk-level dedup APPLIED: rebuild each document with its
+    * corpus-duplicated 5-word windows removed — the C4 "drop repeated
+    * spans" write path that [[dedupChunk]] only reports on. This query
+    * makes the report's cap claim honest by construction: the
+    * duplicate set here is the UNCAPPED aggregate (every hash with
+    * more than one occurrence), joined as a left-anti against the
+    * exploded chunks, so removal correctness never depends on the
+    * report's top-1000 window.
+    *
+    * Scale shape: one explode pass, one count shuffle keyed by 8-byte
+    * chunk hashes, one anti-join on the same key, and a per-document
+    * reassembly whose state is bounded by the document itself (the
+    * same bound the raw text column already imposes). Output carries
+    * md5(clean_text) instead of the rebuilt text so the result is a
+    * report, not a second corpus.
+    */
+  def pipelineRemoveChunks(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0),
+            ceil(size(toks) / lit(Chunk.toDouble)).cast("int") - 1),
+          i => array_join(slice(toks, i * Chunk + 1, lit(Chunk)), " ")))
+        .as(Seq("idx", "chunk")))
+      .withColumn("chunk_hash", CrossHash.md5Long(col("chunk")))
+    chunks.cache() // duplicate-set aggregate + the anti-join probe side
+    val dups = chunks.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .select(col("chunk_hash")) // uncapped — see scaladoc
+    val kept = chunks.join(dups, Seq("chunk_hash"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks_kept"),
+        md5(array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("chunk")))),
+            s => s.getField("chunk")), " ").cast("binary"))
+          .as("clean_hash"))
+    val totals = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks_total"))
+    // a fully-duplicated document vanishes from `kept` — resurface it
+    // as an explicit empty survivor rather than a silently missing row
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks_total"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        (col("n_chunks_total") - coalesce(col("n_chunks_kept"), lit(0L)))
+          .as("n_chunks_removed"),
+        coalesce(col("clean_hash"), md5(lit("").cast("binary")))
+          .as("clean_hash"))
+  }
+
+  val pipelineRemoveChunksSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, i AS idx,
+       |    array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ') AS chunk,
+       |    ${CrossHash.sqlMd5Long(
+        s"array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ')")} AS chunk_hash
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    CAST(ceil(len(toks) / $Chunk.0) AS INT))) AS i) s),
+       |dups AS (
+       |  SELECT chunk_hash FROM c GROUP BY chunk_hash HAVING COUNT(*) > 1),
+       |kept AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+       |    md5(string_agg(chunk, ' ' ORDER BY idx)) AS clean_hash
+       |  FROM c ANTI JOIN dups USING (chunk_hash)
+       |  GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks_total
+       |  FROM c GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_chunks_total,
+       |  COALESCE(kept.n_chunks_kept, 0) AS n_chunks_kept,
+       |  tot.n_chunks_total - COALESCE(kept.n_chunks_kept, 0)
+       |    AS n_chunks_removed,
+       |  COALESCE(kept.clean_hash, md5('')) AS clean_hash
+       |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""".stripMargin
+
   // ------------------------------------------------ split assignment
   /** Deterministic train/valid/test split: hash-bucket each document
     * (900/50/50 of 1000 buckets) and report per-split counts and
@@ -906,6 +981,7 @@ object PipelineQueries {
     "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
     "dedup_chunk" -> (dedupChunk _),
+    "pipeline_remove_chunks" -> (pipelineRemoveChunks _),
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_filter" -> (pipelineFilter _),
     "graph_triangles" -> (graphTriangles _),
@@ -921,6 +997,7 @@ object PipelineQueries {
     "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,
     "dedup_chunk" -> dedupChunkSql,
+    "pipeline_remove_chunks" -> pipelineRemoveChunksSql,
     "pipeline_split" -> pipelineSplitSql,
     "pipeline_filter" -> pipelineFilterSql,
     "graph_triangles" -> graphTrianglesSql,

@@ -393,6 +393,31 @@ class PipelineOpsSpec extends SparkSuite {
     scd.unpersist()
   }
 
+  test("pipeline_remove_chunks accounting coheres with the chunk report") {
+    val rm = PipelineQueries.pipelineRemoveChunks(spark, sf0001).cache()
+    // kept + removed partitions the document's chunks, never negative
+    assert(rm.where(col("n_chunks_kept") + col("n_chunks_removed") =!=
+      col("n_chunks_total")).count() == 0)
+    assert(rm.where(col("n_chunks_kept") < 0 ||
+      col("n_chunks_removed") < 0).count() == 0)
+    // every occurrence of a dedup_chunk-reported duplicate span was
+    // removed: total removals across the corpus must be at least the
+    // sum of occurrences of the reported (capped top-1000) hashes
+    val reported = PipelineQueries.dedupChunk(spark, sf0001)
+      .agg(sum("n_occurrences")).head.getLong(0)
+    val removed = rm.agg(sum("n_chunks_removed")).head.getLong(0)
+    assert(removed >= reported,
+      s"removed=$removed < reported duplicate occurrences=$reported")
+    // a document with nothing removed keeps its original token count
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        ceil(size(split(col("text"), " ")) / lit(5.0)).cast("long")
+          .as("n_expected"))
+    assert(rm.where(col("n_chunks_removed") === 0).join(docs, "doc_id")
+      .where(col("n_chunks_total") =!= col("n_expected")).count() == 0)
+    rm.unpersist()
+  }
+
   test("agg_bitwise booleans agree with recomputed extremes") {
     val agg = TpchQueries.aggBitwiseOrders(spark, sf0001)
     val check = spark.read.parquet(s"$sf0001/orders.parquet")
