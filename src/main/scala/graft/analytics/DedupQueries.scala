@@ -627,6 +627,64 @@ object DedupQueries {
        |SELECT c.v AS doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
        |FROM comp c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
 
+  // ------------------------------------------------ dedup APPLIED
+  /** Near-dup dedup APPLIED: the write path after [[dedupClusters]] —
+    * keep the canonical document of every cluster (the minimum
+    * doc_id, which IS the cluster label under min-label propagation)
+    * and report, per source, what survives: document and token counts
+    * before/after. This is the number a pipeline owner actually acts
+    * on ("dedup dropped 7% of crawl-B tokens"), and it closes the
+    * report→apply gap the same way [[PipelineQueries
+    * .pipelineRemoveChunks]] does for chunk-level dedup.
+    *
+    * Scale shape: the clusters frame is corpus-keyed (doc_id), the
+    * documents join shuffles both sides on that same 8-byte key, and
+    * the survivor decision `doc_id == cluster_id` is a per-row
+    * comparison — no new state beyond the clustering itself. The
+    * per-source rollup is a partial-aggregatable groupBy on a
+    * low-cardinality key.
+    */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    // star contraction, not min-label: same labels (the clusters
+    // oracle re-proves the equality every run), but the O(log² n)
+    // round bound is independent of component diameter — the variant
+    // a production apply job should ride
+    val clusters = dedupClustersStar(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    docs.join(clusters, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L))
+          .as("n_docs_kept"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("doc_id") === col("cluster_id"), col("n_toks"))
+          .otherwise(0L)).as("n_tokens_kept"))
+  }
+
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE $sqlSimhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM spairs),
+       |walk AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT w.v, e.d AS r FROM walk w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT v, MIN(r) AS cluster_id FROM walk GROUP BY v)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN d.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN d.doc_id = c.cluster_id
+       |    THEN len(string_split(d.text, ' ')) ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_kept
+       |FROM documents d JOIN comp c ON d.doc_id = c.v
+       |GROUP BY d.source""".stripMargin
+
   // --------------------------------------- blocked n-gram jaccard
   /** N-gram Jaccard near-dup with min-hash blocking: pairs are only
     * formed within a block (docs sharing the same minimum shingle
@@ -901,6 +959,7 @@ object DedupQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_apply" -> (dedupApply _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_editdist" -> (dedupEditdist _))
 
@@ -916,6 +975,7 @@ object DedupQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_apply" -> dedupApplySql,
     // exact CC is exact CC: the star-contraction variant must produce
     // the SAME clustering, so it shares the recursive-CTE oracle
     "dedup_clusters_star" -> dedupClustersSql,

@@ -646,6 +646,115 @@ object LakehouseQueries {
        |  MIN(fid) AS first_fid, MAX(fid) AS last_fid
        |FROM packed GROUP BY out_group ORDER BY out_group""".stripMargin
 
+  // ------------------------------------------- bucketed co-located join
+  /** Fact-to-fact join with the shuffle REMOVED by physical layout:
+    * both sides are written as bucketed tables on the join key
+    * (`bucketBy(8, orderkey)` + in-bucket sort), so the sort-merge
+    * join consumes the buckets' partitioning and ordering directly —
+    * the formatted plan has NO Exchange on either join side (pinned in
+    * PlanAuditSpec). This is the layout lever for the joins broadcast
+    * can't save: at 100 TB neither lineitem nor orders fits in an
+    * executor, and an unbucketed join shuffles BOTH fact tables every
+    * run; bucketing pays that shuffle once at write time and every
+    * subsequent join of the pair rides it free. The join is hinted
+    * `merge` only to keep the demonstration stable at test scale,
+    * where the small side would otherwise broadcast.
+    *
+    * The tables land in the session warehouse under fixed names
+    * (overwritten per run, so repeated invocations don't accumulate);
+    * the oracle computes the same aggregate straight from parquet, so
+    * a row lost or duplicated by the bucketed write path diverges the
+    * hash.
+    */
+  /** Drop `name` and remove its warehouse directory: `overwrite` alone
+    * is not enough across JVM sessions — the in-memory catalog starts
+    * empty but the warehouse directory persists, and saveAsTable
+    * refuses to reuse an existing location for an "unknown" table.
+    */
+  private def resetManagedTable(spark: SparkSession, name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def layoutBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = "graft_bucketed_lineitem"
+    val ord = "graft_bucketed_orders"
+    resetManagedTable(spark, li)
+    resetManagedTable(spark, ord)
+    table(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(li)
+    table(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable(ord)
+    spark.table(li).hint("merge")
+      .join(spark.table(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("l_orderkey")).as("sum_keys"))
+  }
+
+  val layoutBucketJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------------------- dynamic partition pruning
+  /** Dynamic partition pruning over a day-partitioned fact: events are
+    * written `partitionBy(day)` (the standard time-partitioned layout
+    * for a 100 TB event lake), then joined to a small day-dimension
+    * filtered to one weekday. The dimension's filter can't be pushed
+    * statically — the matching days are only known at runtime — so
+    * Catalyst injects a `dynamicpruning` subquery into the fact scan's
+    * PartitionFilters (pinned in PlanAuditSpec): the fact side reads
+    * 1/7th of the partitions instead of all of them. At 100 TB that
+    * is the difference between scanning 14 TB and 100 TB for every
+    * dimension-filtered query.
+    *
+    * The day dimension is generated (`spark.range` over the epoch-day
+    * space), NOT derived from the fact — mirroring a real calendar
+    * dim — and its weekday attribute is pure integer arithmetic so
+    * the DuckDB twin reproduces the filter exactly.
+    */
+  def layoutDppPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    table(spark, dir, "events")
+      .select(col("event_type"), col("value"), epochDay(col("ts")).as("day"))
+      .repartition(col("day")) // one file per day partition, not 32
+      .write.partitionBy("day").mode("overwrite").parquet(out)
+    val fact = spark.read.parquet(out)
+    // partition columns read back type-INFERRED from directory names
+    // (int for epoch days); the dim must match exactly — a cast on the
+    // fact's partition column would block the pruning subquery
+    val days = spark.range(0, 30000)
+      .select(col("id").cast("int").as("day"), (col("id") % 7).as("dow"))
+      .where(col("dow") === 3)
+    fact.join(days, "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("day")).as("n_days"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_centi"))
+  }
+
+  val layoutDppPruneSql: String =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(COUNT(DISTINCT ${sqlEpochDay("ts")}) AS BIGINT) AS n_days,
+       |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+       |    AS sum_centi
+       |FROM events
+       |WHERE ${sqlEpochDay("ts")} % 7 = 3
+       |GROUP BY event_type""".stripMargin
+
   // ------------------------------------------- distribution drift
   /** Distribution drift monitor — [[dqAnomaly]] flags VOLUME spikes;
     * this flags SHAPE changes that volume alone misses (a day with a
@@ -770,6 +879,8 @@ object LakehouseQueries {
     "incr_agg_merge" -> (incrAggMerge _),
     "incr_join_merge" -> (incrJoinMerge _),
     "layout_zorder" -> (layoutZorder _),
+    "layout_bucket_join" -> (layoutBucketJoin _),
+    "layout_dpp_prune" -> (layoutDppPrune _),
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
@@ -784,5 +895,7 @@ object LakehouseQueries {
     "incr_agg_merge" -> incrAggMergeSql,
     "incr_join_merge" -> incrJoinMergeSql,
     "layout_zorder" -> layoutZorderSql,
+    "layout_bucket_join" -> layoutBucketJoinSql,
+    "layout_dpp_prune" -> layoutDppPruneSql,
     "events_state_at" -> eventsStateAtSql)
 }

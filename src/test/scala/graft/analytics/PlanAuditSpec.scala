@@ -118,6 +118,29 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bucketed layout removes the join-side exchanges") {
+    // LakehouseQueries claim: bucketBy on the join key means "NO
+    // Exchange on either join side" — the only exchange left is the
+    // post-join rollup's. A second exchange means the bucket layout
+    // stopped being consumed and both fact tables shuffle every run.
+    val p = formatted("layout_bucket_join")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    // count node-detail headers — each physical Exchange appears once
+    // as "(n) Exchange" (the tree line would double-count it)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 1,
+      "bucketed join sides re-shuffled:\n" + p.take(800))
+    assert(p.contains("SelectedBucketsCount"), p.take(800))
+  }
+
+  test("day-partitioned fact scan carries a dynamic pruning filter") {
+    // LakehouseQueries claim: the dimension's weekday filter reaches
+    // the fact scan as a runtime partition filter (1/7th of partitions
+    // read), not as a post-scan filter over the full table
+    val p = formatted("layout_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan reads all partitions:\n" + p.take(800))
+  }
+
   test("bounded dimensions stay hinted; unbounded sides stay unhinted") {
     // TPC-H q3: nation/customer-sized dims are pinned broadcast (and
     // the physical plan honors it at any SF)
