@@ -192,6 +192,29 @@ object ScalarBreadthQueries {
        |GROUP BY bucket""".stripMargin
   }
 
+  /** [[sourceDsv2]]'s aggregation with the shuffle REMOVED by the
+    * source itself: `keyed=true` makes [[graft.sources
+    * .SyntheticV2Source]] lay its partitions out one-per-bucket and
+    * report a key-grouped partitioning over `bucket`
+    * (`SupportsReportPartitioning` + `HasPartitionKey`), so the
+    * groupBy's clustered distribution is satisfied straight off the
+    * scan — the plan has NO exchange at all (pinned in
+    * PlanAuditSpec). This is the DSv2 storage-partitioned analog of
+    * [[LakehouseQueries.layoutBucketJoin]]'s bucketed tables: at
+    * 100 TB, a source that knows its own layout saves the first —
+    * often the only — shuffle of every aggregation that follows it.
+    * Same filters and aggregate as [[sourceDsv2]], so the one oracle
+    * body double-checks both layouts against each other.
+    */
+  def sourceDsv2Keyed(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "200000").option("keyed", "true").load()
+      .where(col("id") >= 25000 && col("id") < 175000 &&
+        col("tag") =!= "t3")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("hv")).as("sum_hv"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
   /** DSv2 WRITE path under the oracle gate: a deterministic orders
     * slice goes THROUGH the manifest-committed sink
     * ([[graft.sources.ManifestV2Sink]]) — staged files, commit,
@@ -231,6 +254,7 @@ object ScalarBreadthQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_dsv2" -> (sourceDsv2 _),
+    "source_dsv2_keyed" -> (sourceDsv2Keyed _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -240,6 +264,7 @@ object ScalarBreadthQueries {
 
   val oracles: Map[String, String] = Map(
     "source_dsv2" -> sourceDsv2Sql,
+    "source_dsv2_keyed" -> sourceDsv2Sql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,

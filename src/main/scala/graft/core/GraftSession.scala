@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // honor DSv2 key-grouped partitioning (storage-partitioned
+      // scans satisfy clustered distributions without an exchange)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // driver testdata ships nanos timestamps (see Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",

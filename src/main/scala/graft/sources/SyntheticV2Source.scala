@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,11 +50,15 @@ class SyntheticV2Source extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new SynthTable(
       rows = Option(opts.get("rows")).map(_.toLong).getOrElse(100000L),
-      parts = Option(opts.get("parts")).map(_.toInt).getOrElse(8))
+      parts = Option(opts.get("parts")).map(_.toInt).getOrElse(8),
+      keyed = Option(opts.get("keyed")).exists(_.toBoolean))
   }
 }
 
 object SyntheticV2Source {
+  /** Bucket modulus — also the partition count of the keyed layout. */
+  val Buckets = 97
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("bucket", LongType, nullable = false),
@@ -69,14 +74,14 @@ object SyntheticV2Source {
       CrossHash.P
 }
 
-private class SynthTable(rows: Long, parts: Int)
+private class SynthTable(rows: Long, parts: Int, keyed: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SyntheticV2Source.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, keyed)
 }
 
 /** Filter pushdown narrows [lo, hi); column pruning shrinks what the
@@ -84,7 +89,7 @@ private class SynthTable(rows: Long, parts: Int)
   * consumed (id IS the row index, so interval narrowing is lossless);
   * anything else is returned as residual for Spark to evaluate.
   */
-private class SynthScanBuilder(rows: Long, parts: Int)
+private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -124,15 +129,21 @@ private class SynthScanBuilder(rows: Long, parts: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(lo, hi, parts, required)
+  override def build(): Scan =
+    new SynthScan(lo, hi, parts, required,
+      // key-grouped layout is only reportable while the key survives
+      // column pruning — a bucketless projection falls back to plain
+      // contiguous slices
+      keyed && required.fieldNames.contains("bucket"))
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, keyed: Boolean)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, " +
+    s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, keyed=$keyed, " +
       s"cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -140,6 +151,16 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
     // extreme magnitudes (id > 9e18 AND id < -9e18) make `hi - lo`
     // underflow Long and wrap positive — the scan must be empty
     if (hi <= lo) return Array.empty
+    if (keyed) {
+      // one partition per bucket residue class: the physical layout a
+      // bucket-keyed storage source would have. Every partition knows
+      // its key (HasPartitionKey), so Spark's key-grouped machinery
+      // can satisfy a clustered distribution on `bucket` without any
+      // exchange — the DSv2 equivalent of a bucketed table.
+      return (0 until SyntheticV2Source.Buckets).map { b =>
+        KeyedSynthSlice(b, lo, hi, required.fieldNames): InputPartition
+      }.toArray
+    }
     val n = hi - lo
     val k = math.max(1, parts)
     // contiguous slices, remainder spread over the first (n % k)
@@ -152,15 +173,46 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
     }.filter { case s: SynthSlice => s.end > s.start }.toArray
   }
 
+  override def outputPartitioning(): Partitioning =
+    if (keyed)
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity("bucket")), SyntheticV2Source.Buckets)
+    else new UnknownPartitioning(math.max(1, parts))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new SynthReader(p.asInstanceOf[SynthSlice])
+        p match {
+          case s: SynthSlice => new SynthReader(s)
+          case k: KeyedSynthSlice => new KeyedSynthReader(k)
+        }
     }
 }
 
 private case class SynthSlice(start: Long, end: Long,
     fields: Array[String]) extends InputPartition
+
+/** All ids ≡ `bucket` (mod Buckets) within [lo, hi) — one residue
+  * class, the unit of the key-grouped layout.
+  */
+private case class KeyedSynthSlice(bucket: Int, lo: Long, hi: Long,
+    fields: Array[String]) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(bucket.toLong)
+}
+
+private object SynthRow {
+  /** Materialize one row of the pruned schema at `id`. */
+  def at(id: Long, fields: Array[String]): InternalRow = {
+    val vals: Array[Any] = fields.map {
+      case "id" => id
+      case "bucket" => id % SyntheticV2Source.Buckets
+      case "hv" => SyntheticV2Source.hv(id)
+      case "tag" => UTF8String.fromString("t" + (id % 7))
+    }
+    InternalRow.fromSeq(vals.toSeq)
+  }
+}
 
 /** Streams one slice; O(1) state, computes only the pruned columns. */
 private class SynthReader(slice: SynthSlice)
@@ -168,16 +220,22 @@ private class SynthReader(slice: SynthSlice)
   private var id = slice.start - 1
 
   override def next(): Boolean = { id += 1; id < slice.end }
+  override def get(): InternalRow = SynthRow.at(id, slice.fields)
+  override def close(): Unit = ()
+}
 
-  override def get(): InternalRow = {
-    val vals: Array[Any] = slice.fields.map {
-      case "id" => id
-      case "bucket" => id % 97
-      case "hv" => SyntheticV2Source.hv(id)
-      case "tag" => UTF8String.fromString("t" + (id % 7))
-    }
-    InternalRow.fromSeq(vals.toSeq)
-  }
+/** Streams one residue class, striding by the bucket modulus; O(1)
+  * state like the contiguous reader.
+  */
+private class KeyedSynthReader(slice: KeyedSynthSlice)
+    extends PartitionReader[InternalRow] {
+  private val m = SyntheticV2Source.Buckets
+  // first id >= lo with id % m == bucket (Scala % is signed — the
+  // double-mod form stays correct for negative lo)
+  private var id = slice.lo +
+    (((slice.bucket - slice.lo % m) % m + m) % m) - m
 
+  override def next(): Boolean = { id += m; id < slice.hi }
+  override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
 }

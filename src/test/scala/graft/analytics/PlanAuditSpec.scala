@@ -132,6 +132,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("SelectedBucketsCount"), p.take(800))
   }
 
+  test("key-grouped DSv2 scan feeds its aggregation with zero exchanges") {
+    // SyntheticV2Source claim: keyed=true reports a KeyGroupedPartitioning
+    // over bucket, so groupBy(bucket) runs straight off the scan. Any
+    // Exchange in this plan means the source's layout report stopped
+    // being honored and the scan is re-shuffled.
+    val p = formatted("source_dsv2_keyed")
+    assert(!p.contains("Exchange"),
+      "keyed scan re-shuffled:\n" + p.take(800))
+  }
+
   test("day-partitioned fact scan carries a dynamic pruning filter") {
     // LakehouseQueries claim: the dimension's weekday filter reaches
     // the fact scan as a runtime partition filter (1/7th of partitions

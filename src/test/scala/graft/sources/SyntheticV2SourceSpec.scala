@@ -63,6 +63,38 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(synth(1000).where(col("id") === Long.MaxValue).count() == 0)
   }
 
+  private def keyedSynth(rows: Long) =
+    spark.read.format("graft-synth")
+      .option("rows", rows.toString).option("keyed", "true").load()
+
+  test("keyed layout returns the identical table, one partition per bucket") {
+    val m = SyntheticV2Source.Buckets
+    val flat = synth(5000).collect().map(_.toSeq).toSet
+    val keyed = keyedSynth(5000)
+    assert(keyed.rdd.getNumPartitions == m)
+    assert(keyed.collect().map(_.toSeq).toSet == flat)
+    // each physical partition holds exactly its residue class
+    val perPart = keyed.select(col("id"), col("bucket"))
+      .rdd.mapPartitionsWithIndex { (_, it) =>
+        Iterator.single(it.map(r => r.getLong(1)).toSet.size)
+      }.collect()
+    assert(perPart.forall(_ <= 1), perPart.mkString(","))
+  }
+
+  test("keyed layout still honors pushdown narrowing") {
+    val df = keyedSynth(10000).where(col("id") >= 2000 && col("id") < 7000)
+    assert(df.count() == 5000)
+    assert(df.agg(min("id"), max("id")).head.toSeq == Seq(2000L, 6999L))
+  }
+
+  test("bucketless projection falls back to unkeyed slicing") {
+    // pruning away `bucket` makes the key-grouped report impossible;
+    // the scan must degrade to contiguous slices, not lie about layout
+    val df = keyedSynth(1000).select(sum(col("hv")).as("s"))
+    val expect = (0L until 1000L).map(SyntheticV2Source.hv).sum
+    assert(df.head.getLong(0) == expect)
+  }
+
   test("partition slicing covers the interval exactly") {
     val df = synth(1003, parts = 7)
     assert(df.rdd.getNumPartitions == 7)
