@@ -215,6 +215,48 @@ object ScalarBreadthQueries {
       .agg(count(lit(1)).as("n"), sum(col("hv")).as("sum_hv"),
         min(col("id")).as("min_id"), max(col("id")).as("max_id"))
 
+  /** Storage-partitioned JOIN: two key-grouped DSv2 scans of different
+    * sizes join on their shared bucket key and aggregate — and the
+    * WHOLE plan runs with zero exchanges (pinned in PlanAuditSpec).
+    * Both scans report the same KeyGroupedPartitioning, so the
+    * sort-merge join consumes their layouts directly (Spark's SPJ
+    * machinery), and the post-join groupBy on the same key rides the
+    * preserved partitioning. This is the full fact-to-fact story for
+    * sources that know their layout: at 100 TB the plan's only data
+    * movement is the scan itself. The `merge` hint exists solely to
+    * keep the small test-scale sides off the broadcast path.
+    */
+  def sourceDsv2Spj(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(rows: Int) = spark.read.format("graft-synth")
+      .option("rows", rows.toString).option("keyed", "true").load()
+    val a = keyed(20000)
+      .select(col("bucket"), col("id").as("a_id"), col("hv").as("a_hv"))
+    val b = keyed(30000).select(col("bucket"), col("id").as("b_id"))
+    a.hint("merge").join(b, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_hv")).as("sum_hv"),
+        max(col("a_id") + col("b_id")).as("max_idsum"))
+  }
+
+  val sourceDsv2SpjSql: String = {
+    import graft.functions.CrossHash
+    s"""WITH a AS (
+       |  SELECT CAST(r.range AS BIGINT) % 97 AS bucket,
+       |    CAST(r.range AS BIGINT) AS a_id,
+       |    ${CrossHash.sqlAffine("CAST(r.range AS BIGINT)", 0)} AS a_hv
+       |  FROM range(0, 20000) r),
+       |b AS (
+       |  SELECT CAST(r.range AS BIGINT) % 97 AS bucket,
+       |    CAST(r.range AS BIGINT) AS b_id
+       |  FROM range(0, 30000) r)
+       |SELECT a.bucket, COUNT(*) AS n_pairs,
+       |  CAST(SUM(a_hv) AS BIGINT) AS sum_hv,
+       |  MAX(a_id + b_id) AS max_idsum
+       |FROM a JOIN b ON a.bucket = b.bucket
+       |GROUP BY a.bucket""".stripMargin
+  }
+
   /** DSv2 WRITE path under the oracle gate: a deterministic orders
     * slice goes THROUGH the manifest-committed sink
     * ([[graft.sources.ManifestV2Sink]]) — staged files, commit,
@@ -255,6 +297,7 @@ object ScalarBreadthQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_dsv2" -> (sourceDsv2 _),
     "source_dsv2_keyed" -> (sourceDsv2Keyed _),
+    "source_dsv2_spj" -> (sourceDsv2Spj _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -265,6 +308,7 @@ object ScalarBreadthQueries {
   val oracles: Map[String, String] = Map(
     "source_dsv2" -> sourceDsv2Sql,
     "source_dsv2_keyed" -> sourceDsv2Sql,
+    "source_dsv2_spj" -> sourceDsv2SpjSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,

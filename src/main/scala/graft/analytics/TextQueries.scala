@@ -556,6 +556,57 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ PII redaction APPLIED
+  /** PII redaction applied — the write path [[textPii]] only reports
+    * on: every match of the four detector patterns is replaced by a
+    * typed placeholder, in a fixed pattern order (IP before bare-digit
+    * runs, so an address is typed `<IP>`, not swallowed as `<ID>`).
+    * Output carries the redaction count, the redacted length, and
+    * md5(redacted_text) instead of the text itself — the result is a
+    * verification report, not a second corpus (same contract as
+    * [[PipelineQueries.pipelineRemoveChunks]]).
+    *
+    * Scale shape: pure per-row expressions inside whole-stage codegen
+    * — no shuffle, no state; the ORDER BY exists only to keep the
+    * result a deterministic report. Placeholders contain no digits, so
+    * later patterns can never re-match inside an earlier replacement —
+    * that invariant (not luck) is what makes the sequential fold
+    * order-stable on both engines.
+    */
+  private val PiiRedactions = Seq(
+    PiiEmail -> "<EMAIL>", PiiPhone -> "<PHONE>",
+    PiiIpv4 -> "<IP>", PiiIdLike -> "<ID>")
+
+  def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+    val redacted = PiiRedactions.foldLeft(col("text")) {
+      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (n(PiiEmail) + n(PiiPhone) + n(PiiIpv4) + n(PiiIdLike))
+          .as("n_redacted"),
+        length(redacted).cast("long").as("redacted_len"),
+        md5(redacted.cast("binary")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textPiiRedactSql: String = {
+    def n(pat: String): String =
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    val red = PiiRedactions.foldLeft("text") {
+      case (c, (pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    s"""SELECT doc_id,
+       |  ${n(PiiEmail)} + ${n(PiiPhone)} + ${n(PiiIpv4)}
+       |    + ${n(PiiIdLike)} AS n_redacted,
+       |  CAST(length($red) AS BIGINT) AS redacted_len,
+       |  md5($red) AS redacted_hash
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ LM-frequency score
   /** Language-model-proxy scoring without a language model: each
     * document's mean CORPUS frequency of its token bigrams — the
@@ -849,6 +900,7 @@ object TextQueries {
     "text_lm_score" -> (textLmScore _),
     "sketch_countmin" -> (sketchCountmin _),
     "text_pii" -> (textPii _),
+    "text_pii_redact" -> (textPiiRedact _),
     "explode_outer_docs" -> (explodeOuterDocs _),
     "text_repetition" -> (textRepetition _),
     "text_tfidf" -> (textTfidf _),
@@ -868,6 +920,7 @@ object TextQueries {
     "text_lm_score" -> textLmScoreSql,
     "sketch_countmin" -> sketchCountminSql,
     "text_pii" -> textPiiSql,
+    "text_pii_redact" -> textPiiRedactSql,
     "explode_outer_docs" -> explodeOuterDocsSql,
     "text_repetition" -> textRepetitionSql,
     "text_tfidf" -> textTfidfSql,

@@ -142,6 +142,15 @@ class PlanAuditSpec extends SparkSuite {
       "keyed scan re-shuffled:\n" + p.take(800))
   }
 
+  test("storage-partitioned join plans with zero exchanges end-to-end") {
+    // ScalarBreadthQueries claim: two keyed scans join and re-aggregate
+    // on the shared bucket key with "zero exchanges" — scan layouts
+    // feed the SMJ, and the groupBy rides the preserved partitioning
+    val p = formatted("source_dsv2_spj")
+    assert(p.contains("SortMergeJoin"), p.take(400))
+    assert(!p.contains("Exchange"), "SPJ re-shuffled:\n" + p.take(800))
+  }
+
   test("day-partitioned fact scan carries a dynamic pruning filter") {
     // LakehouseQueries claim: the dimension's weekday filter reaches
     // the fact scan as a runtime partition filter (1/7th of partitions

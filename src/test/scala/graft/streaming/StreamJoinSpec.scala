@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The watermarked attribution join must converge to the batch
+  * left-outer join over the same timeline: matched pairs emit as both
+  * sides arrive; unconverted impressions emit with a null click only
+  * after the watermark proves no click can still land in their
+  * horizon.
+  */
+class StreamJoinSpec extends SparkSuite {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("stream attribution equals the batch left-outer join when closed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val q = StreamJoin.attribute(imps.toDS(), clicks.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    // user 1: imp 100 at 10:00 → clicks 500 (10:10, in) and 501
+    //   (10:45, OUT of 30-min horizon);
+    // user 2: imp 101 at 10:05 → click 502 at 10:20 (in);
+    // user 3: imp 102 at 10:06 → never clicks (must emit null);
+    // user 2: second imp 103 at 10:18 — click 502 (10:20) is inside
+    //   ITS horizon too → 502 attributes to both 101 and 103
+    val impRows = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 100L),
+      (t("2024-01-01 10:05:00"), 2L, 101L),
+      (t("2024-01-01 10:06:00"), 3L, 102L),
+      (t("2024-01-01 10:18:00"), 2L, 103L))
+    val clickRows = Seq(
+      (t("2024-01-01 10:10:00"), 1L, 500L),
+      (t("2024-01-01 10:45:00"), 1L, 501L),
+      (t("2024-01-01 10:20:00"), 2L, 502L))
+    try {
+      imps.addData(impRows: _*)
+      clicks.addData(clickRows: _*)
+      q.processAllAvailable()
+      // push both watermarks past every horizon so unmatched state
+      // evicts (12:00 - 10min delay > 10:18 + 30min horizon)
+      imps.addData((t("2024-01-01 12:00:00"), 99L, 999L))
+      clicks.addData((t("2024-01-01 12:00:00"), 99L, 998L))
+      q.processAllAvailable()
+      val got = spark.table("attr")
+        .where(col("user") =!= 99L) // drop the watermark beat
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      val want = StreamJoin.attributeBatch(
+          impRows.toDF("ts", "user", "id"),
+          clickRows.toDF("ts", "user", "id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      assert(got == want, s"stream $got\nbatch $want")
+      // the semantics the comment block promises, re-proved directly:
+      assert(got.contains((100L, 1L, Some(500L)))) // in-horizon match
+      assert(!got.exists(_._3.contains(501L))) // out-of-horizon click
+      assert(got.contains((102L, 3L, None))) // unconverted emits null
+      // one click inside two horizons attributes to both impressions
+      assert(got.contains((101L, 2L, Some(502L))) &&
+        got.contains((103L, 2L, Some(502L))))
+    } finally q.stop()
+  }
+}
