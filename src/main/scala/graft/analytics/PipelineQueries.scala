@@ -205,6 +205,60 @@ object PipelineQueries {
        |  COALESCE(kept.clean_hash, md5('')) AS clean_hash
        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""".stripMargin
 
+  // ------------------------------------------------ curriculum budget
+  /** Token-budget curriculum: rank the (lang, source) strata by mean
+    * document length (the integer-exact quality proxy; a learned
+    * quality score plugs into the same ORDER BY) and greedily take
+    * whole strata until the running total crosses 60% of the corpus'
+    * tokens — the "best data first, stop at the compute budget"
+    * selection every pretraining run makes, with the cut attributable
+    * per stratum. A stratum is taken iff the tokens BEFORE it are
+    * under budget, so exactly one stratum straddles the line.
+    *
+    * Scale shape: one corpus-collapsing groupBy on (lang, source) with
+    * map-side combine; the ranking window and prefix sum run over the
+    * STRATA frame (tens of rows at any corpus size), never the facts —
+    * same bounded-window contract as the dataset card.
+    */
+  def pipelineCurriculum(spark: SparkSession, dir: String): DataFrame = {
+    val strata = table(spark, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("n_tokens"))
+      .withColumn("mean_tok_ppm", ppm(col("n_tokens"), col("n_docs")))
+    val w = Window.orderBy(col("mean_tok_ppm").desc, col("lang"),
+      col("source"))
+    val total = strata.agg(sum(col("n_tokens")).as("total_tokens"))
+    strata
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_tok_ppm"), col("sel_rank"), col("cum_before"),
+        (col("cum_before") < expr("total_tokens * 3 div 5")).as("taken"))
+  }
+
+  val pipelineCurriculumSql: String =
+    s"""WITH strata AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    ${sqlPpm("SUM(len(string_split(text, ' ')))", "COUNT(*)")}
+       |      AS mean_tok_ppm
+       |  FROM documents GROUP BY lang, source),
+       |ranked AS (
+       |  SELECT *,
+       |    CAST(ROW_NUMBER() OVER w AS BIGINT) AS sel_rank,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM strata
+       |  WINDOW w AS (ORDER BY mean_tok_ppm DESC, lang, source))
+       |SELECT lang, source, n_docs, n_tokens, mean_tok_ppm, sel_rank,
+       |  cum_before,
+       |  cum_before < (SELECT SUM(n_tokens) FROM strata) * 3 // 5 AS taken
+       |FROM ranked""".stripMargin
+
   // ------------------------------------------------ split assignment
   /** Deterministic train/valid/test split: hash-bucket each document
     * (900/50/50 of 1000 buckets) and report per-split counts and
@@ -247,6 +301,66 @@ object PipelineQueries {
        |FROM d
        |GROUP BY split
        |ORDER BY split""".stripMargin
+  }
+
+  // ------------------------------------------------ k-core peeling
+  /** 2-core of the near-dup graph by synchronous peeling: each round
+    * drops vertices whose CURRENT degree is below k and restricts the
+    * edge set to survivors; after [[KcoreRounds]] fixed rounds the
+    * surviving vertices and their residual degrees are the dense
+    * near-dup neighborhoods — the "everything here duplicates
+    * everything" blobs a dedup audit looks at first, with the
+    * tree-like fringe (pairs, chains) peeled away. Fixed synchronous
+    * rounds, same contract as [[graphLpa]]: each round is one
+    * degree-count shuffle + two semi-joins on 8-byte keys, the loop
+    * count is a constant in the PLAN (no data-dependent iteration),
+    * and the oracle unrolls the identical rounds as nested CTEs.
+    */
+  val KcoreK = 2
+  val KcoreRounds = 3
+
+  def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    var edges = DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")).cache()
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("doc_a").as("v"))
+        .union(e.select(col("doc_b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    var deg = degrees(edges)
+    for (_ <- 2 to KcoreRounds) {
+      val keep = deg.where(col("deg") >= KcoreK).select(col("v"))
+      edges = edges
+        .join(keep.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(keep.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
+      deg = degrees(edges)
+    }
+    deg.where(col("deg") >= KcoreK)
+      .select(col("v").as("doc_id"), col("deg"))
+  }
+
+  val graphKcoreSql: String = {
+    def round(i: Int, prevEdges: String): String =
+      s"""deg$i AS (
+         |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |    SELECT doc_a AS v FROM $prevEdges
+         |    UNION ALL SELECT doc_b AS v FROM $prevEdges) u
+         |  GROUP BY v),
+         |keep$i AS (SELECT v FROM deg$i WHERE deg >= $KcoreK),
+         |e${i + 1} AS (
+         |  SELECT doc_a, doc_b FROM e$i
+         |  WHERE doc_a IN (SELECT v FROM keep$i)
+         |    AND doc_b IN (SELECT v FROM keep$i))"""
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |e1 AS (SELECT doc_a, doc_b FROM spairs),
+       |${round(1, "e1")},
+       |${round(2, "e2")},
+       |deg3 AS (
+       |  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT doc_a AS v FROM e3
+       |    UNION ALL SELECT doc_b AS v FROM e3) u
+       |  GROUP BY v)
+       |SELECT v AS doc_id, deg FROM deg3 WHERE deg >= $KcoreK""".stripMargin
   }
 
   // ------------------------------------------------ composed filter
@@ -985,6 +1099,8 @@ object PipelineQueries {
     "pipeline_split" -> (pipelineSplit _),
     "pipeline_filter" -> (pipelineFilter _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
+    "pipeline_curriculum" -> (pipelineCurriculum _),
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
@@ -1001,5 +1117,7 @@ object PipelineQueries {
     "pipeline_split" -> pipelineSplitSql,
     "pipeline_filter" -> pipelineFilterSql,
     "graph_triangles" -> graphTrianglesSql,
+    "graph_kcore" -> graphKcoreSql,
+    "pipeline_curriculum" -> pipelineCurriculumSql,
     "bloom_join_prune" -> bloomJoinPruneSql)
 }

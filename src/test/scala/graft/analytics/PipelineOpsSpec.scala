@@ -418,6 +418,41 @@ class PipelineOpsSpec extends SparkSuite {
     rm.unpersist()
   }
 
+  test("graph_kcore survivors sit inside near-dup clusters of size > k") {
+    val core = PipelineQueries.graphKcore(spark, sf0001).cache()
+    // every survivor retains at least k neighbors in the peeled graph
+    assert(core.where(col("deg") < PipelineQueries.KcoreK).count() == 0)
+    // a 2-core vertex needs >= 2 neighbors, so its connected component
+    // has at least k+1 members — cross-check against dedup_clusters
+    val clusters = DedupQueries.dedupClusters(spark, sf0001)
+      .select(col("doc_id"), col("cluster_size"))
+    assert(core.join(clusters, "doc_id")
+      .where(col("cluster_size") < PipelineQueries.KcoreK + 1)
+      .count() == 0)
+    core.unpersist()
+  }
+
+  test("pipeline_curriculum takes a rank-prefix that straddles the budget") {
+    val cur = PipelineQueries.pipelineCurriculum(spark, sf0001).cache()
+    // taken must be exactly the strata ranked before the first drop
+    val firstDrop = cur.where(!col("taken"))
+      .agg(min("sel_rank")).head.getLong(0)
+    assert(cur.where(col("taken") && col("sel_rank") >= firstDrop)
+      .count() == 0)
+    // tokens before the cut stay under budget; adding the first
+    // dropped stratum's predecessor crosses it — the straddle property
+    val total = cur.agg(sum("n_tokens")).head.getLong(0)
+    val budget = total * 3 / 5
+    val takenTokens = cur.where(col("taken"))
+      .agg(sum("n_tokens")).head.getLong(0)
+    val beforeLast = cur.where(col("taken"))
+      .agg(max("cum_before")).head.getLong(0)
+    assert(beforeLast < budget)
+    assert(takenTokens >= budget,
+      s"cut stopped short: taken=$takenTokens budget=$budget")
+    cur.unpersist()
+  }
+
   test("agg_bitwise booleans agree with recomputed extremes") {
     val agg = TpchQueries.aggBitwiseOrders(spark, sf0001)
     val check = spark.read.parquet(s"$sf0001/orders.parquet")
