@@ -72,4 +72,41 @@ class StreamJoinSpec extends SparkSuite {
         got.contains((103L, 2L, Some(502L))))
     } finally q.stop()
   }
+
+  test("attribution join state survives a checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-attr-ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-attr-out").toString
+    val imps = MemoryStream[(Timestamp, Long, Long)]
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    // the memory sink refuses checkpoint recovery in append mode —
+    // the file sink is the fault-tolerant surface, and its manifest
+    // also proves output exactly-once across the restart
+    def startQuery() = StreamJoin.attribute(imps.toDS(), clicks.toDS())
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // buffer an impression in join state, then kill the query
+    val q1 = startQuery()
+    imps.addData((t("2024-01-01 10:00:00"), 1L, 100L))
+    q1.processAllAvailable()
+    q1.stop()
+    // the click arrives only AFTER the restart: a match can only emit
+    // if the buffered impression state came back from the checkpoint
+    val q2 = startQuery()
+    try {
+      clicks.addData((t("2024-01-01 10:10:00"), 1L, 500L))
+      imps.addData((t("2024-01-01 12:00:00"), 99L, 999L))
+      clicks.addData((t("2024-01-01 12:00:00"), 99L, 998L))
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).where(col("user") === 1L)
+        .collect().map(r => (r.getLong(0), Option(r.get(3))))
+      assert(got.toSeq == Seq((100L, Some(500L))),
+        s"state not recovered: ${got.toSeq}")
+    } finally q2.stop()
+  }
 }
