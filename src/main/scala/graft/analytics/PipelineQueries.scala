@@ -320,9 +320,12 @@ object PipelineQueries {
   val KcoreRounds = 3
 
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
+    // each round is materialized (localCheckpoint, as in the CC
+    // queries): without it round i's degree count re-executes every
+    // earlier round's semi-join chain — measured 14 s vs ~2 s at sf0.1
     var edges = DedupQueries
       .simhashPairsFrame(table(spark, dir, "documents"))
-      .select(col("doc_a"), col("doc_b")).cache()
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("doc_a").as("v"))
         .union(e.select(col("doc_b").as("v")))
@@ -333,6 +336,7 @@ object PipelineQueries {
       edges = edges
         .join(keep.select(col("v").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(keep.select(col("v").as("doc_b")), Seq("doc_b"), "left_semi")
+        .localCheckpoint(true)
       deg = degrees(edges)
     }
     deg.where(col("deg") >= KcoreK)
