@@ -726,8 +726,12 @@ object LakehouseQueries {
     * the DuckDB twin reproduces the filter exactly.
     */
   def layoutDppPrune(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-dpp").toString
+    // fixed location + overwrite, same discipline as the bucketed
+    // tables: a fresh temp dir per invocation would leave a full copy
+    // of events behind on every bench pass / verify sweep
+    val out = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_dpp_events")
+      .toString
     table(spark, dir, "events")
       .select(col("event_type"), col("value"), epochDay(col("ts")).as("day"))
       .repartition(col("day")) // one file per day partition, not 32

@@ -100,14 +100,35 @@ object PipelineQueries {
     * chunks (at corpus scale the full list is a dataset, not a query
     * result — downstream removal joins against the uncapped frame).
     */
-  def dedupChunk(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
-      .select(col("doc_id"), explode(
+  /** `(doc_id, idx, chunk, chunk_hash)` — the ONE chunk-windowing
+    * definition. [[dedupChunk]] (the report) and
+    * [[pipelineRemoveChunks]] (the apply) both derive from this frame
+    * and from [[sqlChunkCtes]], so their windowing can never drift
+    * apart — the removal's correctness claim depends on bit-identical
+    * chunk boundaries on both paths.
+    */
+  private def chunkFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(
         transform(sequence(lit(0),
             ceil(size(toks) / lit(Chunk.toDouble)).cast("int") - 1),
           i => array_join(slice(toks, i * Chunk + 1, lit(Chunk)), " ")))
-        .as("chunk"))
-      .select(col("doc_id"), CrossHash.md5Long(col("chunk")).as("chunk_hash"))
+        .as(Seq("idx", "chunk")))
+      .withColumn("chunk_hash", CrossHash.md5Long(col("chunk")))
+
+  /** DuckDB twin of [[chunkFrame]]: CTEs `t` (tokens) and `c`
+    * (doc_id, idx, chunk, chunk_hash).
+    */
+  private val sqlChunkCtes: String = {
+    val chunk = s"array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ')"
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |c AS (SELECT doc_id, i AS idx, $chunk AS chunk,
+       |    ${CrossHash.sqlMd5Long(chunk)} AS chunk_hash
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    CAST(ceil(len(toks) / $Chunk.0) AS INT))) AS i) s)"""
+  }
+
+  def dedupChunk(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(table(spark, dir, "documents"))
       .groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("n_docs"))
@@ -116,12 +137,7 @@ object PipelineQueries {
       .limit(1000)
 
   val dedupChunkSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |c AS (SELECT doc_id,
-       |    ${CrossHash.sqlMd5Long(
-        s"array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ')")} AS chunk_hash
-       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
-       |    CAST(ceil(len(toks) / $Chunk.0) AS INT))) AS i) s)
+    s"""WITH $sqlChunkCtes
        |SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
        |FROM c
@@ -148,13 +164,7 @@ object PipelineQueries {
     * report, not a second corpus.
     */
   def pipelineRemoveChunks(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0),
-            ceil(size(toks) / lit(Chunk.toDouble)).cast("int") - 1),
-          i => array_join(slice(toks, i * Chunk + 1, lit(Chunk)), " ")))
-        .as(Seq("idx", "chunk")))
-      .withColumn("chunk_hash", CrossHash.md5Long(col("chunk")))
+    val chunks = chunkFrame(table(spark, dir, "documents"))
     chunks.cache() // duplicate-set aggregate + the anti-join probe side
     val dups = chunks.groupBy(col("chunk_hash"))
       .agg(count(lit(1)).as("n"))
@@ -181,13 +191,7 @@ object PipelineQueries {
   }
 
   val pipelineRemoveChunksSql: String =
-    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |c AS (SELECT doc_id, i AS idx,
-       |    array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ') AS chunk,
-       |    ${CrossHash.sqlMd5Long(
-        s"array_to_string(toks[(i-1)*$Chunk+1:i*$Chunk], ' ')")} AS chunk_hash
-       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
-       |    CAST(ceil(len(toks) / $Chunk.0) AS INT))) AS i) s),
+    s"""WITH $sqlChunkCtes,
        |dups AS (
        |  SELECT chunk_hash FROM c GROUP BY chunk_hash HAVING COUNT(*) > 1),
        |kept AS (

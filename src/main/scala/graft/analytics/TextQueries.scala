@@ -527,24 +527,31 @@ object TextQueries {
     "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   private val PiiIdLike = "[0-9]{9,}"
 
-  def textPii(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String): Column =
-      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
+  /** Match count of `pat` against an arbitrary text expression — the
+    * ONE helper both the scan and the redactor (Scala + SQL sides)
+    * share, so count semantics can never drift between the report and
+    * the apply path.
+    */
+  private def piiCount(pat: String, textExpr: String = "text"): Column =
+    size(expr(s"regexp_extract_all($textExpr, '$pat', 0)")).cast("long")
+
+  private def sqlPiiCount(pat: String, textExpr: String = "text"): String =
+    s"CAST(len(regexp_extract_all($textExpr, '$pat')) AS BIGINT)"
+
+  def textPii(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        n(PiiEmail).as("n_email"),
-        n(PiiPhone).as("n_phone"),
-        n(PiiIpv4).as("n_ipv4"),
-        n(PiiIdLike).as("n_idlike"))
+        piiCount(PiiEmail).as("n_email"),
+        piiCount(PiiPhone).as("n_phone"),
+        piiCount(PiiIpv4).as("n_ipv4"),
+        piiCount(PiiIdLike).as("n_idlike"))
       .withColumn("has_pii",
         col("n_email") + col("n_phone") + col("n_ipv4") +
           col("n_idlike") > 0)
       .orderBy(col("doc_id"))
-  }
 
   val textPiiSql: String = {
-    def n(pat: String): String =
-      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
+    def n(pat: String): String = sqlPiiCount(pat)
     s"""SELECT doc_id,
        |  ${n(PiiEmail)} AS n_email,
        |  ${n(PiiPhone)} AS n_phone,
@@ -578,32 +585,39 @@ object TextQueries {
     PiiIpv4 -> "<IP>", PiiIdLike -> "<ID>")
 
   def textPiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    def n(pat: String): Column =
-      size(expr(s"regexp_extract_all(text, '$pat', 0)")).cast("long")
-    val redacted = PiiRedactions.foldLeft(col("text")) {
-      case (c, (pat, repl)) => regexp_replace(c, pat, repl)
-    }
+    // count-as-you-fold: each pattern is counted against the text AS
+    // IT STANDS when that pattern runs, so a span swallowed by an
+    // earlier replacement (an id-run inside an email, an IP inside a
+    // handle) is never double-counted — n_redacted is exactly the
+    // number of spans replaced
+    val (redacted, nRedacted) =
+      PiiRedactions.foldLeft((col("text"), lit(0L))) {
+        case ((t, n), (pat, repl)) =>
+          (regexp_replace(t, pat, repl),
+            n + size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+      }
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        (n(PiiEmail) + n(PiiPhone) + n(PiiIpv4) + n(PiiIdLike))
-          .as("n_redacted"),
+        nRedacted.as("n_redacted"),
         length(redacted).cast("long").as("redacted_len"),
         md5(redacted.cast("binary")).as("redacted_hash"))
       .orderBy(col("doc_id"))
   }
 
   val textPiiRedactSql: String = {
-    def n(pat: String): String =
-      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
-    val red = PiiRedactions.foldLeft("text") {
-      case (c, (pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+    val steps = PiiRedactions.zipWithIndex.map { case ((pat, repl), i) =>
+      s"""r${i + 1} AS (
+         |  SELECT doc_id, regexp_replace(t, '$pat', '$repl', 'g') AS t,
+         |    n + ${sqlPiiCount(pat, "t")} AS n
+         |  FROM r$i)"""
     }
-    s"""SELECT doc_id,
-       |  ${n(PiiEmail)} + ${n(PiiPhone)} + ${n(PiiIpv4)}
-       |    + ${n(PiiIdLike)} AS n_redacted,
-       |  CAST(length($red) AS BIGINT) AS redacted_len,
-       |  md5($red) AS redacted_hash
-       |FROM documents
+    s"""WITH r0 AS (
+       |  SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS n FROM documents),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, n AS n_redacted,
+       |  CAST(length(t) AS BIGINT) AS redacted_len,
+       |  md5(t) AS redacted_hash
+       |FROM r${PiiRedactions.size}
        |ORDER BY doc_id""".stripMargin
   }
 

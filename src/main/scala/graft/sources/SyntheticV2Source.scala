@@ -235,7 +235,15 @@ private class KeyedSynthReader(slice: KeyedSynthSlice)
   private var id = slice.lo +
     (((slice.bucket - slice.lo % m) % m + m) % m) - m
 
-  override def next(): Boolean = { id += m; id < slice.hi }
+  override def next(): Boolean = {
+    // saturate like the contiguous path's succ(): near Long.MaxValue
+    // `id + m` would wrap negative, keep `id < hi` true forever, and
+    // stream out-of-range ids — stop instead (id + m > MaxValue >= hi
+    // implies past-the-end anyway)
+    if (id > Long.MaxValue - m) return false
+    id += m
+    id < slice.hi
+  }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
 }

@@ -418,22 +418,43 @@ class PipelineOpsSpec extends SparkSuite {
     rm.unpersist()
   }
 
-  test("graph_kcore survivors sit inside near-dup clusters of size > k") {
-    val core = PipelineQueries.graphKcore(spark, sf0001).cache()
-    // every survivor retains at least k neighbors in the peeled graph
-    assert(core.where(col("deg") < PipelineQueries.KcoreK).count() == 0)
+  test("graph_kcore equals an independent in-process peel of the pairs") {
+    val core = PipelineQueries.graphKcore(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // re-run the same peel in plain Scala collections from the raw
+    // pair list — an independent implementation, so a broken round
+    // (wrong edge set, wrong degree source) diverges here even though
+    // the query's own output filter would mask it
+    var edges = DedupQueries
+      .simhashPairsFrame(QueryUtil.table(spark, sf0001, "documents"))
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def degs(es: Seq[(Long, Long)]): Map[Long, Long] =
+      (es.map(_._1) ++ es.map(_._2)).groupBy(identity)
+        .map { case (v, os) => v -> os.size.toLong }
+    var d = degs(edges)
+    for (_ <- 2 to PipelineQueries.KcoreRounds) {
+      val keep = d.filter(_._2 >= PipelineQueries.KcoreK).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      d = degs(edges)
+    }
+    val want = d.filter(_._2 >= PipelineQueries.KcoreK)
+    assert(core == want, s"got $core\nwant $want")
     // a 2-core vertex needs >= 2 neighbors, so its connected component
     // has at least k+1 members — cross-check against dedup_clusters
-    val clusters = DedupQueries.dedupClusters(spark, sf0001)
-      .select(col("doc_id"), col("cluster_size"))
-    assert(core.join(clusters, "doc_id")
+    val small = DedupQueries.dedupClusters(spark, sf0001)
       .where(col("cluster_size") < PipelineQueries.KcoreK + 1)
-      .count() == 0)
-    core.unpersist()
+      .collect().map(_.getLong(0)).toSet
+    assert(core.keySet.intersect(small).isEmpty)
   }
 
   test("pipeline_curriculum takes a rank-prefix that straddles the budget") {
     val cur = PipelineQueries.pipelineCurriculum(spark, sf0001).cache()
+    // a 60% budget with no dominant stratum must drop something; an
+    // empty drop set would also NPE the min() below with a confusing
+    // error instead of a real failure message
+    assert(cur.where(!col("taken")).count() > 0,
+      "no stratum dropped — budget property untestable on this data")
     // taken must be exactly the strata ranked before the first drop
     val firstDrop = cur.where(!col("taken"))
       .agg(min("sel_rank")).head.getLong(0)

@@ -87,6 +87,17 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(df.agg(min("id"), max("id")).head.toSeq == Seq(2000L, 6999L))
   }
 
+  test("keyed reader saturates at Long.MaxValue instead of wrapping") {
+    // without saturation `id += 97` wraps negative past MaxValue, the
+    // bound check stays true, and the reader streams garbage forever
+    val df = spark.read.format("graft-synth")
+      .option("rows", Long.MaxValue.toString).option("keyed", "true")
+      .load()
+      .where(col("id") >= Long.MaxValue - 1000)
+    assert(df.count() == 1000)
+    assert(df.agg(min("id")).head.getLong(0) == Long.MaxValue - 1000)
+  }
+
   test("bucketless projection falls back to unkeyed slicing") {
     // pruning away `bucket` makes the key-grouped report impossible;
     // the scan must degrade to contiguous slices, not lie about layout
