@@ -209,6 +209,56 @@ object PipelineQueries {
        |  COALESCE(kept.clean_hash, md5('')) AS clean_hash
        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id""".stripMargin
 
+  // ------------------------------------------------ provenance scorecard
+  /** Per-source corruption scorecard — the "which crawl is dirty"
+    * report a pipeline owner runs before deciding where cleaning
+    * effort goes: for every source, document/token volume, the
+    * exact-duplicate rate (non-canonical copies per [[DedupQueries
+    * .dedupExact]]'s min-doc_id convention), the PII incidence (the
+    * same four-detector predicate [[TextQueries.textPii]] reports),
+    * and mean document length — each signal as integer ppm.
+    *
+    * Scale shape: one md5(text)-keyed window for duplicate marking
+    * (the hash shuffles, the text stays put), then a single
+    * partial-aggregatable rollup on the low-cardinality source key.
+    * PII counting is pure per-row regex inside the same scan.
+    */
+  def pipelineProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_tok"),
+        CrossHash.md5Long(col("text")).as("h"),
+        TextQueries.hasPii.cast("long").as("pii"))
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        ppm(sum(col("is_dup")), count(lit(1))).as("dup_doc_ppm"),
+        ppm(sum(col("pii")), count(lit(1))).as("pii_doc_ppm"),
+        ppm(sum(col("n_tok")), count(lit(1))).as("mean_tok_ppm"))
+  }
+
+  val pipelineProvenanceSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ${CrossHash.sqlMd5Long("text")} AS h,
+       |    CASE WHEN ${TextQueries.sqlHasPii} THEN 1 ELSE 0 END AS pii
+       |  FROM documents),
+       |m AS (
+       |  SELECT *, CASE WHEN ROW_NUMBER()
+       |      OVER (PARTITION BY h ORDER BY doc_id) > 1
+       |    THEN 1 ELSE 0 END AS is_dup
+       |  FROM d)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  ${sqlPpm("SUM(is_dup)", "COUNT(*)")} AS dup_doc_ppm,
+       |  ${sqlPpm("SUM(pii)", "COUNT(*)")} AS pii_doc_ppm,
+       |  ${sqlPpm("SUM(n_tok)", "COUNT(*)")} AS mean_tok_ppm
+       |FROM m
+       |GROUP BY source""".stripMargin
+
   // ------------------------------------------------ curriculum budget
   /** Token-budget curriculum: rank the (lang, source) strata by mean
     * document length (the integer-exact quality proxy; a learned
@@ -1109,6 +1159,7 @@ object PipelineQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
+    "pipeline_provenance" -> (pipelineProvenance _),
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
@@ -1127,5 +1178,6 @@ object PipelineQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
+    "pipeline_provenance" -> pipelineProvenanceSql,
     "bloom_join_prune" -> bloomJoinPruneSql)
 }

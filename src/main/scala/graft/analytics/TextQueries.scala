@@ -538,6 +538,18 @@ object TextQueries {
   private def sqlPiiCount(pat: String, textExpr: String = "text"): String =
     s"CAST(len(regexp_extract_all($textExpr, '$pat')) AS BIGINT)"
 
+  /** Any-PII predicate over the four detector patterns — shared with
+    * the provenance scorecard so "has PII" means the same thing in
+    * every report ([[textPii]]'s has_pii column is this expression).
+    */
+  private[analytics] def hasPii: Column =
+    piiCount(PiiEmail) + piiCount(PiiPhone) + piiCount(PiiIpv4) +
+      piiCount(PiiIdLike) > 0
+
+  private[analytics] def sqlHasPii: String =
+    s"${sqlPiiCount(PiiEmail)} + ${sqlPiiCount(PiiPhone)} + " +
+      s"${sqlPiiCount(PiiIpv4)} + ${sqlPiiCount(PiiIdLike)} > 0"
+
   def textPii(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),

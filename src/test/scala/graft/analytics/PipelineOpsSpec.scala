@@ -474,6 +474,21 @@ class PipelineOpsSpec extends SparkSuite {
     cur.unpersist()
   }
 
+  test("pipeline_provenance dup counts equal dedup_exact's duplicates") {
+    val prov = PipelineQueries.pipelineProvenance(spark, sf0001)
+    // dup_doc_ppm uses the same min-doc_id canonical convention as
+    // dedup_exact — the corpus-wide duplicate counts must agree
+    val provDups = prov
+      .select((col("dup_doc_ppm") * col("n_docs")).as("scaled"))
+      .agg(sum("scaled")).head.getLong(0) / 1000000L
+    val exactDups = DedupQueries.dedupExact(spark, sf0001)
+      .where(col("is_duplicate")).count()
+    // ppm floors per source; allow at most one lost doc per stratum
+    val strata = prov.count()
+    assert(math.abs(provDups - exactDups) <= strata,
+      s"prov=$provDups exact=$exactDups strata=$strata")
+  }
+
   test("agg_bitwise booleans agree with recomputed extremes") {
     val agg = TpchQueries.aggBitwiseOrders(spark, sf0001)
     val check = spark.read.parquet(s"$sf0001/orders.parquet")
