@@ -1056,6 +1056,45 @@ object EmbeddingQueries {
        |  FROM scored) WHERE rnk <= $TopK""".stripMargin
   }
 
+  /** Recall@k of the trained-IVF held-out search, measured IN-BAND and
+    * under the oracle gate — the retrieval-quality number the spec's
+    * recall floor asserts, now a first-class report: per held-out
+    * query, how many of brute force's exact top-k the approximate
+    * search returned. Both sides run their normal plans (broadcast
+    * query/centroid sets, corpus never SMJ'd); the comparison is a
+    * left-semi join on (query, vec) pairs — 2·k·|queries| rows, a
+    * constant. Queries where the probe missed everything still report
+    * (zero hits), via the left join on the brute side's query list.
+    */
+  def knnRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    val brute = knnBruteHeldout(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+    val hits = knnIvfTrainedHeldout(spark, dir)
+      .select(col("query_id"), col("vec_id"))
+      .join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        ppm(coalesce(col("n_hits"), lit(0L)), col("k")).as("recall_ppm"))
+  }
+
+  val knnRecallReportSql: String =
+    s"""SELECT b.query_id,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${sqlPpm("COALESCE(h.n_hits, 0)", "b.k")} AS recall_ppm
+       |FROM (
+       |  SELECT query_id, COUNT(*) AS k
+       |  FROM ($knnBruteHeldoutSql) GROUP BY query_id) b
+       |LEFT JOIN (
+       |  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM ($knnIvfTrainedHeldoutSql) a
+       |  SEMI JOIN ($knnBruteHeldoutSql) x
+       |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+       |  GROUP BY a.query_id) h
+       |ON b.query_id = h.query_id""".stripMargin
+
   /** SQ8 search for held-out queries: per-dimension min/max stats come
     * from the CORPUS only; queries are coded through the same affine
     * map with codes clamped to [0, 255] (an out-of-corpus query can
@@ -1411,6 +1450,7 @@ object EmbeddingQueries {
     "knn_brute_heldout" -> (knnBruteHeldout _),
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
     "knn_sq8_heldout" -> (knnSq8Heldout _),
+    "knn_recall_report" -> (knnRecallReport _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _),
     "emb_semantic_dedup" -> (embSemanticDedup _))
@@ -1429,6 +1469,7 @@ object EmbeddingQueries {
     "knn_brute_heldout" -> knnBruteHeldoutSql,
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,
     "knn_sq8_heldout" -> knnSq8HeldoutSql,
+    "knn_recall_report" -> knnRecallReportSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql)
