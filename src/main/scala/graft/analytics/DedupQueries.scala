@@ -389,6 +389,69 @@ object DedupQueries {
     s"""WITH $sqlSimhashPairCtes
        |SELECT doc_a, doc_b, hamming FROM spairs""".stripMargin
 
+  // --------------------------------------------- minhash accuracy eval
+  /** Sketch-accuracy evaluation of the minhash signature itself: over
+    * the LSH candidate pairs, the K-position signature agreement rate
+    * (the classic minhash Jaccard estimator, exact ppm since K divides
+    * 10^6) against the TRUE shingle-set Jaccard, reported as corpus
+    * aggregates — pair count, mean estimate, mean truth, mean and max
+    * absolute error. This is the number that justifies K: if the mean
+    * error drifts (bad hash family, signature bug), this row moves
+    * while every individual query can still look plausible — the same
+    * monitor role as [[graft.analytics.EmbeddingQueries
+    * .knnRecallReport]] and `text_langid_eval`.
+    *
+    * Scale shape: the candidate set is the banding join's output
+    * (never all pairs), the signature join adds two broadcast-or-
+    * shuffle joins on 8-byte doc ids, and the final aggregate is one
+    * row. Runs on candidates only — at 100 TB this is the nightly QA
+    * job over the pair stream the dedup already produces.
+    */
+  def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
+    val est = lit(1000000L / K) // 62500: exact, K divides 10^6
+    val sigs = dedupMinhashSig(spark, dir)
+    def side(tag: String) = sigs.select(
+      col("doc_id").as(s"doc_$tag") +:
+        (0 until K).map(i => col(s"sig_$i").as(s"${tag}_sig_$i")): _*)
+    val nMatch = (0 until K)
+      .map(i => when(col(s"a_sig_$i") === col(s"b_sig_$i"), 1L)
+        .otherwise(0L))
+      .reduce(_ + _)
+    dedupLshPairs(spark, dir)
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .select((nMatch * est).as("est_ppm"), col("jaccard_ppm"))
+      .withColumn("abs_err",
+        abs(col("est_ppm") - col("jaccard_ppm")))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_ppm")).as("se"), sum(col("jaccard_ppm")).as("sj"),
+        sum(col("abs_err")).as("sa"), max(col("abs_err")).as("max_abs_err_ppm"))
+      .select(col("n_pairs"),
+        expr("se div n_pairs").as("mean_est_ppm"),
+        expr("sj div n_pairs").as("mean_exact_ppm"),
+        expr("sa div n_pairs").as("mean_abs_err_ppm"),
+        col("max_abs_err_ppm"))
+  }
+
+  val dedupMinhashEvalSql: String = {
+    val nMatch = (0 until K)
+      .map(i => s"CASE WHEN a.sig_$i = b.sig_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ev AS (
+       |  SELECT CAST(($nMatch) * ${1000000L / K} AS BIGINT) AS est_ppm,
+       |    v.jaccard_ppm
+       |  FROM ($dedupLshPairsSql) v
+       |  JOIN ($dedupMinhashSigSql) a ON v.doc_a = a.doc_id
+       |  JOIN ($dedupMinhashSigSql) b ON v.doc_b = b.doc_id)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+       |  CAST(SUM(jaccard_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+       |  CAST(SUM(abs(est_ppm - jaccard_ppm)) // COUNT(*) AS BIGINT)
+       |    AS mean_abs_err_ppm,
+       |  CAST(MAX(abs(est_ppm - jaccard_ppm)) AS BIGINT)
+       |    AS max_abs_err_ppm
+       |FROM ev""".stripMargin
+  }
+
   // ------------------------------------------------ dedup clustering
   /** Connected components over the simhash near-dup pairs: the step a
     * pipeline runs AFTER pair generation — transitive closure groups
@@ -953,6 +1016,7 @@ object DedupQueries {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_minhash_eval" -> (dedupMinhashEval _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -969,6 +1033,7 @@ object DedupQueries {
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_minhash_eval" -> dedupMinhashEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
