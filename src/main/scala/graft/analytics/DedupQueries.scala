@@ -410,6 +410,7 @@ object DedupQueries {
   def dedupMinhashEval(spark: SparkSession, dir: String): DataFrame = {
     val est = lit(1000000L / K) // 62500: exact, K divides 10^6
     val sigs = dedupMinhashSig(spark, dir)
+      .cache() // K-column signature derivation feeds both join sides
     def side(tag: String) = sigs.select(
       col("doc_id").as(s"doc_$tag") +:
         (0 until K).map(i => col(s"sig_$i").as(s"${tag}_sig_$i")): _*)

@@ -1069,6 +1069,7 @@ object EmbeddingQueries {
   def knnRecallReport(spark: SparkSession, dir: String): DataFrame = {
     val brute = knnBruteHeldout(spark, dir)
       .select(col("query_id"), col("vec_id"))
+      .cache() // exact scoring pass feeds both the semi join and the k counts
     val hits = knnIvfTrainedHeldout(spark, dir)
       .select(col("query_id"), col("vec_id"))
       .join(brute, Seq("query_id", "vec_id"), "left_semi")
@@ -1094,6 +1095,66 @@ object EmbeddingQueries {
        |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
        |  GROUP BY a.query_id) h
        |ON b.query_id = h.query_id""".stripMargin
+
+  // ------------------------------------------------ IVF index health
+  /** Index-health report over the trained coarse quantizer — the
+    * occupancy profile an index operator watches to know when to
+    * retrain: trained/occupied/empty cell counts, corpus size, the
+    * min/max cell occupancy, and the imbalance factor max/mean as
+    * exact integer ppm (10^6 = perfectly balanced; the partition-skew
+    * number that bounds the worst probe's work). A quantizer whose
+    * imbalance drifts up as the corpus grows is assigning new data to
+    * old density — the retrain signal, same monitor role as
+    * [[knnRecallReport]] on the recall side.
+    *
+    * Scale shape: the same O(n·k) assignment against the ≤[[CentKMax]]
+    * -row broadcast the searches run, then a cell-keyed count (partial
+    * aggregation collapses each partition to ≤k rows) folded to ONE
+    * report row; the trained-cell count joins in from a 1-row
+    * broadcast. Nothing here grows beyond k rows past the scan.
+    */
+  def knnIvfStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // count + seeds + 2 assignments
+    val trained = trainIvf(e).cache() // assignment broadcast + cell count
+    val assign = e.crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val cells = assign.withColumn("crnk", row_number().over(w))
+      .where(col("crnk") === 1).select(col("vec_id"), col("cell"))
+    val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+    val nTrained = trained.agg(count(lit(1)).as("n_cells"))
+    occ.agg(count(lit(1)).as("n_occupied"),
+        sum(col("occ")).as("n_vecs"),
+        min(col("occ")).as("min_occ"),
+        max(col("occ")).as("max_occ"))
+      .crossJoin(broadcast(nTrained))
+      .select(col("n_cells"), col("n_occupied"),
+        (col("n_cells") - col("n_occupied")).as("n_empty"),
+        col("n_vecs"), col("min_occ"), col("max_occ"),
+        ppm(col("max_occ") * col("n_occupied"), col("n_vecs"))
+          .as("imbalance_ppm"))
+  }
+
+  val knnIvfStatsSql: String =
+    s"""WITH $sqlTrainedCells,
+       |occ AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ
+       |  FROM cells GROUP BY cell),
+       |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM trained),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_occupied,
+       |    CAST(SUM(occ) AS BIGINT) AS n_vecs,
+       |    MIN(occ) AS min_occ, MAX(occ) AS max_occ
+       |  FROM occ)
+       |SELECT tn.n_cells, agg.n_occupied,
+       |  tn.n_cells - agg.n_occupied AS n_empty,
+       |  agg.n_vecs, agg.min_occ, agg.max_occ,
+       |  ${sqlPpm("agg.max_occ * agg.n_occupied", "agg.n_vecs")}
+       |    AS imbalance_ppm
+       |FROM agg, tn""".stripMargin
 
   /** SQ8 search for held-out queries: per-dimension min/max stats come
     * from the CORPUS only; queries are coded through the same affine
@@ -1451,6 +1512,7 @@ object EmbeddingQueries {
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
     "knn_sq8_heldout" -> (knnSq8Heldout _),
     "knn_recall_report" -> (knnRecallReport _),
+    "knn_ivf_stats" -> (knnIvfStats _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _),
     "emb_semantic_dedup" -> (embSemanticDedup _))
@@ -1470,6 +1532,7 @@ object EmbeddingQueries {
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,
     "knn_sq8_heldout" -> knnSq8HeldoutSql,
     "knn_recall_report" -> knnRecallReportSql,
+    "knn_ivf_stats" -> knnIvfStatsSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql)

@@ -228,7 +228,7 @@ object PipelineQueries {
     table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(toks).cast("long").as("n_tok"),
-        CrossHash.md5Long(col("text")).as("h"),
+        md5(col("text").cast("binary")).as("h"),
         TextQueries.hasPii.cast("long").as("pii"))
       .withColumn("is_dup", (row_number().over(w) > 1).cast("long"))
       .groupBy(col("source"))
@@ -243,7 +243,7 @@ object PipelineQueries {
     s"""WITH d AS (
        |  SELECT doc_id, source,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-       |    ${CrossHash.sqlMd5Long("text")} AS h,
+       |    md5(text) AS h,
        |    CASE WHEN ${TextQueries.sqlHasPii} THEN 1 ELSE 0 END AS pii
        |  FROM documents),
        |m AS (

@@ -556,10 +556,8 @@ object TextQueries {
         piiCount(PiiEmail).as("n_email"),
         piiCount(PiiPhone).as("n_phone"),
         piiCount(PiiIpv4).as("n_ipv4"),
-        piiCount(PiiIdLike).as("n_idlike"))
-      .withColumn("has_pii",
-        col("n_email") + col("n_phone") + col("n_ipv4") +
-          col("n_idlike") > 0)
+        piiCount(PiiIdLike).as("n_idlike"),
+        hasPii.as("has_pii"))
       .orderBy(col("doc_id"))
 
   val textPiiSql: String = {
@@ -569,8 +567,7 @@ object TextQueries {
        |  ${n(PiiPhone)} AS n_phone,
        |  ${n(PiiIpv4)} AS n_ipv4,
        |  ${n(PiiIdLike)} AS n_idlike,
-       |  ${n(PiiEmail)} + ${n(PiiPhone)} + ${n(PiiIpv4)}
-       |    + ${n(PiiIdLike)} > 0 AS has_pii
+       |  $sqlHasPii AS has_pii
        |FROM documents
        |ORDER BY doc_id""".stripMargin
   }
