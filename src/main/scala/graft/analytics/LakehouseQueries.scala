@@ -871,8 +871,80 @@ object LakehouseQueries {
       |  abs(n - med) > 3.0 * mad AS is_anomaly
       |FROM daily, mad ORDER BY day""".stripMargin
 
+  // --------------------------------------------- join-key skew report
+  /** Join-key skew diagnostics — the "why is my shuffle stage slow"
+    * report, run over the three join-key families the TPC-H-ish
+    * workload shuffles on: per family, row/key counts, the hottest
+    * key's count, the max/mean imbalance (the straggler-task bound:
+    * an imbalance of k·10^6 means the worst shuffle partition holds
+    * ≥k× its fair share), and the top-10-key concentration — the two
+    * numbers that decide between plain hash join, AQE skew split, and
+    * salting (the remedies `agg_salted_skew` and the AQE proof spec
+    * demonstrate).
+    *
+    * Scale shape: each family is one partial-aggregatable count per
+    * key; everything after runs on the counts frame, which is
+    * key-cardinality-sized, and the top-10 read compiles to
+    * TakeOrderedAndProject. Integer-exact: counts are int64 and both
+    * ppm ratios are the shared floor-divide on identical operands
+    * (operand products stay under 2^53 for any per-family profile
+    * with max_cnt·n_keys < 9·10^15 — comfortably true wherever a
+    * single key count still fits a task).
+    */
+  private def skewOf(df: DataFrame, key: String, fam: String): DataFrame = {
+    val counts = df.groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // feeds the totals and the top-10 read
+    val top10 = counts.orderBy(col("cnt").desc, col("k").asc).limit(10)
+      .agg(sum(col("cnt")).as("top10"))
+    counts.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .crossJoin(broadcast(top10))
+      .select(lit(fam).as("key_family"), col("n_rows"), col("n_keys"),
+        col("max_cnt"),
+        ppm(col("max_cnt") * col("n_keys"), col("n_rows"))
+          .as("imbalance_ppm"),
+        ppm(col("top10"), col("n_rows")).as("top10_share_ppm"))
+  }
+
+  def dqSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+    skewOf(li, "l_suppkey", "lineitem.l_suppkey")
+      .unionByName(skewOf(li, "l_partkey", "lineitem.l_partkey"))
+      .unionByName(skewOf(table(spark, dir, "orders"), "o_custkey",
+        "orders.o_custkey"))
+      .orderBy(col("key_family"))
+  }
+
+  val dqSkewReportSql: String = {
+    def fam(tbl: String, key: String, tag: String): String =
+      s"""c_$tag AS (
+         |  SELECT $key AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM $tbl GROUP BY 1),
+         |t_$tag AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS top10 FROM (
+         |    SELECT cnt FROM c_$tag ORDER BY cnt DESC, k LIMIT 10)),
+         |a_$tag AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(cnt) AS max_cnt
+         |  FROM c_$tag),
+         |r_$tag AS (
+         |  SELECT '$tbl.$key' AS key_family, n_rows, n_keys, max_cnt,
+         |    ${sqlPpm("max_cnt * n_keys", "n_rows")} AS imbalance_ppm,
+         |    ${sqlPpm("top10", "n_rows")} AS top10_share_ppm
+         |  FROM a_$tag, t_$tag)""".stripMargin
+    s"""WITH ${fam("lineitem", "l_suppkey", "ls")},
+       |${fam("lineitem", "l_partkey", "lp")},
+       |${fam("orders", "o_custkey", "oc")}
+       |SELECT * FROM r_ls UNION ALL
+       |SELECT * FROM r_lp UNION ALL
+       |SELECT * FROM r_oc
+       |ORDER BY key_family""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_anomaly_mad" -> (dqAnomalyMad _),
+    "dq_skew_report" -> (dqSkewReport _),
     "layout_vacuum" -> (layoutVacuum _),
     "layout_compaction" -> (layoutCompaction _),
     "dq_distribution_drift" -> (dqDistributionDrift _),
@@ -889,6 +961,7 @@ object LakehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "dq_anomaly_mad" -> dqAnomalyMadSql,
+    "dq_skew_report" -> dqSkewReportSql,
     "layout_vacuum" -> layoutVacuumSql,
     "layout_compaction" -> layoutCompactionSql,
     "dq_distribution_drift" -> dqDistributionDriftSql,

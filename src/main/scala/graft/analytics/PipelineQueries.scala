@@ -748,6 +748,59 @@ object PipelineQueries {
        |FROM pos ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------ shard planning
+  private val ShardTok = 16384L // target tokens per output shard
+  private val ShardShift = 14 // log2(ShardTok): exact floor div, pos >= 0
+  require(1L << ShardShift == ShardTok, "ShardShift != log2(ShardTok)")
+
+  /** Token-balanced output sharding — the writer-side plan for "emit
+    * the corpus as N shards of ~[[ShardTok]] tokens each, whole
+    * documents only": a document belongs to the shard its first token
+    * lands in under the same exclusive prefix scan as [[pipelinePack]]
+    * (hash order, [[scanPos]] — no global-sort bottleneck), so shard
+    * sizes are ShardTok ± one document and assignment is one scan +
+    * one broadcast join at any corpus size. The report is one row per
+    * planned shard: document count, token count, and fill vs target in
+    * exact ppm — the skew a shard-writer watches (the final shard runs
+    * underfull by construction).
+    */
+  def pipelineShard(spark: SparkSession, dir: String): DataFrame = {
+    val base = table(spark, dir, "documents").select(
+      col("doc_id"),
+      size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tok"),
+      CrossHash.md5Long(concat(lit("shard:"), col("doc_id").cast("string")))
+        .as("ord"))
+    scanPos(base, Nil)
+      .select(col("doc_id"), col("n_tok"),
+        shiftright(col("pos"), ShardShift).as("shard_id"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fill_ppm", ppm(col("n_tokens"), lit(ShardTok)))
+      .orderBy(col("shard_id"))
+  }
+
+  val pipelineShardSql: String = {
+    val h = CrossHash.sqlMd5Long("'shard:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+       |      AS n_tok,
+       |    $h AS ord
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, n_tok, CAST(COALESCE(SUM(n_tok) OVER (
+       |    ORDER BY ord, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS pos
+       |  FROM base)
+       |SELECT pos // $ShardTok AS shard_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  ${sqlPpm("SUM(n_tok)", ShardTok.toString)} AS fill_ppm
+       |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ------------------------------------------------ corpus mixture
   private val MixBudget = 20000L // token budget for the mixture
   private val MixWeights = Seq( // ppm of the budget per language
@@ -1147,6 +1200,7 @@ object PipelineQueries {
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
+    "pipeline_shard" -> (pipelineShard _),
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
     "graph_pagerank" -> (graphPagerank _),
@@ -1166,6 +1220,7 @@ object PipelineQueries {
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,
+    "pipeline_shard" -> pipelineShardSql,
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
     "graph_pagerank" -> graphPagerankSql,

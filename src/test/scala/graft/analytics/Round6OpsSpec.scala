@@ -158,4 +158,67 @@ class Round6OpsSpec extends SparkSuite {
     assert(brute.count() == nQueries * EmbeddingQueries.TopK)
     brute.unpersist()
   }
+
+  test("IVF occupancy stats are an exact accounting of the index") {
+    val row = EmbeddingQueries.knnIvfStats(spark, sf0001).collect().head
+    val nCells = row.getAs[Long]("n_cells")
+    val nOcc = row.getAs[Long]("n_occupied")
+    val nVecs = row.getAs[Long]("n_vecs")
+    val minOcc = row.getAs[Long]("min_occ")
+    val maxOcc = row.getAs[Long]("max_occ")
+    // every corpus vector sits in exactly one cell
+    assert(nVecs == QueryUtil.table(spark, sf0001, "embeddings").count())
+    // occupied cells are a subset of trained cells; n_empty balances
+    assert(nOcc >= 1 && nOcc <= nCells)
+    assert(row.getAs[Long]("n_empty") == nCells - nOcc)
+    // occupancy extremes bracket the mean, so imbalance >= 1.0 exactly
+    assert(minOcc >= 1 && minOcc <= maxOcc && maxOcc <= nVecs)
+    assert(minOcc * nOcc <= nVecs && maxOcc * nOcc >= nVecs)
+    assert(row.getAs[Long]("imbalance_ppm") >= 1000000L)
+  }
+
+  test("shard plan conserves the corpus and balances within one document") {
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select(size(split(coalesce(col("text"), lit("")), " "))
+        .cast("long").as("n_tok"))
+      .agg(count(lit(1)).as("nd"), sum(col("n_tok")).as("nt"),
+        max(col("n_tok")).as("mx")).collect().head
+    val shards = PipelineQueries.pipelineShard(spark, sf0001).collect()
+    // conservation: every document and token lands in exactly one shard
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == docs.getAs[Long]("nd"))
+    assert(shards.map(_.getAs[Long]("n_tokens")).sum == docs.getAs[Long]("nt"))
+    // shard ids are contiguous from zero (prefix positions are dense)
+    assert(shards.map(_.getAs[Long]("shard_id")).sorted
+      .sameElements(shards.indices.map(_.toLong)))
+    // balance: every non-final shard holds 16384 tokens give or take
+    // one straddling document (the whole-document placement slack)
+    val slack = docs.getAs[Long]("mx") - 1
+    shards.sortBy(_.getAs[Long]("shard_id")).dropRight(1).foreach { s =>
+      val t = s.getAs[Long]("n_tokens")
+      assert(t >= 16384L - slack && t <= 16384L + slack,
+        s"shard ${s.getAs[Long]("shard_id")}: $t tokens vs target 16384±$slack")
+    }
+  }
+
+  test("skew report totals and concentration bounds are exact") {
+    val li = QueryUtil.table(spark, sf0001, "lineitem").count()
+    val ord = QueryUtil.table(spark, sf0001, "orders").count()
+    val rows = LakehouseQueries.dqSkewReport(spark, sf0001).collect()
+      .map(r => r.getAs[String]("key_family") -> r).toMap
+    assert(rows.keySet == Set("lineitem.l_suppkey", "lineitem.l_partkey",
+      "orders.o_custkey"))
+    rows.foreach { case (fam, r) =>
+      val n = r.getAs[Long]("n_rows")
+      assert(n == (if (fam.startsWith("lineitem")) li else ord))
+      val k = r.getAs[Long]("n_keys")
+      val mx = r.getAs[Long]("max_cnt")
+      // the hottest key is at least the mean, so imbalance >= 1.0
+      assert(mx * k >= n && r.getAs[Long]("imbalance_ppm") >= 1000000L)
+      // top-10 concentration at least covers the hottest key, never
+      // exceeds the whole table
+      val maxSharePpm = math.floor(1e6 * mx.toDouble / n.toDouble).toLong
+      assert(r.getAs[Long]("top10_share_ppm") >= maxSharePpm &&
+        r.getAs[Long]("top10_share_ppm") <= 1000000L)
+    }
+  }
 }
