@@ -1156,6 +1156,122 @@ object EmbeddingQueries {
        |    AS imbalance_ppm
        |FROM agg, tn""".stripMargin
 
+  // --------------------------------------- incremental IVF (delta)
+  /** Nightly index maintenance without retraining: the quantizer
+    * trains on the BASE corpus only (~10/11 of vectors by the shared
+    * md5 split), the remaining delta — the night's new arrivals — is
+    * assigned to the FROZEN centroids in the same single assignment
+    * pass that re-homes the base, and searches run over the union
+    * index. This is how a production IVF absorbs new data between
+    * retrains: assignment is O(|corpus|·k) against the same
+    * ≤[[CentKMax]]-row broadcast, no Lloyd round re-runs, and the
+    * delta needs no co-location with the base — exactly one scan's
+    * worth of work per night. [[knnIvfStats]] is the monitor that
+    * says when frozen centroids have drifted too far from the data
+    * and a retrain is due; the spec pins that delta vectors are
+    * reachable (they appear in results) and that recall holds up
+    * against brute force.
+    */
+  val DeltaMod = 11L
+  private def isDelta: Column =
+    graft.functions.CrossHash.md5Long(col("vec_id").cast("string")) %
+      DeltaMod === 3
+
+  def knnIvfDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // split + assignment + probe
+    val base = e.where(!isDelta)
+    val trained = trainIvf(base) // frozen: the delta never trains
+    val assign = e.crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+    val w1 = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell").asc)
+    val ranked = assign.withColumn("crnk", row_number().over(w1))
+    val cells = ranked.where(col("crnk") === 1)
+      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"), col("cell"))
+    val scored = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= TopK)
+  }
+
+  val knnIvfDeltaSql: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("CAST(vec_id AS VARCHAR)")
+    val sdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val tdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val meanList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
+    val centKb = s"GREATEST($CentKMin, LEAST($CentKMax, " +
+      "CAST(ceil(sqrt((SELECT COUNT(*) FROM base))) AS BIGINT)))"
+    s"""WITH $sqlQuantized,
+       |base AS (
+       |  SELECT vec_id, qv, norm2 FROM n WHERE $h % $DeltaMod <> 3),
+       |crankedb AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY $h, vec_id) AS hrnk
+       |  FROM base),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM crankedb WHERE hrnk <= $centKb),
+       |assign0 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(sdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM base v, seeds c),
+       |cell0 AS (
+       |  SELECT vec_id, qv, norm2, centroid_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |    FROM assign0) WHERE crnk = 1),
+       |sums AS (
+       |  SELECT cell, COUNT(*) AS cnt, $dimSums
+       |  FROM cell0 GROUP BY cell),
+       |trained0 AS (
+       |  SELECT cell, [$meanList] AS tq FROM sums),
+       |trained AS (
+       |  SELECT cell, tq,
+       |    list_sum(list_transform(tq, x -> x * x)) AS tnorm2
+       |  FROM trained0
+       |  WHERE list_sum(list_transform(tq, x -> x * x)) > 0),
+       |assign1 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.cell,
+       |    ${sqlScorePpm(tdot, "v.norm2", "c.tnorm2")} AS cscore
+       |  FROM n v, trained c),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC, cell ASC) AS crnk
+       |  FROM assign1),
+       |cells AS (
+       |  SELECT vec_id, cell, qv, norm2 FROM ranked WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn, cell
+       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe),
+       |scored AS (
+       |  SELECT p.query_id, b.vec_id,
+       |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id)
+       |SELECT query_id, vec_id, score_ppm, rnk FROM (
+       |  SELECT query_id, vec_id, score_ppm,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= $TopK""".stripMargin
+  }
+
   /** SQ8 search for held-out queries: per-dimension min/max stats come
     * from the CORPUS only; queries are coded through the same affine
     * map with codes clamped to [0, 255] (an out-of-corpus query can
@@ -1513,6 +1629,7 @@ object EmbeddingQueries {
     "knn_sq8_heldout" -> (knnSq8Heldout _),
     "knn_recall_report" -> (knnRecallReport _),
     "knn_ivf_stats" -> (knnIvfStats _),
+    "knn_ivf_delta" -> (knnIvfDelta _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _),
     "emb_semantic_dedup" -> (embSemanticDedup _))
@@ -1533,6 +1650,7 @@ object EmbeddingQueries {
     "knn_sq8_heldout" -> knnSq8HeldoutSql,
     "knn_recall_report" -> knnRecallReportSql,
     "knn_ivf_stats" -> knnIvfStatsSql,
+    "knn_ivf_delta" -> knnIvfDeltaSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql)
