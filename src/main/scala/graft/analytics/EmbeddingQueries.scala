@@ -294,6 +294,25 @@ object EmbeddingQueries {
   private def centK(n: Long): Int =
     math.max(CentKMin,
       math.min(CentKMax, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+  /** Per-vector argmax cell as a partial-aggregating `max_by` instead
+    * of a `row_number` window. The assignment frame is built by a
+    * broadcast join, so all k candidate rows of a vector sit in ONE
+    * input partition: map-side combine collapses them to a single row
+    * before the exchange, and the shuffle moves |corpus| rows — not
+    * |corpus|·k through a sort, which at k = [[CentKMax]] = 4096 is a
+    * 4096× amplification the window plan would pay. Tie-break matches
+    * the windows' `ORDER BY cscore DESC, cell ASC`: max of the
+    * ordering struct `(cscore, -cell)` is unique per vector because
+    * cell ids are distinct. Output: `(vec_id, cell, payload…)`.
+    */
+  private def argmaxCell(assign: DataFrame, cellCol: String,
+      payload: Seq[String] = Seq("q", "norm2")): DataFrame =
+    assign.groupBy(col("vec_id"))
+      .agg(max_by(
+        struct((col(cellCol).as("cell") +: payload.map(col)): _*),
+        struct(col("cscore"), (-col(cellCol)).as("tie"))).as("top"))
+      .select(col("vec_id") +:
+        ("cell" +: payload).map(n => col(s"top.$n").as(n)): _*)
   /** The IVF coarse stage shared by [[knnIvf]] and [[knnIvfPq]]:
     * bottom-k hash-sampled centroids, n×k assignment (centroid table
     * tiny and broadcast), argmax cell per vector. Returns
@@ -310,13 +329,17 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
         scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
           .as("cscore"))
-    val wAssign = Window.partitionBy(col("vec_id"))
+    val cells = argmaxCell(assigned, "centroid_id")
+    // query-side probe: filter to the 10 query vectors BEFORE scoring,
+    // so the NProbe window runs over 10·k rows, never the corpus
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
-    val ranked = assigned.withColumn("crnk", row_number().over(wAssign))
-    val cells = ranked.where(col("crnk") === 1)
-      .select(col("vec_id"), col("centroid_id").as("cell"), col("q"),
-        col("norm2"))
-    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+    val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(wProbe))
+      .where(col("crnk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("centroid_id").as("cell"))
     (cells, qprobe)
@@ -419,12 +442,7 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
         scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
           .as("cscore"))
-    val w0 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("centroid_id").asc)
-    val cell0 = assign0.withColumn("crnk", row_number().over(w0))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("q"), col("norm2"),
-        col("centroid_id").as("cell"))
+    val cell0 = argmaxCell(assign0, "centroid_id")
     // Lloyd update: integer mean per dimension over each cell's members
     val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
     cell0.groupBy(col("cell"))
@@ -440,18 +458,21 @@ object EmbeddingQueries {
     // five consumers of the quantized table (count, seeds, both
     // assignment passes, probe) — cache it; see knnIvf
     val e = quantized(spark, dir).cache()
-    val trained = trainIvf(e)
+    val trained = trainIvf(e).cache() // corpus assignment + query probe
     // re-assignment + probe against the trained quantizer
     val assign1 = e.crossJoin(broadcast(trained))
       .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
         scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
           .as("cscore"))
-    val w1 = Window.partitionBy(col("vec_id"))
+    val cells = argmaxCell(assign1, "cell")
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cell").asc)
-    val ranked = assign1.withColumn("crnk", row_number().over(w1))
-    val cells = ranked.where(col("crnk") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
-    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+    val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(wProbe))
+      .where(col("crnk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("cell"))
     val scored = broadcast(qprobe).join(cells, Seq("cell"))
@@ -955,15 +976,12 @@ object EmbeddingQueries {
     val corpus = e.where(!isHeldout)
     val trained = trainIvf(corpus)
       .cache() // feeds corpus assignment AND the query probe pass
-    val w1 = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
-    val cells = corpus.crossJoin(broadcast(trained))
-      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
-        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
-          .as("cscore"))
-      .withColumn("crnk", row_number().over(w1))
-      .where(col("crnk") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
+    val cells = argmaxCell(
+      corpus.crossJoin(broadcast(trained))
+        .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+          scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+            .as("cscore")),
+      "cell")
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cscore").desc, col("cell").asc)
     val qprobe = heldoutQueries(e).crossJoin(broadcast(trained))
@@ -1120,10 +1138,7 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("cell"),
         scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
           .as("cscore"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("cell").asc)
-    val cells = assign.withColumn("crnk", row_number().over(w))
-      .where(col("crnk") === 1).select(col("vec_id"), col("cell"))
+    val cells = argmaxCell(assign, "cell", payload = Nil)
     val occ = cells.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
     val nTrained = trained.agg(count(lit(1)).as("n_cells"))
     occ.agg(count(lit(1)).as("n_occupied"),
@@ -1180,17 +1195,20 @@ object EmbeddingQueries {
   def knnIvfDelta(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache() // split + assignment + probe
     val base = e.where(!isDelta)
-    val trained = trainIvf(base) // frozen: the delta never trains
+    val trained = trainIvf(base).cache() // frozen: the delta never trains
     val assign = e.crossJoin(broadcast(trained))
       .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
         scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
           .as("cscore"))
-    val w1 = Window.partitionBy(col("vec_id"))
+    val cells = argmaxCell(assign, "cell")
+    val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("cell").asc)
-    val ranked = assign.withColumn("crnk", row_number().over(w1))
-    val cells = ranked.where(col("crnk") === 1)
-      .select(col("vec_id"), col("cell"), col("q"), col("norm2"))
-    val qprobe = ranked.where(col("vec_id") < 10 && col("crnk") <= NProbe)
+    val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(trained))
+      .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(wProbe))
+      .where(col("crnk") <= NProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("cell"))
     val scored = broadcast(qprobe).join(cells, Seq("cell"))
