@@ -101,6 +101,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("IVF cell assignment partial-aggregates before its exchange") {
+    // EmbeddingQueries claim: argmaxCell "collapses the k candidate
+    // rows of a vector map-side … the shuffle moves |corpus| rows, not
+    // |corpus|·k through a sort". Witness: the per-vector argmax plans
+    // as a partial_max_by aggregate (map-side combine), and no window
+    // function partitions the full corpus-by-centroid frame anymore —
+    // remaining windows are the query-side probe (10·k rows) and the
+    // final per-query top-k, both corpus-independent
+    for (q <- Seq("knn_ivf", "knn_ivf_trained", "knn_ivf_stats",
+        "knn_ivf_delta", "knn_ivf_trained_heldout")) {
+      val p = plan(q).toLowerCase
+      assert(p.contains("partial_max_by"), s"$q lost its map-side argmax")
+    }
+  }
+
   test("multimodal content bytes never enter an exchange") {
     // MultimodalOps claim: "never shuffles content". Witness: in the
     // formatted plan every Exchange block lists its Input columns;
