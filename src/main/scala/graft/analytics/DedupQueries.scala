@@ -108,10 +108,20 @@ object DedupQueries {
     * (the synthetic corpus happens to contain no casing/punctuation
     * twins, so the oracle gate alone would leave the flags vacuous).
     */
-  private[analytics] def dedupExactNormFrame(docs: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
+  /** The C4-style text normalization (lowercase, strip punctuation,
+    * collapse whitespace, trim) and its DuckDB twin — shared with the
+    * composed pipeline so the two exact-dedup call sites can't drift.
+    */
+  private[analytics] def normText: Column =
+    trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
       " +", " "))
+  private[analytics] val sqlNormText: String =
+    "trim(regexp_replace(regexp_replace(lower(text), " +
+      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  private[analytics] def dedupExactNormFrame(docs: DataFrame): DataFrame = {
+    val norm = normText
     val wN = Window.partitionBy(col("norm_hash"))
     val wR = Window.partitionBy(col("raw_hash"))
     docs
@@ -130,8 +140,7 @@ object DedupQueries {
     dedupExactNormFrame(table(spark, dir, "documents"))
 
   val dedupExactNormSql: String = {
-    val norm = "trim(regexp_replace(regexp_replace(lower(text), " +
-      "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    val norm = sqlNormText
     s"""SELECT doc_id, md5($norm) AS norm_hash,
        |  MIN(doc_id) OVER (PARTITION BY md5($norm)) AS canonical_id,
        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5($norm))
@@ -339,7 +348,7 @@ object DedupQueries {
     * simhash_hi)`. Reused by [[dedupSimhashSql]] and
     * [[sqlSimhashPairCtes]].
     */
-  private lazy val sqlSimhashCtes: String = {
+  private[analytics] def sqlSimhashCtesFrom(src: String): String = {
     val bitSums = ((0 until SimBits).map(b =>
       s"SUM((h1 >> $b) % 2 * 2 - 1) AS lo_$b") ++
       (0 until SimBits).map(b =>
@@ -349,7 +358,7 @@ object DedupQueries {
       .mkString(" + ")
     s"""e AS (
        |  SELECT doc_id, md5(tok.t) AS hex
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        |    LATERAL (SELECT unnest(toks) AS t) tok),
        |hs AS (SELECT doc_id,
        |  CAST('0x' || substr(hex, 1, 14) AS BIGINT) AS h1,
@@ -365,10 +374,12 @@ object DedupQueries {
     * `spairs(doc_a, doc_b, hamming)` — the simhash near-dup pairs.
     * Reused by [[dedupSimhashPairsSql]] and [[dedupClustersSql]].
     */
-  private[analytics] lazy val sqlSimhashPairCtes: String = {
+  private lazy val sqlSimhashCtes: String = sqlSimhashCtesFrom("documents")
+
+  private[analytics] def sqlSimhashPairCtesFrom(src: String): String = {
     val ham = "bit_count(xor(a.simhash_lo, b.simhash_lo)) + " +
       "bit_count(xor(a.simhash_hi, b.simhash_hi))"
-    s"""$sqlSimhashCtes,
+    s"""${sqlSimhashCtesFrom(src)},
        |banded AS (
        |  SELECT doc_id, simhash_lo, simhash_hi, band.b AS band,
        |         CASE band.b
@@ -384,6 +395,9 @@ object DedupQueries {
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |  WHERE $ham <= 3)""".stripMargin
   }
+
+  private[analytics] lazy val sqlSimhashPairCtes: String =
+    sqlSimhashPairCtesFrom("documents")
 
   val dedupSimhashPairsSql: String =
     s"""WITH $sqlSimhashPairCtes

@@ -1196,7 +1196,115 @@ object PipelineQueries {
        |FROM documents
        |GROUP BY ROLLUP(lang, source)""".stripMargin
 
+  // ------------------------------------------- end-to-end funnel
+  /** The WHOLE training-data prep pipeline composed in one DAG —
+    * language filter → quality filter → normalized exact dedup →
+    * simhash near-dup dedup — reported as the stage funnel a corpus
+    * release publishes: per stage, surviving documents and tokens.
+    * Every stage applies to the SURVIVORS of the previous one (the
+    * dedups run within the filtered subset, not the raw corpus), and
+    * every stage reuses the exact primitive the standalone query
+    * ships: [[TextQueries.langScored]]/[[TextQueries.langPred]],
+    * textQuality's stopword rule, [[DedupQueries.normText]], and
+    * [[DedupQueries.simhashPairsFrame]] +
+    * [[DedupQueries.propagateLabels]] — so this is a composition
+    * proof, not a reimplementation.
+    *
+    * Scale shape: stages 1-2 are row-wise predicates fused into the
+    * scan (no shuffle); stage 3 is one shuffle on the 16-byte norm
+    * hash; stage 4 is the banded simhash self-join (shuffles the
+    * 8-byte band key, never text) plus the iterative CC whose rounds
+    * are label-keyed and checkpointed. The funnel rows themselves are
+    * partial-aggregated counts — five 1-row aggregates over the
+    * cached survivor frames.
+    */
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(split(col("text"), " ")).cast("long")
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), nToks.as("n_toks"))
+      .cache() // five stage aggregates + the clustering all read it
+    val s1 = TextQueries.langScored(docs)
+      .where(TextQueries.langPred === "en")
+      .select(col("doc_id"), col("text"), col("n_toks"))
+    val nStop = size(filter(split(col("text"), " "),
+      t => t === "the" || t === "a")).cast("long")
+    val s2 = s1.where(ppm(nStop, col("n_toks")) <= 120000)
+    val wN = Window.partitionBy(col("norm_hash"))
+    val s3 = s2
+      .withColumn("norm_hash", md5(DedupQueries.normText.cast("binary")))
+      .withColumn("canon", min(col("doc_id")).over(wN))
+      .where(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("text"), col("n_toks"))
+      .cache() // feeds the pair generator, the CC join, and its count
+    val pairs = DedupQueries.simhashPairsFrame(s3)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val labels = DedupQueries
+      .propagateLabels(edges, DedupQueries.identityLabels(edges))
+      .withColumnRenamed("v", "doc_id")
+    // docs with no near-dup edge are singletons: label defaults to self
+    val s4 = s3.join(labels, Seq("doc_id"), "left_outer")
+      .where(col("doc_id") === coalesce(col("label"), col("doc_id")))
+    def stageRow(ord: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(ord).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0L, "raw", docs)
+      .union(stageRow(1L, "lang", s1))
+      .union(stageRow(2L, "quality", s2))
+      .union(stageRow(3L, "exact_dedup", s3))
+      .union(stageRow(4L, "neardup_dedup", s4))
+  }
+
+  val pipelineE2eSql: String = {
+    val ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val nstop = "len(list_filter(string_split(text, ' '), " +
+      "t -> t = 'the' OR t = 'a'))"
+    s"""WITH RECURSIVE scored AS (
+       |  SELECT doc_id, text, $ntok AS n_toks,
+       |  ${TextQueries.sqlLangScoreList},
+       |  $nstop AS nstop
+       |  FROM documents),
+       |s1 AS (
+       |  SELECT doc_id, text, n_toks, nstop FROM scored
+       |  WHERE (${TextQueries.sqlLangPred}) = 'en'),
+       |s2 AS (
+       |  SELECT doc_id, text, n_toks FROM s1
+       |  WHERE ${sqlPpm("nstop", "n_toks")} <= 120000),
+       |s3 AS (
+       |  SELECT doc_id, text, n_toks FROM (
+       |    SELECT *, MIN(doc_id) OVER (
+       |      PARTITION BY md5(${DedupQueries.sqlNormText})) AS canon
+       |    FROM s2)
+       |  WHERE doc_id = canon),
+       |${DedupQueries.sqlSimhashPairCtesFrom("s3")},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL SELECT doc_b, doc_a FROM spairs),
+       |walk AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM s3
+       |  UNION
+       |  SELECT w.v, e2.d AS r FROM walk w JOIN edges e2 ON w.r = e2.s),
+       |comp AS (SELECT v, MIN(r) AS cluster_id FROM walk GROUP BY v),
+       |s4 AS (
+       |  SELECT t.doc_id, t.n_toks FROM s3 t JOIN comp c ON t.doc_id = c.v
+       |  WHERE t.doc_id = c.cluster_id)
+       |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM scored
+       |UNION ALL SELECT 1, 'lang', COUNT(*),
+       |  CAST(SUM(n_toks) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'quality', COUNT(*),
+       |  CAST(SUM(n_toks) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'exact_dedup', COUNT(*),
+       |  CAST(SUM(n_toks) AS BIGINT) FROM s3
+       |UNION ALL SELECT 4, 'neardup_dedup', COUNT(*),
+       |  CAST(SUM(n_toks) AS BIGINT) FROM s4""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
@@ -1217,6 +1325,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,

@@ -169,39 +169,54 @@ object TextQueries {
   private def sqlBigramCount(bg: String): String =
     s"CAST((length(text) - length(replace(text, '$bg', ''))) / 2 AS BIGINT)"
 
-  def textLangid(spark: SparkSession, dir: String): DataFrame = {
-    val scored = langMarkers.foldLeft(table(spark, dir, "documents")) {
-      case (df, (lang, bgs)) =>
-        df.withColumn(s"score_$lang",
-          bgs.map(bigramCount(col("text"), _)).reduce(_ + _))
+  /** Adds one `score_<lang>` column per candidate language to any
+    * frame with a `text` column — factored so composed pipelines
+    * (pipeline_e2e) run the IDENTICAL scorer as the standalone query.
+    */
+  private[analytics] def langScored(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) { case (d, (lang, bgs)) =>
+      d.withColumn(s"score_$lang",
+        bgs.map(bigramCount(col("text"), _)).reduce(_ + _))
     }
+
+  /** The argmax language over [[langScored]]'s score columns.
+    * foldRight keeps declaration order as tie-break priority (en
+    * first); all-zero scores read as undetermined.
+    */
+  private[analytics] def langPred: Column = {
     val best = greatest(langMarkers.map(m => col(s"score_${m._1}")): _*)
-    val pred = langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+    langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
       when(col(s"score_$lang") === best && best > 0, lang).otherwise(acc)
     }
-    // foldRight keeps declaration order as tie-break priority (en first)
-    scored.select(
+  }
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    langScored(table(spark, dir, "documents")).select(
       (col("doc_id") +: col("lang").as("actual_lang") +:
         langMarkers.map(m => col(s"score_${m._1}"))) :+
-        pred.as("pred_lang"): _*)
-  }
+        langPred.as("pred_lang"): _*)
 
   /** Shared oracle pieces of the langid scorer (the `s` CTE computing
     * per-language scores, and the argmax CASE) — used by both the
     * per-document query and the evaluation matrix so the classifier
     * definition can never drift between them.
     */
-  private val sqlLangScores: String = {
-    val scores = langMarkers.map { case (lang, bgs) =>
+  /** The bare `(…) AS score_<lang>` select-list items — shared with
+    * composed pipelines that need the scorer inline over a different
+    * source relation.
+    */
+  private[analytics] val sqlLangScoreList: String =
+    langMarkers.map { case (lang, bgs) =>
       s"(${bgs.map(sqlBigramCount).mkString(" + ")}) AS score_$lang"
     }.mkString(",\n  ")
+
+  private val sqlLangScores: String =
     s"""s AS (
        |  SELECT doc_id, lang AS actual_lang,
-       |  $scores
+       |  $sqlLangScoreList
        |  FROM documents)""".stripMargin
-  }
 
-  private val sqlLangPred: String = {
+  private[analytics] val sqlLangPred: String = {
     val best = s"greatest(${langMarkers.map(m => s"score_${m._1}").mkString(", ")})"
     langMarkers.map { case (lang, _) =>
       s"WHEN score_$lang = $best AND $best > 0 THEN '$lang'"

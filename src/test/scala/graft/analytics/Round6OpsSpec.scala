@@ -201,6 +201,27 @@ class Round6OpsSpec extends SparkSuite {
     res.unpersist(); brute.unpersist()
   }
 
+  test("e2e funnel is monotone and composes the standalone primitives") {
+    val f = PipelineQueries.pipelineE2e(spark, sf0001)
+      .orderBy("stage").collect()
+    assert(f.map(_.getString(1)).toSeq ==
+      Seq("raw", "lang", "quality", "exact_dedup", "neardup_dedup"))
+    // each stage keeps a subset of the previous (docs AND tokens)
+    f.sliding(2).foreach { w =>
+      assert(w(1).getAs[Long]("n_docs") <= w(0).getAs[Long]("n_docs"))
+      assert(w(1).getAs[Long]("n_tokens") <= w(0).getAs[Long]("n_tokens"))
+    }
+    // stage 0 is the corpus; no stage is vacuously empty at sf0.001
+    val nDocs = QueryUtil.table(spark, sf0001, "documents").count()
+    assert(f(0).getAs[Long]("n_docs") == nDocs)
+    assert(f.last.getAs[Long]("n_docs") > 0)
+    // stage 1 agrees with the standalone langid query's 'en' verdicts —
+    // the composition really runs the same classifier
+    val en = TextQueries.textLangid(spark, sf0001)
+      .where(col("pred_lang") === "en").count()
+    assert(f(1).getAs[Long]("n_docs") == en)
+  }
+
   test("shard plan conserves the corpus and balances within one document") {
     val docs = QueryUtil.table(spark, sf0001, "documents")
       .select(size(split(coalesce(col("text"), lit("")), " "))
