@@ -1631,8 +1631,71 @@ object EmbeddingQueries {
        |SELECT vec_id, label, cos_ppm, cos_ppm < $OutlierPpm AS is_outlier
        |FROM scored""".stripMargin
 
+  // ------------------------------------------- covariance matrix
+  /** Upper-triangle covariance matrix of the quantized embedding
+    * corpus — the distributed-Gramian front-end of PCA / whitening /
+    * dimensionality audits. For every dim pair (i ≤ j):
+    * `cov·n² = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ`, every operand an EXACT integer
+    * (components quantized like every query here; sums accumulate
+    * through DECIMAL(38,0), so no corpus size can overflow them —
+    * DuckDB's HUGEINT plays the same role in the twin), then ONE
+    * nearest-double cast + divide by n² and a milli-scale floor, which
+    * is bit-identical in both engines. The output magnitude is
+    * n-independent (a per-pair covariance), so the final long never
+    * grows with the corpus.
+    *
+    * Scale shape: the d²/2-per-row pair expansion is map-side
+    * (codegen'd posexplode twice, no UDF), and partial aggregation
+    * collapses every partition to ≤ d(d+1)/2 = 2080 rows before the
+    * one shuffle — the reduce side sees 2080 keys total regardless of
+    * corpus size. (A `mapPartitions` Gramian accumulator would shave
+    * the transient row inflation, at the cost of leaving whole-stage
+    * codegen; the expression form is the right default.)
+    */
+  def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types
+      .DecimalType(38, 0))
+    val dd = (c: Column) => c.cast("double")
+    val pairs = quantized(spark, dir)
+      .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
+      .where(col("j") >= col("i"))
+    pairs.groupBy(col("i").cast("long").as("i"),
+        col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("qi"))).as("si"),
+        sum(dec(col("qj"))).as("sj"),
+        sum(dec(col("qi")) * dec(col("qj"))).as("sij"))
+      .select(col("i"), col("j"),
+        floor(lit(1e3) * dd(col("n") * col("sij") - col("si") * col("sj")) /
+          dd(dec(col("n")) * dec(col("n")))).cast("long").as("cov_milli"))
+  }
+
+  val embCovarianceSql: String =
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT gi.i, gj.j, qv[gi.i + 1] AS qi, qv[gj.j + 1] AS qj
+       |  FROM q,
+       |    LATERAL (SELECT unnest(generate_series(0, len(qv) - 1)) AS i) gi,
+       |    LATERAL (SELECT unnest(generate_series(0, len(qv) - 1)) AS j) gj
+       |  WHERE gj.j >= gi.i),
+       |s AS (
+       |  SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    SUM(CAST(qi AS HUGEINT)) AS si,
+       |    SUM(CAST(qj AS HUGEINT)) AS sj,
+       |    SUM(CAST(qi AS HUGEINT) * CAST(qj AS HUGEINT)) AS sij
+       |  FROM e GROUP BY 1, 2)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |  CAST(FLOOR(1000.0 * CAST(n * sij - si * sj AS DOUBLE)
+       |    / CAST(n * n AS DOUBLE)) AS BIGINT) AS cov_milli
+       |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_contrastive_pairs" -> (embContrastivePairs _),
+    "emb_covariance" -> (embCovariance _),
     "emb_outliers" -> (embOutliers _),
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
@@ -1654,6 +1717,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
+    "emb_covariance" -> embCovarianceSql,
     "emb_outliers" -> embOutliersSql,
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,

@@ -484,6 +484,79 @@ object TextQueries {
       .where(col("rnk") <= 3)
   }
 
+  // --------------------------------------------------------- BM25
+  /** BM25 retrieval scoring of every document against a fixed query
+    * term set — the ranking-function sibling of [[textTfidf]] and the
+    * batch shape of a relevance-labelling stage (score a corpus against
+    * a probe query, keep the best k). Standard Okapi parameters
+    * k1 = 1.2, b = 0.75; the textbook `log`-IDF is replaced by the
+    * same linear idf ratio [[textTfidf]] uses ((2N−2df+1)/(2df+1), the
+    * Robertson argument without the log) so every arithmetic step is
+    * IEEE +,·,/ on exact integers — correctly rounded and bit-identical
+    * across engines, where libm's `log` is not.
+    *
+    * Scale shape: the token explode is map-side and the query-term
+    * filter drops non-matching tokens before anything shuffles, so the
+    * (doc, term) aggregation moves only matches (∝ matched docs × |Q|);
+    * the df table is |Q| rows and the corpus length stats one row, both
+    * broadcast; the final top-100 compiles to TakeOrderedAndProject —
+    * nothing in the plan grows beyond the match set at 100 TB.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("query", "join", "stream")
+    val d = table(spark, dir, "documents")
+    val stats = d.agg(count(lit(1)).as("nd"),
+      sum(size(toks).cast("long")).as("st"))
+    val tf = d.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .where(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dd = (c: Column) => c.cast("double")
+    // written in the exact operator order of the SQL twin: IEEE + , · ,
+    // / are correctly rounded, so identical trees give identical bits
+    val idf = dd(lit(2) * col("nd") - lit(2) * col("df") + lit(1)) /
+      dd(lit(2) * col("df") + lit(1))
+    val tfc = dd(col("tf")) * lit(2.2) /
+      (dd(col("tf")) + lit(0.3) +
+        lit(0.9) * dd(col("dl")) * dd(col("nd")) / dd(col("st")))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(lit(1e6) * idf * tfc).cast("long").as("score_ppm"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("score_ppm")).as("bm25_ppm"))
+      .orderBy(col("bm25_ppm").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
+  val textBm25Sql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+      |             CAST(SUM(len(toks)) AS BIGINT) AS st FROM t),
+      |e AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.term
+      |  FROM t, LATERAL (SELECT unnest(toks) AS term) u
+      |  WHERE u.term IN ('query', 'join', 'stream')),
+      |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY 1, 2, 3),
+      |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (
+      |  SELECT f.doc_id,
+      |    CAST(FLOOR(1000000.0
+      |      * (CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE)
+      |         / CAST(2 * d.df + 1 AS DOUBLE))
+      |      * (CAST(f.tf AS DOUBLE) * 2.2
+      |         / (CAST(f.tf AS DOUBLE) + 0.3
+      |            + 0.9 * CAST(f.dl AS DOUBLE) * CAST(s.nd AS DOUBLE)
+      |              / CAST(s.st AS DOUBLE)))) AS BIGINT) AS score_ppm
+      |  FROM tf f JOIN dfq d USING (term), s)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(score_ppm) AS BIGINT) AS bm25_ppm
+      |FROM sc GROUP BY doc_id
+      |ORDER BY bm25_ppm DESC, doc_id ASC
+      |LIMIT 100""".stripMargin
+
   val textTfidfSql: String =
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |e AS (
@@ -941,6 +1014,7 @@ object TextQueries {
     "text_pii_redact" -> (textPiiRedact _),
     "explode_outer_docs" -> (explodeOuterDocs _),
     "text_repetition" -> (textRepetition _),
+    "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
     "text_token_bpe" -> (textTokenBpe _),
@@ -961,6 +1035,7 @@ object TextQueries {
     "text_pii_redact" -> textPiiRedactSql,
     "explode_outer_docs" -> explodeOuterDocsSql,
     "text_repetition" -> textRepetitionSql,
+    "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_stats" -> textStatsSql,
     "text_token_bpe" -> textTokenBpeSql,
