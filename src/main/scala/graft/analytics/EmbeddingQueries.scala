@@ -1652,11 +1652,15 @@ object EmbeddingQueries {
     * the transient row inflation, at the cost of leaving whole-stage
     * codegen; the expression form is the right default.)
     */
-  def embCovariance(spark: SparkSession, dir: String): DataFrame = {
+  /** Upper-triangle Gramian/covariance over any quantized frame —
+    * shared by [[embCovariance]] (the report) and [[embPcaPower]]
+    * (which mirrors it to a full matrix and iterates on it).
+    */
+  private def covUpper(e: DataFrame): DataFrame = {
     val dec = (c: Column) => c.cast(org.apache.spark.sql.types
       .DecimalType(38, 0))
     val dd = (c: Column) => c.cast("double")
-    val pairs = quantized(spark, dir)
+    val pairs = e
       .select(col("q"), posexplode(col("q")).as(Seq("i", "qi")))
       .select(col("i"), col("qi"), posexplode(col("q")).as(Seq("j", "qj")))
       .where(col("j") >= col("i"))
@@ -1671,31 +1675,266 @@ object EmbeddingQueries {
           dd(dec(col("n")) * dec(col("n")))).cast("long").as("cov_milli"))
   }
 
-  val embCovarianceSql: String =
-    s"""WITH q AS (
-       |  SELECT list_transform(embedding,
-       |    x -> CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
-       |  FROM embeddings),
-       |e AS (
+  def embCovariance(spark: SparkSession, dir: String): DataFrame =
+    covUpper(quantized(spark, dir))
+
+  /** Oracle CTE chain for the upper-triangle covariance, ending at
+    * `cov(i, j, cov_milli)`. Expects [[sqlQuantized]]'s `q` CTE in
+    * scope (both texts quantize identically by construction).
+    */
+  private val sqlCovCtes: String =
+    s"""ce AS (
        |  SELECT gi.i, gj.j, qv[gi.i + 1] AS qi, qv[gj.j + 1] AS qj
        |  FROM q,
        |    LATERAL (SELECT unnest(generate_series(0, len(qv) - 1)) AS i) gi,
        |    LATERAL (SELECT unnest(generate_series(0, len(qv) - 1)) AS j) gj
        |  WHERE gj.j >= gi.i),
-       |s AS (
+       |cs AS (
        |  SELECT i, j, CAST(COUNT(*) AS HUGEINT) AS n,
        |    SUM(CAST(qi AS HUGEINT)) AS si,
        |    SUM(CAST(qj AS HUGEINT)) AS sj,
        |    SUM(CAST(qi AS HUGEINT) * CAST(qj AS HUGEINT)) AS sij
-       |  FROM e GROUP BY 1, 2)
-       |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-       |  CAST(FLOOR(1000.0 * CAST(n * sij - si * sj AS DOUBLE)
-       |    / CAST(n * n AS DOUBLE)) AS BIGINT) AS cov_milli
-       |FROM s""".stripMargin
+       |  FROM ce GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+       |    CAST(FLOOR(1000.0 * CAST(n * sij - si * sj AS DOUBLE)
+       |      / CAST(n * n AS DOUBLE)) AS BIGINT) AS cov_milli
+       |  FROM cs)""".stripMargin
+
+  val embCovarianceSql: String =
+    s"""WITH $sqlQuantized,
+       |$sqlCovCtes
+       |SELECT i, j, cov_milli FROM cov""".stripMargin
+
+  // ------------------------------------------- PCA power iteration
+  /** Top principal direction of the embedding corpus by power
+    * iteration on the distributed Gramian, plus the corpus projected
+    * onto it — the dimensionality-audit / whitening front-end
+    * ([[embCovariance]] builds the matrix; this query USES it). Output
+    * per label: member count, mean projection onto the principal
+    * direction (milli), and the Rayleigh-quotient eigenvalue estimate
+    * — the one-number "how much variance does direction one carry"
+    * answer.
+    *
+    * Determinism: the Gramian entries are exact int64
+    * ([[embCovariance]]); each of the [[PowRounds]] matvecs is an
+    * exact int64 sum; renormalization divides by the exact
+    * `max(|u|)` in ONE IEEE double step (identical operands → identical
+    * bits in both engines), flooring back to ≤2²⁰-bounded integers so
+    * the next matvec cannot overflow. The Rayleigh quotient
+    * accumulates vᵀAv and vᵀv through DECIMAL(38,0)/HUGEINT — exact,
+    * order-independent — with one final double division.
+    *
+    * Scale shape: TWO corpus passes total (the Gramian build and the
+    * projection — both map-side-collapsing aggregations), and the
+    * iteration itself runs on the d×d = 4096-row matrix, a
+    * corpus-INDEPENDENT metadata frame (localCheckpointed so each
+    * round reuses the materialized matrix instead of re-scanning the
+    * corpus). The projection is a per-row codegen'd [[functions.DotLong]]
+    * against a 1-row broadcast — no shuffle beyond the label groupBy.
+    */
+  val PowRounds = 3
+
+  def embPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types
+      .DecimalType(38, 0))
+    val dd = (c: Column) => c.cast("double")
+    val e = quantized(spark, dir)
+    val up = covUpper(e)
+    // mirror the upper triangle into the full symmetric matrix; 4096
+    // rows — materialize once, every power round reuses it
+    val full = up.union(up.where(col("i") < col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("cov_milli")))
+      .localCheckpoint()
+    def matvec(v: DataFrame): DataFrame =
+      full.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("cov_milli") * col("vj")).as("u"))
+    val v0 = spark.range(64)
+      .select(col("id").cast("long").as("j"), lit(1L).as("vj"))
+    val vFin = (1 to PowRounds).foldLeft(v0) { (v, _) =>
+      val u = matvec(v)
+      val m = u.agg(max(abs(col("u"))).as("um"))
+      u.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          when(col("um") === 0, lit(0L)).otherwise(
+            floor(lit(1048576.0) * dd(col("u")) / dd(col("um")))
+              .cast("long")).as("vj"))
+    }.localCheckpoint() // 64 rows; used by Rayleigh + projection
+    val ray = matvec(vFin)
+      .join(vFin.select(col("j").as("i"), col("vj")), Seq("i"))
+      .agg(sum(dec(col("u")) * dec(col("vj"))).as("vav"),
+        sum(dec(col("vj")) * dec(col("vj"))).as("vv"))
+      // A's entries are already milli-scaled covariances, so the raw
+      // Rayleigh quotient IS the milli eigenvalue — no extra factor
+      .select(when(col("vv") === 0, lit(0L)).otherwise(
+        floor(dd(col("vav")) / dd(col("vv"))).cast("long"))
+        .as("lambda_milli"))
+    val varr = vFin.agg(transform(
+      array_sort(collect_list(struct(col("j"), col("vj")))),
+      s => s("vj")).as("vl"))
+    e.crossJoin(broadcast(varr))
+      .select(col("label"), graft.functions.DotLong(col("q"), col("vl"))
+        .as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("p"))).as("sp"))
+      .crossJoin(broadcast(ray))
+      .select(col("label"), col("n"),
+        floor(lit(1e3) * dd(col("sp")) / dd(col("n"))).cast("long")
+          .as("mean_proj_milli"),
+        col("lambda_milli"))
+  }
+
+  val embPcaPowerSql: String = {
+    // one CTE block per power round, generated from the SAME PowRounds
+    val rounds = (1 to PowRounds).map { r =>
+      s"""u$r AS (
+         |  SELECT a.i, SUM(a.cov_milli * v.vj) AS u
+         |  FROM afull a JOIN v${r - 1} v ON a.j = v.j GROUP BY a.i),
+         |m$r AS (SELECT MAX(ABS(u)) AS um FROM u$r),
+         |v$r AS (
+         |  SELECT i AS j,
+         |    CASE WHEN um = 0 THEN 0
+         |      ELSE CAST(floor(1048576.0 * CAST(u AS DOUBLE)
+         |        / CAST(um AS DOUBLE)) AS BIGINT) END AS vj
+         |  FROM u$r, m$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCovCtes,
+       |afull AS (
+       |  SELECT i, j, cov_milli FROM cov
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov_milli FROM cov WHERE i < j),
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS j,
+       |  CAST(1 AS BIGINT) AS vj),
+       |$rounds,
+       |uf AS (
+       |  SELECT a.i, SUM(a.cov_milli * v.vj) AS u
+       |  FROM afull a JOIN v$PowRounds v ON a.j = v.j GROUP BY a.i),
+       |ray AS (
+       |  SELECT CASE
+       |    WHEN SUM(CAST(v.vj AS HUGEINT) * CAST(v.vj AS HUGEINT)) = 0 THEN 0
+       |    ELSE CAST(floor(
+       |      CAST(SUM(CAST(u.u AS HUGEINT) * CAST(v.vj AS HUGEINT)) AS DOUBLE)
+       |      / CAST(SUM(CAST(v.vj AS HUGEINT) * CAST(v.vj AS HUGEINT)) AS DOUBLE))
+       |      AS BIGINT) END AS lambda_milli
+       |  FROM uf u JOIN v$PowRounds v ON u.i = v.j),
+       |varr AS (SELECT list(vj ORDER BY j) AS vl FROM v$PowRounds),
+       |proj AS (
+       |  SELECT n.label,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> n.qv[i] * a.vl[i])) AS p
+       |  FROM n, varr a)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(floor(1000.0 * CAST(SUM(CAST(p AS HUGEINT)) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS mean_proj_milli,
+       |  (SELECT lambda_milli FROM ray) AS lambda_milli
+       |FROM proj GROUP BY label""".stripMargin
+  }
+
+  // ------------------------------------------- k-means training
+  /** Full multi-round Lloyd k-means over the quantized corpus — the
+    * standalone clustering trainer behind [[knnIvfTrained]]'s
+    * single-round quantizer (a production IVF/semantic-dedup build
+    * runs Lloyd to convergence, not once). [[KmRounds]] rounds of
+    * assign → integer-mean update, then a final assignment that
+    * reports each surviving cell's population and exact cohesion
+    * (Σ member ppm-cosine to its centroid, an int64).
+    *
+    * Every round is EXACT: assignment maximizes the integer-operand
+    * ppm cosine, the update is the component-wise `floor(Σq_d/cnt)`
+    * (int64 sums, one IEEE-exact division), so both engines train the
+    * identical model for [[KmRounds]] rounds and the oracle
+    * hash-checks the whole trajectory — the unrolled-CTE twin is
+    * GENERATED from the same round count, so Spark and SQL can never
+    * disagree on the number of rounds.
+    *
+    * Scale shape per round (×[[KmRounds]]+1, nothing grows with n):
+    * one O(n·k) map-side assignment against a ≤[[CentKMax]]-row
+    * broadcast, one partial-aggregating `max_by` argmax (shuffles
+    * |corpus| rows, not |corpus|·k — see [[argmaxCell]]), and one
+    * 64-sum centroid groupBy that collapses to ≤k rows map-side. The
+    * corpus is cached once; centroid frames are k-row metadata.
+    */
+  val KmRounds = 3
+
+  def embKmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val seeds = hashBottomK(e, centK(e.count()))
+      .select(col("vec_id").as("cell"), col("q").as("tq"),
+        col("norm2").as("tnorm2"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("norm2"), col("cell"),
+          scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+            .as("cscore"))
+    val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
+    val trained = (1 to KmRounds).foldLeft(seeds) { (cents, _) =>
+      argmaxCell(assign(cents), "cell")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("cnt"), dimSums: _*)
+        .select(col("cell"), array((0 until 64).map(d =>
+          floor(col(s"d_$d").cast("double") / col("cnt")).cast("long")): _*)
+          .as("tq"))
+        .withColumn("tnorm2", graft.functions.DotLong(col("tq"), col("tq")))
+        .where(col("tnorm2") > 0) // a zero centroid has no direction
+    }
+    argmaxCell(assign(trained), "cell", Seq("cscore"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cscore")).as("cohesion_ppm"))
+  }
+
+  val embKmeansTrainSql: String = {
+    val cdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val meanList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
+    // one CTE block per Lloyd round, generated from the SAME KmRounds
+    val rounds = (1 to KmRounds).map { r =>
+      s"""assign$r AS (
+         |  SELECT v.vec_id, v.qv, c.cell,
+         |    ${sqlScorePpm(cdot, "v.norm2", "c.tnorm2")} AS cscore
+         |  FROM n v, cent${r - 1} c),
+         |home$r AS (
+         |  SELECT vec_id, qv, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cscore DESC, cell ASC) AS crnk FROM assign$r)
+         |  WHERE crnk = 1),
+         |sums$r AS (
+         |  SELECT cell, COUNT(*) AS cnt, $dimSums FROM home$r GROUP BY cell),
+         |mean$r AS (SELECT cell, [$meanList] AS tq FROM sums$r),
+         |cent$r AS (
+         |  SELECT cell, tq,
+         |    list_sum(list_transform(tq, x -> x * x)) AS tnorm2
+         |  FROM mean$r
+         |  WHERE list_sum(list_transform(tq, x -> x * x)) > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |cent0 AS (
+       |  SELECT vec_id AS cell, qv AS tq, norm2 AS tnorm2
+       |  FROM cranked WHERE hrnk <= $sqlCentK),
+       |$rounds,
+       |fin AS (
+       |  SELECT v.vec_id, c.cell,
+       |    ${sqlScorePpm(cdot, "v.norm2", "c.tnorm2")} AS cscore
+       |  FROM n v, cent$KmRounds c),
+       |homef AS (
+       |  SELECT vec_id, cell, cscore FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, cell ASC) AS crnk FROM fin)
+       |  WHERE crnk = 1)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |  CAST(SUM(cscore) AS BIGINT) AS cohesion_ppm
+       |FROM homef GROUP BY cell""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "emb_covariance" -> (embCovariance _),
+    "emb_kmeans_train" -> (embKmeansTrain _),
+    "emb_pca_power" -> (embPcaPower _),
     "emb_outliers" -> (embOutliers _),
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
@@ -1718,6 +1957,8 @@ object EmbeddingQueries {
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
     "emb_covariance" -> embCovarianceSql,
+    "emb_kmeans_train" -> embKmeansTrainSql,
+    "emb_pca_power" -> embPcaPowerSql,
     "emb_outliers" -> embOutliersSql,
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,

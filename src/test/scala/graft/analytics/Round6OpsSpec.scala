@@ -46,6 +46,39 @@ class Round6OpsSpec extends SparkSuite {
     pairs.unpersist(); clusters.unpersist()
   }
 
+  test("kmeans training conserves the corpus and bounds cohesion") {
+    val cells = EmbeddingQueries.embKmeansTrain(spark, sf0001).collect()
+    val n = QueryUtil.table(spark, sf0001, "embeddings").count()
+    // every vector lands in exactly one surviving cell
+    assert(cells.map(_.getAs[Long]("cnt")).sum == n)
+    assert(cells.forall(_.getAs[Long]("cnt") > 0))
+    // cohesion is a sum of ppm cosines: per-cell it can never exceed
+    // cnt (perfect alignment) nor fall below -cnt
+    cells.foreach { c =>
+      val cnt = c.getAs[Long]("cnt")
+      val coh = c.getAs[Long]("cohesion_ppm")
+      assert(coh <= cnt * 1000000L && coh >= -cnt * 1000000L)
+    }
+    // the trained model is a real clustering, not one megacell
+    assert(cells.length > 1)
+  }
+
+  test("pca power iteration: corpus conserved, eigenvalue within trace") {
+    val rows = EmbeddingQueries.embPcaPower(spark, sf0001).collect()
+    val n = QueryUtil.table(spark, sf0001, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    // one Rayleigh estimate, shared by every label row
+    val lambdas = rows.map(_.getAs[Long]("lambda_milli")).distinct
+    assert(lambdas.length == 1)
+    // 0 < R(v) <= trace(A): the Rayleigh quotient of ANY vector is
+    // bounded by the largest eigenvalue, itself at most the trace
+    val trace = EmbeddingQueries.embCovariance(spark, sf0001)
+      .where(col("i") === col("j"))
+      .agg(sum(col("cov_milli"))).collect().head.getLong(0)
+    assert(lambdas.head > 0 && lambdas.head <= trace,
+      s"lambda ${lambdas.head} outside (0, trace=$trace]")
+  }
+
   test("incremental dedup never pairs corpus docs with each other") {
     val pairs = DedupQueries.dedupIncremental(spark, sf0001).cache()
     assert(pairs.count() > 0) // the query proves something on this corpus
