@@ -766,6 +766,103 @@ object TextQueries {
        |FROM bg JOIN counts USING (bg)
        |GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------- held-out backoff LM
+  /** Stupid-backoff bigram language model with a REAL train/score
+    * split: the model trains on the 90% of documents with
+    * `doc_id % 10 ≠ 0` and scores the held-out 10% — so unseen
+    * bigrams actually occur and the backoff path is exercised, unlike
+    * a same-corpus score where every bigram trivially exists
+    * ([[textLmScore]] is that in-corpus frequency baseline). Per
+    * held-out position: `P(w₂|w₁) = cnt(w₁w₂)/cnt(w₁)` when the
+    * bigram was seen, else the Brants stupid-backoff
+    * `0.4 · cnt(w₂)/total` — both as exact integer-ratio ppm floors
+    * (no libm log, so cross-engine bit-identical). Output per scored
+    * doc: bigram count, how often it backed off, and the mean ppm.
+    *
+    * Scale shape: bigram and unigram count tables are
+    * VOCABULARY-keyed, so their joins shuffle on the token key with
+    * NO broadcast hint (10⁸+ terms on a web corpus would OOM a forced
+    * broadcast — the [[textCooccurrence]] rule); the total is one
+    * broadcast row; scoring is a per-row CASE and the rollup a
+    * partial-aggregatable doc_id groupBy. Nothing holds unbounded
+    * per-key state.
+    */
+  def textLmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toks.as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), (i + 1).cast("int")).as("w1"),
+            element_at(col("ts"), (i + 2).cast("int")).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val dd = (c: Column) => c.cast("double")
+    val trainDocs = d.where(col("doc_id") % 10 =!= 0)
+    val bgCnt = bigramsOf(trainDocs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    val trainToks = trainDocs.select(explode(toks).as("w"))
+    val uni = trainToks.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val tot = trainToks.agg(count(lit(1)).as("tt"))
+    bigramsOf(d.where(col("doc_id") % 10 === 0))
+      .join(bgCnt, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("uc").as("uc1")),
+        Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("uc").as("uc2")),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        // seen bigram implies seen w1, so uc1 is never null here
+        when(col("bc").isNotNull,
+          floor(lit(1e6) * dd(col("bc")) / dd(col("uc1"))))
+          .otherwise(floor(lit(4e5) * dd(coalesce(col("uc2"), lit(0L))) /
+            dd(col("tt"))))
+          .cast("long").as("p_ppm"),
+        col("bc").isNull.cast("long").as("backoff"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("backoff")).as("n_backoff"),
+        floor(dd(sum(col("p_ppm"))) / dd(count(lit(1)))).cast("long")
+          .as("lm_ppm"))
+  }
+
+  val textLmBackoffSql: String =
+    """WITH tr AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id % 10 <> 0),
+      |te AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |  WHERE doc_id % 10 = 0),
+      |trb AS (
+      |  SELECT t[i] AS w1, t[i + 1] AS w2
+      |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+      |    AS i) g),
+      |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM trb GROUP BY 1, 2),
+      |tru AS (SELECT unnest(t) AS w FROM tr),
+      |uni AS (SELECT w, COUNT(*) AS uc FROM tru GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM tru),
+      |teb AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM te, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+      |    AS i) g),
+      |sc AS (
+      |  SELECT e.doc_id,
+      |    CASE WHEN b.bc IS NOT NULL
+      |      THEN CAST(floor(1000000.0 * CAST(b.bc AS DOUBLE)
+      |        / CAST(u1.uc AS DOUBLE)) AS BIGINT)
+      |      ELSE CAST(floor(400000.0 * CAST(COALESCE(u2.uc, 0) AS DOUBLE)
+      |        / CAST(t.tt AS DOUBLE)) AS BIGINT) END AS p_ppm,
+      |    CASE WHEN b.bc IS NULL THEN 1 ELSE 0 END AS backoff
+      |  FROM teb e
+      |  LEFT JOIN bc b ON e.w1 = b.w1 AND e.w2 = b.w2
+      |  LEFT JOIN uni u1 ON e.w1 = u1.w
+      |  LEFT JOIN uni u2 ON e.w2 = u2.w
+      |  CROSS JOIN tot t)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(backoff) AS BIGINT) AS n_backoff,
+      |  CAST(floor(CAST(SUM(p_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |    AS BIGINT) AS lm_ppm
+      |FROM sc GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------ Count-Min sketch
   /** Count-Min sketch over corpus tokens, with its guarantees measured
     * in-band: [[CmDepth]] affine hash rows × [[CmWidth]] cells (the
@@ -1009,6 +1106,7 @@ object TextQueries {
     "text_bpe_merge" -> (textBpeMerge _),
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
+    "text_lm_backoff" -> (textLmBackoff _),
     "sketch_countmin" -> (sketchCountmin _),
     "text_pii" -> (textPii _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -1030,6 +1128,7 @@ object TextQueries {
     "text_bpe_merge" -> textBpeMergeSql,
     "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_lm_backoff" -> textLmBackoffSql,
     "sketch_countmin" -> sketchCountminSql,
     "text_pii" -> textPiiSql,
     "text_pii_redact" -> textPiiRedactSql,
