@@ -1930,11 +1930,82 @@ object EmbeddingQueries {
        |FROM homef GROUP BY cell""".stripMargin
   }
 
+  // ------------------------------------------- chunk→doc pooling
+  /** Chunk→document embedding aggregation: vectors are grouped five
+    * to a document (`doc_id = ⌊vec_id/5⌋` on this corpus) and
+    * mean-pooled per dimension — the step that turns chunk-level
+    * embeddings into the document-level vectors that doc-level
+    * semantic dedup / retrieval operate on. Rides along: the pooled
+    * vector's exact norm and the document's majority label (ties to
+    * the lower label — deterministic in both engines).
+    *
+    * Exactness: the pool is the component-wise `floor(Σq_d/n)` (int64
+    * sums, one IEEE-exact division), the norm is the native integer
+    * [[graft.functions.DotLong]], the majority is an integer count
+    * argmax. Scale shape: one partial-aggregatable 64-sum groupBy on
+    * the doc key (the pooled matrix never exists as an intermediate),
+    * one (doc,label) count + per-doc `max_by` argmax — both shuffles
+    * carry doc-keyed rows only; nothing is vocabulary- or
+    * corpus-squared.
+    */
+  def embDocPool(spark: SparkSession, dir: String): DataFrame = {
+    val dd = (c: Column) => c.cast("double")
+    val e = quantized(spark, dir)
+      .withColumn("doc_id",
+        floor(dd(col("vec_id")) / lit(5)).cast("long"))
+    val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
+    val pooled = e.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), dimSums: _*)
+      .select(col("doc_id"), col("n_chunks"),
+        array((0 until 64).map(d =>
+          floor(dd(col(s"d_$d")) / col("n_chunks")).cast("long")): _*)
+          .as("pq"))
+      .select(col("doc_id"), col("n_chunks"),
+        graft.functions.DotLong(col("pq"), col("pq")).as("pool_norm2"))
+    val maj = e.groupBy(col("doc_id"), col("label"))
+      .agg(count(lit(1)).as("lc"))
+      .groupBy(col("doc_id"))
+      .agg(max_by(col("label").cast("long"),
+        struct(col("lc"), (-col("label")).as("tie"))).as("maj_label"))
+    pooled.join(maj, "doc_id")
+  }
+
+  val embDocPoolSql: String = {
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val poolList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / n_chunks) AS BIGINT)")
+      .mkString(", ")
+    s"""WITH $sqlQuantized,
+       |c AS (
+       |  SELECT vec_id, label, qv,
+       |    CAST(floor(CAST(vec_id AS DOUBLE) / 5) AS BIGINT) AS doc_id
+       |  FROM n),
+       |s AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, $dimSums
+       |  FROM c GROUP BY doc_id),
+       |p AS (SELECT doc_id, n_chunks, [$poolList] AS pq FROM s),
+       |pool AS (
+       |  SELECT doc_id, n_chunks,
+       |    CAST(list_sum(list_transform(pq, x -> x * x)) AS BIGINT)
+       |      AS pool_norm2
+       |  FROM p),
+       |lc AS (SELECT doc_id, label, COUNT(*) AS lc FROM c GROUP BY 1, 2),
+       |maj AS (
+       |  SELECT doc_id, CAST(label AS BIGINT) AS maj_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY lc DESC, label ASC) AS r FROM lc)
+       |  WHERE r = 1)
+       |SELECT pool.doc_id, n_chunks, pool_norm2, maj_label
+       |FROM pool JOIN maj USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "emb_covariance" -> (embCovariance _),
     "emb_kmeans_train" -> (embKmeansTrain _),
     "emb_pca_power" -> (embPcaPower _),
+    "emb_doc_pool" -> (embDocPool _),
     "emb_outliers" -> (embOutliers _),
     "knn_brute_force" -> (knnBruteForce _),
     "knn_lsh_bucketed" -> (knnLshBucketed _),
@@ -1959,6 +2030,7 @@ object EmbeddingQueries {
     "emb_covariance" -> embCovarianceSql,
     "emb_kmeans_train" -> embKmeansTrainSql,
     "emb_pca_power" -> embPcaPowerSql,
+    "emb_doc_pool" -> embDocPoolSql,
     "emb_outliers" -> embOutliersSql,
     "knn_brute_force" -> knnBruteForceSql,
     "knn_lsh_bucketed" -> knnLshBucketedSql,
