@@ -937,6 +937,45 @@ object EventQueries {
        |WHERE event_type = 'purchase'
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- top event trigrams
+  /** Top-10 three-step event paths across all user journeys — the
+    * depth-3 sibling of [[eventsTransitions]] (sequence mining lite:
+    * "what do users actually do, in order"). Two `lead`s over the
+    * same (user, time, id) order, a type-vocabulary-bounded count,
+    * and a deterministic tie-broken top-10.
+    *
+    * Scale shape: ONE shuffle on the user key serves both leads (same
+    * window), counts collapse to ≤|types|³ cells with map-side
+    * combine, and the top-10 compiles to TakeOrderedAndProject — no
+    * global sort of anything corpus-sized.
+    */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .withColumn("e2", lead(col("e1"), 1).over(w))
+      .withColumn("e3", lead(col("e1"), 2).over(w))
+      .where(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(10)
+  }
+
+  val eventsTopPathsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS e1,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e2,
+      |    LEAD(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+      |WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+      |ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 10""".stripMargin
+
   // -------------------------------------- Markov transition matrix
   /** First-order transition matrix over per-user event sequences —
     * the sequence-modeling primitive behind next-action prediction
@@ -1060,6 +1099,7 @@ object EventQueries {
     "events_ewma" -> (eventsEwma _),
     "events_attribution" -> (eventsAttribution _),
     "events_transitions" -> (eventsTransitions _),
+    "events_top_paths" -> (eventsTopPaths _),
     "events_interval_merge" -> (eventsIntervalMerge _),
     "events_pit_join" -> (eventsPitJoin _),
     "events_scd2" -> (eventsScd2 _),
@@ -1083,6 +1123,7 @@ object EventQueries {
     "events_ewma" -> eventsEwmaSql,
     "events_attribution" -> eventsAttributionSql,
     "events_transitions" -> eventsTransitionsSql,
+    "events_top_paths" -> eventsTopPathsSql,
     "events_interval_merge" -> eventsIntervalMergeSql,
     "events_pit_join" -> eventsPitJoinSql,
     "events_scd2" -> eventsScd2Sql,

@@ -891,6 +891,79 @@ object LakehouseQueries {
     * with max_cnt·n_keys < 9·10^15 — comfortably true wherever a
     * single key count still fits a task).
     */
+  // -------------------------------------- referential integrity
+  /** Foreign-key profile across the star schema's four FK edges: per
+    * family, child rows/keys, orphan rows/keys (child keys with no
+    * parent — the broken-FK count a DQ gate alerts on), and what
+    * fraction of parent keys the children actually reference (ppm) —
+    * the "parts never ordered" coverage number capacity planning
+    * reads. On healthy TPC-H-shaped data orphans are zero; the query
+    * PROVES that instead of assuming it.
+    *
+    * Scale shape: each family first collapses the child to one row
+    * per key (partial-aggregatable count — the fact table never
+    * reaches the join), then left-joins parent KEYS ONLY on that key;
+    * both sides shuffle on the 8-byte key, unhinted (orders-as-parent
+    * is fact-sized — the [[TpchSupplyQueries]] hint-hygiene rule).
+    * Everything after runs on key-cardinality frames; the parent
+    * total is a one-row broadcast.
+    */
+  private def fkOf(spark: SparkSession, dir: String, child: String,
+      key: String, parent: String, pkey: String): DataFrame = {
+    val c = table(spark, dir, child).groupBy(col(key).as("k"))
+      .agg(count(lit(1)).as("rows"))
+    val p = table(spark, dir, parent).select(col(pkey).as("k"),
+      lit(1L).as("hit"))
+    val pcnt = table(spark, dir, parent).agg(count(lit(1)).as("n_parent"))
+    c.join(p, Seq("k"), "left")
+      .agg(sum(col("rows")).as("n_child_rows"),
+        count(lit(1)).as("n_child_keys"),
+        sum(when(col("hit").isNull, col("rows")).otherwise(0L))
+          .as("n_orphan_rows"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan_keys"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("mk"))
+      .crossJoin(broadcast(pcnt))
+      .select(lit(s"$child.$key").as("key_family"), col("n_child_rows"),
+        col("n_child_keys"), col("n_orphan_rows"), col("n_orphan_keys"),
+        ppm(col("mk"), col("n_parent")).as("parent_used_ppm"))
+  }
+
+  def dqReferential(spark: SparkSession, dir: String): DataFrame =
+    fkOf(spark, dir, "lineitem", "l_partkey", "part", "p_partkey")
+      .unionByName(fkOf(spark, dir, "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"))
+      .unionByName(fkOf(spark, dir, "lineitem", "l_orderkey",
+        "orders", "o_orderkey"))
+      .unionByName(fkOf(spark, dir, "orders", "o_custkey",
+        "customer", "c_custkey"))
+
+  val dqReferentialSql: String = {
+    def fam(child: String, key: String, parent: String, pkey: String,
+        tag: String): String =
+      s"""c_$tag AS (
+         |  SELECT $key AS k, COUNT(*) AS rows FROM $child GROUP BY 1),
+         |j_$tag AS (
+         |  SELECT c.rows, p.$pkey IS NOT NULL AS hit
+         |  FROM c_$tag c LEFT JOIN $parent p ON c.k = p.$pkey),
+         |r_$tag AS (
+         |  SELECT '$child.$key' AS key_family,
+         |    CAST(SUM(rows) AS BIGINT) AS n_child_rows,
+         |    CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+         |    CAST(SUM(CASE WHEN NOT hit THEN rows ELSE 0 END) AS BIGINT)
+         |      AS n_orphan_rows,
+         |    CAST(SUM(CASE WHEN NOT hit THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_orphan_keys,
+         |    ${sqlPpm("SUM(CASE WHEN hit THEN 1 ELSE 0 END)",
+              s"(SELECT COUNT(*) FROM $parent)")} AS parent_used_ppm
+         |  FROM j_$tag)""".stripMargin
+    s"""WITH ${fam("lineitem", "l_partkey", "part", "p_partkey", "lp")},
+       |${fam("lineitem", "l_suppkey", "supplier", "s_suppkey", "ls")},
+       |${fam("lineitem", "l_orderkey", "orders", "o_orderkey", "lo")},
+       |${fam("orders", "o_custkey", "customer", "c_custkey", "oc")}
+       |SELECT * FROM r_lp UNION ALL SELECT * FROM r_ls
+       |UNION ALL SELECT * FROM r_lo UNION ALL SELECT * FROM r_oc""".stripMargin
+  }
+
   private def skewOf(df: DataFrame, key: String, fam: String): DataFrame = {
     val counts = df.groupBy(col(key).as("k"))
       .agg(count(lit(1)).as("cnt"))
@@ -944,6 +1017,7 @@ object LakehouseQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_anomaly_mad" -> (dqAnomalyMad _),
+    "dq_referential" -> (dqReferential _),
     "dq_skew_report" -> (dqSkewReport _),
     "layout_vacuum" -> (layoutVacuum _),
     "layout_compaction" -> (layoutCompaction _),
@@ -961,6 +1035,7 @@ object LakehouseQueries {
 
   val oracles: Map[String, String] = Map(
     "dq_anomaly_mad" -> dqAnomalyMadSql,
+    "dq_referential" -> dqReferentialSql,
     "dq_skew_report" -> dqSkewReportSql,
     "layout_vacuum" -> layoutVacuumSql,
     "layout_compaction" -> layoutCompactionSql,
