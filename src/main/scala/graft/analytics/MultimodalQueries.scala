@@ -233,7 +233,54 @@ object MultimodalQueries {
       |FROM g a JOIN g b ON a.phash < b.phash
       |WHERE bit_count(xor(a.phash, b.phash)) <= 2""".stripMargin
 
+  // ------------------------------------------- media dedup APPLIED
+  /** Media dedup applied: keep each perceptual-hash cluster's
+    * representative (the minimum media id) and report, per media
+    * type, what survives — the media twin of the text side's
+    * `dedup_apply`, closing the report→apply gap for the multimodal
+    * path too. Runs the REAL pipeline (binary synthesis → the typed
+    * [[MultimodalOps.perceptualHash]] map), not a SQL re-derivation.
+    *
+    * Scale shape: one groupBy and one self-join, both on the ≤2¹⁶-key
+    * phash (bounded key domain — the join back is against a
+    * cluster-count frame that can never exceed 65 536 rows), then a
+    * media-type rollup over three keys. Content bytes never enter an
+    * exchange; only (id, phash) pairs move.
+    */
+  def multimodalDedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val media = MultimodalOps.mediaFromDocuments(spark, dir)
+      .filter(length(decode(col("content"), "utf-8")) ===
+        octet_length(col("content")))
+    val ph = MultimodalOps.perceptualHash(media)
+    val rep = ph.groupBy(col("phash")).agg(min(col("media_id")).as("rep"))
+    ph.join(rep, "phash")
+      .select(element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("media_id") % 3 + 1).cast("int")).as("media_type"),
+        (col("media_id") === col("rep")).as("keep"))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("removed_ppm",
+        QueryUtil.ppm(col("n_media") - col("n_kept"), col("n_media")))
+  }
+
+  val multimodalDedupApplySql: String =
+    s"""WITH $phashCtes,
+      |rep AS (SELECT phash, MIN(doc_id) AS rep FROM ph GROUP BY 1),
+      |j AS (
+      |  SELECT ['image','audio','video'][CAST(p.doc_id % 3 AS INT) + 1]
+      |      AS media_type,
+      |    p.doc_id = r.rep AS keep
+      |  FROM ph p JOIN rep r ON p.phash = r.phash)
+      |SELECT media_type, CAST(COUNT(*) AS BIGINT) AS n_media,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  ${QueryUtil.sqlPpm(
+           "COUNT(*) - SUM(CASE WHEN keep THEN 1 ELSE 0 END)",
+           "COUNT(*)")} AS removed_ppm
+      |FROM j GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_dedup_apply" -> (multimodalDedupApply _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
     "multimodal_features" -> (multimodalFeatures _),
@@ -242,6 +289,7 @@ object MultimodalQueries {
     "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_dedup_apply" -> multimodalDedupApplySql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,
     "multimodal_features" -> multimodalFeaturesSql,

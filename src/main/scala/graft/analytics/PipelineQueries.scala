@@ -1303,7 +1303,60 @@ object PipelineQueries {
        |  CAST(SUM(n_toks) AS BIGINT) FROM s4""".stripMargin
   }
 
+  // --------------------------------- per-source quantile normalization
+  /** Within-source quantile normalization of a quality signal
+    * (n_chars here): each document gets its percentile rank INSIDE its
+    * own source, in ppm — the distribution-alignment step that makes
+    * quality thresholds comparable across sources whose raw score
+    * distributions differ (a fixed global cutoff over-prunes the
+    * terser source; per-source percentiles don't).
+    *
+    * No per-source global sort: scores histogram into 256 fixed-width
+    * buckets per source (a partial-aggregatable groupBy), the CDF is a
+    * window over the BOUNDED ≤256·|sources| histogram, and documents
+    * take their bucket's strictly-below cumulative count via a
+    * broadcast join back — the [[scanPos]] two-phase trick applied per
+    * source. Everything is exact integer counts and one ppm floor.
+    */
+  def pipelineQuantileNorm(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(floor(col("n_chars").cast("double") / 16).cast("long"),
+          lit(255L)).as("bkt"))
+    val hist = d.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wsrc = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wsrc), lit(0L)))
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    d.join(broadcast(cdf.join(totals, "source")), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ppm(col("below"), col("n_src")).as("pct_ppm"))
+  }
+
+  val pipelineQuantileNormSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 16) AS BIGINT),
+       |      255) AS bkt
+       |  FROM documents),
+       |h AS (SELECT source, bkt, COUNT(*) AS c FROM d GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT source, bkt, COALESCE(SUM(c) OVER (PARTITION BY source
+       |    ORDER BY bkt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS below
+       |  FROM h),
+       |t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+       |  FROM h GROUP BY 1)
+       |SELECT doc_id, d.source, n_chars,
+       |  ${sqlPpm("below", "n_src")} AS pct_ppm
+       |FROM d
+       |JOIN cdf ON d.source = cdf.source AND d.bkt = cdf.bkt
+       |JOIN t ON d.source = t.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
@@ -1325,6 +1378,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_quantile_norm" -> pipelineQuantileNormSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,

@@ -34,6 +34,10 @@ class PlanAuditSpec extends SparkSuite {
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan("text_heavy_hitters").contains("TakeOrderedAndProject"))
     assert(plan("graph_pagerank").contains("TakeOrderedAndProject"))
+    // text_bm25's top-100 and events_top_paths' top-10 make the same
+    // "per-partition heaps, no global sort" claim
+    assert(plan("text_bm25").contains("TakeOrderedAndProject"))
+    assert(plan("events_top_paths").contains("TakeOrderedAndProject"))
   }
 
   test("projection pruning reaches the scan") {
@@ -110,7 +114,7 @@ class PlanAuditSpec extends SparkSuite {
     // remaining windows are the query-side probe (10·k rows) and the
     // final per-query top-k, both corpus-independent
     for (q <- Seq("knn_ivf", "knn_ivf_trained", "knn_ivf_stats",
-        "knn_ivf_delta", "knn_ivf_trained_heldout")) {
+        "knn_ivf_delta", "knn_ivf_trained_heldout", "emb_kmeans_train")) {
       val p = plan(q).toLowerCase
       assert(p.contains("partial_max_by"), s"$q lost its map-side argmax")
     }
@@ -122,7 +126,7 @@ class PlanAuditSpec extends SparkSuite {
     // none may carry the opaque binary `content` column — decode
     // happens strictly before any shuffle
     for (q <- Seq("multimodal_features", "multimodal_frames",
-        "multimodal_resize")) {
+        "multimodal_resize", "multimodal_dedup_apply")) {
       val blocks = formatted(q).split("\\n\\(\\d+\\) ")
         .filter(_.startsWith("Exchange"))
       assert(blocks.nonEmpty, s"$q plan shape changed: no Exchange found")
@@ -191,6 +195,16 @@ class PlanAuditSpec extends SparkSuite {
       assert(!p.contains("strategy=broadcast"),
         s"$q carries a forced broadcast hint")
     }
+    // text_lm_backoff's vocabulary-keyed count tables follow the same
+    // rule: its ONE hint is the 1-row token total — bigram/unigram
+    // joins must stay unhinted
+    assert("strategy=broadcast".r
+      .findAllIn(optimized("text_lm_backoff")).size == 1)
+    // dq_referential: parents join on the shuffled key with no forced
+    // broadcast (orders-as-parent is fact-sized); its one-row parent
+    // counts are the only hints — one per FK family
+    assert("strategy=broadcast".r
+      .findAllIn(optimized("dq_referential")).size == 4)
     // text_cooccurrence keeps exactly ONE hint — the 1-row corpus
     // total; its vocabulary-sized marginals must stay unhinted
     assert("strategy=broadcast".r
