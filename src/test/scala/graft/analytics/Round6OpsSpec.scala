@@ -79,6 +79,57 @@ class Round6OpsSpec extends SparkSuite {
       s"lambda ${lambdas.head} outside (0, trace=$trace]")
   }
 
+  test("per-source quantile normalization is a true within-source CDF") {
+    val rows = PipelineQueries.pipelineQuantileNorm(spark, sf0001)
+      .collect()
+    val n = QueryUtil.table(spark, sf0001, "documents").count()
+    assert(rows.length == n) // every document is normalized
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, docs) =>
+      // percentiles live in [0, 1e6) and are monotone in the score
+      docs.foreach { d =>
+        val p = d.getAs[Long]("pct_ppm")
+        assert(p >= 0L && p < 1000000L, s"$src: pct $p out of range")
+      }
+      val bySorted = docs.sortBy(_.getAs[Long]("n_chars"))
+      bySorted.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0).getAs[Long]("pct_ppm") <= w(1).getAs[Long]("pct_ppm"),
+            s"$src: percentile not monotone in n_chars")
+      }
+      // the shortest docs of a source sit at percentile zero
+      assert(bySorted.head.getAs[Long]("pct_ppm") == 0L)
+    }
+  }
+
+  test("referential profile proves the star schema's FK edges hold") {
+    val rows = LakehouseQueries.dqReferential(spark, sf0001).collect()
+      .map(r => r.getAs[String]("key_family") -> r).toMap
+    assert(rows.keySet == Set("lineitem.l_partkey", "lineitem.l_suppkey",
+      "lineitem.l_orderkey", "orders.o_custkey"))
+    rows.values.foreach { r =>
+      // TPC-H-shaped data: zero orphans, and the query PROVES it
+      assert(r.getAs[Long]("n_orphan_rows") == 0L &&
+        r.getAs[Long]("n_orphan_keys") == 0L)
+      assert(r.getAs[Long]("n_child_keys") <= r.getAs[Long]("n_child_rows"))
+      val cov = r.getAs[Long]("parent_used_ppm")
+      assert(cov > 0L && cov <= 1000000L)
+    }
+    // child row totals equal the fact tables
+    val li = QueryUtil.table(spark, sf0001, "lineitem").count()
+    val ord = QueryUtil.table(spark, sf0001, "orders").count()
+    assert(rows("lineitem.l_partkey").getAs[Long]("n_child_rows") == li)
+    assert(rows("orders.o_custkey").getAs[Long]("n_child_rows") == ord)
+    // the order-edge coverage matches an independent distinct-count
+    // recompute (this corpus HAS childless orders, so it's < 1e6 and
+    // the ppm is doing real work)
+    val usedOrders = QueryUtil.table(spark, sf0001, "lineitem")
+      .select("l_orderkey").distinct().count()
+    val wantPpm = math.floor(1e6 * usedOrders.toDouble / ord.toDouble).toLong
+    assert(rows("lineitem.l_orderkey").getAs[Long]("parent_used_ppm")
+      == wantPpm)
+    assert(wantPpm < 1000000L)
+  }
+
   test("incremental dedup never pairs corpus docs with each other") {
     val pairs = DedupQueries.dedupIncremental(spark, sf0001).cache()
     assert(pairs.count() > 0) // the query proves something on this corpus
