@@ -1355,7 +1355,47 @@ object PipelineQueries {
        |JOIN cdf ON d.source = cdf.source AND d.bkt = cdf.bkt
        |JOIN t ON d.source = t.source""".stripMargin
 
+  // --------------------------------------- deterministic global shuffle
+  /** The pre-training global shuffle, made deterministic and auditable:
+    * every document lands in shard `md5(doc_id) mod 64` (the shared
+    * [[CrossHash]] order, so reruns and engines agree), and the query
+    * reports each shard's composition — document count, distinct
+    * sources, and the largest single-source share in ppm. A shuffle
+    * that WORKED decorrelates adjacent training examples: every shard's
+    * max-source share should sit near the source's global share, not
+    * near 10⁶ (which would mean source-runs survived).
+    *
+    * Scale shape: the hash is per-row map-side; the (shard, source)
+    * rollup is partial-aggregatable over a ≤64·|sources| key space,
+    * and the final per-shard fold runs on that bounded frame. One
+    * corpus-sized shuffle of 24-byte rows — the minimum any global
+    * re-shard pays — then metadata.
+    */
+  def pipelineShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val perSrc = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (CrossHash.md5Long(col("doc_id").cast("string")) % 64).as("shard"))
+      .groupBy(col("shard"), col("source")).agg(count(lit(1)).as("c"))
+    perSrc.groupBy(col("shard"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_sources"),
+        max(col("c")).as("max_src"))
+      .select(col("shard"), col("n_docs"), col("n_sources"),
+        ppm(col("max_src"), col("n_docs")).as("max_source_share_ppm"))
+  }
+
+  val pipelineShuffleSql: String = {
+    val h = CrossHash.sqlMd5Long("CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, ($h) % 64 AS shard FROM documents),
+       |ps AS (SELECT shard, source, COUNT(*) AS c FROM d GROUP BY 1, 2)
+       |SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |  ${sqlPpm("MAX(c)", "SUM(c)")} AS max_source_share_ppm
+       |FROM ps GROUP BY shard""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -1378,6 +1418,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_shuffle" -> pipelineShuffleSql,
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
