@@ -937,6 +937,52 @@ object EventQueries {
        |WHERE event_type = 'purchase'
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- per-user burstiness
+  /** Per-user activity + burstiness profile — the objective inputs a
+    * bot/abuse filter thresholds over, without baking an arbitrary
+    * cutoff into the engine: event count, active span, distinct type
+    * count, and the FASTEST 10-event burst (minimum seconds covering
+    * any 10 consecutive events; superhuman bursts are the classic
+    * automation tell). Users with fewer than 10 events carry the
+    * sentinel −1.
+    *
+    * Scale shape: one window shuffle on the user key serves the
+    * 9-ahead lead, and the rollup is a partial-aggregatable per-user
+    * fold (the distinct-type count expands to (user, type) pairs —
+    * type vocabulary is enum-sized, so the expansion is a constant
+    * factor). All integer seconds, deterministic (ts, event_id)
+    * ordering.
+    */
+  def eventsBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("s"),
+        col("event_id"), col("event_type"))
+      .withColumn("s10", lead(col("s"), 9).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("s")) - min(col("s"))).as("span_s"),
+        countDistinct(col("event_type")).as("n_types"),
+        coalesce(min(col("s10") - col("s")), lit(-1L)).as("min_burst10_s"))
+  }
+
+  val eventsBurstinessSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+      |    event_id, event_type
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, s, event_type,
+      |    LEAD(s, 9) OVER (PARTITION BY user_id ORDER BY s, event_id)
+      |      AS s10
+      |  FROM e)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(COALESCE(MIN(s10 - s), -1) AS BIGINT) AS min_burst10_s
+      |FROM l GROUP BY user_id""".stripMargin
+
   // ------------------------------------------- top event trigrams
   /** Top-10 three-step event paths across all user journeys — the
     * depth-3 sibling of [[eventsTransitions]] (sequence mining lite:
@@ -1100,6 +1146,7 @@ object EventQueries {
     "events_attribution" -> (eventsAttribution _),
     "events_transitions" -> (eventsTransitions _),
     "events_top_paths" -> (eventsTopPaths _),
+    "events_burstiness" -> (eventsBurstiness _),
     "events_interval_merge" -> (eventsIntervalMerge _),
     "events_pit_join" -> (eventsPitJoin _),
     "events_scd2" -> (eventsScd2 _),
@@ -1124,6 +1171,7 @@ object EventQueries {
     "events_attribution" -> eventsAttributionSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_top_paths" -> eventsTopPathsSql,
+    "events_burstiness" -> eventsBurstinessSql,
     "events_interval_merge" -> eventsIntervalMergeSql,
     "events_pit_join" -> eventsPitJoinSql,
     "events_scd2" -> eventsScd2Sql,
