@@ -130,6 +130,48 @@ class Round6OpsSpec extends SparkSuite {
     assert(wantPpm < 1000000L)
   }
 
+  test("hash shuffle conserves the corpus and mixes sources") {
+    val shards = PipelineQueries.pipelineShuffle(spark, sf0001).collect()
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+    val n = docs.count()
+    val nSources = docs.select("source").distinct().count()
+    assert(shards.map(_.getAs[Long]("n_docs")).sum == n)
+    shards.foreach { s =>
+      val id = s.getAs[Long]("shard")
+      assert(id >= 0L && id < 64L)
+      assert(s.getAs[Long]("n_sources") >= 1L &&
+        s.getAs[Long]("n_sources") <= nSources)
+      val share = s.getAs[Long]("max_source_share_ppm")
+      assert(share > 0L && share <= 1000000L)
+    }
+    // the shuffle actually decorrelates: no shard is single-source
+    // unless it holds a handful of docs (tiny shards can collapse)
+    shards.filter(_.getAs[Long]("n_docs") >= 8L).foreach { s =>
+      assert(s.getAs[Long]("max_source_share_ppm") < 1000000L,
+        s"shard ${s.getAs[Long]("shard")} is single-source")
+    }
+  }
+
+  test("burstiness profile is consistent with the raw event log") {
+    val rows = EventQueries.eventsBurstiness(spark, sf0001).collect()
+    val ev = QueryUtil.table(spark, sf0001, "events")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(rows.length == ev.select("user_id").distinct().count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val span = r.getAs[Long]("span_s")
+      val burst = r.getAs[Long]("min_burst10_s")
+      assert(span >= 0L)
+      assert(r.getAs[Long]("n_types") >= 1L)
+      if (n < 10L) assert(burst == -1L)
+      else {
+        // any 10-event window is at least as fast as the full span and
+        // can never be negative
+        assert(burst >= 0L && burst <= span)
+      }
+    }
+  }
+
   test("incremental dedup never pairs corpus docs with each other") {
     val pairs = DedupQueries.dedupIncremental(spark, sf0001).cache()
     assert(pairs.count() > 0) // the query proves something on this corpus
