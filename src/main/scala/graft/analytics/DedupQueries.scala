@@ -802,6 +802,95 @@ object DedupQueries {
        |    / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)) AS BIGINT)
        |  >= 100000""".stripMargin
 
+  // --------------------------------- exact set-similarity join (prefix)
+  /** EXACT shingle-set Jaccard join at threshold 0.6 via prefix
+    * filtering — the AllPairs/PPJoin family, the deterministic
+    * complement of the probabilistic MinHash-LSH path: no false
+    * negatives by THEOREM, not by banding probability. Shingles rank
+    * globally rarest-first; a document of m distinct shingles exposes
+    * only its first `m − ⌈0.6·m⌉ + 1` as candidate keys (any pair
+    * with J ≥ 0.6 must share one — pigeonhole on the overlap bound),
+    * then candidates verify by exact intersection counting.
+    *
+    * Scale shape: the candidate self-join shuffles on the PREFIX
+    * shingle key, and prefixes are rarest-first by construction — the
+    * hot template shingles that would explode a naive join are
+    * exactly the ones prefix filtering keeps OUT of the join. The
+    * per-doc ranking window is bounded by document length; df and
+    * verify joins shuffle on shingle/doc keys unhinted; the verify
+    * cost is candidate-proportional.
+    */
+  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
+    // the set universe is SHINGLES (3-grams, already distinct), not
+    // unigram tokens: a tiny shared vocabulary makes unigram sets
+    // near-identical across unrelated docs (quadratic output); the
+    // shingle space keeps exact Jaccard selective — same universe the
+    // MinHash path sketches, so the two families are comparable
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingleHashes).as("tok"))
+      .cache() // feeds ranking, prefixes, and both verify sides
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("tok"))
+    val pref = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(sizes, "doc_id")
+      .where(col("rn") <= col("m") - ceil(lit(0.6) * col("m")) + 1)
+      .select(col("tok"), col("doc_id"), col("m"))
+    val cand = pref
+      .select(col("tok"), col("doc_id").as("doc_a"), col("m").as("m_a"))
+      .join(pref.select(col("tok"), col("doc_id").as("doc_b"),
+        col("m").as("m_b")), Seq("tok"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "m_a", "m_b").distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"))
+      .groupBy(col("doc_a"), col("doc_b"), col("m_a"), col("m_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        ppm(col("n_common"), col("m_a") + col("m_b") - col("n_common"))
+          .as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= 600000L)
+  }
+
+  val dedupSetsimJoinSql: String = {
+    val jac = sqlPpm("n_common", "m_a + m_b - n_common")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, text
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id, u.tok
+       |  FROM (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh
+       |        FROM t) s,
+       |    LATERAL (SELECT unnest(sh) AS tok) u),
+       |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m
+       |  FROM tk GROUP BY 1),
+       |dfr AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY 1),
+       |pr AS (
+       |  SELECT tok, doc_id, m FROM (
+       |    SELECT t.tok, t.doc_id, s.m,
+       |      row_number() OVER (PARTITION BY t.doc_id
+       |        ORDER BY d.df, t.tok) AS rn
+       |    FROM tk t JOIN dfr d ON t.tok = d.tok
+       |    JOIN sz s ON t.doc_id = s.doc_id)
+       |  WHERE rn <= m - CAST(ceil(0.6 * m) AS BIGINT) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.m AS m_a, b.m AS m_b
+       |  FROM pr a JOIN pr b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+       |com AS (
+       |  SELECT c.doc_a, c.doc_b, c.m_a, c.m_b, COUNT(*) AS n_common
+       |  FROM cand c
+       |  JOIN tk ta ON ta.doc_id = c.doc_a
+       |  JOIN tk tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT doc_a, doc_b, n_common, $jac AS jaccard_ppm
+       |FROM com WHERE $jac >= 600000""".stripMargin
+  }
+
   // --------------------------------------- asymmetric containment
   /** Shingle CONTAINMENT — the asymmetric near-dup metric:
     * `|A∩B| / min(|A|,|B|)`. Jaccard misses a short document quoted
@@ -1035,6 +1124,7 @@ object DedupQueries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_setsim_join" -> (dedupSetsimJoin _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
@@ -1052,6 +1142,7 @@ object DedupQueries {
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_setsim_join" -> dedupSetsimJoinSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,

@@ -130,6 +130,43 @@ class Round6OpsSpec extends SparkSuite {
     assert(wantPpm < 1000000L)
   }
 
+  test("prefix-filtered setsim join equals brute-force shingle Jaccard") {
+    // scalar re-derivation of the shingle universe (md5Long % P on
+    // 3-gram strings), then brute force over ALL doc pairs — the
+    // prefix filter must find exactly the J >= 0.6 set: completeness
+    // is the AllPairs THEOREM, checked literally here
+    val P = graft.functions.CrossHash.P
+    def shingles(text: String): Set[Long] = {
+      val t = text.split(" ", -1)
+      val grams = if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+        else Seq(text)
+      grams.map { g =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(14)
+        java.lang.Long.parseLong(hex, 16) % P
+      }.toSet
+    }
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val brute = (for {
+      i <- docs.indices; j <- (i + 1) until docs.length
+      (ida, sa) = docs(i); (idb, sb) = docs(j)
+      common = (sa & sb).size
+      jac = math.floor(1e6 * common.toDouble /
+        (sa.size + sb.size - common).toDouble).toLong
+      if jac >= 600000L
+    } yield (math.min(ida, idb), math.max(ida, idb)) -> jac).toMap
+    val got = DedupQueries.dedupSetsimJoin(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("jaccard_ppm")).toMap
+    assert(got == brute,
+      s"missed ${(brute.keySet -- got.keySet).size}, " +
+        s"invented ${(got.keySet -- brute.keySet).size}")
+    assert(got.nonEmpty) // the corpus really has near-dups to find
+  }
+
   test("hash shuffle conserves the corpus and mixes sources") {
     val shards = PipelineQueries.pipelineShuffle(spark, sf0001).collect()
     val docs = QueryUtil.table(spark, sf0001, "documents")
