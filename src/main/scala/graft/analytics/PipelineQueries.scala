@@ -1394,8 +1394,49 @@ object PipelineQueries {
        |FROM ps GROUP BY shard""".stripMargin
   }
 
+  // ------------------------------- quantile filtering, applied + compared
+  /** The APPLY step of [[pipelineQuantileNorm]], with the fairness
+    * comparison that motivates it: per source, how many documents
+    * survive (a) a GLOBAL length cutoff (n_chars ≥ 500 — what a naive
+    * pipeline ships) versus (b) the per-source percentile cutoff
+    * (bottom decile dropped within each source). The fair rule keeps
+    * ≈90% of EVERY source by construction; the global rule's kept
+    * share swings with each source's length distribution — the skew
+    * this query makes visible is the argument for normalizing before
+    * thresholding.
+    *
+    * Scale shape: everything downstream of the normalization is one
+    * partial-aggregatable rollup on the low-cardinality source key.
+    */
+  def pipelineQuantileFilter(spark: SparkSession, dir: String): DataFrame =
+    pipelineQuantileNorm(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") >= 500, 1L).otherwise(0L))
+          .as("n_kept_global"),
+        sum(when(col("pct_ppm") >= 100000, 1L).otherwise(0L))
+          .as("n_kept_fair"))
+      .select(col("source"), col("n_docs"),
+        col("n_kept_global"), col("n_kept_fair"),
+        ppm(col("n_kept_global"), col("n_docs")).as("kept_global_ppm"),
+        ppm(col("n_kept_fair"), col("n_docs")).as("kept_fair_ppm"))
+
+  val pipelineQuantileFilterSql: String =
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_global,
+       |  CAST(SUM(CASE WHEN pct_ppm >= 100000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept_fair,
+       |  ${sqlPpm("SUM(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END)",
+            "COUNT(*)")} AS kept_global_ppm,
+       |  ${sqlPpm("SUM(CASE WHEN pct_ppm >= 100000 THEN 1 ELSE 0 END)",
+            "COUNT(*)")} AS kept_fair_ppm
+       |FROM ($pipelineQuantileNormSql) norm
+       |GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_shuffle" -> (pipelineShuffle _),
+    "pipeline_quantile_filter" -> (pipelineQuantileFilter _),
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
@@ -1419,6 +1460,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_shuffle" -> pipelineShuffleSql,
+    "pipeline_quantile_filter" -> pipelineQuantileFilterSql,
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
