@@ -6,10 +6,27 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
   * Methodology: a warmup pass at sf0.001 first (JIT + codegen + parquet
-  * footer caching happen there, not inside the measured run), then one
-  * timed pass in sorted query order. Results are fully materialized
-  * through the noop sink — `count()` would let Spark prune the
-  * projection and under-report the real work.
+  * footer caching happen there, not inside the measured run), then
+  * SPARK_GRAFT_BENCH_PASSES (default 3) timed passes in sorted query
+  * order, reporting the per-query MINIMUM across passes. Passes are
+  * temporally separated (pass-major order), so a transient host-load
+  * spike in one time window cannot contaminate all samples of any
+  * query. Results are fully materialized through the noop sink —
+  * `count()` would let Spark prune the projection and under-report the
+  * real work.
+  *
+  * Noise instrumentation: each pass is book-ended by a fixed
+  * CPU-bound calibration job (a 64M-row codegen'd sum that never
+  * touches disk). Its wall time moves with host contention and nothing
+  * else, so the "calibration" array in the detail JSON is a per-pass
+  * host-load marker: if calibration drifted 1.3× between rounds, a
+  * uniform 1.3× query smear is machine noise, not regression.
+  * tools/bench_diff.py uses the common-set median ratio the same way.
+  *
+  * Env knobs (all optional):
+  *   SPARK_GRAFT_BENCH_QUERIES  comma-separated query subset (exact
+  *                              names or prefix match with trailing *)
+  *   SPARK_GRAFT_BENCH_PASSES   timed pass count (default 3)
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -17,6 +34,8 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+      .max(1)
     val spark = graft.core.GraftSession.builder("graft-bench")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -40,18 +59,42 @@ object Bench {
       }
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // fixed CPU-bound marker: wall time tracks host contention only
+    // (no IO, no shuffle, single codegen'd stage over an in-memory
+    // range). Measured at the start of every timed pass.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      // mod keeps the running sum < 2^56: ANSI mode would throw on a
+      // bigint sum overflow, and the multiply alone overflows it
+      spark.range(1L << 26)
+        .selectExpr("sum((id * 2654435761) % 1000000007)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val all = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(spec) if spec.trim.nonEmpty =>
+        val pats = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        all.filter(n => pats.exists(p =>
+          if (p.endsWith("*")) n.startsWith(p.dropRight(1)) else n == p))
+      case _ => all
+    }
     names.foreach(materialize(_, warmDir)) // warmup, unmeasured
-    // two timed passes, per-query minimum: a single pass is hostage to
+    // N timed passes, per-query minimum: a single pass is hostage to
     // transient host contention (observed 3-5× swings on individual
-    // queries between identical runs); the min of two temporally
-    // separated samples reports the machine's actual capability.
-    // A query must succeed in BOTH passes to count — an intermittent
-    // crash must surface in failed[], never hide behind the good pass
-    val pass1 = names.map(n => n -> materialize(n, sfDir)).toMap
-    val pass2 = names.map(n => n -> materialize(n, sfDir)).toMap
-    val results = names.map { n =>
-      n -> (for (a <- pass1(n); b <- pass2(n)) yield math.min(a, b))
+    // queries between identical runs); the min of temporally separated
+    // samples reports the machine's actual capability.
+    // A query must succeed in EVERY pass to count — an intermittent
+    // crash must surface in failed[], never hide behind a good pass
+    val calibrations = new scala.collection.mutable.ArrayBuffer[Double]
+    val passes: Seq[Map[String, Option[Double]]] = (1 to nPasses).map { _ =>
+      calibrations += calibrate()
+      names.map(n => n -> materialize(n, sfDir)).toMap
+    }
+    val samples: Seq[(String, Seq[Option[Double]])] =
+      names.map(n => n -> passes.map(_(n)))
+    val results = samples.map { case (n, ss) =>
+      n -> (if (ss.forall(_.isDefined)) Some(ss.flatten.min) else None)
     }
     val ok = results.collect { case (k, Some(v)) => k -> v }
     val failed = results.collect { case (k, None) => k }
@@ -62,13 +105,20 @@ object Bench {
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    // per-pass totals (queries that succeeded in both passes) ride
+    // per-pass totals (queries that succeeded in all passes) ride
     // along so round-over-round comparisons can see the raw samples
     // behind the min — host contention shows up as pass spread
     def passTotal(p: Map[String, Option[Double]]): Double =
       ok.map { case (k, _) => p(k).getOrElse(0.0) }.sum
-    val passes = s"[${passTotal(pass1)},${passTotal(pass2)}]"
-    val detailLine = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passes,"queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val passTotals = passes.map(passTotal)
+    val passesJson = passTotals.mkString("[", ",", "]")
+    val calJson = calibrations.mkString("[", ",", "]")
+    // raw per-pass samples per query: lets bench_diff separate a
+    // one-pass spike (noise) from a consistent slowdown (regression)
+    val samplesJson = samples.map { case (k, ss) =>
+      s""""$k":${ss.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val detailLine = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passesJson,"calibration":$calJson,"queries":$qs,"samples":$samplesJson,"failed":$failedJson,"sf":"$sfDir"}"""
 
     // The harness that snapshots this output keeps only the last ~2000
     // characters of stdout; with 90+ queries the full-precision line
@@ -87,7 +137,9 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slow = ok.sortBy(-_._2).take(15)
       .map { case (k, v) => s""""$k":${r3(v)}""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","pass_totals":[${r3(passTotal(pass1))},${r3(passTotal(pass2))}],"n_queries":${ok.size},"queries":$slow,"queries_note":"slowest 15 of ${ok.size}; full per-query timings in $detailPath","failed":$failedJson,"sf":"$sfDir"}""")
+    val passesR3 = passTotals.map(r3).mkString("[", ",", "]")
+    val calR3 = calibrations.map(r3).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","pass_totals":$passesR3,"calibration":$calR3,"n_queries":${ok.size},"queries":$slow,"queries_note":"slowest 15 of ${ok.size}; full per-query timings in $detailPath","failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

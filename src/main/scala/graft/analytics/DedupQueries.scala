@@ -828,7 +828,10 @@ object DedupQueries {
     // MinHash path sketches, so the two families are comparable
     val toks = table(spark, dir, "documents")
       .select(col("doc_id"), explode(shingleHashes).as("tok"))
-      .cache() // feeds ranking, prefixes, and both verify sides
+      .cache() // feeds ranking, prefixes, and both verify sides;
+               // released in the finally below — without it each call
+               // would pin a corpus×shingles frame for the session
+    try {
     val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("m"))
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("doc_id"))
@@ -854,6 +857,12 @@ object DedupQueries {
         ppm(col("n_common"), col("m_a") + col("m_b") - col("n_common"))
           .as("jaccard_ppm"))
       .where(col("jaccard_ppm") >= 600000L)
+      // eager: the near-dup pair set is orders smaller than the
+      // shingle frame; materializing it here lets the finally release
+      // the cache (ContextCleaner reclaims these blocks on deref,
+      // unlike CacheManager entries, which pin until unpersist)
+      .localCheckpoint(true)
+    } finally toks.unpersist()
   }
 
   val dedupSetsimJoinSql: String = {

@@ -603,6 +603,19 @@ object EmbeddingQueries {
 
   /** PQ encode: per (vector, subspace) the argmin code via packed MIN.
     * Output: one row per (vec_id, s) with its 4-bit code `cid`.
+    *
+    * The ×8 exploded output is DELIBERATE — it was re-measured in
+    * round 7 against two "obvious" improvements and beat both at
+    * sf0.1 (min-of-3, quiet host): packed 8-element code arrays +
+    * a broadcast LUT array column ran 1.75 s vs 1.54 s (the array
+    * join is a non-codegen BroadcastNestedLoopJoin paying a ~1 KiB
+    * array copy per candidate row, and the `aggregate` HOF fold is
+    * interpreted — higher-order functions sit outside whole-stage
+    * codegen), and fully UNROLLED literal-LUT lookups ran 2.50 s
+    * (10 queries × 8 `element_at` per row blows the generated method
+    * past JIT limits). Narrow exploded rows through a codegen'd
+    * BroadcastHashJoin + partial aggregation are the shape Tungsten
+    * is built to chew; keep them.
     */
   private def pqCodes(e: DataFrame, seeds: DataFrame): DataFrame = {
     val keyCols = (0 until PqSub).map { s =>
@@ -1726,12 +1739,22 @@ object EmbeddingQueries {
     * order-independent — with one final double division.
     *
     * Scale shape: TWO corpus passes total (the Gramian build and the
-    * projection — both map-side-collapsing aggregations), and the
-    * iteration itself runs on the d×d = 4096-row matrix, a
-    * corpus-INDEPENDENT metadata frame (localCheckpointed so each
-    * round reuses the materialized matrix instead of re-scanning the
-    * corpus). The projection is a per-row codegen'd [[functions.DotLong]]
-    * against a 1-row broadcast — no shuffle beyond the label groupBy.
+    * projection — both map-side-collapsing aggregations). The
+    * iteration itself runs on the DRIVER over the collected d(d+1)/2
+    * = 2080-row Gramian: the matrix is corpus-INDEPENDENT metadata
+    * (64×64 regardless of n — this is the one collect a power
+    * iteration should make), and iterating it through Spark jobs
+    * would pay ~3·PowRounds scheduler round-trips for arithmetic
+    * that is microseconds locally. The trained direction returns to
+    * the cluster as a 64-element literal; the projection is a per-row
+    * codegen'd [[functions.DotLong]] against it — no shuffle beyond
+    * the label groupBy.
+    *
+    * Determinism is unchanged: the driver replays the SAME exact
+    * integer matvec (|A|·2²⁰·64 < 2⁶³, no overflow), the same single
+    * IEEE floor-divide renormalization, and a BigInt Rayleigh
+    * quotient — identical operands, identical bits as the HUGEINT /
+    * DECIMAL(38,0) paths the oracle runs.
     */
   val PowRounds = 3
 
@@ -1740,48 +1763,38 @@ object EmbeddingQueries {
       .DecimalType(38, 0))
     val dd = (c: Column) => c.cast("double")
     val e = quantized(spark, dir)
-    val up = covUpper(e)
-    // mirror the upper triangle into the full symmetric matrix; 4096
-    // rows — materialize once, every power round reuses it
-    val full = up.union(up.where(col("i") < col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("cov_milli")))
-      .localCheckpoint()
-    def matvec(v: DataFrame): DataFrame =
-      full.join(v, Seq("j")).groupBy(col("i"))
-        .agg(sum(col("cov_milli") * col("vj")).as("u"))
-    val v0 = spark.range(64)
-      .select(col("id").cast("long").as("j"), lit(1L).as("vj"))
-    val vFin = (1 to PowRounds).foldLeft(v0) { (v, _) =>
+    // corpus pass 1: the distributed Gramian, collapsed to 2080 rows
+    // before its one shuffle; collect is metadata-sized by theorem
+    val a = Array.ofDim[Long](64, 64)
+    covUpper(e).collect().foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getLong(2); a(i)(j) = c; a(j)(i) = c
+    }
+    def matvec(v: Array[Long]): Array[Long] =
+      Array.tabulate(64)(i => (0 until 64).map(j => a(i)(j) * v(j)).sum)
+    var v = Array.fill(64)(1L)
+    (1 to PowRounds).foreach { _ =>
       val u = matvec(v)
-      val m = u.agg(max(abs(col("u"))).as("um"))
-      u.crossJoin(broadcast(m))
-        .select(col("i").as("j"),
-          when(col("um") === 0, lit(0L)).otherwise(
-            floor(lit(1048576.0) * dd(col("u")) / dd(col("um")))
-              .cast("long")).as("vj"))
-    }.localCheckpoint() // 64 rows; used by Rayleigh + projection
-    val ray = matvec(vFin)
-      .join(vFin.select(col("j").as("i"), col("vj")), Seq("i"))
-      .agg(sum(dec(col("u")) * dec(col("vj"))).as("vav"),
-        sum(dec(col("vj")) * dec(col("vj"))).as("vv"))
-      // A's entries are already milli-scaled covariances, so the raw
-      // Rayleigh quotient IS the milli eigenvalue — no extra factor
-      .select(when(col("vv") === 0, lit(0L)).otherwise(
-        floor(dd(col("vav")) / dd(col("vv"))).cast("long"))
-        .as("lambda_milli"))
-    val varr = vFin.agg(transform(
-      array_sort(collect_list(struct(col("j"), col("vj")))),
-      s => s("vj")).as("vl"))
-    e.crossJoin(broadcast(varr))
-      .select(col("label"), graft.functions.DotLong(col("q"), col("vl"))
-        .as("p"))
+      val um = u.map(math.abs).max
+      v = u.map(x =>
+        if (um == 0L) 0L else math.floor(1048576.0 * x / um).toLong)
+    }
+    val uf = matvec(v)
+    // A's entries are already milli-scaled covariances, so the raw
+    // Rayleigh quotient IS the milli eigenvalue — no extra factor
+    val vav = (0 until 64).map(i => BigInt(uf(i)) * BigInt(v(i))).sum
+    val vv = (0 until 64).map(i => BigInt(v(i)) * BigInt(v(i))).sum
+    val lambdaMilli =
+      if (vv == 0) 0L else math.floor(vav.toDouble / vv.toDouble).toLong
+    // corpus pass 2: project onto the trained direction (literal)
+    e.select(col("label"),
+        graft.functions.DotLong(col("q"), typedlit(v.toSeq)).as("p"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), sum(dec(col("p"))).as("sp"))
-      .crossJoin(broadcast(ray))
       .select(col("label"), col("n"),
         floor(lit(1e3) * dd(col("sp")) / dd(col("n"))).cast("long")
           .as("mean_proj_milli"),
-        col("lambda_milli"))
+        lit(lambdaMilli).as("lambda_milli"))
   }
 
   val embPcaPowerSql: String = {
@@ -1950,9 +1963,10 @@ object EmbeddingQueries {
     */
   def embDocPool(spark: SparkSession, dir: String): DataFrame = {
     val dd = (c: Column) => c.cast("double")
+    // integer floor-div: exact at any vec_id (a double round-trip
+    // loses exactness above 2^53), and nonneg ids make div == floor
     val e = quantized(spark, dir)
-      .withColumn("doc_id",
-        floor(dd(col("vec_id")) / lit(5)).cast("long"))
+      .withColumn("doc_id", expr("vec_id div 5"))
     val dimSums = (0 until 64).map(d => sum(col("q")(d)).as(s"d_$d"))
     val pooled = e.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"), dimSums: _*)
@@ -1979,7 +1993,7 @@ object EmbeddingQueries {
     s"""WITH $sqlQuantized,
        |c AS (
        |  SELECT vec_id, label, qv,
-       |    CAST(floor(CAST(vec_id AS DOUBLE) / 5) AS BIGINT) AS doc_id
+       |    CAST(vec_id // 5 AS BIGINT) AS doc_id
        |  FROM n),
        |s AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks, $dimSums

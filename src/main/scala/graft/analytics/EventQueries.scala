@@ -774,7 +774,7 @@ object EventQueries {
     * over the array with the `aggregate` higher-order function (stride
     * integer ops, one job), and the per-day rows are recovered
     * non-recursively from each block's frontier value via posexplode +
-    * a ≤stride-element prefix fold. A decade is 229 steps instead of
+    * a ≤stride-element prefix fold. A decade is 58 steps instead of
     * 3650 — wall-clock stays ~(fixed cost × days/stride) regardless of
     * corpus size; the production path
     * for continuous series is the incremental
@@ -784,7 +784,7 @@ object EventQueries {
   /** Days composed per recursion step — sets both the per-block
     * array size and the recursion job count (days/stride).
     */
-  val EwmaStride = 16
+  val EwmaStride = 64
 
   def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
     // cache the per-day aggregate BEHIND the view: the bounds, block

@@ -201,7 +201,11 @@ object MultimodalQueries {
           octet_length(col("content"))))
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_media"), min(col("media_id")).as("rep"))
-      .cache() // one histogram pass feeds both join sides
+      // one histogram pass feeds both join sides; ≤2^16 rows, so an
+      // eager localCheckpoint beats cache(): same reuse, but the
+      // blocks are ContextCleaner-reclaimed instead of pinned until
+      // an unpersist that a long-lived session would never issue
+      .localCheckpoint(true)
     val banded = clusters.select(col("phash"), col("n_media"), col("rep"),
       posexplode(array(
         col("phash") % 64,

@@ -38,6 +38,11 @@ object StreamCentroidAssign {
     */
   def apply(stream: DataFrame, cents: Seq[Centroid]): DataFrame = {
     require(cents.nonEmpty, "no centroids: nothing to assign to")
+    // a zero-norm centroid scores 0/0 = NaN -> floor/cast 0, which
+    // would silently beat negative-similarity cells and win ties; the
+    // batch trainer filters tnorm2 > 0, enforce the same contract here
+    require(cents.forall(_.tq.exists(_ != 0L)),
+      "zero-norm centroid: cosine undefined (trainer filters tnorm2 > 0)")
     val centArr = array(cents.map { c =>
       val tnorm2 = c.tq.map(x => x * x).sum
       struct(lit(c.cell).as("cell"), typedlit(c.tq).as("tq"),

@@ -17,6 +17,14 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode
   * (ts, event_id) order within each micro-batch; cross-batch order is
   * the arrival order, same as any log-ordered source partitioned by
   * user key.
+  *
+  * Per-user state is tiny but the USER COUNT is not: without expiry
+  * the state store grows with every user ever seen. An idle-user
+  * processing-time timeout (default 24 h) drops suffixes of users who
+  * stopped producing events — the only loss is trigrams that would
+  * straddle the expiry gap, which a >24 h-idle journey has arguably
+  * ended anyway. State is therefore bounded by ACTIVE users, not
+  * lifetime users.
   */
 object StreamTopPaths {
 
@@ -28,15 +36,22 @@ object StreamTopPaths {
 
   final case class Path(userId: Long, e1: String, e2: String, e3: String)
 
-  def apply(events: Dataset[Ev]): Dataset[Path] = {
+  def apply(events: Dataset[Ev],
+      idleExpiryMs: Long = 24L * 3600 * 1000): Dataset[Path] = {
     implicit val stateEnc: Encoder[Suffix] = Encoders.product[Suffix]
     implicit val outEnc: Encoder[Path] = Encoders.product[Path]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
     events
       .groupByKey(_.userId)
       .flatMapGroupsWithState[Suffix, Path](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
         (user: Long, evs: Iterator[Ev], state: GroupState[Suffix]) =>
+          if (state.hasTimedOut) {
+            // idle user: drop the 2-string suffix; a later event starts
+            // a fresh journey (loses only gap-straddling trigrams)
+            state.remove()
+            Iterator.empty
+          } else {
           var st = state.getOption.getOrElse(Suffix(None, None))
           val out = Vector.newBuilder[Path]
           // micro-batch slice of this user's log, in event order — the
@@ -51,7 +66,9 @@ object StreamTopPaths {
             }
           }
           state.update(st)
+          state.setTimeoutDuration(idleExpiryMs)
           out.result().iterator
+          }
       }
   }
 }

@@ -266,9 +266,24 @@ final class TableStateStore(spark: SparkSession, path: String,
     val batchId = r.getAs[String]("batch_id")
     val ids = r.getSeq[Long](r.fieldIndex("ids"))
     markStatus(Seq(batchId), Status.Triggered)
-    ids.foreach(_ => sleeper.sleep(cfg.perIdDelayMs))
+    ids.foreach { _ =>
+      sleeper.sleep(cfg.perIdDelayMs)
+      touchClaim(batchId) // lease heartbeat, no-op in single-writer mode
+    }
     markStatus(Seq(batchId), Status.Completed)
     sleeper.sleep(cfg.rateLimitMs)
+  }
+
+  /** Lease heartbeat: bump the claim file's mtime after every per-id
+    * step so a slow-but-alive owner is never mistaken for dead (the
+    * lease clock measures silence, not total batch duration). No-op
+    * when no claim file exists — single-writer mode has no ledger.
+    */
+  private def touchClaim(batchId: String): Unit = {
+    val f = java.nio.file.Paths.get(claimsDir, batchId)
+    try java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () }
   }
 
   // ------------------------------------------------ multi-writer mode
@@ -284,22 +299,59 @@ final class TableStateStore(spark: SparkSession, path: String,
     * the table path — [[compact]]'s overwrite deletes the table
     * directory wholesale, and wiping the ledger there would reopen
     * every in-flight batch to re-claiming. Claim files record the
-    * owner for audit. A production deployment would add lease expiry
-    * (claim mtime) so a crashed winner's batch is eventually
-    * reclaimed; out of scope here.
+    * owner for audit.
+    *
+    * LEASE EXPIRY (`leaseMs`): a claim whose mtime is older than the
+    * lease belongs to a dead worker — the owner heartbeats the file
+    * after every per-id step ([[touchClaim]]), so silence, not batch
+    * length, is what expires it. Stealing is race-safe in two atomic
+    * steps: rename the expired claim to a tombstone (exactly one
+    * stealer wins the rename; losers see NoSuchFile and fall through)
+    * then CREATE_NEW a fresh claim — a third worker racing the gap
+    * just wins the create and the stealer's own create fails, so
+    * there is never more than one live claim per batch. The standard
+    * lease caveat applies: an owner paused PAST the lease (GC, VM
+    * freeze) can be doubled; the monotone status-rank resolution
+    * makes the duplicate completion idempotent at the state level,
+    * and full fencing (a token checked on every append) is what a
+    * table format's conditional commit would add.
     */
-  def tryClaim(batchId: String, writerId: String): Boolean = {
+  def tryClaim(batchId: String, writerId: String,
+      leaseMs: Long = Long.MaxValue): Boolean = {
     val dir = java.nio.file.Paths.get(claimsDir)
     java.nio.file.Files.createDirectories(dir)
-    try {
-      java.nio.file.Files.write(dir.resolve(batchId),
-        writerId.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    val f = dir.resolve(batchId)
+    def create(): Boolean =
+      try {
+        java.nio.file.Files.write(f, writerId.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    create() || (claimExpired(batchId, leaseMs) && {
+      val tomb = dir.resolve(
+        s".expired_${batchId}_${System.nanoTime()}")
+      val stole =
+        try {
+          java.nio.file.Files.move(f, tomb,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          true
+        } catch { case _: java.io.IOException => false }
+      stole && create()
+    })
   }
+
+  /** Is this batch's claim older than the lease? False when no claim
+    * exists or leases are disabled (`Long.MaxValue`, the default).
+    */
+  def claimExpired(batchId: String, leaseMs: Long): Boolean =
+    leaseMs != Long.MaxValue && {
+      val f = java.nio.file.Paths.get(claimsDir, batchId)
+      try System.currentTimeMillis() -
+        java.nio.file.Files.getLastModifiedTime(f).toMillis > leaseMs
+      catch { case _: java.io.IOException => false }
+    }
 
   private def claimsDir: String = path.stripPrefix("file:") + "_claims"
 
@@ -323,13 +375,38 @@ final class TableStateStore(spark: SparkSession, path: String,
     * a claimed batch come only from its owner, so the append-only log
     * stays single-writer PER BATCH — which is all the latest-wins
     * resolution needs.
+    *
+    * With a finite `leaseMs` the cycle also RECOVERS crashed peers'
+    * batches: (1) a pending batch whose claim expired is re-claimable
+    * through [[tryClaim]]'s steal path (owner died before marking
+    * `triggered`), and (2) batches stuck in `triggered` whose claim
+    * expired are appended to the candidate list (owner died
+    * mid-work) — re-running them is safe because the monotone
+    * status-rank resolution absorbs the duplicate `triggered` append.
+    * The recovery read is bounded: only the ≤lookahead stale rows are
+    * collected, and each costs one claim-file stat.
     */
   def processOnceMulti(cfg: GraftConfig, sleeper: Sleeper,
-      writerId: String, lookahead: Int = 4): TableStateStore.MultiCycle = {
-    val cands = pendingView().limit(lookahead).collect()
+      writerId: String, lookahead: Int = 4,
+      leaseMs: Long = Long.MaxValue): TableStateStore.MultiCycle = {
+    val pending = pendingView().limit(lookahead).collect()
+    val stale: Array[org.apache.spark.sql.Row] =
+      if (leaseMs == Long.MaxValue) Array.empty
+      else {
+        val latest = latestBatches()
+        if (latest.columns.isEmpty) Array.empty
+        else latest
+          .where(col("batch_id") =!= "" &&
+            col("status") === Status.Triggered)
+          .orderBy(IngestOps.queueOrder(col("priority"),
+            col("created_at"), col("ordinal")): _*)
+          .limit(lookahead).collect()
+          .filter(r => claimExpired(r.getAs[String]("batch_id"), leaseMs))
+      }
+    val cands = pending ++ stale
     if (cands.isEmpty) TableStateStore.Drained
     else cands.find(r =>
-      tryClaim(r.getAs[String]("batch_id"), writerId)) match {
+      tryClaim(r.getAs[String]("batch_id"), writerId, leaseMs)) match {
       case None => TableStateStore.Contended
       case Some(r) =>
         runBatch(r, cfg, sleeper)

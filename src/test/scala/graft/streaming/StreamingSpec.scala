@@ -269,6 +269,67 @@ class StreamingSpec extends SparkSuite {
       "sweeper") == TableStateStore.Drained)
   }
 
+  test("lease expiry reclaims a dead worker's batch exactly once") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state5").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 4)
+    val lease = 60000L
+    def backdateClaim(batchId: String): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$dir/state_claims", batchId),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - lease - 1000))
+    def completedAppends(batchId: String): Long =
+      spark.read.parquet(s"$dir/state")
+        .where(col("batch_id") === batchId &&
+          col("status") === Status.Completed).count()
+
+    // --- death mode 1: worker claims, then dies BEFORE `triggered`
+    store.ingestRequests(Seq(("ing-a", Seq(1L, 2L), Priority.Low, 1L))
+      .toDF("ingestion_id", "ids", "priority", "created_at"),
+      GraftConfig.bench)
+    val batchA = store.statusOf("ing-a").get.batches.head.batchId
+    assert(store.tryClaim(batchA, "dead-1")) // the doomed claim
+    // a FRESH claim must not be stealable: the peer reports
+    // contention, not a theft of a live worker's batch
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "peer", leaseMs = lease) == TableStateStore.Contended)
+    backdateClaim(batchA) // the lease clock runs out
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "peer", leaseMs = lease) == TableStateStore.Processed(batchA))
+    assert(store.claimOwner(batchA) == Some("peer")) // ledger reassigned
+    assert(completedAppends(batchA) == 1L) // exactly one completion
+    assert(store.statusOf("ing-a").get.status == Status.Completed)
+
+    // --- death mode 2: worker dies MID-WORK (after `triggered`) —
+    // the batch is invisible to pendingView, so only the stale-scan
+    // recovery path can ever find it
+    store.ingestRequests(Seq(("ing-b", Seq(3L), Priority.Low, 2L))
+      .toDF("ingestion_id", "ids", "priority", "created_at"),
+      GraftConfig.bench)
+    val batchB = store.statusOf("ing-b").get.batches.head.batchId
+    assert(store.tryClaim(batchB, "dead-2"))
+    store.markStatus(Seq(batchB), Status.Triggered) // died right here
+    // without leases the orphan is stuck forever: nothing pending
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "peer") == TableStateStore.Drained)
+    backdateClaim(batchB)
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "peer", leaseMs = lease) == TableStateStore.Processed(batchB))
+    assert(store.claimOwner(batchB) == Some("peer"))
+    assert(completedAppends(batchB) == 1L)
+    assert(store.statusOf("ing-b").get.status == Status.Completed)
+    // the stolen claims left tombstones for audit
+    val tombs = java.nio.file.Files.list(
+      java.nio.file.Paths.get(s"$dir/state_claims")).toArray
+      .map(_.toString).count(_.contains(".expired_"))
+    assert(tombs == 2, s"expected 2 tombstones, saw $tombs")
+    // everything settled: a final sweep drains
+    assert(store.processOnceMulti(GraftConfig.bench, SystemSleeper,
+      "peer", leaseMs = lease) == TableStateStore.Drained)
+  }
+
   test("table-backed processing loop drains the queue in priority order") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
