@@ -748,101 +748,56 @@ object EventQueries {
        |    ELSE 0 END AS step3_ppm
        |FROM s3""".stripMargin
 
-  // ------------------------------- recursive EWMA (WITH RECURSIVE)
-  /** Exponentially-weighted moving average of daily event volume via
-    * a RECURSIVE CTE — the one aggregation family window functions
-    * cannot express (the multiplicative carry `s_d = (s_{d-1}·7)/8 +
-    * n_d·8` makes every output depend on the whole prefix, not a
-    * frame), run through Spark's `WITH RECURSIVE` (UnionLoop, new in
-    * Spark 4.x) and DuckDB's native recursion identically.
+  // ----------------------------------------- EWMA (prefix recurrence)
+  /** Exponentially-weighted moving average of daily event volume —
+    * the one aggregation family window functions cannot express: the
+    * multiplicative carry `s_d = (s_{d-1}·7)/8 + n_d·8` makes every
+    * output depend on the whole prefix, not a frame, and the
+    * truncating integer division defeats any closed form.
     *
     * Fixed-point ×8 integer arithmetic: `div` truncation is identical
-    * in both engines, so the smoothed series is exact — no float
-    * accumulation order to diverge. The recursion advances one day
-    * per step and terminates at the fixpoint when the LEFT-JOIN probe
-    * runs past max(day) — strictly acyclic (see RecursiveCteProbeSpec
-    * for why cyclic recursions can't do this). Missing days decay
-    * through a zero-volume step rather than stalling the walk.
+    * in both engines over the nonnegative operands here, so the
+    * smoothed series is exact — no float accumulation order to
+    * diverge. Missing days decay through a zero-volume step rather
+    * than stalling the walk.
     *
     * Scale shape: the fact table collapses to the per-day aggregate
-    * first (one shuffle, map-side combine); the recursion runs over
-    * that METADATA-sized series. Each recursion step is one Spark job
-    * with a fixed scheduling cost, so the recursion is UNROLLED
-    * [[EwmaStride]] days per step: the dense day series is packed into
-    * stride-sized blocks (an `ns` array per block), the recursive
-    * member advances one BLOCK at a time by folding the recurrence
-    * over the array with the `aggregate` higher-order function (stride
-    * integer ops, one job), and the per-day rows are recovered
-    * non-recursively from each block's frontier value via posexplode +
-    * a ≤stride-element prefix fold. A decade is 58 steps instead of
-    * 3650 — wall-clock stays ~(fixed cost × days/stride) regardless of
-    * corpus size; the production path
-    * for continuous series is the incremental
+    * first (one shuffle, map-side combine) — after that the series is
+    * ONE ROW PER DAY, metadata by construction (a decade is 3650
+    * rows), and the inherently SEQUENTIAL fold runs on the driver —
+    * the same bounded-collect argument as [[EmbeddingQueries]]'s
+    * power iteration over its 64×64 Gramian. Earlier rounds ran the
+    * fold as a stride-packed `WITH RECURSIVE` (UnionLoop); correct,
+    * but every CTE edge is a scheduler round-trip, and at 64-day
+    * packing the recursion machinery still cost ~2 s against the
+    * driver fold's microseconds. The recursive formulation survives
+    * as the DuckDB oracle twin below, and Spark's recursive-CTE
+    * envelope stays pinned by RecursiveCteProbeSpec. The production
+    * path for continuous series is the incremental
     * [[graft.streaming.StreamEwma]] twin, which pays per new hour,
     * not per history replay.
     */
-  /** Days composed per recursion step — sets both the per-block
-    * array size and the recursion job count (days/stride).
-    */
-  val EwmaStride = 64
-
   def eventsEwma(spark: SparkSession, dir: String): DataFrame = {
-    // cache the per-day aggregate BEHIND the view: the bounds, block
-    // packing, and every recursion step probe it — uncached it would
-    // re-scan the fact table per step. The view name is unique per
-    // invocation (reentrant within a session) and dropped — and the
-    // cache released — after the metadata-sized result is eagerly
-    // materialized by localCheckpoint, so repeated calls leak nothing.
-    val view = s"ewma_daily_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    import spark.implicits._
     val daily = table(spark, dir, "events")
       .select(epochDay(col("ts")).as("day"))
       .groupBy(col("day")).agg(count(lit(1)).as("n"))
-      .cache()
-    daily.createOrReplaceTempView(view)
-    try {
-      spark.sql(
-        s"""WITH RECURSIVE
-          |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM $view),
-          |dense AS (
-          |  SELECT explode(sequence(d0, d1)) AS day FROM bounds),
-          |filled AS (
-          |  SELECT dense.day, COALESCE(v.n, 0L) AS n
-          |  FROM dense LEFT JOIN $view v ON v.day = dense.day),
-          |blocks AS (
-          |  SELECT b.d0 + ((f.day - b.d0 - 1) div $EwmaStride)
-          |      * $EwmaStride AS start,
-          |    f.day - b.d0 - ((f.day - b.d0 - 1) div $EwmaStride)
-          |      * $EwmaStride AS k, f.n
-          |  FROM filled f CROSS JOIN bounds b
-          |  WHERE f.day > b.d0),
-          |packed AS (
-          |  SELECT start,
-          |    transform(sort_array(collect_list(struct(k, n))), x -> x.n)
-          |      AS ns
-          |  FROM blocks GROUP BY start),
-          |front(day, s) AS (
-          |  SELECT f.day, f.n * 8 AS s
-          |  FROM filled f JOIN bounds b ON f.day = b.d0
-          |  UNION ALL
-          |  SELECT fr.day + $EwmaStride,
-          |    aggregate(p.ns, fr.s, (acc, m) -> (acc * 7) div 8 + m * 8)
-          |  FROM front fr JOIN packed p ON p.start = fr.day),
-          |perday AS (
-          |  SELECT f.day, f.n, f.n * 8 AS s
-          |  FROM filled f JOIN bounds b ON f.day = b.d0
-          |  UNION ALL
-          |  SELECT p.start + x.pos + 1 AS day, x.m AS n,
-          |    aggregate(slice(p.ns, 1, x.pos + 1), fr.s,
-          |      (acc, m) -> (acc * 7) div 8 + m * 8) AS s
-          |  FROM packed p
-          |  JOIN front fr ON fr.day = p.start
-          |  LATERAL VIEW posexplode(p.ns) x AS pos, m)
-          |SELECT day, n, s AS ewma_fp8, s div 8 AS ewma
-          |FROM perday ORDER BY day""".stripMargin)
-        .localCheckpoint()
-    } finally {
-      spark.catalog.dropTempView(view)
-      daily.unpersist()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (daily.isEmpty)
+      spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("day", "n", "ewma_fp8", "ewma")
+    else {
+      val d0 = daily.keys.min
+      val d1 = daily.keys.max
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      var s = daily(d0) * 8
+      out += ((d0, daily(d0), s, s / 8))
+      (d0 + 1 to d1).foreach { day =>
+        val n = daily.getOrElse(day, 0L)
+        s = (s * 7) / 8 + n * 8 // nonneg: Long / == SQL div == DuckDB //
+        out += ((day, n, s, s / 8))
+      }
+      out.result().toDF("day", "n", "ewma_fp8", "ewma")
     }
   }
 

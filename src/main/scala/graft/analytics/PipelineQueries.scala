@@ -1218,7 +1218,13 @@ object PipelineQueries {
     * partial-aggregated counts — five 1-row aggregates over the
     * cached survivor frames.
     */
-  def pipelineE2e(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's five stage frames, in order — shared by
+    * [[pipelineE2e]] (the report) and [[pipelineE2eMaterialized]]
+    * (the corpus release through the transactional sink), so the two
+    * can never disagree about what "survivor" means.
+    */
+  private def e2eStages(spark: SparkSession,
+      dir: String): Seq[(Long, String, DataFrame)] = {
     val nToks = size(split(col("text"), " ")).cast("long")
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("text"), nToks.as("n_toks"))
@@ -1246,22 +1252,26 @@ object PipelineQueries {
     // docs with no near-dup edge are singletons: label defaults to self
     val s4 = s3.join(labels, Seq("doc_id"), "left_outer")
       .where(col("doc_id") === coalesce(col("label"), col("doc_id")))
-    def stageRow(ord: Long, name: String, df: DataFrame): DataFrame =
+    Seq((0L, "raw", docs), (1L, "lang", s1), (2L, "quality", s2),
+      (3L, "exact_dedup", s3), (4L, "neardup_dedup", s4))
+  }
+
+  def pipelineE2e(spark: SparkSession, dir: String): DataFrame =
+    e2eStages(spark, dir).map { case (ord, name, df) =>
       df.agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
         .select(lit(ord).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"))
-    stageRow(0L, "raw", docs)
-      .union(stageRow(1L, "lang", s1))
-      .union(stageRow(2L, "quality", s2))
-      .union(stageRow(3L, "exact_dedup", s3))
-      .union(stageRow(4L, "neardup_dedup", s4))
-  }
+    }.reduce(_ union _)
 
-  val pipelineE2eSql: String = {
+  /** Oracle CTE chain `scored → s1 → s2 → s3 → spairs → comp → s4`,
+    * shared by [[pipelineE2eSql]] and [[pipelineE2eMaterializedSql]]
+    * (prefix with `WITH RECURSIVE` — the near-dup walk recurses).
+    */
+  private val sqlE2eCtes: String = {
     val ntok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
     val nstop = "len(list_filter(string_split(text, ' '), " +
       "t -> t = 'the' OR t = 'a'))"
-    s"""WITH RECURSIVE scored AS (
+    s"""scored AS (
        |  SELECT doc_id, text, $ntok AS n_toks,
        |  ${TextQueries.sqlLangScoreList},
        |  $nstop AS nstop
@@ -1288,8 +1298,13 @@ object PipelineQueries {
        |  SELECT w.v, e2.d AS r FROM walk w JOIN edges e2 ON w.r = e2.s),
        |comp AS (SELECT v, MIN(r) AS cluster_id FROM walk GROUP BY v),
        |s4 AS (
-       |  SELECT t.doc_id, t.n_toks FROM s3 t JOIN comp c ON t.doc_id = c.v
-       |  WHERE t.doc_id = c.cluster_id)
+       |  SELECT t.doc_id, t.text, t.n_toks
+       |  FROM s3 t JOIN comp c ON t.doc_id = c.v
+       |  WHERE t.doc_id = c.cluster_id)""".stripMargin
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH RECURSIVE $sqlE2eCtes
        |SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM scored
@@ -1301,7 +1316,45 @@ object PipelineQueries {
        |  CAST(SUM(n_toks) AS BIGINT) FROM s3
        |UNION ALL SELECT 4, 'neardup_dedup', COUNT(*),
        |  CAST(SUM(n_toks) AS BIGINT) FROM s4""".stripMargin
+
+  /** The funnel MATERIALIZED: stage-4 survivors flow through the
+    * manifest-committed transactional sink
+    * ([[graft.sources.ManifestV2Sink]] — staged files, commit,
+    * manifest publish) and the release summary is computed from
+    * `readCommitted` (manifest-listed files only), closing the
+    * analytics→connector loop for the pipeline the way
+    * `sink_manifest_roundtrip` closes it for raw tables. The DuckDB
+    * twin derives the SAME survivor set straight from the documents
+    * table, so any loss, duplication, or text mangling in the sink
+    * round-trip diverges the hashes — `sum_chars` rides along
+    * precisely so the document BODIES must survive, not just keys.
+    *
+    * Scale shape: identical to [[pipelineE2e]] up to stage 4, then
+    * one append-mode distributed write (no extra shuffle — files
+    * stage per task, the manifest commit is one atomic rename) and a
+    * 10-key rollup over the read-back.
+    */
+  def pipelineE2eMaterialized(spark: SparkSession, dir: String): DataFrame = {
+    val s4 = e2eStages(spark, dir).last._3
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-e2e-release").toString
+    s4.select(col("doc_id"), col("text"), col("n_toks"))
+      .write.format("graft-manifest").mode("append").save(out)
+    graft.sources.ManifestV2Sink.readCommitted(spark, out)
+      .groupBy((col("doc_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(col("doc_id")).as("sum_ids"))
   }
+
+  val pipelineE2eMaterializedSql: String =
+    s"""WITH RECURSIVE $sqlE2eCtes
+       |SELECT doc_id % 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+       |FROM s4 GROUP BY 1""".stripMargin
 
   // --------------------------------- per-source quantile normalization
   /** Within-source quantile normalization of a quality signal
@@ -1439,6 +1492,7 @@ object PipelineQueries {
     "pipeline_quantile_filter" -> (pipelineQuantileFilter _),
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
     "pipeline_e2e" -> (pipelineE2e _),
+    "pipeline_e2e_materialized" -> (pipelineE2eMaterialized _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
@@ -1463,6 +1517,7 @@ object PipelineQueries {
     "pipeline_quantile_filter" -> pipelineQuantileFilterSql,
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,
     "pipeline_e2e" -> pipelineE2eSql,
+    "pipeline_e2e_materialized" -> pipelineE2eMaterializedSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,

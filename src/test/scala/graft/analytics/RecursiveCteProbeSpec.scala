@@ -13,8 +13,10 @@ import graft.SparkSuite
   *    dedup_clusters stays an iterative min-label/star contraction
   *    job rather than one spark.sql statement.
   *  - Acyclic recursions with strictly-advancing keys DO work and
-  *    terminate at the fixpoint — the basis of events_ewma's
-  *    day-recurrence.
+  *    terminate at the fixpoint — the basis of events_ewma's ORACLE
+  *    day-recurrence (the Spark side now folds the metadata-sized
+  *    daily series on the driver; this envelope is what made the
+  *    earlier WITH RECURSIVE formulation possible at all).
   */
 class RecursiveCteProbeSpec extends SparkSuite {
 

@@ -73,7 +73,13 @@ class StreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("attribution join state survives a checkpointed restart") {
+  /** The checkpoint-restart replay, shared verbatim by the default
+    * (HDFS-backed in-memory) and RocksDB provider tests — only the
+    * session conf differs, which is the whole point: the operator is
+    * provider-agnostic. Returns the restarted query's last progress
+    * string so callers can assert on provider-specific metrics.
+    */
+  private def checkpointRestartScenario(): String = {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files
@@ -107,6 +113,31 @@ class StreamJoinSpec extends SparkSuite {
         .collect().map(r => (r.getLong(0), Option(r.get(3))))
       assert(got.toSeq == Seq((100L, Some(500L))),
         s"state not recovered: ${got.toSeq}")
+      String.valueOf(q2.lastProgress)
     } finally q2.stop()
+  }
+
+  test("attribution join state survives a checkpointed restart") {
+    checkpointRestartScenario()
+  }
+
+  test("attribution restart recovery holds on the RocksDB state store") {
+    // at 100 TB the state store is the scale bottleneck: RocksDB
+    // keeps the buffered impression horizon off-heap + on local disk.
+    // Same scenario, same operator — only the provider conf changes,
+    // and the checkpoint it recovers from is RocksDB-format too
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val progress = checkpointRestartScenario()
+      // the provider really was RocksDB: its custom metrics surface
+      // in the restarted query's progress
+      assert(progress.contains("rocksdb"), progress.take(500))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 }
