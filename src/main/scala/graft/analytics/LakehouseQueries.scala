@@ -551,6 +551,79 @@ object LakehouseQueries {
        |WHERE tcnt >= 3
        |ORDER BY day""".stripMargin
 
+  // ------------------------------------------------ CUSUM change-point
+  /** CUSUM change-point detection over daily order volume — the
+    * SUSTAINED-shift monitor the point-anomaly queries miss: a 20%
+    * drift that never breaches the per-day threshold accumulates in
+    * the one-sided sums `pos_d = max(0, pos_{d-1} + n_d − target − k)`
+    * / `neg_d = max(0, neg_{d-1} + target − n_d − k)` until the alarm
+    * (> 5k) fires. Target and slack derive from the series itself
+    * (dense-day integer mean, k = max(1, target/10)), so the whole
+    * walk is exact long arithmetic — identical in both engines.
+    *
+    * Scale shape: one shuffle collapses the fact table to the
+    * per-day aggregate; the inherently sequential max-recurrence then
+    * folds the METADATA-sized dense day series on the driver (one row
+    * per day — the [[EventQueries.eventsEwma]] argument; the
+    * truncating max() recurrence has no closed form and no window
+    * expression). The oracle runs the identical walk as a recursive
+    * CTE.
+    */
+  def dqCusum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = table(spark, dir, "orders")
+      .groupBy(epochDay(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (daily.isEmpty)
+      spark.emptyDataset[(Long, Long, Long, Long, Boolean)]
+        .toDF("day", "n", "cusum_pos", "cusum_neg", "alarm")
+    else {
+      val d0 = daily.keys.min
+      val d1 = daily.keys.max
+      val target = daily.values.sum / (d1 - d0 + 1)
+      val k = math.max(1L, target / 10)
+      val out = Vector.newBuilder[(Long, Long, Long, Long, Boolean)]
+      var (pos, neg) = (0L, 0L)
+      (d0 to d1).foreach { day =>
+        val n = daily.getOrElse(day, 0L)
+        pos = math.max(0L, pos + n - target - k)
+        neg = math.max(0L, neg + target - n - k)
+        out += ((day, n, pos, neg, pos > 5 * k || neg > 5 * k))
+      }
+      out.result().toDF("day", "n", "cusum_pos", "cusum_neg", "alarm")
+    }
+  }
+
+  val dqCusumSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT ${sqlEpochDay("o_orderdate")} AS day,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |b AS (
+       |  SELECT MIN(day) AS d0, MAX(day) AS d1,
+       |    CAST(SUM(n) AS BIGINT) AS total
+       |  FROM daily),
+       |p AS (
+       |  SELECT d0, d1, total // (d1 - d0 + 1) AS target,
+       |    greatest(1, (total // (d1 - d0 + 1)) // 10) AS k
+       |  FROM b),
+       |walk(day, n, cpos, cneg) AS (
+       |  SELECT p.d0, COALESCE(d.n, 0),
+       |    greatest(0, COALESCE(d.n, 0) - p.target - p.k),
+       |    greatest(0, p.target - COALESCE(d.n, 0) - p.k)
+       |  FROM p LEFT JOIN daily d ON d.day = p.d0
+       |  UNION ALL
+       |  SELECT w.day + 1, COALESCE(d.n, 0),
+       |    greatest(0, w.cpos + COALESCE(d.n, 0) - p.target - p.k),
+       |    greatest(0, w.cneg + p.target - COALESCE(d.n, 0) - p.k)
+       |  FROM walk w CROSS JOIN p LEFT JOIN daily d ON d.day = w.day + 1
+       |  WHERE w.day < p.d1)
+       |SELECT w.day, w.n, CAST(w.cpos AS BIGINT) AS cusum_pos,
+       |  CAST(w.cneg AS BIGINT) AS cusum_neg,
+       |  (w.cpos > 5 * p.k OR w.cneg > 5 * p.k) AS alarm
+       |FROM walk w, p""".stripMargin
+
   // ------------------------------------------------ vacuum planner
   /** VACUUM planner — quantifies what a retention sweep would delete
     * before anyone runs it: treating `events` as the append-only
@@ -1023,6 +1096,7 @@ object LakehouseQueries {
     "layout_compaction" -> (layoutCompaction _),
     "dq_distribution_drift" -> (dqDistributionDrift _),
     "dq_anomaly" -> (dqAnomaly _),
+    "dq_cusum" -> (dqCusum _),
     "layout_minmax_prune" -> (layoutMinmaxPrune _),
     "events_cdc_apply" -> (eventsCdcApply _),
     "gdpr_cascade" -> (gdprCascade _),
@@ -1041,6 +1115,7 @@ object LakehouseQueries {
     "layout_compaction" -> layoutCompactionSql,
     "dq_distribution_drift" -> dqDistributionDriftSql,
     "dq_anomaly" -> dqAnomalySql,
+    "dq_cusum" -> dqCusumSql,
     "layout_minmax_prune" -> layoutMinmaxPruneSql,
     "events_cdc_apply" -> eventsCdcApplySql,
     "gdpr_cascade" -> gdprCascadeSql,

@@ -1356,6 +1356,63 @@ object PipelineQueries {
        |  CAST(SUM(doc_id) AS BIGINT) AS sum_ids
        |FROM s4 GROUP BY 1""".stripMargin
 
+  // --------------------------------- overlapping context chunking
+  /** Sliding-window training-context chunking: each document splits
+    * into [[CtxWindow]]-token windows advancing [[CtxStride]] tokens
+    * (16-token overlap) — the step that turns cleaned documents into
+    * fixed-size training/RAG contexts where truncation would discard
+    * tails and disjoint splits would orphan boundary-straddling
+    * spans. Output: one row per chunk with its exact token count and
+    * a 56-bit md5 of the chunk TEXT, so the oracle compare proves the
+    * engines cut byte-identical chunks, not merely equal counts.
+    *
+    * Scale shape: scan → per-row codegen'd expressions → generate;
+    * ZERO shuffles at any corpus size (the chunk count is derived
+    * per row, the windows come from one `sequence` + `slice` — no
+    * self-join, no window function, no exchange anywhere).
+    */
+  val CtxWindow = 64
+  val CtxStride = 48
+
+  def pipelineContextChunk(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .withColumn("nchunks",
+        when(col("n") <= CtxWindow, lit(1L)).otherwise(
+          expr(s"(n - $CtxWindow + $CtxStride - 1) div $CtxStride + 1")))
+    d.select(col("doc_id"), col("n"), col("toks"),
+        posexplode(expr("sequence(0L, nchunks - 1)")).as(Seq("pos", "ci")))
+      .select(col("doc_id"), col("ci").as("chunk_id"),
+        least(lit(CtxWindow.toLong), col("n") - col("ci") * CtxStride)
+          .as("n_chunk_toks"),
+        CrossHash.md5Long(array_join(
+          slice(col("toks"), (col("ci") * CtxStride + 1).cast("int"),
+            lit(CtxWindow)), " ")).as("chunk_hash"))
+  }
+
+  val pipelineContextChunkSql: String = {
+    val (w, s) = (CtxWindow, CtxStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n, toks,
+       |    CASE WHEN n <= $w THEN 1 ELSE (n - $w + $s - 1) // $s + 1 END
+       |      AS nchunks
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, n, toks, u.ci FROM c,
+       |    LATERAL (SELECT unnest(generate_series(0, nchunks - 1)) AS ci) u)
+       |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+       |  CAST(least($w, n - ci * $s) AS BIGINT) AS n_chunk_toks,
+       |  ${CrossHash.sqlMd5Long(
+          s"array_to_string(list_slice(toks, ci * $s + 1, " +
+            s"least(ci * $s + $w, n)), ' ')")} AS chunk_hash
+       |FROM e""".stripMargin
+  }
+
   // --------------------------------- per-source quantile normalization
   /** Within-source quantile normalization of a quality signal
     * (n_chars here): each document gets its percentile rank INSIDE its
@@ -1493,6 +1550,7 @@ object PipelineQueries {
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
     "pipeline_e2e" -> (pipelineE2e _),
     "pipeline_e2e_materialized" -> (pipelineE2eMaterialized _),
+    "pipeline_context_chunk" -> (pipelineContextChunk _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_pack" -> (pipelinePack _),
@@ -1518,6 +1576,7 @@ object PipelineQueries {
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "pipeline_e2e_materialized" -> pipelineE2eMaterializedSql,
+    "pipeline_context_chunk" -> pipelineContextChunkSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_pack" -> pipelinePackSql,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.{col, timestamp_millis}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
 
 /** Streaming three-step path mining — the stream twin of the batch
@@ -20,16 +21,29 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode
   *
   * Per-user state is tiny but the USER COUNT is not: without expiry
   * the state store grows with every user ever seen. An idle-user
-  * processing-time timeout (default 24 h) drops suffixes of users who
-  * stopped producing events — the only loss is trigrams that would
-  * straddle the expiry gap, which a >24 h-idle journey has arguably
-  * ended anyway. State is therefore bounded by ACTIVE users, not
-  * lifetime users.
+  * EVENT-TIME timeout (default 24 h past the user's last event, fired
+  * when the WATERMARK passes that deadline) drops suffixes of users
+  * who stopped producing events — the only loss is trigrams that
+  * would straddle the expiry gap, which a journey idle that long has
+  * arguably ended anyway. State is therefore bounded by ACTIVE users,
+  * not lifetime users. Event-time (not processing-time) expiry is
+  * deliberate twice over: replaying a historical log expires users
+  * identically to live operation (deterministic — no wall clock), and
+  * the engine only schedules timeout sweeps when the watermark MOVES
+  * (a registered processing-time timeout makes the micro-batch engine
+  * re-trigger continuously — `shouldRunAnotherBatch` is always true
+  * once wall time advances, which busy-loops a drained stream).
   */
 object StreamTopPaths {
 
   final case class Ev(userId: Long, tsMs: Long, eventId: Long,
       eventType: String)
+
+  /** [[Ev]] plus the watermark-bearing timestamp column (public only
+    * because Catalyst's generated deserializer must construct it).
+    */
+  final case class EvW(userId: Long, tsMs: Long, eventId: Long,
+      eventType: String, et: java.sql.Timestamp)
 
   /** Last ≤2 event types seen, oldest first. */
   final case class Suffix(e1: Option[String], e2: Option[String])
@@ -37,15 +51,20 @@ object StreamTopPaths {
   final case class Path(userId: Long, e1: String, e2: String, e3: String)
 
   def apply(events: Dataset[Ev],
-      idleExpiryMs: Long = 24L * 3600 * 1000): Dataset[Path] = {
+      idleExpiryMs: Long = 24L * 3600 * 1000,
+      watermarkDelay: String = "10 minutes"): Dataset[Path] = {
+    implicit val evwEnc: Encoder[EvW] = Encoders.product[EvW]
     implicit val stateEnc: Encoder[Suffix] = Encoders.product[Suffix]
     implicit val outEnc: Encoder[Path] = Encoders.product[Path]
     implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
-    events
+    events.toDF()
+      .withColumn("et", timestamp_millis(col("tsMs")))
+      .withWatermark("et", watermarkDelay)
+      .as[EvW]
       .groupByKey(_.userId)
       .flatMapGroupsWithState[Suffix, Path](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[Suffix]) =>
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, evs: Iterator[EvW], state: GroupState[Suffix]) =>
           if (state.hasTimedOut) {
             // idle user: drop the 2-string suffix; a later event starts
             // a fresh journey (loses only gap-straddling trigrams)
@@ -56,7 +75,8 @@ object StreamTopPaths {
           val out = Vector.newBuilder[Path]
           // micro-batch slice of this user's log, in event order — the
           // sort is bounded by the per-trigger slice, not the journey
-          evs.toSeq.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+          val slice = evs.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          slice.foreach { e =>
             (st.e1, st.e2) match {
               case (Some(a), Some(b)) =>
                 out += Path(user, a, b, e.eventType)
@@ -66,7 +86,12 @@ object StreamTopPaths {
             }
           }
           state.update(st)
-          state.setTimeoutDuration(idleExpiryMs)
+          // expire this user idleExpiry past their latest event; the
+          // engine requires the deadline to sit above the watermark
+          // (late slices can't schedule already-passed sweeps)
+          state.setTimeoutTimestamp(
+            math.max(slice.map(_.tsMs).max + idleExpiryMs,
+              state.getCurrentWatermarkMs() + 1))
           out.result().iterator
           }
       }

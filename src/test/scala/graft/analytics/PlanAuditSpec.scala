@@ -120,6 +120,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("Gramian pair expansion collapses map-side before its exchange") {
+    // EmbeddingQueries claim: covUpper's d²/2-per-row pair expansion
+    // "partial aggregation collapses every partition to ≤ d(d+1)/2 =
+    // 2080 rows before the one shuffle — the reduce side sees 2080
+    // keys total regardless of corpus size". Witness: the sums plan
+    // as a partial + final HashAggregate pair on the (i, j) keys, so
+    // what crosses the exchange between them is the 2080-key partial
+    // state, not the inflated row stream (sparkPlan is pre-
+    // EnsureRequirements, so the exchange node itself is not visible
+    // here — the partial/final split is the load-bearing witness)
+    val p = plan("emb_covariance").toLowerCase
+    assert(p.contains("partial_sum"), p.take(600))
+    assert("(?s)hashaggregate.*hashaggregate".r
+      .findFirstIn(p).nonEmpty, p.take(600))
+  }
+
   test("multimodal content bytes never enter an exchange") {
     // MultimodalOps claim: "never shuffles content". Witness: in the
     // formatted plan every Exchange block lists its Input columns;

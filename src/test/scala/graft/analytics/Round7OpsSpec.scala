@@ -1,0 +1,60 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-7 operators (the oracle
+  * hash-compare proves engine agreement; these pin the properties the
+  * numbers must have to MEAN what they claim).
+  */
+class Round7OpsSpec extends SparkSuite {
+
+  test("materialized release equals the funnel's stage-4 totals") {
+    // pipeline_e2e reports the funnel; pipeline_e2e_materialized
+    // ships the survivors through the manifest sink. If the release
+    // buckets don't re-add to stage 4's (n_docs, n_tokens) exactly,
+    // the sink lost or duplicated documents between report and release
+    val funnel = PipelineQueries.pipelineE2e(spark, sf0001)
+      .where(col("stage") === 4L).collect()
+    assert(funnel.length == 1)
+    val (nDocs, nToks) = (funnel(0).getLong(2), funnel(0).getLong(3))
+    val release = PipelineQueries
+      .pipelineE2eMaterialized(spark, sf0001)
+      .agg(sum(col("n_docs")), sum(col("n_tokens")))
+      .collect()(0)
+    assert(release.getLong(0) == nDocs,
+      s"release docs ${release.getLong(0)} != funnel stage-4 $nDocs")
+    assert(release.getLong(1) == nToks,
+      s"release tokens ${release.getLong(1)} != funnel stage-4 $nToks")
+  }
+
+  test("ewma output equals an independent fold of the daily series") {
+    // the driver fold is re-run here from the day aggregate with an
+    // independently written BigInt recurrence (dense fill included),
+    // the same re-derivation style as the k-core peel cross-check
+    val got = EventQueries.eventsEwma(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // raw parquet read; calendar datediff from the epoch is an
+    // independent derivation of the epoch day (QueryUtil.epochDay
+    // floor-divides unix time instead)
+    val daily = spark.read
+      .parquet(s"$sf0001/events.parquet")
+      .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT)")
+        .as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    val d1 = daily.keys.max
+    assert(got.size == (d1 - d0 + 1), "output must be the dense span")
+    var s = BigInt(daily(d0)) * 8
+    assert(got(d0) == ((daily(d0), s.toLong, (s / 8).toLong)))
+    ((d0 + 1) to d1).foreach { day =>
+      val n = daily.getOrElse(day, 0L)
+      s = (s * 7) / 8 + BigInt(n) * 8
+      assert(got(day) == ((n, s.toLong, (s / 8).toLong)),
+        s"recurrence diverges at day $day")
+    }
+  }
+}

@@ -58,4 +58,38 @@ class StreamTopPathsSpec extends SparkSuite {
       assert(got.values.sum == 3L) // 2 (user 1) + 1 (user 2) + 0 (user 3)
     } finally q.stop()
   }
+
+  test("idle users expire on the watermark and restart their journeys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ms = MemoryStream[Ev]
+    // 50 ms event-time idle expiry, zero watermark delay: once the
+    // watermark moves 50 ms past a user's last event, their suffix
+    // must be GONE — the next events start a fresh journey
+    val q = StreamTopPaths(ms.toDS(), idleExpiryMs = 50L,
+        watermarkDelay = "0 milliseconds").toDF()
+      .writeStream.format("memory").queryName("paths_exp")
+      .outputMode("append").start()
+    try {
+      // user 1 accumulates a 2-event suffix (one event short of a path)
+      ms.addData(Ev(1L, 1000L, 1L, "view"), Ev(1L, 1100L, 2L, "click"))
+      q.processAllAvailable()
+      // another user drives the watermark far past 1100 + 50
+      ms.addData(Ev(9L, 1000000L, 3L, "view"))
+      q.processAllAvailable()
+      ms.addData(Ev(9L, 1000001L, 4L, "click"))
+      q.processAllAvailable() // timeout sweep fires here: user 1 reset
+      // user 1 returns: three fresh events = exactly ONE trigram; a
+      // surviving suffix would instead complete (view, click, cart)
+      ms.addData(Ev(1L, 1000100L, 5L, "cart"),
+        Ev(1L, 1000200L, 6L, "purchase"), Ev(1L, 1000300L, 7L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("paths_exp").where(col("userId") === 1L)
+        .collect().map(r => (r.getString(1), r.getString(2),
+          r.getString(3))).toSeq
+      assert(got == Seq(("cart", "purchase", "view")),
+        s"expiry failed, user-1 paths: $got")
+    } finally q.stop()
+  }
 }
