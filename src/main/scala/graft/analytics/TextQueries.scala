@@ -1102,6 +1102,62 @@ object TextQueries {
        |  ${sqlPpm("abs(est * 100 - exact_cents)", "exact_cents")} AS err_ppm
        |FROM sc""".stripMargin
 
+  // --------------------------------------- vocabulary coverage / OOV
+  /** Tokenizer-vocabulary coverage per source: build the top-
+    * [[VocabK]] corpus vocabulary (count DESC, token ASC — the
+    * deterministic tiebreak makes the cut exact in both engines) and
+    * report, per source, total tokens, in-vocabulary tokens, coverage
+    * ppm, and distinct out-of-vocabulary TYPES — the
+    * "will this tokenizer fragment this source into bytes" number a
+    * mixing decision needs BEFORE training on a new source.
+    *
+    * Scale shape: one vocabulary-keyed count (partial-aggregatable),
+    * the top-K cut compiles to TakeOrderedAndProject (per-partition
+    * heaps, no global sort), and the membership join is against the
+    * K-row BOUNDED broadcast — the token stream itself shuffles only
+    * for the per-source rollup keys. The distinct-OOV count runs on
+    * (source, token) pairs, vocabulary-bounded on the in-vocab side.
+    */
+  val VocabK = 1024
+
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(VocabK)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0L))).as("n_in_vocab"),
+        countDistinct(when(col("in_vocab").isNull, col("tok")))
+          .as("n_oov_types"))
+      .select(col("source"), col("n_tokens"), col("n_in_vocab"),
+        col("n_oov_types"),
+        ppm(col("n_in_vocab"), col("n_tokens")).as("coverage_ppm"))
+  }
+
+  val textVocabCoverageSql: String =
+    s"""WITH tk AS (
+       |  SELECT source, u.tok
+       |  FROM (SELECT source, string_split(text, ' ') AS ts
+       |        FROM documents) t,
+       |    LATERAL (SELECT unnest(ts) AS tok) u),
+       |v AS (
+       |  SELECT tok, 1 AS in_vocab FROM (
+       |    SELECT tok, COUNT(*) AS c FROM tk GROUP BY 1
+       |    ORDER BY c DESC, tok LIMIT $VocabK)),
+       |j AS (
+       |  SELECT tk.source, tk.tok, v.in_vocab
+       |  FROM tk LEFT JOIN v ON tk.tok = v.tok)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(in_vocab, 0)) AS BIGINT) AS n_in_vocab,
+       |  CAST(COUNT(DISTINCT CASE WHEN in_vocab IS NULL THEN tok END)
+       |    AS BIGINT) AS n_oov_types,
+       |  ${sqlPpm("SUM(COALESCE(in_vocab, 0))", "COUNT(*)")}
+       |    AS coverage_ppm
+       |FROM j GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_merge" -> (textBpeMerge _),
     "sketch_quantile" -> (sketchQuantile _),
@@ -1117,6 +1173,7 @@ object TextQueries {
     "text_stats" -> (textStats _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_heavy_hitters" -> (textHeavyHitters _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_langid_eval" -> (textLangidEval _),
@@ -1139,6 +1196,7 @@ object TextQueries {
     "text_stats" -> textStatsSql,
     "text_token_bpe" -> textTokenBpeSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
+    "text_vocab_coverage" -> textVocabCoverageSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_langid_eval" -> textLangidEvalSql,

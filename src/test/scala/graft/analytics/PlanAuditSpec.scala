@@ -38,6 +38,11 @@ class PlanAuditSpec extends SparkSuite {
     // "per-partition heaps, no global sort" claim
     assert(plan("text_bm25").contains("TakeOrderedAndProject"))
     assert(plan("events_top_paths").contains("TakeOrderedAndProject"))
+    // text_vocab_coverage: the top-K vocabulary cut is a heap, and
+    // the membership join is against the K-row broadcast
+    val vc = plan("text_vocab_coverage")
+    assert(vc.contains("TakeOrderedAndProject"), vc.take(400))
+    assert(!vc.contains("SortMergeJoin"), vc.take(400))
   }
 
   test("projection pruning reaches the scan") {
