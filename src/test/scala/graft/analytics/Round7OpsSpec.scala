@@ -29,6 +29,39 @@ class Round7OpsSpec extends SparkSuite {
       s"release tokens ${release.getLong(1)} != funnel stage-4 $nToks")
   }
 
+  test("context chunks tile every document with the exact overlap") {
+    // the zero-shuffle chunker must COVER each document: starts
+    // advance by exactly the stride, every token lands in >=1 chunk,
+    // and the final chunk ends exactly at the document's last token —
+    // a truncating chunker (lost tail) or an off-by-one stride would
+    // pass the oracle only if both engines shared the bug; this pins
+    // the geometry independently
+    val w = PipelineQueries.CtxWindow.toLong
+    val s = PipelineQueries.CtxStride.toLong
+    val chunks = PipelineQueries.pipelineContextChunk(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val nToks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS LONG) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet == nToks.keySet, "every document must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are 0..k-1, the expected count for this length
+      val expected = if (n <= w) 1L else (n - w + s - 1) / s + 1
+      assert(sorted.map(_._2).toSeq == (0L until expected),
+        s"doc $doc chunk ids: ${sorted.map(_._2).toSeq}")
+      sorted.foreach { case (_, ci, len) =>
+        assert(len == math.min(w, n - ci * s) && len >= 1,
+          s"doc $doc chunk $ci len $len (n=$n)")
+      }
+      // coverage: the last chunk ends exactly at token n
+      val (_, lastCi, lastLen) = sorted.last
+      assert(lastCi * s + lastLen == n, s"doc $doc tail lost")
+    }
+  }
+
   test("ewma output equals an independent fold of the daily series") {
     // the driver fold is re-run here from the day aggregate with an
     // independently written BigInt recurrence (dense fill included),
