@@ -330,6 +330,43 @@ class StreamingSpec extends SparkSuite {
       "peer", leaseMs = lease) == TableStateStore.Drained)
   }
 
+  test("racing stealers of one expired claim: exactly one wins") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-state6").toString
+    val store = new TableStateStore(spark, s"$dir/state", buckets = 4)
+    val lease = 60000L
+    store.ingestRequests(Seq(("ing-r", Seq(1L), Priority.Low, 1L))
+      .toDF("ingestion_id", "ids", "priority", "created_at"),
+      GraftConfig.bench)
+    val batch = store.statusOf("ing-r").get.batches.head.batchId
+    assert(store.tryClaim(batch, "dead"))
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/state_claims", batch),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - lease - 1000))
+    // 8 peers race the steal path simultaneously; the atomic
+    // rename-to-tombstone arbitration must admit EXACTLY one — a
+    // double steal would double-process, a deadlocked steal would
+    // orphan the batch a second time
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (store.tryClaim(batch, s"stealer-$i", leaseMs = lease))
+          wins.add(s"stealer-$i")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(wins.size == 1, s"steal winners: $wins")
+    assert(store.claimOwner(batch) == Some(wins.peek()))
+    // the loser claims are gone, not queued: a fresh (unexpired)
+    // claim by the winner blocks everyone else
+    assert(!store.tryClaim(batch, "late", leaseMs = lease))
+  }
+
   test("table-backed processing loop drains the queue in priority order") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
