@@ -15,13 +15,18 @@ import org.apache.spark.sql.SparkSession
   * `count()` would let Spark prune the projection and under-report the
   * real work.
   *
-  * Noise instrumentation: each pass is book-ended by a fixed
-  * CPU-bound calibration job (a 64M-row codegen'd sum that never
-  * touches disk). Its wall time moves with host contention and nothing
-  * else, so the "calibration" array in the detail JSON is a per-pass
-  * host-load marker: if calibration drifted 1.3× between rounds, a
-  * uniform 1.3× query smear is machine noise, not regression.
-  * tools/bench_diff.py uses the common-set median ratio the same way.
+  * Noise instrumentation: a fixed CPU-bound calibration job (a
+  * 64M-row codegen'd sum that never touches disk) runs once unwarmed
+  * in the warmup phase (absorbing its own codegen cost), then at the
+  * START of every timed pass, then once AFTER the final pass — N+1
+  * recorded markers truly book-ending the N passes, so contention
+  * that begins during the last pass still leaves a trace. Its wall
+  * time moves with host contention and nothing else, so the
+  * "calibration" array in the detail JSON is the host-load record:
+  * if calibration drifted 1.3× between rounds, a uniform 1.3× query
+  * smear is machine noise, not regression — and tools/bench_diff.py
+  * refuses to normalize a median-query smear the calibration ratio
+  * cannot explain.
   *
   * Env knobs (all optional):
   *   SPARK_GRAFT_BENCH_QUERIES  comma-separated query subset (exact
@@ -80,6 +85,7 @@ object Bench {
       case _ => all
     }
     names.foreach(materialize(_, warmDir)) // warmup, unmeasured
+    calibrate() // unrecorded: absorbs the calibration job's own codegen
     // N timed passes, per-query minimum: a single pass is hostage to
     // transient host contention (observed 3-5× swings on individual
     // queries between identical runs); the min of temporally separated
@@ -91,6 +97,7 @@ object Bench {
       calibrations += calibrate()
       names.map(n => n -> materialize(n, sfDir)).toMap
     }
+    calibrations += calibrate() // closing book-end after the last pass
     val samples: Seq[(String, Seq[Option[Double]])] =
       names.map(n => n -> passes.map(_(n)))
     val results = samples.map { case (n, ss) =>

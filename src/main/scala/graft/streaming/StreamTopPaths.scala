@@ -45,8 +45,13 @@ object StreamTopPaths {
   final case class EvW(userId: Long, tsMs: Long, eventId: Long,
       eventType: String, et: java.sql.Timestamp)
 
-  /** Last ≤2 event types seen, oldest first. */
-  final case class Suffix(e1: Option[String], e2: Option[String])
+  /** Last ≤2 event types seen, oldest first, plus the max event time
+    * observed (`lastMs`) — the idle-expiry deadline derives from the
+    * LATEST event ever seen, not from whatever slice arrived last, so
+    * a delayed out-of-order slice can never pull the deadline earlier.
+    */
+  final case class Suffix(e1: Option[String], e2: Option[String],
+      lastMs: Long)
 
   final case class Path(userId: Long, e1: String, e2: String, e3: String)
 
@@ -71,26 +76,29 @@ object StreamTopPaths {
             state.remove()
             Iterator.empty
           } else {
-          var st = state.getOption.getOrElse(Suffix(None, None))
+          var st = state.getOption.getOrElse(Suffix(None, None, -1L))
           val out = Vector.newBuilder[Path]
           // micro-batch slice of this user's log, in event order — the
           // sort is bounded by the per-trigger slice, not the journey
           val slice = evs.toSeq.sortBy(e => (e.tsMs, e.eventId))
+          val lastMs = math.max(st.lastMs, slice.map(_.tsMs).max)
           slice.foreach { e =>
             (st.e1, st.e2) match {
               case (Some(a), Some(b)) =>
                 out += Path(user, a, b, e.eventType)
-                st = Suffix(Some(b), Some(e.eventType))
-              case (Some(a), None) => st = Suffix(Some(a), Some(e.eventType))
-              case _ => st = Suffix(Some(e.eventType), None)
+                st = Suffix(Some(b), Some(e.eventType), lastMs)
+              case (Some(a), None) =>
+                st = Suffix(Some(a), Some(e.eventType), lastMs)
+              case _ => st = Suffix(Some(e.eventType), None, lastMs)
             }
           }
-          state.update(st)
-          // expire this user idleExpiry past their latest event; the
-          // engine requires the deadline to sit above the watermark
-          // (late slices can't schedule already-passed sweeps)
+          state.update(st.copy(lastMs = lastMs))
+          // expire this user idleExpiry past the LATEST event ever
+          // seen (monotone — an out-of-order slice can't pull the
+          // deadline earlier); the engine requires the deadline to
+          // sit above the watermark
           state.setTimeoutTimestamp(
-            math.max(slice.map(_.tsMs).max + idleExpiryMs,
+            math.max(lastMs + idleExpiryMs,
               state.getCurrentWatermarkMs() + 1))
           out.result().iterator
           }

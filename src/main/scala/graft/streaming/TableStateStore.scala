@@ -304,17 +304,25 @@ final class TableStateStore(spark: SparkSession, path: String,
     * LEASE EXPIRY (`leaseMs`): a claim whose mtime is older than the
     * lease belongs to a dead worker — the owner heartbeats the file
     * after every per-id step ([[touchClaim]]), so silence, not batch
-    * length, is what expires it. Stealing is race-safe in two atomic
-    * steps: rename the expired claim to a tombstone (exactly one
-    * stealer wins the rename; losers see NoSuchFile and fall through)
-    * then CREATE_NEW a fresh claim — a third worker racing the gap
-    * just wins the create and the stealer's own create fails, so
-    * there is never more than one live claim per batch. The standard
-    * lease caveat applies: an owner paused PAST the lease (GC, VM
-    * freeze) can be doubled; the monotone status-rank resolution
-    * makes the duplicate completion idempotent at the state level,
-    * and full fencing (a token checked on every append) is what a
-    * table format's conditional commit would add.
+    * length, is what expires it. Stealing serializes on an exclusive
+    * STEAL LOCK (`<batch>.steal`, CREATE_NEW — one stealer at a time),
+    * because rename alone is not enough: a stealer that observed the
+    * old claim as expired could otherwise rename away the claim a
+    * FASTER stealer had just re-created, and both would believe they
+    * won. Under the lock the expiry re-check is race-free; the claim
+    * then renames to a tombstone (audit trail of the dead owner) and
+    * the fresh claim is CREATE_NEW'd — a plain (non-stealing) claimant
+    * racing the rename→create gap just wins the create and the
+    * stealer backs off, so there is never more than one live claim
+    * per batch. A stealer that dies HOLDING the steal lock is covered
+    * by the same mtime rule: the lock protects microseconds of work,
+    * so a lock older than the lease is garbage and any peer deletes
+    * it (idempotent) before retrying. The standard lease caveat
+    * applies: an owner paused PAST the lease (GC, VM freeze) can be
+    * doubled; the monotone status-rank resolution makes the duplicate
+    * completion idempotent at the state level, and full fencing (a
+    * token checked on every append) is what a table format's
+    * conditional commit would add.
     */
   def tryClaim(batchId: String, writerId: String,
       leaseMs: Long = Long.MaxValue): Boolean = {
@@ -330,15 +338,38 @@ final class TableStateStore(spark: SparkSession, path: String,
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     create() || (claimExpired(batchId, leaseMs) && {
-      val tomb = dir.resolve(
-        s".expired_${batchId}_${System.nanoTime()}")
-      val stole =
+      val lock = dir.resolve(s"$batchId.steal")
+      // a crashed stealer's lock is reclaimed by age, like any lease
+      try {
+        if (java.nio.file.Files.exists(lock) &&
+            System.currentTimeMillis() - java.nio.file.Files
+              .getLastModifiedTime(lock).toMillis > leaseMs)
+          java.nio.file.Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+      val locked =
         try {
-          java.nio.file.Files.move(f, tomb,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.write(lock, writerId.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
           true
         } catch { case _: java.io.IOException => false }
-      stole && create()
+      locked && (try {
+        // race-free under the lock: re-check the claim is STILL the
+        // expired one (a faster stealer may have already replaced it)
+        claimExpired(batchId, leaseMs) && {
+          val tomb = dir.resolve(
+            s".expired_${batchId}_${System.nanoTime()}")
+          val stole =
+            try {
+              java.nio.file.Files.move(f, tomb,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              true
+            } catch { case _: java.io.IOException => false }
+          stole && create()
+        }
+      } finally {
+        try java.nio.file.Files.deleteIfExists(lock)
+        catch { case _: java.io.IOException => () }
+      })
     })
   }
 
@@ -400,8 +431,14 @@ final class TableStateStore(spark: SparkSession, path: String,
             col("status") === Status.Triggered)
           .orderBy(IngestOps.queueOrder(col("priority"),
             col("created_at"), col("ordinal")): _*)
-          .limit(lookahead).collect()
+          // collect ALL triggered rows, then filter by expiry: the
+          // triggered set is bounded by in-flight work (≈ live workers
+          // + orphans — control-plane-sized), and limiting BEFORE the
+          // expiry filter would let ≥lookahead live high-priority
+          // batches permanently shadow a lower-priority orphan
+          .collect()
           .filter(r => claimExpired(r.getAs[String]("batch_id"), leaseMs))
+          .take(lookahead)
       }
     val cands = pending ++ stale
     if (cands.isEmpty) TableStateStore.Drained

@@ -69,12 +69,14 @@ class Round7OpsSpec extends SparkSuite {
     val got = EventQueries.eventsEwma(spark, sf0001).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    // raw parquet read; calendar datediff from the epoch is an
+    // raw parquet read; floor-dividing unix micros is a genuinely
     // independent derivation of the epoch day (QueryUtil.epochDay
-    // floor-divides unix time instead)
+    // goes through a calendar datediff on a DATE cast instead — a
+    // timezone bug in the date path would NOT cancel out here; the
+    // session timezone is UTC so the two agree by construction)
     val daily = spark.read
       .parquet(s"$sf0001/events.parquet")
-      .select(expr("CAST(datediff(CAST(ts AS DATE), DATE'1970-01-01') AS BIGINT)")
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000")
         .as("day"))
       .groupBy("day").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -80,12 +80,23 @@ def main(argv):
     floor = statistics.median(ratios) if ratios else 1.0
     cal_note = ""
     cal_old, cal_new = dold.get("calibration"), dnew.get("calibration")
+    cr = None
     if cal_old and cal_new:
         cr = min(cal_new) / min(cal_old)
         cal_note = f"; calibration ratio {cr:.2f}x (independent host marker)"
     print(f"noise floor: median common-set ratio {floor:.2f}x over "
           f"{len(ratios)} queries >= 0.2s{cal_note}")
-    if floor > 1.15 or floor < 0.87:
+    # A uniform smear is only NOISE if the host itself moved: when the
+    # calibration marker says the host speed is unchanged but the
+    # median query ratio drifted, the smear is a REAL code-level
+    # regression (or improvement) and must not be normalized away —
+    # gate against the calibration ratio instead of the median.
+    if cr is not None and floor / cr > 1.15:
+        print(f"  !! median ratio {floor:.2f}x is NOT explained by host "
+              f"speed ({cr:.2f}x): treating the smear as a real uniform "
+              f"regression — normalizing by {cr:.2f} instead")
+        floor = cr
+    elif floor > 1.15 or floor < 0.87:
         print(f"  -> host speed differs between runs; per-query ratios below "
               f"are divided by {floor:.2f} before flagging")
 
