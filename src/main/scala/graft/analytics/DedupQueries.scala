@@ -1123,7 +1123,60 @@ object DedupQueries {
        |JOIN s sb ON p.doc_old = sb.doc_id""".stripMargin
   }
 
+  // --------------------------------------- cross-source dup matrix
+  /** Cross-source contamination matrix: for every unordered source
+    * pair (a ≤ b), how many VERIFIED near-duplicate document pairs
+    * (exact shingle-Jaccard ≥ 0.6, from [[dedupSetsimJoin]] — the
+    * no-false-negative join, so a zero cell is a PROOF of
+    * non-contamination at the threshold, not a sketch artifact)
+    * straddle it, how many distinct documents are implicated, and the
+    * mean overlap strength. This is the view a mixture owner reads
+    * before weighting sources — an eval source that pair-counts
+    * against a train source is a leak, and the diagonal says which
+    * crawls self-duplicate. Built ON the pair join's output frame,
+    * so the matrix can never disagree with the pair report about
+    * what "near-duplicate" means.
+    *
+    * Scale shape: everything expensive is [[dedupSetsimJoin]]'s
+    * prefix-filtered join; on top of it are two broadcast-able
+    * doc→source lookups (8-byte key + a short source string) and a
+    * rollup to a |sources|²-bounded frame.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents").select(col("doc_id"),
+      col("source"))
+    dedupSetsimJoin(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_b")), Seq("doc_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"),
+        col("doc_a"), col("doc_b"), col("jaccard_ppm"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"),
+        ppm(sum(col("jaccard_ppm")), count(lit(1)) * lit(1000000L))
+          .as("mean_jaccard_ppm"))
+  }
+
+  val dedupSourceMatrixSql: String =
+    s"""WITH pairs AS ($dedupSetsimJoinSql)
+       |SELECT least(sa.source, sb.source) AS source_a,
+       |  greatest(sa.source, sb.source) AS source_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
+       |  CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b,
+       |  ${sqlPpm("SUM(jaccard_ppm)", "COUNT(*) * 1000000")}
+       |    AS mean_jaccard_ppm
+       |FROM pairs p
+       |JOIN documents sa ON p.doc_a = sa.doc_id
+       |JOIN documents sb ON p.doc_b = sb.doc_id
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_exact_norm" -> (dedupExactNorm _),
@@ -1142,6 +1195,7 @@ object DedupQueries {
     "dedup_editdist" -> (dedupEditdist _))
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_matrix" -> dedupSourceMatrixSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_exact_norm" -> dedupExactNormSql,

@@ -2014,6 +2014,231 @@ object EmbeddingQueries {
        |FROM pool JOIN maj USING (doc_id)""".stripMargin
   }
 
+  // --------------------------------------------------- binary kNN
+  /** Binary-quantization ANN (the 1-bit family — FAISS
+    * `IndexBinaryFlat` after sign quantization, and the "binary
+    * quantization" mode shipping in production vector stores): each
+    * dimension compresses to ONE bit (is the component above the
+    * corpus mean for that dimension?), the 64 bits pack into two
+    * 32-bit words, and candidates are ranked by Hamming distance —
+    * two XOR+popcount ops per pair, the cheapest candidate scan of
+    * any quantization family (8 bytes/vector vs SQ8's 64, PQ's 8 +
+    * LUT). Top-[[PqRerank]] re-ranked by exact cosine, same tail as
+    * every other family so recall is directly comparable.
+    *
+    * Determinism: the threshold test `qᵢ·n > Σᵢ` is an exact integer
+    * comparison (no division), bit packing is an exact integer sum of
+    * distinct powers of two ≤ 2³¹, and Hamming is popcount over
+    * bit-identical words in both engines. Scale shape: the stats pass
+    * is a 64-key aggregate with map-side combine; the 2-row packed
+    * stats broadcast back; coding is pure per-row expressions; the
+    * candidate scan streams 16 bytes/vector past the broadcast
+    * queries — and at 10¹⁰ vectors binary codes compose with IVF
+    * cells the same way SQ8/PQ do upstream.
+    */
+  def knnBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // stats + coding + re-rank reads
+    val stats = e.select(posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+    val packed = stats
+      .agg(sort_array(collect_list(struct(col("i"), col("s")))).as("st"),
+        max(col("cnt")).as("cn"))
+      .select(transform(col("st"), s => s.getField("s")).as("sums"),
+        col("cn"))
+    val codes = e.crossJoin(broadcast(packed))
+      .withColumn("bits", transform(col("q"), (x, i) =>
+        when(x * col("cn") > element_at(col("sums"), (i + 1).cast("int")),
+          lit(1L)).otherwise(lit(0L))))
+      .withColumn("w1", expr("aggregate(sequence(1, 32), 0L, " +
+        "(acc, i) -> acc + element_at(bits, i) * shiftleft(1L, i - 1))"))
+      .withColumn("w2", expr("aggregate(sequence(33, 64), 0L, " +
+        "(acc, i) -> acc + element_at(bits, i) * shiftleft(1L, i - 33))"))
+      .select(col("vec_id"), col("w1"), col("w2"))
+    val qs = codes.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("w1").as("qw1"),
+        col("w2").as("qw2"))
+    val approx = broadcast(qs).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("qw1").bitwiseXOR(col("w1"))) +
+          bit_count(col("qw2").bitwiseXOR(col("w2")))).as("hamming"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk", row_number().over(wCand))
+      .where(col("crnk") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(e, cands)
+  }
+
+  val knnBinarySql: String =
+    s"""WITH $sqlQuantized,
+       |dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |stats AS (
+       |  SELECT i, CAST(SUM(qv[i]) AS BIGINT) AS s FROM n, dims GROUP BY i),
+       |cnt AS (SELECT COUNT(*) AS cn FROM n),
+       |packed AS (SELECT list(s ORDER BY i) AS sums FROM stats),
+       |bits AS (
+       |  SELECT vec_id, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN qv[i] * cn > sums[i]
+       |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS b
+       |  FROM n, packed, cnt),
+       |codes AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(generate_series(1, 32),
+       |      i -> b[i] * (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))) AS w1,
+       |    list_sum(list_transform(generate_series(33, 64),
+       |      i -> b[i] * (CAST(1 AS BIGINT) << CAST(i - 33 AS INT)))) AS w2
+       |  FROM bits),
+       |approx AS (
+       |  SELECT a.vec_id AS query_id, c.vec_id,
+       |    bit_count(xor(a.w1, c.w1)) + bit_count(xor(a.w2, c.w2)) AS hamming
+       |  FROM codes a JOIN codes c ON a.vec_id < 10 AND a.vec_id <> c.vec_id),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY hamming ASC, vec_id ASC) AS crnk
+       |    FROM approx) WHERE crnk <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
+
+  // ------------------------------------------- MMR diversified kNN
+  /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) —
+    * DIVERSIFIED retrieval: greedily pick the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` so the result set trades
+    * raw relevance for coverage. This is the retrieval shape RAG
+    * context assembly actually wants (10 near-identical passages
+    * waste 9 context slots); none of the plain top-k families can
+    * express it because the objective depends on what was already
+    * selected. λ = ½, so the integer objective is
+    * `mmr_ppm = rel_ppm − max_sim_ppm` (both sides scaled by 2; the
+    * empty-set max is 0 by convention, making step 1 the plain
+    * relevance argmax).
+    *
+    * Scale shape: the distributed work is the candidate generation —
+    * the same broadcast-query corpus scan as brute force, keeping the
+    * top-[[MmrPool]] per query. The greedy loop then runs on a
+    * localCheckpointed ≤|queries|·[[MmrPool]]-row frame (pool
+    * pairwise sims: ≤|queries|·[[MmrPool]]² rows) — corpus-size-
+    * independent, exactly like the trained-quantizer mirrors
+    * elsewhere in this file. [[MmrK]] unrolled argmax steps, each a
+    * broadcast join on the tiny frames. The oracle twin is a
+    * GENERATED unrolled-CTE program sharing the step count.
+    */
+  val MmrK = 5
+  val MmrPool = 20
+
+  def knnMmr(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // queries + scan + pool vectors
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+    val scored = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("rel_ppm"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel_ppm").desc, col("vec_id").asc)
+    val candKeys = scored.withColumn("crnk", row_number().over(wRel))
+      .where(col("crnk") <= MmrPool)
+      .select(col("query_id"), col("vec_id"), col("rel_ppm"))
+    // vectors re-attach via a BROADCAST of the ≤|queries|·MmrPool key
+    // frame — the corpus side streams, it is never shuffled on vec_id
+    val cands = e.select(col("vec_id"), col("q"), col("norm2"))
+      .join(broadcast(candKeys), Seq("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("rel_ppm"), col("q"),
+        col("norm2"))
+      .localCheckpoint() // ≤ 10·MmrPool rows; ends the corpus's lineage
+    val sims = cands
+      .select(col("query_id"), col("vec_id").as("a_id"), col("q").as("aq"),
+        col("norm2").as("an"))
+      .join(cands.select(col("query_id"), col("vec_id").as("b_id"),
+        col("q").as("bq"), col("norm2").as("bn")), Seq("query_id"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("query_id"), col("a_id"), col("b_id"),
+        scorePpm(dot(col("aq"), col("bq")), col("an"), col("bn"))
+          .as("sim_ppm"))
+      .localCheckpoint() // ≤ 10·MmrPool² rows
+    val slim = cands.select(col("query_id"), col("vec_id"), col("rel_ppm"))
+    var selected = slim.withColumn("r", row_number().over(wRel))
+      .where(col("r") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("rnk"),
+        col("rel_ppm"), col("rel_ppm").as("mmr_ppm"))
+    for (t <- 2 to MmrK) {
+      val selKeys = selected.select(col("query_id"), col("vec_id"))
+      val maxSim = sims
+        .join(selKeys.withColumnRenamed("vec_id", "b_id"),
+          Seq("query_id", "b_id"))
+        .groupBy(col("query_id"), col("a_id"))
+        .agg(max(col("sim_ppm")).as("max_sim"))
+        .withColumnRenamed("a_id", "vec_id")
+      val wMmr = Window.partitionBy(col("query_id"))
+        .orderBy(col("mmr").desc, col("vec_id").asc)
+      val step = slim.join(selKeys, Seq("query_id", "vec_id"), "left_anti")
+        .join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("mmr", col("rel_ppm") - col("max_sim"))
+        .withColumn("r", row_number().over(wMmr)).where(col("r") === 1)
+        .select(col("query_id"), col("vec_id"), lit(t.toLong).as("rnk"),
+          col("rel_ppm"), col("mmr").as("mmr_ppm"))
+      selected = selected.unionByName(step).localCheckpoint()
+    }
+    selected
+  }
+
+  val knnMmrSql: String = {
+    def selUnion(t: Int): String =
+      (1 until t).map(i => s"SELECT query_id, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+    val steps = (2 to MmrK).map { t =>
+      s"""s$t AS (
+         |  SELECT query_id, vec_id, CAST($t AS BIGINT) AS rnk, rel_ppm,
+         |    mmr AS mmr_ppm
+         |  FROM (
+         |    SELECT c.query_id, c.vec_id, c.rel_ppm,
+         |      c.rel_ppm - ms.max_sim AS mmr,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY c.rel_ppm - ms.max_sim DESC, c.vec_id ASC) AS r
+         |    FROM cands c
+         |    JOIN (SELECT s.query_id, s.a_id, MAX(s.sim_ppm) AS max_sim
+         |          FROM sims s JOIN (${selUnion(t)}) sel
+         |            ON s.query_id = sel.query_id AND s.b_id = sel.vec_id
+         |          GROUP BY s.query_id, s.a_id) ms
+         |      ON ms.query_id = c.query_id AND ms.a_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(t)}) sel2
+         |      WHERE sel2.query_id = c.query_id
+         |        AND sel2.vec_id = c.vec_id)
+         |  ) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    val simDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    s"""WITH $sqlQuantized,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id,
+       |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS rel_ppm
+       |  FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, rel_ppm, row_number() OVER (
+       |    PARTITION BY query_id
+       |    ORDER BY rel_ppm DESC, vec_id ASC) AS crnk
+       |  FROM scored),
+       |cands AS (
+       |  SELECT query_id, vec_id, rel_ppm FROM ranked WHERE crnk <= $MmrPool),
+       |cv AS (
+       |  SELECT c.query_id, c.vec_id, n.qv, n.norm2
+       |  FROM cands c JOIN n ON c.vec_id = n.vec_id),
+       |sims AS (
+       |  SELECT a.query_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${sqlScorePpm(simDot, "a.norm2", "b.norm2")} AS sim_ppm
+       |  FROM cv a JOIN cv b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT query_id, vec_id, CAST(1 AS BIGINT) AS rnk, rel_ppm,
+       |    rel_ppm AS mmr_ppm
+       |  FROM ranked WHERE crnk = 1),
+       |$steps
+       |${(1 to MmrK).map(i => s"SELECT * FROM s$i").mkString(" UNION ALL ")}
+       |""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "emb_covariance" -> (embCovariance _),
@@ -2037,7 +2262,9 @@ object EmbeddingQueries {
     "knn_ivf_delta" -> (knnIvfDelta _),
     "sql_native_funcs" -> (sqlNativeFuncs _),
     "emb_neardup_pairs" -> (embNeardupPairs _),
-    "emb_semantic_dedup" -> (embSemanticDedup _))
+    "emb_semantic_dedup" -> (embSemanticDedup _),
+    "knn_binary" -> (knnBinary _),
+    "knn_mmr" -> (knnMmr _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2062,5 +2289,7 @@ object EmbeddingQueries {
     "knn_ivf_delta" -> knnIvfDeltaSql,
     "sql_native_funcs" -> sqlNativeFuncsSql,
     "emb_neardup_pairs" -> embNeardupPairsSql,
-    "emb_semantic_dedup" -> embSemanticDedupSql)
+    "emb_semantic_dedup" -> embSemanticDedupSql,
+    "knn_binary" -> knnBinarySql,
+    "knn_mmr" -> knnMmrSql)
 }

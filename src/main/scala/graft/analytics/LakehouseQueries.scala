@@ -1088,7 +1088,61 @@ object LakehouseQueries {
        |ORDER BY key_family""".stripMargin
   }
 
+  // ------------------------------------------------- freshness SLO
+  /** Per-stream freshness report: for each event_type, how far its
+    * newest event lags the table's global high-water mark, how much
+    * volume landed in the trailing 24 h before that mark, and whether
+    * the lag breaches a 1-hour staleness SLO. This is the first page
+    * of any ingestion dashboard — a partner feed that silently stops
+    * emitting fails THIS check days before it fails a volume-anomaly
+    * check, because lag grows monotonically while daily volume decays
+    * into the noise floor.
+    *
+    * Determinism: all arithmetic on exact epoch-microsecond integers
+    * (`unix_micros`/`epoch_us` — both engines' native exact
+    * extraction); the division to whole seconds is integer `div`.
+    * Scale shape: one partial-aggregating groupBy to |event_type|
+    * rows (min/max/conditional-count all collapse map-side against
+    * the broadcast 1-row global max), so the report never shuffles
+    * event rows — the 24 h window is a conditional aggregate, not a
+    * filtered second scan.
+    */
+  def dqFreshness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      // ts is TIMESTAMP_NTZ; the session is pinned UTC, so the cast
+      // is the identity reinterpretation DuckDB's epoch_us applies
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val gmax = ev.agg(max(col("ts_us")).as("gmax_us"))
+    ev.crossJoin(broadcast(gmax))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts_us")).as("max_ts_us"),
+        max(col("gmax_us")).as("gmax_us"),
+        count(when(col("ts_us") >= col("gmax_us") - lit(86400000000L),
+          lit(1))).as("n_recent_24h"))
+      .withColumn("lag_s", expr("(gmax_us - max_ts_us) div 1000000"))
+      .withColumn("stale", col("lag_s") > 3600L)
+      .select(col("event_type"), col("n_events"), col("max_ts_us"),
+        col("lag_s"), col("n_recent_24h"), col("stale"))
+  }
+
+  val dqFreshnessSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events),
+      |g AS (SELECT MAX(ts_us) AS gmax_us FROM ev)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(ts_us) AS max_ts_us,
+      |  (gmax_us - MAX(ts_us)) // 1000000 AS lag_s,
+      |  CAST(COUNT(CASE WHEN ts_us >= gmax_us - 86400000000
+      |    THEN 1 END) AS BIGINT) AS n_recent_24h,
+      |  ((gmax_us - MAX(ts_us)) // 1000000) > 3600 AS stale
+      |FROM ev, g
+      |GROUP BY event_type, gmax_us""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness" -> (dqFreshness _),
     "dq_anomaly_mad" -> (dqAnomalyMad _),
     "dq_referential" -> (dqReferential _),
     "dq_skew_report" -> (dqSkewReport _),
@@ -1108,6 +1162,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "dq_freshness" -> dqFreshnessSql,
     "dq_anomaly_mad" -> dqAnomalyMadSql,
     "dq_referential" -> dqReferentialSql,
     "dq_skew_report" -> dqSkewReportSql,

@@ -1544,7 +1544,81 @@ object PipelineQueries {
        |FROM ($pipelineQuantileNormSql) norm
        |GROUP BY source""".stripMargin
 
+  // ------------------------------------------------ epoch planner
+  /** Token-budget epoch plan: given a training budget of
+    * [[EpochBudgetX]]× the corpus's total tokens, split it across
+    * sources by temperature-τ=½ weights (w_s = ⌊√tokens_s⌋ — the
+    * standard upsample-the-tail mixture rule) and report, per source,
+    * the allocated tokens, the implied epoch count, and whether the
+    * source would be repeated past the ~4-epoch mark where repeated
+    * data stops helping (the scaling-law guardrail for
+    * data-constrained training). This is the planning table a mixture
+    * owner derives BEFORE launching a run — the static twin of
+    * [[pipelineTemperatureMix]]'s sampled realization.
+    *
+    * Determinism: weights are ⌊√t⌋ on exact integer token counts
+    * (one IEEE sqrt on identical operands per source), so the weight
+    * SUM is an exact integer — order-independent, unlike a float
+    * share sum. The allocation `⌊B·w/W⌋` is computed by the two-term
+    * identity `(B div W)·w + ((B mod W)·w) div W` so no intermediate
+    * exceeds ~W·w (no overflow headroom needed even at 10¹⁴-token
+    * corpora), and epochs are reported in exact milli-units the same
+    * way. Scale shape: one partial-aggregating groupBy to
+    * |sources| rows; everything after is arithmetic on the
+    * metadata-sized frame against a broadcast 1-row total.
+    */
+  val EpochBudgetX = 3L
+
+  def pipelineEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = table(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("tokens").cast("double"))).cast("long"))
+    val tot = per.agg(sum(col("tokens")).as("tt"), sum(col("weight")).as("ww"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("budget", col("tt") * lit(EpochBudgetX))
+      .withColumn("share_ppm", expr(
+        "((1000000 div ww) * weight) + (((1000000 % ww) * weight) div ww)"))
+      .withColumn("alloc_tokens", expr(
+        "(budget div ww) * weight + (((budget % ww) * weight) div ww)"))
+      .withColumn("epochs_milli", expr(
+        "(alloc_tokens div tokens) * 1000 + " +
+          "(((alloc_tokens % tokens) * 1000) div tokens)"))
+      .withColumn("over_repeat", col("epochs_milli") > 4000L)
+      .select(col("source"), col("n_docs"), col("tokens"), col("weight"),
+        col("share_ppm"), col("alloc_tokens"), col("epochs_milli"),
+        col("over_repeat"))
+  }
+
+  val pipelineEpochPlanSql: String =
+    s"""WITH per AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, n_docs, tokens,
+       |    CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+       |  FROM per),
+       |tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+       |    CAST(SUM(weight) AS BIGINT) AS ww FROM w),
+       |alloc AS (
+       |  SELECT source, n_docs, tokens, weight,
+       |    (1000000 // ww) * weight + (((1000000 % ww) * weight) // ww)
+       |      AS share_ppm,
+       |    ((tt * $EpochBudgetX) // ww) * weight +
+       |      ((((tt * $EpochBudgetX) % ww) * weight) // ww) AS alloc_tokens
+       |  FROM w, tot)
+       |SELECT source, n_docs, tokens, weight, share_ppm, alloc_tokens,
+       |  (alloc_tokens // tokens) * 1000 +
+       |    (((alloc_tokens % tokens) * 1000) // tokens) AS epochs_milli,
+       |  ((alloc_tokens // tokens) * 1000 +
+       |    (((alloc_tokens % tokens) * 1000) // tokens)) > 4000
+       |    AS over_repeat
+       |FROM alloc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_epoch_plan" -> (pipelineEpochPlan _),
     "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_quantile_filter" -> (pipelineQuantileFilter _),
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
@@ -1571,6 +1645,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_epoch_plan" -> pipelineEpochPlanSql,
     "pipeline_shuffle" -> pipelineShuffleSql,
     "pipeline_quantile_filter" -> pipelineQuantileFilterSql,
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,

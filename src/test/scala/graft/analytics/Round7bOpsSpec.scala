@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Semantic invariants for the round-7 continuation operators (the
+  * oracle hash-compare proves engine agreement; these pin the
+  * properties the numbers must have to MEAN what they claim).
+  */
+class Round7bOpsSpec extends SparkSuite {
+
+  test("binary-quantized search clears a recall floor vs brute force") {
+    // 1 bit/dim is the coarsest quantizer in the family; the exact
+    // re-rank tail can only surface what Hamming candidates admit, so
+    // recall against exact top-10 is the number that says the sign
+    // codes carry signal at all
+    val exact = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = EmbeddingQueries.knnBinary(spark, sf0001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"binary-code recall $recall < 0.3")
+  }
+
+  test("MMR greedy picks the argmax of the MMR objective at every step") {
+    // recompute the objective independently from the pool: for each
+    // query, step t's pick must maximize rel − max-sim-to-selected
+    // over the remaining candidates (ties to the smaller vec_id) —
+    // a wrong join or a stale selected-set would break this for some
+    // step even while both engines agree on the wrong answer
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS LONG)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def ppmCos(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      math.floor(1e6 * d.toDouble / math.sqrt((na * nb).toDouble)).toLong
+    }
+    val out = EmbeddingQueries.knnMmr(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(1), r.getLong(3),
+        r.getLong(4))) // (query, rnk, vec, rel, mmr)
+    assert(out.length == 10 * EmbeddingQueries.MmrK)
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      val qv = e(qid)
+      // rebuild the pool exactly as the query defines it
+      val pool = e.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, ppmCos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(EmbeddingQueries.MmrPool)
+      val rel = pool.toMap
+      val steps = rows.sortBy(_._2)
+      var selected = List.empty[Long]
+      steps.foreach { case (_, rnk, vec, relOut, mmrOut) =>
+        val best = pool.filterNot(p => selected.contains(p._1))
+          .map { case (id, r) =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(s => ppmCos(e(id), e(s))).max
+            (id, r - ms, r)
+          }.minBy { case (id, m, _) => (-m, id) }
+        assert(vec == best._1, s"query $qid step $rnk picked $vec, " +
+          s"greedy argmax is ${best._1}")
+        assert(mmrOut == best._2 && relOut == best._3,
+          s"query $qid step $rnk objective mismatch")
+        selected ::= vec
+      }
+    }
+  }
+
+  test("MMR trades relevance for diversity against plain top-k") {
+    // the whole point of the operator: within each query, the MMR
+    // set's worst-case pairwise similarity is never WORSE (higher)
+    // than plain top-MmrK's — and the sets differ somewhere on this
+    // corpus (if they never differed the operator would be vacuous
+    // here). Uses the same independent scorer as the greedy test.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS LONG)) AS q")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def ppmCos(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      math.floor(1e6 * d.toDouble / math.sqrt((na * nb).toDouble)).toLong
+    }
+    def maxPairSim(ids: Seq[Long]): Long =
+      ids.combinations(2).map { case Seq(a, b) => ppmCos(e(a), e(b)) }.max
+    val mmr = EmbeddingQueries.knnMmr(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val k = EmbeddingQueries.MmrK
+    var differs = false
+    mmr.foreach { case (qid, picked) =>
+      val qv = e(qid)
+      val topk = e.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, ppmCos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+      assert(maxPairSim(picked) <= maxPairSim(topk),
+        s"query $qid: MMR set is LESS diverse than plain top-$k")
+      if (picked.toSet != topk.toSet) differs = true
+    }
+    assert(differs, "MMR never diverged from plain top-k (vacuous)")
+  }
+
+  test("source matrix pair mass re-adds to the setsim join exactly") {
+    // the matrix is a rollup OF the pair join; if total n_pairs
+    // drifts from the join's row count, a source lookup dropped or
+    // duplicated pairs (e.g. a doc_id miss silently inner-joined away)
+    val nPairs = DedupQueries.dedupSetsimJoin(spark, sf0001).count()
+    val m = DedupQueries.dedupSourceMatrix(spark, sf0001)
+      .agg(sum(col("n_pairs"))).collect()(0).getLong(0)
+    assert(m == nPairs, s"matrix pair mass $m != join pairs $nPairs")
+    assert(nPairs > 0, "no near-dup pairs at sf0.001 (vacuous)")
+  }
+
+  test("epoch plan conserves the budget and scales with source size") {
+    val rows = PipelineQueries.pipelineEpochPlan(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // (source, tokens, weight, share_ppm, alloc, epochs_milli)
+    val totTokens = rows.map(_._2).sum
+    val budget = totTokens * PipelineQueries.EpochBudgetX
+    val alloc = rows.map(_._5).sum
+    // each floor loses < 1 token; the sum can't lose more than one
+    // per source and can never overshoot
+    assert(alloc <= budget, s"allocated $alloc > budget $budget")
+    assert(budget - alloc < rows.length,
+      s"floor loss ${budget - alloc} >= ${rows.length} sources")
+    val shareSum = rows.map(_._4).sum
+    assert(shareSum <= 1000000L && 1000000L - shareSum < rows.length)
+    // τ=½ weights: allocation must be monotone in weight, and the
+    // epoch count must be the exact milli ratio of alloc to tokens
+    rows.sortBy(_._3).sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._5 <= hi._5, s"alloc not monotone: $lo vs $hi")
+      case _ =>
+    }
+    rows.foreach { case (s, toks, _, _, a, em) =>
+      val expect = (a / toks) * 1000 + ((a % toks) * 1000) / toks
+      assert(em == expect, s"$s epochs_milli $em != $expect")
+    }
+  }
+
+  test("freshness lag is zero exactly at the high-water stream") {
+    val rows = LakehouseQueries.dqFreshness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // (event_type, n_events, max_ts_us, lag_s, n_recent_24h, stale)
+    val gmax = rows.map(_._3).max
+    rows.foreach { case (t, n, mx, lag, recent, stale) =>
+      assert(lag == (gmax - mx) / 1000000L, s"$t lag wrong")
+      assert((lag == 0L) == (mx == gmax), s"$t zero-lag iff at high water")
+      assert(recent <= n, s"$t recent $recent > total $n")
+      assert(stale == (lag > 3600L), s"$t stale flag wrong")
+    }
+    assert(rows.exists(_._4 == 0L), "some stream must sit at the high water")
+  }
+}
