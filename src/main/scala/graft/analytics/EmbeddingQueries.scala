@@ -2101,6 +2101,135 @@ object EmbeddingQueries {
        |    FROM approx) WHERE crnk <= $PqRerank),
        |$sqlExactRerank""".stripMargin
 
+  // ------------------------------------------- nprobe tuning curve
+  /** IVF nprobe tuning curve: recall@[[TopK]] and candidate-scan cost
+    * at nprobe ∈ {1, 2, 4, 8} — the accuracy/cost frontier an
+    * operator reads to SET [[NProbe]] instead of inheriting it. Each
+    * row is one operating point: how much of the exact top-k the
+    * probe admits, and how many candidate rows the search had to
+    * score to get it.
+    *
+    * Cost shape: this is ONE search at the maximum nprobe, not four —
+    * candidates are scored once with their cell's probe rank
+    * attached, and each curve point is a filter + re-rank over that
+    * cached pool (pool size = the 10 queries' probed-cell mass, ~
+    * maxP/k of the corpus). The exact baseline is the same
+    * broadcast-query brute scan as [[knnBruteForce]]. Everything
+    * downstream of the two scans aggregates to 4 rows.
+    */
+  val NprobeCurve = Seq(1, 2, 4, 8)
+
+  def knnNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    val exact = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val cents = hashBottomK(e, centK(e.count()))
+      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
+        col("norm2").as("cnorm2"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+    val cells = argmaxCell(assigned, "centroid_id")
+    val maxP = NprobeCurve.max
+    val wProbe = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
+        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
+          .as("cscore"))
+      .withColumn("crnk", row_number().over(wProbe))
+      .where(col("crnk") <= maxP)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"), col("centroid_id").as("cell"),
+        col("crnk").as("cell_rank"))
+    val cand = broadcast(qprobe).join(cells, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell_rank"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+      .cache() // 8 curve aggregates read the one scored pool
+    NprobeCurve.map { p =>
+      val sel = cand.where(col("cell_rank") <= lit(p.toLong))
+      val hits = sel
+        .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = sel.agg(count(lit(1)).as("n_scanned"))
+      hits.crossJoin(scanned)
+        .select(lit(p.toLong).as("nprobe"),
+          ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"),
+          col("n_scanned"))
+    }.reduce(_ unionByName _)
+  }
+
+  val knnNprobeCurveSql: String = {
+    val cdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val pdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
+    val maxP = NprobeCurve.max
+    val points = NprobeCurve.map { p =>
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+         |  ${sqlPpm("h.n_hits", s"10 * $TopK")} AS recall_ppm,
+         |  s.n_scanned
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |      FROM cand WHERE cell_rank <= $p) s,
+         |  (SELECT COUNT(*) AS n_hits FROM (
+         |     SELECT query_id, vec_id FROM (
+         |       SELECT query_id, vec_id, row_number() OVER (
+         |         PARTITION BY query_id
+         |         ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+         |       FROM cand WHERE cell_rank <= $p) WHERE rnk <= $TopK) t
+         |   WHERE EXISTS (SELECT 1 FROM exact e
+         |     WHERE e.query_id = t.query_id AND e.vec_id = t.vec_id)) h"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} DESC,
+       |          b.vec_id ASC) AS rnk
+       |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= $TopK),
+       |cents AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM cranked WHERE hrnk <= $sqlCentK),
+       |assigned AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM n v, cents c),
+       |rankedasg AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |  FROM assigned),
+       |cells AS (
+       |  SELECT vec_id, centroid_id AS cell, qv, norm2
+       |  FROM rankedasg WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn,
+       |    centroid_id AS cell, crnk AS cell_rank
+       |  FROM rankedasg WHERE vec_id < 10 AND crnk <= $maxP),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id, p.cell_rank,
+       |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id)
+       |$points""".stripMargin
+  }
+
   // ------------------------------------------- MMR diversified kNN
   /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) —
     * DIVERSIFIED retrieval: greedily pick the candidate maximizing
@@ -2264,7 +2393,8 @@ object EmbeddingQueries {
     "emb_neardup_pairs" -> (embNeardupPairs _),
     "emb_semantic_dedup" -> (embSemanticDedup _),
     "knn_binary" -> (knnBinary _),
-    "knn_mmr" -> (knnMmr _))
+    "knn_mmr" -> (knnMmr _),
+    "knn_nprobe_curve" -> (knnNprobeCurve _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2291,5 +2421,6 @@ object EmbeddingQueries {
     "emb_neardup_pairs" -> embNeardupPairsSql,
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "knn_binary" -> knnBinarySql,
-    "knn_mmr" -> knnMmrSql)
+    "knn_mmr" -> knnMmrSql,
+    "knn_nprobe_curve" -> knnNprobeCurveSql)
 }

@@ -1617,8 +1617,87 @@ object PipelineQueries {
        |    AS over_repeat
        |FROM alloc""".stripMargin
 
+  // ------------------------------------------- perplexity filtering
+  /** LM-score ("perplexity") filtering, the CCNet recipe: score every
+    * document with the corpus-trained language model — here
+    * [[TextQueries.textLmScore]]'s exact mean-bigram-frequency
+    * fluency score, where LOW means unusual text — then drop each
+    * source's bottom decile BY ITS OWN distribution, and report the
+    * realized per-source cut. Per-source percentiles (not a global
+    * cutoff) are the load-bearing choice, same as
+    * [[pipelineQuantileFilter]]: a global fluency bar would gut the
+    * sources whose register differs from the majority. Documents too
+    * short to score (< 2 tokens) score 0 — the most-droppable bucket,
+    * which is what a filter should do with unscoreable text.
+    *
+    * Scale shape: the scorer is one vocabulary-keyed count shuffle +
+    * one doc rollup; the percentile comes from the shared ≤256·
+    * |sources| histogram-CDF pattern (one broadcast join, no
+    * per-source sort), so the decision is bucket-granular — documents
+    * sharing a 2¹⁸-wide score bucket share their fate, the price of
+    * never sorting the corpus. The report is |sources| rows;
+    * `cutoff_score` (−1 when a source keeps nothing) is the realized
+    * threshold a pipeline owner audits.
+    */
+  def pipelinePerplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .join(TextQueries.textLmScore(spark, dir)
+        .select(col("doc_id"), col("mean_bigram_freq_x1e6").as("score")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("bkt", least(expr("score div 262144"), lit(255L)))
+    val hist = d.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val wsrc = Window.partitionBy(col("source")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = hist
+      .withColumn("below", coalesce(sum(col("c")).over(wsrc), lit(0L)))
+    val totals = hist.groupBy(col("source")).agg(sum(col("c")).as("n_src"))
+    d.join(broadcast(cdf.join(totals, "source")), Seq("source", "bkt"))
+      .withColumn("pct_ppm", ppm(col("below"), col("n_src")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("pct_ppm") < 100000L, lit(1))).as("n_dropped"),
+        ppm(count(when(col("pct_ppm") < 100000L, lit(1))),
+          count(lit(1))).as("dropped_ppm"),
+        coalesce(min(when(col("pct_ppm") >= 100000L, col("score"))),
+          lit(-1L)).as("cutoff_score"))
+  }
+
+  val pipelinePerplexityFilterSql: String =
+    s"""WITH sc AS (${TextQueries.textLmScoreSql}),
+       |d AS (
+       |  SELECT doc.doc_id, doc.source,
+       |    COALESCE(sc.mean_bigram_freq_x1e6, 0) AS score
+       |  FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id),
+       |b AS (SELECT doc_id, source, score,
+       |    LEAST(score // 262144, 255) AS bkt FROM d),
+       |hist AS (SELECT source, bkt, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |cdf AS (
+       |  SELECT source, bkt, c, COALESCE(SUM(c) OVER (
+       |    PARTITION BY source ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM hist),
+       |tot AS (SELECT source, SUM(c) AS n_src FROM hist GROUP BY 1),
+       |pct AS (
+       |  SELECT b.doc_id, b.source, b.score,
+       |    ${sqlPpm("cdf.below", "tot.n_src")} AS pct_ppm
+       |  FROM b JOIN cdf ON b.source = cdf.source AND b.bkt = cdf.bkt
+       |  JOIN tot ON b.source = tot.source)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(CASE WHEN pct_ppm < 100000 THEN 1 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ${sqlPpm("COUNT(CASE WHEN pct_ppm < 100000 THEN 1 END)",
+            "COUNT(*)")} AS dropped_ppm,
+       |  COALESCE(MIN(CASE WHEN pct_ppm >= 100000 THEN score END), -1)
+       |    AS cutoff_score
+       |FROM pct GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_epoch_plan" -> (pipelineEpochPlan _),
+    "pipeline_perplexity_filter" -> (pipelinePerplexityFilter _),
     "pipeline_shuffle" -> (pipelineShuffle _),
     "pipeline_quantile_filter" -> (pipelineQuantileFilter _),
     "pipeline_quantile_norm" -> (pipelineQuantileNorm _),
@@ -1646,6 +1725,7 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "pipeline_epoch_plan" -> pipelineEpochPlanSql,
+    "pipeline_perplexity_filter" -> pipelinePerplexityFilterSql,
     "pipeline_shuffle" -> pipelineShuffleSql,
     "pipeline_quantile_filter" -> pipelineQuantileFilterSql,
     "pipeline_quantile_norm" -> pipelineQuantileNormSql,

@@ -103,6 +103,39 @@ class Round7bOpsSpec extends SparkSuite {
     assert(differs, "MMR never diverged from plain top-k (vacuous)")
   }
 
+  test("nprobe curve is monotone and its NProbe point reproduces knn_ivf") {
+    // recall is |exactTop ∩ pool| by the dominance argument (any exact
+    // top-k member beats every non-member, so all admitted members
+    // rank inside the pool's top-k): a larger probe can never lose a
+    // hit. scanned is a superset count. And the curve's p = NProbe
+    // point must admit exactly the candidate set knn_ivf searches, so
+    // its top-k ids must equal the production search's output —
+    // otherwise the curve is advising on a different index
+    val curve = EmbeddingQueries.knnNprobeCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == EmbeddingQueries.NprobeCurve.map(_.toLong))
+    curve.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 <= hi._2, s"recall not monotone: $lo -> $hi")
+        assert(lo._3 <= hi._3, s"scan cost not monotone: $lo -> $hi")
+      case _ =>
+    }
+    assert(curve.last._2 > curve.head._2 || curve.head._2 == 1000000L,
+      "curve is flat below full recall (vacuous probe sweep)")
+    // p = NProbe cross-check against the production IVF search
+    val ivf = EmbeddingQueries.knnIvf(spark, sf0001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = EmbeddingQueries.knnBruteForce(spark, sf0001)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atNprobe = curve.find(_._1 == EmbeddingQueries.NProbe.toLong).get
+    val ivfRecallPpm =
+      math.floor(1e6 * (ivf intersect exact).size.toDouble / exact.size).toLong
+    assert(atNprobe._2 == ivfRecallPpm,
+      s"curve recall ${atNprobe._2} != knn_ivf's realized $ivfRecallPpm")
+  }
+
   test("source matrix pair mass re-adds to the setsim join exactly") {
     // the matrix is a rollup OF the pair join; if total n_pairs
     // drifts from the join's row count, a source lookup dropped or
@@ -139,6 +172,40 @@ class Round7bOpsSpec extends SparkSuite {
     rows.foreach { case (s, toks, _, _, a, em) =>
       val expect = (a / toks) * 1000 + ((a % toks) * 1000) / toks
       assert(em == expect, s"$s epochs_milli $em != $expect")
+    }
+  }
+
+  test("perplexity filter drops a clean per-source score prefix") {
+    // the decision is bucket-granular but buckets are score ranges,
+    // so within a source every dropped document must score <= every
+    // kept one, the cutoff must be the realized min kept score, and
+    // whenever anything is kept the dropped mass reaches the decile
+    // (the crossing bucket goes with the tail)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scores = TextQueries.textLmScore(spark, sf0001)
+      .select("doc_id", "mean_bigram_freq_x1e6").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bySource = docs.toSeq.map { case (id, src) =>
+      (src, scores.getOrElse(id, 0L))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val out = PipelineQueries.pipelinePerplexityFilter(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSet == bySource.keySet)
+    out.foreach { case (src, nDocs, nDropped, droppedPpm, cutoff) =>
+      val all = bySource(src)
+      assert(nDocs == all.size, s"$src doc count")
+      assert(nDropped > 0, s"$src dropped nothing (vacuous)")
+      if (nDropped < nDocs) {
+        assert(droppedPpm >= 100000L, s"$src under-dropped: $droppedPpm")
+        // sorted scores: the first nDropped are the dropped prefix
+        assert(all(nDropped.toInt - 1) <= all(nDropped.toInt),
+          s"$src drop boundary out of order")
+        assert(cutoff == all(nDropped.toInt),
+          s"$src cutoff $cutoff != realized min kept ${all(nDropped.toInt)}")
+      } else assert(cutoff == -1L, s"$src kept nothing but cutoff $cutoff")
     }
   }
 
