@@ -2101,6 +2101,53 @@ object EmbeddingQueries {
        |    FROM approx) WHERE crnk <= $PqRerank),
        |$sqlExactRerank""".stripMargin
 
+  // --------------------------------------------------- MRR report
+  /** Mean-reciprocal-rank report: for each held-out query and each
+    * approximate family (trained IVF, SQ8), where did the TRUE
+    * nearest neighbor land in the approximate top-[[TopK]]? Recall@k
+    * ([[knnRecallReport]]) says how much of the answer set survives;
+    * MRR says whether the single best answer surfaces FIRST — the
+    * metric that matters when a RAG pipeline only reads the top hit.
+    * `rr_ppm = ⌊10⁶/rank⌋` exactly (integer division), 0 when the
+    * true top-1 is missed entirely; per-(family, query) rows so the
+    * mean and the worst query are both one aggregation away.
+    *
+    * Scale shape: three held-out searches (each already scale-audited
+    * in its own query) + two broadcast-sized joins on (query, id) —
+    * the report itself is |families|·|queries| rows.
+    */
+  def knnMrrReport(spark: SparkSession, dir: String): DataFrame = {
+    val bt = knnBruteHeldout(spark, dir).where(col("rnk") === 1)
+      .select(col("query_id"), col("vec_id").as("true_top1"))
+      .cache() // both family joins read the exact pass
+    def fam(name: String, df: DataFrame): DataFrame = {
+      val hits = df.select(col("query_id"),
+        col("vec_id").as("true_top1"), col("rnk").as("found"))
+      bt.join(hits, Seq("query_id", "true_top1"), "left")
+        .select(lit(name).as("family"), col("query_id"), col("true_top1"),
+          coalesce(col("found"), lit(0L)).as("found_rank"),
+          coalesce(expr("1000000 div found"), lit(0L)).as("rr_ppm"))
+    }
+    fam("ivf_trained", knnIvfTrainedHeldout(spark, dir))
+      .unionByName(fam("sq8", knnSq8Heldout(spark, dir)))
+  }
+
+  val knnMrrReportSql: String = {
+    def block(name: String, sql: String): String =
+      s"""SELECT '$name' AS family, bt.query_id, bt.true_top1,
+         |  COALESCE(a.rnk, 0) AS found_rank,
+         |  COALESCE(1000000 // a.rnk, 0) AS rr_ppm
+         |FROM bt LEFT JOIN ($sql) a
+         |  ON bt.query_id = a.query_id AND a.vec_id = bt.true_top1"""
+        .stripMargin
+    s"""WITH bt AS (
+       |  SELECT query_id, vec_id AS true_top1
+       |  FROM ($knnBruteHeldoutSql) WHERE rnk = 1)
+       |${block("ivf_trained", knnIvfTrainedHeldoutSql)}
+       |UNION ALL
+       |${block("sq8", knnSq8HeldoutSql)}""".stripMargin
+  }
+
   // ------------------------------------------- nprobe tuning curve
   /** IVF nprobe tuning curve: recall@[[TopK]] and candidate-scan cost
     * at nprobe ∈ {1, 2, 4, 8} — the accuracy/cost frontier an
@@ -2394,7 +2441,8 @@ object EmbeddingQueries {
     "emb_semantic_dedup" -> (embSemanticDedup _),
     "knn_binary" -> (knnBinary _),
     "knn_mmr" -> (knnMmr _),
-    "knn_nprobe_curve" -> (knnNprobeCurve _))
+    "knn_nprobe_curve" -> (knnNprobeCurve _),
+    "knn_mrr_report" -> (knnMrrReport _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2422,5 +2470,6 @@ object EmbeddingQueries {
     "emb_semantic_dedup" -> embSemanticDedupSql,
     "knn_binary" -> knnBinarySql,
     "knn_mmr" -> knnMmrSql,
-    "knn_nprobe_curve" -> knnNprobeCurveSql)
+    "knn_nprobe_curve" -> knnNprobeCurveSql,
+    "knn_mrr_report" -> knnMrrReportSql)
 }

@@ -1158,7 +1158,49 @@ object TextQueries {
        |    AS coverage_ppm
        |FROM j GROUP BY source""".stripMargin
 
+  // --------------------------------------------- tokenizer fertility
+  /** Per-source tokenizer fertility: pieces emitted per whitespace
+    * word under the BPE-ish pre-tokenizer, plus the mean piece
+    * length — the "will tokenization inflate this source's token
+    * bill" table read NEXT TO [[textVocabCoverage]] when weighting a
+    * mixture (coverage says how much is out-of-vocabulary; fertility
+    * says how many pieces even the in-vocabulary text costs; a
+    * source can be fine on one and terrible on the other). All exact
+    * integer sums over [[textTokenBpe]]'s per-document counts — the
+    * per-doc and per-source views can never disagree.
+    *
+    * Scale shape: the per-doc scorer is pure per-row expressions in
+    * the scan; this adds one partial-aggregating groupBy to
+    * |sources| rows and a broadcast-able doc→source attach.
+    */
+  def textFertility(spark: SparkSession, dir: String): DataFrame =
+    textTokenBpe(spark, dir)
+      .join(table(spark, dir, "documents").select(col("doc_id"),
+        col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws_tokens")).as("ws_tokens"),
+        sum(col("n_bpe_pieces")).as("bpe_pieces"),
+        sum(col("piece_chars")).as("piece_chars"))
+      .withColumn("fertility_ppm", ppm(col("bpe_pieces"), col("ws_tokens")))
+      .withColumn("mean_piece_len_ppm",
+        ppm(col("piece_chars"), col("bpe_pieces")))
+
+  val textFertilitySql: String =
+    s"""WITH t AS ($textTokenBpeSql)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(t.n_ws_tokens) AS BIGINT) AS ws_tokens,
+       |  CAST(SUM(t.n_bpe_pieces) AS BIGINT) AS bpe_pieces,
+       |  CAST(SUM(t.piece_chars) AS BIGINT) AS piece_chars,
+       |  ${sqlPpm("SUM(t.n_bpe_pieces)", "SUM(t.n_ws_tokens)")}
+       |    AS fertility_ppm,
+       |  ${sqlPpm("SUM(t.piece_chars)", "SUM(t.n_bpe_pieces)")}
+       |    AS mean_piece_len_ppm
+       |FROM t JOIN documents d ON t.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_fertility" -> (textFertility _),
     "text_bpe_merge" -> (textBpeMerge _),
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
@@ -1197,6 +1239,7 @@ object TextQueries {
     "text_token_bpe" -> textTokenBpeSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
+    "text_fertility" -> textFertilitySql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "text_langid_eval" -> textLangidEvalSql,

@@ -175,6 +175,51 @@ class Round7bOpsSpec extends SparkSuite {
     }
   }
 
+  test("MRR report is the literal rank arithmetic of its searches") {
+    // recompute one family end-to-end: the reported found_rank must
+    // be exactly where the brute top-1 sits in the approximate
+    // output, and rr_ppm its integer reciprocal — a join that lost or
+    // duplicated a query would survive the oracle (both engines
+    // sharing it) but not this
+    val top1 = EmbeddingQueries.knnBruteHeldout(spark, sf0001)
+      .where(col("rnk") === 1).select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ivf = EmbeddingQueries.knnIvfTrainedHeldout(spark, sf0001)
+      .select("query_id", "vec_id", "rnk").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val rep = EmbeddingQueries.knnMrrReport(spark, sf0001)
+      .where(col("family") === "ivf_trained").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rep.map(_._1).toSet == top1.keySet, "one row per held-out query")
+    rep.foreach { case (qid, trueTop, found, rr) =>
+      assert(trueTop == top1(qid))
+      val expect = ivf.getOrElse((qid, trueTop), 0L)
+      assert(found == expect, s"query $qid found_rank $found != $expect")
+      assert(rr == (if (found == 0L) 0L else 1000000L / found),
+        s"query $qid rr_ppm $rr")
+    }
+    assert(rep.exists(_._4 > 0L), "IVF never found any true top-1 (vacuous)")
+  }
+
+  test("fertility rollup re-adds the per-document tokenizer counts") {
+    val perDoc = TextQueries.textTokenBpe(spark, sf0001)
+      .join(spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "source"), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_ws_tokens")).as("ws"),
+        sum(col("n_bpe_pieces")).as("bp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rolled = TextQueries.textFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(5)))
+    assert(rolled.map(_._1).toSet == perDoc.keySet)
+    rolled.foreach { case (src, ws, bp, fert) =>
+      assert((ws, bp) == perDoc(src), s"$src sums drifted")
+      assert(fert == math.floor(1e6 * bp.toDouble / ws.toDouble).toLong,
+        s"$src fertility not the exact ppm of its own sums")
+    }
+  }
+
   test("perplexity filter drops a clean per-source score prefix") {
     // the decision is bucket-granular but buckets are score ranges,
     // so within a source every dropped document must score <= every
