@@ -133,7 +133,12 @@ object Bench {
     // machine-parses. Persist the full detail to a file, then print a
     // compact headline line LAST — short enough to always survive the
     // tail window intact (total + per-pass totals + slowest queries).
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    // a SPARK_GRAFT_BENCH_QUERIES subset run must never clobber the
+    // full-sweep baseline bench_diff reads — route it to a _partial
+    // file unless the caller pointed somewhere explicitly
+    val subsetRun = names.size < all.size
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      if (subsetRun) "BENCH_DETAIL_partial.json" else "BENCH_DETAIL.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         (detailLine + "\n").getBytes("UTF-8"))

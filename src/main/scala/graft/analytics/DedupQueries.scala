@@ -1145,6 +1145,11 @@ object DedupQueries {
   def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
     val src = table(spark, dir, "documents").select(col("doc_id"),
       col("source"))
+    // doc columns swap WITH their sources, so n_docs_a counts only
+    // source_a's documents and n_docs_b only source_b's (on the
+    // diagonal both columns count the one source's left/right
+    // appearances — a doc in both positions is implicated in both)
+    val swap = col("src_a") > col("src_b")
     dedupSetsimJoin(spark, dir)
       .join(src.select(col("doc_id").as("doc_a"),
         col("source").as("src_a")), Seq("doc_a"))
@@ -1152,11 +1157,13 @@ object DedupQueries {
         col("source").as("src_b")), Seq("doc_b"))
       .select(least(col("src_a"), col("src_b")).as("source_a"),
         greatest(col("src_a"), col("src_b")).as("source_b"),
-        col("doc_a"), col("doc_b"), col("jaccard_ppm"))
+        when(swap, col("doc_b")).otherwise(col("doc_a")).as("doc_sa"),
+        when(swap, col("doc_a")).otherwise(col("doc_b")).as("doc_sb"),
+        col("jaccard_ppm"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc_a")).as("n_docs_a"),
-        countDistinct(col("doc_b")).as("n_docs_b"),
+        countDistinct(col("doc_sa")).as("n_docs_a"),
+        countDistinct(col("doc_sb")).as("n_docs_b"),
         ppm(sum(col("jaccard_ppm")), count(lit(1)) * lit(1000000L))
           .as("mean_jaccard_ppm"))
   }
@@ -1166,8 +1173,10 @@ object DedupQueries {
        |SELECT least(sa.source, sb.source) AS source_a,
        |  greatest(sa.source, sb.source) AS source_b,
        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       |  CAST(COUNT(DISTINCT p.doc_a) AS BIGINT) AS n_docs_a,
-       |  CAST(COUNT(DISTINCT p.doc_b) AS BIGINT) AS n_docs_b,
+       |  CAST(COUNT(DISTINCT CASE WHEN sa.source > sb.source
+       |    THEN p.doc_b ELSE p.doc_a END) AS BIGINT) AS n_docs_a,
+       |  CAST(COUNT(DISTINCT CASE WHEN sa.source > sb.source
+       |    THEN p.doc_a ELSE p.doc_b END) AS BIGINT) AS n_docs_b,
        |  ${sqlPpm("SUM(jaccard_ppm)", "COUNT(*) * 1000000")}
        |    AS mean_jaccard_ppm
        |FROM pairs p

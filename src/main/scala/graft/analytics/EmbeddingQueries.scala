@@ -321,7 +321,8 @@ object EmbeddingQueries {
     * One implementation (and one [[sqlIvfCtes]] oracle text) so the
     * two pipelines can never drift one site at a time.
     */
-  private def ivfCoarse(e: DataFrame): (DataFrame, DataFrame) = {
+  private def ivfCoarse(e: DataFrame,
+      maxProbe: Int = NProbe): (DataFrame, DataFrame) = {
     val cents = hashBottomK(e, centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
@@ -331,7 +332,10 @@ object EmbeddingQueries {
           .as("cscore"))
     val cells = argmaxCell(assigned, "centroid_id")
     // query-side probe: filter to the 10 query vectors BEFORE scoring,
-    // so the NProbe window runs over 10·k rows, never the corpus
+    // so the probe window runs over 10·k rows, never the corpus.
+    // cell_rank (1 = closest probed cell) rides along so the nprobe
+    // tuning curve can grade candidates by probe depth; the plain
+    // searches ignore it
     val wProbe = Window.partitionBy(col("vec_id"))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
     val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(cents))
@@ -339,9 +343,10 @@ object EmbeddingQueries {
         scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
           .as("cscore"))
       .withColumn("crnk", row_number().over(wProbe))
-      .where(col("crnk") <= NProbe)
+      .where(col("crnk") <= maxProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("norm2").as("qnorm2"), col("centroid_id").as("cell"))
+        col("norm2").as("qnorm2"), col("centroid_id").as("cell"),
+        col("crnk").as("cell_rank"))
     (cells, qprobe)
   }
 
@@ -349,7 +354,7 @@ object EmbeddingQueries {
     * `cells(vec_id, cell, qv, norm2)` + `qprobe(query_id, qq, qn,
     * cell)`.
     */
-  private def sqlIvfCtes: String = {
+  private def sqlIvfCtes(maxProbe: Int = NProbe): String = {
     val cdot =
       "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
     s"""cents AS (
@@ -368,8 +373,8 @@ object EmbeddingQueries {
        |  FROM ranked WHERE crnk = 1),
        |qprobe AS (
        |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn,
-       |    centroid_id AS cell
-       |  FROM ranked WHERE vec_id < 10 AND crnk <= $NProbe)""".stripMargin
+       |    centroid_id AS cell, crnk AS cell_rank
+       |  FROM ranked WHERE vec_id < 10 AND crnk <= $maxProbe)""".stripMargin
   }
 
   def knnIvf(spark: SparkSession, dir: String): DataFrame = {
@@ -395,7 +400,7 @@ object EmbeddingQueries {
       "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
     s"""WITH $sqlQuantized,
        |$sqlCranked,
-       |$sqlIvfCtes,
+       |${sqlIvfCtes()},
        |scored AS (
        |  SELECT p.query_id, b.vec_id,
        |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
@@ -798,7 +803,7 @@ object EmbeddingQueries {
   val knnIvfPqSql: String = {
     s"""WITH $sqlQuantized,
        |$sqlCranked,
-       |$sqlIvfCtes,
+       |${sqlIvfCtes()},
        |cand AS (
        |  SELECT p.query_id, b.vec_id
        |  FROM qprobe p JOIN cells b
@@ -2179,26 +2184,9 @@ object EmbeddingQueries {
           .as("score_ppm"))
       .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
       .select(col("query_id"), col("vec_id"))
-    val cents = hashBottomK(e, centK(e.count()))
-      .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
-        col("norm2").as("cnorm2"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
-        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
-          .as("cscore"))
-    val cells = argmaxCell(assigned, "centroid_id")
-    val maxP = NprobeCurve.max
-    val wProbe = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("centroid_id").asc)
-    val qprobe = e.where(col("vec_id") < 10).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("norm2"), col("centroid_id"),
-        scorePpm(dot(col("q"), col("cq")), col("norm2"), col("cnorm2"))
-          .as("cscore"))
-      .withColumn("crnk", row_number().over(wProbe))
-      .where(col("crnk") <= maxP)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("norm2").as("qnorm2"), col("centroid_id").as("cell"),
-        col("crnk").as("cell_rank"))
+    // the SHARED coarse stage at the deepest probe — the curve grades
+    // the very index knn_ivf searches, by construction
+    val (cells, qprobe) = ivfCoarse(e, NprobeCurve.max)
     val cand = broadcast(qprobe).join(cells, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("cell_rank"),
@@ -2220,11 +2208,8 @@ object EmbeddingQueries {
   }
 
   val knnNprobeCurveSql: String = {
-    val cdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
     val pdot =
       "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
-    val maxP = NprobeCurve.max
     val points = NprobeCurve.map { p =>
       s"""SELECT CAST($p AS BIGINT) AS nprobe,
          |  ${sqlPpm("h.n_hits", s"10 * $TopK")} AS recall_ppm,
@@ -2251,24 +2236,7 @@ object EmbeddingQueries {
        |          b.vec_id ASC) AS rnk
        |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
        |  WHERE rnk <= $TopK),
-       |cents AS (
-       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
-       |  FROM cranked WHERE hrnk <= $sqlCentK),
-       |assigned AS (
-       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
-       |    ${sqlScorePpm(cdot, "v.norm2", "c.cnorm2")} AS cscore
-       |  FROM n v, cents c),
-       |rankedasg AS (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |    ORDER BY cscore DESC, centroid_id ASC) AS crnk
-       |  FROM assigned),
-       |cells AS (
-       |  SELECT vec_id, centroid_id AS cell, qv, norm2
-       |  FROM rankedasg WHERE crnk = 1),
-       |qprobe AS (
-       |  SELECT vec_id AS query_id, qv AS qq, norm2 AS qn,
-       |    centroid_id AS cell, crnk AS cell_rank
-       |  FROM rankedasg WHERE vec_id < 10 AND crnk <= $maxP),
+       |${sqlIvfCtes(NprobeCurve.max)},
        |cand AS (
        |  SELECT p.query_id, b.vec_id, p.cell_rank,
        |    ${sqlScorePpm(pdot, "p.qn", "b.norm2")} AS score_ppm
