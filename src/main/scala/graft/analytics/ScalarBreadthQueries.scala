@@ -294,7 +294,34 @@ object ScalarBreadthQueries {
       |WHERE o_orderkey % 13 = 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  // ----------------------------------- DSv2 aggregate pushdown
+  /** COMPLETE aggregate pushdown through the V2 connector: the
+    * source's ScanBuilder implements `SupportsPushDownAggregates`, so
+    * Catalyst hands COUNT/MIN(id)/MAX(id) (after the id-range filter
+    * has already narrowed the scan) to the source, which answers them
+    * in closed form — the plan carries NO aggregate exec at all, the
+    * scan emits ONE row, and zero data rows move. This is the
+    * connector contract that lets a catalog answer `SELECT count(*)`
+    * from statistics instead of a table scan — the difference between
+    * a metadata lookup and reading 100 TB. PlanAuditSpec pins the
+    * pushed marker and the absence of any HashAggregate.
+    */
+  def sourceDsv2AggPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "1000000").option("parts", "8").load()
+      .where(col("id") >= 123457 && col("id") < 987654)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+
+  val sourceDsv2AggPushdownSql: String =
+    """WITH t AS (
+      |  SELECT CAST(r.range AS BIGINT) AS id FROM range(0, 1000000) r)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM t WHERE id >= 123457 AND id < 987654""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_dsv2_agg_pushdown" -> (sourceDsv2AggPushdown _),
     "source_dsv2" -> (sourceDsv2 _),
     "source_dsv2_keyed" -> (sourceDsv2Keyed _),
     "source_dsv2_spj" -> (sourceDsv2Spj _),
@@ -306,6 +333,7 @@ object ScalarBreadthQueries {
     "date_arith_orders" -> (dateArithOrders _))
 
   val oracles: Map[String, String] = Map(
+    "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2" -> sourceDsv2Sql,
     "source_dsv2_keyed" -> sourceDsv2Sql,
     "source_dsv2_spj" -> sourceDsv2SpjSql,

@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -91,12 +92,14 @@ private class SynthTable(rows: Long, parts: Int, keyed: Boolean)
   */
 private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticV2Source.schema
+  private var aggSpec: Option[Seq[String]] = None
 
   private def num(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -129,12 +132,55 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new SynthScan(lo, hi, parts, required,
-      // key-grouped layout is only reportable while the key survives
-      // column pruning — a bucketless projection falls back to plain
-      // contiguous slices
-      keyed && required.fieldNames.contains("bucket"))
+  // --- aggregate pushdown: COUNT / MIN(id) / MAX(id), no grouping.
+  // The row domain is the CLOSED FORM [lo, hi) after filter pushdown
+  // (Spark pushes filters before aggregates in V2ScanRelationPushDown),
+  // so these fold to arithmetic — the scan emits ONE row and reads
+  // nothing, the strongest pushdown a source can offer. Only complete
+  // pushdown is claimed (partial would return per-partition rows for
+  // Spark to re-merge — pointless when the closed form is exact).
+  private def classify(agg: Aggregation): Option[Seq[String]] = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    if (agg.groupByExpressions().nonEmpty) None
+    else {
+      val ts: Seq[Option[String]] = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some("count")
+        // every column is non-nullable and count(lit) counts rows, so
+        // any non-distinct COUNT over a column or literal is COUNT(*)
+        case c: Count if !c.isDistinct && (c.column() match {
+          case _: NamedReference | _: Literal[_] => true
+          case _ => false
+        }) => Some("count")
+        case m: Min if isId(m.column()) => Some("min")
+        case m: Max if isId(m.column()) => Some("max")
+        case _ => None
+      }
+      if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    classify(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    classify(agg) match {
+      case Some(ts) => aggSpec = Some(ts); true
+      case None => false
+    }
+
+  override def build(): Scan = aggSpec match {
+    case Some(ts) => new SynthAggScan(lo, hi, ts)
+    case None =>
+      new SynthScan(lo, hi, parts, required,
+        // key-grouped layout is only reportable while the key survives
+        // column pruning — a bucketless projection falls back to plain
+        // contiguous slices
+        keyed && required.fieldNames.contains("bucket"))
+  }
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
@@ -222,6 +268,46 @@ private class SynthReader(slice: SynthSlice)
   override def next(): Boolean = { id += 1; id < slice.end }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
+}
+
+/** The completely-pushed aggregate scan: one partition, ONE row, zero
+  * data read — COUNT/MIN/MAX over [lo, hi) are closed-form. MIN/MAX
+  * are null (nullable fields) when the pushed filters emptied the
+  * range, exactly the SQL semantics of an empty aggregate.
+  */
+private class SynthAggScan(lo: Long, hi: Long, aggs: Seq[String])
+    extends Scan with Batch {
+  private val n = math.max(0L, hi - lo)
+
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (t, i) => StructField(s"agg_$i", LongType, nullable = t != "count")
+  })
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AggResultPartition(lo, hi, aggs))
+  override def createReaderFactory(): PartitionReaderFactory =
+    AggReaderFactory
+}
+
+private case class AggResultPartition(lo: Long, hi: Long,
+    aggs: Seq[String]) extends InputPartition
+
+private object AggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[AggResultPartition]
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val n = math.max(0L, part.hi - part.lo)
+        InternalRow.fromSeq(part.aggs.map {
+          case "count" => n
+          case "min" => if (n > 0) part.lo else null
+          case "max" => if (n > 0) part.hi - 1 else null
+        })
+      }
+      override def close(): Unit = ()
+    }
 }
 
 /** Streams one residue class, striding by the bucket modulus; O(1)

@@ -15,6 +15,26 @@ class PlanAuditSpec extends SparkSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
 
+  test("DSv2 aggregate pushdown erases the aggregate from the plan") {
+    // SyntheticV2Source claim: COUNT/MIN(id)/MAX(id) answer in closed
+    // form — complete pushdown means the plan carries the pushed
+    // marker and NO aggregate exec at all (a partial pushdown or a
+    // silent fallback would leave a HashAggregate pair behind)
+    val p = plan("source_dsv2_agg_pushdown")
+    assert(p.contains("graft_synth"), p.take(800))
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      p.take(800))
+    // the executed scan must be the closed-form aggregate scan, not a
+    // row scan whose aggregate Spark later re-planned
+    val cls = SparkEntry.queries("source_dsv2_agg_pushdown")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(cls.contains("SynthAggScan") ||
+      SparkEntry.queries("source_dsv2_agg_pushdown")(spark, sf0001)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        .contains("SynthAggScan"))
+  }
+
   test("no query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { n =>
       plan(n).contains("CartesianProduct")

@@ -106,6 +106,31 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(df.head.getLong(0) == expect)
   }
 
+  test("pushed aggregates fold to the closed form, nulls on empty") {
+    // complete pushdown answers COUNT/MIN/MAX arithmetically; the
+    // empty range must produce SQL empty-aggregate semantics (0,
+    // null, null), not a crash or a fabricated min
+    val df = synth(100000)
+      .where(col("id") >= 250 && col("id") < 750)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((500L, 250L, 749L)))
+    val empty = synth(1000).where(col("id") >= 5000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx")).head
+    assert(empty.getLong(0) == 0L)
+    assert(empty.isNullAt(1) && empty.isNullAt(2),
+      "empty-range min/max must be SQL null")
+    // an unpushable shape (sum, grouping) must fall back to a row
+    // scan with identical results, never a wrong closed form
+    val grouped = synth(1000)
+      .groupBy((col("id") % 10).as("g")).agg(sum(col("id")).as("s"))
+    assert(grouped.count() == 10)
+    assert(grouped.agg(sum(col("s"))).head.getLong(0) ==
+      (0L until 1000L).sum)
+  }
+
   test("partition slicing covers the interval exactly") {
     val df = synth(1003, parts = 7)
     assert(df.rdd.getNumPartitions == 7)
