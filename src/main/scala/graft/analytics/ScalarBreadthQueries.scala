@@ -320,8 +320,32 @@ object ScalarBreadthQueries {
       |  MIN(id) AS min_id, MAX(id) AS max_id
       |FROM t WHERE id >= 123457 AND id < 987654""".stripMargin
 
+  /** GROUPED complete pushdown: `GROUP BY bucket` with COUNT/MIN/MAX
+    * folds per residue class of the filter-narrowed [lo, hi) — one
+    * closed-form row per nonempty class, still zero data read. The
+    * grouped twin of [[sourceDsv2AggPushdown]]; only id-range
+    * predicates appear so every filter is consumed (a residual
+    * filter structurally blocks aggregate pushdown in Catalyst).
+    */
+  def sourceDsv2AggGroupBy(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "500000").option("parts", "8").load()
+      .where(col("id") >= 1234 && col("id") < 400000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+
+  val sourceDsv2AggGroupBySql: String =
+    """WITH t AS (
+      |  SELECT CAST(r.range AS BIGINT) AS id FROM range(0, 500000) r)
+      |SELECT id % 97 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM t WHERE id >= 1234 AND id < 400000
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_dsv2_agg_pushdown" -> (sourceDsv2AggPushdown _),
+    "source_dsv2_agg_groupby" -> (sourceDsv2AggGroupBy _),
     "source_dsv2" -> (sourceDsv2 _),
     "source_dsv2_keyed" -> (sourceDsv2Keyed _),
     "source_dsv2_spj" -> (sourceDsv2Spj _),
@@ -334,6 +358,7 @@ object ScalarBreadthQueries {
 
   val oracles: Map[String, String] = Map(
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
+    "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,
     "source_dsv2_keyed" -> sourceDsv2Sql,
     "source_dsv2_spj" -> sourceDsv2SpjSql,

@@ -99,7 +99,7 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   private var hi = rows
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticV2Source.schema
-  private var aggSpec: Option[Seq[String]] = None
+  private var aggSpec: Option[(Boolean, Seq[String])] = None
 
   private def num(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue())
@@ -139,14 +139,20 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   // nothing, the strongest pushdown a source can offer. Only complete
   // pushdown is claimed (partial would return per-partition rows for
   // Spark to re-merge — pointless when the closed form is exact).
-  private def classify(agg: Aggregation): Option[Seq[String]] = {
-    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
-      e match {
-        case f: NamedReference => f.fieldNames.sameElements(Array("id"))
-        case _ => false
-      }
-    if (agg.groupByExpressions().nonEmpty) None
-    else {
+  private def classify(agg: Aggregation): Option[(Boolean, Seq[String])] = {
+    def isField(e: org.apache.spark.sql.connector.expressions.Expression,
+        name: String) = e match {
+      case f: NamedReference => f.fieldNames.sameElements(Array(name))
+      case _ => false
+    }
+    // grouping is supported exactly on `bucket` — residue classes of
+    // [lo, hi) are as closed-form as the global fold
+    val grouped = agg.groupByExpressions().toSeq match {
+      case Seq() => Some(false)
+      case Seq(g) if isField(g, "bucket") => Some(true)
+      case _ => None
+    }
+    grouped.flatMap { g =>
       val ts: Seq[Option[String]] = agg.aggregateExpressions().toSeq.map {
         case _: CountStar => Some("count")
         // every column is non-nullable and count(lit) counts rows, so
@@ -155,11 +161,11 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
           case _: NamedReference | _: Literal[_] => true
           case _ => false
         }) => Some("count")
-        case m: Min if isId(m.column()) => Some("min")
-        case m: Max if isId(m.column()) => Some("max")
+        case m: Min if isField(m.column(), "id") => Some("min")
+        case m: Max if isField(m.column(), "id") => Some("max")
         case _ => None
       }
-      if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+      if (ts.forall(_.isDefined)) Some((g, ts.flatten)) else None
     }
   }
 
@@ -168,12 +174,12 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
 
   override def pushAggregation(agg: Aggregation): Boolean =
     classify(agg) match {
-      case Some(ts) => aggSpec = Some(ts); true
+      case Some(spec) => aggSpec = Some(spec); true
       case None => false
     }
 
   override def build(): Scan = aggSpec match {
-    case Some(ts) => new SynthAggScan(lo, hi, ts)
+    case Some((grouped, ts)) => new SynthAggScan(lo, hi, ts, grouped)
     case None =>
       new SynthScan(lo, hi, parts, required,
         // key-grouped layout is only reportable while the key survives
@@ -270,42 +276,72 @@ private class SynthReader(slice: SynthSlice)
   override def close(): Unit = ()
 }
 
-/** The completely-pushed aggregate scan: one partition, ONE row, zero
-  * data read — COUNT/MIN/MAX over [lo, hi) are closed-form. MIN/MAX
-  * are null (nullable fields) when the pushed filters emptied the
-  * range, exactly the SQL semantics of an empty aggregate.
+/** The completely-pushed aggregate scan: one partition, zero data
+  * read — COUNT/MIN/MAX over [lo, hi), global or per bucket residue
+  * class, are closed-form. The global fold emits ONE row (MIN/MAX
+  * null when the pushed filters emptied the range — SQL empty-
+  * aggregate semantics); the grouped fold emits one row per NONEMPTY
+  * class (SQL group-by emits no row for an empty group), group key
+  * leading, in bucket order.
   */
-private class SynthAggScan(lo: Long, hi: Long, aggs: Seq[String])
-    extends Scan with Batch {
-  private val n = math.max(0L, hi - lo)
+private class SynthAggScan(lo: Long, hi: Long, aggs: Seq[String],
+    grouped: Boolean) extends Scan with Batch {
 
-  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
-    case (t, i) => StructField(s"agg_$i", LongType, nullable = t != "count")
-  })
+  override def readSchema(): StructType = {
+    val aggFields = aggs.zipWithIndex.map { case (t, i) =>
+      StructField(s"agg_$i", LongType,
+        nullable = t != "count" && !grouped)
+    }
+    StructType(
+      if (grouped) StructField("bucket", LongType, nullable = false) +:
+        aggFields
+      else aggFields)
+  }
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(AggResultPartition(lo, hi, aggs))
+    Array(AggResultPartition(lo, hi, aggs, grouped))
   override def createReaderFactory(): PartitionReaderFactory =
     AggReaderFactory
 }
 
 private case class AggResultPartition(lo: Long, hi: Long,
-    aggs: Seq[String]) extends InputPartition
+    aggs: Seq[String], grouped: Boolean) extends InputPartition
 
 private object AggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val part = p.asInstanceOf[AggResultPartition]
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = {
+      private val m = SyntheticV2Source.Buckets.toLong
+
+      // (bucket, first, last, count) per nonempty residue class — or
+      // one global row with bucket = -1. All arithmetic overflow-safe:
+      // rem <= 96 is only added to lo after the emptiness guard
+      // bounds it by hi - 1 - lo
+      private val rows: Seq[Array[Any]] = {
         val n = math.max(0L, part.hi - part.lo)
-        InternalRow.fromSeq(part.aggs.map {
-          case "count" => n
-          case "min" => if (n > 0) part.lo else null
-          case "max" => if (n > 0) part.hi - 1 else null
-        })
+        def fold(first: Long, last: Long, count: Long): Seq[Any] =
+          part.aggs.map {
+            case "count" => count
+            case "min" => if (count > 0) first else null
+            case "max" => if (count > 0) last else null
+          }
+        if (!part.grouped)
+          Seq((fold(part.lo, part.hi - 1, n)).toArray)
+        else if (n == 0) Seq.empty
+        else (0L until m).flatMap { b =>
+          val rem = ((b - part.lo % m) % m + m) % m
+          if (rem > part.hi - 1 - part.lo) None
+          else {
+            val first = part.lo + rem
+            val count = (part.hi - 1 - first) / m + 1
+            val last = first + (count - 1) * m
+            Some((b +: fold(first, last, count)).toArray)
+          }
+        }
       }
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.size }
+      override def get(): InternalRow = InternalRow.fromSeq(rows(i).toSeq)
       override def close(): Unit = ()
     }
 }

@@ -20,10 +20,15 @@ class PlanAuditSpec extends SparkSuite {
     // form — complete pushdown means the plan carries the pushed
     // marker and NO aggregate exec at all (a partial pushdown or a
     // silent fallback would leave a HashAggregate pair behind)
-    val p = plan("source_dsv2_agg_pushdown")
-    assert(p.contains("graft_synth"), p.take(800))
-    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
-      p.take(800))
+    for (q <- Seq("source_dsv2_agg_pushdown", "source_dsv2_agg_groupby")) {
+      val p = plan(q)
+      assert(p.contains("graft_synth"), s"$q: ${p.take(400)}")
+      assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$q kept an aggregate exec: ${p.take(400)}")
+    }
+    // the unpushable siblings must KEEP their aggregate — if SUM ever
+    // classified as pushable the closed form would silently lie
+    assert(plan("source_dsv2").contains("HashAggregate"))
     // the executed scan must be the closed-form aggregate scan, not a
     // row scan whose aggregate Spark later re-planned
     val cls = SparkEntry.queries("source_dsv2_agg_pushdown")(spark, sf0001)

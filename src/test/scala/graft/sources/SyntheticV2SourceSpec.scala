@@ -122,13 +122,41 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(empty.getLong(0) == 0L)
     assert(empty.isNullAt(1) && empty.isNullAt(2),
       "empty-range min/max must be SQL null")
-    // an unpushable shape (sum, grouping) must fall back to a row
-    // scan with identical results, never a wrong closed form
+    // an unpushable shape (sum, computed grouping) must fall back to
+    // a row scan with identical results, never a wrong closed form
     val grouped = synth(1000)
       .groupBy((col("id") % 10).as("g")).agg(sum(col("id")).as("s"))
     assert(grouped.count() == 10)
     assert(grouped.agg(sum(col("s"))).head.getLong(0) ==
       (0L until 1000L).sum)
+  }
+
+  test("bucket-grouped pushdown equals the row-scan fold at odd bounds") {
+    // residue-class arithmetic vs brute force on an interval that is
+    // aligned to nothing: first/last/count per class must agree with
+    // folding the actual rows (sum(hv) blocks pushdown on the
+    // reference side, forcing the real scan)
+    val (lo, hi) = (137L, 4243L)
+    val pushed = synth(100000)
+      .where(col("id") >= lo && col("id") < hi)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val scanned = synth(100000)
+      .where(col("id") >= lo && col("id") < hi)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), sum(col("hv")).as("block_pushdown"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pushed == scanned)
+    // narrower than the modulus: some classes must be absent entirely
+    val narrow = synth(100000)
+      .where(col("id") >= 10 && col("id") < 20)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    assert(narrow.count() == 10)
   }
 
   test("partition slicing covers the interval exactly") {
