@@ -2245,6 +2245,75 @@ object EmbeddingQueries {
        |$points""".stripMargin
   }
 
+  // ------------------------------------------- dimension curve
+  /** Embedding-truncation recall curve (the Matryoshka question): how
+    * much exact-search quality survives keeping only the first
+    * d ∈ {8, 16, 32, 64} dimensions? Each point is a full brute-force
+    * search in the truncated space — cosine over the PREFIX of the
+    * quantized vector — measured as recall@[[TopK]] against the
+    * full-dimension exact answer. The d = 64 point is the search
+    * itself, recall 10⁶ by construction, which doubles as the
+    * curve's self-check. This is the table a storage owner reads
+    * before cutting the vector bill 8× — the dimension twin of the
+    * quantization family's bits-per-dim tradeoffs.
+    *
+    * Scale shape: one broadcast-query corpus scan per point with
+    * dot cost ∝ d (Σd ≈ 2·64, about twice one full search); ranking
+    * windows run per query over scored rows exactly as brute force.
+    * Determinism: prefix dots and prefix norms are exact int64 sums;
+    * recall is an integer ppm.
+    */
+  val DimCurve = Seq(8, 16, 32, 64)
+
+  def knnDimCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    def topAt(d: Int): DataFrame = {
+      val (qd, cd) = (slice(col("qq"), 1, d), slice(col("q"), 1, d))
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id"),
+          scorePpm(dot(qd, cd), dot(qd, qd), dot(cd, cd)).as("score_ppm"))
+        .withColumn("rnk", row_number().over(wTop))
+        .where(col("rnk") <= TopK)
+        .select(col("query_id"), col("vec_id"))
+    }
+    val exact = topAt(64).cache() // every curve point joins the baseline
+    DimCurve.map { d =>
+      topAt(d).join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d.toLong).as("dims"),
+          ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
+  val knnDimCurveSql: String = {
+    def pdot(d: Int) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> a.qv[i] * b.qv[i]))"
+    def pnorm(side: String, d: Int) =
+      s"list_sum(list_transform(generate_series(1, $d), i -> $side.qv[i] * $side.qv[i]))"
+    def topCte(name: String, d: Int) =
+      s"""$name AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id,
+         |      row_number() OVER (PARTITION BY a.vec_id
+         |        ORDER BY ${sqlScorePpm(pdot(d), pnorm("a", d),
+                  pnorm("b", d))} DESC, b.vec_id ASC) AS rnk
+         |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+         |  WHERE rnk <= $TopK)""".stripMargin
+    val points = DimCurve.map { d =>
+      val hits = s"(SELECT COUNT(*) FROM top$d t JOIN top64 e " +
+        "ON t.query_id = e.query_id AND t.vec_id = e.vec_id)"
+      s"""SELECT CAST($d AS BIGINT) AS dims,
+         |  ${sqlPpm(hits, s"10 * $TopK")} AS recall_ppm""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlQuantized,
+       |${DimCurve.map(d => topCte(s"top$d", d)).mkString(",\n")}
+       |$points""".stripMargin
+  }
+
   // ------------------------------------------- MMR diversified kNN
   /** Maximal-marginal-relevance top-k (Carbonell & Goldstein 1998) —
     * DIVERSIFIED retrieval: greedily pick the candidate maximizing
@@ -2410,7 +2479,8 @@ object EmbeddingQueries {
     "knn_binary" -> (knnBinary _),
     "knn_mmr" -> (knnMmr _),
     "knn_nprobe_curve" -> (knnNprobeCurve _),
-    "knn_mrr_report" -> (knnMrrReport _))
+    "knn_mrr_report" -> (knnMrrReport _),
+    "knn_dim_curve" -> (knnDimCurve _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2439,5 +2509,6 @@ object EmbeddingQueries {
     "knn_binary" -> knnBinarySql,
     "knn_mmr" -> knnMmrSql,
     "knn_nprobe_curve" -> knnNprobeCurveSql,
-    "knn_mrr_report" -> knnMrrReportSql)
+    "knn_mrr_report" -> knnMrrReportSql,
+    "knn_dim_curve" -> knnDimCurveSql)
 }

@@ -199,6 +199,24 @@ class Round7bOpsSpec extends SparkSuite {
     }
   }
 
+  test("dim curve is monotone with an exact full-dimension anchor") {
+    // truncation can only lose information, so recall must not
+    // decrease with dimensions, the d = 64 point IS the baseline
+    // search (recall exactly 10⁶ — any drift means the curve and the
+    // baseline diverged in scoring), and the curve must actually bend
+    // on this corpus or the sweep is vacuous
+    val curve = EmbeddingQueries.knnDimCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(curve.map(_._1).toSeq == EmbeddingQueries.DimCurve.map(_.toLong))
+    curve.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(lo._2 <= hi._2, s"recall not monotone: $lo -> $hi")
+      case _ =>
+    }
+    assert(curve.last._2 == 1000000L, s"full-dim anchor ${curve.last}")
+    assert(curve.head._2 < 1000000L, "truncation curve is flat (vacuous)")
+  }
+
   test("MRR report is the literal rank arithmetic of its searches") {
     // recompute one family end-to-end: the reported found_rank must
     // be exactly where the brute top-1 sits in the approximate
