@@ -2245,6 +2245,118 @@ object EmbeddingQueries {
        |$points""".stripMargin
   }
 
+  // ------------------------------------------- embedding drift
+  /** Embedding-space drift monitor: split the corpus into an "old"
+    * and a "new" half (md5 parity — the deterministic stand-in for
+    * yesterday/today), train the quantizer on the OLD half only,
+    * assign BOTH halves to its frozen cells, and report the cells
+    * whose occupancy SHARE moved most (|new share − old share| in
+    * ppm, top [[DriftTop]], ties to the lower cell id). This is the
+    * retrieval-side distribution-drift alarm: an embedding model
+    * update, a crawler regime change, or a new content type shows up
+    * as mass migrating between cells long before recall metrics
+    * move — the embedding twin of `dq_distribution_drift`'s histogram
+    * L1, with the trained quantizer as the binning.
+    *
+    * Scale shape: one train pass on the old half (the same bounded
+    * ⌈√n⌉-clamped broadcast Lloyd as every trained search) + one
+    * O(n·k) assignment of the full corpus + a ≤k-row occupancy
+    * rollup; shares are exact integer ppm.
+    */
+  val DriftTop = 16
+
+  private def isNewHalf: Column =
+    graft.functions.CrossHash.md5Long(col("vec_id").cast("string")) % 2 === 1
+
+  def embDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache() // split + train + assignment
+    val trained = trainIvf(e.where(!isNewHalf))
+    val assign = e.crossJoin(broadcast(trained))
+      .select(col("vec_id"), isNewHalf.as("is_new"), col("cell"),
+        scorePpm(dot(col("q"), col("tq")), col("norm2"), col("tnorm2"))
+          .as("cscore"))
+    val cells = argmaxCell(assign, "cell", Seq("is_new"))
+    val counts = cells.groupBy(col("cell"))
+      .agg(count(when(!col("is_new"), lit(1))).as("n_old"),
+        count(when(col("is_new"), lit(1))).as("n_new"))
+    val totals = counts
+      .agg(sum(col("n_old")).as("tot_old"), sum(col("n_new")).as("tot_new"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        ppm(col("n_old"), col("tot_old")).as("share_old_ppm"),
+        ppm(col("n_new"), col("tot_new")).as("share_new_ppm"))
+      .withColumn("drift_ppm",
+        abs(col("share_new_ppm") - col("share_old_ppm")))
+      .orderBy(col("drift_ppm").desc, col("cell").asc)
+      .limit(DriftTop)
+  }
+
+  val embDriftSql: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("CAST(vec_id AS VARCHAR)")
+    val sdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.cq[i]))"
+    val tdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> v.qv[i] * c.tq[i]))"
+    val dimSums = (0 until 64).map(d => s"SUM(qv[${d + 1}]) AS d_$d")
+      .mkString(", ")
+    val meanList = (0 until 64).map(d =>
+      s"CAST(floor(CAST(d_$d AS DOUBLE) / cnt) AS BIGINT)").mkString(", ")
+    s"""WITH $sqlQuantized,
+       |old AS (SELECT vec_id, qv, norm2 FROM n WHERE $h % 2 = 0),
+       |crankedo AS (
+       |  SELECT vec_id, qv, norm2, row_number() OVER (
+       |    ORDER BY $h, vec_id) AS hrnk
+       |  FROM old),
+       |seeds AS (
+       |  SELECT vec_id AS centroid_id, qv AS cq, norm2 AS cnorm2
+       |  FROM crankedo
+       |  WHERE hrnk <= GREATEST($CentKMin, LEAST($CentKMax,
+       |    CAST(ceil(sqrt((SELECT COUNT(*) FROM old))) AS BIGINT)))),
+       |assign0 AS (
+       |  SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+       |    ${sqlScorePpm(sdot, "v.norm2", "c.cnorm2")} AS cscore
+       |  FROM old v, seeds c),
+       |cell0 AS (
+       |  SELECT vec_id, qv, norm2, centroid_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, centroid_id ASC) AS crnk
+       |    FROM assign0) WHERE crnk = 1),
+       |sums AS (
+       |  SELECT cell, COUNT(*) AS cnt, $dimSums
+       |  FROM cell0 GROUP BY cell),
+       |trained0 AS (
+       |  SELECT cell, [$meanList] AS tq FROM sums),
+       |trained AS (
+       |  SELECT cell, tq,
+       |    list_sum(list_transform(tq, x -> x * x)) AS tnorm2
+       |  FROM trained0
+       |  WHERE list_sum(list_transform(tq, x -> x * x)) > 0),
+       |assignall AS (
+       |  SELECT v.vec_id, ($h % 2 = 1) AS is_new, c.cell,
+       |    ${sqlScorePpm(tdot, "v.norm2", "c.tnorm2")} AS cscore
+       |  FROM n v, trained c),
+       |acells AS (
+       |  SELECT vec_id, is_new, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cscore DESC, cell ASC) AS crnk
+       |    FROM assignall) WHERE crnk = 1),
+       |counts AS (
+       |  SELECT cell,
+       |    CAST(COUNT(CASE WHEN NOT is_new THEN 1 END) AS BIGINT) AS n_old,
+       |    CAST(COUNT(CASE WHEN is_new THEN 1 END) AS BIGINT) AS n_new
+       |  FROM acells GROUP BY cell),
+       |tot AS (
+       |  SELECT SUM(n_old) AS tot_old, SUM(n_new) AS tot_new FROM counts)
+       |SELECT cell, n_old, n_new,
+       |  ${sqlPpm("n_old", "tot_old")} AS share_old_ppm,
+       |  ${sqlPpm("n_new", "tot_new")} AS share_new_ppm,
+       |  abs(${sqlPpm("n_new", "tot_new")} - ${sqlPpm("n_old", "tot_old")})
+       |    AS drift_ppm
+       |FROM counts, tot
+       |ORDER BY drift_ppm DESC, cell ASC
+       |LIMIT $DriftTop""".stripMargin
+  }
+
   // ------------------------------------------- dimension curve
   /** Embedding-truncation recall curve (the Matryoshka question): how
     * much exact-search quality survives keeping only the first
@@ -2480,7 +2592,8 @@ object EmbeddingQueries {
     "knn_mmr" -> (knnMmr _),
     "knn_nprobe_curve" -> (knnNprobeCurve _),
     "knn_mrr_report" -> (knnMrrReport _),
-    "knn_dim_curve" -> (knnDimCurve _))
+    "knn_dim_curve" -> (knnDimCurve _),
+    "emb_drift" -> (embDrift _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2510,5 +2623,6 @@ object EmbeddingQueries {
     "knn_mmr" -> knnMmrSql,
     "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_mrr_report" -> knnMrrReportSql,
-    "knn_dim_curve" -> knnDimCurveSql)
+    "knn_dim_curve" -> knnDimCurveSql,
+    "emb_drift" -> embDriftSql)
 }

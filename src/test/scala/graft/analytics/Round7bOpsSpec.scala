@@ -199,6 +199,36 @@ class Round7bOpsSpec extends SparkSuite {
     }
   }
 
+  test("drift shares are ppm of the true parity-split totals") {
+    // every vector assigns to exactly one frozen cell, so each side's
+    // share denominator must be that side's TOTAL corpus half —
+    // recomputed here from the raw table via the same md5 parity —
+    // and drift must be the literal |new − old| of the shares, sorted
+    import graft.functions.CrossHash
+    val ids = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        (CrossHash.md5Long(col("vec_id").cast("string")) % 2).as("p"))
+      .collect().map(r => r.getLong(1))
+    val (totNew, totOld) =
+      (ids.count(_ == 1L).toLong, ids.count(_ == 0L).toLong)
+    val rows = EmbeddingQueries.embDrift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= EmbeddingQueries.DriftTop)
+    rows.foreach { case (cell, nOld, nNew, shOld, shNew, drift) =>
+      assert(shOld ==
+        math.floor(1e6 * nOld.toDouble / totOld.toDouble).toLong,
+        s"cell $cell old share not ppm of the parity total $totOld")
+      assert(shNew ==
+        math.floor(1e6 * nNew.toDouble / totNew.toDouble).toLong,
+        s"cell $cell new share not ppm of the parity total $totNew")
+      assert(drift == math.abs(shNew - shOld), s"cell $cell drift")
+    }
+    assert(rows.map(_._6).toSeq == rows.map(_._6).sortBy(-_).toSeq,
+      "rows must rank by drift")
+    assert(rows.head._6 > 0L, "zero drift everywhere (vacuous split)")
+  }
+
   test("dim curve is monotone with an exact full-dimension anchor") {
     // truncation can only lose information, so recall must not
     // decrease with dimensions, the d = 64 point IS the baseline
