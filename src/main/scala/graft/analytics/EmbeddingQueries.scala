@@ -2245,6 +2245,111 @@ object EmbeddingQueries {
        |$points""".stripMargin
   }
 
+  // ------------------------------------------- filtered search eval
+  /** Attribute-FILTERED vector search, pre- vs post-filter: for each
+    * query, the truth is the exact top-[[TopK]] restricted to corpus
+    * vectors sharing the query's label (pre-filtering — search the
+    * predicate's subset); the contender is the production shortcut of
+    * searching unfiltered, keeping the top [[PqRerank]], then
+    * applying the label predicate (post-filtering). The report says,
+    * per query, how much of the true filtered answer the shortcut
+    * recovers and how many of its k slots it even fills — THE
+    * operational question of filtered ANN: post-filtering collapses
+    * exactly when the predicate is selective, and `n_matching` (the
+    * predicate's corpus selectivity) is printed beside the damage so
+    * the correlation is visible in the report itself.
+    *
+    * Scale shape: ONE broadcast-query corpus scan scores everything;
+    * both variants are windows over that scored frame (the label
+    * rides along — no second scan, no join). Exact integer scores;
+    * recall in ppm of k.
+    */
+  def knnFilteredEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("q").as("qq"), col("norm2").as("qnorm2"))
+    val scored = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+      .cache() // both variants + selectivity read the one scan
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    val pre = scored.where(col("label") === col("qlabel"))
+      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val post = scored
+      .withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") <= PqRerank && col("label") === col("qlabel"))
+      .withColumn("frnk", row_number().over(wTop)).where(col("frnk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val nMatch = scored.where(col("label") === col("qlabel"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_matching"))
+    val nPost = post.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_post_filled"))
+    val nHit = post.join(pre, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    qs.select(col("query_id"), col("qlabel").cast("long").as("label"))
+      .join(nMatch, Seq("query_id"), "left")
+      .join(nPost, Seq("query_id"), "left")
+      .join(nHit, Seq("query_id"), "left")
+      .select(col("query_id"), col("label"),
+        coalesce(col("n_matching"), lit(0L)).as("n_matching"),
+        coalesce(col("n_post_filled"), lit(0L)).as("n_post_filled"),
+        ppm(coalesce(col("n_hits"), lit(0L)), lit(TopK.toLong))
+          .as("recall_ppm"))
+  }
+
+  val knnFilteredEvalSql: String =
+    s"""WITH $sqlQuantized,
+       |qs AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, qv AS qq,
+       |    norm2 AS qn
+       |  FROM n WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, q.qlabel, b.vec_id, b.label,
+       |    ${sqlScorePpm(
+            "list_sum(list_transform(generate_series(1, 64), " +
+              "i -> q.qq[i] * b.qv[i]))", "q.qn", "b.norm2")} AS score_ppm
+       |  FROM qs q JOIN n b ON q.query_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_ppm DESC, vec_id ASC) AS rnk
+       |  FROM scored),
+       |pre AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS prnk
+       |    FROM scored WHERE label = qlabel) WHERE prnk <= $TopK),
+       |post AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, row_number() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY score_ppm DESC, vec_id ASC) AS frnk
+       |    FROM ranked WHERE rnk <= $PqRerank AND label = qlabel)
+       |  WHERE frnk <= $TopK),
+       |nmatch AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_matching
+       |  FROM scored WHERE label = qlabel GROUP BY query_id),
+       |npost AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_post_filled
+       |  FROM post GROUP BY query_id),
+       |nhit AS (
+       |  SELECT p.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM post p JOIN pre e
+       |    ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+       |  GROUP BY p.query_id)
+       |SELECT q.query_id, CAST(q.qlabel AS BIGINT) AS label,
+       |  COALESCE(m.n_matching, 0) AS n_matching,
+       |  COALESCE(f.n_post_filled, 0) AS n_post_filled,
+       |  ${sqlPpm("COALESCE(h.n_hits, 0)", s"$TopK")} AS recall_ppm
+       |FROM qs q
+       |LEFT JOIN nmatch m ON q.query_id = m.query_id
+       |LEFT JOIN npost f ON q.query_id = f.query_id
+       |LEFT JOIN nhit h ON q.query_id = h.query_id""".stripMargin
+
   // ------------------------------------------- embedding drift
   /** Embedding-space drift monitor: split the corpus into an "old"
     * and a "new" half (md5 parity — the deterministic stand-in for
@@ -2593,7 +2698,8 @@ object EmbeddingQueries {
     "knn_nprobe_curve" -> (knnNprobeCurve _),
     "knn_mrr_report" -> (knnMrrReport _),
     "knn_dim_curve" -> (knnDimCurve _),
-    "emb_drift" -> (embDrift _))
+    "emb_drift" -> (embDrift _),
+    "knn_filtered_eval" -> (knnFilteredEval _))
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
@@ -2624,5 +2730,6 @@ object EmbeddingQueries {
     "knn_nprobe_curve" -> knnNprobeCurveSql,
     "knn_mrr_report" -> knnMrrReportSql,
     "knn_dim_curve" -> knnDimCurveSql,
-    "emb_drift" -> embDriftSql)
+    "emb_drift" -> embDriftSql,
+    "knn_filtered_eval" -> knnFilteredEvalSql)
 }

@@ -199,6 +199,48 @@ class Round7bOpsSpec extends SparkSuite {
     }
   }
 
+  test("filtered-search eval matches a from-scratch recomputation") {
+    // rebuild the whole report in plain collections: exact prefilter
+    // truth, the top-PqRerank-then-filter shortcut, selectivity, and
+    // recall — every column must agree (the pre/post windows share a
+    // frame in the query, so a window-ordering slip would poison both
+    // engines identically and pass the oracle)
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS LONG)) AS q")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Long](2).toArray))
+    val vecs = rows.map(r => r._1 -> r._3).toMap
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    def ppmCos(a: Array[Long], b: Array[Long]): Long = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      math.floor(1e6 * d.toDouble / math.sqrt((na * nb).toDouble)).toLong
+    }
+    val got = EmbeddingQueries.knnFilteredEval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val k = EmbeddingQueries.TopK
+    (0L until 10L).foreach { qid =>
+      val qv = vecs(qid); val ql = labels(qid)
+      val scored = rows.filter(_._1 != qid)
+        .map { case (id, lb, v) => (id, lb, ppmCos(qv, v)) }
+        .sortBy { case (id, _, s) => (-s, id) }
+      val pre = scored.filter(_._2 == ql).take(k).map(_._1).toSet
+      val post = scored.take(EmbeddingQueries.PqRerank)
+        .filter(_._2 == ql).take(k).map(_._1)
+      val nMatching = scored.count(_._2 == ql).toLong
+      val recall =
+        math.floor(1e6 * post.count(pre).toDouble / k.toDouble).toLong
+      assert(got(qid) == ((ql.toLong, nMatching, post.length.toLong,
+        recall)), s"query $qid: got ${got(qid)}")
+    }
+    // the lesson must be visible on this corpus: at ~1/|labels|
+    // selectivity, post-filtering leaves at least one query short
+    assert(got.values.exists(_._3 < k.toLong),
+      "post-filter never starved (vacuous at this selectivity)")
+  }
+
   test("drift shares are ppm of the true parity-split totals") {
     // every vector assigns to exactly one frozen cell, so each side's
     // share denominator must be that side's TOTAL corpus half —
