@@ -998,6 +998,164 @@ object TextQueries {
       |FROM ranked, words
       |GROUP BY rank, pair, pair_count, n_words
       |ORDER BY rank""".stripMargin
+
+  // ----------------------------------- BPE tokenizer training loop
+  /** Multi-round BPE tokenizer TRAINING — the full Sennrich loop that
+    * [[textBpeMerge]]'s single round previews: [[BpeRounds]] rounds of
+    * (count adjacent pairs over the evolving segmentation → pick the
+    * top pair → apply the merge), emitting the merge table a real
+    * tokenizer build produces — per round the chosen pair, its
+    * weighted occurrence count, the number of merges that actually
+    * applied, and the corpus token count after the round.
+    *
+    * The merge is TRUE greedy left-to-right BPE, not a string
+    * `replace` (which corrupts token boundaries once multi-char
+    * tokens exist: pair `b·c` must not fire inside tokens `ab·c`).
+    * Formulated relationally so both engines execute it identically:
+    * explode each word's segmentation to (pos, tok) rows, mark
+    * candidate positions (`tok=A ∧ next=B`), group CONSECUTIVE
+    * candidates into islands (`pos − running-candidate-count` is
+    * constant inside a run), and merge the even offsets of each
+    * island — exactly the positions a left-to-right scan merges,
+    * including the `A=B` chain case (`a a a a` → `aa aa`, never
+    * `aa a a`). A merged position's successor row is dropped and the
+    * survivors reassemble ordered by position.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table
+    * once (the only corpus-sized shuffle); every round then works on
+    * vocabulary×word-length rows keyed by the word — pair counting is
+    * a partial-aggregating groupBy to the token-pair key space, the
+    * argmax is one TakeOrderedAndProject row broadcast back, and the
+    * merge windows all share the word partitioning (one exchange,
+    * reused across the round's four window stages). Nothing after
+    * the first aggregate grows with corpus size; the merge table the
+    * loop emits IS the trained artifact a tokenizer service ships.
+    * The oracle is a GENERATED unrolled-CTE program sharing
+    * [[BpeRounds]], so the engines cannot disagree on round count.
+    */
+  val BpeRounds = 4
+
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      var cur = table(spark, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+        .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+      val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+      val reports = (1 to BpeRounds).map { r =>
+        val tk = cur
+          .select(col("w"), col("wc"),
+            posexplode(split(col("seq"), " ")).as(Seq("pos", "tok")))
+          .withColumn("nxt", lead(col("tok"), 1).over(wWin))
+          .cache() // feeds the pair argmax AND the merge pass
+        cachedFrames += tk
+        val top1 = tk.where(col("nxt").isNotNull)
+          .groupBy(col("tok").as("pa"), col("nxt").as("pb"))
+          .agg(sum(col("wc")).as("pair_count"))
+          .orderBy(col("pair_count").desc,
+            concat(col("pa"), lit(" "), col("pb")).asc)
+          .limit(1) // TakeOrderedAndProject: one row leaves the cluster
+        // candidate marking → island grouping → even-offset merge
+        val marked = tk.crossJoin(broadcast(top1))
+          .withColumn("cand", coalesce(
+            col("tok") === col("pa") && col("nxt") === col("pb"),
+            lit(false)))
+          .withColumn("cidx", sum(when(col("cand"), 1L).otherwise(0L))
+            .over(wWin.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("grp", col("pos") - col("cidx"))
+        val merged = marked
+          .withColumn("mrg", col("cand") &&
+            (col("cidx") - min(when(col("cand"), col("cidx")))
+              .over(Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
+          .withColumn("skip",
+            coalesce(lag(col("mrg"), 1).over(wWin), lit(false)))
+          .cache() // feeds the round report AND the reassembly
+        cachedFrames += merged
+        val repR = merged
+          .withColumn("pair", concat(col("pa"), lit(" "), col("pb")))
+          .groupBy(col("pair"), col("pair_count"))
+          .agg(sum(when(col("mrg"), col("wc")).otherwise(0L)).as("applied"),
+            sum(when(!col("skip"), col("wc")).otherwise(0L))
+              .as("tokens_after"))
+          .select(lit(r.toLong).as("round"), col("pair"), col("pair_count"),
+            col("applied"), col("tokens_after"))
+        cur = merged.where(!col("skip"))
+          .withColumn("out",
+            when(col("mrg"), concat(col("pa"), col("pb")))
+              .otherwise(col("tok")))
+          .groupBy(col("w"), col("wc"))
+          .agg(array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, out)))," +
+              " s -> s.out)"), " ").as("seq"))
+        repR
+      }
+      // eager: 4 metadata rows; lets the finally release every cache
+      reports.reduce(_ unionAll _).orderBy(col("round")).localCheckpoint(true)
+    } finally cachedFrames.foreach(_.unpersist())
+  }
+
+  val textBpeTrainSql: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val p = r - 1
+      s"""tk$r AS (
+         |  SELECT w, wc,
+         |    unnest(generate_series(1, len(string_split(seq, ' ')))) AS pos,
+         |    unnest(string_split(seq, ' ')) AS tok
+         |  FROM w$p),
+         |tl$r AS (
+         |  SELECT *, lead(tok) OVER (PARTITION BY w ORDER BY pos) AS nxt
+         |  FROM tk$r),
+         |top$r AS (
+         |  SELECT tok AS pa, nxt AS pb, CAST(SUM(wc) AS BIGINT) AS pair_count
+         |  FROM tl$r WHERE nxt IS NOT NULL
+         |  GROUP BY tok, nxt
+         |  ORDER BY pair_count DESC, tok || ' ' || nxt ASC LIMIT 1),
+         |c1$r AS (
+         |  SELECT t.*, p.pa, p.pb, p.pair_count,
+         |    COALESCE(t.tok = p.pa AND t.nxt = p.pb, FALSE) AS cand
+         |  FROM tl$r t, top$r p),
+         |c2$r AS (
+         |  SELECT *,
+         |    SUM(CASE WHEN cand THEN 1 ELSE 0 END) OVER (PARTITION BY w
+         |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cidx
+         |  FROM c1$r),
+         |c3$r AS (SELECT *, pos - cidx AS grp FROM c2$r),
+         |c4$r AS (
+         |  SELECT *, cand AND ((cidx - MIN(CASE WHEN cand THEN cidx END)
+         |    OVER (PARTITION BY w, grp)) % 2 = 0) AS mrg
+         |  FROM c3$r),
+         |c5$r AS (
+         |  SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY w ORDER BY pos),
+         |    FALSE) AS skip
+         |  FROM c4$r),
+         |rep$r AS (
+         |  SELECT CAST($r AS BIGINT) AS round, pa || ' ' || pb AS pair,
+         |    pair_count,
+         |    CAST(SUM(CASE WHEN mrg THEN wc ELSE 0 END) AS BIGINT) AS applied,
+         |    CAST(SUM(CASE WHEN NOT skip THEN wc ELSE 0 END) AS BIGINT)
+         |      AS tokens_after
+         |  FROM c5$r GROUP BY pa, pb, pair_count),
+         |w$r AS (
+         |  SELECT w, wc, string_agg(CASE WHEN mrg THEN pa || pb ELSE tok END,
+         |    ' ' ORDER BY pos) AS seq
+         |  FROM c5$r WHERE NOT skip GROUP BY w, wc)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to BpeRounds).map(r => s"SELECT * FROM rep$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE length(w) >= 2 GROUP BY w),
+       |w0 AS (
+       |  SELECT w, wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
+       |  FROM words),
+       |$rounds
+       |$unions
+       |ORDER BY round""".stripMargin
+  }
   /** Histogram quantile sketch — the MERGEABLE distributed-quantile
     * primitive (the role t-digest/KLL play in real engines, in the
     * deterministic equi-width form both engines reproduce exactly):
@@ -1202,6 +1360,7 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_fertility" -> (textFertility _),
     "text_bpe_merge" -> (textBpeMerge _),
+    "text_bpe_train" -> (textBpeTrain _),
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
     "text_lm_backoff" -> (textLmBackoff _),
@@ -1225,6 +1384,7 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "text_bpe_merge" -> textBpeMergeSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
     "text_lm_backoff" -> textLmBackoffSql,
