@@ -323,6 +323,16 @@ object EmbeddingQueries {
     */
   private def ivfCoarse(e: DataFrame,
       maxProbe: Int = NProbe): (DataFrame, DataFrame) = {
+    val (_, cells, qprobe) = ivfCoarseFull(e, maxProbe)
+    (cells, qprobe)
+  }
+
+  /** [[ivfCoarse]] plus the centroid frame itself — the residual
+    * encoder needs the centroid VECTORS, not just the assignment.
+    * Returns `(cents(centroid_id, cq, cnorm2), cells, qprobe)`.
+    */
+  private def ivfCoarseFull(e: DataFrame,
+      maxProbe: Int = NProbe): (DataFrame, DataFrame, DataFrame) = {
     val cents = hashBottomK(e, centK(e.count()))
       .select(col("vec_id").as("centroid_id"), col("q").as("cq"),
         col("norm2").as("cnorm2"))
@@ -347,7 +357,7 @@ object EmbeddingQueries {
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"), col("centroid_id").as("cell"),
         col("crnk").as("cell_rank"))
-    (cells, qprobe)
+    (cents, cells, qprobe)
   }
 
   /** Oracle twin of [[ivfCoarse]]: `cents` → `assigned` → `ranked` →
@@ -821,6 +831,131 @@ object EmbeddingQueries {
        |      PARTITION BY query_id
        |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk2
        |    FROM approx) WHERE crnk2 <= $PqRerank),
+       |$sqlExactRerank""".stripMargin
+  }
+
+  // --------------------------------------------- residual IVF-PQ
+  /** IVF-PQ with RESIDUAL encoding — the actual FAISS `IVFADC`
+    * dataflow (Jégou et al., TPAMI 2011): each vector's PQ code
+    * compresses `v − centroid(cell(v))`, not `v` itself, and search
+    * scores a candidate as `q·centroid + Σₛ LUT[s, codeₛ]`. Centering
+    * each cell's population first removes the cell mean from what the
+    * 4-bit codes must express, so the shared codebook spends its
+    * whole budget on within-cell offsets — the reason every
+    * production IVFPQ index encodes residuals while [[knnIvfPq]]
+    * (kept as the ablation twin) codes raw vectors. Same output shape
+    * and re-rank tail as the other families, so recall is directly
+    * comparable.
+    *
+    * Exactness: residuals are int64 component differences, the
+    * codebook is the residuals of the same bottom-[[PqCodeK]] hash
+    * sample every PQ family seeds from, encode/LUT/score reuse the
+    * packed-MIN argmin and integer dots of [[pqCodes]]/[[pqLut]]
+    * verbatim — the whole pipeline hash-checks. Scale shape: one
+    * extra broadcast join against the ≤[[CentKMax]]-row centroid
+    * frame to form residuals and one to add `q·centroid` per probed
+    * cell (10×[[NProbe]] rows); everything else is exactly the
+    * [[knnIvfPq]] plan — candidates only from probed cells, ADC over
+    * 8 narrow lookup rows per candidate, broadcast-only joins.
+    */
+  def knnIvfResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val (cents, cells, qprobe) = ivfCoarseFull(e)
+    val resid = cells.join(broadcast(cents),
+        col("cell") === col("centroid_id"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+    val rseeds = resid.orderBy(hashOrder: _*).limit(PqCodeK)
+      .withColumn("cid", row_number().over(Window.orderBy(hashOrder: _*)))
+      .select(col("cid"), col("q").as("cq"))
+    val codes = pqCodes(resid.select(col("vec_id"), col("q")), rseeds)
+    val lut = pqLut(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")), rseeds)
+    // q·centroid per probed (query, cell): 10×NProbe metadata rows
+    val qc = qprobe.join(broadcast(cents), col("cell") === col("centroid_id"))
+      .select(col("query_id"), col("cell"),
+        dot(col("qq"), col("cq")).as("qcdot"))
+    val cand = broadcast(qprobe.select(col("query_id"), col("cell")))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"))
+    val approx = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"), col("cell"))
+      .agg(sum(col("qd")).as("rdot"))
+      .join(broadcast(qc), Seq("query_id", "cell"))
+      .withColumn("approx_dot", col("rdot") + col("qcdot"))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val cands = approx.withColumn("crnk2", row_number().over(wCand))
+      .where(col("crnk2") <= PqRerank)
+      .select(col("query_id"), col("vec_id"))
+    exactRerank(e, cands)
+  }
+
+  val knnIvfResidualSql: String = {
+    val rKeyCols = (0 until PqSub).map { s =>
+      s"((${sqlSubDot("c.cq", "c.cq", s)} - 2 * ${sqlSubDot("v.rv", "c.cq", s)}" +
+        s" + $PqOffset) * $PqCodeK + (c.cid - 1)) AS k_$s"
+    }.mkString(",\n    ")
+    val rMins = (0 until PqSub).map(s => s"MIN(k_$s) AS m_$s").mkString(", ")
+    val rCodeCase = (0 until PqSub).map(s =>
+      s"WHEN ${s} THEN m_$s % $PqCodeK + 1").mkString(" ")
+    val rQdCase = (0 until PqSub).map(s =>
+      s"WHEN ${s} THEN ${sqlSubDot("q.qq", "c.cq", s)}").mkString(" ")
+    val qcdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * c.cq[i]))"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |${sqlIvfCtes()},
+       |resid AS (
+       |  SELECT l.vec_id, l.cell,
+       |    list_transform(generate_series(1, 64), i -> l.qv[i] - c.cq[i])
+       |      AS rv
+       |  FROM cells l JOIN cents c ON l.cell = c.centroid_id),
+       |rseeds AS (
+       |  SELECT k.hrnk AS cid, r.rv AS cq
+       |  FROM resid r JOIN cranked k ON r.vec_id = k.vec_id
+       |  WHERE k.hrnk <= $PqCodeK),
+       |rkeys AS (
+       |  SELECT v.vec_id, c.cid,
+       |    $rKeyCols
+       |  FROM resid v, rseeds c),
+       |rmins AS (SELECT vec_id, $rMins FROM rkeys GROUP BY vec_id),
+       |rcodes AS (
+       |  SELECT vec_id, sp.s,
+       |    CASE sp.s $rCodeCase END AS cid
+       |  FROM rmins, LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1}))
+       |    AS s) sp),
+       |rlut AS (
+       |  SELECT q.vec_id AS query_id, c.cid, sp.s,
+       |    CASE sp.s $rQdCase END AS qd
+       |  FROM (SELECT vec_id, qv AS qq FROM n WHERE vec_id < 10) q,
+       |    rseeds c,
+       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp),
+       |qc AS (
+       |  SELECT p.query_id, p.cell, $qcdot AS qcdot
+       |  FROM qprobe p JOIN cents c ON p.cell = c.centroid_id),
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id, b.cell
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id),
+       |approx AS (
+       |  SELECT cd.query_id, cd.vec_id, cd.cell,
+       |    CAST(SUM(l.qd) AS BIGINT) AS rdot
+       |  FROM cand cd
+       |  JOIN rcodes c ON c.vec_id = cd.vec_id
+       |  JOIN rlut l ON l.query_id = cd.query_id AND l.s = c.s
+       |    AND l.cid = c.cid
+       |  GROUP BY 1, 2, 3),
+       |cands AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.query_id, a.vec_id, row_number() OVER (
+       |      PARTITION BY a.query_id
+       |      ORDER BY a.rdot + q.qcdot DESC, a.vec_id ASC) AS crnk2
+       |    FROM approx a JOIN qc q
+       |      ON a.query_id = q.query_id AND a.cell = q.cell)
+       |  WHERE crnk2 <= $PqRerank),
        |$sqlExactRerank""".stripMargin
   }
 
@@ -2683,6 +2818,7 @@ object EmbeddingQueries {
     "knn_ivf_trained" -> (knnIvfTrained _),
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_ivf_residual" -> (knnIvfResidual _),
     "knn_sq8" -> (knnSq8 _),
     "knn_brute_heldout" -> (knnBruteHeldout _),
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
@@ -2715,6 +2851,7 @@ object EmbeddingQueries {
     "knn_ivf_trained" -> knnIvfTrainedSql,
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
+    "knn_ivf_residual" -> knnIvfResidualSql,
     "knn_sq8" -> knnSq8Sql,
     "knn_brute_heldout" -> knnBruteHeldoutSql,
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,

@@ -892,6 +892,118 @@ object EventQueries {
        |WHERE event_type = 'purchase'
        |GROUP BY 1""".stripMargin
 
+  // ------------------------------------- multi-touch attribution
+  /** Multi-touch attribution — the two standard credit splits beside
+    * [[eventsAttribution]]'s last-touch: LINEAR (every click/view in
+    * the 7-day lookback shares the purchase equally) and
+    * POSITION-BASED / U-shaped (40% first touch, 40% last touch, the
+    * remaining 20% split over the middles; 100%/50-50 for one/two
+    * touches — the Google-Analytics rule). Purchases with no touch in
+    * the lookback credit `direct` in full under both models, so each
+    * model's total credit re-adds to total purchase value minus only
+    * deterministic floor dust (spec-pinned).
+    *
+    * Exactness: purchase value fixes to milli-units once
+    * (`floor(1000·v)`); the linear share is `pv div n`, the U-shape
+    * weight table is integer permille with the middle share
+    * `200 div (n−2)`, credits are `(pv·w) div 1000` — identical
+    * truncating integer division in both engines, no float path.
+    *
+    * Scale shape: one equi-join on `user_id` pairs each purchase with
+    * its lookback touches (candidate volume is per-user activity ×
+    * lookback density — the retention-bounded quantity a marketing
+    * warehouse carries), one window over the per-purchase touch group
+    * for (n, rank), then a channel-sized rollup. A pathological
+    * single user is an AQE-skew-split case, not a plan change.
+    */
+  def eventsAttributionMulti(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_timestamp(col("ts")).as("s"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_eid"),
+        col("s").as("p_s"),
+        floor(col("value") * 1000).cast("long").as("pv"))
+    val t = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_uid"), col("event_id").as("t_eid"),
+        col("event_type").as("channel"), col("s").as("t_s"))
+    // strictly-earlier by the (s, event_id) tuple order the last-touch
+    // window uses, within the lookback
+    val touches = p.join(t,
+      col("user_id") === col("t_uid") &&
+        (col("t_s") < col("p_s") ||
+          (col("t_s") === col("p_s") && col("t_eid") < col("p_eid"))) &&
+        col("p_s") - col("t_s") <= LookbackS)
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("p_eid"))
+    val ranked = touches
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("rn",
+        row_number().over(wP.orderBy(col("t_s"), col("t_eid"))))
+      .withColumn("w", when(col("n") === 1, 1000L)
+        .when(col("n") === 2, 500L)
+        .otherwise(when(col("rn") === 1 || col("rn") === col("n"), 400L)
+          .otherwise(expr("200 div (n - 2)"))))
+      .select(col("channel"),
+        expr("pv div n").as("linear_milli"),
+        expr("(pv * w) div 1000").as("ushape_milli"))
+    val direct = p.join(t,
+        col("user_id") === col("t_uid") &&
+          (col("t_s") < col("p_s") ||
+            (col("t_s") === col("p_s") && col("t_eid") < col("p_eid"))) &&
+          col("p_s") - col("t_s") <= LookbackS,
+        "left_anti")
+      .select(lit("direct").as("channel"), col("pv").as("linear_milli"),
+        col("pv").as("ushape_milli"))
+    ranked.unionByName(direct)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("linear_milli")).as("linear_milli"),
+        sum(col("ushape_milli")).as("ushape_milli"))
+  }
+
+  val eventsAttributionMultiSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS s
+       |  FROM events),
+       |p AS (
+       |  SELECT user_id, event_id AS p_eid, s AS p_s,
+       |    CAST(floor(value * 1000) AS BIGINT) AS pv
+       |  FROM ev WHERE event_type = 'purchase'),
+       |t AS (
+       |  SELECT user_id AS t_uid, event_id AS t_eid,
+       |    event_type AS channel, s AS t_s
+       |  FROM ev WHERE event_type IN ('click', 'view')),
+       |touches AS (
+       |  SELECT p.*, t.t_eid, t.channel, t.t_s
+       |  FROM p JOIN t ON p.user_id = t.t_uid
+       |    AND (t.t_s < p.p_s OR (t.t_s = p.p_s AND t.t_eid < p.p_eid))
+       |    AND p.p_s - t.t_s <= $LookbackS),
+       |ranked AS (
+       |  SELECT channel, pv,
+       |    COUNT(*) OVER (PARTITION BY user_id, p_eid) AS n,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, p_eid
+       |      ORDER BY t_s, t_eid) AS rn
+       |  FROM touches),
+       |credits AS (
+       |  SELECT channel, pv // n AS linear_milli,
+       |    (pv * (CASE WHEN n = 1 THEN 1000 WHEN n = 2 THEN 500
+       |      WHEN rn = 1 OR rn = n THEN 400
+       |      ELSE 200 // (n - 2) END)) // 1000 AS ushape_milli
+       |  FROM ranked
+       |  UNION ALL
+       |  SELECT 'direct' AS channel, pv AS linear_milli,
+       |    pv AS ushape_milli
+       |  FROM p WHERE NOT EXISTS (
+       |    SELECT 1 FROM t WHERE p.user_id = t.t_uid
+       |      AND (t.t_s < p.p_s OR (t.t_s = p.p_s AND t.t_eid < p.p_eid))
+       |      AND p.p_s - t.t_s <= $LookbackS))
+       |SELECT channel, COUNT(*) AS n_credits,
+       |  CAST(SUM(linear_milli) AS BIGINT) AS linear_milli,
+       |  CAST(SUM(ushape_milli) AS BIGINT) AS ushape_milli
+       |FROM credits GROUP BY channel""".stripMargin
+
   // ------------------------------------------- per-user burstiness
   /** Per-user activity + burstiness profile — the objective inputs a
     * bot/abuse filter thresholds over, without baking an arbitrary
@@ -1099,6 +1211,7 @@ object EventQueries {
     "events_funnel3" -> (eventsFunnel3 _),
     "events_ewma" -> (eventsEwma _),
     "events_attribution" -> (eventsAttribution _),
+    "events_attribution_multi" -> (eventsAttributionMulti _),
     "events_transitions" -> (eventsTransitions _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_burstiness" -> (eventsBurstiness _),
@@ -1124,6 +1237,7 @@ object EventQueries {
     "events_funnel3" -> eventsFunnel3Sql,
     "events_ewma" -> eventsEwmaSql,
     "events_attribution" -> eventsAttributionSql,
+    "events_attribution_multi" -> eventsAttributionMultiSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_top_paths" -> eventsTopPathsSql,
     "events_burstiness" -> eventsBurstinessSql,

@@ -832,6 +832,63 @@ object LakehouseQueries {
        |WHERE ${sqlEpochDay("ts")} % 7 = 3
        |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------- schema evolution
+  /** Schema-evolution read — the lakehouse behavior every long-lived
+    * table depends on: files written by an OLD writer (no
+    * `value_centi` column) and a NEW writer (with it) under one table
+    * root, read back through `mergeSchema` into the union schema with
+    * the old generation's missing column surfacing as NULL. The
+    * report proves the semantics per generation: row counts survive,
+    * the evolved column is non-null exactly where the new writer
+    * wrote it, and aggregates over it skip the old files (SQL
+    * null-skipping) rather than polluting them with zeros.
+    *
+    * The generations split `events` by `event_id` parity and land as
+    * `gen=1/` / `gen=2/` partition directories (fixed warehouse
+    * location + overwrite — the [[layoutDppPrune]] discipline), so
+    * partition discovery also exercises the directory-derived column.
+    * The oracle never reads the files: it recomputes the same split
+    * with `CASE`-nulled values from the source table — the Spark side
+    * can only match if the merged read truly nulls the old
+    * generation. Scale shape: two one-pass projections at write, one
+    * partial-aggregating groupBy at read; `mergeSchema` costs one
+    * footer read per FILE at planning time, which is why production
+    * tables pin the merged schema in a catalog — the read semantics
+    * proven here are identical.
+    */
+  def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "graft_evo_events")
+      .toString
+    val ev = table(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("value_centi"))
+    ev.where(col("event_id") % 2 === 0).drop("value_centi")
+      .write.mode("overwrite").parquet(s"$out/gen=1")
+    ev.where(col("event_id") % 2 =!= 0)
+      .write.mode("overwrite").parquet(s"$out/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value_centi")).as("n_value_present"),
+        sum(col("value_centi")).as("sum_value_centi"),
+        countDistinct(col("event_type")).as("n_types"))
+  }
+
+  val lakeSchemaEvolutionSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+      |      AS gen,
+      |    event_type,
+      |    CASE WHEN event_id % 2 = 0 THEN NULL
+      |      ELSE CAST(floor(value * 100) AS BIGINT) END AS value_centi
+      |  FROM events)
+      |SELECT gen, COUNT(*) AS n_rows,
+      |  COUNT(value_centi) AS n_value_present,
+      |  CAST(SUM(value_centi) AS BIGINT) AS sum_value_centi,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM ev GROUP BY gen""".stripMargin
+
   // ------------------------------------------- distribution drift
   /** Distribution drift monitor — [[dqAnomaly]] flags VOLUME spikes;
     * this flags SHAPE changes that volume alone misses (a day with a
@@ -1159,6 +1216,7 @@ object LakehouseQueries {
     "layout_zorder" -> (layoutZorder _),
     "layout_bucket_join" -> (layoutBucketJoin _),
     "layout_dpp_prune" -> (layoutDppPrune _),
+    "lake_schema_evolution" -> (lakeSchemaEvolution _),
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
@@ -1179,5 +1237,6 @@ object LakehouseQueries {
     "layout_zorder" -> layoutZorderSql,
     "layout_bucket_join" -> layoutBucketJoinSql,
     "layout_dpp_prune" -> layoutDppPruneSql,
+    "lake_schema_evolution" -> lakeSchemaEvolutionSql,
     "events_state_at" -> eventsStateAtSql)
 }

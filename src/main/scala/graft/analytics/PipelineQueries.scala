@@ -90,6 +90,79 @@ object PipelineQueries {
        |GROUP BY doc_id
        |ORDER BY n_shared_grams DESC, doc_id""".stripMargin
 
+  // ------------------------------------------- decontamination apply
+  /** Benchmark decontamination APPLIED — [[textContamination]] reports
+    * the overlap; this drops every contaminated document and ships the
+    * per-source release accounting (the report a dataset card cites:
+    * how many documents and tokens each source lost to eval overlap).
+    * A document is contaminated if it shares ANY word 4-gram with the
+    * eval slice — the GPT-3-style hard rule; the survivors are what a
+    * training run may legally touch. The live twin gating ARRIVING
+    * documents against the same frozen gram set is
+    * [[graft.streaming.StreamContamGate]] (spec-diffed against the
+    * batch scan).
+    *
+    * Scale shape: identical to the report — gram hashes join against
+    * the bounded broadcast eval side, the verdict collapses to a
+    * distinct doc_id set, and the apply is one key-only LEFT ANTI join
+    * on the 8-byte doc key (document bodies never shuffle); the
+    * rollup is |sources|-sized.
+    */
+  def pipelineDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val grams = docs
+      .where(size(toks) >= Gram)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(toks) - Gram),
+          i => array_join(slice(toks, i + 1, lit(Gram)), " "))).as("gram"))
+      .select(col("doc_id"), CrossHash.md5Long(col("gram")).as("gh"))
+      .distinct()
+    val eval_ = grams.where(col("doc_id") % 97 === 0)
+      .select(col("gh")).distinct()
+    val contaminated = grams.where(col("doc_id") % 97 =!= 0)
+      .join(broadcast(eval_), "gh")
+      .select(col("doc_id")).distinct()
+    val corpus = docs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"))
+    corpus.join(contaminated.withColumn("hit", lit(1L)),
+        Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("hit").isNull, col("n_toks")).otherwise(0L))
+          .as("tokens_kept"))
+      .withColumn("kept_ppm", ppm(col("n_kept"), col("n_docs")))
+  }
+
+  val pipelineDecontaminateSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $Gram),
+       |g AS (SELECT DISTINCT doc_id,
+       |    ${CrossHash.sqlMd5Long(s"array_to_string(toks[i:i+${Gram - 1}], ' ')")} AS gh
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    len(toks) - ${Gram - 1})) AS i) s),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+       |bad AS (SELECT DISTINCT doc_id FROM g JOIN ev USING (gh)
+       |  WHERE doc_id % 97 <> 0),
+       |corpus AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+       |    (b.doc_id IS NOT NULL) AS hit
+       |  FROM documents d LEFT JOIN bad b ON d.doc_id = b.doc_id
+       |  WHERE d.doc_id % 97 <> 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_contaminated,
+       |  CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN hit THEN 0 ELSE n_toks END) AS BIGINT)
+       |    AS tokens_kept,
+       |  ${sqlPpm("SUM(CASE WHEN hit THEN 0 ELSE 1 END)", "COUNT(*)")}
+       |    AS kept_ppm
+       |FROM corpus GROUP BY source""".stripMargin
+
   // ------------------------------------------------ chunk dedup
   /** Chunk-level exact dedup: each document split into consecutive
     * 5-word windows (last window may be short), windows hashed, and
@@ -1713,6 +1786,7 @@ object PipelineQueries {
     "graph_pagerank" -> (graphPagerank _),
     "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
+    "pipeline_decontaminate" -> (pipelineDecontaminate _),
     "dedup_chunk" -> (dedupChunk _),
     "pipeline_remove_chunks" -> (pipelineRemoveChunks _),
     "pipeline_split" -> (pipelineSplit _),
@@ -1741,6 +1815,7 @@ object PipelineQueries {
     "graph_pagerank" -> graphPagerankSql,
     "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,
+    "pipeline_decontaminate" -> pipelineDecontaminateSql,
     "dedup_chunk" -> dedupChunkSql,
     "pipeline_remove_chunks" -> pipelineRemoveChunksSql,
     "pipeline_split" -> pipelineSplitSql,

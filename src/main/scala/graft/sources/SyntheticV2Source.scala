@@ -8,9 +8,9 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -191,12 +191,42 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
     required: StructType, keyed: Boolean)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, keyed=$keyed, " +
       s"cols=${required.fieldNames.mkString(",")})"
+
+  // --- runtime filtering: the DSv2 dynamic-partition-pruning contract.
+  // Declaring `bucket` filterable makes Spark's PartitionPruning rule
+  // plant a DynamicPruningSubquery on joins keyed by it; after the
+  // build side executes, `filter()` receives the surviving key set and
+  // the keyed layout re-plans to ONLY those residue-class partitions —
+  // the v2 equivalent of a partitioned table skipping directories. At
+  // a 10^12-row table joined to a selective dimension this is the
+  // difference between reading 97 partitions and reading the 3 the
+  // probe actually needs. Only the keyed layout declares the
+  // attribute: contiguous id-slices each contain every residue class,
+  // so bucket pruning cannot drop any of them (an In(id) filter could,
+  // but Spark only plants runtime filters on join keys, and id-keyed
+  // joins against this source are equi-range already).
+  private var allowedBuckets: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (keyed) Array(Expressions.column("bucket")) else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("bucket", vs) =>
+      val keep = vs.iterator.collect { case n: Number => n.longValue() }.toSet
+      allowedBuckets = Some(allowedBuckets.fold(keep)(_ intersect keep))
+    case EqualTo("bucket", v: Number) =>
+      val keep = Set(v.longValue())
+      allowedBuckets = Some(allowedBuckets.fold(keep)(_ intersect keep))
+    case _ => () // best-effort contract: unrecognized filters are
+    // ignored; Spark still applies the join predicate itself
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // compare BEFORE subtracting: contradictory pushed bounds at
@@ -209,9 +239,11 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
       // its key (HasPartitionKey), so Spark's key-grouped machinery
       // can satisfy a clustered distribution on `bucket` without any
       // exchange — the DSv2 equivalent of a bucketed table.
-      return (0 until SyntheticV2Source.Buckets).map { b =>
-        KeyedSynthSlice(b, lo, hi, required.fieldNames): InputPartition
-      }.toArray
+      return (0 until SyntheticV2Source.Buckets)
+        .filter(b => allowedBuckets.forall(_.contains(b.toLong)))
+        .map { b =>
+          KeyedSynthSlice(b, lo, hi, required.fieldNames): InputPartition
+        }.toArray
     }
     val n = hi - lo
     val k = math.max(1, parts)

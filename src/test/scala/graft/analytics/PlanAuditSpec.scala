@@ -133,6 +133,18 @@ class PlanAuditSpec extends SparkSuite {
         "knn_pq_adc", "knn_sq8", "knn_binary", "emb_kmeans_train")) {
       assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles its corpus")
     }
+    // the IVF×PQ chains join two corpus-scaled frames (candidates ×
+    // code table) — un-broadcastable by nature, so an SMJ is the
+    // RIGHT plan there, but only on the narrow 8-byte vec_id key
+    // (both sides arrive hash-partitioned by vec_id from their
+    // aggregations, so the exchange is reused); an SMJ on any other
+    // key would mean a vector-payload or per-code shuffle crept in
+    for (q <- Seq("knn_ivfpq", "knn_ivf_residual")) {
+      val smjKeys = "SortMergeJoin \\[(\\w+)".r
+        .findAllMatchIn(plan(q)).map(_.group(1)).toSet
+      assert(smjKeys.subsetOf(Set("vec_id")),
+        s"$q sort-merge-joins on ${smjKeys.mkString(",")}")
+    }
   }
 
   test("IVF cell assignment partial-aggregates before its exchange") {

@@ -85,6 +85,149 @@ class Round7cOpsSpec extends SparkSuite {
     assert(got(3) == ((4L, "ab c", 5L, 5L, 28L)))
   }
 
+  test("residual IVFPQ: exact re-rank scores and recall floor") {
+    // the oracle pins engine agreement; this pins that the returned
+    // scores really ARE the exact ppm cosine of the raw embeddings
+    // (recomputed here from the parquet floats, sharing no query
+    // code) and that the residual-coded index still finds the true
+    // neighborhood: recall@10 vs brute force above a floor
+    val vecs = QueryUtil.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 4096).toLong).toArray
+      }.toMap
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    def ppmCos(a: Long, b: Long): Long = {
+      val (va, vb) = (vecs(a), vecs(b))
+      math.floor(1e6 * dotL(va, vb).toDouble /
+        math.sqrt((dotL(va, va) * dotL(vb, vb)).toDouble)).toLong
+    }
+    val res = graft.SparkEntry.queries("knn_ivf_residual")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    res.foreach { case (q, v, s) =>
+      assert(s == ppmCos(q, v), s"score for ($q,$v) is not the exact cosine")
+    }
+    val brute = graft.SparkEntry.queries("knn_brute_force")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val approx = res.map(t => (t._1, t._2))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    def recallOf(m: Map[Long, Set[Long]]): Double = {
+      val hits = brute.keys.toSeq.map(q =>
+        (m.getOrElse(q, Set.empty) intersect brute(q)).size).sum
+      hits.toDouble / brute.values.map(_.size).sum
+    }
+    val recall = recallOf(approx)
+    // sf0.001's near-random embeddings cap ANY NProbe=2 search at the
+    // coarse-cell recall; 0.25 is the conservative floor the PQ
+    // families clear here (measured 0.29)
+    assert(recall >= 0.25, s"residual IVFPQ recall@10 $recall < 0.25")
+    // pool dominance: candidates come from the probed cells, and
+    // knn_ivf returns the exact top of that same pool — the residual
+    // index can approach but never beat it
+    val ivf = graft.SparkEntry.queries("knn_ivf")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    assert(recall <= recallOf(ivf) + 1e-9,
+      "residual recall exceeded its probed-cell ceiling")
+  }
+
+  test("multi-touch credit conserves purchase value up to floor dust") {
+    // independent recompute of both models from the raw events, plus
+    // the conservation law: per purchase, each model's credited total
+    // is within n floor-truncations of the full milli-value
+    val ev = QueryUtil.table(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_timestamp(col("ts")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        math.floor(r.getDouble(3) * 1000).toLong, r.getLong(4)))
+    val byUser = ev.groupBy(_._1)
+    var expLinear = Map.empty[String, Long].withDefaultValue(0L)
+    var expUshape = Map.empty[String, Long].withDefaultValue(0L)
+    var expN = Map.empty[String, Long].withDefaultValue(0L)
+    val look = EventQueries.LookbackS
+    byUser.values.foreach { rows =>
+      val touches = rows.filter(r => r._3 == "click" || r._3 == "view")
+      rows.filter(_._3 == "purchase").foreach { p =>
+        val pre = touches.filter(t => (t._5 < p._5 ||
+          (t._5 == p._5 && t._2 < p._2)) && p._5 - t._5 <= look)
+          .sortBy(t => (t._5, t._2))
+        val pv = p._4
+        if (pre.isEmpty) {
+          expLinear += "direct" -> (expLinear("direct") + pv)
+          expUshape += "direct" -> (expUshape("direct") + pv)
+          expN += "direct" -> (expN("direct") + 1)
+        } else {
+          val n = pre.length
+          var linSum = 0L; var uSum = 0L
+          pre.zipWithIndex.foreach { case (t, i) =>
+            val w = if (n == 1) 1000L else if (n == 2) 500L
+              else if (i == 0 || i == n - 1) 400L else 200L / (n - 2)
+            expLinear += t._3 -> (expLinear(t._3) + pv / n)
+            expUshape += t._3 -> (expUshape(t._3) + pv * w / 1000)
+            expN += t._3 -> (expN(t._3) + 1)
+            linSum += pv / n; uSum += pv * w / 1000
+          }
+          // conservation: floor dust only. Linear loses < 1 milli-unit
+          // per touch; u-shape additionally loses the permille
+          // shortfall when (n-2) does not divide 200 evenly
+          assert(pv - linSum >= 0 && pv - linSum < n,
+            s"linear credit lost more than dust: $pv vs $linSum over $n")
+          val sw = if (n <= 2) 0L else 200L - (n - 2) * (200L / (n - 2))
+          assert(pv - uSum >= 0 && pv - uSum <= pv * sw / 1000 + n,
+            s"u-shape credit lost more than dust: $pv vs $uSum over $n")
+        }
+      }
+    }
+    val got = EventQueries.eventsAttributionMulti(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val chans = expN.keySet ++ got.keySet
+    chans.foreach { c =>
+      assert(got.contains(c), s"channel $c missing from query output")
+      assert(got(c) == ((expN(c), expLinear(c), expUshape(c))),
+        s"channel $c: got ${got(c)}, want " +
+          s"(${expN(c)}, ${expLinear(c)}, ${expUshape(c)})")
+    }
+  }
+
+  test("decontamination apply drops exactly the reported documents") {
+    // the apply's accounting must re-add to the report: contaminated
+    // docs across sources == the docs textContamination reports, and
+    // every corpus doc is either kept or contaminated, never both
+    val rep = PipelineQueries.textContamination(spark, sf0001).count()
+    val rows = PipelineQueries.pipelineDecontaminate(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._2).sum == rep,
+      "applied drop set diverges from the contamination report")
+    rows.foreach { case (n, bad, kept) =>
+      assert(n == bad + kept, "kept + contaminated must partition docs")
+    }
+    val corpus = QueryUtil.table(spark, sf0001, "documents")
+      .where(col("doc_id") % 97 =!= 0).count()
+    assert(rows.map(_._1).sum == corpus, "accounting must cover the corpus")
+  }
+
+  test("schema evolution nulls exactly the old generation") {
+    val rows = LakehouseQueries.lakeSchemaEvolution(spark, sf0001)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val total = QueryUtil.table(spark, sf0001, "events").count()
+    assert(rows.keySet == Set(1, 2))
+    val (n1, present1) = rows(1)
+    val (n2, present2) = rows(2)
+    assert(n1 + n2 == total, "generations must partition the table")
+    assert(present1 == 0L,
+      "old-writer files must read the evolved column as NULL")
+    assert(present2 == n2,
+      "new-writer files must carry the evolved column everywhere")
+  }
+
   test("BPE trainer matches the independent reference on the corpus") {
     val words = QueryUtil.table(spark, sf0001, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
