@@ -632,21 +632,30 @@ object EmbeddingQueries {
     * BroadcastHashJoin + partial aggregation are the shape Tungsten
     * is built to chew; keep them.
     */
-  private def pqCodes(e: DataFrame, seeds: DataFrame): DataFrame = {
-    val keyCols = (0 until PqSub).map { s =>
-      ((subDot(col("cq"), col("cq"), s) -
-        lit(2L) * subDot(col("q"), col("cq"), s)
-        + lit(PqOffset)) * PqCodeK + (col("cid") - 1)).as(s"k_$s")
-    }
+  /** The packed-MIN encode keys shared by [[pqCodes]] and the
+    * distortion report: per subspace, `(|cb|² − 2v·cb + offset)·K +
+    * (cid−1)` — one MIN is the tie-broken argmin AND carries the
+    * minimal distance in its high bits.
+    */
+  private def pqKeyCols: Seq[Column] = (0 until PqSub).map { s =>
+    ((subDot(col("cq"), col("cq"), s) -
+      lit(2L) * subDot(col("q"), col("cq"), s)
+      + lit(PqOffset)) * PqCodeK + (col("cid") - 1)).as(s"k_$s")
+  }
+
+  /** Per-vector packed mins `(vec_id, m_0 … m_7)` over the codebook. */
+  private def pqMins(e: DataFrame, seeds: DataFrame): DataFrame =
     e.crossJoin(broadcast(seeds))
-      .select(col("vec_id") +: keyCols: _*)
+      .select(col("vec_id") +: pqKeyCols: _*)
       .groupBy(col("vec_id"))
       .agg(min(col("k_0")).as("m_0"),
         (1 until PqSub).map(s => min(col(s"k_$s")).as(s"m_$s")): _*)
+
+  private def pqCodes(e: DataFrame, seeds: DataFrame): DataFrame =
+    pqMins(e, seeds)
       .select(col("vec_id"),
         posexplode(array((0 until PqSub).map(s =>
           col(s"m_$s") % PqCodeK + 1): _*)).as(Seq("s", "cid")))
-  }
 
   /** ADC lookup table: per (query, subspace, code) the exact dot of
     * the query's subvector with the code's UNCOMPRESSED centroid.
@@ -858,6 +867,20 @@ object EmbeddingQueries {
     * [[knnIvfPq]] plan — candidates only from probed cells, ADC over
     * 8 narrow lookup rows per candidate, broadcast-only joins.
     */
+  /** Residual-PQ codebook: residuals of the [[PqCodeK]] vectors ranked
+    * JUST PAST the centroid sample. The bottom-[[centK]] hash ranks
+    * ARE the coarse centroids, and a centroid is its own cell's
+    * argmax, so its residual is identically zero — sampling those
+    * ranks would hand the codebook 16 zero rows and make residual
+    * coding vacuous (caught by [[knnPqDistortion]]: the residual
+    * error collapsed to the centroid-only error exactly).
+    */
+  private def residSeeds(resid: DataFrame, k: Int): DataFrame =
+    resid.orderBy(hashOrder: _*).limit(k + PqCodeK)
+      .withColumn("hr", row_number().over(Window.orderBy(hashOrder: _*)))
+      .where(col("hr") > k)
+      .select((col("hr") - k).as("cid"), col("q").as("cq"))
+
   def knnIvfResidual(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
     val (cents, cells, qprobe) = ivfCoarseFull(e)
@@ -865,9 +888,7 @@ object EmbeddingQueries {
         col("cell") === col("centroid_id"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
-    val rseeds = resid.orderBy(hashOrder: _*).limit(PqCodeK)
-      .withColumn("cid", row_number().over(Window.orderBy(hashOrder: _*)))
-      .select(col("cid"), col("q").as("cq"))
+    val rseeds = residSeeds(resid, centK(e.count()))
     val codes = pqCodes(resid.select(col("vec_id"), col("q")), rseeds)
     val lut = pqLut(e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq")), rseeds)
@@ -893,7 +914,14 @@ object EmbeddingQueries {
     exactRerank(e, cands)
   }
 
-  val knnIvfResidualSql: String = {
+  /** Shared oracle CTE text for the RESIDUAL PQ machinery: `resid`
+    * (per-vector residual vs its home centroid), `rseeds` (residuals
+    * of the same bottom-k hash sample every codebook seeds from),
+    * `rkeys`/`rmins`/`rcodes` (packed-MIN encode over residuals) and
+    * `rlut` (query-side ADC table). Reused verbatim by
+    * [[knnIvfResidualSql]] and [[knnPqDistortionSql]].
+    */
+  private lazy val sqlResidCtes: String = {
     val rKeyCols = (0 until PqSub).map { s =>
       s"((${sqlSubDot("c.cq", "c.cq", s)} - 2 * ${sqlSubDot("v.rv", "c.cq", s)}" +
         s" + $PqOffset) * $PqCodeK + (c.cid - 1)) AS k_$s"
@@ -903,20 +931,16 @@ object EmbeddingQueries {
       s"WHEN ${s} THEN m_$s % $PqCodeK + 1").mkString(" ")
     val rQdCase = (0 until PqSub).map(s =>
       s"WHEN ${s} THEN ${sqlSubDot("q.qq", "c.cq", s)}").mkString(" ")
-    val qcdot =
-      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * c.cq[i]))"
-    s"""WITH $sqlQuantized,
-       |$sqlCranked,
-       |${sqlIvfCtes()},
-       |resid AS (
+    s"""resid AS (
        |  SELECT l.vec_id, l.cell,
        |    list_transform(generate_series(1, 64), i -> l.qv[i] - c.cq[i])
        |      AS rv
        |  FROM cells l JOIN cents c ON l.cell = c.centroid_id),
        |rseeds AS (
-       |  SELECT k.hrnk AS cid, r.rv AS cq
+       |  SELECT k.hrnk - ($sqlCentK) AS cid, r.rv AS cq
        |  FROM resid r JOIN cranked k ON r.vec_id = k.vec_id
-       |  WHERE k.hrnk <= $PqCodeK),
+       |  WHERE k.hrnk > ($sqlCentK)
+       |    AND k.hrnk <= ($sqlCentK) + $PqCodeK),
        |rkeys AS (
        |  SELECT v.vec_id, c.cid,
        |    $rKeyCols
@@ -932,7 +956,17 @@ object EmbeddingQueries {
        |    CASE sp.s $rQdCase END AS qd
        |  FROM (SELECT vec_id, qv AS qq FROM n WHERE vec_id < 10) q,
        |    rseeds c,
-       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp),
+       |    LATERAL (SELECT unnest(generate_series(0, ${PqSub - 1})) AS s) sp)"""
+      .stripMargin
+  }
+
+  val knnIvfResidualSql: String = {
+    val qcdot =
+      "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * c.cq[i]))"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |${sqlIvfCtes()},
+       |$sqlResidCtes,
        |qc AS (
        |  SELECT p.query_id, p.cell, $qcdot AS qcdot
        |  FROM qprobe p JOIN cents c ON p.cell = c.centroid_id),
@@ -957,6 +991,101 @@ object EmbeddingQueries {
        |      ON a.query_id = q.query_id AND a.cell = q.cell)
        |  WHERE crnk2 <= $PqRerank),
        |$sqlExactRerank""".stripMargin
+  }
+
+  // ---------------------------------------------- PQ distortion
+  /** Reconstruction-distortion report — the index-quality number that
+    * justifies residual coding with data instead of folklore: for
+    * each compression scheme, the exact total and per-vector mean of
+    * `Σ_d (v_d − reconstruct(v)_d)²` over the corpus. Three rows:
+    * `pq_raw` (codes compress the raw vector — [[knnIvfPq]]'s
+    * scheme), `ivf_centroid` (no codes at all: the vector is its cell
+    * centroid — what pure IVF "knows"), and `ivfpq_residual` (cell
+    * centroid + residual codes — [[knnIvfResidual]]'s scheme, whose
+    * error is centroid error MINUS what the codes explain). The FAISS
+    * quantization-error diagnostic, exact because the packed-MIN
+    * encode key already carries the minimal subspace distance in its
+    * high bits: `m_s div K − offset = |cb|² − 2v·cb` for the chosen
+    * code, so per-vector error folds to `Σ_s (m_s div K − offset) +
+    * |v|²` — no reconstruction join at all.
+    *
+    * Scale shape: the same O(n·k) broadcast encode as the searches,
+    * one partial-aggregating per-vector groupBy, then a 3-row
+    * rollup. Error magnitudes stay < 2⁶² at any corpus size the
+    * int64 dot products themselves admit.
+    *
+    * Measured finding on THIS corpus (pinned by the from-scratch spec
+    * recompute): raw PQ beats residual PQ (6.4e9 vs 8.8e9 at
+    * sf0.001) — near-uniform synthetic embeddings cluster so weakly
+    * that |v − c|² > |v|² on average, so centering INFLATES what the
+    * codes must express. On genuinely clustered production embeddings
+    * the inequality flips, which is exactly the decision this report
+    * lets an index builder make from data instead of folklore.
+    */
+  def knnPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val (cents, cells, _) = ivfCoarseFull(e)
+    val resid = cells.join(broadcast(cents),
+        col("cell") === col("centroid_id"))
+      .select(col("vec_id"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+      .withColumn("rnorm2", graft.functions.DotLong(col("q"), col("q")))
+      .cache() // seeds sample + encode + centroid-only row all read it
+    val rseeds = residSeeds(resid, centK(e.count()))
+    // Σ_s (m_s div K − offset) + |v|²: the encode's packed mins carry
+    // the subspace distances — fold them against the vector norm
+    def errOf(frame: DataFrame, seeds: DataFrame, n2: String): DataFrame =
+      pqMins(frame, seeds)
+        .join(frame.select(col("vec_id"), col(n2).as("_n2")), "vec_id")
+        .select(((0 until PqSub)
+          .map(s => expr(s"m_$s div $PqCodeK") - lit(PqOffset))
+          .reduce(_ + _) + col("_n2")).as("err"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("total_err"))
+    val raw = errOf(e, pqSeeds(e), "norm2")
+      .select(lit("pq_raw").as("family"), col("n_vecs"), col("total_err"))
+    val cent = resid
+      .agg(count(lit(1)).as("n_vecs"), sum(col("rnorm2")).as("total_err"))
+      .select(lit("ivf_centroid").as("family"), col("n_vecs"),
+        col("total_err"))
+    val res = errOf(resid, rseeds, "rnorm2")
+      .select(lit("ivfpq_residual").as("family"), col("n_vecs"),
+        col("total_err"))
+    raw.unionByName(cent).unionByName(res)
+      .withColumn("mean_err", expr("total_err div n_vecs"))
+      .orderBy(col("family"))
+  }
+
+  val knnPqDistortionSql: String = {
+    def errExpr(n2: String) = (0 until PqSub)
+      .map(s => s"(m_$s // $PqCodeK - $PqOffset)").mkString(" + ") +
+      s" + $n2"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |${sqlIvfCtes()},
+       |$sqlResidCtes,
+       |$sqlPqCtes,
+       |rn AS (
+       |  SELECT vec_id,
+       |    list_sum(list_transform(rv, x -> x * x)) AS rnorm2
+       |  FROM resid),
+       |rawerr AS (
+       |  SELECT ${errExpr("n.norm2")} AS err
+       |  FROM mins m JOIN n ON m.vec_id = n.vec_id),
+       |riderr AS (
+       |  SELECT ${errExpr("rn.rnorm2")} AS err
+       |  FROM rmins m JOIN rn ON m.vec_id = rn.vec_id),
+       |fam AS (
+       |  SELECT 'pq_raw' AS family, COUNT(*) AS n_vecs,
+       |    CAST(SUM(err) AS BIGINT) AS total_err FROM rawerr
+       |  UNION ALL
+       |  SELECT 'ivf_centroid', COUNT(*),
+       |    CAST(SUM(rnorm2) AS BIGINT) FROM rn
+       |  UNION ALL
+       |  SELECT 'ivfpq_residual', COUNT(*),
+       |    CAST(SUM(err) AS BIGINT) FROM riderr)
+       |SELECT family, n_vecs, total_err,
+       |  total_err // n_vecs AS mean_err
+       |FROM fam ORDER BY family""".stripMargin
   }
 
   // --------------------------------------------------- SQ8 kNN
@@ -2819,6 +2948,7 @@ object EmbeddingQueries {
     "knn_pq_adc" -> (knnPqAdc _),
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivf_residual" -> (knnIvfResidual _),
+    "knn_pq_distortion" -> (knnPqDistortion _),
     "knn_sq8" -> (knnSq8 _),
     "knn_brute_heldout" -> (knnBruteHeldout _),
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
@@ -2852,6 +2982,7 @@ object EmbeddingQueries {
     "knn_pq_adc" -> knnPqAdcSql,
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivf_residual" -> knnIvfResidualSql,
+    "knn_pq_distortion" -> knnPqDistortionSql,
     "knn_sq8" -> knnSq8Sql,
     "knn_brute_heldout" -> knnBruteHeldoutSql,
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,

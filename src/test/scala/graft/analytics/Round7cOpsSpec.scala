@@ -135,6 +135,63 @@ class Round7cOpsSpec extends SparkSuite {
       "residual recall exceeded its probed-cell ceiling")
   }
 
+  test("PQ distortion report matches a from-scratch reimplementation") {
+    // full independent rebuild of all three families from the raw
+    // parquet floats: hash ranking, centroid sample, argmax cells,
+    // residuals, codebooks, per-subspace argmin — sharing zero code
+    // with the query. The oracle proves engine agreement; this proves
+    // the NUMBERS are the distortions they claim to be (it already
+    // caught the all-zero residual codebook bug in development)
+    val raw = QueryUtil.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 4096).toLong).toArray
+      }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h56(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val ranked = raw.sortBy { case (id, _) => (h56(id), id) }
+    val n = ranked.length
+    val k = math.max(4, math.min(4096, math.ceil(math.sqrt(n)).toInt))
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val cents = ranked.take(k)
+    def homeResidual(v: Array[Long]): Array[Long] = {
+      val n2 = dotL(v, v)
+      val best = cents.minBy { case (cid, cq) =>
+        val s = math.floor(1e6 * dotL(v, cq).toDouble /
+          math.sqrt((n2 * dotL(cq, cq)).toDouble)).toLong
+        (-s, cid)
+      }
+      v.indices.map(i => v(i) - best._2(i)).toArray
+    }
+    val resid = ranked.map { case (id, v) => id -> homeResidual(v) }
+    def pqErr(vs: Seq[Array[Long]], cb: Seq[Array[Long]]): Long =
+      vs.map { v =>
+        (0 until 8).map { s =>
+          cb.map { c =>
+            (0 until 8).map { d =>
+              val diff = v(s * 8 + d) - c(s * 8 + d); diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val wantRaw = pqErr(ranked.map(_._2).toSeq, ranked.take(16).map(_._2).toSeq)
+    val wantCent = resid.map(r => dotL(r._2, r._2)).sum
+    val wantRes = pqErr(resid.map(_._2).toSeq,
+      resid.slice(k, k + 16).map(_._2).toSeq)
+    val got = EmbeddingQueries.knnPqDistortion(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("pq_raw") == ((n.toLong, wantRaw)))
+    assert(got("ivf_centroid") == ((n.toLong, wantCent)))
+    assert(got("ivfpq_residual") == ((n.toLong, wantRes)))
+  }
+
   test("multi-touch credit conserves purchase value up to floor dust") {
     // independent recompute of both models from the raw events, plus
     // the conservation law: per purchase, each model's credited total
