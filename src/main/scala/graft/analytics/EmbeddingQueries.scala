@@ -854,7 +854,9 @@ object EmbeddingQueries {
     * production IVFPQ index encodes residuals while [[knnIvfPq]]
     * (kept as the ablation twin) codes raw vectors. Same output shape
     * and re-rank tail as the other families, so recall is directly
-    * comparable.
+    * comparable — and [[knnPqDistortion]] measures the raw-vs-residual
+    * reconstruction error on THIS corpus (where weak clustering makes
+    * raw coding win; see its scaladoc), so the choice is data-driven.
     *
     * Exactness: residuals are int64 component differences, the
     * codebook is the residuals of the same bottom-[[PqCodeK]] hash
@@ -1022,6 +1024,20 @@ object EmbeddingQueries {
     * the inequality flips, which is exactly the decision this report
     * lets an index builder make from data instead of folklore.
     */
+  /** Corpus PQ error fold: Σ_s (m_s div K − offset) + |v|² — the
+    * encode's packed mins carry the subspace distances, fold them
+    * against the vector norm. One partial-aggregating groupBy + a
+    * 1-row agg; shared by [[knnPqDistortion]] and [[knnPqBalanced]].
+    */
+  private def pqErrAgg(frame: DataFrame, seeds: DataFrame,
+      n2: String): DataFrame =
+    pqMins(frame, seeds)
+      .join(frame.select(col("vec_id"), col(n2).as("_n2")), "vec_id")
+      .select(((0 until PqSub)
+        .map(s => expr(s"m_$s div $PqCodeK") - lit(PqOffset))
+        .reduce(_ + _) + col("_n2")).as("err"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("total_err"))
+
   def knnPqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
     val (cents, cells, _) = ivfCoarseFull(e)
@@ -1032,22 +1048,13 @@ object EmbeddingQueries {
       .withColumn("rnorm2", graft.functions.DotLong(col("q"), col("q")))
       .cache() // seeds sample + encode + centroid-only row all read it
     val rseeds = residSeeds(resid, centK(e.count()))
-    // Σ_s (m_s div K − offset) + |v|²: the encode's packed mins carry
-    // the subspace distances — fold them against the vector norm
-    def errOf(frame: DataFrame, seeds: DataFrame, n2: String): DataFrame =
-      pqMins(frame, seeds)
-        .join(frame.select(col("vec_id"), col(n2).as("_n2")), "vec_id")
-        .select(((0 until PqSub)
-          .map(s => expr(s"m_$s div $PqCodeK") - lit(PqOffset))
-          .reduce(_ + _) + col("_n2")).as("err"))
-        .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("total_err"))
-    val raw = errOf(e, pqSeeds(e), "norm2")
+    val raw = pqErrAgg(e, pqSeeds(e), "norm2")
       .select(lit("pq_raw").as("family"), col("n_vecs"), col("total_err"))
     val cent = resid
       .agg(count(lit(1)).as("n_vecs"), sum(col("rnorm2")).as("total_err"))
       .select(lit("ivf_centroid").as("family"), col("n_vecs"),
         col("total_err"))
-    val res = errOf(resid, rseeds, "rnorm2")
+    val res = pqErrAgg(resid, rseeds, "rnorm2")
       .select(lit("ivfpq_residual").as("family"), col("n_vecs"),
         col("total_err"))
     raw.unionByName(cent).unionByName(res)
@@ -1083,6 +1090,135 @@ object EmbeddingQueries {
        |  UNION ALL
        |  SELECT 'ivfpq_residual', COUNT(*),
        |    CAST(SUM(err) AS BIGINT) FROM riderr)
+       |SELECT family, n_vecs, total_err,
+       |  total_err // n_vecs AS mean_err
+       |FROM fam ORDER BY family""".stripMargin
+  }
+
+  // ------------------------------------------- balanced-subspace PQ
+  /** Variance-balanced subspace PQ — OPQ's non-parametric
+    * initialization (Ge et al., CVPR 2013): plain PQ splits dims
+    * [0..7], [8..15], … as they happen to lie, so a few high-variance
+    * dims can land in one subspace and starve the rest; this query
+    * RANKS dims by exact corpus variance and deals them to the 8
+    * subspaces in snake order (1st..8th to s=0..7, 9th..16th back to
+    * s=7..0), then reports the raw-PQ reconstruction error in the
+    * permuted space beside the unpermuted baseline — the measured
+    * answer to "does dimension allocation matter for MY data".
+    *
+    * Exactness: the variance NUMERATOR `n·Σx² − (Σx)²` is computed in
+    * DECIMAL(38,0)/HUGEINT (32 digits at 10¹² vectors — exact; ties
+    * break on the dim index), and the winning permutation is a 64-row
+    * METADATA collect that becomes a STATIC projection — the permuted
+    * vector is pure codegen, no shuffle, no per-row explode. Encode
+    * and error fold reuse [[pqMins]]/[[pqErrAgg]] verbatim; the
+    * permutation preserves norms, so the error columns are directly
+    * comparable. Scale shape: one 64-key variance aggregate
+    * (map-side combine), one O(n·k) broadcast encode per family.
+    *
+    * Measured finding on THIS corpus (spec recomputes both families
+    * from scratch): the permutation moves the error < 1% — the
+    * synthetic embeddings are near-isotropic (per-dim variances are
+    * uniform), so there is nothing to rebalance. That nil result is
+    * the point of reporting against the baseline: anisotropic
+    * production embeddings (where a few PCA-heavy dims dominate) are
+    * where the snake deal pays, and the report shows whether YOUR
+    * data is in that regime before you rebuild an index around it.
+    */
+  def knnPqBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val varRows = e.select(posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+      .select(col("d"),
+        (dec(col("n")) * col("sxx") - col("sx") * col("sx")).as("v"))
+      .collect().map(r => r.getInt(0) -> BigDecimal(r.getDecimal(1)))
+    // snake deal by (variance DESC, dim ASC) rank
+    val ranked = varRows.sortBy { case (d, v) => (-v, d) }.map(_._1)
+    val bySub = Array.fill(PqSub)(Vector.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (d, i) =>
+      val block = i / PqSub
+      val o = i % PqSub
+      bySub(if (block % 2 == 0) o else PqSub - 1 - o) += d
+    }
+    val perm: Seq[Int] = bySub.toSeq.flatMap(_.result())
+    val pe = e.select(col("vec_id"),
+        array(perm.map(d => col("q")(d)): _*).as("q"), col("norm2"))
+    val raw = pqErrAgg(e, pqSeeds(e), "norm2")
+      .select(lit("pq_raw").as("family"), col("n_vecs"), col("total_err"))
+    val bal = pqErrAgg(pe, pqSeeds(pe), "norm2")
+      .select(lit("pq_balanced").as("family"), col("n_vecs"),
+        col("total_err"))
+    raw.unionByName(bal)
+      .withColumn("mean_err", expr("total_err div n_vecs"))
+      .orderBy(col("family"))
+  }
+
+  val knnPqBalancedSql: String = {
+    // keys/mins CTE text over an arbitrary (vec frame, seeds) pair —
+    // the SQL twin of pqKeyCols/pqMins parametrized the same way
+    def keysMins(prefix: String, src: String): String = {
+      val keyCols = (0 until PqSub).map { s =>
+        s"((${sqlSubDot("c.cq", "c.cq", s)} - 2 * ${sqlSubDot("v.qv", "c.cq", s)}" +
+          s" + $PqOffset) * $PqCodeK + (c.cid - 1)) AS k_$s"
+      }.mkString(",\n    ")
+      val mins = (0 until PqSub).map(s => s"MIN(k_$s) AS m_$s")
+        .mkString(", ")
+      s"""${prefix}seeds AS (
+         |  SELECT k.hrnk AS cid, p.qv AS cq
+         |  FROM $src p JOIN cranked k ON p.vec_id = k.vec_id
+         |  WHERE k.hrnk <= $PqCodeK),
+         |${prefix}keys AS (
+         |  SELECT v.vec_id, c.cid,
+         |    $keyCols
+         |  FROM $src v, ${prefix}seeds c),
+         |${prefix}mins AS (SELECT vec_id, $mins FROM ${prefix}keys
+         |  GROUP BY vec_id)""".stripMargin
+    }
+    def errExpr(n2: String) = (0 until PqSub)
+      .map(s => s"(m_$s // $PqCodeK - $PqOffset)").mkString(" + ") +
+      s" + $n2"
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |dx AS (
+       |  SELECT vec_id, unnest(generate_series(1, 64)) AS d,
+       |    unnest(qv) AS x
+       |  FROM n),
+       |vr AS (
+       |  SELECT d, COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+       |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+       |  FROM dx GROUP BY d),
+       |rk AS (
+       |  SELECT d, row_number() OVER (
+       |    ORDER BY n * sxx - sx * sx DESC, d ASC) AS r
+       |  FROM vr),
+       |perm AS (
+       |  SELECT d AS olddim,
+       |    CASE WHEN ((r - 1) // $PqSub) % 2 = 0 THEN (r - 1) % $PqSub
+       |      ELSE ${PqSub - 1} - (r - 1) % $PqSub END AS s, r
+       |  FROM rk),
+       |permpos AS (
+       |  SELECT olddim, s * $PqSub + row_number() OVER (
+       |    PARTITION BY s ORDER BY r) AS newpos
+       |  FROM perm),
+       |np AS (
+       |  SELECT t.vec_id, list(t.x ORDER BY p.newpos) AS qv,
+       |    ANY_VALUE(n2.norm2) AS norm2
+       |  FROM dx t JOIN permpos p ON t.d = p.olddim
+       |  JOIN n n2 ON t.vec_id = n2.vec_id
+       |  GROUP BY t.vec_id),
+       |${keysMins("raw", "n")},
+       |${keysMins("bal", "np")},
+       |fam AS (
+       |  SELECT 'pq_raw' AS family, COUNT(*) AS n_vecs,
+       |    CAST(SUM(${errExpr("n.norm2")}) AS BIGINT) AS total_err
+       |  FROM rawmins m JOIN n ON m.vec_id = n.vec_id
+       |  UNION ALL
+       |  SELECT 'pq_balanced', COUNT(*),
+       |    CAST(SUM(${errExpr("np.norm2")}) AS BIGINT)
+       |  FROM balmins m JOIN np ON m.vec_id = np.vec_id)
        |SELECT family, n_vecs, total_err,
        |  total_err // n_vecs AS mean_err
        |FROM fam ORDER BY family""".stripMargin
@@ -2471,6 +2607,123 @@ object EmbeddingQueries {
     }.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------- rerank-depth curve
+  /** Re-rank-depth tuning curve — the SECOND IVFPQ knob beside
+    * [[knnNprobeCurve]]'s probe depth: recall@10 of the raw-coded
+    * IVF×PQ chain as the exact-re-rank tail widens over
+    * [[RerankCurve]] candidates. ADC approximation error is what the
+    * re-rank repairs, so recall climbs with depth and saturates at
+    * the probed-cell pool's ceiling (the nprobe curve's territory);
+    * where it saturates on YOUR data is how you size the only
+    * full-vector reads the search performs. One ADC-scored candidate
+    * pool (the very [[knnIvfPq]] dataflow, shared helpers) feeds
+    * every curve point — each point is a filter + re-rank over the
+    * cached frame, the [[knnNprobeCurve]] discipline.
+    *
+    * Recall is monotone in depth BY CONSTRUCTION (a deeper re-rank
+    * set contains the shallower one; exact top-10 of a superset can
+    * only hit more of the true top-10 — spec-pinned along with the
+    * deepest point's agreement ceiling).
+    */
+  val RerankCurve = Seq(10, 20, 50, 100)
+
+  def knnRerankCurve(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir).cache()
+    val qs = e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"),
+        col("norm2").as("qnorm2"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("vec_id").asc)
+    val exact = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+          .as("score_ppm"))
+      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+      .select(col("query_id"), col("vec_id"))
+    val (cells, qprobe) = ivfCoarse(e)
+    val cand = broadcast(qprobe.select(col("query_id"), col("cell")))
+      .join(cells.select(col("vec_id"), col("cell")), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"))
+    val seeds = pqSeeds(e)
+    val codes = pqCodes(e, seeds)
+    val lut = pqLut(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("q").as("qq")), seeds)
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id").asc)
+    val ranked = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "s", "cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("approx_dot"))
+      .withColumn("crnk", row_number().over(wApprox))
+      .cache() // every curve point filters the one scored pool
+    RerankCurve.map { rr =>
+      val cands = ranked.where(col("crnk") <= rr)
+        .select(col("query_id"), col("vec_id"))
+      val hits = exactRerank(e, cands)
+        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = cands.agg(count(lit(1)).as("n_reranked"))
+      hits.crossJoin(scanned)
+        .select(lit(rr.toLong).as("rerank"),
+          ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"),
+          col("n_reranked"))
+    }.reduce(_ unionByName _)
+  }
+
+  val knnRerankCurveSql: String = {
+    val adot =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    val points = RerankCurve.map { rr =>
+      s"""SELECT CAST($rr AS BIGINT) AS rerank,
+         |  ${sqlPpm("h.n_hits", s"10 * $TopK")} AS recall_ppm,
+         |  s.n_reranked
+         |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_reranked
+         |      FROM rankedapprox WHERE crnk <= $rr) s,
+         |  (SELECT COUNT(*) AS n_hits FROM (
+         |     SELECT query_id, vec_id FROM (
+         |       SELECT c.query_id, c.vec_id,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |           ORDER BY ${sqlScorePpm(adot, "a.norm2", "b.norm2")} DESC,
+         |             c.vec_id ASC) AS rnk
+         |       FROM rankedapprox c
+         |       JOIN n a ON c.query_id = a.vec_id
+         |       JOIN n b ON c.vec_id = b.vec_id
+         |       WHERE c.crnk <= $rr) WHERE rnk <= $TopK) t
+         |   WHERE EXISTS (SELECT 1 FROM exact e
+         |     WHERE e.query_id = t.query_id AND e.vec_id = t.vec_id)) h"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |exact AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} DESC,
+       |          b.vec_id ASC) AS rnk
+       |    FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= $TopK),
+       |${sqlIvfCtes()},
+       |cand AS (
+       |  SELECT p.query_id, b.vec_id
+       |  FROM qprobe p JOIN cells b
+       |    ON p.cell = b.cell AND p.query_id <> b.vec_id),
+       |$sqlPqCtes,
+       |approx AS (
+       |  SELECT cd.query_id, cd.vec_id, CAST(SUM(l.qd) AS BIGINT) AS approx_dot
+       |  FROM cand cd
+       |  JOIN codes c ON c.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.s = c.s AND l.cid = c.cid
+       |  GROUP BY 1, 2),
+       |rankedapprox AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY approx_dot DESC, vec_id ASC) AS crnk
+       |  FROM approx)
+       |$points""".stripMargin
+  }
+
   val knnNprobeCurveSql: String = {
     val pdot =
       "list_sum(list_transform(generate_series(1, 64), i -> p.qq[i] * b.qv[i]))"
@@ -2949,6 +3202,8 @@ object EmbeddingQueries {
     "knn_ivfpq" -> (knnIvfPq _),
     "knn_ivf_residual" -> (knnIvfResidual _),
     "knn_pq_distortion" -> (knnPqDistortion _),
+    "knn_pq_balanced" -> (knnPqBalanced _),
+    "knn_rerank_curve" -> (knnRerankCurve _),
     "knn_sq8" -> (knnSq8 _),
     "knn_brute_heldout" -> (knnBruteHeldout _),
     "knn_ivf_trained_heldout" -> (knnIvfTrainedHeldout _),
@@ -2983,6 +3238,8 @@ object EmbeddingQueries {
     "knn_ivfpq" -> knnIvfPqSql,
     "knn_ivf_residual" -> knnIvfResidualSql,
     "knn_pq_distortion" -> knnPqDistortionSql,
+    "knn_pq_balanced" -> knnPqBalancedSql,
+    "knn_rerank_curve" -> knnRerankCurveSql,
     "knn_sq8" -> knnSq8Sql,
     "knn_brute_heldout" -> knnBruteHeldoutSql,
     "knn_ivf_trained_heldout" -> knnIvfTrainedHeldoutSql,

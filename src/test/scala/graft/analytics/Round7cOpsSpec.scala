@@ -192,6 +192,97 @@ class Round7cOpsSpec extends SparkSuite {
     assert(got("ivfpq_residual") == ((n.toLong, wantRes)))
   }
 
+  test("re-rank curve is monotone and pinned to its siblings") {
+    def topSets(q: String): Map[Long, Set[Long]] =
+      graft.SparkEntry.queries(q)(spark, sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val brute = topSets("knn_brute_force")
+    def hitsOf(m: Map[Long, Set[Long]]): Long = brute.keys.toSeq.map(q =>
+      (m.getOrElse(q, Set.empty) intersect brute(q)).size.toLong).sum
+    val curve = EmbeddingQueries.knnRerankCurve(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(10L, 20L, 50L, 100L))
+    // monotone by the superset argument, in BOTH recall and cost
+    curve.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2, s"recall fell with depth: $a -> $b")
+      assert(a._3 <= b._3, s"re-rank cost fell with depth: $a -> $b")
+    case _ => ()
+    }
+    // the depth-50 point IS knn_ivfpq (same pool, same PqRerank=50
+    // tail): its realized recall must reproduce exactly
+    val ivfpqHits = hitsOf(topSets("knn_ivfpq"))
+    assert(curve.find(_._1 == 50L).get._2 == 10000L * ivfpqHits,
+      "depth-50 point diverges from knn_ivfpq's realized recall")
+    // ceiling: no depth can beat the exact top of the probed pool,
+    // which is exactly what knn_ivf returns
+    val ivfHits = hitsOf(topSets("knn_ivf"))
+    assert(curve.last._2 <= 10000L * ivfHits,
+      "curve exceeded its probed-cell ceiling")
+  }
+
+  test("balanced-PQ report matches a from-scratch permutation rebuild") {
+    // independent rebuild: exact variance numerators via BigInt, the
+    // snake deal, the permuted encode — then both report rows must
+    // match exactly, and the permutation must actually balance the
+    // per-subspace variance mass it claims to
+    val raw = QueryUtil.table(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 4096).toLong).toArray
+      }
+    val n = raw.length
+    val dims = 0 until 64
+    val varNum: Map[Int, BigInt] = dims.map { d =>
+      val xs = raw.map(_._2(d))
+      val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      d -> (BigInt(n) * sxx - sx * sx)
+    }.toMap
+    val ranked = dims.sortBy(d => (-varNum(d), d))
+    val bySub = Array.fill(8)(Vector.newBuilder[Int])
+    ranked.zipWithIndex.foreach { case (d, i) =>
+      bySub(if ((i / 8) % 2 == 0) i % 8 else 7 - i % 8) += d
+    }
+    val perm = bySub.toSeq.flatMap(_.result())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h56(id: Long): Long = java.lang.Long.parseLong(
+      md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(14), 16)
+    def pqErr(vs: Seq[Array[Long]], cb: Seq[Array[Long]]): Long =
+      vs.map { v =>
+        (0 until 8).map { s =>
+          cb.map { c =>
+            (0 until 8).map { d =>
+              val diff = v(s * 8 + d) - c(s * 8 + d); diff * diff
+            }.sum
+          }.min
+        }.sum
+      }.sum
+    val sorted = raw.sortBy { case (id, _) => (h56(id), id) }
+    val wantRaw = pqErr(sorted.map(_._2).toSeq,
+      sorted.take(16).map(_._2).toSeq)
+    val permuted = sorted.map { case (_, v) => perm.map(v).toArray }
+    val wantBal = pqErr(permuted.toSeq, permuted.take(16).toSeq)
+    val got = EmbeddingQueries.knnPqBalanced(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got("pq_raw") == ((n.toLong, wantRaw)))
+    assert(got("pq_balanced") == ((n.toLong, wantBal)))
+    // the deal's whole purpose: subspace variance mass spread must
+    // not be worse than the natural [0..7][8..15]... layout
+    def imbalance(assign: Seq[Seq[Int]]): BigInt = {
+      val sums = assign.map(_.map(varNum).sum)
+      sums.max - sums.min
+    }
+    val natural = dims.grouped(8).toSeq.map(_.toSeq)
+    val snaked = bySub.toSeq.map(_.result().toSeq)
+    assert(imbalance(snaked) <= imbalance(natural),
+      "snake deal failed to balance subspace variance mass")
+  }
+
   test("multi-touch credit conserves purchase value up to floor dust") {
     // independent recompute of both models from the raw events, plus
     // the conservation law: per purchase, each model's credited total
