@@ -1038,6 +1038,22 @@ object TextQueries {
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
+      val (reports, _) = bpeTrainLoop(spark, dir, cachedFrames)
+      // eager: 4 metadata rows; lets the finally release every cache
+      reports.reduce(_ unionAll _).orderBy(col("round")).localCheckpoint(true)
+    } finally cachedFrames.foreach(_.unpersist())
+  }
+
+  /** The trainer loop shared by [[textBpeTrain]] (which ships the
+    * per-round report) and [[textBpeApply]] (which ships the FINAL
+    * word→segmentation the merges produce). Returns the round
+    * reports and the final vocabulary segmentation; every frame it
+    * caches lands in `cachedFrames` for the caller's finally.
+    */
+  private def bpeTrainLoop(spark: SparkSession, dir: String,
+      cachedFrames: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : (Seq[DataFrame], DataFrame) = {
+    {
       var cur = table(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 2)
@@ -1092,12 +1108,56 @@ object TextQueries {
               " s -> s.out)"), " ").as("seq"))
         repR
       }
-      // eager: 4 metadata rows; lets the finally release every cache
-      reports.reduce(_ unionAll _).orderBy(col("round")).localCheckpoint(true)
+      (reports, cur)
+    }
+  }
+
+  // ------------------------------------- BPE tokenizer applied
+  /** The trained tokenizer APPLIED — [[textBpeTrain]] learns the
+    * merge table; this runs the SAME loop and tokenizes the corpus
+    * with its final segmentation, shipping the per-source token bill:
+    * word and piece counts, fertility (pieces per word, exact ppm)
+    * and the compression the merges bought vs character-level
+    * tokenization. The number a pretraining-budget owner actually
+    * pays for — `text_fertility` reports it for the FIXED GPT-2-style
+    * pre-tokenizer; this one reports it for the tokenizer this corpus
+    * trained.
+    *
+    * Tokenization is a JOIN, not a re-derivation: the corpus's words
+    * look up their final segmentation in the trained vocabulary (the
+    * loop's last state — one vocabulary-keyed shuffle join; words
+    * under the trainer's 2-char floor tokenize to themselves via the
+    * left join's COALESCE). Both engines run the identical generated
+    * loop, so segmentations — and therefore every count — hash-match.
+    */
+  def textBpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val cachedFrames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    try {
+      val (_, finalWords) = bpeTrainLoop(spark, dir, cachedFrames)
+      val seg = finalWords
+        .select(col("w"), size(split(col("seq"), " ")).cast("long")
+          .as("n_pieces"))
+        .localCheckpoint(true) // vocab-sized; lets the finally release
+      val words = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("w"))
+      words.join(seg, Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_words"),
+          sum(coalesce(col("n_pieces"), lit(1L))).as("n_pieces"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .withColumn("fertility_ppm", ppm(col("n_pieces"), col("n_words")))
+        .withColumn("compression_ppm", ppm(col("n_pieces"), col("n_chars")))
     } finally cachedFrames.foreach(_.unpersist())
   }
 
-  val textBpeTrainSql: String = {
+  /** Shared generated CTE body (`words`, `w0`, the [[BpeRounds]]
+    * round blocks) reused verbatim by [[textBpeTrainSql]] and
+    * [[textBpeApplySql]] so the two programs can never train
+    * different tokenizers.
+    */
+  private lazy val sqlBpeCtes: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val p = r - 1
       s"""tk$r AS (
@@ -1143,19 +1203,44 @@ object TextQueries {
          |    ' ' ORDER BY pos) AS seq
          |  FROM c5$r WHERE NOT skip GROUP BY w, wc)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to BpeRounds).map(r => s"SELECT * FROM rep$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE length(w) >= 2 GROUP BY w),
        |w0 AS (
        |  SELECT w, wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq
        |  FROM words),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val textBpeTrainSql: String = {
+    val unions = (1 to BpeRounds).map(r => s"SELECT * FROM rep$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $sqlBpeCtes
        |$unions
        |ORDER BY round""".stripMargin
   }
+
+  val textBpeApplySql: String =
+    s"""WITH $sqlBpeCtes,
+       |seg AS (
+       |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_pieces
+       |  FROM w$BpeRounds),
+       |toks AS (
+       |  SELECT d.doc_id, d.source, unnest(string_split(d.text, ' ')) AS w
+       |  FROM documents d),
+       |j AS (
+       |  SELECT t.doc_id, t.source, t.w,
+       |    COALESCE(s.n_pieces, 1) AS np
+       |  FROM toks t LEFT JOIN seg s ON t.w = s.w)
+       |SELECT source,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  COUNT(*) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |  ${sqlPpm("SUM(np)", "COUNT(*)")} AS fertility_ppm,
+       |  ${sqlPpm("SUM(np)", "SUM(length(w))")} AS compression_ppm
+       |FROM j GROUP BY source""".stripMargin
   /** Histogram quantile sketch — the MERGEABLE distributed-quantile
     * primitive (the role t-digest/KLL play in real engines, in the
     * deterministic equi-width form both engines reproduce exactly):
@@ -1361,6 +1446,7 @@ object TextQueries {
     "text_fertility" -> (textFertility _),
     "text_bpe_merge" -> (textBpeMerge _),
     "text_bpe_train" -> (textBpeTrain _),
+    "text_bpe_apply" -> (textBpeApply _),
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
     "text_lm_backoff" -> (textLmBackoff _),
@@ -1385,6 +1471,7 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "text_bpe_merge" -> textBpeMergeSql,
     "text_bpe_train" -> textBpeTrainSql,
+    "text_bpe_apply" -> textBpeApplySql,
     "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
     "text_lm_backoff" -> textLmBackoffSql,

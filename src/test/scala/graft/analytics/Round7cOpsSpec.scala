@@ -376,6 +376,28 @@ class Round7cOpsSpec extends SparkSuite {
       "new-writer files must carry the evolved column everywhere")
   }
 
+  test("applied tokenizer's bill re-adds to the trainer's trajectory") {
+    // the apply joins the corpus to the trainer's FINAL segmentation,
+    // so corpus-wide pieces must equal round-4 tokens_after plus one
+    // piece per word under the trainer's 2-char floor — an exact
+    // identity linking the two queries, not a bound
+    val train = trainRows(sf0001)
+    val tokensAfter = train.last._5
+    val rows = TextQueries.textBpeApply(spark, sf0001).collect()
+    val totalPieces = rows.map(_.getLong(3)).sum
+    val totalWords = rows.map(_.getLong(2)).sum
+    val totalChars = rows.map(_.getLong(4)).sum
+    val shortWords = QueryUtil.table(spark, sf0001, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) < 2).count()
+    assert(totalPieces == tokensAfter + shortWords,
+      s"pieces $totalPieces != trainer tokens_after $tokensAfter + " +
+        s"short-word singletons $shortWords")
+    assert(totalPieces >= totalWords, "every word is at least one piece")
+    assert(totalPieces <= totalChars + shortWords,
+      "pieces cannot exceed character-level tokenization")
+  }
+
   test("BPE trainer matches the independent reference on the corpus") {
     val words = QueryUtil.table(spark, sf0001, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
