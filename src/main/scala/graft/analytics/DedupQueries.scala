@@ -247,6 +247,133 @@ object DedupQueries {
        |JOIN s sb ON p.doc_b = sb.doc_id""".stripMargin
   }
 
+  // ------------------------------------------------- LSH tuning curve
+  /** Band/row tuning curve for MinHash LSH — the dedup twin of the
+    * ANN side's nprobe/re-rank curves, so every approximate family in
+    * the engine ships the frontier its knobs trade on. All
+    * [[K]] = 16 signature rows split as (bands, rows) ∈
+    * [[LshCurve]]; more bands with shorter keys collide MORE
+    * (recall↑, precision↓) — the classic 1−(1−s^r)^b S-curve —
+    * and this measures where the corpus actually sits on it.
+    *
+    * The TRUTH side is the exact prefix-filtered set-similarity join
+    * ([[dedupSetsimJoin]]: zero false negatives at the 0.6 threshold
+    * by theorem, candidate-proportional cost), over the SAME distinct
+    * shingle-hash universe the signatures sketch, so the curve's
+    * recall denominators are exact — no sampled ground truth. Per
+    * point: candidate count, exact-verified hits (≥ 0.6 Jaccard),
+    * precision and recall in exact ppm.
+    *
+    * Scale shape: one cached shingle frame feeds every config; each
+    * point is the [[dedupLshPairs]] dataflow (band-key self-join —
+    * hot keys never concat across bands — then candidate-
+    * proportional verification); the truth join is computed ONCE.
+    */
+  val LshCurve = Seq(8 -> 2, 4 -> 4, 2 -> 8)
+
+  def dedupLshCurve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .withColumn("sh", shingleHashes)
+      .select(col("doc_id"), col("sh"))
+      .cache() // banding ×3 configs + both verify sides read it
+    try {
+      val truth = dedupSetsimJoin(spark, dir)
+        .select(col("doc_a"), col("doc_b")) // already eager (checkpointed)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val sigCols = (0 until K).map(i =>
+        array_min(transform(col("sh"), h => affine(h, i))))
+      LshCurve.map { case (nb, r) =>
+        val bandKey = (b: Int) => concat_ws("-",
+          sigCols.slice(b * r, b * r + r).map(_.cast("string")): _*)
+        val banded = docs.select(col("doc_id"),
+          posexplode(array((0 until nb).map(b => bandKey(b)): _*))
+            .as(Seq("band", "key")))
+        val a = banded.as("a")
+        val b = banded.as("b")
+        val pairs = a.join(b,
+            col("a.band") === col("b.band") &&
+              col("a.key") === col("b.key") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .cache() // candidate count + the verify join read it
+        val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val nHit = pairs.join(sa, "doc_a").join(sb, "doc_b")
+          .where(floor(lit(1e6) *
+            size(array_intersect(col("sh_a"), col("sh_b")))
+              .cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+            .cast("long") >= 600000L)
+          .agg(count(lit(1)).as("n_hit"))
+        val nCand = pairs.agg(count(lit(1)).as("n_candidates"))
+        nCand.crossJoin(nHit).crossJoin(nTruth)
+          .select(lit(nb.toLong).as("bands"),
+            lit(r.toLong).as("rows_per_band"),
+            col("n_candidates"), col("n_hit"), col("n_truth"),
+            when(col("n_candidates") > 0,
+              ppm(col("n_hit"), col("n_candidates"))).otherwise(0L)
+              .as("precision_ppm"),
+            when(col("n_truth") > 0, ppm(col("n_hit"), col("n_truth")))
+              .otherwise(0L).as("recall_ppm"))
+      }.reduce(_ unionByName _).orderBy(col("bands").desc)
+        .localCheckpoint(true)
+    } finally docs.unpersist()
+  }
+
+  // lazy: embeds dedupSetsimJoinSql, which is declared LATER in this
+  // object — an eager val would interpolate null at init order
+  lazy val dedupLshCurveSql: String = {
+    val sig = (i: Int) =>
+      s"list_aggregate(list_transform(sh, h -> ${sqlAffine("h", i)}), 'min')"
+    val points = LshCurve.map { case (nb, r) =>
+      val bandRows = (0 until nb).map { b =>
+        val key = (b * r until b * r + r)
+          .map(i => s"CAST(${sig(i)} AS VARCHAR)").mkString(" || '-' || ")
+        s"SELECT doc_id, $b AS band, $key AS key FROM s"
+      }.mkString("\n    UNION ALL\n    ")
+      s"""SELECT CAST($nb AS BIGINT) AS bands,
+         |  CAST($r AS BIGINT) AS rows_per_band,
+         |  c.n_candidates, h.n_hit, t.n_truth,
+         |  CASE WHEN c.n_candidates > 0
+         |    THEN ${sqlPpm("h.n_hit", "c.n_candidates")} ELSE 0 END
+         |    AS precision_ppm,
+         |  CASE WHEN t.n_truth > 0
+         |    THEN ${sqlPpm("h.n_hit", "t.n_truth")} ELSE 0 END
+         |    AS recall_ppm
+         |FROM
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM (
+         |    SELECT DISTINCT a.doc_a, a.doc_b FROM (
+         |      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM ($bandRows) x
+         |      JOIN ($bandRows) y
+         |        ON x.band = y.band AND x.key = y.key
+         |        AND x.doc_id < y.doc_id) a)) c,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM (
+         |    SELECT DISTINCT a.doc_a, a.doc_b FROM (
+         |      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |      FROM ($bandRows) x
+         |      JOIN ($bandRows) y
+         |        ON x.band = y.band AND x.key = y.key
+         |        AND x.doc_id < y.doc_id) a) p
+         |    JOIN s sa ON p.doc_a = sa.doc_id
+         |    JOIN s sb ON p.doc_b = sb.doc_id
+         |    WHERE CAST(floor(1e6 *
+         |        CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+         |        AS DOUBLE)) AS BIGINT) >= 600000) h,
+         |  tcount t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+       |  FROM documents),
+       |s AS (SELECT doc_id, ${sqlShingleHashes("toks", "text")} AS sh FROM t),
+       |tcount AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth
+       |  FROM (${dedupSetsimJoinSql}) z)
+       |$points
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   // --------------------------------------------------------- simhash
   /** 64-bit SimHash per document, stored as two non-negative 32-bit
     * halves (`simhash_lo`, `simhash_hi`). One explode pass over token
@@ -1191,6 +1318,7 @@ object DedupQueries {
     "dedup_exact_norm" -> (dedupExactNorm _),
     "dedup_minhash_sig" -> (dedupMinhashSig _),
     "dedup_lsh_pairs" -> (dedupLshPairs _),
+    "dedup_lsh_curve" -> (dedupLshCurve _),
     "dedup_minhash_eval" -> (dedupMinhashEval _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -1210,6 +1338,7 @@ object DedupQueries {
     "dedup_exact_norm" -> dedupExactNormSql,
     "dedup_minhash_sig" -> dedupMinhashSigSql,
     "dedup_lsh_pairs" -> dedupLshPairsSql,
+    "dedup_lsh_curve" -> dedupLshCurveSql,
     "dedup_minhash_eval" -> dedupMinhashEvalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_simhash_pairs" -> dedupSimhashPairsSql,

@@ -222,6 +222,34 @@ class Round7cOpsSpec extends SparkSuite {
       "curve exceeded its probed-cell ceiling")
   }
 
+  test("LSH curve: nested-band monotonicity and the production point") {
+    val curve = DedupQueries.dedupLshCurve(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._2) // ascending rows-per-band: (8,2), (4,4), (2,8)
+    assert(curve.map(t => (t._1, t._2)).toSeq ==
+      Seq((8L, 2L), (4L, 4L), (2L, 8L)))
+    // divisor-nested bands: a length-2r band match implies both its
+    // length-r halves match, so candidate sets shrink as r grows —
+    // counts, hits, and recall must be monotone nonincreasing
+    curve.toSeq.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._3 >= b._3, s"candidates grew with band length: $a -> $b")
+        assert(a._4 >= b._4, s"hits grew with band length: $a -> $b")
+      case _ => ()
+    }
+    curve.foreach { t =>
+      assert(t._4 <= t._5, "cannot hit more than the exact truth set")
+      assert(t._4 <= t._3, "hits are a subset of candidates")
+    }
+    // the (4,4) point IS the production banding: its candidate count
+    // must reproduce dedup_lsh_pairs' distinct pair count exactly
+    val prod = DedupQueries.dedupLshPairs(spark, sf0001)
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(curve.find(t => t._1 == 4L).get._3 == prod,
+      "curve's (4,4) point diverges from dedup_lsh_pairs")
+  }
+
   test("balanced-PQ report matches a from-scratch permutation rebuild") {
     // independent rebuild: exact variance numerators via BigInt, the
     // snake deal, the permuted encode — then both report rows must
