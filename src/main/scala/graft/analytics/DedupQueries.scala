@@ -275,7 +275,8 @@ object DedupQueries {
     val docs = table(spark, dir, "documents")
       .withColumn("sh", shingleHashes)
       .select(col("doc_id"), col("sh"))
-      .cache() // banding ×3 configs + both verify sides read it
+    val released = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
+    docs.cache() // banding ×3 configs + both verify sides read it
     try {
       val truth = dedupSetsimJoin(spark, dir)
         .select(col("doc_a"), col("doc_b")) // already eager (checkpointed)
@@ -296,7 +297,9 @@ object DedupQueries {
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-          .cache() // candidate count + the verify join read it
+          .cache() // candidate count + the verify join read it;
+                   // released in the finally with the shingle frame
+        released += pairs
         val sa = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val sb = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         val nHit = pairs.join(sa, "doc_a").join(sb, "doc_b")
@@ -318,7 +321,7 @@ object DedupQueries {
               .otherwise(0L).as("recall_ppm"))
       }.reduce(_ unionByName _).orderBy(col("bands").desc)
         .localCheckpoint(true)
-    } finally docs.unpersist()
+    } finally released.foreach(_.unpersist())
   }
 
   // lazy: embeds dedupSetsimJoinSql, which is declared LATER in this

@@ -1117,8 +1117,13 @@ object EventQueries {
         ppm(col("n"), col("n_from")).as("p_ppm"))
   }
 
-  val eventsTransitionsSql: String =
-    s"""WITH seq AS (
+  /** Shared CTE body (`seq`, `trans`, `tot`) behind the transition
+    * matrix — reused by [[eventsTransitionsSql]] and
+    * [[eventsMarkovStationarySql]] so the two programs can never
+    * derive different chains.
+    */
+  private val sqlTransCtes: String =
+    s"""seq AS (
        |  SELECT event_type AS from_type,
        |    LEAD(event_type, 1) OVER (PARTITION BY user_id
        |      ORDER BY ts, event_id) AS to_type
@@ -1128,10 +1133,90 @@ object EventQueries {
        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
        |tot AS (
        |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
-       |  FROM trans GROUP BY 1)
+       |  FROM trans GROUP BY 1)""".stripMargin
+
+  val eventsTransitionsSql: String =
+    s"""WITH $sqlTransCtes
        |SELECT t.from_type, t.to_type, t.n,
        |  ${sqlPpm("t.n", "tot.n_from")} AS p_ppm
        |FROM trans t JOIN tot ON t.from_type = tot.from_type""".stripMargin
+
+  // --------------------------------------- stationary distribution
+  /** Stationary distribution of the [[eventsTransitions]] chain by
+    * power iteration — where a user's long-run attention settles if
+    * behavior keeps following today's transition matrix, the number a
+    * capacity planner or recommender prior wants beside the raw
+    * matrix. [[MarkovRounds]] rounds of `π' = π·P` in exact integer
+    * ppm (int64 sums, ONE floor-divide per entry per round), starting
+    * uniform over the from-types; mass lost to floor dust and to
+    * terminal types (to-types with no outgoing row) ships in-band as
+    * `mass_ppm`, so the report is honest about both leaks instead of
+    * silently renormalizing.
+    *
+    * Scale shape: the corpus collapses to the |types|² transition
+    * matrix first ([[eventsTransitions]]'s one shuffle); the
+    * iteration then runs on METADATA (a handful of event types) on
+    * the driver — the [[eventsEwma]]/PCA bounded-collect argument —
+    * and the oracle replays it as a GENERATED unrolled-CTE program
+    * sharing [[MarkovRounds]].
+    */
+  val MarkovRounds = 8
+
+  def eventsMarkovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = eventsTransitions(spark, dir)
+      .select(col("from_type"), col("to_type"), col("p_ppm"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val fromTypes = p.map(_._1).distinct.sorted
+    if (fromTypes.isEmpty)
+      spark.emptyDataset[(String, Long, Long)]
+        .toDF("event_type", "pi_ppm", "mass_ppm")
+    else {
+      var pi: Map[String, Long] =
+        fromTypes.map(_ -> 1000000L / fromTypes.length).toMap
+      (1 to MarkovRounds).foreach { _ =>
+        val next = scala.collection.mutable.Map[String, Long]()
+        p.foreach { case (f, t, pp) =>
+          if (pi.getOrElse(f, 0L) > 0 && fromTypes.contains(t))
+            next(t) = next.getOrElse(t, 0L) + pi(f) * pp
+        }
+        pi = next.view.mapValues(_ / 1000000L).toMap
+      }
+      val mass = pi.values.sum
+      fromTypes.toSeq.map(t => (t, pi.getOrElse(t, 0L), mass))
+        .toDF("event_type", "pi_ppm", "mass_ppm")
+    }
+  }
+
+  val eventsMarkovStationarySql: String = {
+    val rounds = (1 to MarkovRounds).map { r =>
+      s"""pi$r AS (
+         |  SELECT p.to_type AS t,
+         |    CAST(SUM(pi.pi * p.p_ppm) // 1000000 AS BIGINT) AS pi
+         |  FROM pi${r - 1} pi
+         |  JOIN tp p ON pi.t = p.from_type
+         |  JOIN ft f ON p.to_type = f.t
+         |  WHERE pi.pi > 0
+         |  GROUP BY p.to_type)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlTransCtes,
+       |tp AS (
+       |  SELECT t.from_type, t.to_type,
+       |    ${sqlPpm("t.n", "tot.n_from")} AS p_ppm
+       |  FROM trans t JOIN tot ON t.from_type = tot.from_type),
+       |ft AS (SELECT DISTINCT from_type AS t FROM trans),
+       |pi0 AS (
+       |  SELECT t, CAST(1000000 // (SELECT COUNT(*) FROM ft) AS BIGINT)
+       |    AS pi
+       |  FROM ft),
+       |$rounds,
+       |mass AS (SELECT CAST(COALESCE(SUM(pi), 0) AS BIGINT) AS m
+       |  FROM pi$MarkovRounds)
+       |SELECT f.t AS event_type,
+       |  CAST(COALESCE(p.pi, 0) AS BIGINT) AS pi_ppm,
+       |  mass.m AS mass_ppm
+       |FROM ft f LEFT JOIN pi$MarkovRounds p ON f.t = p.t, mass""".stripMargin
+  }
 
   // ----------------------------------------- interval merge (coalesce)
   /** Overlapping-interval merge (temporal coalesce): each event opens
@@ -1212,6 +1297,7 @@ object EventQueries {
     "events_ewma" -> (eventsEwma _),
     "events_attribution" -> (eventsAttribution _),
     "events_attribution_multi" -> (eventsAttributionMulti _),
+    "events_markov_stationary" -> (eventsMarkovStationary _),
     "events_transitions" -> (eventsTransitions _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_burstiness" -> (eventsBurstiness _),
@@ -1238,6 +1324,7 @@ object EventQueries {
     "events_ewma" -> eventsEwmaSql,
     "events_attribution" -> eventsAttributionSql,
     "events_attribution_multi" -> eventsAttributionMultiSql,
+    "events_markov_stationary" -> eventsMarkovStationarySql,
     "events_transitions" -> eventsTransitionsSql,
     "events_top_paths" -> eventsTopPathsSql,
     "events_burstiness" -> eventsBurstinessSql,

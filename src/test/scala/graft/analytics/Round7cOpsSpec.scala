@@ -222,6 +222,43 @@ class Round7cOpsSpec extends SparkSuite {
       "curve exceeded its probed-cell ceiling")
   }
 
+  test("stationary distribution: independent refold and convergence") {
+    // refold the power iteration from the transition matrix with
+    // fresh code; the query's driver fold must match exactly, the
+    // mass leak must be only floor dust, and 8 rounds must actually
+    // have converged (one more round barely moves any entry)
+    val p = EventQueries.eventsTransitions(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val types = p.map(_._1).distinct.sorted
+    def step(pi: Map[String, Long]): Map[String, Long] = {
+      val acc = scala.collection.mutable.Map[String, Long]()
+      p.foreach { case (f, t, pp) =>
+        if (pi.getOrElse(f, 0L) > 0 && types.contains(t))
+          acc(t) = acc.getOrElse(t, 0L) + pi(f) * pp
+      }
+      acc.view.mapValues(_ / 1000000L).toMap
+    }
+    var pi: Map[String, Long] = types.map(_ -> 1000000L / types.length).toMap
+    (1 to EventQueries.MarkovRounds).foreach(_ => pi = step(pi))
+    val got = EventQueries.eventsMarkovStationary(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).sorted.toSeq == types.toSeq, "one row per from-type")
+    got.foreach { case (t, v, _) =>
+      assert(v == pi.getOrElse(t, 0L), s"$t: $v != refold ${pi.get(t)}")
+    }
+    val mass = got.head._3
+    assert(mass == pi.values.sum && mass <= 1000000L,
+      "mass must be the refold's, never above unity")
+    assert(1000000L - mass <=
+      (EventQueries.MarkovRounds.toLong + 1) * types.length,
+      s"mass leak ${1000000L - mass} exceeds the floor-dust budget")
+    val next = step(pi)
+    types.foreach { t =>
+      val d = math.abs(next.getOrElse(t, 0L) - pi.getOrElse(t, 0L))
+      assert(d <= 5000, s"$t moved $d ppm after round 8: not converged")
+    }
+  }
+
   test("LSH curve: nested-band monotonicity and the production point") {
     val curve = DedupQueries.dedupLshCurve(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
