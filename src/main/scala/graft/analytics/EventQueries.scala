@@ -541,6 +541,86 @@ object EventQueries {
        |  ${sqlPpm("abs(n - CAST(tsum AS BIGINT) // tcnt)", "n")} AS ape_ppm
        |FROM t WHERE tcnt >= 1 ORDER BY day""".stripMargin
 
+  // ------------------------------------- Holt trend forecasting
+  /** Holt's linear (double-exponential) smoothing over daily volume —
+    * the trend-aware forecaster [[eventsForecast]]'s seasonal-naive
+    * baseline cannot be: level and trend update per day
+    * (`l = α·n + (1−α)(l+b)`, `b = β·Δl + (1−β)b`, α=¼ β=⅛) and the
+    * one-step-ahead forecast is `l+b` — a ramping or decaying series
+    * is tracked instead of lagged. All arithmetic is fixed-point ×16
+    * integer with TRUNCATING division on both sides: DuckDB's `//`
+    * truncates toward zero on negatives (−7//2 = −3, verified — it is
+    * NOT floor division), and Scala's `Long./` truncates identically,
+    * so the parity holds exactly where the trend goes NEGATIVE, the
+    * case a trend model exists for (a floorDiv driver fold diverged
+    * by 1 the first time Δl went negative — caught by the oracle
+    * gate). Missing days decay through zero-volume
+    * steps; APE ships per day with a −1 sentinel on zero-volume days
+    * rather than a division blow-up.
+    *
+    * Scale shape: the [[eventsEwma]] argument verbatim — one
+    * partial-aggregating day collapse, then the inherently sequential
+    * recurrence folds over the metadata-sized dense spine on the
+    * driver; the oracle replays it as a `WITH RECURSIVE` twin.
+    */
+  def eventsForecastHolt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = table(spark, dir, "events")
+      .select(epochDay(col("ts")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (daily.isEmpty)
+      spark.emptyDataset[(Long, Long, Long, Long)]
+        .toDF("day", "n", "fcst", "ape_ppm")
+    else {
+      val d0 = daily.keys.min
+      val d1 = daily.keys.max
+      val out = Vector.newBuilder[(Long, Long, Long, Long)]
+      var l = daily(d0) * 16 // level fp16; trend starts flat
+      var b = 0L
+      (d0 + 1 to d1).foreach { day =>
+        val n = daily.getOrElse(day, 0L)
+        val fcst = (l + b) / 16
+        val ape = if (n > 0)
+          math.floor(1e6 * math.abs(n - fcst).toDouble / n.toDouble).toLong
+        else -1L
+        out += ((day, n, fcst, ape))
+        val lNew = (n * 16 + 3 * (l + b)) / 4
+        b = ((lNew - l) + 7 * b) / 8
+        l = lNew
+      }
+      out.result().toDF("day", "n", "fcst", "ape_ppm")
+    }
+  }
+
+  val eventsForecastHoltSql: String =
+    s"""WITH RECURSIVE
+       |daily AS (
+       |  SELECT ${sqlEpochDay("ts")} AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1),
+       |bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+       |holt(day, n, l, b) AS (
+       |  SELECT d.day, d.n, d.n * 16, CAST(0 AS BIGINT)
+       |  FROM daily d JOIN bounds bo ON d.day = bo.d0
+       |  UNION ALL
+       |  SELECT e.day + 1, COALESCE(d.n, 0),
+       |    (COALESCE(d.n, 0) * 16 + 3 * (e.l + e.b)) // 4,
+       |    (((COALESCE(d.n, 0) * 16 + 3 * (e.l + e.b)) // 4 - e.l)
+       |      + 7 * e.b) // 8
+       |  FROM holt e
+       |  CROSS JOIN bounds bo
+       |  LEFT JOIN daily d ON d.day = e.day + 1
+       |  WHERE e.day < bo.d1),
+       |fc AS (
+       |  SELECT day, n,
+       |    (lag(l) OVER (ORDER BY day) + lag(b) OVER (ORDER BY day)) // 16
+       |      AS fcst
+       |  FROM holt)
+       |SELECT day, CAST(n AS BIGINT) AS n, CAST(fcst AS BIGINT) AS fcst,
+       |  CASE WHEN n > 0 THEN ${sqlPpm("abs(n - fcst)", "n")}
+       |    ELSE -1 END AS ape_ppm
+       |FROM fc WHERE fcst IS NOT NULL ORDER BY day""".stripMargin
+
   // -------------------------------------------- DAU/WAU stickiness
   /** DAU / trailing-7-day WAU / stickiness — the daily-active product
     * metric. Rolling DISTINCT counts cannot come from a window sum
@@ -1298,6 +1378,7 @@ object EventQueries {
     "events_attribution" -> (eventsAttribution _),
     "events_attribution_multi" -> (eventsAttributionMulti _),
     "events_markov_stationary" -> (eventsMarkovStationary _),
+    "events_forecast_holt" -> (eventsForecastHolt _),
     "events_transitions" -> (eventsTransitions _),
     "events_top_paths" -> (eventsTopPaths _),
     "events_burstiness" -> (eventsBurstiness _),
@@ -1325,6 +1406,7 @@ object EventQueries {
     "events_attribution" -> eventsAttributionSql,
     "events_attribution_multi" -> eventsAttributionMultiSql,
     "events_markov_stationary" -> eventsMarkovStationarySql,
+    "events_forecast_holt" -> eventsForecastHoltSql,
     "events_transitions" -> eventsTransitionsSql,
     "events_top_paths" -> eventsTopPathsSql,
     "events_burstiness" -> eventsBurstinessSql,

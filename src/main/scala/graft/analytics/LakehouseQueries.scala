@@ -832,6 +832,77 @@ object LakehouseQueries {
        |WHERE ${sqlEpochDay("ts")} % 7 = 3
        |GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------- data contract check
+  /** Declarative data-contract check over the `events` stream — the
+    * Great-Expectations-style gate a pipeline runs before PUBLISHING
+    * a table, as a query: each contracted rule (non-null keys,
+    * non-negative ids, a closed event-type domain, value and
+    * event-time ranges) reports its violation count and verdict.
+    * [[dqProfile]] describes what the data IS; this checks it against
+    * what a consumer was PROMISED, and a failing rule is a report
+    * row, not an exception — the publish gate decides.
+    *
+    * Scale shape: ONE partial-aggregatable pass computes every rule's
+    * violation count (conditional sums fused into a single aggregate
+    * — no per-rule scans), then a 6-row literal unpivot. At 100 TB
+    * the contract costs exactly one scan of the columns it names.
+    */
+  def dqContract(spark: SparkSession, dir: String): DataFrame = {
+    val viol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val agg = table(spark, dir, "events")
+      .withColumn("s", unix_timestamp(col("ts")))
+      .agg(count(lit(1)).as("n_rows"),
+        viol(col("user_id").isNull).as("v_uid_null"),
+        viol(col("user_id") < 0).as("v_uid_neg"),
+        viol(col("event_id").isNull).as("v_eid_null"),
+        viol(!col("event_type").isin(
+          "view", "click", "purchase", "signup", "error"))
+          .as("v_type_domain"),
+        viol(col("value") < 0 || col("value") > 1e9).as("v_value_range"),
+        viol(col("s") < 1577836800L || col("s") >= 1925000000L)
+          .as("v_ts_range"))
+    agg.select(col("n_rows"), expr(
+      """stack(6,
+        |  'user_id', 'not_null', v_uid_null,
+        |  'user_id', 'non_negative', v_uid_neg,
+        |  'event_id', 'not_null', v_eid_null,
+        |  'event_type', 'in_domain', v_type_domain,
+        |  'value', 'in_range', v_value_range,
+        |  'ts', 'in_range', v_ts_range) AS (column_name, rule,
+        |    n_violations)""".stripMargin))
+      .select(col("column_name"), col("rule"), col("n_violations"),
+        col("n_rows"), (col("n_violations") === 0L).as("pass"))
+  }
+
+  val dqContractSql: String =
+    """WITH a AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_uid_null,
+      |    CAST(SUM(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_uid_neg,
+      |    CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_eid_null,
+      |    CAST(SUM(CASE WHEN event_type NOT IN
+      |      ('view', 'click', 'purchase', 'signup', 'error')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_type_domain,
+      |    CAST(SUM(CASE WHEN value < 0 OR value > 1e9 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS v_value_range,
+      |    CAST(SUM(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) < 1577836800
+      |      OR CAST(floor(epoch(ts)) AS BIGINT) >= 1925000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS v_ts_range
+      |  FROM events)
+      |SELECT u.column_name, u.rule, u.n_violations, a.n_rows,
+      |  u.n_violations = 0 AS pass
+      |FROM a, LATERAL (
+      |  SELECT 'user_id' AS column_name, 'not_null' AS rule,
+      |    v_uid_null AS n_violations
+      |  UNION ALL SELECT 'user_id', 'non_negative', v_uid_neg
+      |  UNION ALL SELECT 'event_id', 'not_null', v_eid_null
+      |  UNION ALL SELECT 'event_type', 'in_domain', v_type_domain
+      |  UNION ALL SELECT 'value', 'in_range', v_value_range
+      |  UNION ALL SELECT 'ts', 'in_range', v_ts_range) u""".stripMargin
+
   // ------------------------------------------- schema evolution
   /** Schema-evolution read — the lakehouse behavior every long-lived
     * table depends on: files written by an OLD writer (no
@@ -1217,6 +1288,7 @@ object LakehouseQueries {
     "layout_bucket_join" -> (layoutBucketJoin _),
     "layout_dpp_prune" -> (layoutDppPrune _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "dq_contract" -> (dqContract _),
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
@@ -1238,5 +1310,6 @@ object LakehouseQueries {
     "layout_bucket_join" -> layoutBucketJoinSql,
     "layout_dpp_prune" -> layoutDppPruneSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
+    "dq_contract" -> dqContractSql,
     "events_state_at" -> eventsStateAtSql)
 }

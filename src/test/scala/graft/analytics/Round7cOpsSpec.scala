@@ -222,6 +222,52 @@ class Round7cOpsSpec extends SparkSuite {
       "curve exceeded its probed-cell ceiling")
   }
 
+  test("Holt forecast: independent refold, negative trend exercised") {
+    // refold with fresh code; beyond equality, require that the data
+    // actually DRIVES the negative-numerator division at least once —
+    // that is the case where truncating vs floor division diverge
+    // (the bug the oracle caught in development), so a corpus that
+    // never went downhill would leave the parity claim untested
+    val daily = QueryUtil.table(spark, sf0001, "events")
+      .groupBy(QueryUtil.epochDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d0 = daily.keys.min
+    var (l, b) = (daily(d0) * 16, 0L)
+    var sawNegative = false
+    val want = (d0 + 1 to daily.keys.max).map { day =>
+      val n = daily.getOrElse(day, 0L)
+      val f = (l + b) / 16
+      val lN = (n * 16 + 3 * (l + b)) / 4
+      val num = (lN - l) + 7 * b
+      if (num < 0) sawNegative = true
+      b = num / 8; l = lN
+      (day, n, f)
+    }
+    val got = EventQueries.eventsForecastHolt(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == want.toSeq, "refold diverges")
+    assert(sawNegative,
+      "corpus never drove a negative trend numerator; parity untested")
+  }
+
+  test("data contract: clean corpus passes, violations count exactly") {
+    val rows = LakehouseQueries.dqContract(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == 6)
+    val n = QueryUtil.table(spark, sf0001, "events").count()
+    rows.foreach { case (cn, rule, v, nr, pass) =>
+      assert(nr == n, s"$cn/$rule reports wrong row count")
+      assert(pass == (v == 0L), s"$cn/$rule verdict inconsistent")
+    }
+    // independent recompute of the domain rule
+    val offDomain = QueryUtil.table(spark, sf0001, "events")
+      .where(!col("event_type").isin(
+        "view", "click", "purchase", "signup", "error")).count()
+    assert(rows.find(r => r._1 == "event_type").get._3 == offDomain)
+  }
+
   test("stationary distribution: independent refold and convergence") {
     // refold the power iteration from the transition matrix with
     // fresh code; the query's driver fold must match exactly, the
