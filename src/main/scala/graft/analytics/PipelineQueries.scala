@@ -163,6 +163,73 @@ object PipelineQueries {
        |    AS kept_ppm
        |FROM corpus GROUP BY source""".stripMargin
 
+  // ------------------------------------------------ novelty trend
+  /** Corpus self-novelty trend — what fraction of each document's
+    * word 4-grams has NEVER appeared in an earlier document, bucketed
+    * over arrival order (doc_id) into 8 epochs. This is the
+    * duplication-over-time signal a crawl pipeline watches: novelty
+    * decaying toward zero means the crawler is re-reading the web (or
+    * the generator is looping), long before any pairwise dedup job
+    * says so. First-seen attribution is exact: a gram's novelty
+    * belongs to its MINIMUM doc_id, so every distinct gram is novel
+    * exactly once — the conservation identity the spec pins
+    * (Σ novel = |distinct grams|).
+    *
+    * Scale shape: one shuffle on the 8-byte gram hash builds the
+    * first-seen table (partial-aggregating min), one doc-keyed join
+    * back, an 8-row rollup against a broadcast 1-row max; document
+    * text never shuffles.
+    */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = table(spark, dir, "documents")
+      .where(size(toks) >= Gram)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(toks) - Gram),
+          i => array_join(slice(toks, i + 1, lit(Gram)), " "))).as("gram"))
+      .select(col("doc_id"), CrossHash.md5Long(col("gram")).as("gh"))
+      .distinct()
+      .cache() // first-seen aggregate + per-doc rollup
+    try {
+      val first = grams.groupBy(col("gh"))
+        .agg(min(col("doc_id")).as("first_doc"))
+      val perDoc = grams.join(first, "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      val maxDoc = perDoc.agg(max(col("doc_id")).as("mx"))
+      perDoc.crossJoin(broadcast(maxDoc))
+        .withColumn("bucket", expr("(doc_id * 8) div (mx + 1)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+          sum(col("n_novel")).as("n_novel"))
+        .withColumn("novelty_ppm", ppm(col("n_novel"), col("n_grams")))
+        .localCheckpoint(true) // lets the finally release the gram cache
+    } finally grams.unpersist()
+  }
+
+  val textNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text
+       |  FROM documents WHERE len(string_split(text, ' ')) >= $Gram),
+       |g AS (SELECT DISTINCT doc_id,
+       |    ${CrossHash.sqlMd5Long(s"array_to_string(toks[i:i+${Gram - 1}], ' ')")} AS gh
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    len(toks) - ${Gram - 1})) AS i) s),
+       |f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh),
+       |pd AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM g JOIN f ON g.gh = f.gh GROUP BY g.doc_id),
+       |mx AS (SELECT MAX(doc_id) AS mx FROM pd)
+       |SELECT (pd.doc_id * 8) // (mx.mx + 1) AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(pd.n_grams) AS BIGINT) AS n_grams,
+       |  CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
+       |  ${sqlPpm("SUM(pd.n_novel)", "SUM(pd.n_grams)")} AS novelty_ppm
+       |FROM pd, mx
+       |GROUP BY 1""".stripMargin
+
   // ------------------------------------------------ chunk dedup
   /** Chunk-level exact dedup: each document split into consecutive
     * 5-word windows (last window may be short), windows hashed, and
@@ -1787,6 +1854,7 @@ object PipelineQueries {
     "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
+    "text_novelty" -> (textNovelty _),
     "dedup_chunk" -> (dedupChunk _),
     "pipeline_remove_chunks" -> (pipelineRemoveChunks _),
     "pipeline_split" -> (pipelineSplit _),
@@ -1816,6 +1884,7 @@ object PipelineQueries {
     "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
+    "text_novelty" -> textNoveltySql,
     "dedup_chunk" -> dedupChunkSql,
     "pipeline_remove_chunks" -> pipelineRemoveChunksSql,
     "pipeline_split" -> pipelineSplitSql,

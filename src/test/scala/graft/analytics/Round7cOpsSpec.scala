@@ -222,6 +222,32 @@ class Round7cOpsSpec extends SparkSuite {
       "curve exceeded its probed-cell ceiling")
   }
 
+  test("novelty trend conserves first-seen attribution exactly") {
+    // every distinct gram is novel in exactly one document (its
+    // minimum doc_id), so sum(n_novel) must equal the corpus's
+    // distinct gram count and sum(n_grams) the distinct (doc, gram)
+    // pair count — exact identities, not bounds
+    val toks = split(col("text"), " ")
+    val g = QueryUtil.table(spark, sf0001, "documents")
+      .where(size(toks) >= 4)
+      .select(col("doc_id"), explode(transform(sequence(lit(0),
+        size(toks) - 4),
+        i => array_join(slice(toks, i + 1, lit(4)), " "))).as("gram"))
+      .select(col("doc_id"), graft.functions.CrossHash
+        .md5Long(col("gram")).as("gh"))
+      .distinct().cache()
+    val rows = PipelineQueries.textNovelty(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._3).sum == g.count(), "gram mass must re-add")
+    assert(rows.map(_._4).sum == g.select("gh").distinct().count(),
+      "each distinct gram must be novel exactly once")
+    assert(rows.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    assert(rows.map(_._2).sum ==
+      g.select("doc_id").distinct().count(), "every doc lands in a bucket")
+    g.unpersist()
+  }
+
   test("Holt forecast: independent refold, negative trend exercised") {
     // refold with fresh code; beyond equality, require that the data
     // actually DRIVES the negative-numerator division at least once —
