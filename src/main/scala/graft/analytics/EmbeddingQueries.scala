@@ -1040,26 +1040,35 @@ object EmbeddingQueries {
 
   def knnPqDistortion(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
-    val (cents, cells, _) = ivfCoarseFull(e)
-    val resid = cells.join(broadcast(cents),
-        col("cell") === col("centroid_id"))
-      .select(col("vec_id"),
-        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
-      .withColumn("rnorm2", graft.functions.DotLong(col("q"), col("q")))
-      .cache() // seeds sample + encode + centroid-only row all read it
-    val rseeds = residSeeds(resid, centK(e.count()))
-    val raw = pqErrAgg(e, pqSeeds(e), "norm2")
-      .select(lit("pq_raw").as("family"), col("n_vecs"), col("total_err"))
-    val cent = resid
-      .agg(count(lit(1)).as("n_vecs"), sum(col("rnorm2")).as("total_err"))
-      .select(lit("ivf_centroid").as("family"), col("n_vecs"),
-        col("total_err"))
-    val res = pqErrAgg(resid, rseeds, "rnorm2")
-      .select(lit("ivfpq_residual").as("family"), col("n_vecs"),
-        col("total_err"))
-    raw.unionByName(cent).unionByName(res)
-      .withColumn("mean_err", expr("total_err div n_vecs"))
-      .orderBy(col("family"))
+    try {
+      val (cents, cells, _) = ivfCoarseFull(e)
+      val resid = cells.join(broadcast(cents),
+          col("cell") === col("centroid_id"))
+        .select(col("vec_id"),
+          zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+        .withColumn("rnorm2", graft.functions.DotLong(col("q"), col("q")))
+        .cache() // seeds sample + encode + centroid-only row all read it
+      try {
+        val rseeds = residSeeds(resid, centK(e.count()))
+        val raw = pqErrAgg(e, pqSeeds(e), "norm2")
+          .select(lit("pq_raw").as("family"), col("n_vecs"),
+            col("total_err"))
+        val cent = resid
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("rnorm2")).as("total_err"))
+          .select(lit("ivf_centroid").as("family"), col("n_vecs"),
+            col("total_err"))
+        val res = pqErrAgg(resid, rseeds, "rnorm2")
+          .select(lit("ivfpq_residual").as("family"), col("n_vecs"),
+            col("total_err"))
+        raw.unionByName(cent).unionByName(res)
+          .withColumn("mean_err", expr("total_err div n_vecs"))
+          .orderBy(col("family"))
+          // eager 3-row materialization so the finally can release the
+          // corpus-sized buffers — the dedupLshCurve discipline
+          .localCheckpoint(true)
+      } finally resid.unpersist()
+    } finally e.unpersist()
   }
 
   val knnPqDistortionSql: String = {
@@ -2629,6 +2638,7 @@ object EmbeddingQueries {
 
   def knnRerankCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
+    try {
     val qs = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
         col("norm2").as("qnorm2"))
@@ -2657,18 +2667,24 @@ object EmbeddingQueries {
       .agg(sum(col("qd")).as("approx_dot"))
       .withColumn("crnk", row_number().over(wApprox))
       .cache() // every curve point filters the one scored pool
-    RerankCurve.map { rr =>
-      val cands = ranked.where(col("crnk") <= rr)
-        .select(col("query_id"), col("vec_id"))
-      val hits = exactRerank(e, cands)
-        .join(exact, Seq("query_id", "vec_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      val scanned = cands.agg(count(lit(1)).as("n_reranked"))
-      hits.crossJoin(scanned)
-        .select(lit(rr.toLong).as("rerank"),
-          ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"),
-          col("n_reranked"))
-    }.reduce(_ unionByName _)
+    try {
+      RerankCurve.map { rr =>
+        val cands = ranked.where(col("crnk") <= rr)
+          .select(col("query_id"), col("vec_id"))
+        val hits = exactRerank(e, cands)
+          .join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+        val scanned = cands.agg(count(lit(1)).as("n_reranked"))
+        hits.crossJoin(scanned)
+          .select(lit(rr.toLong).as("rerank"),
+            ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"),
+            col("n_reranked"))
+      }.reduce(_ unionByName _)
+        // eager 4-row materialization so the finally can release the
+        // scored pool — the dedupLshCurve discipline
+        .localCheckpoint(true)
+    } finally ranked.unpersist()
+    } finally e.unpersist()
   }
 
   val knnRerankCurveSql: String = {

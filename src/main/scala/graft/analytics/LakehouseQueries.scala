@@ -915,9 +915,13 @@ object LakehouseQueries {
     * null-skipping) rather than polluting them with zeros.
     *
     * The generations split `events` by `event_id` parity and land as
-    * `gen=1/` / `gen=2/` partition directories (fixed warehouse
-    * location + overwrite — the [[layoutDppPrune]] discipline), so
-    * partition discovery also exercises the directory-derived column.
+    * `gen=1/` / `gen=2/` partition directories under a PER-INVOCATION
+    * temp root (unlike [[layoutDppPrune]]'s fixed path, this query
+    * writes as a side effect of a read — a unique root keeps
+    * concurrent invocations from racing each other's overwrites; the
+    * 2-row report is eagerly materialized so the finally can delete
+    * the directory), so partition discovery also exercises the
+    * directory-derived column.
     * The oracle never reads the files: it recomputes the same split
     * with `CASE`-nulled values from the source table — the Spark side
     * can only match if the merged read truly nulls the old
@@ -928,22 +932,28 @@ object LakehouseQueries {
     * proven here are identical.
     */
   def lakeSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val out = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), "graft_evo_events")
-      .toString
-    val ev = table(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        floor(col("value") * 100).cast("long").as("value_centi"))
-    ev.where(col("event_id") % 2 === 0).drop("value_centi")
-      .write.mode("overwrite").parquet(s"$out/gen=1")
-    ev.where(col("event_id") % 2 =!= 0)
-      .write.mode("overwrite").parquet(s"$out/gen=2")
-    spark.read.option("mergeSchema", "true").parquet(out)
-      .groupBy(col("gen"))
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("value_centi")).as("n_value_present"),
-        sum(col("value_centi")).as("sum_value_centi"),
-        countDistinct(col("event_type")).as("n_types"))
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_evo_events_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = outPath.toString
+    val fs = outPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val ev = table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          floor(col("value") * 100).cast("long").as("value_centi"))
+      ev.where(col("event_id") % 2 === 0).drop("value_centi")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      ev.where(col("event_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      spark.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("value_centi")).as("n_value_present"),
+          sum(col("value_centi")).as("sum_value_centi"),
+          countDistinct(col("event_type")).as("n_types"))
+        .localCheckpoint(true) // eager: the finally deletes the files
+    } finally fs.delete(outPath, true)
   }
 
   val lakeSchemaEvolutionSql: String =

@@ -198,8 +198,13 @@ object PipelineQueries {
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
             .as("n_novel"))
       val maxDoc = perDoc.agg(max(col("doc_id")).as("mx"))
+      // bucket = doc_id div ceil-width, NOT (doc_id*8) div (mx+1):
+      // the division-first form cannot overflow int64 for any doc_id
+      // (the product form scrambles buckets silently past 2^60); the
+      // quotient is still always in [0, 7] since
+      // mx < 8*((mx div 8) + 1)
       perDoc.crossJoin(broadcast(maxDoc))
-        .withColumn("bucket", expr("(doc_id * 8) div (mx + 1)"))
+        .withColumn("bucket", expr("doc_id div ((mx div 8) + 1)"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
           sum(col("n_novel")).as("n_novel"))
@@ -222,7 +227,7 @@ object PipelineQueries {
        |      AS BIGINT) AS n_novel
        |  FROM g JOIN f ON g.gh = f.gh GROUP BY g.doc_id),
        |mx AS (SELECT MAX(doc_id) AS mx FROM pd)
-       |SELECT (pd.doc_id * 8) // (mx.mx + 1) AS bucket,
+       |SELECT pd.doc_id // ((mx.mx // 8) + 1) AS bucket,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(pd.n_grams) AS BIGINT) AS n_grams,
        |  CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
@@ -1347,7 +1352,7 @@ object PipelineQueries {
     * ships: [[TextQueries.langScored]]/[[TextQueries.langPred]],
     * textQuality's stopword rule, [[DedupQueries.normText]], and
     * [[DedupQueries.simhashPairsFrame]] +
-    * [[DedupQueries.propagateLabels]] — so this is a composition
+    * [[DedupQueries.starContractLabels]] — so this is a composition
     * proof, not a reimplementation.
     *
     * Scale shape: stages 1-2 are row-wise predicates fused into the
@@ -1386,8 +1391,11 @@ object PipelineQueries {
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst").localCheckpoint(true)
-    val labels = DedupQueries
-      .propagateLabels(edges, DedupQueries.identityLabels(edges))
+    // star contraction, not min-label propagation: identical labels
+    // (component minimum — the shared clusters oracle re-proves the
+    // equality every run) at the O(log² n) diameter-independent round
+    // bound, and ~1.7× cheaper at sf0.1 — the dedupApply discipline
+    val labels = DedupQueries.starContractLabels(edges)
       .withColumnRenamed("v", "doc_id")
     // docs with no near-dup edge are singletons: label defaults to self
     val s4 = s3.join(labels, Seq("doc_id"), "left_outer")

@@ -872,38 +872,46 @@ object TextQueries {
     * CM guarantee) — `overcount = est − exact ≥ 0` rides along per
     * token so the gate itself proves it.
     *
-    * Scale shape: the sketch build is one explode ×[[CmDepth]] and a
-    * groupBy over [[CmDepth]]·[[CmWidth]] = 4096 keys — partial
-    * aggregation collapses each partition to ≤4096 rows before the
-    * shuffle, the property that makes CM THE streaming/distributed
-    * counting summary (constant state at any corpus size; the
-    * streaming Misra–Gries twin lives in StreamHeavyHitters).
+    * Scale shape: ONE corpus pass — the groupBy(token) collapses the
+    * corpus to its VOCABULARY (partial-aggregating, the same shuffle
+    * the exact top-20 needs anyway); the ×[[CmDepth]] explode and the
+    * [[CmDepth]]·[[CmWidth]] = 4096-cell rollup then run over
+    * frequency-weighted vocab rows, so sketch-build work scales with
+    * |vocab|, not corpus tokens (a weighted insert is CM's update
+    * semantics exactly). Partial aggregation still collapses each
+    * partition to ≤4096 rows before the cell shuffle — the property
+    * that makes CM THE streaming/distributed counting summary
+    * (constant state at any corpus size; the streaming Misra–Gries
+    * twin lives in StreamHeavyHitters).
     */
   val CmDepth = 4
   val CmWidth = 1024L
 
   def sketchCountmin(spark: SparkSession, dir: String): DataFrame = {
-    val tok = table(spark, dir, "documents")
+    val counts = table(spark, dir, "documents")
       .select(explode(toks).as("tok"))
-      .cache() // sketch build + exact top-20 both read it
-    val h = CrossHash.md5Long(col("tok"))
-    val cells = tok.select(
-      posexplode(array((0 until CmDepth).map(d =>
-        CrossHash.affine(h, d) % CmWidth): _*)).as(Seq("d", "cell")))
-      .groupBy(col("d"), col("cell"))
-      .agg(count(lit(1)).as("cellcount"))
-    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("tok").asc).limit(20)
-    val probes = top.select(col("tok"), col("n"),
-      posexplode(array((0 until CmDepth).map(d =>
-        CrossHash.affine(CrossHash.md5Long(col("tok")), d) % CmWidth): _*))
-        .as(Seq("pd", "pcell")))
-    probes.join(broadcast(cells),
-        col("pd") === col("d") && col("pcell") === col("cell"))
-      .groupBy(col("tok"), col("n"))
-      .agg(min(col("cellcount")).as("est_n"))
-      .withColumn("overcount", col("est_n") - col("n"))
-      .orderBy(col("n").desc, col("tok").asc)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .cache() // sketch build + exact top-20 both read the vocab table
+    try {
+      val h = CrossHash.md5Long(col("tok"))
+      val cells = counts.select(col("n"),
+        posexplode(array((0 until CmDepth).map(d =>
+          CrossHash.affine(h, d) % CmWidth): _*)).as(Seq("d", "cell")))
+        .groupBy(col("d"), col("cell"))
+        .agg(sum(col("n")).as("cellcount"))
+      val top = counts.orderBy(col("n").desc, col("tok").asc).limit(20)
+      val probes = top.select(col("tok"), col("n"),
+        posexplode(array((0 until CmDepth).map(d =>
+          CrossHash.affine(CrossHash.md5Long(col("tok")), d) % CmWidth): _*))
+          .as(Seq("pd", "pcell")))
+      probes.join(broadcast(cells),
+          col("pd") === col("d") && col("pcell") === col("cell"))
+        .groupBy(col("tok"), col("n"))
+        .agg(min(col("cellcount")).as("est_n"))
+        .withColumn("overcount", col("est_n") - col("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .localCheckpoint(true) // 20 rows; frees the vocab cache below
+    } finally counts.unpersist()
   }
 
   val sketchCountminSql: String = {

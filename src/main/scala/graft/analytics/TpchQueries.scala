@@ -821,14 +821,37 @@ object TpchQueries {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  /** Approximate distinct (HLL++). Sketches are engine-specific, so
-    * this is correctness-checked only as rows>0 (no oracle entry) —
-    * it exists because exact distinct at 100 TB is the wrong default.
+  /** Approximate distinct (HLL++) — it exists because exact distinct
+    * at 100 TB is the wrong default. The HLL estimate itself is
+    * engine-specific (DuckDB cannot reproduce Spark's register
+    * layout), so the HASHED columns are restructured to be
+    * deterministic — the [[approxDistinctKmv]] gating pattern: the
+    * exact twin rides along, and the estimate enters the output only
+    * through its banded relative error `|est − exact|·20 div exact`
+    * (0 ⇔ within ±5%) plus the within-bound verdict. The oracle
+    * asserts band 0 / true: with rsd = 0.01 (≈1% standard error,
+    * register array still ~16 KiB — sketch state stays O(1) per
+    * group at any corpus size) a 5% band is ≥5σ, so the claim is a
+    * REAL check of the sketch, not a tautology — a broken HLL fails
+    * the hash.
     */
   def approxDistinctCustomers(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey")).as("approx_customers"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("est"),
+        countDistinct(col("o_custkey")).as("n_exact"))
+      .select(col("o_orderstatus"), col("n_exact"),
+        floor(abs(col("est") - col("n_exact")) * 20.0 / col("n_exact"))
+          .cast("long").as("err_band"),
+        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_bound"))
+
+  val approxDistinctCustomersSql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_exact,
+      |  CAST(0 AS BIGINT) AS err_band,
+      |  TRUE AS within_bound
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 
   // --------------------------------------------------- having + join back
   /** Q18-style: large orders by total quantity (HAVING), joined back to
@@ -907,14 +930,47 @@ object TpchQueries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** Approximate percentile (engine-specific sketch → rows-only check),
-    * the 100 TB default.
+  /** Approximate percentile (KLL-style sketch), the 100 TB default.
+    * The sketch value is engine-specific, so the HASHED columns are
+    * restructured to be deterministic (the [[approxDistinctKmv]]
+    * gating pattern): the exact median rides along as the twin, and
+    * the approx value enters the output only through its RANK-BOUND
+    * verdict — `approx_percentile(…, accuracy)` documents rank error
+    * ≤ n/accuracy, so the approx value's CDF interval
+    * [n_lt/n, n_le/n] must cover 0.5 to within 1/accuracy (checked
+    * in exact integer cross-multiplication, with 0.05% slack on top
+    * of the documented 0.01%). The oracle asserts the verdict true —
+    * a sketch whose answer drifts off-rank fails the hash. The bound
+    * check is one broadcast join of the 3-row sketch result back to
+    * the fact table: one extra scan, no extra shuffle.
     */
-  def approxPercentileQuantity(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
+  def approxPercentileQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val l = table(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+    val ap = l.groupBy(col("l_returnflag"))
       .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
-        .as("approx_median_qty"))
+          .as("av"),
+        count(lit(1)).as("n"),
+        percentile(col("l_quantity"), lit(0.5)).as("median_exact"))
+    val ranks = l
+      .join(broadcast(ap.select(col("l_returnflag"), col("av"))),
+        Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("l_quantity") <= col("av"), 1L).otherwise(0L))
+          .as("n_le"),
+        sum(when(col("l_quantity") < col("av"), 1L).otherwise(0L))
+          .as("n_lt"))
+    ap.join(ranks, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("median_exact"),
+        (col("n_lt") * 10000L <= col("n") * 5006L &&
+          col("n_le") * 10000L >= col("n") * 4994L).as("within_bound"))
+  }
+
+  val approxPercentileQuantitySql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  quantile_cont(l_quantity, 0.5) AS median_exact,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** Q10-style returned-item customer ranking: 4-way join (customer ⨝
     * orders ⨝ lineitem ⨝ nation), revenue aggregate, global top-20.
@@ -1183,6 +1239,8 @@ object TpchQueries {
     "agg_cube_orders" -> aggCubeSql,
     "setop_segments" -> setopSql,
     "distinct_customers" -> distinctSql,
+    "approx_distinct_customers" -> approxDistinctCustomersSql,
+    "approx_percentile_quantity" -> approxPercentileQuantitySql,
     "q18_large_orders" -> q18Sql,
     "q4_order_priority" -> q4Sql,
     "q19_disjunctive_revenue" -> q19Sql,

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** Last-touch attribution for STREAMS — the live twin of the
   * oracle-checked batch `EventQueries.eventsAttribution`: maintain
@@ -31,6 +32,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * current watermark for users already beyond the horizon, so a long-
   * idle user's state drops on the next trigger instead of throwing on
   * a stale timestamp.
+  *
+  * Exact batch parity requires IN-ORDER replay across micro-batches:
+  * a touch that arrives within the watermark but in a LATER batch
+  * than a same-user event it precedes mutates the frontier after
+  * earlier purchases were already credited, so the live credits
+  * silently diverge from the batch query. The optional `lateTouches`
+  * accumulator counts exactly those events (event time behind the
+  * user's already-advanced frontier at batch entry) so an operator
+  * can tell when live output is no longer batch-reconcilable —
+  * `lateTouches == 0` over a replay certifies parity; a non-zero
+  * count says "reconcile against the nightly batch rollup instead".
+  * (Task retries can over-count the accumulator; it is a detection
+  * signal, not an exact ledger.)
   */
 object StreamAttribution {
 
@@ -47,7 +61,8 @@ object StreamAttribution {
       valueMilli: Long)
 
   def apply(stream: Dataset[Touch],
-      watermark: String = "10 seconds"): Dataset[Credit] = {
+      watermark: String = "10 seconds",
+      lateTouches: Option[LongAccumulator] = None): Dataset[Credit] = {
     import stream.sparkSession.implicits._
     stream.withWatermark("et", watermark)
       .groupByKey(_.userId)
@@ -58,10 +73,15 @@ object StreamAttribution {
           else {
             var st = state.getOption
               .getOrElse(TState(None, None, Long.MinValue))
+            // frontier as of batch ENTRY: any event older than this
+            // arrived out of order across micro-batches — the case
+            // where live credits can diverge from the batch query
+            val frontierAtEntry = st.lastSeenS
             val out = Vector.newBuilder[Credit]
             // fold in event order: same-second ties resolve on
             // event_id, exactly the batch window's ORDER BY (s, eid)
             it.toSeq.sortBy(t => (t.s, t.eventId)).foreach { t =>
+              if (t.s < frontierAtEntry) lateTouches.foreach(_.add(1L))
               t.eventType match {
                 case "click" =>
                   st = st.copy(lastClick =

@@ -27,12 +27,15 @@ class StreamAttributionSpec extends SparkSuite {
         r.getLong(3), r.getLong(4), new Timestamp(r.getLong(4) * 1000L)))
       .sortBy(t => (t.s, t.eventId))
     val ms = MemoryStream[Touch]
-    val q = StreamAttribution(ms.toDS())
+    val late = spark.sparkContext.longAccumulator("late_touches")
+    val q = StreamAttribution(ms.toDS(), lateTouches = Some(late))
       .writeStream.format("memory").queryName("attr_live").start()
     try {
       ev.grouped(math.max(1, ev.length / 3)).foreach { slice =>
         ms.addData(slice.toSeq); q.processAllAvailable()
       }
+      assert(late.value == 0L,
+        "in-order replay must report zero late touches")
       val got = spark.table("attr_live")
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2))
         .toMap
@@ -99,6 +102,37 @@ class StreamAttributionSpec extends SparkSuite {
       assert(rows(6L) == "view", "in-lookback view must credit")
       val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
       assert(stateRows <= 2, s"state must stay horizon-bounded: $stateRows")
+    } finally q.stop()
+  }
+
+  test("cross-batch late touch trips the divergence counter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def t(u: Long, e: Long, ty: String, s: Long) =
+      Touch(u, e, ty, 1000L, s, new Timestamp(s * 1000L))
+    val ms = MemoryStream[Touch]
+    val late = spark.sparkContext.longAccumulator("late_touches")
+    val q = StreamAttribution(ms.toDS(), watermark = "1 hour",
+        lateTouches = Some(late))
+      .writeStream.format("memory").queryName("attr_late").start()
+    try {
+      // batch 1: the purchase is credited "direct" (no touch yet)
+      ms.addData(t(1, 1, "purchase", 100))
+      q.processAllAvailable()
+      assert(late.value == 0L)
+      // batch 2: a click whose event time PRECEDES the already-
+      // credited purchase arrives within the 1h watermark — the batch
+      // query would have credited "click"; live output already said
+      // "direct" and cannot be amended (Append mode). The counter is
+      // the only signal that parity is gone.
+      ms.addData(t(1, 2, "click", 50))
+      q.processAllAvailable()
+      assert(late.value == 1L,
+        "a frontier-regressing touch must be counted as late")
+      val rows = spark.table("attr_late")
+        .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+      assert(rows(1L) == "direct",
+        "the already-emitted credit stays as emitted — hence the counter")
     } finally q.stop()
   }
 }
