@@ -257,6 +257,53 @@ object ScalarBreadthQueries {
        |GROUP BY a.bucket""".stripMargin
   }
 
+  /** DSv2 top-N pushdown under the oracle gate: `ORDER BY id LIMIT k`
+    * over a 10^8-row synthetic table folds — completely, via
+    * `SupportsPushDownTopN` — to a closed-form k-row read at the
+    * matching end of the scanned interval, in BOTH directions, plus a
+    * bare `LIMIT k` via `SupportsPushDownLimit`. Spark drops its Sort
+    * and Limit nodes entirely (pinned in PlanAuditSpec: no global
+    * Sort, no TakeOrderedAndProject above the scan), so the work is
+    * k rows, not 10^8 — the contract that turns a trillion-row
+    * ORDER-BY-LIMIT into a per-partition k-row read. The table size
+    * is deliberately big enough that a silent fallback to a real scan
+    * would show up as a bench cliff, not hide in the noise.
+    */
+  def sourceDsv2Topn(spark: SparkSession, dir: String): DataFrame = {
+    def t = spark.read.format("graft-synth")
+      .option("rows", "100000000").option("parts", "8").load()
+    val asc = t.where(col("id") >= 777)
+      .orderBy(col("id").asc).limit(5)
+      .select(lit("asc").as("dir"), col("id"), col("hv"))
+    val desc = t.where(col("id") < 99999000)
+      .orderBy(col("id").desc).limit(5)
+      .select(lit("desc").as("dir"), col("id"), col("hv"))
+    // bare limit: any k rows are valid, but the fold is deterministic
+    // (the ascending head of the narrowed interval) — assert it
+    val bare = t.where(col("id") >= 50000000).limit(5)
+      .select(lit("limit").as("dir"), col("id"), col("hv"))
+    asc.unionByName(desc).unionByName(bare)
+  }
+
+  val sourceDsv2TopnSql: String = {
+    import graft.functions.CrossHash
+    val hv = CrossHash.sqlAffine("CAST(r.range AS BIGINT)", 0)
+    s"""WITH t AS (
+       |  SELECT CAST(r.range AS BIGINT) AS id, $hv AS hv
+       |  FROM range(0, 100000000) r)
+       |SELECT * FROM (
+       |  SELECT 'asc' AS dir, id, hv FROM t WHERE id >= 777
+       |  ORDER BY id ASC LIMIT 5)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'desc' AS dir, id, hv FROM t WHERE id < 99999000
+       |  ORDER BY id DESC LIMIT 5)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'limit' AS dir, id, hv FROM t WHERE id >= 50000000
+       |  ORDER BY id ASC LIMIT 5)""".stripMargin
+  }
+
   /** DSv2 WRITE path under the oracle gate: a deterministic orders
     * slice goes THROUGH the manifest-committed sink
     * ([[graft.sources.ManifestV2Sink]]) — staged files, commit,
@@ -349,6 +396,7 @@ object ScalarBreadthQueries {
     "source_dsv2" -> (sourceDsv2 _),
     "source_dsv2_keyed" -> (sourceDsv2Keyed _),
     "source_dsv2_spj" -> (sourceDsv2Spj _),
+    "source_dsv2_topn" -> (sourceDsv2Topn _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -362,6 +410,7 @@ object ScalarBreadthQueries {
     "source_dsv2" -> sourceDsv2Sql,
     "source_dsv2_keyed" -> sourceDsv2Sql,
     "source_dsv2_spj" -> sourceDsv2SpjSql,
+    "source_dsv2_topn" -> sourceDsv2TopnSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,

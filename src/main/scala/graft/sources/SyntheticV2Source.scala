@@ -6,11 +6,12 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,11 +21,13 @@ import graft.functions.CrossHash
 /** DataSource V2 synthetic table — the custom-source integration path
   * of the engine, exercising the full connector read surface: a
   * `TableProvider` returning a batch-readable `Table`, a `ScanBuilder`
-  * that REALLY honors `SupportsPushDownFilters` (range predicates on
-  * `id` narrow the generated interval — pushed filters never reach a
-  * post-scan Filter) and `SupportsPushDownRequiredColumns` (readers
-  * materialize only the pruned columns), and a partition-parallel
-  * reader with zero driver-side materialization.
+  * that REALLY honors `SupportsPushDownV2Filters` (range predicates
+  * on `id` narrow the generated interval — pushed predicates never
+  * reach a post-scan Filter), `SupportsPushDownRequiredColumns`
+  * (readers materialize only the pruned columns), and
+  * `SupportsPushDownTopN`/`SupportsPushDownLimit` (ORDER BY id
+  * LIMIT k folds to a k-row read), and a partition-parallel reader
+  * with zero driver-side materialization.
   *
   * The table is deterministic — row `id` ∈ [0, rows) with
   * `bucket = id % 97`, `hv` = the [[CrossHash]] affine family's
@@ -89,22 +92,34 @@ private class SynthTable(rows: Long, parts: Int, keyed: Boolean)
   * readers compute. Only exact-narrowing `id` range predicates are
   * consumed (id IS the row index, so interval narrowing is lossless);
   * anything else is returned as residual for Spark to evaluate.
+  * Filters speak the current DSv2 contract end-to-end —
+  * `SupportsPushDownV2Filters` (connector `Predicate` trees), not the
+  * legacy v1 `sources.Filter` translation.
+  *
+  * `ORDER BY id [ASC|DESC] LIMIT k` and bare `LIMIT k` are COMPLETELY
+  * pushed ([[SupportsPushDownTopN]]/[[SupportsPushDownLimit]],
+  * `isPartiallyPushed = false`): the source is ordered by `id` per
+  * construction, so top-k folds to the closed-form k-row interval at
+  * the matching end of [lo, hi) — Spark drops its Sort AND Limit
+  * nodes entirely and the cluster reads k rows, not the table. This
+  * is the contract that turns `ORDER BY id LIMIT 10` over 10^12 rows
+  * into a 10-row read.
   */
 private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L
   private var hi = rows
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[VPredicate] = Array.empty
   private var required: StructType = SyntheticV2Source.schema
   private var aggSpec: Option[(Boolean, Seq[String])] = None
-
-  private def num(v: Any): Option[Long] = v match {
-    case n: Number => Some(n.longValue())
-    case _ => None
-  }
+  // Some(asc) once a top-N (ordered) truncation was pushed; a bare
+  // limit truncates ascending but imposes no emission order
+  private var topnAsc: Option[Boolean] = None
+  private var limited = false
 
   // saturating successor: `n + 1` on Long.MaxValue would wrap negative
   // and silently corrupt the consumed-filter narrowing (id >
@@ -113,24 +128,104 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   private def succ(n: Long): Long =
     if (n == Long.MaxValue) Long.MaxValue else n + 1
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, residual) = filters.partition {
-      case EqualTo("id", v) => num(v).exists { n => lo = math.max(lo, n); hi = math.min(hi, succ(n)); true }
-      case GreaterThan("id", v) => num(v).exists { n => lo = math.max(lo, succ(n)); true }
-      case GreaterThanOrEqual("id", v) => num(v).exists { n => lo = math.max(lo, n); true }
-      case LessThan("id", v) => num(v).exists { n => hi = math.min(hi, n); true }
-      case LessThanOrEqual("id", v) => num(v).exists { n => hi = math.min(hi, succ(n)); true }
-      case IsNotNull(_) => true // no column is nullable — vacuously true
+  private def isId(e: VExpression): Boolean = e match {
+    case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+
+  // integral literals only: a fractional comparison reaches us as a
+  // cast-wrapped tree that fails the NamedReference match anyway, but
+  // be explicit — consuming a lossy literal would narrow wrongly
+  private def litLong(e: VExpression): Option[Long] = e match {
+    case l: Literal[_] => l.dataType() match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        l.value() match {
+          case n: Number => Some(n.longValue())
+          case _ => None
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Try to consume one predicate as an exact [lo, hi) narrowing.
+    * Both operand orders are handled (`id > 5` and `5 < id` arrive as
+    * mirrored trees with the operator NOT flipped by Spark).
+    */
+  private def consume(p: VPredicate): Boolean = {
+    def binary(refLit: Long => Unit, litRef: Long => Unit): Boolean =
+      p.children() match {
+        case Array(a, b) if isId(a) =>
+          litLong(b).exists { n => refLit(n); true }
+        case Array(a, b) if isId(b) =>
+          litLong(a).exists { n => litRef(n); true }
+        case _ => false
+      }
+    p.name() match {
+      case "=" => binary(
+        n => { lo = math.max(lo, n); hi = math.min(hi, succ(n)) },
+        n => { lo = math.max(lo, n); hi = math.min(hi, succ(n)) })
+      case ">" => binary(
+        n => lo = math.max(lo, succ(n)), // id > n
+        n => hi = math.min(hi, n))       // n > id  ⇔  id < n
+      case ">=" => binary(
+        n => lo = math.max(lo, n),       // id >= n
+        n => hi = math.min(hi, succ(n))) // n >= id ⇔  id <= n
+      case "<" => binary(
+        n => hi = math.min(hi, n),       // id < n
+        n => lo = math.max(lo, succ(n))) // n < id  ⇔  id > n
+      case "<=" => binary(
+        n => hi = math.min(hi, succ(n)), // id <= n
+        n => lo = math.max(lo, n))       // n <= id ⇔  id >= n
+      // no column is nullable — vacuously true for every column
+      case "IS_NOT_NULL" => true
       case _ => false
     }
+  }
+
+  override def pushPredicates(
+      predicates: Array[VPredicate]): Array[VPredicate] = {
+    val (accepted, residual) = predicates.partition(consume)
     pushed = accepted
     residual
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[VPredicate] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // --- limit / top-N pushdown: complete, closed-form. A bare LIMIT k
+  // may return ANY k rows — truncate ascending. ORDER BY id LIMIT k
+  // must return THE k extreme rows in order — truncate at the sorted
+  // end and have the scan emit them in the sort direction (one k-row
+  // partition; at k ≤ Int.MaxValue a single reader is the right
+  // plan — parallelism over ≤2^31 generated rows is all overhead).
+  private def truncate(k: Int, fromTop: Boolean): Unit = {
+    if (hi <= lo) return // already empty; nothing to truncate
+    val n = hi - lo // no overflow: 0 ≤ lo < hi ≤ rows
+    if (n > k) { if (fromTop) lo = hi - k else hi = lo + k }
+  }
+
+  override def pushLimit(k: Int): Boolean = {
+    truncate(k, fromTop = false)
+    limited = true
+    true
+  }
+
+  override def pushTopN(orders: Array[SortOrder], k: Int): Boolean =
+    orders.toSeq match {
+      case Seq(o) if isId(o.expression()) =>
+        // null ordering is irrelevant: no column is nullable
+        val asc = o.direction() == SortDirection.ASCENDING
+        truncate(k, fromTop = !asc)
+        topnAsc = Some(asc)
+        true
+      case _ => false
+    }
+
+  // both pushdowns are exact — Spark must drop its Sort/Limit nodes
+  override def isPartiallyPushed(): Boolean = false
 
   // --- aggregate pushdown: COUNT / MIN(id) / MAX(id), no grouping.
   // The row domain is the CLOSED FORM [lo, hi) after filter pushdown
@@ -184,19 +279,25 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
       new SynthScan(lo, hi, parts, required,
         // key-grouped layout is only reportable while the key survives
         // column pruning — a bucketless projection falls back to plain
-        // contiguous slices
-        keyed && required.fieldNames.contains("bucket"))
+        // contiguous slices. An ordered (top-N) scan emits one sorted
+        // slice instead, so it never claims the keyed layout. A bare
+        // limit keeps the layout: the truncated interval's residue
+        // classes are still exactly the scan's rows.
+        keyed && required.fieldNames.contains("bucket") && topnAsc.isEmpty,
+        topnAsc)
   }
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, keyed: Boolean)
+    required: StructType, keyed: Boolean,
+    order: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, keyed=$keyed, " +
+      order.map(a => s"order=${if (a) "asc" else "desc"}, ").getOrElse("") +
       s"cols=${required.fieldNames.mkString(",")})"
 
   // --- runtime filtering: the DSv2 dynamic-partition-pruning contract.
@@ -233,6 +334,14 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
     // extreme magnitudes (id > 9e18 AND id < -9e18) make `hi - lo`
     // underflow Long and wrap positive — the scan must be empty
     if (hi <= lo) return Array.empty
+    order match {
+      // fully-pushed top-N: ONE slice of ≤k rows emitted in the sort
+      // direction — Spark already dropped its Sort and Limit, so the
+      // emission order IS the result order
+      case Some(asc) =>
+        return Array(SynthSlice(lo, hi, required.fieldNames, desc = !asc))
+      case None => ()
+    }
     if (keyed) {
       // one partition per bucket residue class: the physical layout a
       // bucket-keyed storage source would have. Every partition knows
@@ -258,7 +367,8 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
   }
 
   override def outputPartitioning(): Partitioning =
-    if (keyed)
+    if (order.isDefined) new UnknownPartitioning(1)
+    else if (keyed)
       new KeyGroupedPartitioning(
         Array(Expressions.identity("bucket")), SyntheticV2Source.Buckets)
     else new UnknownPartitioning(math.max(1, parts))
@@ -274,7 +384,7 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
 }
 
 private case class SynthSlice(start: Long, end: Long,
-    fields: Array[String]) extends InputPartition
+    fields: Array[String], desc: Boolean = false) extends InputPartition
 
 /** All ids ≡ `bucket` (mod Buckets) within [lo, hi) — one residue
   * class, the unit of the key-grouped layout.
@@ -298,12 +408,19 @@ private object SynthRow {
   }
 }
 
-/** Streams one slice; O(1) state, computes only the pruned columns. */
+/** Streams one slice — ascending, or descending when the slice came
+  * from a fully-pushed descending top-N; O(1) state, computes only
+  * the pruned columns. The descending walk starts at end (not
+  * end − 1) so the pre-increment style stays symmetric, and start >
+  * Long.MinValue is guaranteed (start ≥ 0 always).
+  */
 private class SynthReader(slice: SynthSlice)
     extends PartitionReader[InternalRow] {
-  private var id = slice.start - 1
+  private var id = if (slice.desc) slice.end else slice.start - 1
 
-  override def next(): Boolean = { id += 1; id < slice.end }
+  override def next(): Boolean =
+    if (slice.desc) { id -= 1; id >= slice.start }
+    else { id += 1; id < slice.end }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
 }

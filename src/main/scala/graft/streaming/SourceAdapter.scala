@@ -105,12 +105,16 @@ final class FileSourceAdapter(dir: String, maxFilesPerTrigger: Int = 4)
   *
   * Requires the `spark-sql-kafka-0-10` connector on the classpath and
   * a reachable broker — neither exists in this offline sandbox (no
-  * egress, no broker), so there is deliberately no spec that calls
-  * `requests()` here; constructing the read is the standard public
-  * recipe and the downstream pipeline is covered via the other
-  * bindings. `startingOffsets=earliest` by default so a new consumer
-  * group drains the topic backlog exactly like FileSourceAdapter
-  * drains a spool directory.
+  * egress, no broker), so `requests()` itself cannot run here. The
+  * CANONICALIZATION, however, is pure dataflow over the connector's
+  * fixed wire schema and is factored out as
+  * [[KafkaSourceAdapter.canonicalize]] — KafkaAdapterSpec feeds it
+  * crafted Kafka-shaped rows (binary key/value, topic/partition/
+  * offset/timestamp) and drives the result end-to-end into the
+  * TableStateStore exactly like the spool test, so only the broker
+  * CONNECTION remains unexercised. `startingOffsets=earliest` by
+  * default so a new consumer group drains the topic backlog exactly
+  * like FileSourceAdapter drains a spool directory.
   */
 final class KafkaSourceAdapter(
     bootstrapServers: String,
@@ -120,7 +124,7 @@ final class KafkaSourceAdapter(
     extends SourceAdapter {
   override def name: String = "kafka"
   override def requests(spark: SparkSession): DataFrame =
-    SourceAdapter.conform(
+    KafkaSourceAdapter.canonicalize(
       spark.readStream
         .format("kafka")
         .option("kafka.bootstrap.servers", bootstrapServers)
@@ -129,8 +133,37 @@ final class KafkaSourceAdapter(
         // bounded per-trigger intake: same discipline as
         // maxFilesPerTrigger on the spool path
         .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
-        .load()
-        .select(from_json(col("value").cast(StringType),
-          SourceAdapter.schema).as("r"))
+        .load())
+}
+
+object KafkaSourceAdapter {
+  /** The Kafka connector's fixed output shape — what `format("kafka")
+    * .load()` emits per record. Declared here so the spec can craft
+    * wire-identical frames without the connector jar.
+    */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Wire frame → canonical request frame: decode the JSON value
+    * bytes against [[SourceAdapter.schema]] and conform. Tolerant by
+    * construction of the two broker realities a consumer always
+    * meets: TOMBSTONES (null value — from_json(NULL) yields a null
+    * struct, whose null fields the downstream validity predicate
+    * rejects) and CORRUPT bytes (from_json is PERMISSIVE mode:
+    * undecodable values become null rows, never a stream-killing
+    * exception). Key/topic/partition/offset/timestamp are transport
+    * metadata and are deliberately dropped — idempotence comes from
+    * the deterministic batch ids downstream, not broker offsets.
+    */
+  def canonicalize(raw: DataFrame): DataFrame =
+    SourceAdapter.conform(
+      raw.select(from_json(col("value").cast(StringType),
+        SourceAdapter.schema).as("r"))
         .select(col("r.*")))
 }

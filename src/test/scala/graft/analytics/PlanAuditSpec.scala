@@ -219,6 +219,18 @@ class PlanAuditSpec extends SparkSuite {
       "keyed scan re-shuffled:\n" + p.take(800))
   }
 
+  test("DSv2 top-N pushdown erases Sort and Limit from the plan") {
+    // SyntheticV2Source claim: ORDER BY id LIMIT k is COMPLETELY
+    // pushed — a TakeOrderedAndProject (or a global Sort, or a
+    // surviving limit over a full scan) means the source stopped
+    // folding top-N and a 10^8-row table would actually be read
+    val p = plan("source_dsv2_topn")
+    assert(p.contains("order=asc") && p.contains("order=desc"),
+      "top-N truncation missing from the scans:\n" + p.take(800))
+    assert(!p.contains("TakeOrderedAndProject") && !p.contains("Sort "),
+      "top-N not fully pushed:\n" + p.take(800))
+  }
+
   test("storage-partitioned join plans with zero exchanges end-to-end") {
     // ScalarBreadthQueries claim: two keyed scans join and re-aggregate
     // on the shared bucket key with "zero exchanges" — scan layouts

@@ -213,6 +213,65 @@ class SyntheticV2SourceSpec extends SparkSuite {
       s"scan emitted $scanned rows; runtime pruning should cap at $expRows")
   }
 
+  test("ORDER BY id LIMIT k folds to a k-row read in both directions") {
+    // full top-N pushdown: Spark must drop its Sort AND Limit — no
+    // TakeOrderedAndProject, no global Sort — and the scan reads k
+    // rows from the matching end of the (filter-narrowed) interval
+    val big = 100000000L
+    val asc = synth(big).where(col("id") >= 777)
+      .orderBy(col("id").asc).limit(5)
+    val ascPlan = asc.queryExecution.executedPlan.toString
+    assert(!ascPlan.contains("TakeOrderedAndProject") &&
+      !ascPlan.contains("Sort "), s"top-N not fully pushed:\n$ascPlan")
+    assert(ascPlan.contains("lo=777") && ascPlan.contains("hi=782") &&
+      ascPlan.contains("order=asc"), ascPlan)
+    assert(asc.collect().map(_.getLong(0)).toSeq ==
+      (777L to 781L).toSeq, "ascending top-5 wrong or unordered")
+
+    val desc = synth(big).orderBy(col("id").desc).limit(4)
+    val descPlan = desc.queryExecution.executedPlan.toString
+    assert(!descPlan.contains("TakeOrderedAndProject") &&
+      !descPlan.contains("Sort "), s"top-N not fully pushed:\n$descPlan")
+    assert(descPlan.contains(s"lo=${big - 4}") &&
+      descPlan.contains("order=desc"), descPlan)
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      Seq(big - 1, big - 2, big - 3, big - 4),
+      "descending top-4 wrong or unordered")
+
+    // a sort the source cannot fold (hv) must stay Spark-side and
+    // still be right — never a wrong closed form
+    val byHv = synth(2000).orderBy(col("hv").asc).limit(3)
+    assert(byHv.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "hv sort must not be claimed")
+    val expect = (0L until 2000L).sortBy(SyntheticV2Source.hv).take(3)
+    assert(byHv.collect().map(_.getLong(0)).toSeq == expect.toSeq)
+  }
+
+  test("bare LIMIT k is fully pushed and truncates the interval") {
+    val df = synth(100000000L).where(col("id") >= 5000).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=5000") && plan.contains("hi=5007"),
+      s"limit did not truncate the scan:\n$plan")
+    assert(df.count() == 7)
+    // limit larger than the table: every row, exactly once
+    assert(synth(9).limit(100).count() == 9)
+  }
+
+  test("predicates arrive through the V2 Predicate path") {
+    // the builder implements SupportsPushDownV2Filters ONLY — if the
+    // translation to connector Predicates failed, the range predicate
+    // would stay residual and the scan description would keep lo=0
+    val df = synth(100000).where(col("id") >= 90000 && col("id") < 90010)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("lo=90000") && plan.contains("hi=90010"), plan)
+    // literal-first comparisons narrow identically (mirrored trees)
+    val flipped = synth(100000)
+      .where(lit(90000) <= col("id") && lit(90010) > col("id"))
+    val fPlan = flipped.queryExecution.executedPlan.toString
+    assert(fPlan.contains("lo=90000") && fPlan.contains("hi=90010"), fPlan)
+    assert(flipped.count() == 10)
+  }
+
   test("runtime filtering never drops rows the join still needs") {
     // correctness guard for the pruning path itself: pruned vs
     // pruning-disabled results must be identical
