@@ -35,6 +35,119 @@ object LakehouseQueries {
 
   private val GdprMod = 20L // 1-in-20 customers request deletion
 
+  // ---------------------------------------------- replica anti-entropy
+  /** Replica divergence audit, Merkle style — "did my cross-region
+    * copy drift, and where": two replicas of a derived table are
+    * compared by exchanging ONE xor-folded 56-bit digest per key
+    * bucket (64 buckets here; xor is commutative/associative, so the
+    * digest is partition-order-independent and partial-aggregating —
+    * each replica's side costs one scan collapsing to 64 rows), then
+    * row-level drill-down joins ONLY the buckets whose digests or
+    * counts disagree. At 100 TB that is the whole point: agreement
+    * costs 64 rows of network, and repair work scales with the DIFF,
+    * not the table (the DynamoDB/Cassandra anti-entropy shape, done
+    * as two dataflow passes instead of a tree walk).
+    *
+    * Replica B's drift is injected deterministically so the oracle
+    * can re-derive it: rows at key ≡ 0 (mod 9973) are MISSING, rows
+    * at key ≡ 1 (mod 7919) have a corrupted payload, and rows at key
+    * ≡ 2 (mod 7717) gained an EXTRA shifted-key clone. The report —
+    * one row per diverging bucket with only-in-A / only-in-B /
+    * modified counts — classifies all three.
+    */
+  def lakeReplicaDiff(spark: SparkSession, dir: String): DataFrame = {
+    def base = table(spark, dir, "orders")
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("ck"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    val a = base
+    val extra = base.where(col("key") % 7717 === 2)
+      .select((col("key") + 2000000000L).as("key"), col("ck"), col("cents"))
+    val b = base.where(col("key") % 9973 =!= 0)
+      .withColumn("cents",
+        when(col("key") % 7919 === 1, col("cents") + 1L)
+          .otherwise(col("cents")))
+      .unionByName(extra)
+    def digested(r: DataFrame): DataFrame = r
+      .withColumn("bucket", pmod(col("key"), lit(64L)))
+      .withColumn("h", CrossHash.md5Long(concat_ws(":", lit("replica"),
+        col("key"), col("ck"), col("cents"))))
+    def bucketDigest(r: DataFrame): DataFrame = digested(r)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("digest"))
+    val da = bucketDigest(a)
+    val db = bucketDigest(b)
+    // full outer on bucket: a bucket empty on one side still diverges
+    val diverging = da.as("da").join(db.as("db"), Seq("bucket"), "full_outer")
+      .where(not(col("da.digest") <=> col("db.digest")) ||
+        not(col("da.n") <=> col("db.n")))
+      .select(col("bucket"),
+        coalesce(col("da.n"), lit(0L)).as("n_a"),
+        coalesce(col("db.n"), lit(0L)).as("n_b"))
+    // drill-down joins ONLY the diverging buckets (broadcast semi —
+    // the bucket list is metadata-sized by construction)
+    val keep = broadcast(diverging.select(col("bucket")))
+    val ra = digested(a).join(keep, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("key"), col("h").as("h_a"))
+    val rb = digested(b).join(keep, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col("key"), col("h").as("h_b"))
+    val drill = ra.join(rb, Seq("bucket", "key"), "full_outer")
+      .groupBy(col("bucket"))
+      .agg(
+        sum(when(col("h_b").isNull, 1L).otherwise(0L)).as("rows_only_a"),
+        sum(when(col("h_a").isNull, 1L).otherwise(0L)).as("rows_only_b"),
+        sum(when(col("h_a").isNotNull && col("h_b").isNotNull &&
+          col("h_a") =!= col("h_b"), 1L).otherwise(0L)).as("rows_modified"))
+    diverging.join(drill, Seq("bucket"))
+      .orderBy(col("bucket"))
+  }
+
+  val lakeReplicaDiffSql: String = {
+    val h = CrossHash.sqlMd5Long(
+      "'replica' || ':' || CAST(key AS VARCHAR) || ':' || " +
+        "CAST(ck AS VARCHAR) || ':' || CAST(cents AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT o_orderkey AS key, o_custkey AS ck,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |a AS (SELECT * FROM base),
+       |b AS (
+       |  SELECT key, ck,
+       |    CASE WHEN key % 7919 = 1 THEN cents + 1 ELSE cents END AS cents
+       |  FROM base WHERE key % 9973 <> 0
+       |  UNION ALL
+       |  SELECT key + 2000000000, ck, cents FROM base WHERE key % 7717 = 2),
+       |ha AS (SELECT key % 64 AS bucket, key, $h AS h FROM a),
+       |hb AS (SELECT key % 64 AS bucket, key, $h AS h FROM b),
+       |da AS (SELECT bucket, COUNT(*) AS n, bit_xor(h) AS digest
+       |  FROM ha GROUP BY bucket),
+       |db AS (SELECT bucket, COUNT(*) AS n, bit_xor(h) AS digest
+       |  FROM hb GROUP BY bucket),
+       |div AS (
+       |  SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+       |    COALESCE(da.n, 0) AS n_a, COALESCE(db.n, 0) AS n_b
+       |  FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+       |  WHERE da.digest IS DISTINCT FROM db.digest
+       |    OR da.n IS DISTINCT FROM db.n),
+       |drill AS (
+       |  SELECT COALESCE(ha.bucket, hb.bucket) AS bucket,
+       |    CAST(SUM(CASE WHEN hb.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rows_only_a,
+       |    CAST(SUM(CASE WHEN ha.key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rows_only_b,
+       |    CAST(SUM(CASE WHEN ha.key IS NOT NULL AND hb.key IS NOT NULL
+       |      AND ha.h <> hb.h THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS rows_modified
+       |  FROM (SELECT * FROM ha WHERE bucket IN (SELECT bucket FROM div)) ha
+       |  FULL OUTER JOIN
+       |    (SELECT * FROM hb WHERE bucket IN (SELECT bucket FROM div)) hb
+       |    ON ha.bucket = hb.bucket AND ha.key = hb.key
+       |  GROUP BY 1)
+       |SELECT div.bucket, div.n_a, div.n_b,
+       |  drill.rows_only_a, drill.rows_only_b, drill.rows_modified
+       |FROM div JOIN drill ON div.bucket = drill.bucket
+       |ORDER BY div.bucket""".stripMargin
+  }
+
   // ------------------------------------------------ deletion cascade
   /** GDPR cascade impact report: rows purged vs kept in each table of
     * the customer → orders → lineitem foreign-key chain when a
@@ -1298,6 +1411,7 @@ object LakehouseQueries {
     "layout_bucket_join" -> (layoutBucketJoin _),
     "layout_dpp_prune" -> (layoutDppPrune _),
     "lake_schema_evolution" -> (lakeSchemaEvolution _),
+    "lake_replica_diff" -> (lakeReplicaDiff _),
     "dq_contract" -> (dqContract _),
     "events_state_at" -> (eventsStateAt _))
 
@@ -1320,6 +1434,7 @@ object LakehouseQueries {
     "layout_bucket_join" -> layoutBucketJoinSql,
     "layout_dpp_prune" -> layoutDppPruneSql,
     "lake_schema_evolution" -> lakeSchemaEvolutionSql,
+    "lake_replica_diff" -> lakeReplicaDiffSql,
     "dq_contract" -> dqContractSql,
     "events_state_at" -> eventsStateAtSql)
 }

@@ -502,6 +502,197 @@ object PipelineQueries {
        |ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------- weighted systematic sample
+  /** Token-WEIGHTED systematic subsampling — "give me ~1/k of the
+    * corpus BY TOKENS, long documents proportionally more likely,
+    * deterministically": docs are laid on a per-source line in
+    * hash-shuffled order, each occupying its token count, and every
+    * doc whose interval contains a multiple of the stride is taken.
+    * That is classic systematic (every-k-th) sampling with
+    * probability proportional to size — the reproducible alternative
+    * to RNG reservoir sampling (same sample on any engine, any run,
+    * any partitioning; the property a training pipeline needs for
+    * auditable subsets). A doc longer than the stride is taken with
+    * certainty — by ≥1 interval multiple, never duplicated (taken is
+    * a boolean, not a multiplicity).
+    *
+    * Scale shape: the running position is a cumulative sum
+    * partitioned BY SOURCE (the window never forms a global single
+    * partition — each source's line scans independently); everything
+    * else is row-wise hashing and one partial-aggregating rollup.
+    * The report shows, per source, realized token share ≈ 1/stride ·
+    * 10⁶ ppm — the proportionality evidence.
+    */
+  val SampleStride = 997L
+
+  def pipelineSampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("k"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"),
+        CrossHash.md5Long(concat(lit("samp:"), col("doc_id").cast("string")))
+          .as("k"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      // taken ⟺ (cum−n, cum] contains a stride multiple ⟺ the floor
+      // quotient strictly advances — each multiple selects exactly ONE
+      // doc (the half-open interval partition of the token line)
+      .withColumn("taken",
+        expr(s"(cum - n_toks) div $SampleStride < cum div $SampleStride"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("taken"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("taken"), col("n_toks")).otherwise(0L))
+          .as("tokens_sampled"))
+      .withColumn("sampled_ppm", ppm(col("tokens_sampled"), col("n_tokens")))
+      .orderBy(col("source"))
+  }
+
+  val pipelineSampleWeightedSql: String = {
+    val k = CrossHash.sqlMd5Long("'samp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    $k AS k
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY source ORDER BY k, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM d),
+       |t AS (
+       |  SELECT *, (cum - n_toks) // $SampleStride < cum // $SampleStride
+       |    AS taken
+       |  FROM c)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN taken THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_sampled,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN taken THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_sampled,
+       |  ${sqlPpm("SUM(CASE WHEN taken THEN n_toks ELSE 0 END)",
+                   "SUM(n_toks)")} AS sampled_ppm
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------- split leakage audit
+  /** Cluster-aware split audit — the held-out-integrity check every
+    * LLM data pipeline needs and doc-hash splitting silently fails:
+    * hashing DOCUMENTS into train/valid/test lets near-duplicate
+    * pairs straddle the boundary, so "held-out" eval rows have a
+    * train-set twin and the benchmark is contaminated from day one.
+    * This query quantifies that leak and proves the fix in one
+    * report: the near-dup graph ([[DedupQueries.simhashPairsFrame]]
+    * banding) is clustered by star contraction, then both schemes are
+    * evaluated — `doc_hash` (each doc hashed independently, the
+    * [[pipelineSplit]] rule) and `cluster_hash` (every member hashed
+    * by its CLUSTER label, so a component can never straddle). Per
+    * scheme: cluster count, multi-doc clusters, straddling clusters
+    * (members in ≥2 splits), and the headline number — eval docs
+    * sharing a cluster with a train doc. `cluster_hash` reads 0/0 BY
+    * CONSTRUCTION (all members share the label hash), and singleton
+    * clusters keep their doc-hash assignment (label = doc_id), so the
+    * fix moves only documents that were actually entangled.
+    *
+    * Scale shape: simhash banding shuffles 8-byte keys (text never
+    * moves), star contraction is O(log² n) rounds, the audit itself
+    * is one cluster-keyed partial-aggregating groupBy folded to a
+    * 2-row report. The split columns are pure row-wise hashes — free
+    * at any scale, reproducible in any engine.
+    */
+  def pipelineSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val pairs = DedupQueries.dedupSimhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val labels = DedupQueries.starContractLabels(edges)
+      .withColumnRenamed("v", "doc_id")
+    // the same salt and bucket rule as pipelineSplit, so doc_hash IS
+    // the production assignment being audited
+    def splitOf(key: Column): Column = {
+      val bucket = CrossHash.md5Long(
+        concat(lit("split:"), key.cast("string"))) % 1000
+      when(bucket < 900, "train")
+        .when(bucket < 950, "valid").otherwise("test")
+    }
+    val lab = docs.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("split_doc", splitOf(col("doc_id")))
+      .withColumn("split_cluster", splitOf(col("cluster_id")))
+      .cache() // both scheme reports fold the one labeled frame
+    try {
+      def report(scheme: String, sp: String): DataFrame =
+        lab.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("sz"),
+            countDistinct(col(sp)).as("nsp"),
+            sum(when(col(sp) === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col(sp) =!= "train", 1L).otherwise(0L)).as("n_eval"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(when(col("sz") > 1, 1L).otherwise(0L))
+              .as("n_multi_clusters"),
+            sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_straddling"),
+            sum(when(col("n_train") > 0, col("n_eval")).otherwise(0L))
+              .as("n_eval_leaked"))
+          .select(lit(scheme).as("scheme"), col("n_clusters"),
+            col("n_multi_clusters"), col("n_straddling"),
+            col("n_eval_leaked"))
+      report("doc_hash", "split_doc")
+        .unionByName(report("cluster_hash", "split_cluster"))
+        .orderBy(col("scheme"))
+        .localCheckpoint(true) // 2 rows; frees the labeled cache below
+    } finally lab.unpersist()
+  }
+
+  val pipelineSplitLeakageSql: String = {
+    def splitCase(key: String): String = {
+      val bucket =
+        CrossHash.sqlMd5Long(s"'split:' || CAST($key AS VARCHAR)") + " % 1000"
+      s"""CASE WHEN $bucket < 900 THEN 'train'
+         |       WHEN $bucket < 950 THEN 'valid' ELSE 'test' END""".stripMargin
+    }
+    s"""WITH RECURSIVE ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL SELECT doc_b, doc_a FROM spairs),
+       |walk AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT w.v, e.d AS r FROM walk w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS cluster_id
+       |  FROM walk GROUP BY v),
+       |lab AS (SELECT doc_id, cluster_id,
+       |  ${splitCase("doc_id")} AS split_doc,
+       |  ${splitCase("cluster_id")} AS split_cluster
+       |  FROM comp),
+       |per AS (SELECT cluster_id, COUNT(*) AS sz,
+       |  COUNT(DISTINCT split_doc) AS nsp_d,
+       |  COUNT(DISTINCT split_cluster) AS nsp_c,
+       |  SUM(CASE WHEN split_doc = 'train' THEN 1 ELSE 0 END) AS tr_d,
+       |  SUM(CASE WHEN split_doc <> 'train' THEN 1 ELSE 0 END) AS ev_d,
+       |  SUM(CASE WHEN split_cluster = 'train' THEN 1 ELSE 0 END) AS tr_c,
+       |  SUM(CASE WHEN split_cluster <> 'train' THEN 1 ELSE 0 END) AS ev_c
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT 'doc_hash' AS scheme, COUNT(*) AS n_clusters,
+       |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_multi_clusters,
+       |  CAST(SUM(CASE WHEN nsp_d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_straddling,
+       |  CAST(SUM(CASE WHEN tr_d > 0 THEN ev_d ELSE 0 END) AS BIGINT)
+       |    AS n_eval_leaked
+       |FROM per
+       |UNION ALL
+       |SELECT 'cluster_hash', COUNT(*),
+       |  CAST(SUM(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(SUM(CASE WHEN nsp_c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+       |  CAST(SUM(CASE WHEN tr_c > 0 THEN ev_c ELSE 0 END) AS BIGINT)
+       |FROM per
+       |ORDER BY scheme""".stripMargin
+  }
+
   // ------------------------------------------------ k-core peeling
   /** 2-core of the near-dup graph by synchronous peeling: each round
     * drops vertices whose CURRENT degree is below k and restricts the
@@ -1866,6 +2057,8 @@ object PipelineQueries {
     "dedup_chunk" -> (dedupChunk _),
     "pipeline_remove_chunks" -> (pipelineRemoveChunks _),
     "pipeline_split" -> (pipelineSplit _),
+    "pipeline_split_leakage" -> (pipelineSplitLeakage _),
+    "pipeline_sample_weighted" -> (pipelineSampleWeighted _),
     "pipeline_filter" -> (pipelineFilter _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
@@ -1896,6 +2089,8 @@ object PipelineQueries {
     "dedup_chunk" -> dedupChunkSql,
     "pipeline_remove_chunks" -> pipelineRemoveChunksSql,
     "pipeline_split" -> pipelineSplitSql,
+    "pipeline_split_leakage" -> pipelineSplitLeakageSql,
+    "pipeline_sample_weighted" -> pipelineSampleWeightedSql,
     "pipeline_filter" -> pipelineFilterSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -109,7 +109,8 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   private var lo = 0L
   private var hi = rows
@@ -226,6 +227,23 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
 
   // both pushdowns are exact — Spark must drop its Sort/Limit nodes
   override def isPartiallyPushed(): Boolean = false
+
+  // OFFSET folds the same way: Spark's rule pushes the limit/top-N
+  // FIRST (for `LIMIT k OFFSET o` it pushes limit k+o), then the
+  // offset — so skipping the first o rows of the CURRENT result in
+  // its emission order is always a further interval truncation:
+  // ascending (or unordered) drops from the low end, a descending
+  // top-N drops from the high end. Completes the pagination contract:
+  // `ORDER BY id LIMIT k OFFSET o` over 10^12 rows reads k rows.
+  override def pushOffset(o: Int): Boolean = {
+    if (hi > lo) {
+      val n = hi - lo // ≥ 1; no overflow (0 ≤ lo < hi)
+      if (n <= o) hi = lo // offset swallowed the whole result
+      else if (topnAsc.contains(false)) hi -= o
+      else lo += o
+    }
+    true
+  }
 
   // --- aggregate pushdown: COUNT / MIN(id) / MAX(id), no grouping.
   // The row domain is the CLOSED FORM [lo, hi) after filter pushdown

@@ -113,6 +113,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p.take(400))
   }
 
+  test("weighted sampling windows by source, never a global partition") {
+    // pipelineSampleWeighted claim: "the window never forms a global
+    // single partition — each source's line scans independently"; a
+    // SinglePartition exchange here would be the classic global-cumsum
+    // scale killer
+    val p = formatted("pipeline_sample_weighted")
+    assert(!p.contains("SinglePartition"), p.take(600))
+  }
+
+  test("replica diff drills through broadcast bucket pruning") {
+    // lakeReplicaDiff claim: digests partial-aggregate to 64 rows and
+    // the row-level drill joins only diverging buckets through a
+    // broadcast semi-join — the full-table rows must never meet in a
+    // sort-merge pruning join (the bucket list is metadata-sized)
+    val p = formatted("lake_replica_diff")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("partial_bit_xor") || p.contains("bit_xor"),
+      "digest must partial-aggregate: " + p.take(600))
+  }
+
   test("two-phase scan keeps exactly one single-partition exchange") {
     // scanPos claim: "phase 2 computes per-bucket offsets on a
     // (…×256)-row frame — bounded regardless of corpus size"; the ONE

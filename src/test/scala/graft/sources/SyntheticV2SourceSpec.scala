@@ -257,6 +257,41 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(synth(9).limit(100).count() == 9)
   }
 
+  test("OFFSET folds with limit/top-N in every composition order") {
+    // ground truth: the identical pipeline over spark.range (no
+    // pushdown) — whatever protocol order Spark pushes limit/top-N/
+    // offset in, the folded scan must return the same rows
+    val n = 100000L
+    def ref = spark.range(n).select(col("id"))
+    def s = synth(n).select(col("id"))
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.collect().map(_.getLong(0)).toSeq
+    // offset alone
+    assert(ids(s.offset(99995)) == ids(ref.offset(99995)))
+    // offset then limit (LIMIT k OFFSET o): rows [o, o+k)
+    assert(ids(s.offset(70000).limit(5)) == ids(ref.offset(70000).limit(5)))
+    // limit then offset: rows [o, k)
+    assert(ids(s.limit(10).offset(4)) == ids(ref.limit(10).offset(4)))
+    // ordered pagination, both directions — and the plan must stay
+    // sort-free (full pushdown) with a k-row scan
+    val ascPage = s.orderBy(col("id").asc).offset(500).limit(3)
+    assert(ids(ascPage) == ids(ref.orderBy(col("id").asc)
+      .offset(500).limit(3)))
+    val ascPlan = ascPage.queryExecution.executedPlan.toString
+    assert(!ascPlan.contains("TakeOrderedAndProject") &&
+      !ascPlan.contains("Sort "), ascPlan)
+    assert(ascPlan.contains("lo=500") && ascPlan.contains("hi=503"),
+      ascPlan)
+    val descPage = s.orderBy(col("id").desc).offset(2).limit(3)
+    assert(ids(descPage) == ids(ref.orderBy(col("id").desc)
+      .offset(2).limit(3)))
+    val descPlan = descPage.queryExecution.executedPlan.toString
+    assert(descPlan.contains(s"lo=${n - 5}") &&
+      descPlan.contains(s"hi=${n - 2}"), descPlan)
+    // offset past the end: empty, not wrapped
+    assert(ids(s.where(col("id") >= n - 3).offset(10)) == Seq.empty)
+  }
+
   test("predicates arrive through the V2 Predicate path") {
     // the builder implements SupportsPushDownV2Filters ONLY — if the
     // translation to connector Predicates failed, the range predicate
