@@ -341,6 +341,131 @@ object ScalarBreadthQueries {
       |WHERE o_orderkey % 13 = 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** TABLESAMPLE pushed into the V2 connector — and, uniquely,
+    * ORACLE-CHECKABLE: `df.sample(f, seed)` normally means an RNG
+    * whose output no other engine can reproduce, but the source's
+    * `SupportsPushDownTableSample` implements the sample as a
+    * seed-indexed CrossHash affine membership test
+    * ([[graft.sources.SyntheticV2Source.sampleSpec]]), so the EXACT
+    * row set is deterministic and the DuckDB twin applies the
+    * identical predicate. Spark drops its Sample node (plan-pinned);
+    * the readers stream past non-members with O(1) state — at
+    * 10^12 rows the sample never materializes the unsampled 99%.
+    */
+  def sourceDsv2Sample(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-synth")
+      .option("rows", "1000000").option("parts", "8").load()
+      .sample(0.01, 42L)
+      .agg(count(lit(1)).as("n"), sum(col("hv")).as("sum_hv"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+
+  val sourceDsv2SampleSql: String = {
+    import graft.functions.CrossHash
+    val (loT, hiT, sIdx) =
+      graft.sources.SyntheticV2Source.sampleSpec(0.0, 0.01, 42L)
+    val m = s"((${CrossHash.coefA(sIdx)} * (id % ${CrossHash.P}) + " +
+      s"${CrossHash.coefB(sIdx)}) % ${CrossHash.P})"
+    s"""WITH t AS (
+       |  SELECT CAST(r.range AS BIGINT) AS id,
+       |    ${CrossHash.sqlAffine("CAST(r.range AS BIGINT)", 0)} AS hv
+       |  FROM range(0, 1000000) r),
+       |s AS (
+       |  SELECT id, hv, (m * m + 3 * m + 5) % ${CrossHash.P} AS h
+       |  FROM (SELECT id, hv, $m AS m FROM t))
+       |SELECT COUNT(*) AS n, CAST(SUM(hv) AS BIGINT) AS sum_hv,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM s WHERE h >= $loT AND h < $hiT""".stripMargin
+  }
+
+  /** JOIN pushdown into the V2 connector (`SupportsPushDownJoin`,
+    * Spark 4.1's newest read contract, enabled via
+    * `spark.sql.optimizer.datasourceV2JoinPushdown` in GraftSession):
+    * an INNER equi-join of two synthetic scans on `id` folds to the
+    * INTERVAL INTERSECTION — both sides generate the identical row at
+    * a given id, so the join collapses into ONE scan emitting both
+    * sides' (aliased) projections over a single id walk. The plan has
+    * NO join exec at all (pinned in PlanAuditSpec); at 10^12 rows the
+    * join costs the narrower scan, which is the whole point of the
+    * contract. The two sides carry different filters so the
+    * intersection arithmetic is visible in the oracle-checked result.
+    */
+  def sourceDsv2Join(spark: SparkSession, dir: String): DataFrame = {
+    val a = spark.read.format("graft-synth")
+      .option("rows", "300000").option("parts", "8").load()
+      .where(col("id") < 250000).select(col("id"), col("hv"))
+    val b = spark.read.format("graft-synth")
+      .option("rows", "400000").option("parts", "8").load()
+      .where(col("id") >= 50000).select(col("id"), col("bucket"))
+    a.join(b, "id")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("hv")).as("sum_hv"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+  }
+
+  val sourceDsv2JoinSql: String = {
+    import graft.functions.CrossHash
+    s"""WITH t AS (
+       |  SELECT CAST(r.range AS BIGINT) AS id,
+       |    ${CrossHash.sqlAffine("CAST(r.range AS BIGINT)", 0)} AS hv
+       |  FROM range(50000, 250000) r)
+       |SELECT id % 97 AS bucket, COUNT(*) AS n,
+       |  CAST(SUM(hv) AS BIGINT) AS sum_hv,
+       |  MIN(id) AS min_id, MAX(id) AS max_id
+       |FROM t GROUP BY 1""".stripMargin
+  }
+
+  /** TIME TRAVEL through the manifest sink's snapshot versions: three
+    * commits land in one table — append (v1), append (v2), OVERWRITE
+    * (v3) — and all three snapshots are read back side by side via
+    * `readVersion`. Each publish writes an immutable versioned
+    * manifest before moving the current pointer, and data files are
+    * never rewritten in place, so v1/v2 remain exactly readable after
+    * the v3 truncate — the Iceberg/Delta snapshot-read contract in
+    * miniature, and the thing a pipeline needs to reproduce "the
+    * corpus as of last Tuesday" for a training-run audit. The oracle
+    * recomputes each snapshot from its deterministic slice
+    * definition, so any cross-version file leakage (v2 rows visible
+    * at v1, v3 truncate losing isolation) diverges the hash.
+    *
+    * Scale: snapshot resolution is one small-file read; the data cost
+    * is the files the snapshot lists, same as the current view.
+    */
+  def sinkManifestTimetravel(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-manifest-tt").toString
+    def slice(m: Long) = table(spark, dir, "orders")
+      .where(col("o_orderkey") % 17 === m)
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"))
+    slice(0).write.format("graft-manifest").mode("append").save(out)
+    slice(1).write.format("graft-manifest").mode("append").save(out)
+    slice(2).write.format("graft-manifest").mode("overwrite").save(out)
+    graft.sources.ManifestV2Sink.versions(out).map { v =>
+      graft.sources.ManifestV2Sink.readVersion(spark, out, v)
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(lit(v.toLong).as("version"), col("n"), col("sum_cents"),
+          col("sum_keys"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  val sinkManifestTimetravelSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey % 17 AS m, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v AS (
+      |  SELECT 1 AS version, o_orderkey, cents FROM s WHERE m = 0
+      |  UNION ALL
+      |  SELECT 2, o_orderkey, cents FROM s WHERE m IN (0, 1)
+      |  UNION ALL
+      |  SELECT 3, o_orderkey, cents FROM s WHERE m = 2)
+      |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM v GROUP BY version ORDER BY version""".stripMargin
+
   // ----------------------------------- DSv2 aggregate pushdown
   /** COMPLETE aggregate pushdown through the V2 connector: the
     * source's ScanBuilder implements `SupportsPushDownAggregates`, so
@@ -397,7 +522,10 @@ object ScalarBreadthQueries {
     "source_dsv2_keyed" -> (sourceDsv2Keyed _),
     "source_dsv2_spj" -> (sourceDsv2Spj _),
     "source_dsv2_topn" -> (sourceDsv2Topn _),
+    "source_dsv2_sample" -> (sourceDsv2Sample _),
+    "source_dsv2_join" -> (sourceDsv2Join _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
+    "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
     "null_handling_orders" -> (nullHandlingOrders _),
@@ -411,7 +539,10 @@ object ScalarBreadthQueries {
     "source_dsv2_keyed" -> sourceDsv2Sql,
     "source_dsv2_spj" -> sourceDsv2SpjSql,
     "source_dsv2_topn" -> sourceDsv2TopnSql,
+    "source_dsv2_sample" -> sourceDsv2SampleSql,
+    "source_dsv2_join" -> sourceDsv2JoinSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
+    "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
     "null_handling_orders" -> nullHandlingSql,

@@ -754,6 +754,35 @@ object TpchQueries {
        |  COUNT(*) AS n
        |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Salted JOIN under the oracle gate — [[graft.functions.Skew
+    * .saltedJoin]]'s hot-key replication (large side salted 8 ways by
+    * a whole-row hash, small side replicated once per salt, join on
+    * (key, salt)) must be RESULT-identical to the plain equi-join the
+    * oracle runs; the equality is the proof that salting preserves
+    * join semantics, the [[aggSaltedSkew]] argument applied to joins.
+    * This is the explicit rewrite for skew AQE cannot fix (e.g. when
+    * the hot side must stay sort-merge but one key owns a partition);
+    * AqeSkewJoinSpec covers the no-rewrite runtime path.
+    */
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val c = table(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.functions.Skew.saltedJoin(o, c, "o_custkey", n = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+  }
+
+  val joinSaltedSkewSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+       |  ${sqlDsum("o_totalprice")} AS sum_price,
+       |  COUNT(DISTINCT o_custkey) AS n_customers
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_mktsegment""".stripMargin
+
   /** JSON generation: `to_json(named_struct(...))` — the outbound
     * twin of the parsing queries (events_json reads JSON; this writes
     * it). Both engines emit compact `{"k":v}` with field order as
@@ -1230,7 +1259,8 @@ object TpchQueries {
     "setop_all_suppliers" -> (setopAllSuppliers _),
     "join_null_safe" -> (joinNullSafe _),
     "json_gen_orders" -> (jsonGenOrders _),
-    "agg_salted_skew" -> (aggSaltedSkew _))
+    "agg_salted_skew" -> (aggSaltedSkew _),
+    "join_salted_skew" -> (joinSaltedSkew _))
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
@@ -1270,5 +1300,6 @@ object TpchQueries {
     "setop_all_suppliers" -> setopAllSql,
     "join_null_safe" -> joinNullSafeSql,
     "json_gen_orders" -> jsonGenOrdersSql,
-    "agg_salted_skew" -> aggSaltedSkewSql)
+    "agg_salted_skew" -> aggSaltedSkewSql,
+    "join_salted_skew" -> joinSaltedSkewSql)
 }

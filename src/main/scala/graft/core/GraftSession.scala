@@ -32,6 +32,10 @@ object GraftSession {
       // honor DSv2 key-grouped partitioning (storage-partitioned
       // scans satisfy clustered distributions without an exchange)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // let sources that implement SupportsPushDownJoin fold joins
+      // (off by default in Spark 4.1; only graft-synth implements it
+      // here, so no other plan changes)
+      .config("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
       // driver testdata ships nanos timestamps (see Tables.load)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",

@@ -39,7 +39,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - `mode("append")` merges the old manifest's file list;
   *    `mode("overwrite")` arrives as [[SupportsTruncate]] and replaces
   *    it. The manifest also carries the schema, so reads need no
-  *    inference pass.
+  *    inference pass;
+  *  - every publish ALSO lands an immutable `_MANIFEST.vNNNNN`
+  *    snapshot (before the pointer moves — the pointer rename stays
+  *    the commit point). Data files are never rewritten in place, so
+  *    [[ManifestV2Sink.readVersion]] is exact TIME TRAVEL until the
+  *    caller expires version files, and [[ManifestV2Sink
+  *    .unreferencedFiles]] releases a file only when NO retained
+  *    manifest — current or snapshot — references it.
   *
   * Data files are JSON lines (primitive columns), written with a
   * hand-rolled escaper so the sink has zero codec dependencies and
@@ -83,18 +90,41 @@ object ManifestV2Sink {
 
   private def manifestFile(path: String): Path = Paths.get(path, "_MANIFEST")
 
-  /** Parse the manifest: (schema, committed relative file names).
-    * Line 1 is the schema json; the rest are file names.
+  private[sources] def versionFile(path: String, v: Int): Path =
+    Paths.get(path, f"_MANIFEST.v$v%05d")
+
+  /** Published snapshot versions, ascending. Retention is the
+    * caller's policy: deleting old version files bounds history (and
+    * releases their files to [[unreferencedFiles]]) exactly like
+    * expiring snapshots in a production table format.
     */
-  private[sources] def readManifest(path: String): Option[(StructType, Seq[String])] = {
-    val mf = manifestFile(path)
+  def versions(path: String): Seq[Int] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val snap = "_MANIFEST\\.v(\\d+)".r
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case snap(v) => v.toInt } // never the .vtmp staging
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private def parseManifest(mf: Path): Option[(StructType, Seq[String])] =
     if (!Files.exists(mf)) None
     else {
       val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
       val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       Some((schema, lines.tail.filter(_.nonEmpty)))
     }
-  }
+
+  /** Parse the current manifest: (schema, committed relative file
+    * names). Line 1 is the schema json; the rest are file names.
+    */
+  private[sources] def readManifest(path: String): Option[(StructType, Seq[String])] =
+    parseManifest(manifestFile(path))
 
   /** The committed view of the table: only manifest-listed files are
     * read, with the manifest's schema — never an inference pass, never
@@ -110,13 +140,36 @@ object ManifestV2Sink {
         files.map(f => Paths.get(path, f).toString): _*)
   }
 
-  /** Data files present on disk but not referenced by the manifest —
-    * crash debris from failed commits / lost attempts. Safe to delete
-    * any time (the vacuum sweep); returned instead of deleted so the
-    * policy stays with the caller.
+  /** TIME TRAVEL: the table exactly as published at snapshot `v`.
+    * Valid because data files are immutable once promoted — append
+    * adds files and overwrite publishes a new list, but nothing is
+    * rewritten in place, so an old manifest's file list stays
+    * readable until retention deletes the version file (and only
+    * then does [[unreferencedFiles]] release its files).
+    */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val (schema, files) = parseManifest(versionFile(path, v)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$v at $path " +
+        s"(have: ${versions(path).mkString(",")})"))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).json(
+        files.map(f => Paths.get(path, f).toString): _*)
+  }
+
+  /** Data files present on disk but referenced by NO retained
+    * manifest — current or versioned: crash debris, or files whose
+    * last referencing snapshot was expired. Safe to delete any time
+    * (the vacuum sweep); returned instead of deleted so the policy
+    * stays with the caller. Time-travel-reachable files are NOT
+    * listed — vacuum after retention, not before.
     */
   def unreferencedFiles(path: String): Seq[String] = {
-    val committed = readManifest(path).map(_._2.toSet).getOrElse(Set.empty)
+    val committed = (readManifest(path).map(_._2).getOrElse(Seq.empty) ++
+      versions(path).flatMap(v =>
+        parseManifest(versionFile(path, v)).map(_._2).getOrElse(Seq.empty)))
+      .toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) Seq.empty
     else {
@@ -173,11 +226,21 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       if (replace) Seq.empty
       else ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
     // publish: write-then-atomic-rename; readers see old or new state,
-    // never a torn manifest
+    // never a torn manifest. The SNAPSHOT (versioned) copy lands
+    // first, the current pointer last — the pointer move is the
+    // commit point; a crash in between leaves a version file whose
+    // content never became current, which is the same
+    // garbage-not-corruption class as an unpromoted staged file (it
+    // references only promoted files and reads consistently)
+    val body = ((schema.json +: (previous ++ promoted)).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val nextV = ManifestV2Sink.versions(path).lastOption.getOrElse(0) + 1
+    val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$queryId")
+    Files.write(vTmp, body)
+    Files.move(vTmp, ManifestV2Sink.versionFile(path, nextV),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val tmp = Paths.get(path, s"_MANIFEST.tmp.$queryId")
-    Files.write(tmp,
-      ((schema.json +: (previous ++ promoted)).mkString("\n") + "\n")
-        .getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, body)
     Files.move(tmp, Paths.get(path, "_MANIFEST"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     cleanupStaged()

@@ -9,7 +9,8 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Expressions, Literal, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.join.{JoinType => VJoinType}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownJoin, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
@@ -63,6 +64,33 @@ object SyntheticV2Source {
   /** Bucket modulus — also the partition count of the keyed layout. */
   val Buckets = 97
 
+  /** Deterministic TABLESAMPLE membership: row `id` is in the sample
+    * for `(lower, upper, seed)` iff the seed-indexed hash of id lands
+    * in [⌊lower·P⌋, ⌊upper·P⌋) — an expected (upper−lower) fraction
+    * of rows, but REPRODUCIBLE: the same seed yields the same sample
+    * on any engine, any run, any partitioning (`df.sample(f, seed)`
+    * against this source is oracle-checkable, which RNG sampling
+    * never is). The hash composes the seed-indexed CrossHash affine
+    * with a QUADRATIC mix (m² + 3m + 5 mod P): a plain affine strides
+    * sequential ids around the field in runs (the classic lattice
+    * artifact), while the quadratic step breaks the arithmetic
+    * progression — and every intermediate stays < 2⁶² so both engines
+    * compute it exactly in signed int64. Exposed so specs and the
+    * DuckDB twin share the exact predicate.
+    */
+  def sampleSpec(lower: Double, upper: Double,
+      seed: Long): (Long, Long, Int) =
+    ((lower * CrossHash.P).toLong, (upper * CrossHash.P).toLong,
+      java.lang.Math.floorMod(seed, 997L).toInt)
+
+  def inSample(id: Long, spec: (Long, Long, Int)): Boolean = {
+    val (loT, hiT, s) = spec
+    val m = (CrossHash.coefA(s) * (id % CrossHash.P) + CrossHash.coefB(s)) %
+      CrossHash.P
+    val h = (m * m + 3L * m + 5L) % CrossHash.P // m < P ⇒ m² < 2⁶²
+    h >= loT && h < hiT
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("bucket", LongType, nullable = false),
@@ -110,7 +138,8 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with SupportsPushDownOffset {
+    with SupportsPushDownOffset with SupportsPushDownTableSample
+    with SupportsPushDownJoin {
 
   private var lo = 0L
   private var hi = rows
@@ -121,6 +150,17 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   // limit truncates ascending but imposes no emission order
   private var topnAsc: Option[Boolean] = None
   private var limited = false
+  private var sample: Option[(Long, Long, Int)] = None
+  // after a pushed join: the output columns as (alias, base-column)
+  // pairs, in order; None until a join is pushed
+  private var joined: Option[Seq[(String, String)]] = None
+
+  /** Current output columns as alias → base-generator-column pairs —
+    * the identity mapping until a join aliases them.
+    */
+  private def curCols: Seq[(String, String)] =
+    joined.getOrElse(
+      SyntheticV2Source.schema.fieldNames.toSeq.map(n => n -> n))
 
   // saturating successor: `n + 1` on Long.MaxValue would wrap negative
   // and silently corrupt the consumed-filter narrowing (id >
@@ -129,8 +169,12 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   private def succ(n: Long): Long =
     if (n == Long.MaxValue) Long.MaxValue else n + 1
 
+  // resolves through the post-join alias map (identity before a join:
+  // curCols starts as name → name), so ORDER BY on an aliased id
+  // column still folds — both sides generate the identical id value
   private def isId(e: VExpression): Boolean = e match {
-    case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+    case f: NamedReference => f.fieldNames.length == 1 &&
+      curCols.exists { case (a, b) => a == f.fieldNames.head && b == "id" }
     case _ => false
   }
 
@@ -208,21 +252,127 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
     if (n > k) { if (fromTop) lo = hi - k else hi = lo + k }
   }
 
-  override def pushLimit(k: Int): Boolean = {
-    truncate(k, fromTop = false)
-    limited = true
-    true
-  }
+  override def pushLimit(k: Int): Boolean =
+    // under a pushed sample the surviving rows are no longer a dense
+    // id interval, so truncation would under-return — decline and let
+    // Spark keep its own limit (still correct, just not folded)
+    if (sample.isDefined) false
+    else {
+      truncate(k, fromTop = false)
+      limited = true
+      true
+    }
 
   override def pushTopN(orders: Array[SortOrder], k: Int): Boolean =
     orders.toSeq match {
-      case Seq(o) if isId(o.expression()) =>
+      case Seq(o) if isId(o.expression()) && sample.isEmpty =>
         // null ordering is irrelevant: no column is nullable
         val asc = o.direction() == SortDirection.ASCENDING
         truncate(k, fromTop = !asc)
         topnAsc = Some(asc)
         true
       case _ => false
+    }
+
+  // --- join pushdown: the closed-form case a generated table really
+  // has. An INNER equi-join of two synthetic scans on `id` is the
+  // INTERVAL INTERSECTION [max(lo_l, lo_r), min(hi_l, hi_r)) — both
+  // sides generate the identical row at a given id, so the joined row
+  // is just the union of the two sides' (aliased) projections over
+  // one id walk. Spark collapses the Join and both relations into ONE
+  // scan: at 10^12 rows the "join" costs the same as the narrower of
+  // the two scans, which is the whole promise of
+  // SupportsPushDownJoin. Only claimed while both sides are plain
+  // interval scans (no sample/top-N/limit/aggregate folded yet — each
+  // of those breaks the dense-interval premise or the row identity).
+  private def plainInterval: Boolean =
+    aggSpec.isEmpty && sample.isEmpty && topnAsc.isEmpty && !limited
+
+  override def isOtherSideCompatibleForJoin(
+      other: SupportsPushDownJoin): Boolean = other match {
+    case o: SynthScanBuilder => plainInterval && o.plainInterval
+    case _ => false
+  }
+
+  override def pushDownJoin(other0: SupportsPushDownJoin,
+      joinType: VJoinType,
+      leftReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightReq: Array[SupportsPushDownJoin.ColumnWithAlias],
+      cond: VPredicate): Boolean = other0 match {
+    case other: SynthScanBuilder
+        if joinType == VJoinType.INNER_JOIN &&
+          plainInterval && other.plainInterval =>
+      val lmap = curCols.toMap
+      val rmap = other.curCols.toMap
+      // the ON condition must be exactly left-id = right-id (either
+      // operand order). Its refs use the POST-alias output names
+      // (Spark aliases duplicated names before translating the
+      // condition — observed `id = id_1`), so resolve each ref
+      // through the side's required-columns array back to that
+      // side's base generator column, falling back to a direct
+      // (pre-alias) name for the un-aliased side.
+      def refName(e: VExpression): Option[String] = e match {
+        case f: NamedReference if f.fieldNames.length == 1 =>
+          Some(f.fieldNames.head)
+        case _ => None
+      }
+      def baseOf(n: String,
+          cs: Array[SupportsPushDownJoin.ColumnWithAlias],
+          m: Map[String, String]): Option[String] =
+        cs.find(c => Option(c.alias()).getOrElse(c.colName()) == n)
+          .flatMap(c => m.get(c.colName()))
+          .orElse(m.get(n))
+      def idOf(n: String,
+          cs: Array[SupportsPushDownJoin.ColumnWithAlias],
+          m: Map[String, String]): Boolean =
+        baseOf(n, cs, m).contains("id")
+      val condOk = cond.name() == "=" && (cond.children() match {
+        case Array(a, b) =>
+          (refName(a), refName(b)) match {
+            case (Some(x), Some(y)) =>
+              (idOf(x, leftReq, lmap) && idOf(y, rightReq, rmap)) ||
+                (idOf(y, leftReq, lmap) && idOf(x, rightReq, rmap))
+            case _ => false
+          }
+        case _ => false
+      })
+      def out(cs: Array[SupportsPushDownJoin.ColumnWithAlias],
+          m: Map[String, String]): Option[Seq[(String, String)]] = {
+        val mapped = cs.toSeq.map { c =>
+          m.get(c.colName()).map(base =>
+            (Option(c.alias()).getOrElse(c.colName()), base))
+        }
+        if (mapped.forall(_.isDefined)) Some(mapped.flatten) else None
+      }
+      val outs =
+        if (condOk) out(leftReq, lmap).zip(out(rightReq, rmap)) else None
+      outs match {
+          case Some((l, r)) =>
+            lo = math.max(lo, other.lo)
+            hi = math.min(hi, other.hi)
+            joined = Some(l ++ r)
+            val baseType = SyntheticV2Source.schema.fields
+              .map(f => f.name -> f.dataType).toMap
+            required = StructType((l ++ r).map { case (a, b) =>
+              StructField(a, baseType(b), nullable = false)
+            })
+            true
+          case None => false
+        }
+    case _ => false
+  }
+
+  // deterministic TABLESAMPLE (see [[SyntheticV2Source.sampleSpec]]):
+  // readers skip non-members, Spark drops its Sample node entirely.
+  // Only Bernoulli (without-replacement) sampling folds — a
+  // with-replacement sample can emit a row twice, which a streaming
+  // generator cannot
+  override def pushTableSample(lower: Double, upper: Double,
+      withReplacement: Boolean, seed: Long): Boolean =
+    if (withReplacement) false
+    else {
+      sample = Some(SyntheticV2Source.sampleSpec(lower, upper, seed))
+      true
     }
 
   // both pushdowns are exact — Spark must drop its Sort/Limit nodes
@@ -236,6 +386,7 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   // top-N drops from the high end. Completes the pagination contract:
   // `ORDER BY id LIMIT k OFFSET o` over 10^12 rows reads k rows.
   override def pushOffset(o: Int): Boolean = {
+    if (sample.isDefined) return false // same premise break as limit
     if (hi > lo) {
       val n = hi - lo // ≥ 1; no overflow (0 ≤ lo < hi)
       if (n <= o) hi = lo // offset swallowed the whole result
@@ -258,6 +409,12 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
       case f: NamedReference => f.fieldNames.sameElements(Array(name))
       case _ => false
     }
+    // a pushed sample breaks the dense-interval premise of the
+    // closed forms; after a pushed join the aggregate refs are
+    // post-alias names whose closed forms we decline to re-derive —
+    // fall back to the row scan either way (readers generate, Spark
+    // aggregates)
+    if (sample.isDefined || joined.isDefined) return None
     // grouping is supported exactly on `bucket` — residue classes of
     // [lo, hi) are as closed-form as the global fold
     val grouped = agg.groupByExpressions().toSeq match {
@@ -294,21 +451,29 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
   override def build(): Scan = aggSpec match {
     case Some((grouped, ts)) => new SynthAggScan(lo, hi, ts, grouped)
     case None =>
-      new SynthScan(lo, hi, parts, required,
+      // post-join the output names are aliases; readers generate from
+      // the BASE column each alias stands for (identity pre-join)
+      val aliasToBase = curCols.toMap
+      val baseFields = required.fieldNames.map(n =>
+        aliasToBase.getOrElse(n, n))
+      new SynthScan(lo, hi, parts, required, baseFields,
         // key-grouped layout is only reportable while the key survives
         // column pruning — a bucketless projection falls back to plain
         // contiguous slices. An ordered (top-N) scan emits one sorted
-        // slice instead, so it never claims the keyed layout. A bare
+        // slice instead, so it never claims the keyed layout; a pushed
+        // join drops it too (the output is alias-renamed). A bare
         // limit keeps the layout: the truncated interval's residue
         // classes are still exactly the scan's rows.
-        keyed && required.fieldNames.contains("bucket") && topnAsc.isEmpty,
-        topnAsc)
+        keyed && required.fieldNames.contains("bucket") &&
+          topnAsc.isEmpty && joined.isEmpty,
+        topnAsc, sample)
   }
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, keyed: Boolean,
-    order: Option[Boolean] = None)
+    required: StructType, baseFields: Array[String], keyed: Boolean,
+    order: Option[Boolean] = None,
+    sample: Option[(Long, Long, Int)] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
@@ -316,7 +481,10 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
   override def description(): String =
     s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, keyed=$keyed, " +
       order.map(a => s"order=${if (a) "asc" else "desc"}, ").getOrElse("") +
-      s"cols=${required.fieldNames.mkString(",")})"
+      sample.map(s => s"sample=[${s._1},${s._2})@${s._3}, ").getOrElse("") +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      (if (baseFields.sameElements(required.fieldNames)) ""
+       else s" <- ${baseFields.mkString(",")}") + ")"
 
   // --- runtime filtering: the DSv2 dynamic-partition-pruning contract.
   // Declaring `bucket` filterable makes Spark's PartitionPruning rule
@@ -357,7 +525,7 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
       // direction — Spark already dropped its Sort and Limit, so the
       // emission order IS the result order
       case Some(asc) =>
-        return Array(SynthSlice(lo, hi, required.fieldNames, desc = !asc))
+        return Array(SynthSlice(lo, hi, baseFields, desc = !asc))
       case None => ()
     }
     if (keyed) {
@@ -369,7 +537,7 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
       return (0 until SyntheticV2Source.Buckets)
         .filter(b => allowedBuckets.forall(_.contains(b.toLong)))
         .map { b =>
-          KeyedSynthSlice(b, lo, hi, required.fieldNames): InputPartition
+          KeyedSynthSlice(b, lo, hi, baseFields, sample): InputPartition
         }.toArray
     }
     val n = hi - lo
@@ -380,7 +548,7 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
     (0 until k).map { i =>
       val start = lo + n / k * i + math.min(i.toLong, n % k)
       val end = lo + n / k * (i + 1) + math.min(i + 1L, n % k)
-      SynthSlice(start, end, required.fieldNames): InputPartition
+      SynthSlice(start, end, baseFields, sample = sample): InputPartition
     }.filter { case s: SynthSlice => s.end > s.start }.toArray
   }
 
@@ -402,13 +570,16 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
 }
 
 private case class SynthSlice(start: Long, end: Long,
-    fields: Array[String], desc: Boolean = false) extends InputPartition
+    fields: Array[String], desc: Boolean = false,
+    sample: Option[(Long, Long, Int)] = None) extends InputPartition
 
 /** All ids ≡ `bucket` (mod Buckets) within [lo, hi) — one residue
   * class, the unit of the key-grouped layout.
   */
 private case class KeyedSynthSlice(bucket: Int, lo: Long, hi: Long,
-    fields: Array[String]) extends InputPartition with HasPartitionKey {
+    fields: Array[String],
+    sample: Option[(Long, Long, Int)] = None)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     InternalRow(bucket.toLong)
 }
@@ -436,9 +607,18 @@ private class SynthReader(slice: SynthSlice)
     extends PartitionReader[InternalRow] {
   private var id = if (slice.desc) slice.end else slice.start - 1
 
-  override def next(): Boolean =
+  private def step(): Boolean =
     if (slice.desc) { id -= 1; id >= slice.start }
     else { id += 1; id < slice.end }
+
+  override def next(): Boolean = {
+    // pushed TABLESAMPLE: stream past non-members; still O(1) state
+    while (step()) {
+      if (slice.sample.forall(SyntheticV2Source.inSample(id, _)))
+        return true
+    }
+    false
+  }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
 }
@@ -525,13 +705,18 @@ private class KeyedSynthReader(slice: KeyedSynthSlice)
     (((slice.bucket - slice.lo % m) % m + m) % m) - m
 
   override def next(): Boolean = {
-    // saturate like the contiguous path's succ(): near Long.MaxValue
-    // `id + m` would wrap negative, keep `id < hi` true forever, and
-    // stream out-of-range ids — stop instead (id + m > MaxValue >= hi
-    // implies past-the-end anyway)
-    if (id > Long.MaxValue - m) return false
-    id += m
-    id < slice.hi
+    while (true) {
+      // saturate like the contiguous path's succ(): near Long.MaxValue
+      // `id + m` would wrap negative, keep `id < hi` true forever, and
+      // stream out-of-range ids — stop instead (id + m > MaxValue >= hi
+      // implies past-the-end anyway)
+      if (id > Long.MaxValue - m) return false
+      id += m
+      if (id >= slice.hi) return false
+      if (slice.sample.forall(SyntheticV2Source.inSample(id, _)))
+        return true
+    }
+    false // unreachable
   }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()

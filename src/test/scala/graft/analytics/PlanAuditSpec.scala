@@ -252,6 +252,19 @@ class PlanAuditSpec extends SparkSuite {
       "top-N not fully pushed:\n" + p.take(800))
   }
 
+  test("DSv2 join pushdown erases the join exec from the plan") {
+    // SupportsPushDownJoin claim: the inner equi-join of two synthetic
+    // scans on id IS one interval-intersected scan — any Join exec
+    // (or a second BatchScan) means the fold silently stopped and a
+    // 10^12-row join would actually shuffle
+    val p = plan("source_dsv2_join")
+    assert(!p.contains("Join"), "join not folded:\n" + p.take(800))
+    assert("BatchScan".r.findAllIn(p).size == 1,
+      "both sides must collapse into one scan:\n" + p.take(800))
+    assert(p.contains("lo=50000") && p.contains("hi=250000"),
+      "interval intersection missing:\n" + p.take(800))
+  }
+
   test("storage-partitioned join plans with zero exchanges end-to-end") {
     // ScalarBreadthQueries claim: two keyed scans join and re-aggregate
     // on the shared bucket key with "zero exchanges" — scan layouts

@@ -115,8 +115,41 @@ class ManifestSinkSpec extends SparkSuite {
     one(3L).write.format("graft-manifest").mode("overwrite").save(dir)
     assert(ManifestV2Sink.readCommitted(spark, dir)
       .as[Long].collect().toSeq == Seq(3L))
-    // overwrite orphans the old files (vacuum's job), never breaks reads
-    assert(ManifestV2Sink.unreferencedFiles(dir).nonEmpty)
+    // overwrite drops the old files from the CURRENT view, but they
+    // stay time-travel-reachable through the retained snapshots, so
+    // vacuum must NOT list them yet...
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty,
+      "snapshot-reachable files must survive vacuum")
+    // ...until retention expires the old snapshots — then (and only
+    // then) the orphaned files are released to the sweep
+    ManifestV2Sink.versions(dir).dropRight(1).foreach { v =>
+      Files.delete(Paths.get(dir, f"_MANIFEST.v$v%05d"))
+    }
+    assert(ManifestV2Sink.unreferencedFiles(dir).nonEmpty,
+      "expired snapshots must release their files")
+  }
+
+  test("snapshot versions time-travel exactly; truncate keeps history") {
+    val dir = tmpTable()
+    import spark.implicits._
+    def df(ids: Long*) = ids.toDF("id")
+    df(1L, 2L).write.format("graft-manifest").mode("append").save(dir)
+    df(3L).write.format("graft-manifest").mode("append").save(dir)
+    df(9L).write.format("graft-manifest").mode("overwrite").save(dir)
+    assert(ManifestV2Sink.versions(dir) == Seq(1, 2, 3))
+    def at(v: Int): Seq[Long] = ManifestV2Sink.readVersion(spark, dir, v)
+      .as[Long].collect().sorted.toSeq
+    assert(at(1) == Seq(1L, 2L), "v1 must be the first append alone")
+    assert(at(2) == Seq(1L, 2L, 3L), "v2 must merge both appends")
+    assert(at(3) == Seq(9L), "v3 is the truncate")
+    // current view ≡ the latest snapshot
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == at(3))
+    // an expired / never-published version fails loudly, not empty
+    intercept[IllegalArgumentException] {
+      ManifestV2Sink.readVersion(spark, dir, 7)
+    }
+    ()
   }
 
   test("streaming micro-batches land exactly-once via ledger + manifest") {

@@ -292,6 +292,106 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(ids(s.where(col("id") >= n - 3).offset(10)) == Seq.empty)
   }
 
+  test("TABLESAMPLE is pushed, deterministic, and composes with filters") {
+    val n = 200000L
+    val df = synth(n).sample(0.02, 7L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("sample=["), s"sample not pushed:\n$plan")
+    assert(!plan.contains("Sample "), s"Spark kept its Sample node:\n$plan")
+    // exact membership: the reader must emit precisely the hash-
+    // predicate rows, reproducibly
+    val spec = SyntheticV2Source.sampleSpec(0.0, 0.02, 7L)
+    val want = (0L until n)
+      .filter(SyntheticV2Source.inSample(_, spec)).toSet
+    val got = df.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"sample drifted: ${got.size} vs ${want.size}")
+    assert(got == synth(n).sample(0.02, 7L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet,
+      "same seed must reproduce the same sample")
+    // a different seed yields a different (but same-law) sample
+    assert(got != synth(n).sample(0.02, 8L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet)
+    // composes with range filters when the Sample sits on the scan
+    // (sample first, then filter — both land in the one ScanBuilder)
+    val filtered = synth(n).sample(0.02, 7L)
+      .where(col("id") >= 1000 && col("id") < 50000)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(filtered == want.filter(id => id >= 1000 && id < 50000))
+    // the other order — filter below Sample — is OUTSIDE the pushdown
+    // contract (the rule only folds a Sample directly on the
+    // relation): Spark must keep its own Sample node, not fold wrong
+    val unfoldable = synth(n)
+      .where(col("id") >= 1000 && col("id") < 50000).sample(0.02, 7L)
+    assert(unfoldable.queryExecution.executedPlan.toString
+      .contains("Sample "), "filter-below-sample must stay Spark-side")
+    // a with-replacement sample must NOT be claimed (duplicates)
+    val wr = synth(1000).sample(withReplacement = true, 2.0, 7L)
+    assert(wr.queryExecution.executedPlan.toString.contains("Sample "),
+      "with-replacement sample must stay Spark-side")
+    // keyed layout samples identically (readers share the predicate)
+    val keyedGot = keyedSynth(n).sample(0.02, 7L)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(keyedGot == want)
+    // sample + limit: the limit must not be folded into the interval
+    // (the scan is no longer dense) yet results stay correct
+    assert(synth(n).sample(0.02, 7L).limit(25).count() == 25)
+  }
+
+  test("inner equi-join on id folds to one interval-intersected scan") {
+    // SupportsPushDownJoin: both sides collapse into a single scan
+    // over [max(lo), min(hi)) emitting both (aliased) projections —
+    // no join exec anywhere in the plan
+    val a = synth(100000).where(col("id") < 80000)
+      .select(col("id"), col("hv"))
+    val b = synth(200000).where(col("id") >= 30000)
+      .select(col("id"), col("bucket"))
+    val j = a.join(b, "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"join not folded:\n$plan")
+    assert(plan.contains("lo=30000") && plan.contains("hi=80000"),
+      s"interval not intersected:\n$plan")
+    val rows = j.collect()
+    assert(rows.length == 50000)
+    val r = j.where(col("id") === 31337).head
+    assert(r.getLong(1) == SyntheticV2Source.hv(31337))
+    assert(r.getLong(2) == 31337 % 97)
+    // ground truth vs the identical pipeline over spark.range
+    def ref(n: Long) = spark.range(n).select(col("id"),
+      (col("id") % 97).as("bucket"))
+    val want = spark.range(100000).where(col("id") < 80000)
+      .select(col("id")).join(ref(200000).where(col("id") >= 30000), "id")
+      .agg(sum(col("bucket"))).head.getLong(0)
+    assert(j.agg(sum(col("bucket"))).head.getLong(0) == want)
+  }
+
+  test("join pushdown declines what it cannot fold — results still right") {
+    // non-id keys, outer joins, and sampled sides keep Spark's join
+    val byBucket = synth(2000).select(col("bucket"), col("id"))
+      .join(synth(1000).select(col("bucket"), col("hv")), "bucket")
+    assert(byBucket.queryExecution.executedPlan.toString.contains("Join"),
+      "bucket-key join must not be claimed")
+    // bucket join is a 97-key cross: each left row matches ~1000/97
+    val expect = (0L until 2000L).map(i =>
+      (0L until 1000L).count(_ % 97 == i % 97).toLong).sum
+    assert(byBucket.count() == expect)
+
+    val outer = synth(2000).select(col("id"), col("hv"))
+      .join(synth(1000).select(col("id"), col("bucket")), Seq("id"),
+        "left_outer")
+    assert(outer.queryExecution.executedPlan.toString.contains("Join"),
+      "outer join must not be claimed")
+    assert(outer.count() == 2000)
+    assert(outer.where(col("bucket").isNull).count() == 1000)
+
+    val sampled = synth(20000).sample(0.1, 3L).select(col("id"), col("hv"))
+      .join(synth(20000).select(col("id"), col("bucket")), "id")
+    assert(sampled.queryExecution.executedPlan.toString.contains("Join"),
+      "a sampled side must not be claimed")
+    val spec = SyntheticV2Source.sampleSpec(0.0, 0.1, 3L)
+    assert(sampled.count() ==
+      (0L until 20000L).count(SyntheticV2Source.inSample(_, spec)))
+  }
+
   test("predicates arrive through the V2 Predicate path") {
     // the builder implements SupportsPushDownV2Filters ONLY — if the
     // translation to connector Predicates failed, the range predicate
