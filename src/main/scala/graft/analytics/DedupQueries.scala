@@ -1314,6 +1314,179 @@ object DedupQueries {
        |JOIN documents sb ON p.doc_b = sb.doc_id
        |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------- exact duplicated substrings
+  /** Window width, in tokens, of the exact-substring pass. The
+    * published pipelines use 50; the synthetic docs are short, so 8
+    * keeps the audit non-vacuous (~10% of windows duplicated) while
+    * the shape is width-independent.
+    */
+  val SubW = 8
+
+  /** Every SubW-token window of every document, hashed: (doc_id, pos,
+    * h) with pos 1-based. The per-doc window array is built inside
+    * whole-stage codegen (transform+slice+md5 — no UDF), then ONE
+    * posexplode emits the corpus-wide window stream; docs shorter
+    * than SubW contribute no windows (restored by the callers' left
+    * joins). This is the relational re-expression of the ExactSubstr
+    * suffix-array pass (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): where the paper sorts suffixes,
+    * we shuffle window hashes — same duplicate detection, but
+    * partition-parallel with no global sort and no driver state.
+    */
+  private def windowHashes(spark: SparkSession, dir: String): DataFrame = {
+    val t = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"),
+        posexplode(
+          // sequence(1, n) DESCENDS when n < 1 — guard short docs to
+          // an empty window set, not a phantom [1, 0] walk
+          when(size(col("toks")) >= SubW,
+            transform(sequence(lit(1), size(col("toks")) - (SubW - 1)),
+              i => md5Long(concat_ws(" ", slice(col("toks"), i, lit(SubW))))))
+            .otherwise(array().cast("array<long>")))
+          .as(Seq("off", "h")))
+      .select(col("doc_id"), (col("off") + 1).as("pos"), col("h"))
+  }
+
+  private val sqlWindowCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |w AS (
+       |  SELECT t.doc_id, g.i AS pos,
+       |    ${sqlMd5Long(s"array_to_string(t.toks[g.i:g.i+${SubW - 1}], ' ')")} AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+       |    len(t.toks) - ${SubW - 1})) AS i) g)""".stripMargin
+
+  /** Per-document duplicated-substring audit: a window is DUPLICATED
+    * iff its content occurs ≥2 times anywhere in the corpus
+    * (including twice in one doc). Reports, per doc, the window
+    * counts and the number of token positions covered by at least one
+    * duplicated window — the fraction of the doc that is verbatim
+    * boilerplate, the signal the ExactSubstr filter thresholds on.
+    *
+    * Scale: the only corpus-sized shuffle is the groupBy on the
+    * 56-bit window hash (partial-aggregating); the duplicate tag
+    * joins back on the same key. The coverage explode is SubW× the
+    * DUPLICATED windows only, never the corpus. Work is linear in
+    * total tokens — the suffix array's O(n log n) sort becomes a hash
+    * shuffle.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val wins = windowHashes(spark, dir)
+    wins.cache() // corpus-wide window stream feeds count + tag + coverage
+    try {
+      val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 2).select(col("h"), lit(1L).as("is_dup"))
+      val tagged = wins.join(dup, Seq("h"), "left")
+      val perdoc = tagged.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+      val cov = tagged.where(col("is_dup") === 1L)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (SubW - 1))).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_positions"))
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(perdoc, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+          ppm(coalesce(col("n_dup_positions"), lit(0L)), col("n_tokens"))
+            .as("dup_ppm"))
+        .localCheckpoint(true)
+    } finally wins.unpersist()
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH $sqlWindowCtes,
+       |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+       |pd AS (
+       |  SELECT w.doc_id, COUNT(*) AS nw, COUNT(d.h) AS nd
+       |  FROM w LEFT JOIN dup d USING (h) GROUP BY w.doc_id),
+       |cov AS (
+       |  SELECT DISTINCT dw.doc_id, dw.pos + o.k AS p
+       |  FROM (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)) dw,
+       |    LATERAL (SELECT unnest(generate_series(0, ${SubW - 1})) AS k) o),
+       |cv AS (SELECT doc_id, COUNT(*) AS np FROM cov GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(pd.nw, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(pd.nd, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(COALESCE(cv.np, 0) AS BIGINT) AS n_dup_positions,
+       |  ${sqlPpm("COALESCE(cv.np, 0)", "len(string_split(d.text, ' '))")}
+       |    AS dup_ppm
+       |FROM documents d
+       |LEFT JOIN pd ON d.doc_id = pd.doc_id
+       |LEFT JOIN cv ON d.doc_id = cv.doc_id""".stripMargin
+
+  /** The REMOVAL half of ExactSubstr dedup: for each duplicated
+    * window content, the first occurrence in (doc_id, pos) order is
+    * canonical; every other occurrence marks its covered positions
+    * for removal. Rolled up per source: docs touched, tokens, tokens
+    * removed (union of removed spans — overlapping windows count each
+    * position once), and the removal rate. Canonical selection is a
+    * row_number over the hash partition — scale-safe (no packed-key
+    * arithmetic, no bound on doc_id/pos) and expressible identically
+    * in both engines.
+    *
+    * The first-occurrence keep rule is what makes removal SAFE: every
+    * duplicated content survives somewhere, so corpus token coverage
+    * (the set of distinct w-grams) is unchanged — only repeats go.
+    */
+  def dedupSubstringApply(spark: SparkSession, dir: String): DataFrame = {
+    val wins = windowHashes(spark, dir)
+    wins.cache() // feeds the rank window + the removal coverage
+    try {
+      val byH = Window.partitionBy(col("h"))
+      val ranked = wins.select(col("doc_id"), col("pos"),
+        count(lit(1)).over(byH).as("cnt"),
+        row_number().over(byH.orderBy(col("doc_id"), col("pos"))).as("rn"))
+      val removedPos = ranked
+        .where(col("cnt") >= 2 && col("rn") > 1)
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + (SubW - 1))).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_removed"))
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(removedPos, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_removed").isNotNull, 1L).otherwise(0L))
+            .as("n_docs_touched"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(coalesce(col("n_removed"), lit(0L))).as("n_tokens_removed"),
+          ppm(sum(coalesce(col("n_removed"), lit(0L))), sum(col("n_toks")))
+            .as("removed_ppm"))
+        .localCheckpoint(true)
+    } finally wins.unpersist()
+  }
+
+  val dedupSubstringApplySql: String =
+    s"""WITH $sqlWindowCtes,
+       |r AS (
+       |  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM w),
+       |cov AS (
+       |  SELECT DISTINCT rr.doc_id, rr.pos + o.k AS p
+       |  FROM (SELECT doc_id, pos FROM r WHERE cnt >= 2 AND rn > 1) rr,
+       |    LATERAL (SELECT unnest(generate_series(0, ${SubW - 1})) AS k) o),
+       |rm AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rm.n_removed IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_touched,
+       |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(COALESCE(rm.n_removed, 0)) AS BIGINT) AS n_tokens_removed,
+       |  ${sqlPpm("SUM(COALESCE(rm.n_removed, 0))",
+                   "SUM(len(string_split(d.text, ' ')))")} AS removed_ppm
+       |FROM documents d LEFT JOIN rm ON d.doc_id = rm.doc_id
+       |GROUP BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_exact" -> (dedupExact _),
@@ -1332,7 +1505,9 @@ object DedupQueries {
     "dedup_clusters" -> (dedupClusters _),
     "dedup_apply" -> (dedupApply _),
     "dedup_clusters_star" -> (dedupClustersStar _),
-    "dedup_editdist" -> (dedupEditdist _))
+    "dedup_editdist" -> (dedupEditdist _),
+    "dedup_substring" -> (dedupSubstring _),
+    "dedup_substring_apply" -> (dedupSubstringApply _))
 
   val oracles: Map[String, String] = Map(
     "dedup_source_matrix" -> dedupSourceMatrixSql,
@@ -1354,5 +1529,7 @@ object DedupQueries {
     // exact CC is exact CC: the star-contraction variant must produce
     // the SAME clustering, so it shares the recursive-CTE oracle
     "dedup_clusters_star" -> dedupClustersSql,
-    "dedup_editdist" -> dedupEditdistSql)
+    "dedup_editdist" -> dedupEditdistSql,
+    "dedup_substring" -> dedupSubstringSql,
+    "dedup_substring_apply" -> dedupSubstringApplySql)
 }

@@ -131,4 +131,66 @@ class Round8OpsSpec extends SparkSuite {
     // drift must exist in all three classes or the test is vacuous
     assert(missing.nonEmpty && corrupt.nonEmpty && extra.nonEmpty)
   }
+
+  test("exact-substring audit + removal refold in plain Scala") {
+    val W = DedupQueries.SubW
+    // split(-1): Spark's split() KEEPS trailing empty tokens — the
+    // refold must tokenize identically or window counts drift
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val wins = docs.flatMap { case (id, _, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - W).map(i =>
+        (id, i + 1, t.slice(i, i + W).mkString(" ")))
+    }
+    val cnt = wins.groupBy(_._3).map { case (w, os) => w -> os.length }
+
+    // audit refold: per-doc duplicated windows + covered positions
+    val audit = DedupQueries.dedupSubstring(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    assert(audit.size == docs.length, "one audit row per document")
+    docs.foreach { case (id, _, text) =>
+      val t = text.split(" ", -1)
+      val mine = wins.filter(_._1 == id)
+      val dups = mine.filter(w => cnt(w._3) >= 2)
+      val covered = dups.flatMap(w => w._2 until w._2 + W).distinct
+      val (nTok, nW, nD, nP, pp) = audit(id)
+      assert(nTok == t.length && nW == mine.length && nD == dups.length
+        && nP == covered.length, s"doc $id audit refold mismatch")
+      assert(pp == math.floor(1e6 * covered.length / t.length).toLong)
+    }
+    // non-vacuity: the corpus must actually contain duplicated windows
+    assert(audit.values.map(_._3).sum > 0, "no duplicated windows found")
+
+    // removal refold: first (doc_id, pos) occurrence survives, every
+    // other occurrence's span is removed
+    val removedByDoc = wins.groupBy(_._3).values.flatMap { os =>
+      if (os.length < 2) Nil
+      else os.sortBy(o => (o._1, o._2)).tail
+    }.toSeq.groupBy(_._1).map { case (id, os) =>
+      id -> os.flatMap(o => o._2 until o._2 + W).distinct.length.toLong
+    }
+    val apply = DedupQueries.dedupSubstringApply(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val bySource = docs.groupBy(_._2)
+    assert(apply.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val nToks = ds.map(d => d._3.split(" ", -1).length.toLong).sum
+      val touched = ds.count(d => removedByDoc.contains(d._1)).toLong
+      val removed = ds.map(d => removedByDoc.getOrElse(d._1, 0L)).sum
+      assert(apply(src) == ((ds.length.toLong, touched, nToks, removed)),
+        s"source $src removal refold mismatch")
+    }
+    // removal is SAFE: every duplicated content keeps one occurrence,
+    // so the removed token count is strictly under the duplicated
+    // coverage — and something must actually be removed
+    val totalRemoved = removedByDoc.values.sum
+    assert(totalRemoved > 0, "removal pass removed nothing")
+    assert(totalRemoved < audit.values.map(_._4).sum,
+      "first-occurrence keep rule must strictly shrink the removal set")
+  }
 }
