@@ -3202,8 +3202,162 @@ object EmbeddingQueries {
        |""".stripMargin
   }
 
+  // ---------------------------------------- hybrid retrieval (RRF)
+  /** Hybrid retrieval: an Okapi BM25 sparse ranking and a dense
+    * cosine ranking, fused per query by Reciprocal Rank Fusion
+    * (Cormack et al. 2009) — `Σ 1/(60 + rank)` over the rankers that
+    * returned the document, the standard zero-tuning fusion behind
+    * production hybrid search. Queries are every 50th vector id (the
+    * eval set grows with the corpus); each query's sparse side scores
+    * its own document's distinct tokens against the corpus with the
+    * [[TextQueries.textBm25]] linear-idf arithmetic (exact integers +
+    * one IEEE divide — no libm), and its dense side is the
+    * brute-force quantized cosine. Each ranker contributes its
+    * TRUNCATED top-50 (the production form: rankers return bounded
+    * lists; absent docs contribute nothing), fused ranks keep the
+    * top-10. The RRF terms are `floor(1e9/(60+r))` — integer-exact in
+    * both engines, and order-independent to sum.
+    *
+    * Scale shape: the sparse probe is an inverted-index join on the
+    * query-term key (only matching postings shuffle; at web scale the
+    * standard WAND/max-score pruning and a stop-term df cutoff bound
+    * the posting traversal — the synthetic corpus's 31-term
+    * vocabulary makes a df cutoff vacuous here, so it scores all
+    * query terms); the dense side broadcasts the query block and
+    * would ride the IVF searches above ~10^7 vectors (this is the
+    * eval harness, so it rides the exact baseline); per-ranker
+    * truncation means the fusion join moves ≤ 2·50 rows per query.
+    * No df broadcast hint: the term-frequency table is
+    * vocabulary-sized (unbounded on a real corpus) — Catalyst/AQE
+    * picks the strategy.
+    */
+  def knnHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val R = 50L // per-ranker truncation depth
+    val KOut = 10L // fused results kept per query
+    val docs = table(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val e = quantized(spark, dir)
+    // ----- dense ranking: quantized cosine, queries broadcast
+    val qv = e.where(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("norm2").as("qn"))
+    val wd = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
+    val denseTop = broadcast(qv).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qn"), col("norm2"))
+          .as("cos_ppm"))
+      .withColumn("r_d", row_number().over(wd).cast("long"))
+      .where(col("r_d") <= R)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_d"))
+    // ----- sparse ranking: BM25, query terms = the query doc's tokens
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(size(toks).cast("long")).as("st"))
+    val tf = docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qterms = docs
+      .join(broadcast(qv.select(col("q_id"))),
+        col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(array_distinct(toks)).as("term"))
+    val dd = (c: Column) => c.cast("double")
+    val idf = dd(lit(2) * col("nd") - lit(2) * col("df") + lit(1)) /
+      dd(lit(2) * col("df") + lit(1))
+    val tfc = dd(col("tf")) * lit(2.2) /
+      (dd(col("tf")) + lit(0.3) +
+        lit(0.9) * dd(col("dl")) * dd(col("nd")) / dd(col("st")))
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("s_ppm").desc, col("doc_id").asc)
+    val sparseTop = qterms.join(tf, "term")
+      .where(col("doc_id") =!= col("q_id"))
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        floor(lit(1e6) * idf * tfc).cast("long").as("score_ppm"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("score_ppm")).as("s_ppm"))
+      .withColumn("r_s", row_number().over(ws).cast("long"))
+      .where(col("r_s") <= R)
+      .select(col("q_id"), col("doc_id"), col("r_s"))
+    // ----- fuse: RRF over the union of both truncated lists
+    val rrf = (r: Column) => when(r.isNotNull,
+      floor(lit(1e9) / (lit(60) + r)).cast("long")).otherwise(0L)
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_e9").desc, col("doc_id").asc)
+    sparseTop.join(denseTop, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("r_s"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_d"), lit(0L)).as("r_dense"),
+        (rrf(col("r_s")) + rrf(col("r_d"))).as("rrf_e9"))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .where(col("fused_rank") <= KOut)
+      .select(col("q_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_e9"), col("r_sparse"), col("r_dense"))
+  }
+
+  val knnHybridRrfSql: String =
+    s"""WITH $sqlQuantized,
+       |qs AS (SELECT vec_id AS q_id, qv, norm2 FROM n WHERE vec_id % 50 = 7),
+       |dsc AS (
+       |  SELECT a.q_id, b.vec_id AS doc_id,
+       |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS cos_ppm
+       |  FROM qs a JOIN n b ON a.q_id <> b.vec_id),
+       |dtop AS (
+       |  SELECT q_id, doc_id, r_d FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_ppm DESC, doc_id ASC) AS r_d FROM dsc)
+       |  WHERE r_d <= 50),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |             CAST(SUM(len(toks)) AS BIGINT) AS st FROM t),
+       |e AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.term
+       |  FROM t, LATERAL (SELECT unnest(toks) AS term) u),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |qt AS (
+       |  SELECT q.q_id, u.term
+       |  FROM (SELECT q_id FROM qs) q JOIN t ON t.doc_id = q.q_id,
+       |    LATERAL (SELECT unnest(list_distinct(t.toks)) AS term) u),
+       |sp AS (
+       |  SELECT qt.q_id, f.doc_id,
+       |    SUM(CAST(FLOOR(1000000.0
+       |      * (CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE)
+       |         / CAST(2 * d.df + 1 AS DOUBLE))
+       |      * (CAST(f.tf AS DOUBLE) * 2.2
+       |         / (CAST(f.tf AS DOUBLE) + 0.3
+       |            + 0.9 * CAST(f.dl AS DOUBLE) * CAST(s.nd AS DOUBLE)
+       |              / CAST(s.st AS DOUBLE)))) AS BIGINT)) AS s_ppm
+       |  FROM qt JOIN tf f USING (term) JOIN dfq d USING (term), s
+       |  WHERE f.doc_id <> qt.q_id
+       |  GROUP BY 1, 2),
+       |stp AS (
+       |  SELECT q_id, doc_id, r_s FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY s_ppm DESC, doc_id ASC) AS r_s FROM sp)
+       |  WHERE r_s <= 50),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(COALESCE(r_s, 0) AS BIGINT) AS r_sparse,
+       |    CAST(COALESCE(r_d, 0) AS BIGINT) AS r_dense,
+       |    CAST(CASE WHEN r_s IS NULL THEN 0
+       |      ELSE FLOOR(1000000000.0 / (60 + r_s)) END
+       |    + CASE WHEN r_d IS NULL THEN 0
+       |      ELSE FLOOR(1000000000.0 / (60 + r_d)) END AS BIGINT) AS rrf_e9
+       |  FROM stp FULL JOIN dtop USING (q_id, doc_id))
+       |SELECT q_id, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+       |  rrf_e9, r_sparse, r_dense
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_e9 DESC, doc_id ASC) AS fused_rank
+       |  FROM fused)
+       |WHERE fused_rank <= 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_contrastive_pairs" -> (embContrastivePairs _),
+    "knn_hybrid_rrf" -> (knnHybridRrf _),
     "emb_covariance" -> (embCovariance _),
     "emb_kmeans_train" -> (embKmeansTrain _),
     "emb_pca_power" -> (embPcaPower _),
@@ -3240,6 +3394,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "emb_contrastive_pairs" -> embContrastivePairsSql,
+    "knn_hybrid_rrf" -> knnHybridRrfSql,
     "emb_covariance" -> embCovarianceSql,
     "emb_kmeans_train" -> embKmeansTrainSql,
     "emb_pca_power" -> embPcaPowerSql,
