@@ -2034,7 +2034,64 @@ object PipelineQueries {
        |    AS cutoff_score
        |FROM pct GROUP BY source""".stripMargin
 
+  // ------------------------------------ bounded per-source contribution
+  /** Bounded-contribution capping: no source may contribute more than
+    * CapDocs documents — the pre-aggregation step of user-level
+    * differential privacy (each unit's influence on any downstream
+    * statistic is bounded before noise is even considered) and the
+    * standard defense against a single crawl domain dominating a mix.
+    * The kept subset is chosen by a per-doc hash order (uniform over
+    * the source's docs — arrival order would bias toward old crawls),
+    * deterministic across engines and re-runs. Reports each source's
+    * before/after doc and token counts and whether the cap bit.
+    *
+    * Scale: one window over the source partition. If a hot source
+    * overwhelms a reducer, the same selection is computable with
+    * bounded state via the [[graft.functions.BottomKAgg]] pattern
+    * (top-CapDocs by hash, partial-aggregating) — the window form is
+    * kept because it also EMITS the kept flag per doc for downstream
+    * stages without a second join.
+    */
+  def pipelineContributionCap(spark: SparkSession, dir: String): DataFrame = {
+    val CapDocs = 20
+    val w = Window.partitionBy(col("source")).orderBy(
+      CrossHash.md5Long(concat(lit("cap:"), col("doc_id").cast("string")))
+        .asc, col("doc_id").asc)
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= CapDocs, 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(when(col("rn") <= CapDocs, col("n_toks")).otherwise(0L))
+          .as("n_tokens_kept"))
+      .withColumn("cap_applied",
+        when(col("n_docs") > CapDocs, 1L).otherwise(0L))
+  }
+
+  val pipelineContributionCapSql: String = {
+    val h = CrossHash.sqlMd5Long("'cap:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH r AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY $h ASC, doc_id ASC) AS rn
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_kept,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN rn <= 20 THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS n_tokens_kept,
+       |  CAST(CASE WHEN COUNT(*) > 20 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS cap_applied
+       |FROM r GROUP BY source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_contribution_cap" -> (pipelineContributionCap _),
     "pipeline_epoch_plan" -> (pipelineEpochPlan _),
     "pipeline_perplexity_filter" -> (pipelinePerplexityFilter _),
     "pipeline_shuffle" -> (pipelineShuffle _),
@@ -2067,6 +2124,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_contribution_cap" -> pipelineContributionCapSql,
     "pipeline_epoch_plan" -> pipelineEpochPlanSql,
     "pipeline_perplexity_filter" -> pipelinePerplexityFilterSql,
     "pipeline_shuffle" -> pipelineShuffleSql,

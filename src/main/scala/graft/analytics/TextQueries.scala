@@ -1450,7 +1450,70 @@ object TextQueries {
        |FROM t JOIN documents d ON t.doc_id = d.doc_id
        |GROUP BY d.source""".stripMargin
 
+  // ------------------------------------- synthetic-text watermark scan
+  /** Kirchenbauer-style watermark detection over the corpus — the scan
+    * a training pipeline runs to keep WATERMARKED MODEL OUTPUT out of
+    * its data. The scheme's detector needs no model: token i is
+    * "green" iff hash(prev_token, token) lands in the green half of
+    * the vocabulary partition seeded by its predecessor (γ = 1/2), so
+    * un-watermarked text greens ~half its bigram transitions while a
+    * watermarked generator greens nearly all of them. Per doc:
+    * scored transitions T, green count g, and the one-proportion
+    * z-score (2g − T)/√T in millesimals — every operand an exact
+    * integer, √ and ÷ correctly-rounded IEEE, so the score is
+    * bit-identical across engines. `flagged` uses z ≥ 2 (the
+    * screening threshold; production detection uses z ≥ 4 on longer
+    * spans — at γT this small the loose threshold keeps the flag
+    * non-vacuous on clean text, where ~2% false-positive by design).
+    *
+    * Scale: a pure per-row array fold inside whole-stage codegen —
+    * one scan, zero shuffles, zero joins; the 100 TB cost is the read.
+    */
+  def textWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks
+    val n = size(t)
+    val green = size(filter(sequence(lit(2), n),
+      i => CrossHash.md5Long(
+        concat(element_at(t, i - 1), lit("|"), element_at(t, i))) % 2 === 0))
+    table(spark, dir, "documents")
+      .select(col("doc_id"),
+        (n - 1).cast("long").as("n_scored"),
+        when(n >= 2, green).otherwise(0).cast("long").as("n_green"))
+      .select(col("doc_id"), col("n_scored"), col("n_green"),
+        when(col("n_scored") >= 1,
+          floor(lit(1000) *
+            (lit(2) * col("n_green") - col("n_scored")).cast("double") /
+            sqrt(col("n_scored").cast("double"))).cast("long"))
+          .otherwise(0L).as("z_mille"))
+      .withColumn("flagged",
+        when(col("z_mille") >= 2000, 1L).otherwise(0L))
+  }
+
+  val textWatermarkSql: String = {
+    val h = CrossHash.sqlMd5Long("toks[i-1] || '|' || toks[i]")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(len(toks) - 1 AS BIGINT) AS n_scored,
+       |    CAST(CASE WHEN len(toks) >= 2 THEN
+       |      len(list_filter(generate_series(2, len(toks)),
+       |        i -> $h % 2 = 0))
+       |    ELSE 0 END AS BIGINT) AS n_green
+       |  FROM t)
+       |SELECT doc_id, n_scored, n_green,
+       |  CASE WHEN n_scored >= 1 THEN
+       |    CAST(FLOOR(1000 * CAST(2 * n_green - n_scored AS DOUBLE)
+       |      / sqrt(CAST(n_scored AS DOUBLE))) AS BIGINT)
+       |  ELSE 0 END AS z_mille,
+       |  CAST(CASE WHEN (CASE WHEN n_scored >= 1 THEN
+       |    CAST(FLOOR(1000 * CAST(2 * n_green - n_scored AS DOUBLE)
+       |      / sqrt(CAST(n_scored AS DOUBLE))) AS BIGINT)
+       |  ELSE 0 END) >= 2000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_watermark" -> (textWatermark _),
     "text_fertility" -> (textFertility _),
     "text_bpe_merge" -> (textBpeMerge _),
     "text_bpe_train" -> (textBpeTrain _),
@@ -1477,6 +1540,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_watermark" -> textWatermarkSql,
     "text_bpe_merge" -> textBpeMergeSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_bpe_apply" -> textBpeApplySql,
