@@ -12,9 +12,11 @@ import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicat
 import org.apache.spark.sql.connector.join.{JoinType => VJoinType}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownJoin, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.CrossHash
@@ -566,6 +568,20 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
           case s: SynthSlice => new SynthReader(s)
           case k: KeyedSynthSlice => new KeyedSynthReader(k)
         }
+      // plain interval slices generate COLUMNAR batches: values land
+      // directly in column vectors, and the scan exec's vectorized
+      // ColumnarToRow loop replaces one virtual next()/get() call
+      // pair per row — the same reason Parquet reads are vectorized.
+      // The keyed layout keeps the row path (its per-bucket readers
+      // are the SPJ/DPP test surface, exercised both ways).
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        p.isInstanceOf[SynthSlice]
+      override def createColumnarReader(
+          p: InputPartition): PartitionReader[ColumnarBatch] = p match {
+        case s: SynthSlice => new SynthColumnarReader(s)
+        case other => throw new UnsupportedOperationException(
+          s"no columnar reader for $other")
+      }
     }
 }
 
@@ -621,6 +637,60 @@ private class SynthReader(slice: SynthSlice)
   }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
+}
+
+/** Columnar twin of [[SynthReader]]: fills 4096-row on-heap column
+  * vectors (reused across batches) honoring the same pushed sample /
+  * descending order. Per-column filler closures hoist the field
+  * dispatch out of the per-cell loop. A fully-pruned projection
+  * (zero columns, e.g. an unpushable COUNT over a sampled scan)
+  * yields batches that carry only a row count — the contract allows
+  * it and the scan exec counts them without touching data.
+  */
+private class SynthColumnarReader(slice: SynthSlice)
+    extends PartitionReader[ColumnarBatch] {
+  private val BatchRows = 4096
+  private val cols = OnHeapColumnVector.allocateColumns(BatchRows,
+    StructType(slice.fields.map(n => StructField(n,
+      if (n == "tag") StringType else LongType, nullable = false))))
+  private val batch = new ColumnarBatch(cols.asInstanceOf[Array[ColumnVector]])
+  private val fillers: Array[(Int, Long) => Unit] =
+    slice.fields.zipWithIndex.map { case (f, c) =>
+      f match {
+        case "id" => (n: Int, id: Long) => cols(c).putLong(n, id)
+        case "bucket" => (n: Int, id: Long) =>
+          cols(c).putLong(n, id % SyntheticV2Source.Buckets)
+        case "hv" => (n: Int, id: Long) =>
+          cols(c).putLong(n, SyntheticV2Source.hv(id))
+        case "tag" => (n: Int, id: Long) => {
+          val b = ("t" + (id % 7)).getBytes("UTF-8")
+          cols(c).putByteArray(n, b, 0, b.length)
+          ()
+        }
+      }
+    }
+  private var id = if (slice.desc) slice.end else slice.start - 1
+
+  private def step(): Boolean =
+    if (slice.desc) { id -= 1; id >= slice.start }
+    else { id += 1; id < slice.end }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < cols.length) { cols(i).reset(); i += 1 }
+    var n = 0
+    while (n < BatchRows && step()) {
+      if (slice.sample.forall(SyntheticV2Source.inSample(id, _))) {
+        var c = 0
+        while (c < fillers.length) { fillers(c)(n, id); c += 1 }
+        n += 1
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** The completely-pushed aggregate scan: one partition, zero data

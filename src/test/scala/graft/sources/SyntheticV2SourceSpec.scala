@@ -25,6 +25,35 @@ class SyntheticV2SourceSpec extends SparkSuite {
     assert(row.getString(2) == "t0")
   }
 
+  test("plain slices read COLUMNAR; keyed slices keep the row path") {
+    // the factory claims columnar for interval slices — the scan exec
+    // must actually plan the vectorized path (ColumnarToRow above the
+    // scan), and the batches must agree with the row semantics on
+    // every column type including the pushed-sample skip walk
+    val plain = synth(100000).where(col("id") >= 500)
+    assert(plain.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "plain scan must be columnar")
+    assert(plain.count() == 99500)
+    val r = plain.where(col("id") === 4242)
+      .select("id", "bucket", "hv", "tag").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)) ==
+      ((4242L, 4242L % 97, SyntheticV2Source.hv(4242), "t" + 4242 % 7)))
+    // batch boundaries: a slice larger than one 4096-row batch must
+    // stream every batch, not just the first
+    assert(synth(10000, parts = 1).agg(sum(col("id"))).head.getLong(0)
+      == (0L until 10000L).sum)
+    // sampled scan through the columnar fill
+    val spec = SyntheticV2Source.sampleSpec(0.0, 0.03, 11L)
+    assert(synth(50000).sample(0.03, 11L).count() ==
+      (0L until 50000L).count(SyntheticV2Source.inSample(_, spec)))
+    // the keyed layout stays row-based (its partition-key grouping is
+    // the SPJ surface; both paths stay exercised)
+    val keyed = spark.read.format("graft-synth")
+      .option("rows", "10000").option("keyed", "true").load()
+    assert(!keyed.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"), "keyed scan must stay row-based")
+  }
+
   test("range predicates are consumed by the scan, not re-filtered") {
     val df = synth(100000).where(col("id") >= 90000 && col("id") < 90010)
     assert(df.count() == 10)
