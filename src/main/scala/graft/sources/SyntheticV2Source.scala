@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.{Expression => VExpression, Ex
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 import org.apache.spark.sql.connector.join.{JoinType => VJoinType}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownJoin, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownJoin, SupportsPushDownLimit, SupportsPushDownOffset, SupportsPushDownRequiredColumns, SupportsPushDownTableSample, SupportsPushDownTopN, SupportsPushDownV2Filters, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
@@ -477,9 +477,47 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
     order: Option[Boolean] = None,
     sample: Option[(Long, Long, Int)] = None)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** EXACT post-pushdown statistics (a generated interval knows its
+    * own cardinality; a pushed sample scales it by the claimed
+    * fraction). This is what lets Catalyst pick a broadcast join for
+    * a small synthetic side WITHOUT a hint — a DSv2 relation with no
+    * reported stats is costed at the conservative default and never
+    * auto-broadcasts, which at 100 TB turns every dimension join into
+    * a shuffle.
+    *
+    * The KEYED layout deliberately reports NOTHING: it is the
+    * fact-table persona whose whole point is exchange-free
+    * storage-partitioned joins — letting a test-sized keyed scan cost
+    * as "small" would flip those plans to broadcast and erase the SPJ
+    * surface the layout exists to exercise (at production scale the
+    * keyed side is never broadcast-eligible anyway).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val known = !keyed
+    private val rows: Long = {
+      val n = math.max(0L, hi - lo)
+      sample match {
+        case Some((loT, hiT, _)) =>
+          // expected fraction of the hash range; exact enough for
+          // costing (the true count needs the walk)
+          (n.toDouble * math.max(0L, hiT - loT) / CrossHash.P.toDouble)
+            .toLong
+        case None => n
+      }
+    }
+    // 8 bytes per long column; tag is 2-3 chars (+ offset bookkeeping)
+    private val rowBytes: Long = required.fields.map(f =>
+      if (f.dataType == StringType) 12L else 8L).sum.max(1L)
+    override def numRows(): util.OptionalLong =
+      if (known) util.OptionalLong.of(rows) else util.OptionalLong.empty()
+    override def sizeInBytes(): util.OptionalLong =
+      if (known) util.OptionalLong.of(rows * rowBytes)
+      else util.OptionalLong.empty()
+  }
   override def description(): String =
     s"GraftSynth(lo=$lo, hi=$hi, parts=$parts, keyed=$keyed, " +
       order.map(a => s"order=${if (a) "asc" else "desc"}, ").getOrElse("") +

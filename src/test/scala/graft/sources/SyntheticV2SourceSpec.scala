@@ -54,6 +54,35 @@ class SyntheticV2SourceSpec extends SparkSuite {
       .contains("ColumnarToRow"), "keyed scan must stay row-based")
   }
 
+  test("reported statistics drive an UNHINTED broadcast; keyed stays mum") {
+    // SupportsReportStatistics: the scan reports its exact
+    // post-pushdown cardinality, so Catalyst broadcasts the small
+    // synthetic side of a join with no broadcast() hint anywhere —
+    // the default-costed DSv2 relation would shuffle instead
+    val big = spark.range(10L * 1000 * 1000).select(col("id"))
+    val dim = synth(100).select(col("id"), col("hv"))
+    val j = big.join(dim, "id")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats did not drive a broadcast:\n${plan.take(1200)}")
+    assert(j.count() == 100)
+    // pushed filters narrow the reported stats too: a filtered slice
+    // of a huge table is still broadcast-eligible
+    val dimF = synth(100000000L).where(col("id") < 50)
+      .select(col("id"), col("hv"))
+    assert(big.join(dimF, "id").queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "post-pushdown stats ignored")
+    // the KEYED layout must NOT report small stats: its purpose is
+    // the exchange-free storage-partitioned join, which a broadcast
+    // would erase (see the SPJ specs for the positive pin)
+    val k1 = keyedSynth(5000).select(col("bucket"), col("id"))
+    val k2 = keyedSynth(3000).select(col("bucket"),
+      col("id").as("id2"))
+    assert(!k1.join(k2, "bucket").queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"),
+      "keyed scan must not cost as broadcast-eligible")
+  }
+
   test("range predicates are consumed by the scan, not re-filtered") {
     val df = synth(100000).where(col("id") >= 90000 && col("id") < 90010)
     assert(df.count() == 10)
