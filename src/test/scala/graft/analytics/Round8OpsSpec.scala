@@ -132,6 +132,39 @@ class Round8OpsSpec extends SparkSuite {
     assert(missing.nonEmpty && corrupt.nonEmpty && extra.nonEmpty)
   }
 
+  test("persisted-IVF layout: unprobed cell directories are never read") {
+    // the knn_ivf_persisted scale claim: a cell-partitioned parquet
+    // index + a literal probe list = static partition pruning, so
+    // search I/O is nprobe/nlist of the index. Pin the mechanism on
+    // the same layout: the pruned scan carries PartitionFilters and
+    // the files it actually selects live ONLY under probed cell dirs.
+    // (The query itself is pinned by sharing knn_ivf's oracle hash —
+    // this pins that the layout prunes, which the hash cannot see.)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfprune").toString
+    try {
+      spark.range(1000)
+        .select(col("id").as("vec_id"), (col("id") % 7).as("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(dir)
+      val probed = spark.read.parquet(dir)
+        .where(col("cell").isin(1L, 3L))
+      val plan = probed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [") &&
+        !plan.contains("PartitionFilters: []"),
+        s"probe list did not become a partition filter:\n${plan.take(600)}")
+      val files = probed.select(input_file_name()).distinct()
+        .collect().map(_.getString(0))
+      assert(files.nonEmpty && files.forall(f =>
+        f.contains("cell=1/") || f.contains("cell=3/")),
+        s"unprobed directories were read: ${files.toSeq}")
+      assert(probed.count() == 1000 / 7 * 2 + 2)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+      ()
+    }
+  }
+
   test("exact-substring audit + removal refold in plain Scala") {
     val W = DedupQueries.SubW
     // split(-1): Spark's split() KEEPS trailing empty tokens — the
