@@ -466,6 +466,87 @@ object ScalarBreadthQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
       |FROM v GROUP BY version ORDER BY version""".stripMargin
 
+  /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
+    * data feed a training pipeline derives when the upstream never
+    * shipped one: for each consecutive snapshot pair, rows added,
+    * removed, and carried over, with their money deltas. Computed by
+    * keyed anti/semi joins between adjacent snapshot reads (work ∝
+    * the two snapshots compared, partitioned on the key — at corpus
+    * scale each pair compare is one co-partitioned join, and a real
+    * table format would narrow it further to the files that differ,
+    * which [[sinkManifestTimetravel]]'s immutable file lists make a
+    * pure metadata operation). The append→append→truncate history
+    * makes all three change classes non-vacuous: v1→v2 is pure
+    * growth, v2→v3 is a replacement (everything removed, a disjoint
+    * slice added). The oracle recomputes every cell from the slice
+    * definitions, so a row leaking across snapshots or a truncate
+    * retaining state diverges the hash.
+    */
+  def sinkManifestChangelog(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_changelog_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // scheme-less: the runtime conf qualifies warehouse.dir to
+    // file:/..., which the sink's java.nio side would treat as a
+    // RELATIVE directory literally named "file:"
+    val out = outPath.toUri.getPath
+    try {
+      def slice(m: Long) = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 17 === m)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      slice(0).write.format("graft-manifest").mode("append").save(out)
+      slice(1).write.format("graft-manifest").mode("append").save(out)
+      slice(2).write.format("graft-manifest").mode("overwrite").save(out)
+      val vs = graft.sources.ManifestV2Sink.versions(out)
+      vs.zip(vs.tail).map { case (va, vb) =>
+        val a = graft.sources.ManifestV2Sink.readVersion(spark, out, va)
+        val b = graft.sources.ManifestV2Sink.readVersion(spark, out, vb)
+        val added = b.join(a, Seq("o_orderkey"), "left_anti")
+        val removed = a.join(b, Seq("o_orderkey"), "left_anti")
+        val kept = b.join(a.select(col("o_orderkey")),
+          Seq("o_orderkey"), "left_semi")
+        def stat(df: DataFrame, nc: String, sc: String) =
+          df.agg(count(lit(1)).as(nc),
+            coalesce(sum(col("cents")), lit(0L)).as(sc))
+        stat(added, "n_added", "cents_added")
+          .crossJoin(stat(removed, "n_removed", "cents_removed"))
+          .crossJoin(stat(kept, "n_kept", "cents_kept"))
+          .select(lit(va.toLong).as("from_version"),
+            lit(vb.toLong).as("to_version"),
+            col("n_added"), col("n_removed"), col("n_kept"),
+            col("cents_added"), col("cents_removed"), col("cents_kept"))
+      }.reduce(_ unionByName _).orderBy(col("from_version"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestChangelogSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey % 17 AS m, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |agg AS (SELECT m, COUNT(*) AS n, SUM(cents) AS c FROM s
+      |  WHERE m IN (0, 1, 2) GROUP BY m)
+      |SELECT CAST(1 AS BIGINT) AS from_version, CAST(2 AS BIGINT) AS to_version,
+      |  (SELECT n FROM agg WHERE m = 1) AS n_added,
+      |  CAST(0 AS BIGINT) AS n_removed,
+      |  (SELECT n FROM agg WHERE m = 0) AS n_kept,
+      |  CAST((SELECT c FROM agg WHERE m = 1) AS BIGINT) AS cents_added,
+      |  CAST(0 AS BIGINT) AS cents_removed,
+      |  CAST((SELECT c FROM agg WHERE m = 0) AS BIGINT) AS cents_kept
+      |UNION ALL
+      |SELECT 2, 3,
+      |  (SELECT n FROM agg WHERE m = 2),
+      |  (SELECT n FROM agg WHERE m = 0) + (SELECT n FROM agg WHERE m = 1),
+      |  CAST(0 AS BIGINT),
+      |  CAST((SELECT c FROM agg WHERE m = 2) AS BIGINT),
+      |  CAST((SELECT c FROM agg WHERE m = 0)
+      |    + (SELECT c FROM agg WHERE m = 1) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY from_version""".stripMargin
+
   // ----------------------------------- DSv2 aggregate pushdown
   /** COMPLETE aggregate pushdown through the V2 connector: the
     * source's ScanBuilder implements `SupportsPushDownAggregates`, so
@@ -526,6 +607,7 @@ object ScalarBreadthQueries {
     "source_dsv2_join" -> (sourceDsv2Join _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
+    "sink_manifest_changelog" -> (sinkManifestChangelog _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
     "null_handling_orders" -> (nullHandlingOrders _),
@@ -543,6 +625,7 @@ object ScalarBreadthQueries {
     "source_dsv2_join" -> sourceDsv2JoinSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
+    "sink_manifest_changelog" -> sinkManifestChangelogSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
     "null_handling_orders" -> nullHandlingSql,
