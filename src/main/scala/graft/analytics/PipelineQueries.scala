@@ -709,6 +709,65 @@ object PipelineQueries {
   val KcoreK = 2
   val KcoreRounds = 3
 
+  // ----------------------------------------- seed hop distance (BFS)
+  /** Bounded BFS hop distance from a seed set over the near-dup
+    * graph — the "distance from trusted seeds" quality signal web
+    * corpus builds use (crawl-frontier distance from curated domains;
+    * here seeds are every 10th doc and edges the simhash pairs, so
+    * the same relational machinery demonstrates on the tables we
+    * have). Per doc: the minimum number of hops to reach a seed, −1
+    * if unreachable within [[SeedHops]] hops.
+    *
+    * Each round is ONE join (current distances × edges) + ONE min
+    * aggregate, materialized with `localCheckpoint` so plan depth
+    * stays fixed — the iterative-algorithm discipline every other
+    * bounded-round query here follows. The hop bound makes the plan
+    * 100 TB-safe the way iterate-to-convergence is not: round count
+    * fixed, each round shuffles 8-byte ids keyed by vertex. (A
+    * frontier-delta variant would shuffle only newly-reached vertices
+    * per round; with SeedHops=4 the full-relaxation form is simpler
+    * and within 2× of it.)
+    */
+  val SeedHops = 4
+
+  def graphSeedDistance(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    var dist = docs.where(col("doc_id") % 10 === 1)
+      .select(col("doc_id").as("v"), lit(0L).as("d"))
+      .localCheckpoint(true)
+    for (h <- 1 to SeedHops) {
+      dist = dist
+        .unionByName(dist.join(edges, col("v") === col("src"))
+          .select(col("dst").as("v"), lit(h.toLong).as("d")))
+        .groupBy(col("v")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    docs.join(dist.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("d"), lit(-1L)).as("hop_dist"))
+  }
+
+  val graphSeedDistanceSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM spairs),
+       |walk(v, hops) AS (
+       |  SELECT doc_id, 0 FROM documents WHERE doc_id % 10 = 1
+       |  UNION
+       |  SELECT e.d, w.hops + 1 FROM walk w JOIN edges e ON w.v = e.s
+       |  WHERE w.hops < $SeedHops),
+       |mind AS (SELECT v, MIN(hops) AS dist FROM walk GROUP BY v)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(m.dist, -1) AS BIGINT) AS hop_dist
+       |FROM documents d LEFT JOIN mind m ON d.doc_id = m.v""".stripMargin
+
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     // each round is materialized (localCheckpoint, as in the CC
     // queries): without it round i's degree count re-executes every
@@ -2107,6 +2166,7 @@ object PipelineQueries {
     "pipeline_mix" -> (pipelineMix _),
     "pipeline_temperature_mix" -> (pipelineTemperatureMix _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_seed_distance" -> (graphSeedDistance _),
     "graph_lpa" -> (graphLpa _),
     "text_contamination" -> (textContamination _),
     "pipeline_decontaminate" -> (pipelineDecontaminate _),
@@ -2140,6 +2200,7 @@ object PipelineQueries {
     "pipeline_mix" -> pipelineMixSql,
     "pipeline_temperature_mix" -> pipelineTemperatureMixSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_seed_distance" -> graphSeedDistanceSql,
     "graph_lpa" -> graphLpaSql,
     "text_contamination" -> textContaminationSql,
     "pipeline_decontaminate" -> pipelineDecontaminateSql,
