@@ -62,6 +62,27 @@ object DedupQueries {
     array_distinct(transform(shingles, s => md5Long(s) % P))
   }
 
+  /** [[shingleHashes]] exposed for [[graft.streaming.StreamNearDupGate]]
+    * — the arriving-document gate must derive shingle sets bit-identically
+    * to the batch LSH queries (StreamNearDupGateSpec pins the gate's
+    * output against [[dedupIncremental]]'s corpus rows, so the call
+    * sites cannot drift silently).
+    */
+  private[graft] def shingleHashesCol: Column = shingleHashes
+
+  /** The K minhash signatures banded into `Bands` '-'-joined keys, as
+    * one `Bands`-long array column (index = band) over a shingle-hash
+    * array column — the same (band, key) derivation [[dedupLshPairs]]
+    * and [[dedupIncremental]] inline, factored as a column so the
+    * streaming gate shares it.
+    */
+  private[graft] def bandKeysOf(sh: Column): Column = {
+    val R = K / Bands
+    val sigs = (0 until K).map(i => array_min(transform(sh, h => affine(h, i))))
+    array((0 until Bands).map(b =>
+      concat_ws("-", sigs.slice(b * R, b * R + R).map(_.cast("string")): _*)): _*)
+  }
+
   /** DuckDB twin of [[shingleHashes]] given a `toks` list column. */
   private def sqlShingleHashes(toks: String, text: String): String = {
     val sh = s"""CASE WHEN len($toks) >= 3

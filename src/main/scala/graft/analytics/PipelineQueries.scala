@@ -2149,7 +2149,56 @@ object PipelineQueries {
        |FROM r GROUP BY source""".stripMargin
   }
 
+  // -------------------------------------- duplicate-aware weighting
+  /** Duplicate-aware example WEIGHTING — the soft alternative to
+    * [[DedupQueries.dedupApply]]'s hard drop: every document stays in
+    * the corpus, but its training weight is 1/|cluster| of its
+    * near-dup cluster, so each piece of CONTENT contributes one unit
+    * of loss mass no matter how many times the crawl re-collected it
+    * (Σ weight over a cluster ≈ 1, exactly 1e6 ppm up to integer
+    * floor). Pipelines prefer this over dropping when duplicates
+    * carry signal (popular pages) but must not dominate the loss.
+    *
+    * Weights are integer ppm (`1000000 div cluster_size`) so the frame
+    * hashes identically in any engine. Scale shape: everything
+    * expensive is the clustering itself — star contraction, O(log² n)
+    * rounds, diameter-independent ([[DedupQueries.dedupClustersStar]],
+    * whose shared oracle re-proves the labels every verify run); on
+    * top of it one 8-byte-keyed join against documents and a pure
+    * row-wise weight expression.
+    */
+  def pipelineDedupWeight(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = DedupQueries.dedupClustersStar(spark, dir)
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    docs.join(clusters, "doc_id")
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        col("cluster_size"),
+        expr("1000000 div cluster_size").as("weight_ppm"), col("n_toks"))
+  }
+
+  val pipelineDedupWeightSql: String =
+    s"""WITH RECURSIVE ${DedupQueries.sqlSimhashPairCtes},
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM spairs
+       |  UNION ALL SELECT doc_b, doc_a FROM spairs),
+       |walk AS (
+       |  SELECT doc_id AS v, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT w.v, e.d AS r FROM walk w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT v, MIN(r) AS cluster_id FROM walk GROUP BY v),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n FROM comp GROUP BY cluster_id)
+       |SELECT d.doc_id, d.source, c.cluster_id,
+       |  CAST(s.n AS BIGINT) AS cluster_size,
+       |  CAST(1000000 // s.n AS BIGINT) AS weight_ppm,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks
+       |FROM documents d
+       |JOIN comp c ON d.doc_id = c.v
+       |JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dedup_weight" -> (pipelineDedupWeight _),
     "pipeline_contribution_cap" -> (pipelineContributionCap _),
     "pipeline_epoch_plan" -> (pipelineEpochPlan _),
     "pipeline_perplexity_filter" -> (pipelinePerplexityFilter _),
@@ -2184,6 +2233,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dedup_weight" -> pipelineDedupWeightSql,
     "pipeline_contribution_cap" -> pipelineContributionCapSql,
     "pipeline_epoch_plan" -> pipelineEpochPlanSql,
     "pipeline_perplexity_filter" -> pipelinePerplexityFilterSql,

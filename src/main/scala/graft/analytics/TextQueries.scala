@@ -863,6 +863,121 @@ object TextQueries {
       |    AS BIGINT) AS lm_ppm
       |FROM sc GROUP BY doc_id""".stripMargin
 
+  // --------------------------------------- interpolated Kneser-Ney LM
+  /** Interpolated Kneser-Ney bigram LM on the same 90/10 held-out
+    * split as [[textLmBackoff]] — the smoothing that actually ships in
+    * n-gram LMs (Chen & Goodman 1999): absolute discount D = 0.75 on
+    * the seen-bigram mass, redistributed through the CONTINUATION
+    * distribution (how many distinct contexts a word follows, not how
+    * often it occurs — the "San Francisco" correction):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + (D · N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/|bigram types|)
+    *
+    * with full backoff to the continuation term for unseen contexts.
+    * Every ingredient is an exact integer off the train bigram-count
+    * table; the probability is ONE identically-parenthesized double
+    * expression in both engines (products of exact small ints, IEEE
+    * division — bit-deterministic, same discipline as [[QueryUtil
+    * .ppm]]), floored to ppm per position, mean-floored per doc.
+    *
+    * Scale shape: identical to [[textLmBackoff]] — all derived tables
+    * (counts, contexts, continuation fan-ins) are VOCABULARY-keyed
+    * with no broadcast hints; `|bigram types|` is one broadcast row;
+    * the train bigram table is cached across its four derivations and
+    * released in `finally`.
+    */
+  def textLmKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val d = table(spark, dir, "documents")
+    def bigramsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), toks.as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), (i + 1).cast("int")).as("w1"),
+            element_at(col("ts"), (i + 2).cast("int")).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val dd = (c: Column) => c.cast("double")
+    val bgCnt = bigramsOf(d.where(col("doc_id") % 10 =!= 0))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+    bgCnt.cache() // context, fan-in, type-count, and the score join
+    try {
+      // c(w₁·) as the CONTEXT total (Σ over following words) and
+      // N₁₊(w₁·) as the distinct-continuation count — both straight
+      // off the distinct-pair count table
+      val ctx = bgCnt.groupBy(col("w1"))
+        .agg(sum(col("bc")).as("ctx1"), count(lit(1)).as("n1f"))
+      val rev = bgCnt.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+      val types = bgCnt.agg(count(lit(1)).as("btypes"))
+      val pcont = dd(coalesce(col("n1r"), lit(0L))) / dd(col("btypes"))
+      bigramsOf(d.where(col("doc_id") % 10 === 0))
+        .join(bgCnt, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(rev, Seq("w2"), "left")
+        .crossJoin(broadcast(types))
+        .select(col("doc_id"),
+          when(col("ctx1").isNotNull,
+            floor(lit(1e6) * (
+              greatest(dd(coalesce(col("bc"), lit(0L))) - lit(0.75),
+                lit(0.0)) / dd(col("ctx1")) +
+                ((lit(0.75) * dd(col("n1f"))) / dd(col("ctx1"))) * pcont)))
+            .otherwise(floor(lit(1e6) * pcont))
+            .cast("long").as("p_ppm"),
+          col("ctx1").isNull.cast("long").as("unseen"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("unseen")).as("n_unseen_ctx"),
+          floor(dd(sum(col("p_ppm"))) / dd(count(lit(1)))).cast("long")
+            .as("kn_ppm"))
+        // 10% of the corpus — small; materialize before the cache drops
+        .localCheckpoint(true)
+    } finally bgCnt.unpersist()
+  }
+
+  val textLmKneserNeySql: String = {
+    val pcont =
+      "(CAST(COALESCE(r.n1r, 0) AS DOUBLE) / CAST(t.btypes AS DOUBLE))"
+    s"""WITH tr AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |te AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |trb AS (
+       |  SELECT t[i] AS w1, t[i + 1] AS w2
+       |  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+       |    AS i) g),
+       |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM trb GROUP BY 1, 2),
+       |ctx AS (SELECT w1, SUM(bc) AS ctx1, COUNT(*) AS n1f
+       |  FROM bc GROUP BY w1),
+       |rev AS (SELECT w2, COUNT(*) AS n1r FROM bc GROUP BY w2),
+       |ty AS (SELECT CAST(COUNT(*) AS BIGINT) AS btypes FROM bc),
+       |teb AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM te, LATERAL (SELECT unnest(generate_series(1, len(t) - 1))
+       |    AS i) g),
+       |sc AS (
+       |  SELECT e.doc_id,
+       |    CASE WHEN c.ctx1 IS NOT NULL
+       |      THEN CAST(floor(1000000.0 * (
+       |        greatest(CAST(COALESCE(b.bc, 0) AS DOUBLE) - 0.75, 0.0)
+       |          / CAST(c.ctx1 AS DOUBLE) +
+       |        ((0.75 * CAST(c.n1f AS DOUBLE)) / CAST(c.ctx1 AS DOUBLE))
+       |          * $pcont)) AS BIGINT)
+       |      ELSE CAST(floor(1000000.0 * $pcont) AS BIGINT) END AS p_ppm,
+       |    CASE WHEN c.ctx1 IS NULL THEN 1 ELSE 0 END AS unseen
+       |  FROM teb e
+       |  LEFT JOIN bc b ON e.w1 = b.w1 AND e.w2 = b.w2
+       |  LEFT JOIN ctx c ON e.w1 = c.w1
+       |  LEFT JOIN rev r ON e.w2 = r.w2
+       |  CROSS JOIN ty t)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  CAST(SUM(unseen) AS BIGINT) AS n_unseen_ctx,
+       |  CAST(floor(CAST(SUM(p_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |    AS BIGINT) AS kn_ppm
+       |FROM sc GROUP BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ Count-Min sketch
   /** Count-Min sketch over corpus tokens, with its guarantees measured
     * in-band: [[CmDepth]] affine hash rows × [[CmWidth]] cells (the
@@ -1521,6 +1636,7 @@ object TextQueries {
     "sketch_quantile" -> (sketchQuantile _),
     "text_lm_score" -> (textLmScore _),
     "text_lm_backoff" -> (textLmBackoff _),
+    "text_lm_kn" -> (textLmKneserNey _),
     "sketch_countmin" -> (sketchCountmin _),
     "text_pii" -> (textPii _),
     "text_pii_redact" -> (textPiiRedact _),
@@ -1547,6 +1663,7 @@ object TextQueries {
     "sketch_quantile" -> sketchQuantileSql,
     "text_lm_score" -> textLmScoreSql,
     "text_lm_backoff" -> textLmBackoffSql,
+    "text_lm_kn" -> textLmKneserNeySql,
     "sketch_countmin" -> sketchCountminSql,
     "text_pii" -> textPiiSql,
     "text_pii_redact" -> textPiiRedactSql,

@@ -58,7 +58,9 @@ class SyntheticV2Source extends TableProvider with DataSourceRegister {
     new SynthTable(
       rows = Option(opts.get("rows")).map(_.toLong).getOrElse(100000L),
       parts = Option(opts.get("parts")).map(_.toInt).getOrElse(8),
-      keyed = Option(opts.get("keyed")).exists(_.toBoolean))
+      keyed = Option(opts.get("keyed")).exists(_.toBoolean),
+      rowsPerBatch = Option(opts.get("rowsPerBatch")).map(_.toLong)
+        .getOrElse(0L))
   }
 }
 
@@ -108,14 +110,15 @@ object SyntheticV2Source {
       CrossHash.P
 }
 
-private class SynthTable(rows: Long, parts: Int, keyed: Boolean)
+private class SynthTable(rows: Long, parts: Int, keyed: Boolean,
+    rowsPerBatch: Long = 0L)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SyntheticV2Source.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts, keyed)
+    new SynthScanBuilder(rows, parts, keyed, rowsPerBatch)
 }
 
 /** Filter pushdown narrows [lo, hi); column pruning shrinks what the
@@ -135,7 +138,8 @@ private class SynthTable(rows: Long, parts: Int, keyed: Boolean)
   * is the contract that turns `ORDER BY id LIMIT 10` over 10^12 rows
   * into a 10-row read.
   */
-private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
+private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean,
+    rowsPerBatch: Long = 0L)
     extends ScanBuilder
     with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -468,18 +472,29 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean)
         // classes are still exactly the scan's rows.
         keyed && required.fieldNames.contains("bucket") &&
           topnAsc.isEmpty && joined.isEmpty,
-        topnAsc, sample)
+        topnAsc, sample, rowsPerBatch)
   }
 }
 
 private class SynthScan(lo: Long, hi: Long, parts: Int,
     required: StructType, baseFields: Array[String], keyed: Boolean,
     order: Option[Boolean] = None,
-    sample: Option[(Long, Long, Int)] = None)
+    sample: Option[(Long, Long, Int)] = None,
+    rowsPerBatch: Long = 0L)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** MICRO_BATCH_READ: the same generated interval as an exactly-once
+    * stream — see [[SynthMicroBatchStream]]. The streaming persona
+    * always plans plain contiguous slices (keyed/top-N are batch
+    * personas; neither layout claim survives micro-batch replanning).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, parts, baseFields, sample,
+      rowsPerBatch)
 
   /** EXACT post-pushdown statistics (a generated interval knows its
     * own cardinality; a pushed sample scales it by the claimed
@@ -828,4 +843,112 @@ private class KeyedSynthReader(slice: KeyedSynthSlice)
   }
   override def get(): InternalRow = SynthRow.at(id, slice.fields)
   override def close(): Unit = ()
+}
+
+/** Offset = position in the generated id interval: the committed log
+  * position IS the next id to emit. JSON round-trips a bare long.
+  */
+private case class SynthStreamOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** The generated interval [lo, hi) as an exactly-once micro-batch
+  * stream — the streaming half of the connector contract
+  * (`MICRO_BATCH_READ`), with ADMISSION CONTROL and
+  * `Trigger.AvailableNow` support:
+  *
+  *  - offsets are interval positions ([[SynthStreamOffset]]), so a
+  *    batch is the id slice [start, end) — deterministic, replayable,
+  *    and trivially resumable: restart from a checkpoint continues at
+  *    the committed position with no duplicates and no gaps (the
+  *    exactly-once property a file/Kafka source gets from its log,
+  *    here from the closed-form generator);
+  *  - `rowsPerBatch` (option) bounds each micro-batch via
+  *    [[ReadLimit.maxRows]] — the source-side rate limiting contract
+  *    ([[SupportsAdmissionControl]]), honored by the engine for every
+  *    trigger including AvailableNow. 0 = unthrottled (one batch
+  *    drains the interval). Under a pushed sample the cap bounds the
+  *    id RANGE walked per batch, not the rows emitted — admission
+  *    control caps work per trigger, which is the point;
+  *  - [[SupportsTriggerAvailableNow]] is trivially safe here: the
+  *    interval end is static, so the bound captured at query start
+  *    (`hi`) never moves — `prepareForTriggerAvailableNow` has
+  *    nothing to snapshot.
+  *
+  * Batches plan the same contiguous `parts`-way slices as the batch
+  * scan, read by the same O(1)-state row readers — pruned columns and
+  * pushed id-range filters narrow the streamed interval exactly like
+  * the batch path.
+  */
+private class SynthMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    baseFields: Array[String], sample: Option[(Long, Long, Int)],
+    rowsPerBatch: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset, ReadLimit, ReadMaxRows}
+
+  private def pos(o: SOffset): Long = o match {
+    case SynthStreamOffset(p) => p
+    case other => other.json().toLong // engine-deserialized twin
+  }
+
+  override def initialOffset(): SOffset = SynthStreamOffset(lo)
+
+  override def deserializeOffset(json: String): SOffset =
+    SynthStreamOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch > 0L) ReadLimit.maxRows(rowsPerBatch)
+    else ReadLimit.allAvailable()
+
+  // admission-controlled planning: the engine always calls the 2-arg
+  // form on a SupportsAdmissionControl source
+  override def latestOffset(): SOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = pos(start)
+    val cap = limit match {
+      case mr: ReadMaxRows =>
+        // saturating: lo near Long.MaxValue must not wrap
+        if (s > Long.MaxValue - mr.maxRows()) Long.MaxValue
+        else s + mr.maxRows()
+      case _ => hi
+    }
+    SynthStreamOffset(math.max(s, math.min(hi, cap)))
+  }
+
+  override def reportLatestOffset(): SOffset = SynthStreamOffset(hi)
+
+  override def prepareForTriggerAvailableNow(): Unit = () // hi is static
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val s = math.max(lo, pos(start))
+    val e = math.min(hi, pos(end))
+    if (e <= s) return Array.empty
+    val n = e - s
+    val k = math.max(1, parts)
+    (0 until k).map { i =>
+      val a = s + n / k * i + math.min(i.toLong, n % k)
+      val b = s + n / k * (i + 1) + math.min(i + 1L, n % k)
+      SynthSlice(a, b, baseFields, sample = sample): InputPartition
+    }.filter { case sl: SynthSlice => sl.end > sl.start }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] = p match {
+        case s: SynthSlice => new SynthReader(s)
+        case other => throw new UnsupportedOperationException(
+          s"unexpected streaming partition: $other")
+      }
+    }
+
+  override def commit(end: SOffset): Unit = () // nothing to release
+
+  override def stop(): Unit = ()
 }
