@@ -39,4 +39,33 @@ class Round8bOpsSpec extends SparkSuite {
       "singleton must keep full weight")
     spark.catalog.clearCache()
   }
+
+  test("knn_graph_nnd: NN-Descent strictly improves the ring init, " +
+    "graph invariants hold") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val g0 = EmbeddingQueries.nndGraph(spark, sf0001, 0)
+    val g = EmbeddingQueries.nndGraph(spark, sf0001,
+      EmbeddingQueries.NndRounds)
+    val rows = g.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2)))
+    val n = QueryUtil.table(spark, sf0001, "embeddings").count()
+    // invariants: exactly K directed edges per vertex, no self-loops,
+    // no duplicate edges
+    assert(rows.length == n * EmbeddingQueries.NndK)
+    assert(rows.forall { case (v, u, _) => v != u })
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length)
+    // the local join must strictly shrink the total graph distance
+    // (exact integers — no tolerance needed)
+    def total(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("d"))).head.getLong(0)
+    assert(total(g) < total(g0),
+      "NN-Descent failed to improve over the ring init")
+    // and the reported recall must reflect it
+    val rep = EmbeddingQueries.knnGraphNnd(spark, sf0001)
+      .agg(sum(col("n_matched")), sum(col("n_matched_init")))
+      .head
+    assert(rep.getLong(0) > rep.getLong(1),
+      "final recall must beat init recall")
+    spark.catalog.clearCache()
+  }
 }
