@@ -547,6 +547,73 @@ object ScalarBreadthQueries {
       |  CAST(0 AS BIGINT)
       |ORDER BY from_version""".stripMargin
 
+  /** BRANCHED writes on the manifest sink — the Nessie/git-for-data
+    * workflow a pipeline team runs to stage a risky backfill: fork
+    * `exp` from main, append to the branch (main readers see nothing),
+    * let main advance INDEPENDENTLY meanwhile, then merge — a pure
+    * metadata union of immutable files, no rows moved at any table
+    * size. Four states are read back and oracle-recomputed from the
+    * deterministic slice definitions: main before the branch work,
+    * the branch view, main after its own independent commit (branch
+    * still invisible — isolation both ways), and main after the
+    * merge (everything, exactly once). A file leaking across heads or
+    * a merge double-listing a shared file diverges the hash.
+    */
+  def sinkManifestBranch(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_branch_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      def slice(m: Long) = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 17 === m)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val M = graft.sources.ManifestV2Sink
+      slice(0).write.format("graft-manifest").mode("append").save(out)
+      M.createBranch(out, "exp")
+      slice(1).write.format("graft-manifest").option("branch", "exp")
+        .mode("append").save(out)
+      val mainPre = M.readCommitted(spark, out)
+      val branchView = M.readBranch(spark, out, "exp")
+      slice(2).write.format("graft-manifest").mode("append").save(out)
+      val mainMid = M.readCommitted(spark, out)
+      // force the pre-merge reads before merge mutates the pointers
+      def stat(state: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+            sum(col("o_orderkey")).as("sum_keys"))
+          .select(lit(state).as("state"), col("n"), col("sum_cents"),
+            col("sum_keys")).localCheckpoint(true)
+      val pre = Seq(stat("1_main_pre", mainPre),
+        stat("2_branch", branchView), stat("3_main_concurrent", mainMid))
+      M.mergeBranch(out, "exp")
+      val all = pre :+ stat("4_main_merged", M.readCommitted(spark, out))
+      all.reduce(_ unionByName _).orderBy(col("state"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestBranchSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey % 17 AS m, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |v AS (
+      |  SELECT '1_main_pre' AS state, o_orderkey, cents FROM s WHERE m = 0
+      |  UNION ALL
+      |  SELECT '2_branch', o_orderkey, cents FROM s WHERE m IN (0, 1)
+      |  UNION ALL
+      |  SELECT '3_main_concurrent', o_orderkey, cents FROM s
+      |  WHERE m IN (0, 2)
+      |  UNION ALL
+      |  SELECT '4_main_merged', o_orderkey, cents FROM s
+      |  WHERE m IN (0, 1, 2))
+      |SELECT state, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM v GROUP BY state ORDER BY state""".stripMargin
+
   // ----------------------------------- DSv2 aggregate pushdown
   /** COMPLETE aggregate pushdown through the V2 connector: the
     * source's ScanBuilder implements `SupportsPushDownAggregates`, so
@@ -607,6 +674,7 @@ object ScalarBreadthQueries {
     "source_dsv2_join" -> (sourceDsv2Join _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
+    "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -625,6 +693,7 @@ object ScalarBreadthQueries {
     "source_dsv2_join" -> sourceDsv2JoinSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
+    "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,

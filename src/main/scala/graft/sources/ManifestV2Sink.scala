@@ -79,7 +79,8 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new ManifestTable(schema, ManifestV2Sink.pathOf(opts))
+    new ManifestTable(schema, ManifestV2Sink.pathOf(opts),
+      Option(opts.get("branch")))
   }
 }
 
@@ -112,7 +113,7 @@ object ManifestV2Sink {
     }
   }
 
-  private def parseManifest(mf: Path): Option[(StructType, Seq[String])] =
+  private[sources] def parseManifest(mf: Path): Option[(StructType, Seq[String])] =
     if (!Files.exists(mf)) None
     else {
       val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
@@ -158,17 +159,153 @@ object ManifestV2Sink {
         files.map(f => Paths.get(path, f).toString): _*)
   }
 
+  // ------------------------------------------------------- branching
+  /** Nessie/Iceberg-style BRANCHES on the manifest log, in miniature:
+    * a branch is just another head pointer (`_MANIFEST.branch-<name>`)
+    * into the same immutable data-file and snapshot space, plus a
+    * sidecar recording the MAIN version it forked from. Branch commits
+    * ride the identical staged-write/atomic-rename protocol and land
+    * the same `.vNNNNN` snapshots (one linear commit log, many heads —
+    * the Nessie model), so time travel and crash-safety arguments
+    * carry over verbatim. Main and branch evolve independently;
+    * [[mergeBranch]] folds an append-only branch back in.
+    */
+  private[sources] def branchFile(path: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_-]+"), s"bad branch name: $name")
+    Paths.get(path, s"_MANIFEST.branch-$name")
+  }
+
+  private def branchBaseFile(path: String, name: String): Path =
+    Paths.get(path, s"_MANIFEST.branch-$name.base")
+
+  /** Branch names with a live head pointer. */
+  def branches(path: String): Seq[String] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val b = "_MANIFEST\\.branch-([A-Za-z0-9_-]+)".r
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case b(n) => n }.toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Fork `name` at the CURRENT main state: the branch head starts as
+    * a copy of main's manifest, and the fork-point version is recorded
+    * so [[mergeBranch]] knows what the branch added.
+    */
+  def createBranch(path: String, name: String): Unit = {
+    val mf = manifestFile(path)
+    require(Files.exists(mf), s"no manifest at $path — nothing to branch")
+    require(!Files.exists(branchFile(path, name)),
+      s"branch $name already exists at $path")
+    val base = versions(path).lastOption.getOrElse(0)
+    Files.write(branchBaseFile(path, name),
+      base.toString.getBytes(StandardCharsets.UTF_8))
+    // copy-then-rename: the head appears atomically, like every commit
+    val tmp = Paths.get(path, s"_MANIFEST.branchtmp-$name")
+    Files.copy(mf, tmp, StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmp, branchFile(path, name), StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The branch's committed view — same resolution as
+    * [[readCommitted]], through the branch head.
+    */
+  def readBranch(spark: SparkSession, path: String,
+      name: String): DataFrame = {
+    val (schema, files) = parseManifest(branchFile(path, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"no branch $name at $path (have: ${branches(path).mkString(",")})"))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).json(
+        files.map(f => Paths.get(path, f).toString): _*)
+  }
+
+  /** Merge an APPEND-ONLY branch back into main: main's current list
+    * plus everything the branch added since its fork point, published
+    * as a normal main commit (snapshot + atomic pointer move), then
+    * the branch head is deleted. Data files are immutable and shared,
+    * so the merge is PURE METADATA — no rows move at any table size.
+    *
+    * Rejects (IllegalStateException) a branch that dropped fork-point
+    * files (an overwrite/rewrite branch): its intent cannot be merged
+    * by union — replay it against main instead, exactly like a
+    * non-fast-forwardable git branch. Main having advanced since the
+    * fork is fine (that is the point of the fork-base bookkeeping).
+    */
+  def mergeBranch(path: String, name: String): Unit = {
+    val (bSchema, bFiles) = parseManifest(branchFile(path, name)).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name at $path"))
+    val base = new String(Files.readAllBytes(branchBaseFile(path, name)),
+      StandardCharsets.UTF_8).trim.toInt
+    val baseFiles =
+      if (base == 0) Seq.empty
+      else parseManifest(versionFile(path, base)).map(_._2).getOrElse(Seq.empty)
+    if (!baseFiles.forall(bFiles.contains))
+      throw new IllegalStateException(
+        s"branch $name rewrote fork-point files — not merge-by-union-able")
+    val (mSchema, mFiles) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    require(mSchema.json == bSchema.json,
+      s"branch $name schema diverged from main")
+    val added = bFiles.filterNot(baseFiles.toSet)
+    val merged = mFiles ++ added.filterNot(mFiles.toSet)
+    publish(path, mSchema, merged, s"merge-$name")
+    deleteBranch(path, name)
+  }
+
+  /** Drop the branch head + fork-point sidecar. The branch's data
+    * files stay reachable through their `.vNNNNN` snapshots until
+    * those expire — after which [[unreferencedFiles]] releases them,
+    * the same lifecycle as any abandoned commit.
+    */
+  def deleteBranch(path: String, name: String): Unit = {
+    Files.deleteIfExists(branchFile(path, name))
+    Files.deleteIfExists(branchBaseFile(path, name))
+    ()
+  }
+
+  /** Publish `files` as the new state of `pointer` (main when
+    * `branch` is None): versioned snapshot first, pointer rename as
+    * the commit point — the single protocol every commit path shares.
+    */
+  private[sources] def publish(path: String, schema: StructType,
+      files: Seq[String], tag: String, branch: Option[String] = None): Unit = {
+    val body = ((schema.json +: files).mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8)
+    val nextV = versions(path).lastOption.getOrElse(0) + 1
+    val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$tag")
+    Files.write(vTmp, body)
+    Files.move(vTmp, versionFile(path, nextV),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val pointer = branch.map(branchFile(path, _))
+      .getOrElse(Paths.get(path, "_MANIFEST"))
+    val tmp = Paths.get(path, s"_MANIFEST.tmp.$tag")
+    Files.write(tmp, body)
+    Files.move(tmp, pointer,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Data files present on disk but referenced by NO retained
-    * manifest — current or versioned: crash debris, or files whose
-    * last referencing snapshot was expired. Safe to delete any time
-    * (the vacuum sweep); returned instead of deleted so the policy
-    * stays with the caller. Time-travel-reachable files are NOT
-    * listed — vacuum after retention, not before.
+    * manifest — current, versioned, or any live branch head: crash
+    * debris, or files whose last referencing snapshot was expired.
+    * Safe to delete any time (the vacuum sweep); returned instead of
+    * deleted so the policy stays with the caller. Time-travel- or
+    * branch-reachable files are NOT listed — vacuum after retention,
+    * not before.
     */
   def unreferencedFiles(path: String): Seq[String] = {
     val committed = (readManifest(path).map(_._2).getOrElse(Seq.empty) ++
       versions(path).flatMap(v =>
-        parseManifest(versionFile(path, v)).map(_._2).getOrElse(Seq.empty)))
+        parseManifest(versionFile(path, v)).map(_._2).getOrElse(Seq.empty)) ++
+      branches(path).flatMap(b =>
+        parseManifest(branchFile(path, b)).map(_._2).getOrElse(Seq.empty)))
       .toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) Seq.empty
@@ -183,9 +320,11 @@ object ManifestV2Sink {
   }
 }
 
-private[sources] class ManifestTable(schema0: StructType, path: String)
+private[sources] class ManifestTable(schema0: StructType, path: String,
+    branch: Option[String] = None)
     extends Table with SupportsWrite {
-  override def name(): String = s"graft-manifest($path)"
+  override def name(): String =
+    s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
@@ -196,7 +335,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String)
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new ManifestBatchWrite(path, info.schema(), info.queryId(), replace)
+          new ManifestBatchWrite(path, info.schema(), info.queryId(),
+            replace, branch)
       }
     }
 }
@@ -205,7 +345,8 @@ private[sources] case class StagedFile(name: String, rows: Long)
     extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
-    queryId: String, replace: Boolean) extends BatchWrite {
+    queryId: String, replace: Boolean,
+    branch: Option[String] = None) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -222,27 +363,34 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         StandardCopyOption.REPLACE_EXISTING)
       s"data/$name"
     }.sorted
+    // a branch commit appends to the BRANCH head; an un-created
+    // branch starts empty, forked at the current latest version
     val previous =
       if (replace) Seq.empty
-      else ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+      else branch match {
+        case Some(b) => ManifestV2Sink
+          .parseManifest(ManifestV2Sink.branchFile(path, b))
+          .map(_._2).getOrElse(Seq.empty)
+        case None =>
+          ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+      }
+    branch.foreach { b =>
+      val baseF = Paths.get(path, s"_MANIFEST.branch-$b.base")
+      // a write to a branch that was never createBranch'd starts the
+      // branch EMPTY — its fork point is the empty table (base 0), so
+      // merge-by-union later adds exactly what the branch wrote
+      if (!Files.exists(baseF))
+        Files.write(baseF, "0".getBytes(StandardCharsets.UTF_8))
+    }
     // publish: write-then-atomic-rename; readers see old or new state,
     // never a torn manifest. The SNAPSHOT (versioned) copy lands
-    // first, the current pointer last — the pointer move is the
-    // commit point; a crash in between leaves a version file whose
-    // content never became current, which is the same
-    // garbage-not-corruption class as an unpromoted staged file (it
-    // references only promoted files and reads consistently)
-    val body = ((schema.json +: (previous ++ promoted)).mkString("\n") + "\n")
-      .getBytes(StandardCharsets.UTF_8)
-    val nextV = ManifestV2Sink.versions(path).lastOption.getOrElse(0) + 1
-    val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$queryId")
-    Files.write(vTmp, body)
-    Files.move(vTmp, ManifestV2Sink.versionFile(path, nextV),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val tmp = Paths.get(path, s"_MANIFEST.tmp.$queryId")
-    Files.write(tmp, body)
-    Files.move(tmp, Paths.get(path, "_MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // first, the target pointer (main or branch head) last — the
+    // pointer move is the commit point; a crash in between leaves a
+    // version file whose content never became current, which is the
+    // same garbage-not-corruption class as an unpromoted staged file
+    // (it references only promoted files and reads consistently)
+    ManifestV2Sink.publish(path, schema, previous ++ promoted, queryId,
+      branch)
     cleanupStaged()
   }
 
