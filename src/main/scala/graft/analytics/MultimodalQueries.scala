@@ -283,7 +283,56 @@ object MultimodalQueries {
            "COUNT(*)")} AS removed_ppm
       |FROM j GROUP BY 1""".stripMargin
 
+  /** Resolution/aspect QUALITY GATE over decoded media — the LAION-
+    * style screening step between decode and training: drop frames
+    * under a minimum resolution or outside a 1:3 aspect band (banner
+    * ads, scanlines, corrupt headers all land there). Runs the REAL
+    * partition-batched decode ([[MultimodalOps.extractFeatures]]);
+    * the keep predicate is pure integer arithmetic on the decoded
+    * dims, so DuckDB re-derives the verdict from the md5-derived stub
+    * dims independently. Per media type: total, kept, and bytes
+    * surviving — the mixture owner's before/after line.
+    *
+    * Scale shape: decode is narrow (zero shuffle — content never
+    * leaves its partition); only the per-type rollup aggregates, on a
+    * 3-value key.
+    */
+  def multimodalFilter(spark: SparkSession, dir: String): DataFrame = {
+    val keep = col("width") >= 64 && col("height") >= 64 &&
+      col("width") * 3 >= col("height") && col("height") * 3 >= col("width")
+    MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFromDocuments(spark, dir))
+      .select(col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"), col("width"), col("height"))
+      .withColumn("keep", keep)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_bytes")).as("n_bytes"),
+        sum(when(col("keep"), col("n_bytes")).otherwise(0L))
+          .as("n_bytes_kept"))
+  }
+
+  val multimodalFilterSql: String =
+    """WITH m AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+      |      AS media_type,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
+      |    1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
+      |  FROM documents),
+      |k AS (SELECT media_type, n_bytes,
+      |  width >= 64 AND height >= 64 AND width * 3 >= height
+      |    AND height * 3 >= width AS keep FROM m)
+      |SELECT media_type, COUNT(*) AS n_media,
+      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+      |  CAST(SUM(CASE WHEN keep THEN n_bytes ELSE 0 END) AS BIGINT)
+      |    AS n_bytes_kept
+      |FROM k GROUP BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_filter" -> (multimodalFilter _),
     "multimodal_dedup_apply" -> (multimodalDedupApply _),
     "multimodal_phash" -> (multimodalPhash _),
     "multimodal_phash_pairs" -> (multimodalPhashPairs _),
@@ -293,6 +342,7 @@ object MultimodalQueries {
     "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_filter" -> multimodalFilterSql,
     "multimodal_dedup_apply" -> multimodalDedupApplySql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_phash_pairs" -> multimodalPhashPairsSql,

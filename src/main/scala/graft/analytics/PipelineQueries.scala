@@ -2197,7 +2197,94 @@ object PipelineQueries {
        |JOIN comp c ON d.doc_id = c.v
        |JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
 
+  // ------------------------------------------ padding-waste analysis
+  /** PADDING WASTE under length bucketing — the measurement that
+    * decides how a training pipeline batches: with one global max
+    * length, every short document pays (max − len) pad tokens; with
+    * power-of-two length buckets (the bucketed-batching compromise
+    * between padding loss and batch-shape churn), each doc pads only
+    * to its bucket cap. One scan computes both schemes side by side:
+    * per (scheme, bucket cap) — docs, real tokens, padded slots, and
+    * waste ppm — plus what the decision needs most, the TOTAL waste
+    * ratio of each scheme on one line ('zz_total' rows order last).
+    * (The third option, sequence PACKING, is [[pipelinePack]]; this
+    * report is what justifies it.)
+    *
+    * The bucket cap is a CASE chain over fixed powers of two (16..4096
+    * covers any tokenizer-bounded document; longer docs are the
+    * chunker's job upstream) — exact integers, no libm log2, so both
+    * engines bucket identically. Scale shape: one corpus scan, a
+    * per-row cap expression, one low-cardinality partial-aggregating
+    * groupBy.
+    */
+  def pipelinePackWaste(spark: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+    val docs = table(spark, dir, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val bucketCap = caps.reverse.tail.foldLeft(lit(caps.last)) {
+      (acc, c) => when(col("n_toks") <= c, c).otherwise(acc)
+    }
+    val bucketed = docs.withColumn("cap", bucketCap).cache()
+    try {
+      val globalCap = bucketed.agg(max(col("n_toks"))).head.getLong(0)
+      def report(scheme: String, capCol: Column) = bucketed
+        .groupBy(capCol.as("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(lit(scheme).as("scheme"), col("bucket_cap"),
+          col("n_docs"), col("n_tokens"),
+          (col("bucket_cap") * col("n_docs")).as("n_padded"))
+      val per = report("bucket_pow2", col("cap"))
+        .unionByName(report("global_max", lit(globalCap)))
+      val totals = per.groupBy(col("scheme"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_padded")).as("n_padded"))
+        .select(concat(lit("zz_total_"), col("scheme")).as("scheme"),
+          lit(0L).as("bucket_cap"), col("n_docs"), col("n_tokens"),
+          col("n_padded"))
+      per.unionByName(totals)
+        .withColumn("waste_ppm",
+          ppm(col("n_padded") - col("n_tokens"), col("n_padded")))
+        .orderBy(col("scheme"), col("bucket_cap"))
+        .localCheckpoint(true) // small; frees the cache in finally
+    } finally bucketed.unpersist()
+  }
+
+  val pipelinePackWasteSql: String = {
+    val caps = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+    val capCase = "CASE " + caps.dropRight(1)
+      .map(c => s"WHEN n_toks <= $c THEN $c").mkString(" ") +
+      s" ELSE ${caps.last} END"
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |b AS (SELECT n_toks, CAST($capCase AS BIGINT) AS cap FROM d),
+       |per AS (
+       |  SELECT 'bucket_pow2' AS scheme, cap AS bucket_cap,
+       |    COUNT(*) AS n_docs, SUM(n_toks) AS n_tokens,
+       |    cap * COUNT(*) AS n_padded
+       |  FROM b GROUP BY cap
+       |  UNION ALL
+       |  SELECT 'global_max', (SELECT MAX(n_toks) FROM d),
+       |    COUNT(*), SUM(n_toks),
+       |    (SELECT MAX(n_toks) FROM d) * COUNT(*)
+       |  FROM b),
+       |tot AS (
+       |  SELECT 'zz_total_' || scheme AS scheme, CAST(0 AS BIGINT)
+       |    AS bucket_cap, SUM(n_docs) AS n_docs,
+       |    SUM(n_tokens) AS n_tokens, SUM(n_padded) AS n_padded
+       |  FROM per GROUP BY scheme),
+       |f AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+       |SELECT scheme, CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(n_padded AS BIGINT) AS n_padded,
+       |  ${sqlPpm("n_padded - n_tokens", "n_padded")} AS waste_ppm
+       |FROM f ORDER BY scheme, bucket_cap""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pack_waste" -> (pipelinePackWaste _),
     "pipeline_dedup_weight" -> (pipelineDedupWeight _),
     "pipeline_contribution_cap" -> (pipelineContributionCap _),
     "pipeline_epoch_plan" -> (pipelineEpochPlan _),
@@ -2233,6 +2320,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_pack_waste" -> pipelinePackWasteSql,
     "pipeline_dedup_weight" -> pipelineDedupWeightSql,
     "pipeline_contribution_cap" -> pipelineContributionCapSql,
     "pipeline_epoch_plan" -> pipelineEpochPlanSql,

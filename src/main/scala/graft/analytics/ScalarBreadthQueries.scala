@@ -614,6 +614,57 @@ object ScalarBreadthQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
       |FROM v GROUP BY state ORDER BY state""".stripMargin
 
+  /** Copy-on-write MERGE (upsert) through the manifest sink — the
+    * Delta/Iceberg `MERGE INTO` shape in miniature: a base commit, an
+    * update batch that REWRITES half the existing keys (×10 cents) and
+    * INSERTS a disjoint slice, folded in by
+    * [[graft.sources.ManifestV2Sink.upsert]] as one transactional
+    * overwrite (updates win per key via anti join, everything else
+    * carries over). The final state is read back and rolled up per
+    * key class, so the oracle catches every merge failure mode: a lost
+    * update (m=1 summing at 1×), a dropped carry-over (m=0 missing),
+    * a duplicated key (counts off), a leaked pre-merge file (sums
+    * off). The pre-merge state stays time-travelable — snapshot
+    * isolation is [[sinkManifestTimetravel]]'s gate.
+    */
+  def sinkManifestUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      def slice(ms: Long*) = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 17 isin (ms: _*))
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      slice(0, 1).write.format("graft-manifest").mode("append").save(out)
+      val updates = slice(1, 2)
+        .select(col("o_orderkey"), (col("cents") * 10).as("cents"))
+      graft.sources.ManifestV2Sink.upsert(spark, out, updates, "o_orderkey")
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy((col("o_orderkey") % 17).as("m"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .orderBy(col("m"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestUpsertSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey % 17 AS m, o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |f AS (
+      |  SELECT m, o_orderkey, cents FROM s WHERE m = 0
+      |  UNION ALL
+      |  SELECT m, o_orderkey, cents * 10 FROM s WHERE m IN (1, 2))
+      |SELECT m, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM f GROUP BY m ORDER BY m""".stripMargin
+
   // ----------------------------------- DSv2 aggregate pushdown
   /** COMPLETE aggregate pushdown through the V2 connector: the
     * source's ScanBuilder implements `SupportsPushDownAggregates`, so
@@ -675,6 +726,7 @@ object ScalarBreadthQueries {
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
     "sink_manifest_branch" -> (sinkManifestBranch _),
+    "sink_manifest_upsert" -> (sinkManifestUpsert _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -694,6 +746,7 @@ object ScalarBreadthQueries {
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
     "sink_manifest_branch" -> sinkManifestBranchSql,
+    "sink_manifest_upsert" -> sinkManifestUpsertSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,

@@ -159,6 +159,27 @@ object ManifestV2Sink {
         files.map(f => Paths.get(path, f).toString): _*)
   }
 
+  /** Copy-on-write MERGE (upsert): rows of `updates` win on `key`,
+    * everything else carries over, published as ONE transactional
+    * overwrite commit through the normal DSv2 write path — readers see
+    * the pre-merge or post-merge table, never a mix, and the previous
+    * state stays time-travelable. The carry-over is a key-partitioned
+    * anti join (shuffle on the 8-byte key, never on payload width). At
+    * scale a real format narrows the rewrite to the files that CONTAIN
+    * matched keys via file-level key ranges — the manifest's
+    * file-list granularity is exactly the metadata that narrowing
+    * reads; rewriting everything here keeps the miniature honest
+    * about being copy-on-write (the merge-on-read alternative is
+    * [[graft.streaming.TableStateStore]]'s latest-seq-wins read).
+    */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+      key: String): Unit = {
+    val current = readCommitted(spark, path)
+    val kept = current.join(updates.select(key), Seq(key), "left_anti")
+    kept.unionByName(updates)
+      .write.format("graft-manifest").mode("overwrite").save(path)
+  }
+
   // ------------------------------------------------------- branching
   /** Nessie/Iceberg-style BRANCHES on the manifest log, in miniature:
     * a branch is just another head pointer (`_MANIFEST.branch-<name>`)

@@ -102,6 +102,11 @@ class StreamNearDupGateSpec extends SparkSuite {
       assert(rows.contains((2L, 2L, 1000000L, false)))
       // the copy collides ONLY with doc 1 (salts differ elsewhere)
       assert(rows.collect { case (100L, old, _, _) => old } == Set(1L))
+      // the gate is STATELESS by construction: pure stream-static
+      // joins, no aggregation — the engine must report zero state
+      // operators (state growth here would be a scale leak)
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "near-dup gate must not hold streaming state")
     } finally q.stop()
   }
 }
