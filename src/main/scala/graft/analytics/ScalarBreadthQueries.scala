@@ -665,6 +665,80 @@ object ScalarBreadthQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
       |FROM f GROUP BY m ORDER BY m""".stripMargin
 
+  // ------------------------------------------- file-format breadth
+  /** CSV ROUND-TRIP — the interchange format every ingestion pipeline
+    * still meets at its edges: a documents projection (including a
+    * column with embedded commas, so quoting is actually exercised)
+    * is written with headers, read back under an EXPLICIT schema (the
+    * production discipline — header inference on a 100 TB drop is a
+    * full extra pass and a type roulette), and rolled up. A quoting
+    * or escaping bug shifts columns and diverges count/sum/max
+    * against the oracle, which recomputes from the parquet truth.
+    */
+  def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_csv_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws(",", col("source"), col("lang")).as("tagged"),
+          col("n_chars"))
+        .write.option("header", "true").csv(outPath.toString)
+      spark.read
+        .schema("doc_id LONG, lang STRING, source STRING, " +
+          "tagged STRING, n_chars LONG")
+        .option("header", "true").csv(outPath.toString)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          max(col("tagged")).as("max_tagged"))
+        .localCheckpoint(true) // eager: the finally deletes the files
+    } finally fs.delete(outPath, true)
+  }
+
+  val sourceCsvRoundtripSql: String =
+    """SELECT lang, source, COUNT(*) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MAX(source || ',' || lang) AS max_tagged
+      |FROM documents GROUP BY lang, source""".stripMargin
+
+  /** ORC ROUND-TRIP with a selective read-back — the columnar
+    * alternative Spark ships natively: an orders slice is written,
+    * then read back under a price predicate and pruned projection
+    * (both reach the ORC reader — PlanAuditSpec pins the pushed
+    * filter) and rolled up per status. The oracle recomputes from the
+    * parquet truth, so a lossy write (decimal/date mangling) or an
+    * unpushed filter reading the wrong rows diverges the hash.
+    */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_orc_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"))
+        .write.orc(outPath.toString)
+      spark.read.orc(outPath.toString)
+        .where(col("o_totalprice") > 150000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"),
+          min(col("o_orderdate").cast("date")).cast("string").as("min_date"),
+          max(col("o_orderkey")).as("max_key"))
+        .localCheckpoint(true) // eager: the finally deletes the files
+    } finally fs.delete(outPath, true)
+  }
+
+  val sourceOrcRoundtripSql: String =
+    s"""SELECT o_orderstatus, COUNT(*) AS n,
+       |  ${sqlDsum("o_totalprice")} AS rev,
+       |  strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_date,
+       |  MAX(o_orderkey) AS max_key
+       |FROM orders WHERE o_totalprice > 150000.0
+       |GROUP BY o_orderstatus""".stripMargin
+
   // ----------------------------------- DSv2 aggregate pushdown
   /** COMPLETE aggregate pushdown through the V2 connector: the
     * source's ScanBuilder implements `SupportsPushDownAggregates`, so
@@ -727,6 +801,8 @@ object ScalarBreadthQueries {
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
     "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
+    "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
+    "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
     "array_funcs_embeddings" -> (arrayFuncsEmbeddings _),
     "regexp_docs" -> (regexpDocs _),
@@ -747,6 +823,8 @@ object ScalarBreadthQueries {
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
     "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
+    "source_csv_roundtrip" -> sourceCsvRoundtripSql,
+    "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,
     "array_funcs_embeddings" -> arrayFuncsSql,
     "regexp_docs" -> regexpDocsSql,
