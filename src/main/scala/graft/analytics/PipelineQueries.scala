@@ -768,6 +768,64 @@ object PipelineQueries {
        |  CAST(COALESCE(m.dist, -1) AS BIGINT) AS hop_dist
        |FROM documents d LEFT JOIN mind m ON d.doc_id = m.v""".stripMargin
 
+  /** HUB report over the near-dup graph: per-doc degree, the corpus
+    * degree histogram, and the top hubs with their source and size —
+    * the boilerplate detector a pipeline owner reads first (a
+    * template page re-crawled everywhere shows up as one doc
+    * near-dup-linked to hundreds; its SOURCE tells you which crawl to
+    * fix). Output: one row per doc in the top-20 by (degree DESC,
+    * doc_id) plus its degree-histogram bucket share, all exact
+    * integers.
+    *
+    * Scale shape: degrees are one partial-aggregating groupBy over
+    * the (already banded, never all-pairs) simhash pair list; top-20
+    * compiles to TakeOrderedAndProject; the histogram is a
+    * broadcast-size rollup joined back by bucket.
+    */
+  def graphHubs(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b"))
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    // histogram bucket = degree itself at these densities (exact,
+    // engine-independent); share in ppm of all linked docs
+    val hist = deg.groupBy(col("degree").as("hdeg"))
+      .agg(count(lit(1)).as("n_docs_at_degree"))
+    val total = deg.count()
+    deg.join(docs, "doc_id")
+      .join(hist, col("degree") === col("hdeg"))
+      .select(col("doc_id"), col("degree"), col("source"), col("n_toks"),
+        col("n_docs_at_degree"),
+        ppm(col("n_docs_at_degree"), lit(total)).as("degree_share_ppm"))
+      .orderBy(col("degree").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
+  val graphHubsSql: String =
+    s"""WITH ${DedupQueries.sqlSimhashPairCtes},
+       |deg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT doc_a AS doc_id FROM spairs
+       |    UNION ALL SELECT doc_b FROM spairs) u
+       |  GROUP BY doc_id),
+       |hist AS (SELECT degree AS hdeg, CAST(COUNT(*) AS BIGINT)
+       |  AS n_docs_at_degree FROM deg GROUP BY degree),
+       |tot AS (SELECT COUNT(*) AS t FROM deg)
+       |SELECT d.doc_id, d.degree, doc.source,
+       |  CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS n_toks,
+       |  h.n_docs_at_degree,
+       |  ${QueryUtil.sqlPpm("h.n_docs_at_degree", "(SELECT t FROM tot)")}
+       |    AS degree_share_ppm
+       |FROM deg d
+       |JOIN documents doc ON d.doc_id = doc.doc_id
+       |JOIN hist h ON d.degree = h.hdeg
+       |ORDER BY d.degree DESC, d.doc_id ASC LIMIT 20""".stripMargin
+
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     // each round is materialized (localCheckpoint, as in the CC
     // queries): without it round i's degree count re-executes every
@@ -2315,6 +2373,7 @@ object PipelineQueries {
     "pipeline_filter" -> (pipelineFilter _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_hubs" -> (graphHubs _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_provenance" -> (pipelineProvenance _),
     "bloom_join_prune" -> (bloomJoinPrune _))
@@ -2351,6 +2410,7 @@ object PipelineQueries {
     "pipeline_filter" -> pipelineFilterSql,
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
+    "graph_hubs" -> graphHubsSql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_provenance" -> pipelineProvenanceSql,
     "bloom_join_prune" -> bloomJoinPruneSql)
