@@ -2341,7 +2341,86 @@ object PipelineQueries {
        |FROM f ORDER BY scheme, bucket_cap""".stripMargin
   }
 
+  // ------------------------------------------- token-budget allocation
+  /** GREEDY TOKEN-BUDGET ALLOCATION across sources — the mixture
+    * owner's capacity plan: given a training budget of half the
+    * corpus, fill sources in quality order (fraction of docs passing
+    * the admission token floor, as ppm), but cap any single source at
+    * 10% of the budget (concentration cap: no crawl may dominate the
+    * mixture, the C4→Pile lesson) and at its own availability. Output
+    * per source: score, availability, cap, fill rank, the allocation
+    * the greedy fill actually grants, and whether the source
+    * saturated its cap — all exact integers.
+    *
+    * Scale shape: one corpus scan folds to a SOURCE-cardinality frame
+    * (partial-aggregating); the greedy fill is a running sum over
+    * that tiny frame — the single-partition window is over |sources|
+    * rows, not data (same rationale as pipeline_pack's 256-row
+    * exchange), and the budget scalar is a 1-row broadcast.
+    */
+  def pipelineBudgetAlloc(spark: SparkSession, dir: String): DataFrame = {
+    val src = table(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("avail_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_toks") >= 20, 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("score_ppm", ppm(col("n_pass"), col("n_docs")))
+    val budget = src.agg((sum(col("avail_tokens")) / 2).cast("long")
+      .as("budget"))
+    val capped = src.crossJoin(broadcast(budget))
+      .withColumn("cap_tokens",
+        least(col("avail_tokens"), expr("budget * 10 div 100")))
+    val w = Window.orderBy(col("score_ppm").desc, col("source").asc)
+    capped
+      .withColumn("fill_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_before",
+        coalesce(sum(col("cap_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("score_ppm"), col("avail_tokens"),
+        col("cap_tokens"), col("fill_rank"),
+        greatest(lit(0L), least(col("cap_tokens"),
+          col("budget") - col("cum_before"))).as("alloc_tokens"))
+      .withColumn("saturated", col("alloc_tokens") === col("cap_tokens"))
+  }
+
+  val pipelineBudgetAllocSql: String =
+    s"""WITH d AS (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS n_toks FROM documents),
+       |s AS (
+       |  SELECT source, SUM(n_toks) AS avail_tokens, COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN n_toks >= 20 THEN 1 ELSE 0 END) AS n_pass
+       |  FROM d GROUP BY source),
+       |sc AS (SELECT source, avail_tokens,
+       |  ${sqlPpm("n_pass", "n_docs")} AS score_ppm FROM s),
+       |b AS (SELECT CAST(SUM(avail_tokens) // 2 AS BIGINT) AS budget
+       |  FROM s),
+       |c AS (
+       |  SELECT sc.*, b.budget,
+       |    LEAST(avail_tokens, b.budget * 10 // 100) AS cap_tokens
+       |  FROM sc CROSS JOIN b),
+       |r AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY score_ppm DESC, source ASC)
+       |      AS BIGINT) AS fill_rank,
+       |    COALESCE(SUM(cap_tokens) OVER (
+       |      ORDER BY score_ppm DESC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM c)
+       |SELECT source, score_ppm, CAST(avail_tokens AS BIGINT)
+       |    AS avail_tokens,
+       |  CAST(cap_tokens AS BIGINT) AS cap_tokens, fill_rank,
+       |  CAST(GREATEST(0, LEAST(cap_tokens, budget - cum_before))
+       |    AS BIGINT) AS alloc_tokens,
+       |  GREATEST(0, LEAST(cap_tokens, budget - cum_before))
+       |    = cap_tokens AS saturated
+       |FROM r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_budget_alloc" -> (pipelineBudgetAlloc _),
     "pipeline_pack_waste" -> (pipelinePackWaste _),
     "pipeline_dedup_weight" -> (pipelineDedupWeight _),
     "pipeline_contribution_cap" -> (pipelineContributionCap _),
@@ -2379,6 +2458,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_budget_alloc" -> pipelineBudgetAllocSql,
     "pipeline_pack_waste" -> pipelinePackWasteSql,
     "pipeline_dedup_weight" -> pipelineDedupWeightSql,
     "pipeline_contribution_cap" -> pipelineContributionCapSql,

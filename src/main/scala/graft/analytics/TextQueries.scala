@@ -978,6 +978,72 @@ object TextQueries {
        |FROM sc GROUP BY doc_id""".stripMargin
   }
 
+  // --------------------------------- per-source distribution distance
+  /** Per-source TOKEN-DISTRIBUTION DIVERGENCE from the corpus: the
+    * total-variation distance between each source's unigram
+    * distribution and the whole-corpus distribution — the mixture
+    * diagnostic that says WHICH source's language is off before any
+    * model sees it (a crawl gone template-heavy or language-drifted
+    * moves its unigram mass; TV is the worst-case probability gap any
+    * event can show). Chosen over KL/JS precisely because it needs no
+    * logarithm: with integer counts, TV = Σ|cnt_s·N − cnt_c·n_s| /
+    * (2·n_s·N) has an EXACT integer numerator — computed in
+    * DECIMAL(38,0) (DuckDB: HUGEINT) so the products survive
+    * petabyte-scale token counts where int64 would overflow — and the
+    * single final division is one IEEE op on identical exact operands
+    * in both engines.
+    *
+    * Scale shape: one corpus tokenize → (source, token) partial-
+    * aggregating count (the same shuffle any per-source vocab needs),
+    * a vocabulary-keyed join of source counts against corpus counts
+    * (outer: a token a source never emits still contributes its
+    * corpus mass), and a per-source fold — no broadcast of anything
+    * vocabulary-sized.
+    */
+  def textSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tok = table(spark, dir, "documents")
+      .select(col("source"), explode(toks).as("w"))
+    val bySrc = tok.groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("cs"))
+    val corpus = tok.groupBy(col("w")).agg(count(lit(1)).as("cc"))
+    val nSrc = tok.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    val total = tok.count()
+    // outer join on the vocab key: tokens missing from a source count
+    // |0·N − cc·ns| = cc·ns — the mass the source fails to cover
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val full = nSrc.crossJoin(corpus)
+      .join(bySrc, Seq("source", "w"), "left_outer")
+      .select(col("source"), col("ns"),
+        abs(coalesce(col("cs"), lit(0L)).cast(dec) * lit(total) -
+          col("cc").cast(dec) * col("ns")).as("num"))
+    full.groupBy(col("source"))
+      .agg(max(col("ns")).as("n_tokens"), sum(col("num")).as("tv_num"))
+      .select(col("source"), col("n_tokens"),
+        floor(lit(1e6) * col("tv_num").cast("double") /
+          (lit(2.0) * col("n_tokens").cast("double") * lit(total.toDouble)))
+          .cast("long").as("tv_ppm"))
+  }
+
+  val textSourceDivergenceSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |bysrc AS (SELECT source, w, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+      |corpus AS (SELECT w, COUNT(*) AS cc FROM tok GROUP BY w),
+      |nsrc AS (SELECT source, COUNT(*) AS ns FROM tok GROUP BY source),
+      |tot AS (SELECT COUNT(*) AS n FROM tok),
+      |fl AS (
+      |  SELECT s.source, s.ns,
+      |    abs(CAST(COALESCE(b.cs, 0) AS HUGEINT) * (SELECT n FROM tot)
+      |      - CAST(c.cc AS HUGEINT) * s.ns) AS num
+      |  FROM nsrc s CROSS JOIN corpus c
+      |  LEFT JOIN bysrc b ON b.source = s.source AND b.w = c.w)
+      |SELECT source, CAST(MAX(ns) AS BIGINT) AS n_tokens,
+      |  CAST(floor(1e6 * CAST(SUM(num) AS DOUBLE)
+      |    / (2.0 * CAST(MAX(ns) AS DOUBLE)
+      |       * CAST((SELECT n FROM tot) AS DOUBLE))) AS BIGINT) AS tv_ppm
+      |FROM fl GROUP BY source""".stripMargin
+
   // ------------------------------------------------ Count-Min sketch
   /** Count-Min sketch over corpus tokens, with its guarantees measured
     * in-band: [[CmDepth]] affine hash rows × [[CmWidth]] cells (the
@@ -1645,6 +1711,7 @@ object TextQueries {
     "text_bm25" -> (textBm25 _),
     "text_tfidf" -> (textTfidf _),
     "text_stats" -> (textStats _),
+    "text_source_divergence" -> (textSourceDivergence _),
     "text_token_bpe" -> (textTokenBpe _),
     "text_heavy_hitters" -> (textHeavyHitters _),
     "text_vocab_coverage" -> (textVocabCoverage _),
@@ -1672,6 +1739,7 @@ object TextQueries {
     "text_bm25" -> textBm25Sql,
     "text_tfidf" -> textTfidfSql,
     "text_stats" -> textStatsSql,
+    "text_source_divergence" -> textSourceDivergenceSql,
     "text_token_bpe" -> textTokenBpeSql,
     "text_heavy_hitters" -> textHeavyHittersSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
