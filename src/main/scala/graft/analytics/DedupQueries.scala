@@ -856,6 +856,55 @@ object DedupQueries {
        |SELECT c.v AS doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
        |FROM comp c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
 
+  // --------------------------------------- incremental clustering
+  /** INCREMENTAL cluster maintenance under the oracle gate: the corpus
+    * is split into a base (`doc_id % 17 ≠ 0`) and a delta; the base is
+    * clustered cold, then the delta's vertices and edges are folded in
+    * with a WARM START from the base fixpoint ([[warmStart]] — the
+    * foreachBatch maintenance loop StreamingDedupSpec drives live).
+    * The claim the hash gate proves every verify run: the maintained
+    * labels are IDENTICAL to clustering everything from scratch
+    * (warm-start validity: a previous fixpoint label is a vertex of
+    * the same component, and new edges only ever merge components) —
+    * so the oracle is the SAME full-corpus recursive CTE as
+    * [[dedupClusters]], while the Spark side only ever propagates
+    * from the warm seed. Nightly cost therefore scales with the
+    * components the delta touches, not the corpus.
+    */
+  def dedupClustersIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupSimhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val docs = table(spark, dir, "documents").select(col("doc_id"))
+    val isDelta = (c: Column) => c % 17 === 0
+    // base pass: only edges wholly inside the base corpus
+    val basePairs = pairs
+      .where(!isDelta(col("doc_a")) && !isDelta(col("doc_b")))
+    val baseEdges = basePairs
+      .union(basePairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val baseLabels = propagateLabels(baseEdges, identityLabels(baseEdges))
+    // nightly pass: the full edge set, seeded from the base fixpoint
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst").localCheckpoint(true)
+    val labels = propagateLabels(edges, warmStart(edges, baseLabels))
+    val singletons = docs
+      .select(col("doc_id").as("v"))
+      .join(labels.select(col("v")), Seq("v"), "left_anti")
+      .withColumn("label", col("v"))
+    val all = labels.union(singletons)
+    val sizes = all.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    all.join(sizes, "label")
+      .select(col("v").as("doc_id"), col("label").as("cluster_id"),
+        col("cluster_size"))
+  }
+
+  /** Same recursive-CTE oracle as [[dedupClusters]]: label equality
+    * with the cold full recompute IS the incremental-validity claim.
+    */
+  val dedupClustersIncrementalSql: String = dedupClustersSql
+
   // ------------------------------------------------ dedup APPLIED
   /** Near-dup dedup APPLIED: the write path after [[dedupClusters]] —
     * keep the canonical document of every cluster (the minimum
@@ -1524,6 +1573,7 @@ object DedupQueries {
     "dedup_containment" -> (dedupContainment _),
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_apply" -> (dedupApply _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_editdist" -> (dedupEditdist _),
@@ -1546,6 +1596,7 @@ object DedupQueries {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
     "dedup_apply" -> dedupApplySql,
     // exact CC is exact CC: the star-contraction variant must produce
     // the SAME clustering, so it shares the recursive-CTE oracle

@@ -1392,7 +1392,63 @@ object LakehouseQueries {
       |FROM ev, g
       |GROUP BY event_type, gmax_us""".stripMargin
 
+  // ------------------------------------------------- ANALYZE stats
+  /** ANALYZE-style COLUMN STATISTICS over orders — the table profile a
+    * cost-based optimizer consumes (and the one
+    * [[graft.sources.SyntheticV2Source]] answers in closed form for
+    * its generated interval): per column, exact NDV, null count, and
+    * min/max rendered to strings so one long-format report covers
+    * heterogeneous types. Exact NDV is deliberate — this is the
+    * nightly stats JOB (one shuffle per column on the value, the
+    * price of exactness); the in-flight estimator is
+    * `approx_distinct_*`'s HLL, already gated with its error bound.
+    * Long format (one row per column) is what a stats CATALOG stores,
+    * and it keeps the oracle comparison schema-stable as columns are
+    * added.
+    */
+  def lakeAnalyzeStats(spark: SparkSession, dir: String): DataFrame = {
+    val o = table(spark, dir, "orders")
+    def statsOf(c: String, render: Column => Column): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("ndv"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          render(min(col(c))).as("min_val"),
+          render(max(col(c))).as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("ndv"),
+          col("n_null"), col("min_val"), col("max_val"))
+    statsOf("o_orderkey", _.cast("string"))
+      .unionByName(statsOf("o_custkey", _.cast("string")))
+      .unionByName(statsOf("o_orderstatus", _.cast("string")))
+      .unionByName(statsOf("o_orderpriority", _.cast("string")))
+      .unionByName(statsOf("o_orderdate",
+        c => date_format(c, "yyyy-MM-dd")))
+      .unionByName(statsOf("o_totalprice",
+        c => floor(c * 100).cast("long").cast("string")))
+  }
+
+  val lakeAnalyzeStatsSql: String = {
+    def row(c: String, minMax: String => String) =
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  COUNT(DISTINCT $c) AS ndv,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_null,
+         |  ${minMax(s"MIN($c)")} AS min_val,
+         |  ${minMax(s"MAX($c)")} AS max_val
+         |FROM orders""".stripMargin
+    Seq(
+      row("o_orderkey", v => s"CAST($v AS VARCHAR)"),
+      row("o_custkey", v => s"CAST($v AS VARCHAR)"),
+      row("o_orderstatus", v => s"CAST($v AS VARCHAR)"),
+      row("o_orderpriority", v => s"CAST($v AS VARCHAR)"),
+      row("o_orderdate",
+        v => s"strftime(CAST($v AS DATE), '%Y-%m-%d')"),
+      row("o_totalprice",
+        v => s"CAST(CAST(floor($v * 100) AS BIGINT) AS VARCHAR)"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_analyze_stats" -> (lakeAnalyzeStats _),
     "dq_freshness" -> (dqFreshness _),
     "dq_anomaly_mad" -> (dqAnomalyMad _),
     "dq_referential" -> (dqReferential _),
@@ -1416,6 +1472,7 @@ object LakehouseQueries {
     "events_state_at" -> (eventsStateAt _))
 
   val oracles: Map[String, String] = Map(
+    "lake_analyze_stats" -> lakeAnalyzeStatsSql,
     "dq_freshness" -> dqFreshnessSql,
     "dq_anomaly_mad" -> dqAnomalyMadSql,
     "dq_referential" -> dqReferentialSql,
