@@ -3599,7 +3599,89 @@ object EmbeddingQueries {
        |GROUP BY e.v""".stripMargin
   }
 
+  // --------------------------------- k-center (farthest-point) init
+  /** Farthest-point traversal (Gonzalez' 2-approximate k-CENTER) as a
+    * quantizer INITIALIZATION, with the coverage radius after every
+    * pick — the quality curve that tells a training loop whether its
+    * k-means seeds actually spread (the hash-sample init used by
+    * [[knnIvfTrained]] is uniform; k-center guarantees every point is
+    * within 2× the optimal radius of some seed). Start = bottom-1 by
+    * the shared deterministic [[hashOrder]]; each round picks the
+    * point FARTHEST from its nearest chosen center (exact int64
+    * squared L2, ties by vec_id) and reports the new max-min radius.
+    *
+    * Scale shape: the candidate argmax is a TakeOrderedAndProject
+    * (O(1) state per partition); the running min-distance column is
+    * one narrow map per round against a broadcast single centroid
+    * (the chosen vector rides as a LITERAL — 64 longs); rounds are
+    * checkpointed so the plan stays flat. Driver traffic is one row +
+    * one scalar per round — K-bounded, corpus-independent.
+    */
+  val KcenterK = 8
+
+  def embKcenterInit(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
+      def distTo(cq: Seq[Long], cn: Long): Column =
+        col("norm2") + lit(cn) - lit(2L) * dot(col("q"), typedlit(cq))
+      val first = hashBottomK(e, 1)
+        .select(col("vec_id"), col("q"), col("norm2")).head
+      def centroidOf(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+        (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
+      var (cid, cq, cn) = centroidOf(first)
+      var dm = e.withColumn("dmin", distTo(cq, cn)).localCheckpoint(true)
+      def radius(): Long =
+        dm.agg(max(col("dmin"))).head.getLong(0)
+      val out = collection.mutable.ArrayBuffer((1L, cid, radius()))
+      for (r <- 2 to KcenterK) {
+        val nxt = dm.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+          .select(col("vec_id"), col("q"), col("norm2")).head
+        val (nid, nq, nn) = centroidOf(nxt)
+        dm = dm.withColumn("dmin",
+          least(col("dmin"), distTo(nq, nn))).localCheckpoint(true)
+        out += ((r.toLong, nid, radius()))
+      }
+      import spark.implicits._
+      out.toSeq.toDF("rnd", "centroid_id", "radius_d2")
+    } finally e.unpersist()
+  }
+
+  val embKcenterInitSql: String = {
+    val dotAB =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    val rounds = (2 to KcenterK).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id, qv, norm2 FROM dm${r - 1}
+         |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         |dm$r AS MATERIALIZED (
+         |  SELECT a.vec_id, a.qv, a.norm2,
+         |    LEAST(a.dmin, a.norm2 + b.norm2 - 2 * $dotAB) AS dmin
+         |  FROM dm${r - 1} a, c$r b),
+         |r$r AS (SELECT $r AS rnd, (SELECT vec_id FROM c$r) AS centroid_id,
+         |  MAX(dmin) AS radius_d2 FROM dm$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (2 to KcenterK).map(r => s"SELECT * FROM r$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |c1 AS MATERIALIZED (SELECT vec_id, qv, norm2 FROM cranked
+       |  WHERE hrnk = 1),
+       |dm1 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.qv, a.norm2,
+       |    a.norm2 + b.norm2 - 2 * $dotAB AS dmin
+       |  FROM n a, c1 b),
+       |r1 AS (SELECT 1 AS rnd, (SELECT vec_id FROM c1) AS centroid_id,
+       |  MAX(dmin) AS radius_d2 FROM dm1),
+       |$rounds
+       |SELECT CAST(rnd AS BIGINT) AS rnd, centroid_id,
+       |  CAST(radius_d2 AS BIGINT) AS radius_d2
+       |FROM (SELECT * FROM r1
+       |UNION ALL
+       |$unions)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kcenter_init" -> (embKcenterInit _),
     "knn_graph_nnd" -> (knnGraphNnd _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
@@ -3640,6 +3722,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_graph_nnd" -> knnGraphNndSql,
+    "emb_kcenter_init" -> embKcenterInitSql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,
     "knn_hybrid_rrf" -> knnHybridRrfSql,
     // the persisted index is knn_ivf through a parquet round-trip:
