@@ -46,6 +46,32 @@ class SynthStreamSpec extends SparkSuite {
       "stream must cover the interval exactly once")
   }
 
+  test("a filtered streaming read emits exactly the predicate's rows") {
+    import spark.implicits._
+    // whether or not the id-range predicate folds into the streamed
+    // interval (batch scans consume it; the streaming planner may
+    // keep it Spark-side), the emitted set must be exactly the
+    // filtered rows, exactly once
+    val seen = mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 5000).option("rowsPerBatch", 2000)
+      .load()
+      .where(col("id") >= 1200 && col("id") < 3300)
+      .select("id")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ids = batch.as[Long].collect()
+        seen.synchronized { seen ++= ids }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = seen.synchronized(seen.toVector)
+    assert(got.size == got.distinct.size, "duplicate rows emitted")
+    assert(got.toSet == (1200L until 3300L).toSet)
+  }
+
   test("restart from checkpoint resumes at the committed offset") {
     import spark.implicits._
     val ckpt = Files.createTempDirectory("graft-synth-ckpt").toString
