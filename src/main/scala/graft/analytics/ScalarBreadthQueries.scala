@@ -721,15 +721,23 @@ object ScalarBreadthQueries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderdate"))
         .write.orc(outPath.toString)
-      spark.read.orc(outPath.toString)
-        .where(col("o_totalprice") > 150000.0)
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"),
-          min(col("o_orderdate").cast("date")).cast("string").as("min_date"),
-          max(col("o_orderkey")).as("max_key"))
+      orcAggRead(spark, outPath.toString)
         .localCheckpoint(true) // eager: the finally deletes the files
     } finally fs.delete(outPath, true)
   }
+
+  /** The read side of [[sourceOrcRoundtrip]], factored so
+    * PlanAuditSpec can pin the pushed ORC filter and pruned
+    * projection on the live (pre-checkpoint) plan.
+    */
+  private[analytics] def orcAggRead(spark: SparkSession,
+      path: String): DataFrame =
+    spark.read.orc(path)
+      .where(col("o_totalprice") > 150000.0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"),
+        min(col("o_orderdate").cast("date")).cast("string").as("min_date"),
+        max(col("o_orderkey")).as("max_key"))
 
   val sourceOrcRoundtripSql: String =
     s"""SELECT o_orderstatus, COUNT(*) AS n,

@@ -56,6 +56,28 @@ class PlanAuditSpec extends SparkSuite {
     assert(pt.contains("In(o_orderkey"), pt.take(800))
   }
 
+  test("ORC read-back pushes its predicate down to the ORC reader") {
+    // sourceOrcRoundtrip's read side (factored pre-checkpoint): the
+    // price filter must reach the ORC scan, not sit only in a
+    // post-scan Filter
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc-pin")
+    val sub = dir.resolve("t").toString
+    try {
+      QueryUtil.table(spark, sf0001, "orders")
+        .select(org.apache.spark.sql.functions.col("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_orderstatus"),
+          org.apache.spark.sql.functions.col("o_totalprice"),
+          org.apache.spark.sql.functions.col("o_orderdate"))
+        .write.orc(sub)
+      val p = ScalarBreadthQueries.orcAggRead(spark, sub)
+        .queryExecution.sparkPlan.toString
+      assert(p.contains("GreaterThan(o_totalprice,150000.0)"),
+        p.take(1200))
+      assert(p.contains("PushedFilters"), p.take(1200))
+    } finally
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     assert(plan("text_heavy_hitters").contains("TakeOrderedAndProject"))
     assert(plan("graph_pagerank").contains("TakeOrderedAndProject"))
