@@ -856,6 +856,92 @@ object DedupQueries {
        |SELECT c.v AS doc_id, c.cluster_id, CAST(s.n AS BIGINT) AS cluster_size
        |FROM comp c JOIN sz s ON c.cluster_id = s.cluster_id""".stripMargin
 
+  // ------------------------------------------------ Bloom pre-gate
+  /** BLOOM PRE-GATE for exact dedup — the constant-space membership
+    * screen that stands in front of the exact hash join when the seen
+    * set no longer fits a broadcast: k=4 affine probes over the
+    * content hash into an m = 8·|corpus| bit space (fill ≤ 50%, FP ≈
+    * fill⁴ ≈ 2-3%). Both Bloom guarantees are measured IN-BAND and
+    * hash-gated every verify run: the corpus replayed against its own
+    * filter must read `n_missed = 0` (no false negatives — the
+    * guarantee that makes a Bloom screen SAFE to put in front of
+    * dedup), and the fresh cohort's `maybe_ppm` is the false-positive
+    * rate the exact verifier then pays for.
+    *
+    * Scale shape: the filter is the DISTINCT occupied-position table
+    * — 8-byte keys, ≤ m rows, partial-aggregating; probes join it on
+    * the position key (shuffle on positions, never on text). In
+    * production the position table compacts to a bitmap broadcast;
+    * the relational form here is what a multi-executor build of that
+    * bitmap shuffles anyway.
+    */
+  val BloomK = 4
+
+  def dedupBloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), md5Long(col("text")).as("h"),
+        (col("doc_id") % 17 === 0).as("is_fresh"))
+    docs.cache()
+    try {
+      val corpus = docs.where(!col("is_fresh"))
+      val m = 8L * corpus.count()
+      def posOf(j: Int): Column = affine(col("h"), j) % m
+      val positions = array((0 until BloomK).map(posOf): _*)
+      val bits = corpus.select(explode(positions).as("p")).distinct()
+      val probes = docs
+        .select(col("doc_id"), col("is_fresh"),
+          explode(array_distinct(positions)).as("p"))
+      probes
+        .join(bits.withColumn("hit", lit(1L)), Seq("p"), "left_outer")
+        .groupBy(col("doc_id"), col("is_fresh"))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("maybe", (col("n_hits") === col("n_probes"))
+          .cast("long"))
+        .groupBy(col("is_fresh"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("maybe")).as("n_maybe_seen"))
+        .select(
+          when(col("is_fresh"), lit("fresh")).otherwise(lit("replay"))
+            .as("cohort"),
+          col("n_docs"), col("n_maybe_seen"),
+          (col("n_docs") - col("n_maybe_seen")).as("n_missed"),
+          ppm(col("n_maybe_seen"), col("n_docs")).as("maybe_ppm"))
+    } finally docs.unpersist()
+  }
+
+  val dedupBloomGateSql: String = {
+    val posList = (0 until BloomK)
+      .map(j => s"(${sqlAffine("h", j)}) % (SELECT m FROM mm)")
+      .mkString("[", ", ", "]")
+    s"""WITH d AS (
+       |  SELECT doc_id, ${sqlMd5Long("text")} AS h,
+       |    doc_id % 17 = 0 AS is_fresh
+       |  FROM documents),
+       |mm AS (SELECT 8 * COUNT(*) AS m FROM d WHERE NOT is_fresh),
+       |bits AS (
+       |  SELECT DISTINCT unnest($posList) AS p FROM d WHERE NOT is_fresh),
+       |probes AS (
+       |  SELECT doc_id, is_fresh, unnest(list_distinct($posList)) AS p
+       |  FROM d),
+       |per AS (
+       |  SELECT pr.doc_id, pr.is_fresh, COUNT(*) AS n_probes,
+       |    SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+       |  FROM probes pr LEFT JOIN bits b ON pr.p = b.p
+       |  GROUP BY pr.doc_id, pr.is_fresh),
+       |coh AS (
+       |  SELECT is_fresh, COUNT(*) AS n_docs,
+       |    SUM(CASE WHEN n_hits = n_probes THEN 1 ELSE 0 END)
+       |      AS n_maybe_seen
+       |  FROM per GROUP BY is_fresh)
+       |SELECT CASE WHEN is_fresh THEN 'fresh' ELSE 'replay' END AS cohort,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(n_maybe_seen AS BIGINT) AS n_maybe_seen,
+       |  CAST(n_docs - n_maybe_seen AS BIGINT) AS n_missed,
+       |  ${QueryUtil.sqlPpm("n_maybe_seen", "n_docs")} AS maybe_ppm
+       |FROM coh""".stripMargin
+  }
+
   // --------------------------------------- incremental clustering
   /** INCREMENTAL cluster maintenance under the oracle gate: the corpus
     * is split into a base (`doc_id % 17 ≠ 0`) and a delta; the base is
@@ -1582,6 +1668,7 @@ object DedupQueries {
     "dedup_crossmodal" -> (dedupCrossmodal _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_clusters_incremental" -> (dedupClustersIncremental _),
+    "dedup_bloom_gate" -> (dedupBloomGate _),
     "dedup_apply" -> (dedupApply _),
     "dedup_clusters_star" -> (dedupClustersStar _),
     "dedup_editdist" -> (dedupEditdist _),
@@ -1605,6 +1692,7 @@ object DedupQueries {
     "dedup_crossmodal" -> dedupCrossmodalSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_clusters_incremental" -> dedupClustersIncrementalSql,
+    "dedup_bloom_gate" -> dedupBloomGateSql,
     "dedup_apply" -> dedupApplySql,
     // exact CC is exact CC: the star-contraction variant must produce
     // the SAME clustering, so it shares the recursive-CTE oracle

@@ -331,7 +331,61 @@ object MultimodalQueries {
       |    AS n_bytes_kept
       |FROM k GROUP BY media_type""".stripMargin
 
+  /** Media-to-TOKEN accounting — the context-window budget of a
+    * multimodal training mix: images cost ViT-style patch tokens
+    * (⌈w/14⌉·⌈h/14⌉ at patch 14), audio costs one token per 320
+    * content bytes (the 25-token/sec shape at 8 kHz), video costs its
+    * sampled frames × the per-frame patch grid of its decoded dims.
+    * All exact integer arithmetic over the decoded stub dims, so the
+    * oracle re-derives every cost from the md5 dims independently.
+    * Per media type: items, total tokens, mean (floor) and max per
+    * item — the numbers a batch packer budgets against.
+    */
+  def multimodalTokens(spark: SparkSession, dir: String): DataFrame = {
+    val patches = (ceil(col("width").cast("double") / 14) *
+      ceil(col("height").cast("double") / 14)).cast("long")
+    val tokens = when(col("media_type") === "image", patches)
+      .when(col("media_type") === "audio",
+        greatest(lit(1L), expr("n_bytes div 320")))
+      // sampled frames (every 2nd of 16-byte frames) × patch grid
+      .otherwise(patches *
+        greatest(lit(1L), expr("(n_bytes + 31) div 32")))
+    MultimodalOps.extractFeatures(
+      MultimodalOps.mediaFromDocuments(spark, dir))
+      .select(col("mediaType").as("media_type"),
+        col("nBytes").as("n_bytes"), col("width"), col("height"))
+      .withColumn("toks", tokens)
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_media"), sum(col("toks")).as("n_tokens"),
+        expr("sum(toks) div count(1)").as("mean_tokens"),
+        max(col("toks")).as("max_tokens"))
+  }
+
+  val multimodalTokensSql: String =
+    """WITH m AS (
+      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+      |      AS media_type,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
+      |    1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
+      |  FROM documents),
+      |t AS (SELECT media_type,
+      |  CASE media_type
+      |    WHEN 'image' THEN CAST(ceil(CAST(width AS DOUBLE) / 14)
+      |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
+      |    WHEN 'audio' THEN GREATEST(1, n_bytes // 320)
+      |    ELSE CAST(ceil(CAST(width AS DOUBLE) / 14)
+      |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
+      |      * GREATEST(1, (n_bytes + 31) // 32) END AS toks
+      |  FROM m)
+      |SELECT media_type, COUNT(*) AS n_media,
+      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(toks) // COUNT(*) AS BIGINT) AS mean_tokens,
+      |  CAST(MAX(toks) AS BIGINT) AS max_tokens
+      |FROM t GROUP BY media_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_tokens" -> (multimodalTokens _),
     "multimodal_filter" -> (multimodalFilter _),
     "multimodal_dedup_apply" -> (multimodalDedupApply _),
     "multimodal_phash" -> (multimodalPhash _),
@@ -342,6 +396,7 @@ object MultimodalQueries {
     "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_tokens" -> multimodalTokensSql,
     "multimodal_filter" -> multimodalFilterSql,
     "multimodal_dedup_apply" -> multimodalDedupApplySql,
     "multimodal_phash" -> multimodalPhashSql,
