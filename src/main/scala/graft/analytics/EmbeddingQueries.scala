@@ -3619,32 +3619,110 @@ object EmbeddingQueries {
     */
   val KcenterK = 8
 
+  private def distToLit(cq: Seq[Long], cn: Long): Column =
+    col("norm2") + lit(cn) - lit(2L) * dot(col("q"), typedlit(cq))
+
+  /** The farthest-point walk over a cached `(vec_id, q, norm2)` frame:
+    * per-round (pick, radius-after) plus the FINAL min-distance frame
+    * (the k-center assignment cost surface [[embInitQuality]] folds).
+    */
+  private def kcenterWalk(e: DataFrame)
+      : (Seq[(Long, Long, Long)], DataFrame) = {
+    def centroidOf(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
+      (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
+    val (cid, cq, cn) = centroidOf(hashBottomK(e, 1)
+      .select(col("vec_id"), col("q"), col("norm2")).head)
+    var dm = e.withColumn("dmin", distToLit(cq, cn)).localCheckpoint(true)
+    def radius(): Long = dm.agg(max(col("dmin"))).head.getLong(0)
+    val out = collection.mutable.ArrayBuffer((1L, cid, radius()))
+    for (r <- 2 to KcenterK) {
+      val nxt = dm.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("q"), col("norm2")).head
+      val (nid, nq, nn) = centroidOf(nxt)
+      dm = dm.withColumn("dmin",
+        least(col("dmin"), distToLit(nq, nn))).localCheckpoint(true)
+      out += ((r.toLong, nid, radius()))
+    }
+    (out.toSeq, dm)
+  }
+
   def embKcenterInit(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2")).cache()
     try {
-      def distTo(cq: Seq[Long], cn: Long): Column =
-        col("norm2") + lit(cn) - lit(2L) * dot(col("q"), typedlit(cq))
-      val first = hashBottomK(e, 1)
-        .select(col("vec_id"), col("q"), col("norm2")).head
-      def centroidOf(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
-        (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
-      var (cid, cq, cn) = centroidOf(first)
-      var dm = e.withColumn("dmin", distTo(cq, cn)).localCheckpoint(true)
-      def radius(): Long =
-        dm.agg(max(col("dmin"))).head.getLong(0)
-      val out = collection.mutable.ArrayBuffer((1L, cid, radius()))
-      for (r <- 2 to KcenterK) {
-        val nxt = dm.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
-          .select(col("vec_id"), col("q"), col("norm2")).head
-        val (nid, nq, nn) = centroidOf(nxt)
-        dm = dm.withColumn("dmin",
-          least(col("dmin"), distTo(nq, nn))).localCheckpoint(true)
-        out += ((r.toLong, nid, radius()))
-      }
       import spark.implicits._
-      out.toSeq.toDF("rnd", "centroid_id", "radius_d2")
+      kcenterWalk(e)._1.toDF("rnd", "centroid_id", "radius_d2")
     } finally e.unpersist()
+  }
+
+  /** INITIALIZATION QUALITY, hash-sample vs k-center, K=[[KcenterK]]
+    * seeds each: the one-assignment-pass inertia (Σ min squared
+    * distance — the k-means objective the first Lloyd round starts
+    * from) and the coverage radius (max min distance — the k-center
+    * objective). The uniform hash sample is what [[knnIvfTrained]]
+    * seeds with; the farthest-point walk buys its 2-approximate
+    * radius guarantee at K extra passes — this report prices that
+    * trade with both objectives exact-integer and hash-gated.
+    * On this corpus k-center wins radius decisively (its guarantee)
+    * and edges inertia too (~1% at sf0.1) — on clustered real-world
+    * embeddings the uniform sample usually claws inertia back
+    * (outlier seeds pull k-center means), which is exactly what this
+    * report exists to measure per corpus.
+    */
+  def embInitQuality(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
+      val dmK = kcenterWalk(e)._2
+      val hashSeeds = hashBottomK(e, KcenterK)
+        .select(col("vec_id"), col("q"), col("norm2")).collect()
+        .map(r => (r.getSeq[Long](1), r.getLong(2)))
+      val dmH = e.withColumn("dmin",
+        hashSeeds.map { case (cq, cn) => distToLit(cq, cn) }
+          .reduce(least(_, _)))
+      def report(scheme: String, dm: DataFrame) = dm
+        .agg(sum(col("dmin")).as("inertia"),
+          max(col("dmin")).as("radius_d2"))
+        .select(lit(scheme).as("init_scheme"),
+          lit(KcenterK.toLong).as("k"), col("inertia"), col("radius_d2"))
+      report("hash_sample", dmH).unionByName(report("kcenter", dmK))
+    } finally e.unpersist()
+  }
+
+  val embInitQualitySql: String = {
+    val dotAB =
+      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    // the k-center CTE chain is shared with embKcenterInitSql's
+    // construction (same rounds); here only dm8's fold is read
+    val rounds = (2 to KcenterK).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT vec_id, qv, norm2 FROM dm${r - 1}
+         |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),
+         |dm$r AS MATERIALIZED (
+         |  SELECT a.vec_id, a.qv, a.norm2,
+         |    LEAST(a.dmin, a.norm2 + b.norm2 - 2 * $dotAB) AS dmin
+         |  FROM dm${r - 1} a, c$r b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlQuantized,
+       |$sqlCranked,
+       |c1 AS MATERIALIZED (SELECT vec_id, qv, norm2 FROM cranked
+       |  WHERE hrnk = 1),
+       |dm1 AS MATERIALIZED (
+       |  SELECT a.vec_id, a.qv, a.norm2,
+       |    a.norm2 + b.norm2 - 2 * $dotAB AS dmin
+       |  FROM n a, c1 b),
+       |$rounds,
+       |hs AS (SELECT vec_id, qv, norm2 FROM cranked
+       |  WHERE hrnk <= $KcenterK),
+       |dmh AS (
+       |  SELECT a.vec_id,
+       |    MIN(a.norm2 + b.norm2 - 2 * $dotAB) AS dmin
+       |  FROM n a CROSS JOIN hs b GROUP BY a.vec_id)
+       |SELECT 'hash_sample' AS init_scheme, CAST($KcenterK AS BIGINT) AS k,
+       |  CAST(SUM(dmin) AS BIGINT) AS inertia,
+       |  CAST(MAX(dmin) AS BIGINT) AS radius_d2 FROM dmh
+       |UNION ALL
+       |SELECT 'kcenter', $KcenterK, CAST(SUM(dmin) AS BIGINT),
+       |  CAST(MAX(dmin) AS BIGINT) FROM dm$KcenterK""".stripMargin
   }
 
   val embKcenterInitSql: String = {
@@ -3682,6 +3760,7 @@ object EmbeddingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kcenter_init" -> (embKcenterInit _),
+    "emb_init_quality" -> (embInitQuality _),
     "knn_graph_nnd" -> (knnGraphNnd _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
@@ -3723,6 +3802,7 @@ object EmbeddingQueries {
   val oracles: Map[String, String] = Map(
     "knn_graph_nnd" -> knnGraphNndSql,
     "emb_kcenter_init" -> embKcenterInitSql,
+    "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,
     "knn_hybrid_rrf" -> knnHybridRrfSql,
     // the persisted index is knn_ivf through a parquet round-trip:
