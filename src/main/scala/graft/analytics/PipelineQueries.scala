@@ -826,6 +826,87 @@ object PipelineQueries {
        |JOIN hist h ON d.degree = h.hdeg
        |ORDER BY d.degree DESC, d.doc_id ASC LIMIT 20""".stripMargin
 
+  /** Newman MODULARITY of the near-dup clustering — the one-number
+    * answer to "are these clusters real structure or banding
+    * artifacts": Q = Σ_c [e_c/m − (d_c/2m)²] over the star-contraction
+    * components of the simhash pair graph. High Q (near the
+    * theoretical max for disjoint cliques) is what near-dup clusters
+    * SHOULD read, since connected components put every edge inside a
+    * cluster — the e_c/m term saturates and Q measures how evenly the
+    * degree mass spreads; a Q collapse would mean a giant hub
+    * component ate the graph (the boilerplate failure `graph_hubs`
+    * attributes). Exact arithmetic: Q·4m² = Σ_c [4·m·e_c − d_c²] is
+    * an integer (counts and their squares, order-independent sum);
+    * one final IEEE division emits ppm.
+    *
+    * Scale shape: everything expensive is the pair generation and the
+    * O(log² n) contraction already priced in dedup_clusters_star; on
+    * top are two cluster-keyed partial-aggregating rollups (edge
+    * endpoints → cluster, degrees → cluster) folded to one row.
+    */
+  def graphModularity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries
+      .simhashPairsFrame(table(spark, dir, "documents"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    val labels = DedupQueries.starContractLabels(edges)
+      .withColumnRenamed("v", "doc_id")
+    val m = pairs.count() // undirected edge count
+    // within-cluster edges: both endpoints share a label (components
+    // ⇒ every edge qualifies; computed, not assumed — the join is the
+    // audit)
+    val la = labels.select(col("doc_id").as("doc_a"), col("label"))
+    val lb = labels.select(col("doc_id").as("doc_b"),
+      col("label").as("label_b"))
+    val ec = pairs.join(la, "doc_a").join(lb, "doc_b")
+      .where(col("label") === col("label_b"))
+      .groupBy(col("label")).agg(count(lit(1)).as("e_c"))
+    val dc = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+      .groupBy(col("label")).agg(count(lit(1)).as("d_c"))
+    dc.join(ec, Seq("label"), "left_outer")
+      .select((lit(4L) * m * coalesce(col("e_c"), lit(0L)) -
+        col("d_c") * col("d_c")).as("q_num"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("q_num")).as("qn"))
+      .select(col("n_clusters"), lit(m).as("n_edges"),
+        floor(lit(1e6) * col("qn").cast("double") /
+          (lit(4.0) * lit(m.toDouble) * lit(m.toDouble)))
+          .cast("long").as("modularity_ppm"))
+  }
+
+  val graphModularitySql: String =
+    s"""WITH RECURSIVE ${DedupQueries.sqlSimhashPairCtes},
+       |gmp AS (SELECT doc_a, doc_b FROM spairs),
+       |gme AS (SELECT doc_a AS src, doc_b AS dst FROM gmp
+       |  UNION ALL SELECT doc_b, doc_a FROM gmp),
+       |gmwalk AS (
+       |  SELECT src AS v, src AS r FROM gme
+       |  UNION
+       |  SELECT w.v, g.dst AS r FROM gmwalk w JOIN gme g ON w.r = g.src),
+       |gmcomp AS (
+       |  SELECT v AS doc_id, MIN(r) AS label FROM gmwalk GROUP BY v),
+       |gmm AS (SELECT COUNT(*) AS m FROM gmp),
+       |gmec AS (
+       |  SELECT la.label, COUNT(*) AS e_c
+       |  FROM gmp p JOIN gmcomp la ON p.doc_a = la.doc_id
+       |  JOIN gmcomp lb ON p.doc_b = lb.doc_id
+       |  WHERE la.label = lb.label GROUP BY la.label),
+       |gmdc AS (
+       |  SELECT c.label, COUNT(*) AS d_c
+       |  FROM gme g JOIN gmcomp c ON g.src = c.doc_id GROUP BY c.label),
+       |gmq AS (
+       |  SELECT d.label,
+       |    4 * (SELECT m FROM gmm) * COALESCE(e.e_c, 0)
+       |      - d.d_c * d.d_c AS q_num
+       |  FROM gmdc d LEFT JOIN gmec e ON d.label = e.label)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST((SELECT m FROM gmm) AS BIGINT) AS n_edges,
+       |  CAST(floor(1e6 * CAST(SUM(q_num) AS DOUBLE)
+       |    / (4.0 * CAST((SELECT m FROM gmm) AS DOUBLE)
+       |       * CAST((SELECT m FROM gmm) AS DOUBLE))) AS BIGINT)
+       |    AS modularity_ppm
+       |FROM gmq""".stripMargin
+
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     // each round is materialized (localCheckpoint, as in the CC
     // queries): without it round i's degree count re-executes every
@@ -2453,6 +2534,7 @@ object PipelineQueries {
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
     "graph_hubs" -> (graphHubs _),
+    "graph_modularity" -> (graphModularity _),
     "pipeline_curriculum" -> (pipelineCurriculum _),
     "pipeline_provenance" -> (pipelineProvenance _),
     "bloom_join_prune" -> (bloomJoinPrune _))
@@ -2491,6 +2573,7 @@ object PipelineQueries {
     "graph_triangles" -> graphTrianglesSql,
     "graph_kcore" -> graphKcoreSql,
     "graph_hubs" -> graphHubsSql,
+    "graph_modularity" -> graphModularitySql,
     "pipeline_curriculum" -> pipelineCurriculumSql,
     "pipeline_provenance" -> pipelineProvenanceSql,
     "bloom_join_prune" -> bloomJoinPruneSql)
