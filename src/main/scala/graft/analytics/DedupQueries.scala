@@ -907,6 +907,9 @@ object DedupQueries {
           col("n_docs"), col("n_maybe_seen"),
           (col("n_docs") - col("n_maybe_seen")).as("n_missed"),
           ppm(col("n_maybe_seen"), col("n_docs")).as("maybe_ppm"))
+        // 2 rows; materialize while the shared hash scan is still
+        // cached (both the bits and probes sides read it)
+        .localCheckpoint(true)
     } finally docs.unpersist()
   }
 

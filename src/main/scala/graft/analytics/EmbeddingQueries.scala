@@ -3535,8 +3535,7 @@ object EmbeddingQueries {
   }
 
   val knnGraphNndSql: String = {
-    val dotAB =
-      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    val dotAB = sqlDot // the canonical a/b quantized-dot fragment
     def distCte(src: String, out: String) =
       s"""$out AS (
          |  SELECT t.v, t.u, a.norm2 + b.norm2 - 2 * $dotAB AS d
@@ -3626,14 +3625,17 @@ object EmbeddingQueries {
     * per-round (pick, radius-after) plus the FINAL min-distance frame
     * (the k-center assignment cost surface [[embInitQuality]] folds).
     */
-  private def kcenterWalk(e: DataFrame)
+  private def kcenterWalk(e: DataFrame, withRadii: Boolean = true)
       : (Seq[(Long, Long, Long)], DataFrame) = {
     def centroidOf(r: org.apache.spark.sql.Row): (Long, Seq[Long], Long) =
       (r.getLong(0), r.getSeq[Long](1), r.getLong(2))
     val (cid, cq, cn) = centroidOf(hashBottomK(e, 1)
       .select(col("vec_id"), col("q"), col("norm2")).head)
     var dm = e.withColumn("dmin", distToLit(cq, cn)).localCheckpoint(true)
-    def radius(): Long = dm.agg(max(col("dmin"))).head.getLong(0)
+    // the per-round radius costs one corpus max-aggregation — skipped
+    // when the caller only folds the final dm (embInitQuality)
+    def radius(): Long =
+      if (withRadii) dm.agg(max(col("dmin"))).head.getLong(0) else 0L
     val out = collection.mutable.ArrayBuffer((1L, cid, radius()))
     for (r <- 2 to KcenterK) {
       val nxt = dm.orderBy(col("dmin").desc, col("vec_id").asc).limit(1)
@@ -3673,7 +3675,7 @@ object EmbeddingQueries {
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2")).cache()
     try {
-      val dmK = kcenterWalk(e)._2
+      val dmK = kcenterWalk(e, withRadii = false)._2
       val hashSeeds = hashBottomK(e, KcenterK)
         .select(col("vec_id"), col("q"), col("norm2")).collect()
         .map(r => (r.getSeq[Long](1), r.getLong(2)))
@@ -3686,12 +3688,13 @@ object EmbeddingQueries {
         .select(lit(scheme).as("init_scheme"),
           lit(KcenterK.toLong).as("k"), col("inertia"), col("radius_d2"))
       report("hash_sample", dmH).unionByName(report("kcenter", dmK))
+        // 2 rows; materialize while the quantized corpus is cached
+        .localCheckpoint(true)
     } finally e.unpersist()
   }
 
   val embInitQualitySql: String = {
-    val dotAB =
-      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    val dotAB = sqlDot // the canonical a/b quantized-dot fragment
     // the k-center CTE chain is shared with embKcenterInitSql's
     // construction (same rounds); here only dm8's fold is read
     val rounds = (2 to KcenterK).map { r =>
@@ -3726,8 +3729,7 @@ object EmbeddingQueries {
   }
 
   val embKcenterInitSql: String = {
-    val dotAB =
-      "list_sum(list_transform(generate_series(1, 64), i -> a.qv[i] * b.qv[i]))"
+    val dotAB = sqlDot // the canonical a/b quantized-dot fragment
     val rounds = (2 to KcenterK).map { r =>
       s"""c$r AS MATERIALIZED (SELECT vec_id, qv, norm2 FROM dm${r - 1}
          |  ORDER BY dmin DESC, vec_id ASC LIMIT 1),

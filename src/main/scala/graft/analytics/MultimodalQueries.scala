@@ -15,6 +15,21 @@ import graft.multimodal.MultimodalOps
   */
 object MultimodalQueries {
 
+  /** Shared DuckDB twin of the decode-stub contract — media type and
+    * md5-derived dims per document. ONE copy so the three consuming
+    * oracles (features, filter, tokens) cannot drift from the stub.
+    */
+  private val sqlMediaCte: String =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
+      |      AS media_type,
+      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |    md5(text) AS content_hash,
+      |    1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
+      |    1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
+      |  FROM documents)""".stripMargin
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     MultimodalOps.extractFeatures(
       MultimodalOps.mediaFromDocuments(spark, dir))
@@ -27,13 +42,9 @@ object MultimodalQueries {
         col("height"))
 
   val multimodalFeaturesSql: String =
-    """SELECT doc_id AS media_id,
-      |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  md5(text) AS content_hash,
-      |  1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
-      |  1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
-      |FROM documents""".stripMargin
+    s"""WITH $sqlMediaCte
+       |SELECT media_id, media_type, n_bytes, content_hash, width, height
+       |FROM m""".stripMargin
 
   /** Frame sampling over synthetic "video" rows — plumbing shape:
     * explode to one row per sampled frame, hash each frame.
@@ -314,22 +325,16 @@ object MultimodalQueries {
   }
 
   val multimodalFilterSql: String =
-    """WITH m AS (
-      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
-      |      AS media_type,
-      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |    1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
-      |    1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
-      |  FROM documents),
-      |k AS (SELECT media_type, n_bytes,
-      |  width >= 64 AND height >= 64 AND width * 3 >= height
-      |    AND height * 3 >= width AS keep FROM m)
-      |SELECT media_type, COUNT(*) AS n_media,
-      |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
-      |  CAST(SUM(CASE WHEN keep THEN n_bytes ELSE 0 END) AS BIGINT)
-      |    AS n_bytes_kept
-      |FROM k GROUP BY media_type""".stripMargin
+    s"""WITH $sqlMediaCte,
+       |k AS (SELECT media_type, n_bytes,
+       |  width >= 64 AND height >= 64 AND width * 3 >= height
+       |    AND height * 3 >= width AS keep FROM m)
+       |SELECT media_type, COUNT(*) AS n_media,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_bytes) AS BIGINT) AS n_bytes,
+       |  CAST(SUM(CASE WHEN keep THEN n_bytes ELSE 0 END) AS BIGINT)
+       |    AS n_bytes_kept
+       |FROM k GROUP BY media_type""".stripMargin
 
   /** Media-to-TOKEN accounting — the context-window budget of a
     * multimodal training mix: images cost ViT-style patch tokens
@@ -362,27 +367,21 @@ object MultimodalQueries {
   }
 
   val multimodalTokensSql: String =
-    """WITH m AS (
-      |  SELECT ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]
-      |      AS media_type,
-      |    CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |    1 + (CAST('0x' || substr(md5(text), 1, 4) AS INT) % 640) AS width,
-      |    1 + (CAST('0x' || substr(md5(text), 5, 4) AS INT) % 480) AS height
-      |  FROM documents),
-      |t AS (SELECT media_type,
-      |  CASE media_type
-      |    WHEN 'image' THEN CAST(ceil(CAST(width AS DOUBLE) / 14)
-      |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
-      |    WHEN 'audio' THEN GREATEST(1, n_bytes // 320)
-      |    ELSE CAST(ceil(CAST(width AS DOUBLE) / 14)
-      |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
-      |      * GREATEST(1, (n_bytes + 31) // 32) END AS toks
-      |  FROM m)
-      |SELECT media_type, COUNT(*) AS n_media,
-      |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
-      |  CAST(SUM(toks) // COUNT(*) AS BIGINT) AS mean_tokens,
-      |  CAST(MAX(toks) AS BIGINT) AS max_tokens
-      |FROM t GROUP BY media_type""".stripMargin
+    s"""WITH $sqlMediaCte,
+       |t AS (SELECT media_type,
+       |  CASE media_type
+       |    WHEN 'image' THEN CAST(ceil(CAST(width AS DOUBLE) / 14)
+       |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
+       |    WHEN 'audio' THEN GREATEST(1, n_bytes // 320)
+       |    ELSE CAST(ceil(CAST(width AS DOUBLE) / 14)
+       |      * ceil(CAST(height AS DOUBLE) / 14) AS BIGINT)
+       |      * GREATEST(1, (n_bytes + 31) // 32) END AS toks
+       |  FROM m)
+       |SELECT media_type, COUNT(*) AS n_media,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(toks) // COUNT(*) AS BIGINT) AS mean_tokens,
+       |  CAST(MAX(toks) AS BIGINT) AS max_tokens
+       |FROM t GROUP BY media_type""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_tokens" -> (multimodalTokens _),

@@ -783,12 +783,16 @@ object PipelineQueries {
     * broadcast-size rollup joined back by bucket.
     */
   def graphHubs(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: deg feeds count(), the doc join, AND the histogram —
+    // without it the banded pair generation re-executes per consumer
+    // (the same rule every sibling graph query follows)
     val pairs = DedupQueries
       .simhashPairsFrame(table(spark, dir, "documents"))
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true) // three consumers: count, join, histogram
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
@@ -2448,8 +2452,9 @@ object PipelineQueries {
         count(lit(1)).as("n_docs"),
         sum(when(col("n_toks") >= 20, 1L).otherwise(0L)).as("n_pass"))
       .withColumn("score_ppm", ppm(col("n_pass"), col("n_docs")))
-    val budget = src.agg((sum(col("avail_tokens")) / 2).cast("long")
-      .as("budget"))
+    // integer div, not IEEE `/`: above 2^53 a double quotient rounds
+    // before the cast while the oracle's `//` stays exact
+    val budget = src.agg(expr("sum(avail_tokens) div 2").as("budget"))
     val capped = src.crossJoin(broadcast(budget))
       .withColumn("cap_tokens",
         least(col("avail_tokens"), expr("budget * 10 div 100")))

@@ -196,8 +196,20 @@ object ManifestV2Sink {
     Paths.get(path, s"_MANIFEST.branch-$name")
   }
 
-  private def branchBaseFile(path: String, name: String): Path =
+  /** Fork-point sidecar: the FILE LIST main held when the branch was
+    * created (one name per line; empty for a fork-from-empty branch).
+    * Recording the list itself — not a version number into the shared
+    * snapshot log — keeps the merge base correct when other heads
+    * have committed snapshots since (the latest `.vNNNNN` need not be
+    * main's state) and immune to snapshot retention expiring the
+    * fork-point version.
+    */
+  private[sources] def branchBaseFile(path: String, name: String): Path =
     Paths.get(path, s"_MANIFEST.branch-$name.base")
+
+  private def readBranchBase(path: String, name: String): Seq[String] =
+    Files.readAllLines(branchBaseFile(path, name), StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
 
   /** Branch names with a live head pointer. */
   def branches(path: String): Seq[String] = {
@@ -221,9 +233,9 @@ object ManifestV2Sink {
     require(Files.exists(mf), s"no manifest at $path — nothing to branch")
     require(!Files.exists(branchFile(path, name)),
       s"branch $name already exists at $path")
-    val base = versions(path).lastOption.getOrElse(0)
+    val baseFiles = readManifest(path).map(_._2).getOrElse(Seq.empty)
     Files.write(branchBaseFile(path, name),
-      base.toString.getBytes(StandardCharsets.UTF_8))
+      (baseFiles.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
     // copy-then-rename: the head appears atomically, like every commit
     val tmp = Paths.get(path, s"_MANIFEST.branchtmp-$name")
     Files.copy(mf, tmp, StandardCopyOption.REPLACE_EXISTING)
@@ -262,11 +274,7 @@ object ManifestV2Sink {
   def mergeBranch(path: String, name: String): Unit = {
     val (bSchema, bFiles) = parseManifest(branchFile(path, name)).getOrElse(
       throw new IllegalArgumentException(s"no branch $name at $path"))
-    val base = new String(Files.readAllBytes(branchBaseFile(path, name)),
-      StandardCharsets.UTF_8).trim.toInt
-    val baseFiles =
-      if (base == 0) Seq.empty
-      else parseManifest(versionFile(path, base)).map(_._2).getOrElse(Seq.empty)
+    val baseFiles = readBranchBase(path, name)
     if (!baseFiles.forall(bFiles.contains))
       throw new IllegalStateException(
         s"branch $name rewrote fork-point files — not merge-by-union-able")
@@ -396,12 +404,12 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
           ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
       }
     branch.foreach { b =>
-      val baseF = Paths.get(path, s"_MANIFEST.branch-$b.base")
+      val baseF = ManifestV2Sink.branchBaseFile(path, b)
       // a write to a branch that was never createBranch'd starts the
-      // branch EMPTY — its fork point is the empty table (base 0), so
+      // branch EMPTY — its fork point is the empty file list, so
       // merge-by-union later adds exactly what the branch wrote
       if (!Files.exists(baseF))
-        Files.write(baseF, "0".getBytes(StandardCharsets.UTF_8))
+        Files.write(baseF, "\n".getBytes(StandardCharsets.UTF_8))
     }
     // publish: write-then-atomic-rename; readers see old or new state,
     // never a torn manifest. The SNAPSHOT (versioned) copy lands

@@ -49,6 +49,26 @@ class ManifestBranchSpec extends SparkSuite {
     assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
   }
 
+  test("fork points are per-branch file lists, immune to other heads' commits") {
+    // regression: the fork base used to be the LATEST global snapshot
+    // number — which can belong to ANOTHER branch's commit — so a
+    // second branch created after a first branch's commit mis-merged
+    val dir = tmpTable()
+    rows(1).write.format("graft-manifest").mode("append").save(dir)
+    ManifestV2Sink.createBranch(dir, "a")
+    rows(2).write.format("graft-manifest").option("branch", "a")
+      .mode("append").save(dir) // lands a global snapshot with a's files
+    ManifestV2Sink.createBranch(dir, "b") // fork point must be MAIN's state
+    rows(3).write.format("graft-manifest").option("branch", "b")
+      .mode("append").save(dir)
+    ManifestV2Sink.mergeBranch(dir, "b") // append-only vs ITS base: must pass
+    assert(idsOf(ManifestV2Sink.readCommitted(spark, dir)) == Seq(1L, 3L))
+    // branch a is untouched and still merges its own addition
+    ManifestV2Sink.mergeBranch(dir, "a")
+    assert(idsOf(ManifestV2Sink.readCommitted(spark, dir)) ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("a rewrite branch refuses merge-by-union") {
     val dir = tmpTable()
     rows(1, 2).write.format("graft-manifest").mode("append").save(dir)
