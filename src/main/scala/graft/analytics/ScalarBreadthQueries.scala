@@ -431,23 +431,29 @@ object ScalarBreadthQueries {
     * is the files the snapshot lists, same as the current view.
     */
   def sinkManifestTimetravel(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-manifest-tt").toString
-    def slice(m: Long) = table(spark, dir, "orders")
-      .where(col("o_orderkey") % 17 === m)
-      .select(col("o_orderkey"), col("o_custkey"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
-    slice(0).write.format("graft-manifest").mode("append").save(out)
-    slice(1).write.format("graft-manifest").mode("append").save(out)
-    slice(2).write.format("graft-manifest").mode("overwrite").save(out)
-    graft.sources.ManifestV2Sink.versions(out).map { v =>
-      graft.sources.ManifestV2Sink.readVersion(spark, out, v)
-        .agg(count(lit(1)).as("n"),
-          sum(col("cents")).as("sum_cents"),
-          sum(col("o_orderkey")).as("sum_keys"))
-        .select(lit(v.toLong).as("version"), col("n"), col("sum_cents"),
-          col("sum_keys"))
-    }.reduce(_ unionByName _).orderBy(col("version"))
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_timetravel_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      def slice(m: Long) = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 17 === m)
+        .select(col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      slice(0).write.format("graft-manifest").mode("append").save(out)
+      slice(1).write.format("graft-manifest").mode("append").save(out)
+      slice(2).write.format("graft-manifest").mode("overwrite").save(out)
+      graft.sources.ManifestV2Sink.versions(out).map { v =>
+        graft.sources.ManifestV2Sink.readVersion(spark, out, v)
+          .agg(count(lit(1)).as("n"),
+            sum(col("cents")).as("sum_cents"),
+            sum(col("o_orderkey")).as("sum_keys"))
+          .select(lit(v.toLong).as("version"), col("n"), col("sum_cents"),
+            col("sum_keys"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
   }
 
   val sinkManifestTimetravelSql: String =

@@ -307,11 +307,20 @@ object ManifestV2Sink {
       files: Seq[String], tag: String, branch: Option[String] = None): Unit = {
     val body = ((schema.json +: files).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
-    val nextV = versions(path).lastOption.getOrElse(0) + 1
     val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$tag")
     Files.write(vTmp, body)
-    Files.move(vTmp, versionFile(path, nextV),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // optimistic snapshot mint: hard-link is atomic create-IF-ABSENT
+    // on POSIX (rename would silently replace an existing target), so
+    // two concurrent committers — e.g. a main writer and a branch
+    // writer — can never publish the same vNNNNN; the loser observes
+    // FileAlreadyExists and retries the next number, Iceberg-style
+    var nextV = versions(path).lastOption.getOrElse(0) + 1
+    var minted = false
+    while (!minted) {
+      try { Files.createLink(versionFile(path, nextV), vTmp); minted = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => nextV += 1 }
+    }
+    Files.deleteIfExists(vTmp)
     val pointer = branch.map(branchFile(path, _))
       .getOrElse(Paths.get(path, "_MANIFEST"))
     val tmp = Paths.get(path, s"_MANIFEST.tmp.$tag")
@@ -407,8 +416,13 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       val baseF = ManifestV2Sink.branchBaseFile(path, b)
       // a write to a branch that was never createBranch'd starts the
       // branch EMPTY — its fork point is the empty file list, so
-      // merge-by-union later adds exactly what the branch wrote
-      if (!Files.exists(baseF))
+      // merge-by-union later adds exactly what the branch wrote.
+      // OVERWRITE (not skip) when the head doesn't exist: a crashed
+      // createBranch (sidecar written, head rename never happened)
+      // leaves a stale .base that would otherwise poison mergeBranch
+      val headMissing =
+        !Files.exists(ManifestV2Sink.branchFile(path, b))
+      if (headMissing || !Files.exists(baseF))
         Files.write(baseF, "\n".getBytes(StandardCharsets.UTF_8))
     }
     // publish: write-then-atomic-rename; readers see old or new state,

@@ -156,6 +156,7 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean,
   // limit truncates ascending but imposes no emission order
   private var topnAsc: Option[Boolean] = None
   private var limited = false
+  private var offsetApplied = false
   private var sample: Option[(Long, Long, Int)] = None
   // after a pushed join: the output columns as (alias, base-column)
   // pairs, in order; None until a join is pushed
@@ -375,7 +376,12 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean,
   // generator cannot
   override def pushTableSample(lower: Double, upper: Double,
       withReplacement: Boolean, seed: Long): Boolean =
-    if (withReplacement) false
+    // declined after a pushed top-N/limit/offset: those folded their
+    // k/o arithmetic on the DENSE interval premise, and correctness
+    // must not depend on V2ScanRelationPushDown happening to push
+    // Sample first (today's rule order — not a contract)
+    if (withReplacement || topnAsc.isDefined || limited || offsetApplied)
+      false
     else {
       sample = Some(SyntheticV2Source.sampleSpec(lower, upper, seed))
       true
@@ -399,6 +405,7 @@ private class SynthScanBuilder(rows: Long, parts: Int, keyed: Boolean,
       else if (topnAsc.contains(false)) hi -= o
       else lo += o
     }
+    offsetApplied = true
     true
   }
 
@@ -580,7 +587,12 @@ private class SynthScan(lo: Long, hi: Long, parts: Int,
       // direction — Spark already dropped its Sort and Limit, so the
       // emission order IS the result order
       case Some(asc) =>
-        return Array(SynthSlice(lo, hi, baseFields, desc = !asc))
+        // carry `sample` through (today always None here — pushTopN
+        // declines under a sample and pushTableSample declines after a
+        // top-N — but the slice must not silently un-sample if either
+        // guard ever loosens)
+        return Array(
+          SynthSlice(lo, hi, baseFields, desc = !asc, sample = sample))
       case None => ()
     }
     if (keyed) {

@@ -93,6 +93,51 @@ class ManifestBranchSpec extends SparkSuite {
     assert(idsOf(ManifestV2Sink.readCommitted(spark, dir)) == Seq(1L, 7L))
   }
 
+  test("concurrent publishes mint distinct snapshot versions (optimistic commit)") {
+    // regression: version numbers used to be read-modify-write with a
+    // REPLACE_EXISTING rename — two racing committers could mint the
+    // same vNNNNN and silently overwrite one snapshot. The mint is now
+    // an atomic create-if-absent (hard link); losers retry.
+    val dir = tmpTable()
+    rows(1).write.format("graft-manifest").mode("append").save(dir)
+    val schema = ManifestV2Sink.readManifest(dir).get._1
+    val n = 8
+    val threads = (0 until n).map { i =>
+      new Thread(() =>
+        ManifestV2Sink.publish(dir, schema, Seq(s"data/fake-$i.jsonl"),
+          s"race-$i"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val vs = ManifestV2Sink.versions(dir)
+    // 1 seed commit + n racers, no number reused, no snapshot lost
+    assert(vs == (1 to n + 1), s"got versions $vs")
+    val bodies = vs.map(v =>
+      ManifestV2Sink.parseManifest(ManifestV2Sink.versionFile(dir, v)).get._2)
+    assert(bodies.distinct.size == vs.size,
+      s"a snapshot body was overwritten: $bodies")
+  }
+
+  test("implicit branch write heals a stale sidecar from a crashed createBranch") {
+    // regression: createBranch writes the .base sidecar BEFORE the
+    // head rename; a crash in between leaves main's file list as the
+    // sidecar. An implicit write used to keep that stale base (head
+    // starts empty) and mergeBranch then rejected an append-only
+    // branch with the rewrote-fork-point error.
+    val dir = tmpTable()
+    rows(1, 2).write.format("graft-manifest").mode("append").save(dir)
+    // simulate the crash: sidecar holds main's current files, no head
+    val mainFiles = ManifestV2Sink.readManifest(dir).get._2
+    Files.write(ManifestV2Sink.branchBaseFile(dir, "crashed"),
+      (mainFiles.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows(9).write.format("graft-manifest").option("branch", "crashed")
+      .mode("append").save(dir)
+    assert(idsOf(ManifestV2Sink.readBranch(spark, dir, "crashed")) == Seq(9L))
+    ManifestV2Sink.mergeBranch(dir, "crashed") // must not throw
+    assert(idsOf(ManifestV2Sink.readCommitted(spark, dir)) ==
+      Seq(1L, 2L, 9L))
+  }
+
   test("deleting a branch releases its files only after snapshots expire") {
     val dir = tmpTable()
     rows(1).write.format("graft-manifest").mode("append").save(dir)
