@@ -3534,7 +3534,12 @@ object EmbeddingQueries {
         ppm(col("n_matched_init"), lit(NndK)).as("recall_init_ppm"))
   }
 
-  val knnGraphNndSql: String = {
+  /** The NN-Descent construction as oracle CTEs (`sqlQuantized` … up
+    * to the final graph `g$NndRounds`) — shared by [[knnGraphNndSql]]
+    * and [[knnGraphSearchSql]], whose walks both start from the same
+    * built graph.
+    */
+  private lazy val sqlNndChain: String = {
     val dotAB = sqlDot // the canonical a/b quantized-dot fragment
     def distCte(src: String, out: String) =
       s"""$out AS (
@@ -3562,7 +3567,7 @@ object EmbeddingQueries {
          |  UNION ALL SELECT v, u, d FROM g${r - 1}),
          |${rankCte(s"a$r", s"g$r")}""".stripMargin
     }.mkString(",\n")
-    s"""WITH $sqlQuantized,
+    s"""$sqlQuantized,
        |p0 AS (
        |  SELECT a.vec_id AS v,
        |    (a.vec_id + s.i) % (SELECT COUNT(*) FROM n) AS u
@@ -3570,7 +3575,11 @@ object EmbeddingQueries {
        |    AS i) s),
        |${distCte("p0", "d0")},
        |${rankCte("d0", "g0")},
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  val knnGraphNndSql: String =
+    s"""WITH $sqlNndChain,
        |samp AS (SELECT vec_id, qv, norm2 FROM n
        |  WHERE vec_id % $NndEvalStride = 0),
        |ex AS (
@@ -3596,7 +3605,6 @@ object EmbeddingQueries {
        |LEFT JOIN g$NndRounds g ON e.v = g.v AND e.u = g.u
        |LEFT JOIN g0 ON e.v = g0.v AND e.u = g0.u
        |GROUP BY e.v""".stripMargin
-  }
 
   // --------------------------------- k-center (farthest-point) init
   /** Farthest-point traversal (Gonzalez' 2-approximate k-CENTER) as a

@@ -584,9 +584,10 @@ object PipelineQueries {
     * pairs straddle the boundary, so "held-out" eval rows have a
     * train-set twin and the benchmark is contaminated from day one.
     * This query quantifies that leak and proves the fix in one
-    * report: the near-dup graph ([[DedupQueries.simhashPairsFrame]]
-    * banding) is clustered by star contraction, then both schemes are
-    * evaluated — `doc_hash` (each doc hashed independently, the
+    * report: the near-dup clustering (the persisted
+    * [[NearDupArtifact]] label table — simhash banding + star
+    * contraction, built nightly) labels every doc, then both schemes
+    * are evaluated — `doc_hash` (each doc hashed independently, the
     * [[pipelineSplit]] rule) and `cluster_hash` (every member hashed
     * by its CLUSTER label, so a component can never straddle). Per
     * scheme: cluster count, multi-doc clusters, straddling clusters
@@ -596,20 +597,19 @@ object PipelineQueries {
     * clusters keep their doc-hash assignment (label = doc_id), so the
     * fix moves only documents that were actually entangled.
     *
-    * Scale shape: simhash banding shuffles 8-byte keys (text never
-    * moves), star contraction is O(log² n) rounds, the audit itself
-    * is one cluster-keyed partial-aggregating groupBy folded to a
-    * 2-row report. The split columns are pure row-wise hashes — free
-    * at any scale, reproducible in any engine.
+    * Scale shape: the banding + contraction cost is the nightly
+    * artifact build's; the audit itself is one artifact read and one
+    * cluster-keyed partial-aggregating groupBy folded to a 2-row
+    * report. The split columns are pure row-wise hashes — free at any
+    * scale, reproducible in any engine.
     */
   def pipelineSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents").select(col("doc_id"))
-    val pairs = DedupQueries.dedupSimhashPairs(spark, dir)
-      .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst").localCheckpoint(true)
-    val labels = DedupQueries.starContractLabels(edges)
-      .withColumnRenamed("v", "doc_id")
+    // component labels read from the persisted artifact (built by star
+    // contraction, every doc present incl. singletons); the audit's
+    // full-recompute oracle re-proves the labels every run
+    val labels = NearDupArtifact.labels(spark, dir)
+      .select(col("doc_id"), col("cluster_id"))
     // the same salt and bucket rule as pipelineSplit, so doc_hash IS
     // the production assignment being audited
     def splitOf(key: Column): Column = {
@@ -618,9 +618,8 @@ object PipelineQueries {
       when(bucket < 900, "train")
         .when(bucket < 950, "valid").otherwise("test")
     }
-    val lab = docs.join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val lab = docs.join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"))
       .withColumn("split_doc", splitOf(col("doc_id")))
       .withColumn("split_cluster", splitOf(col("cluster_id")))
       .cache() // both scheme reports fold the one labeled frame
@@ -731,8 +730,10 @@ object PipelineQueries {
   val SeedHops = 4
 
   def graphSeedDistance(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    // edge list read from the persisted near-dup artifact (the graph
+    // family's input is nightly-job output, not a per-query re-derive;
+    // the full-recompute oracle below re-proves the pairs every run)
+    val pairs = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs
       .union(pairs.select(col("doc_b"), col("doc_a")))
@@ -783,11 +784,9 @@ object PipelineQueries {
     * broadcast-size rollup joined back by bucket.
     */
   def graphHubs(spark: SparkSession, dir: String): DataFrame = {
-    // checkpoint: deg feeds count(), the doc join, AND the histogram —
-    // without it the banded pair generation re-executes per consumer
-    // (the same rule every sibling graph query follows)
-    val pairs = DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    // artifact-read edge list (see graphSeedDistance); checkpoint: deg
+    // feeds count(), the doc join, AND the histogram
+    val pairs = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val deg = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id")))
@@ -849,13 +848,15 @@ object PipelineQueries {
     * endpoints → cluster, degrees → cluster) folded to one row.
     */
   def graphModularity(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    // both inputs read from the persisted artifact: the pair list AND
+    // the component labels (joins below restrict to edge endpoints, so
+    // the artifact's singleton rows are inert)
+    val pairs = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-    val labels = DedupQueries.starContractLabels(edges)
-      .withColumnRenamed("v", "doc_id")
+    val labels = NearDupArtifact.labels(spark, dir)
+      .select(col("doc_id"), col("cluster_id").as("label"))
     val m = pairs.count() // undirected edge count
     // within-cluster edges: both endpoints share a label (components
     // ⇒ every edge qualifies; computed, not assumed — the join is the
@@ -914,9 +915,9 @@ object PipelineQueries {
   def graphKcore(spark: SparkSession, dir: String): DataFrame = {
     // each round is materialized (localCheckpoint, as in the CC
     // queries): without it round i's degree count re-executes every
-    // earlier round's semi-join chain — measured 14 s vs ~2 s at sf0.1
-    var edges = DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    // earlier round's semi-join chain — measured 14 s vs ~2 s at sf0.1.
+    // Edge list read from the persisted artifact (see graphSeedDistance)
+    var edges = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
     def degrees(e: DataFrame): DataFrame =
       e.select(col("doc_a").as("v"))
@@ -982,7 +983,9 @@ object PipelineQueries {
       .select(col("doc_id"), explode(toks).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_cnt"))
-    val dupB = DedupQueries.simhashPairsFrame(docs)
+    // near-dup verdicts read from the persisted pair artifact (docs
+    // here is the full documents table — the artifact's exact input)
+    val dupB = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
     val reason = when(col("n_tok") < 15, "too_short")
@@ -1038,7 +1041,9 @@ object PipelineQueries {
     * triangle is counted exactly once.
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val edges = DedupQueries.simhashPairsFrame(table(spark, dir, "documents"))
+    // artifact-read edge list (see graphSeedDistance); cached for the
+    // three-way self-join
+    val edges = NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")).cache()
     val deg = edges.select(col("doc_a").as("node"))
       .union(edges.select(col("doc_b").as("node")))
@@ -1504,8 +1509,7 @@ object PipelineQueries {
     * means plan depth fixed — the 100 TB-safe choice.
     */
   def graphPagerank(spark: SparkSession, dir: String): DataFrame =
-    pagerankFrame(DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    pagerankFrame(NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")))
       .orderBy(col("pr").desc, col("node")).limit(20)
 
@@ -1583,8 +1587,7 @@ object PipelineQueries {
   val LpaIters = 3
 
   def graphLpa(spark: SparkSession, dir: String): DataFrame =
-    lpaFrame(DedupQueries
-      .simhashPairsFrame(table(spark, dir, "documents"))
+    lpaFrame(NearDupArtifact.pairs(spark, dir)
       .select(col("doc_a"), col("doc_b")))
 
   private[analytics] def lpaFrame(undirected: DataFrame): DataFrame = {
@@ -2303,15 +2306,17 @@ object PipelineQueries {
     * carry signal (popular pages) but must not dominate the loss.
     *
     * Weights are integer ppm (`1000000 div cluster_size`) so the frame
-    * hashes identically in any engine. Scale shape: everything
-    * expensive is the clustering itself — star contraction, O(log² n)
-    * rounds, diameter-independent ([[DedupQueries.dedupClustersStar]],
-    * whose shared oracle re-proves the labels every verify run); on
-    * top of it one 8-byte-keyed join against documents and a pure
-    * row-wise weight expression.
+    * hashes identically in any engine. Scale shape: the clustering
+    * cost lives in the nightly artifact build
+    * ([[DedupQueries.dedupClustersPersisted]]); this query is one
+    * artifact read, one 8-byte-keyed join against documents, and a
+    * pure row-wise weight expression — its full-recompute oracle
+    * re-proves the persisted labels every verify run.
     */
   def pipelineDedupWeight(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = DedupQueries.dedupClustersStar(spark, dir)
+    // label table read from the persisted artifact — a weighting job
+    // consumes the nightly clustering, it does not recompute it
+    val clusters = NearDupArtifact.labels(spark, dir)
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_toks"))
