@@ -3606,6 +3606,194 @@ object EmbeddingQueries {
        |LEFT JOIN g0 ON e.v = g0.v AND e.u = g0.u
        |GROUP BY e.v""".stripMargin
 
+  // --------------------------------- graph ANN: beam search over NND
+  /** QUERY-TIME search over the NN-Descent graph — the missing half of
+    * the graph family ([[knnGraphNnd]] builds the index; this walks
+    * it, reading the graph from the session-persisted manifest table
+    * below, so the benched cost is the search, not a rebuild):
+    * HNSW's layer-0 search (Malkov & Yashunin, TPAMI'18)
+    * re-expressed as SYNCHRONOUS BEAM SEARCH, the deterministic
+    * relational form of greedy best-first — every query enters at the
+    * same fixed seeds, each hop expands the whole beam through the
+    * symmetrized adjacency, scores candidates with the exact integer
+    * squared L2, and keeps the best [[GsBeam]] per query by (distance,
+    * id); after [[GsHops]] fixed hops the beam's top-[[NndK]] are the
+    * answer. Per query the walk touches O(hops · beam · degree)
+    * vertices — independent of corpus size, the property that makes
+    * graph ANN the high-recall index family — and the output carries
+    * its own evaluation: hits against the brute-force top-K
+    * (`n_matched`, `recall_ppm`) per query, the same in-band recall
+    * discipline as [[knnGraphNnd]] and knn_recall_report.
+    *
+    * Determinism: seeds are id-space quartiles (`i·⌊n/4⌋`, i = 0..3 —
+    * ids are uncorrelated with embedding space, so fixed ids are the
+    * reproducible stand-in for HNSW's entry point); all scores are
+    * int64; every per-query selection is totally ordered by (d, u).
+    * The query's own vertex is excluded from scoring throughout (a
+    * search never returns its probe).
+    *
+    * Scale shape: the beam frame is |queries|·beam rows — broadcast on
+    * every hop join (plan-pinned: zero SortMergeJoin); the adjacency
+    * is the K-bounded graph (n·2K rows) shuffled once at
+    * symmetrization and reused checkpointed; scoring joins stream the
+    * corpus past the broadcast candidate set. At 10^9 vectors the
+    * graph lives partitioned by vertex and each hop is one
+    * broadcast-semi-probe of it — no corpus scan after the build.
+    */
+  val GsBeam = 12
+  val GsHops = 3
+  private val GsQueryStride = 50
+
+  /** Session-scoped PERSISTED NND graph — the build-once/search-many
+    * separation for the graph family ([[knnIvfPersisted]]'s pattern;
+    * near-dup twin: [[NearDupArtifact]]): the K-NN graph is an INDEX,
+    * built by the nightly job ([[knnGraphNnd]] is that build, with its
+    * quality eval in-band) and only READ at query time. Built lazily
+    * once per (JVM, dataset) through the graft-manifest sink;
+    * [[knnGraphSearch]]'s oracle re-derives the full construction, so
+    * a wrong persisted graph diverges its hash.
+    */
+  private val nndIndexSlots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val nndIndexTag =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def nndIndex(spark: SparkSession, dir: String): DataFrame = {
+    val path = nndIndexSlots.computeIfAbsent(dir, _ => {
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
+        .mkString
+      val p = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        s"graft_nndgraph_${nndIndexTag}_$key").toUri.getPath
+      nndGraph(spark, dir, NndRounds)
+        .write.format("graft-manifest").mode("overwrite").save(p)
+      p
+    })
+    graft.sources.ManifestV2Sink.readCommitted(spark, path)
+  }
+
+  def knnGraphSearch(spark: SparkSession, dir: String): DataFrame = {
+    val g = nndIndex(spark, dir)
+    val adj = g.select(col("v"), col("u"))
+      .union(g.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint(true)
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
+      val n = e.count()
+      val qs = e.where(col("vec_id") % GsQueryStride === 13)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("norm2").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("u").asc)
+      // score the candidate set exactly and keep the per-query top-k
+      def scoredTop(cand: DataFrame, k: Int): DataFrame =
+        broadcast(cand.distinct())
+          .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+            col("norm2").as("nb")), "u")
+          .join(broadcast(qs), "qid")
+          .where(col("u") =!= col("qid"))
+          .select(col("qid"), col("u"),
+            (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+              .as("d"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k)
+          .select(col("qid"), col("u"), col("d"))
+      val seeds = qs.select(col("qid"),
+        explode(array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
+      var beam = scoredTop(seeds, GsBeam).localCheckpoint(true)
+      for (_ <- 1 to GsHops) {
+        val frontier = beam.select(col("qid"), col("u").as("bu"))
+        val expanded = broadcast(frontier)
+          .join(adj, col("bu") === col("v"))
+          .select(col("qid"), col("u"))
+        val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
+        beam = scoredTop(cand, GsBeam).localCheckpoint(true)
+      }
+      val found = beam.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+      val exact = broadcast(qs)
+        .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+          col("norm2").as("nb")), col("qid") =!= col("u"))
+        .select(col("qid"), col("u"),
+          (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+            .as("d"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+      // exact side is |queries|·K rows — broadcast, so the final eval
+      // join can never sort-merge (plan-pinned alongside the other
+      // search families)
+      found.select(col("qid"), col("u"), col("d"))
+        .join(broadcast(exact.select(col("qid"), col("u"))
+          .withColumn("hit", lit(1L))), Seq("qid", "u"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_found"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
+          min(col("d")).as("d_best"))
+        .select(col("qid").as("query_id"), col("n_found"),
+          col("n_matched"),
+          ppm(col("n_matched"), lit(NndK.toLong)).as("recall_ppm"),
+          col("d_best"))
+    } finally e.unpersist()
+  }
+
+  val knnGraphSearchSql: String = {
+    val qeDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
+    // one hop = expand the beam through adj, re-score, keep top-GsBeam
+    def beamCte(candSrc: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, u, d FROM (
+         |    SELECT qid, u, d, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d, u) AS rnk
+         |    FROM (SELECT DISTINCT t.qid, t.u,
+         |            q.norm2 + e.norm2 - 2 * $qeDot AS d
+         |          FROM $candSrc t
+         |          JOIN gqs q ON t.qid = q.qid
+         |          JOIN n e ON t.u = e.vec_id
+         |          WHERE t.u <> t.qid))
+         |  WHERE rnk <= $GsBeam)""".stripMargin
+    val hops = (1 to GsHops).map { h =>
+      s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
+         |  JOIN gadj a ON b.u = a.v
+         |  UNION SELECT qid, u FROM gw${h - 1}),
+         |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlNndChain,
+       |gadj AS MATERIALIZED (SELECT v, u FROM g$NndRounds
+       |  UNION SELECT u AS v, v AS u FROM g$NndRounds),
+       |gqs AS (SELECT vec_id AS qid, qv, norm2 FROM n
+       |  WHERE vec_id % $GsQueryStride = 13),
+       |gs0 AS (
+       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
+       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
+       |    AS i) s),
+       |${beamCte("gs0", "gw0")},
+       |$hops,
+       |gfk AS (
+       |  SELECT qid, u, d FROM (
+       |    SELECT qid, u, d, row_number() OVER (
+       |      PARTITION BY qid ORDER BY d, u) AS rnk
+       |    FROM gw$GsHops)
+       |  WHERE rnk <= $NndK),
+       |gex AS (
+       |  SELECT q.qid, e.vec_id AS u, row_number() OVER (
+       |    PARTITION BY q.qid
+       |    ORDER BY q.norm2 + e.norm2 - 2 * $qeDot, e.vec_id) AS rnk
+       |  FROM gqs q JOIN n e ON e.vec_id <> q.qid),
+       |gexk AS (SELECT qid, u FROM gex WHERE rnk <= $NndK)
+       |SELECT f.qid AS query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched,
+       |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
+             NndK.toString)} AS recall_ppm,
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
+       |GROUP BY f.qid""".stripMargin
+  }
+
   // --------------------------------- k-center (farthest-point) init
   /** Farthest-point traversal (Gonzalez' 2-approximate k-CENTER) as a
     * quantizer INITIALIZATION, with the coverage radius after every
@@ -3772,6 +3960,7 @@ object EmbeddingQueries {
     "emb_kcenter_init" -> (embKcenterInit _),
     "emb_init_quality" -> (embInitQuality _),
     "knn_graph_nnd" -> (knnGraphNnd _),
+    "knn_graph_search" -> (knnGraphSearch _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
     "knn_ivf_persisted" -> (knnIvfPersisted _),
@@ -3811,6 +4000,7 @@ object EmbeddingQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_graph_nnd" -> knnGraphNndSql,
+    "knn_graph_search" -> knnGraphSearchSql,
     "emb_kcenter_init" -> embKcenterInitSql,
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,

@@ -173,7 +173,8 @@ class PlanAuditSpec extends SparkSuite {
     // sort-merge join anywhere in the search plans — every join is
     // against a broadcast (centroids, codebooks, query sets)
     for (q <- Seq("knn_brute_force", "knn_ivf", "knn_ivf_trained",
-        "knn_pq_adc", "knn_sq8", "knn_binary", "emb_kmeans_train")) {
+        "knn_pq_adc", "knn_sq8", "knn_binary", "emb_kmeans_train",
+        "knn_graph_search")) {
       assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles its corpus")
     }
     // the IVF×PQ chains join two corpus-scaled frames (candidates ×
