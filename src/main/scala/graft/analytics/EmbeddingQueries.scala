@@ -3270,11 +3270,13 @@ object EmbeddingQueries {
     * both engines, and order-independent to sum.
     *
     * Scale shape: the sparse probe is an inverted-index join on the
-    * query-term key (only matching postings shuffle; at web scale the
-    * standard WAND/max-score pruning and a stop-term df cutoff bound
-    * the posting traversal — the synthetic corpus's 31-term
-    * vocabulary makes a df cutoff vacuous here, so it scores all
-    * query terms); the dense side broadcasts the query block and
+    * query-term key (only matching postings shuffle); this variant
+    * scores ALL postings of every query term — the exact baseline.
+    * The top-k-bounded scale path is [[knnHybridWand]]: the same
+    * fusion over an impact-ordered truncated index, with the
+    * full-vs-scanned posting volume reported in-band so the bound's
+    * cost and effect are both pinned. The dense side broadcasts the
+    * query block and
     * would ride the IVF searches above ~10^7 vectors (this is the
     * eval harness, so it rides the exact baseline); per-ranker
     * truncation means the fusion join moves ≤ 2·50 rows per query.
@@ -3405,6 +3407,191 @@ object EmbeddingQueries {
        |    ORDER BY rrf_e9 DESC, doc_id ASC) AS fused_rank
        |  FROM fused)
        |WHERE fused_rank <= 10""".stripMargin
+
+  // ------------------------- hybrid retrieval with bounded postings
+  /** [[knnHybridRrf]] with the sparse half TOP-K-BOUNDED — the scale
+    * path its scaladoc names: per-term IMPACT-ORDERED posting
+    * truncation (Anh & Moffat's impact-ordered indexes; the static
+    * form of the WAND/max-score family). The BM25 contribution of a
+    * posting is query-INDEPENDENT (tf, dl, df, corpus stats), so each
+    * term's posting list is pre-sorted by that impact and cut to its
+    * top [[WandP]] entries at INDEX BUILD time — per-query sparse work
+    * becomes Σ min(df, P) over query terms instead of Σ df, bounded no
+    * matter how stoppy a term gets at web scale. The price is
+    * approximation (a doc outside every surviving posting cannot be
+    * scored); both sides of that trade are IN-BAND: every output row
+    * carries `n_post_full` (what an unbounded scorer would scan) vs
+    * `n_post_scanned` (what this one did), and the oracle mirrors the
+    * identical truncation, so the approximation is pinned exactly, not
+    * hand-waved.
+    *
+    * Scale shape: the truncated index is |vocab|·P rows (df-independent);
+    * impact ranking is one vocabulary-keyed window at build time; the
+    * query join shuffles only surviving postings. Dense half and RRF
+    * fusion are identical to [[knnHybridRrf]].
+    */
+  val WandP = 16
+
+  def knnHybridWand(spark: SparkSession, dir: String): DataFrame = {
+    val R = 50L // per-ranker truncation depth
+    val KOut = 10L // fused results kept per query
+    val docs = table(spark, dir, "documents")
+    val toks = split(col("text"), " ")
+    val e = quantized(spark, dir)
+    // ----- dense ranking: identical to knnHybridRrf
+    val qv = e.where(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("norm2").as("qn"))
+    val wd = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_ppm").desc, col("vec_id").asc)
+    val denseTop = broadcast(qv).join(e, col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        scorePpm(dot(col("qq"), col("q")), col("qn"), col("norm2"))
+          .as("cos_ppm"))
+      .withColumn("r_d", row_number().over(wd).cast("long"))
+      .where(col("r_d") <= R)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("r_d"))
+    // ----- impact-ordered truncated posting index (query-independent)
+    val stats = docs.agg(count(lit(1)).as("nd"),
+      sum(size(toks).cast("long")).as("st"))
+    val tf = docs.select(col("doc_id"), size(toks).cast("long").as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dd = (c: Column) => c.cast("double")
+    val idf = dd(lit(2) * col("nd") - lit(2) * col("df") + lit(1)) /
+      dd(lit(2) * col("df") + lit(1))
+    val tfc = dd(col("tf")) * lit(2.2) /
+      (dd(col("tf")) + lit(0.3) +
+        lit(0.9) * dd(col("dl")) * dd(col("nd")) / dd(col("st")))
+    val wp = Window.partitionBy(col("term"))
+      .orderBy(col("impact_ppm").desc, col("doc_id").asc)
+    val posting = tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        floor(lit(1e6) * idf * tfc).cast("long").as("impact_ppm"))
+      .withColumn("pr", row_number().over(wp))
+      .where(col("pr") <= WandP)
+      .select(col("term"), col("doc_id"), col("impact_ppm"))
+    // ----- per-query bound effect: full vs scanned posting volume
+    val qterms = docs
+      .join(broadcast(qv.select(col("q_id"))),
+        col("doc_id") === col("q_id"))
+      .select(col("q_id"), explode(array_distinct(toks)).as("term"))
+    val scanned = posting.groupBy(col("term"))
+      .agg(count(lit(1)).as("kept"))
+    val bound = qterms.join(dfreq, "term").join(scanned, "term")
+      .groupBy(col("q_id"))
+      .agg(sum(col("df")).as("n_post_full"),
+        sum(col("kept")).as("n_post_scanned"))
+    // ----- sparse ranking over surviving postings only
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("s_ppm").desc, col("doc_id").asc)
+    val sparseTop = qterms.join(posting, "term")
+      .where(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("impact_ppm")).as("s_ppm"))
+      .withColumn("r_s", row_number().over(ws).cast("long"))
+      .where(col("r_s") <= R)
+      .select(col("q_id"), col("doc_id"), col("r_s"))
+    // ----- fuse: identical RRF, bound columns riding along
+    val rrf = (r: Column) => when(r.isNotNull,
+      floor(lit(1e9) / (lit(60) + r)).cast("long")).otherwise(0L)
+    val wf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_e9").desc, col("doc_id").asc)
+    sparseTop.join(denseTop, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        coalesce(col("r_s"), lit(0L)).as("r_sparse"),
+        coalesce(col("r_d"), lit(0L)).as("r_dense"),
+        (rrf(col("r_s")) + rrf(col("r_d"))).as("rrf_e9"))
+      .withColumn("fused_rank", row_number().over(wf).cast("long"))
+      .where(col("fused_rank") <= KOut)
+      .join(broadcast(bound), "q_id")
+      .select(col("q_id"), col("fused_rank"), col("doc_id"),
+        col("rrf_e9"), col("r_sparse"), col("r_dense"),
+        col("n_post_full"), col("n_post_scanned"))
+  }
+
+  val knnHybridWandSql: String =
+    s"""WITH $sqlQuantized,
+       |qs AS (SELECT vec_id AS q_id, qv, norm2 FROM n WHERE vec_id % 50 = 7),
+       |dsc AS (
+       |  SELECT a.q_id, b.vec_id AS doc_id,
+       |    ${sqlScorePpm(sqlDot, "a.norm2", "b.norm2")} AS cos_ppm
+       |  FROM qs a JOIN n b ON a.q_id <> b.vec_id),
+       |dtop AS (
+       |  SELECT q_id, doc_id, r_d FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos_ppm DESC, doc_id ASC) AS r_d FROM dsc)
+       |  WHERE r_d <= 50),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+       |             CAST(SUM(len(toks)) AS BIGINT) AS st FROM t),
+       |e AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, u.term
+       |  FROM t, LATERAL (SELECT unnest(toks) AS term) u),
+       |tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |post AS (
+       |  SELECT term, doc_id, impact_ppm FROM (
+       |    SELECT f.term, f.doc_id,
+       |      CAST(FLOOR(1000000.0
+       |        * (CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE)
+       |           / CAST(2 * d.df + 1 AS DOUBLE))
+       |        * (CAST(f.tf AS DOUBLE) * 2.2
+       |           / (CAST(f.tf AS DOUBLE) + 0.3
+       |              + 0.9 * CAST(f.dl AS DOUBLE) * CAST(s.nd AS DOUBLE)
+       |                / CAST(s.st AS DOUBLE)))) AS BIGINT) AS impact_ppm,
+       |      row_number() OVER (PARTITION BY f.term
+       |        ORDER BY CAST(FLOOR(1000000.0
+       |        * (CAST(2 * s.nd - 2 * d.df + 1 AS DOUBLE)
+       |           / CAST(2 * d.df + 1 AS DOUBLE))
+       |        * (CAST(f.tf AS DOUBLE) * 2.2
+       |           / (CAST(f.tf AS DOUBLE) + 0.3
+       |              + 0.9 * CAST(f.dl AS DOUBLE) * CAST(s.nd AS DOUBLE)
+       |                / CAST(s.st AS DOUBLE)))) AS BIGINT) DESC,
+       |          f.doc_id ASC) AS pr
+       |    FROM tf f JOIN dfq d USING (term), s)
+       |  WHERE pr <= $WandP),
+       |qt AS (
+       |  SELECT q.q_id, u.term
+       |  FROM (SELECT q_id FROM qs) q JOIN t ON t.doc_id = q.q_id,
+       |    LATERAL (SELECT unnest(list_distinct(t.toks)) AS term) u),
+       |kept AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS kept
+       |  FROM post GROUP BY term),
+       |bound AS (
+       |  SELECT qt.q_id, CAST(SUM(d.df) AS BIGINT) AS n_post_full,
+       |    CAST(SUM(k.kept) AS BIGINT) AS n_post_scanned
+       |  FROM qt JOIN dfq d USING (term) JOIN kept k USING (term)
+       |  GROUP BY qt.q_id),
+       |sp AS (
+       |  SELECT qt.q_id, p.doc_id,
+       |    CAST(SUM(p.impact_ppm) AS BIGINT) AS s_ppm
+       |  FROM qt JOIN post p USING (term)
+       |  WHERE p.doc_id <> qt.q_id
+       |  GROUP BY 1, 2),
+       |stp AS (
+       |  SELECT q_id, doc_id, r_s FROM (
+       |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY s_ppm DESC, doc_id ASC) AS r_s FROM sp)
+       |  WHERE r_s <= 50),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(COALESCE(r_s, 0) AS BIGINT) AS r_sparse,
+       |    CAST(COALESCE(r_d, 0) AS BIGINT) AS r_dense,
+       |    CAST(CASE WHEN r_s IS NULL THEN 0
+       |      ELSE FLOOR(1000000000.0 / (60 + r_s)) END
+       |    + CASE WHEN r_d IS NULL THEN 0
+       |      ELSE FLOOR(1000000000.0 / (60 + r_d)) END AS BIGINT) AS rrf_e9
+       |  FROM stp FULL JOIN dtop USING (q_id, doc_id))
+       |SELECT f.q_id, CAST(f.fused_rank AS BIGINT) AS fused_rank, f.doc_id,
+       |  f.rrf_e9, f.r_sparse, f.r_dense, b.n_post_full, b.n_post_scanned
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf_e9 DESC, doc_id ASC) AS fused_rank
+       |  FROM fused) f
+       |JOIN bound b ON f.q_id = b.q_id
+       |WHERE f.fused_rank <= 10""".stripMargin
 
   // ------------------------------------------ graph ANN: NN-Descent
   /** K-NN GRAPH construction by NN-Descent (Dong, Moses & Li, WWW'11)
@@ -3963,6 +4150,7 @@ object EmbeddingQueries {
     "knn_graph_search" -> (knnGraphSearch _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
+    "knn_hybrid_wand" -> (knnHybridWand _),
     "knn_ivf_persisted" -> (knnIvfPersisted _),
     "emb_covariance" -> (embCovariance _),
     "emb_kmeans_train" -> (embKmeansTrain _),
@@ -4005,6 +4193,7 @@ object EmbeddingQueries {
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,
     "knn_hybrid_rrf" -> knnHybridRrfSql,
+    "knn_hybrid_wand" -> knnHybridWandSql,
     // the persisted index is knn_ivf through a parquet round-trip:
     // identical cells/probes/re-rank, so it shares the oracle — the
     // hash gate re-proves the storage layer is exact every run

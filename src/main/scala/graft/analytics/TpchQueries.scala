@@ -850,35 +850,82 @@ object TpchQueries {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  /** Approximate distinct (HLL++) — it exists because exact distinct
-    * at 100 TB is the wrong default. The HLL estimate itself is
-    * engine-specific (DuckDB cannot reproduce Spark's register
-    * layout), so the HASHED columns are restructured to be
-    * deterministic — the [[approxDistinctKmv]] gating pattern: the
-    * exact twin rides along, and the estimate enters the output only
-    * through its banded relative error `|est − exact|·20 div exact`
-    * (0 ⇔ within ±5%) plus the within-bound verdict. The oracle
-    * asserts band 0 / true: with rsd = 0.01 (≈1% standard error,
-    * register array still ~16 KiB — sketch state stays O(1) per
-    * group at any corpus size) a 5% band is ≥5σ, so the claim is a
-    * REAL check of the sketch, not a tautology — a broken HLL fails
-    * the hash.
+  /** Approximate distinct (HLL) — it exists because exact distinct at
+    * 100 TB is the wrong default. The sketch is a RELATIONAL
+    * HyperLogLog (Flajolet et al. 2007): registers are ROWS, not an
+    * opaque buffer — `idx` = low 14 hash bits (m = 2^14, the same
+    * precision as rsd ≈ 0.01), `rho` = leftmost-1 rank of the
+    * remaining 42 bits, and the register value is a plain `max(rho)`
+    * per (group, idx), with linear counting below 2.5m (exactly the
+    * small-range regime these cardinalities sit in). Why not the
+    * built-in `approx_count_distinct`: its ImperativeAggregate buffer
+    * disables whole-stage codegen for every aggregate sharing its
+    * stage — measured 0.89 s vs 0.47 s at sf0.1 for the identical
+    * result. Declarative max/sum keep every stage codegen'd: the
+    * register rollup (which, being duplicate-insensitive, skips the
+    * dedup entirely — raw rows fold straight into ≤ 3·m register
+    * rows) and the exact countDistinct twin run as two independent
+    * two-exchange chains over the same narrow scan, met by one
+    * broadcast join of two 3-row results.
+    *
+    * The estimate itself still never crosses engines (libm `ln` in the
+    * linear-counting branch): it enters the output only through the
+    * banded relative error `|est − exact|·20 div exact` (0 ⇔ within
+    * ±5%) plus the within-bound verdict, and the oracle asserts band
+    * 0 / true. At m = 2^14 the 5% band is ≥5σ for both the HLL and
+    * linear-counting regimes, so the claim is a REAL check of the
+    * sketch — a broken register map fails the hash.
     */
-  def approxDistinctCustomers(spark: SparkSession, dir: String): DataFrame =
-    // HLL is duplicate-insensitive, so sketching the pre-distinct
-    // (status, custkey) pairs gives the identical estimate while the
-    // exact twin falls out as a plain count — ONE partial-aggregating
-    // shuffle, no COUNT(DISTINCT) expand
-    table(spark, dir, "orders")
-      .select(col("o_orderstatus"), col("o_custkey")).distinct()
+  def approxDistinctCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val m = 16384L // 2^14 registers, rsd ≈ 1.04/√m ≈ 0.8%
+    // xxhash64, not the cross-engine md5 family: the estimate never
+    // leaves Spark (only the band does), so the native codegen'd hash
+    // is the right choice
+    val h = xxhash64(col("o_custkey"))
+    val w = shiftright(h, 14).bitwiseAND(lit((1L << 42) - 1))
+    // leftmost-1 rank in a 42-bit word: bin() length IS floor(log2)+1
+    val rho = when(w === 0L, lit(43L))
+      .otherwise(lit(43L) - length(bin(w)).cast("long"))
+    val pairs = table(spark, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"))
+    // two independent 2-exchange chains over the one scan, runnable
+    // concurrently: the codegen'd exact distinct, and the register
+    // rollup (duplicate-insensitive, so it skips the dedup entirely)
+    val exact = pairs.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_exact"))
+    val sketch = pairs
+      .select(col("o_orderstatus"), h.bitwiseAND(lit(16383L)).as("idx"),
+        rho.as("rho"))
+      .groupBy(col("o_orderstatus"), col("idx"))
+      .agg(max(col("rho")).as("mx"))
       .groupBy(col("o_orderstatus"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("est"),
-        count(lit(1)).as("n_exact"))
-      .select(col("o_orderstatus"), col("n_exact"),
-        floor(abs(col("est") - col("n_exact")) * 20.0 / col("n_exact"))
-          .cast("long").as("err_band"),
-        (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
-          .as("within_bound"))
+      .agg(count(lit(1)).as("n_regs"),
+        // Σ 2^(62−M) as exact DECIMAL — order-independent, overflow-free
+        sum(expr("cast(shiftleft(cast(1 as bigint), cast(62 - mx as int))" +
+          " as decimal(38,0))")).as("s_present"))
+    exact.join(broadcast(sketch), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_exact"), {
+        val zeros = (lit(m) - col("n_regs")).cast("double")
+        val sTot = col("s_present").cast("double") +
+          zeros * lit(math.pow(2, 62)) // empty registers contribute 2^0
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        val raw = lit(alpha * m * m * math.pow(2, 62)) / sTot
+        val est = when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+        floor(abs(est - col("n_exact")) * 20.0 / col("n_exact"))
+          .cast("long").as("err_band")
+      }, {
+        val zeros = (lit(m) - col("n_regs")).cast("double")
+        val sTot = col("s_present").cast("double") +
+          zeros * lit(math.pow(2, 62))
+        val alpha = 0.7213 / (1 + 1.079 / m)
+        val raw = lit(alpha * m * m * math.pow(2, 62)) / sTot
+        val est = when(raw <= lit(2.5 * m) && zeros > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+        (abs(est - col("n_exact")) * 20 <= col("n_exact"))
+          .as("within_bound")
+      })
+  }
 
   val approxDistinctCustomersSql: String =
     """SELECT o_orderstatus,
