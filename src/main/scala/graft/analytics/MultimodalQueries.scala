@@ -383,7 +383,48 @@ object MultimodalQueries {
        |  CAST(MAX(toks) AS BIGINT) AS max_tokens
        |FROM t GROUP BY media_type""".stripMargin
 
+  /** REAL-BYTES decode through the P6 codec: deterministic PPM images
+    * are encoded on the executors ([[MultimodalOps.ppmFromDocuments]]),
+    * parsed BACK by [[MultimodalOps.PpmCodec]] (header, comments,
+    * strict raster length), and the decoded raster is walked for
+    * per-channel sums. The oracle recomputes every statistic from the
+    * fixture's closed-form pixel rule — it never sees a byte — so any
+    * drift in header writing, parsing, channel interleave, or pixel
+    * order fails the hash. This is the decode boundary exercised with
+    * actual image bytes end-to-end; formats the container cannot
+    * decode still cross the same seam via the stub.
+    */
+  def multimodalDecode(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeStats(MultimodalOps.ppmFromDocuments(spark, dir))
+      .select(col("media_id"), col("width"), col("height"), col("n_pix"),
+        col("sum_r"), col("sum_g"), col("sum_b"),
+        QueryUtil.ppm(col("sum_r") + col("sum_g") + col("sum_b"),
+          lit(765L) * col("n_pix")).as("brightness_ppm"))
+
+  val multimodalDecodeSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, u.i, (7 * u.i + 13 * doc_id) % 256 AS v
+       |  FROM dims, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(w * h * 3 - 1 AS BIGINT))) AS i) u),
+       |a AS (
+       |  SELECT doc_id, w, h,
+       |    SUM(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS sum_r,
+       |    SUM(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS sum_g,
+       |    SUM(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS sum_b
+       |  FROM px GROUP BY 1, 2, 3)
+       |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height, CAST(w * h AS BIGINT) AS n_pix,
+       |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+       |  CAST(sum_b AS BIGINT) AS sum_b,
+       |  ${QueryUtil.sqlPpm("sum_r + sum_g + sum_b", "765 * w * h")}
+       |    AS brightness_ppm
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_decode" -> (multimodalDecode _),
     "multimodal_tokens" -> (multimodalTokens _),
     "multimodal_filter" -> (multimodalFilter _),
     "multimodal_dedup_apply" -> (multimodalDedupApply _),
@@ -395,6 +436,7 @@ object MultimodalQueries {
     "multimodal_dedup" -> (multimodalDedup _))
 
   val oracles: Map[String, String] = Map(
+    "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_tokens" -> multimodalTokensSql,
     "multimodal_filter" -> multimodalFilterSql,
     "multimodal_dedup_apply" -> multimodalDedupApplySql,

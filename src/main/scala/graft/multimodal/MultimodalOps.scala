@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, processed by
   * partition-batched executors.
   *
-  * The decode step is a STUB: the container has no image/audio codecs,
-  * so [[StubDecoder]] is a deterministic fake clearly marked as the
-  * swap-in point. Everything around it — the schema contract, the
-  * binary column handling, the `mapPartitions` batch shape (the Scala
-  * analog of `mapInPandas`: one iterator per partition, vectorizable
-  * batches, no per-row task overhead), the partitioning — is the real
-  * production plumbing and is tested.
+  * The decode seam has a REAL half and a stub half: [[PpmCodec]]
+  * decodes actual binary-PPM image bytes end-to-end (the one format a
+  * bare JVM handles without codec libraries — exercised with real
+  * pixels by `multimodal_decode`); formats the container lacks codecs
+  * for (JPEG/PNG/PCM/video) cross the same [[decodeAny]] seam via
+  * [[StubDecoder]], a deterministic fake clearly marked as the
+  * swap-in point. Everything around the seam — the schema contract,
+  * the binary column handling, the `mapPartitions` batch shape (the
+  * Scala analog of `mapInPandas`: one iterator per partition,
+  * vectorizable batches, no per-row task overhead), the partitioning
+  * — is the real production plumbing and is tested.
   *
   * Scale notes: media bytes dwarf metadata, so every transform keeps
   * binary opaque until the per-partition decode, projects metadata
@@ -42,11 +46,112 @@ object MultimodalOps {
       height: Int,
       features: Array[Float])
 
+  /** ======= DECODE BOUNDARY =======
+    * [[PpmCodec]] is a REAL decoder for the one format a bare JVM can
+    * handle without codec libraries — binary PPM (P6): fixed ASCII
+    * header, raw interleaved RGB raster. Real media bytes flow through
+    * it end-to-end (header parse, comment skipping, strict raster
+    * length check), so the decode seam is exercised with actual
+    * pixels, not hashes — see `multimodal_decode`, whose oracle
+    * recomputes the decoded channel statistics from the fixture's
+    * generative definition. Formats the container cannot decode
+    * (JPEG/PNG/PCM/video) still fall to [[StubDecoder]]; a deployment
+    * swaps in real codecs at the same signature.
+    */
+  object PpmCodec {
+
+    /** Binary PPM (P6) bytes for a `width`×`height` image whose raster
+      * byte `i` is `px(i) & 0xff` — the deterministic fixture encoder.
+      */
+    def encode(width: Int, height: Int, px: Int => Int): Array[Byte] = {
+      val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val n = width * height * 3
+      val out = new Array[Byte](header.length + n)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var i = 0
+      while (i < n) { out(header.length + i) = (px(i) & 0xff).toByte; i += 1 }
+      out
+    }
+
+    /** Strict P6 parse: `(width, height, raster)`; None on anything
+      * malformed (wrong magic, non-255 maxval, `#` comments allowed in
+      * the header per the spec, raster length must match the dims
+      * exactly). None — never garbage — is what lets the dispatching
+      * decoder fall back to the stub safely.
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (bytes.length < 2 || bytes(0) != 'P'.toByte ||
+        bytes(1) != '6'.toByte) return None
+      var p = 2
+      def skipWs(): Unit = {
+        var done = false
+        while (!done && p < bytes.length) {
+          val c = (bytes(p) & 0xff).toChar
+          if (c == '#') {
+            while (p < bytes.length && bytes(p) != '\n'.toByte) p += 1
+          } else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') p += 1
+          else done = true
+        }
+      }
+      def int(): Int = { // -1 = parse failure
+        skipWs()
+        val s = p
+        while (p < bytes.length && (bytes(p) & 0xff).toChar.isDigit) p += 1
+        if (p == s || p - s > 5) -1
+        else new String(bytes, s, p - s, "US-ASCII").toInt
+      }
+      val w = int(); val h = int(); val mx = int()
+      if (w <= 0 || h <= 0 || mx != 255 || p >= bytes.length) return None
+      val c = (bytes(p) & 0xff).toChar // exactly ONE whitespace, then raster
+      if (c != ' ' && c != '\n' && c != '\r' && c != '\t') return None
+      p += 1
+      val n = w * h * 3
+      if (bytes.length - p != n) return None
+      val raster = java.util.Arrays.copyOfRange(bytes, p, p + n)
+      Some((w, h, raster))
+    }
+
+    /** Dims + 8 features from REAL pixels: channel means (R, G, B),
+      * overall luma, and the four quadrant luma means — the contract
+      * shape [[StubDecoder]] fakes, computed from the raster.
+      */
+    def features(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+      decode(bytes).map { case (w, h, px) =>
+        val sums = new Array[Long](3)
+        val quad = new Array[Long](4)
+        val quadN = new Array[Long](4)
+        var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff
+          sums(i % 3) += v
+          val pixel = i / 3
+          val q = (if ((pixel % w) * 2 >= w) 1 else 0) +
+            (if ((pixel / w) * 2 >= h) 2 else 0)
+          quad(q) += v
+          quadN(q) += 1
+          i += 1
+        }
+        val n = (w * h).toLong
+        val f = new Array[Float](8)
+        var c = 0
+        while (c < 3) { f(c) = sums(c) / (255.0f * n); c += 1 }
+        f(3) = (sums(0) + sums(1) + sums(2)) / (765.0f * n)
+        var q = 0
+        while (q < 4) {
+          f(4 + q) =
+            if (quadN(q) == 0) 0.0f else quad(q) / (255.0f * quadN(q))
+          q += 1
+        }
+        (w, h, f)
+      }
+  }
+
   /** ======= STUB BOUNDARY =======
-    * A real deployment replaces this object with actual codecs
-    * (JPEG/PNG decode, audio PCM, video frame extraction). The fake is
-    * deterministic in the content bytes so tests and oracles are
-    * stable. Signature is the contract: bytes in, dims + features out.
+    * The stand-in for codecs the container lacks (JPEG/PNG/PCM/video
+    * frames): deterministic in the content bytes so tests and oracles
+    * are stable. Signature is the contract: bytes in, dims + features
+    * out. [[decodeAny]] prefers the real [[PpmCodec]] when the bytes
+    * actually parse as P6.
     */
   object StubDecoder {
     def decode(content: Array[Byte]): (Int, Int, Array[Float]) = {
@@ -58,6 +163,13 @@ object MultimodalOps {
       (width, height, features)
     }
   }
+
+  /** The dispatching decoder every consumer calls: real codec when the
+    * format is decodable in-container, stub otherwise — the swap-in
+    * point for a deployment's codec set.
+    */
+  def decodeAny(content: Array[Byte]): (Int, Int, Array[Float]) =
+    PpmCodec.features(content).getOrElse(StubDecoder.decode(content))
 
   /** Hex md5 (matches Spark's `md5` function and DuckDB's). */
   def md5Hex(content: Array[Byte]): String =
@@ -74,7 +186,7 @@ object MultimodalOps {
     media.mapPartitions { it =>
       // per-partition setup would go here (codec/model init — once)
       it.map { m =>
-        val (w, h, feats) = StubDecoder.decode(m.content)
+        val (w, h, feats) = decodeAny(m.content)
         MediaFeatures(m.mediaId, m.mediaType, m.content.length.toLong,
           md5Hex(m.content), w, h, feats)
       }
@@ -122,7 +234,7 @@ object MultimodalOps {
       it.map { m =>
         val resized = Array.range(0, m.content.length, factor)
           .map(m.content)
-        val (w, h, _) = StubDecoder.decode(m.content)
+        val (w, h, _) = decodeAny(m.content)
         MediaResized(m.mediaId, m.mediaType, m.content.length.toLong,
           resized.length.toLong, math.max(w / factor, 1),
           math.max(h / factor, 1), md5Hex(resized))
@@ -160,6 +272,53 @@ object MultimodalOps {
       }
       (m.mediaId, ph)
     }.toDF("media_id", "phash")
+  }
+
+  /** Deterministic REAL-image fixture: one small binary PPM per
+    * document — dims `(4 + id%5) × (3 + id%4)`, raster byte
+    * `i = (7i + 13·id) mod 256` — encoded by [[PpmCodec.encode]] into
+    * actual P6 bytes on the executors. The generative rule is closed
+    * form, so a SQL oracle can recompute every decoded statistic
+    * without ever seeing the bytes: whatever survives the
+    * encode→parse→pixel-walk round trip must equal the rule, or the
+    * hash gate fails — that is the real-bytes decode proof.
+    */
+  def ppmFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (4 + id % 5).toInt
+          val h = (3 + id % 4).toInt
+          val bytes = PpmCodec.encode(w, h, i => ((7L * i + 13L * id) % 256).toInt)
+          MediaRecord(id, "image", bytes, s"synthetic://ppm/$id")
+        }
+      }
+  }
+
+  /** Decoded-pixel statistics through the REAL codec: parse the P6
+    * bytes back and walk the raster — per-channel sums and a
+    * brightness ratio, all exact integers until one final IEEE
+    * divide. Narrow per-partition work, content never shuffles; only
+    * these few longs move.
+    */
+  def decodeStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, px) = PpmCodec.decode(m.content).getOrElse(
+          throw new IllegalStateException(
+            s"fixture ${m.mediaId} failed P6 parse"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
+        (m.mediaId, w.toLong, h.toLong, (w * h).toLong,
+          sums(0), sums(1), sums(2))
+      }
+    }.toDF("media_id", "width", "height", "n_pix",
+      "sum_r", "sum_g", "sum_b")
   }
 
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

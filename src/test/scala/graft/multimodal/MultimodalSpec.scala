@@ -61,6 +61,40 @@ class MultimodalSpec extends SparkSuite {
     assert(resize(media.repartition(5)).rdd.getNumPartitions == 5)
   }
 
+  test("P6 codec: encode→decode round-trips real pixels exactly") {
+    val bytes = PpmCodec.encode(5, 3, i => (i * 37 + 11) % 256)
+    val Some((w, h, px)) = PpmCodec.decode(bytes)
+    assert(w == 5 && h == 3 && px.length == 45)
+    assert(px.zipWithIndex.forall { case (b, i) =>
+      (b & 0xff) == (i * 37 + 11) % 256 })
+    // header comments are spec-legal and skipped
+    val commented = ("P6\n# a comment\n5 3\n255\n").getBytes("US-ASCII") ++
+      px
+    val Some((w2, h2, px2)) = PpmCodec.decode(commented)
+    assert(w2 == 5 && h2 == 3 && px2.sameElements(px))
+  }
+
+  test("P6 codec: malformed bytes parse to None, decodeAny falls back") {
+    val good = PpmCodec.encode(4, 4, _ => 7)
+    assert(PpmCodec.decode(good).isDefined)
+    // wrong magic, truncated raster, bad maxval, plain text
+    assert(PpmCodec.decode("P5\n4 4\n255\n".getBytes ++
+      new Array[Byte](48)).isEmpty)
+    assert(PpmCodec.decode(good.dropRight(1)).isEmpty)
+    assert(PpmCodec.decode("P6\n4 4\n127\n".getBytes ++
+      new Array[Byte](48)).isEmpty)
+    val text = "some document text".getBytes("UTF-8")
+    assert(PpmCodec.decode(text).isEmpty)
+    // dispatch: text goes to the stub, P6 goes to the real codec
+    val (sw, sh, sf) = StubDecoder.decode(text)
+    val (aw, ah, af) = decodeAny(text)
+    assert(aw == sw && ah == sh && af.sameElements(sf))
+    val (w, h, f) = decodeAny(good)
+    assert(w == 4 && h == 4)
+    // constant raster 7 ⇒ every channel/quadrant mean is 7/255
+    assert(f.forall(v => math.abs(v - 7.0f / 255.0f) < 1e-6))
+  }
+
   test("frame sampling takes every 2nd 16-byte slice, order preserved") {
     val one = media.filter(_.mediaId == 0L)
     val content = one.collect().head.content
