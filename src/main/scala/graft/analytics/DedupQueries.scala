@@ -299,8 +299,12 @@ object DedupQueries {
     val released = scala.collection.mutable.ArrayBuffer[DataFrame](docs)
     docs.cache() // banding ×3 configs + both verify sides read it
     try {
-      val truth = dedupSetsimJoin(spark, dir)
-        .select(col("doc_a"), col("doc_b")) // already eager (checkpointed)
+      // exact truth read from the persisted PPJoin artifact (built by
+      // dedup_setsim_join, the gated build job) — the curve audits the
+      // LSH configs, it does not re-derive the exact join
+      val truth = SessionArtifact.table(spark, dir, "setsim")(
+        setsimJoinFrame(spark, dir))
+        .select(col("doc_a"), col("doc_b"))
       val nTruth = truth.agg(count(lit(1)).as("n_truth"))
       val sigCols = (0 until K).map(i =>
         array_min(transform(col("sh"), h => affine(h, i))))
@@ -1149,7 +1153,19 @@ object DedupQueries {
     * verify joins shuffle on shingle/doc keys unhinted; the verify
     * cost is candidate-proportional.
     */
-  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame = {
+  def dedupSetsimJoin(spark: SparkSession, dir: String): DataFrame =
+    // this query IS the nightly build job of the exact-pair artifact
+    // (the dedup_clusters_persisted pattern): recompute, publish
+    // through the manifest sink, read BACK — so the benched cost is
+    // the honest build and the oracle re-proves the round-trip every
+    // run. dedup_lsh_curve's truth denominators ride the published
+    // table instead of re-deriving the PPJoin per sweep.
+    SessionArtifact.rebuild(spark, dir, "setsim")(
+      setsimJoinFrame(spark, dir))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("jaccard_ppm"))
+
+  private def setsimJoinFrame(spark: SparkSession, dir: String): DataFrame = {
     // the set universe is SHINGLES (3-grams, already distinct), not
     // unigram tokens: a tiny shared vocabulary makes unigram sets
     // near-identical across unrelated docs (quadratic output); the
@@ -1466,10 +1482,11 @@ object DedupQueries {
     * so the matrix can never disagree with the pair report about
     * what "near-duplicate" means.
     *
-    * Scale shape: everything expensive is [[dedupSetsimJoin]]'s
-    * prefix-filtered join; on top of it are two broadcast-able
-    * doc→source lookups (8-byte key + a short source string) and a
-    * rollup to a |sources|²-bounded frame.
+    * Scale shape: the prefix-filtered join cost lives in the nightly
+    * artifact build ([[dedupSetsimJoin]], the gated build job); this
+    * query reads the published pair table, adds two broadcast-able
+    * doc→source lookups (8-byte key + a short source string), and
+    * rolls up to a |sources|²-bounded frame.
     */
   def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
     val src = table(spark, dir, "documents").select(col("doc_id"),
@@ -1479,7 +1496,9 @@ object DedupQueries {
     // diagonal both columns count the one source's left/right
     // appearances — a doc in both positions is implicated in both)
     val swap = col("src_a") > col("src_b")
-    dedupSetsimJoin(spark, dir)
+    // pair table read from the persisted PPJoin artifact (built by
+    // dedup_setsim_join); the full-recompute oracle re-proves it
+    SessionArtifact.table(spark, dir, "setsim")(setsimJoinFrame(spark, dir))
       .join(src.select(col("doc_id").as("doc_a"),
         col("source").as("src_a")), Seq("doc_a"))
       .join(src.select(col("doc_id").as("doc_b"),

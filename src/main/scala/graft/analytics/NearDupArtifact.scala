@@ -113,4 +113,5 @@ object NearDupArtifact {
   /** `(v, label)` — the base-corpus fixpoint (warm seed). */
   def baseLabels(spark: SparkSession, dir: String): DataFrame =
     ManifestV2Sink.readCommitted(spark, ensure(spark, dir).baseLabels)
+
 }

@@ -1880,16 +1880,22 @@ object PipelineQueries {
     */
   def pipelineE2eMaterialized(spark: SparkSession, dir: String): DataFrame = {
     val s4 = e2eStages(spark, dir).last._3
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-e2e-release").toString
-    s4.select(col("doc_id"), col("text"), col("n_toks"))
-      .write.format("graft-manifest").mode("append").save(out)
-    graft.sources.ManifestV2Sink.readCommitted(spark, out)
-      .groupBy((col("doc_id") % 10).as("bucket"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("n_tokens"),
-        sum(length(col("text"))).as("sum_chars"),
-        sum(col("doc_id")).as("sum_ids"))
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_e2e_release_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      s4.select(col("doc_id"), col("text"), col("n_toks"))
+        .write.format("graft-manifest").mode("append").save(out)
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy((col("doc_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("sum_ids"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
   }
 
   val pipelineE2eMaterializedSql: String =

@@ -315,20 +315,26 @@ object ScalarBreadthQueries {
     * and null escaping are pinned separately in ManifestSinkSpec.)
     */
   def sinkManifestRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft-manifest-rt").toString
-    table(spark, dir, "orders")
-      .where(col("o_orderkey") % 13 === 0)
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
-        col("o_orderstatus"),
-        floor(col("o_totalprice") * 100).cast("long").as("cents"))
-      .write.format("graft-manifest").mode("append").save(out)
-    graft.sources.ManifestV2Sink.readCommitted(spark, out)
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("sum_cents"),
-        sum(col("o_orderkey")).as("sum_keys"),
-        sum(length(col("o_orderstatus"))).as("sum_status_chars"))
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_manifest_rt_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      table(spark, dir, "orders")
+        .where(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.format("graft-manifest").mode("append").save(out)
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          sum(length(col("o_orderstatus"))).as("sum_status_chars"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
   }
 
   val sinkManifestRoundtripSql: String =
