@@ -1703,6 +1703,123 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------- classifier ROC-AUC audit
+  /** Exact ROC AUC of the quality classifier against an INDEPENDENT
+    * weak label — the audit every model-based filter needs before its
+    * verdicts gate a corpus: does the score actually rank clean
+    * documents above degenerate ones? The weak label is 3-gram
+    * repetition (Gopher's boilerplate signal, [[TextQueries
+    * .textRepetition]]) — deliberately OUTSIDE the classifier's
+    * feature set (unigram diversity / stopword rate / token length /
+    * digit density), so the AUC measures generalization to a signal
+    * the model never saw, not feature recall. Positives = zero
+    * repeated trigrams.
+    *
+    * AUC is computed EXACTLY as the Mann-Whitney pair statistic,
+    * all-integer: group docs by (lang, score) → per-score class
+    * counts; a running window over ascending score gives each score
+    * level the negatives strictly below it, so
+    * `concordant = Σ n_pos·cum_neg_below` and `tied = Σ n_pos·n_neg`
+    * count score-pairs without materializing pairs;
+    * `AUC = (2·concordant + tied) / (2·n_pos·n_neg)` (ties at half
+    * weight — the trapezoid ROC), shipped as exact-floor ppm. No
+    * float ranks, no midrank halves, no sampling.
+    *
+    * Score formula mirrors [[pipelineClassifier]] verbatim (its
+    * oracle pins the shared rule); both signals come from the same
+    * row, so the plan is ONE scan, zero joins, a groupBy bounded by
+    * the ppm-scale score range (not the corpus), and a per-lang
+    * window over that bounded table — at 100 TB the only corpus-sized
+    * work is the scan.
+    */
+  /** `(lang, score, is_pos)` per eligible doc — the AUC query's input,
+    * exposed so the spec can brute-force the definitional all-pairs
+    * statistic against the windowed rewrite.
+    */
+  private[analytics] def classifierAucScored(spark: SparkSession,
+      dir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val tri = transform(sequence(lit(1), size(ts) - 2),
+      i => concat_ws(" ", slice(ts, i, lit(3))))
+    val stop = size(filter(ts, t => t === "the" || t === "a"))
+    table(spark, dir, "documents")
+      .where(size(ts) >= 3) // trigram label needs ≥3 tokens
+      .select(col("lang"),
+        (lit(2L) * ppm(size(array_distinct(ts)), size(ts)) -
+          lit(3L) * ppm(stop, size(ts)) +
+          ppm(length(regexp_replace(col("text"), " ", "")), size(ts)) -
+          lit(2L) * ppm(length(regexp_replace(col("text"), "[^0-9]", "")),
+            length(col("text"))) - lit(400000L)).as("score"),
+        when(size(tri) === size(array_distinct(tri)), lit(1L))
+          .otherwise(lit(0L)).as("is_pos"))
+  }
+
+  def pipelineClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val perScore = classifierAucScored(spark, dir)
+      .groupBy(col("lang"), col("score"))
+      .agg(sum(col("is_pos")).as("n_pos"),
+        sum(lit(1L) - col("is_pos")).as("n_neg"))
+    val below = Window.partitionBy(col("lang")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_neg",
+        coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_pos")).as("n_pos"),
+        sum(col("n_neg")).as("n_neg"),
+        (sum(col("n_pos")) * sum(col("n_neg"))).as("n_pairs"),
+        sum(col("n_pos") * col("cum_neg")).as("n_concordant"),
+        sum(col("n_pos") * col("n_neg")).as("n_tied"))
+      .withColumn("auc_ppm",
+        when(col("n_pairs") > 0,
+          ppm(lit(2L) * col("n_concordant") + col("n_tied"),
+            lit(2L) * col("n_pairs"))))
+      .orderBy(col("lang"))
+  }
+
+  val pipelineClassifierAucSql: String = {
+    val ntok = "len(string_split(text, ' '))"
+    val ndis = "len(list_distinct(string_split(text, ' ')))"
+    val stop =
+      "len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))"
+    val letters = "length(regexp_replace(text, ' ', '', 'g'))"
+    val digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    val tri = "list_transform(generate_series(1, len(toks) - 2)," +
+      " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    s"""WITH t AS (
+       |  SELECT lang, text, string_split(text, ' ') AS toks
+       |  FROM documents WHERE $ntok >= 3),
+       |s AS (
+       |  SELECT lang,
+       |    2 * ${sqlPpm(ndis, ntok)} - 3 * ${sqlPpm(stop, ntok)}
+       |      + ${sqlPpm(letters, ntok)}
+       |      - 2 * ${sqlPpm(digits, "length(text)")} - 400000 AS score,
+       |    CASE WHEN len($tri) = len(list_distinct($tri))
+       |      THEN 1 ELSE 0 END AS is_pos
+       |  FROM t),
+       |g AS (
+       |  SELECT lang, score, SUM(is_pos) AS n_pos,
+       |    SUM(1 - is_pos) AS n_neg
+       |  FROM s GROUP BY 1, 2),
+       |w AS (
+       |  SELECT lang, n_pos, n_neg,
+       |    COALESCE(SUM(n_neg) OVER (PARTITION BY lang ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_neg
+       |  FROM g)
+       |SELECT lang,
+       |  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       |  CAST(SUM(n_pos) * SUM(n_neg) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(n_pos * cum_neg) AS BIGINT) AS n_concordant,
+       |  CAST(SUM(n_pos * n_neg) AS BIGINT) AS n_tied,
+       |  CASE WHEN SUM(n_pos) * SUM(n_neg) > 0 THEN
+       |    ${sqlPpm("2 * SUM(n_pos * cum_neg) + SUM(n_pos * n_neg)",
+                     "2 * SUM(n_pos) * SUM(n_neg)")}
+       |  END AS auc_ppm
+       |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ------------------------------------------------- dataset card
   /** Dataset-card aggregate — the datasheet table every corpus release
     * ships: per (lang, source) cell plus per-lang and grand-total
@@ -2531,6 +2648,7 @@ object PipelineQueries {
     "pipeline_context_chunk" -> (pipelineContextChunk _),
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
+    "pipeline_classifier_auc" -> (pipelineClassifierAuc _),
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_shard" -> (pipelineShard _),
     "pipeline_mix" -> (pipelineMix _),
@@ -2570,6 +2688,7 @@ object PipelineQueries {
     "pipeline_context_chunk" -> pipelineContextChunkSql,
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
+    "pipeline_classifier_auc" -> pipelineClassifierAucSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_shard" -> pipelineShardSql,
     "pipeline_mix" -> pipelineMixSql,

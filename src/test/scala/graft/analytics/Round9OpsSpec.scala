@@ -24,4 +24,29 @@ class Round9OpsSpec extends SparkSuite {
     val meanRecall = rows.map(_._4).sum / rows.length
     assert(meanRecall >= 200000L, s"mean recall_ppm $meanRecall < 0.2")
   }
+
+  test("classifier AUC equals the definitional all-pairs Mann-Whitney") {
+    // brute-force the statistic from the query's own scored input:
+    // every (pos, neg) pair within a lang, concordant iff the positive
+    // outscores the negative, ties at half weight — the definition the
+    // windowed per-score-level rewrite must reproduce exactly
+    val docs = PipelineQueries.classifierAucScored(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = docs.groupBy(_._1).map { case (lang, rows) =>
+      val pos = rows.filter(_._3 == 1L).map(_._2)
+      val neg = rows.filter(_._3 == 0L).map(_._2)
+      val conc = pos.iterator.map(p => neg.count(_ < p).toLong).sum
+      val tied = pos.iterator.map(p => neg.count(_ == p).toLong).sum
+      lang -> (pos.length.toLong, neg.length.toLong, conc, tied)
+    }
+    val got = PipelineQueries.pipelineClassifierAuc(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet)
+    for ((lang, e) <- expect) assert(got(lang) == e,
+      s"$lang: query ${got(lang)} != brute-force $e")
+    // both classes must be populated or the audit is vacuous
+    assert(expect.values.forall(v => v._1 > 0 && v._2 > 0),
+      "a lang has an empty class — threshold no longer splits")
+  }
 }
