@@ -1777,6 +1777,87 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------- classifier reliability diagram
+  /** The threshold-level twin of [[pipelineClassifierAuc]]: a
+    * reliability diagram — decile buckets of the classifier score with
+    * each bucket's empirical clean rate against the same out-of-feature
+    * weak label. AUC says the RANKING works; this says WHERE to put the
+    * keep/drop threshold and whether the score is monotone in quality
+    * along its whole range (a high AUC can hide a flat or inverted
+    * mid-range, exactly where the mid/drop cut sits).
+    *
+    * Deciles WITHOUT a global doc-level sort (ntile over an unpartitioned
+    * window is the single-partition scale cliff): docs collapse to
+    * per-score class counts first — a table bounded by the ppm score
+    * range, not the corpus — then a running count over ascending score
+    * places each whole score level in bucket ⌊10·cum_before/total⌋.
+    * A score level is never split across buckets, so the assignment is
+    * deterministic under ties (an engine-order-dependent ntile split is
+    * not), and the only corpus-sized work is the one scan.
+    */
+  def pipelineClassifierCalibration(spark: SparkSession,
+      dir: String): DataFrame = {
+    val perScore = classifierAucScored(spark, dir)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("is_pos")).as("n_pos"))
+    val asc = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy()
+    perScore
+      .withColumn("cum_before",
+        coalesce(sum(col("n")).over(asc), lit(0L)))
+      .withColumn("total", sum(col("n")).over(all))
+      .withColumn("bucket",
+        least(floor(lit(10L) * col("cum_before") / col("total")), lit(9L))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(min(col("score")).as("score_lo"),
+        max(col("score")).as("score_hi"),
+        sum(col("n")).as("n_docs"),
+        sum(col("n_pos")).as("n_pos"))
+      .withColumn("clean_ppm", ppm(col("n_pos"), col("n_docs")))
+      .orderBy(col("bucket"))
+  }
+
+  val pipelineClassifierCalibrationSql: String = {
+    val ntok = "len(string_split(text, ' '))"
+    val ndis = "len(list_distinct(string_split(text, ' ')))"
+    val stop =
+      "len(list_filter(string_split(text, ' '), t -> t = 'the' OR t = 'a'))"
+    val letters = "length(regexp_replace(text, ' ', '', 'g'))"
+    val digits = "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+    val tri = "list_transform(generate_series(1, len(toks) - 2)," +
+      " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+    s"""WITH t AS (
+       |  SELECT text, string_split(text, ' ') AS toks
+       |  FROM documents WHERE $ntok >= 3),
+       |s AS (
+       |  SELECT
+       |    2 * ${sqlPpm(ndis, ntok)} - 3 * ${sqlPpm(stop, ntok)}
+       |      + ${sqlPpm(letters, ntok)}
+       |      - 2 * ${sqlPpm(digits, "length(text)")} - 400000 AS score,
+       |    CASE WHEN len($tri) = len(list_distinct($tri))
+       |      THEN 1 ELSE 0 END AS is_pos
+       |  FROM t),
+       |g AS (
+       |  SELECT score, COUNT(*) AS n, SUM(is_pos) AS n_pos
+       |  FROM s GROUP BY 1),
+       |b AS (
+       |  SELECT score, n, n_pos,
+       |    COALESCE(SUM(n) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before,
+       |    SUM(n) OVER () AS total
+       |  FROM g)
+       |SELECT CAST(LEAST(cum_before * 10 // total, 9) AS BIGINT)
+       |    AS bucket,
+       |  MIN(score) AS score_lo, MAX(score) AS score_hi,
+       |  CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       |  ${sqlPpm("SUM(n_pos)", "SUM(n)")} AS clean_ppm
+       |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val pipelineClassifierAucSql: String = {
     val ntok = "len(string_split(text, ' '))"
     val ndis = "len(list_distinct(string_split(text, ' ')))"
@@ -2649,6 +2730,7 @@ object PipelineQueries {
     "pipeline_dataset_card" -> (pipelineDatasetCard _),
     "pipeline_classifier" -> (pipelineClassifier _),
     "pipeline_classifier_auc" -> (pipelineClassifierAuc _),
+    "pipeline_classifier_calibration" -> (pipelineClassifierCalibration _),
     "pipeline_pack" -> (pipelinePack _),
     "pipeline_shard" -> (pipelineShard _),
     "pipeline_mix" -> (pipelineMix _),
@@ -2689,6 +2771,7 @@ object PipelineQueries {
     "pipeline_dataset_card" -> pipelineDatasetCardSql,
     "pipeline_classifier" -> pipelineClassifierSql,
     "pipeline_classifier_auc" -> pipelineClassifierAucSql,
+    "pipeline_classifier_calibration" -> pipelineClassifierCalibrationSql,
     "pipeline_pack" -> pipelinePackSql,
     "pipeline_shard" -> pipelineShardSql,
     "pipeline_mix" -> pipelineMixSql,

@@ -49,4 +49,23 @@ class Round9OpsSpec extends SparkSuite {
     assert(expect.values.forall(v => v._1 > 0 && v._2 > 0),
       "a lang has an empty class — threshold no longer splits")
   }
+
+  test("calibration buckets partition docs in score order, levels unsplit") {
+    val b = PipelineQueries.pipelineClassifierCalibration(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(b.length > 1 && b.length <= 10, s"${b.length} buckets")
+    // contiguous in score: each bucket's range ends before the next
+    // begins (score levels are whole — no level straddles a boundary)
+    for (Array(lo, hi) <- b.sliding(2))
+      assert(lo._3 < hi._2, s"overlap: $lo vs $hi")
+    // the buckets partition the scored docs exactly
+    val nDocs = PipelineQueries.classifierAucScored(spark, sf0001).count()
+    assert(b.map(_._4).sum == nDocs)
+    // decile targeting: no bucket exceeds 1/10 of docs by more than
+    // one whole score level can force (trivially bounded by 2 deciles
+    // here since fixture score levels are near-distinct)
+    assert(b.map(_._4).max <= nDocs / 10 * 2 + 2,
+      s"bucket sizes ${b.map(_._4).toSeq} vs n=$nDocs")
+  }
 }
