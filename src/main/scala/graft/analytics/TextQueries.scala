@@ -1702,7 +1702,91 @@ object TextQueries {
        |FROM g""".stripMargin
   }
 
+  // --------------------------------------- vocabulary growth (Heaps)
+  /** Vocabulary saturation over ingest order — the Heaps-law curve a
+    * corpus owner reads before paying for more crawl: cut the corpus
+    * into ten doc-id-range slices (ingest order IS the id order, so a
+    * slice is "the next 10% of data collected"), and for each slice
+    * report documents/tokens added, NEW vocabulary first seen there,
+    * and the cumulative type-token ratio. A flat `new_terms` tail says
+    * more of the same crawl buys no diversity; a linear one says the
+    * corpus is still growing its vocabulary.
+    *
+    * All-integer: a term's first occurrence is `min(doc_id)` — exact,
+    * order-independent — and slice membership is
+    * `⌊10·id/(max_id+1)⌋`, a pure range rule that needs no
+    * corpus-sized sort or window (the count-decile alternative would
+    * ntile-sort every doc; id ranges are the shard boundaries a real
+    * ingest already has). Plan: one vocabulary aggregation with
+    * map-side combine (the only corpus-sized shuffle, |vocab| rows
+    * out), one per-doc scan folded straight to 10 rows, cumulative
+    * windows over the 10-row frame; max_id rides in as 1-row
+    * broadcast aggregates.
+    */
+  def textVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val maxId = docs.agg(max(col("doc_id")).as("mx"))
+    def bucketOf(id: Column): Column =
+      floor(lit(10L) * id / (col("mx") + lit(1L))).cast("long")
+    val perSlice = docs.crossJoin(maxId) // 1-row broadcast
+      .select(bucketOf(col("doc_id")).as("bucket"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(min(col("doc_id")).as("first_seen"))
+    val newTerms = firstSeen.crossJoin(maxId)
+      .select(bucketOf(col("first_seen")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    perSlice.join(newTerms, Seq("bucket"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(cum))
+      .withColumn("cum_vocab", sum(col("new_terms")).over(cum))
+      .withColumn("ttr_ppm", ppm(col("cum_vocab"), col("cum_tokens")))
+      .orderBy(col("bucket"))
+  }
+
+  val textVocabGrowthSql: String =
+    s"""WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+       |d AS (
+       |  SELECT CAST(doc_id * 10 // (mx + 1) AS BIGINT) AS bucket,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents, mx),
+       |db AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY 1),
+       |fs AS (
+       |  SELECT term, MIN(doc_id) AS first_seen FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |    FROM documents) GROUP BY 1),
+       |tb AS (
+       |  SELECT CAST(first_seen * 10 // ((SELECT mx FROM mx) + 1)
+       |      AS BIGINT) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS new_terms
+       |  FROM fs GROUP BY 1),
+       |j AS (
+       |  SELECT db.bucket, db.n_docs, db.n_tokens,
+       |    COALESCE(tb.new_terms, 0) AS new_terms
+       |  FROM db LEFT JOIN tb ON db.bucket = tb.bucket)
+       |SELECT bucket, n_docs, n_tokens, new_terms,
+       |  CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+       |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(new_terms) OVER w AS BIGINT) AS cum_vocab,
+       |  ${sqlPpm("SUM(new_terms) OVER w", "SUM(n_tokens) OVER w")}
+       |    AS ttr_ppm
+       |FROM j
+       |WINDOW w AS (ORDER BY bucket
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_vocab_growth" -> (textVocabGrowth _),
     "text_watermark" -> (textWatermark _),
     "text_fertility" -> (textFertility _),
     "text_bpe_merge" -> (textBpeMerge _),
@@ -1732,6 +1816,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_vocab_growth" -> textVocabGrowthSql,
     "text_watermark" -> textWatermarkSql,
     "text_bpe_merge" -> textBpeMergeSql,
     "text_bpe_train" -> textBpeTrainSql,

@@ -68,4 +68,27 @@ class Round9OpsSpec extends SparkSuite {
     assert(b.map(_._4).max <= nDocs / 10 * 2 + 2,
       s"bucket sizes ${b.map(_._4).toSeq} vs n=$nDocs")
   }
+
+  test("vocab growth slices account for every doc, token, and term") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.textVocabGrowth(spark, sf0001).collect()
+    val docs = QueryUtil.table(spark, sf0001, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val (nDocs, nToks, nVocab) = (
+      docs.select(countDistinct(col("doc_id"))).head.getLong(0),
+      docs.count(),
+      docs.select(countDistinct(col("term"))).head.getLong(0))
+    val last = rows.last
+    // cumulative columns must close the books exactly: every doc,
+    // token, and distinct term lands in exactly one slice
+    assert(last.getAs[Long]("cum_docs") == nDocs)
+    assert(last.getAs[Long]("cum_tokens") == nToks)
+    assert(last.getAs[Long]("cum_vocab") == nVocab)
+    // first-seen semantics: the first slice contributes all its own
+    // vocabulary as new (nothing can precede it)
+    assert(rows.head.getAs[Long]("new_terms") > 0)
+    // cumulatives are monotone
+    val cv = rows.map(_.getAs[Long]("cum_vocab"))
+    assert(cv.zip(cv.tail).forall { case (a, b2) => a <= b2 })
+  }
 }
