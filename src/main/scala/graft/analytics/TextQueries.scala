@@ -1727,10 +1727,13 @@ object TextQueries {
     val docs = table(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val maxId = docs.agg(max(col("doc_id")).as("mx"))
-    def bucketOf(id: Column): Column =
-      floor(lit(10L) * id / (col("mx") + lit(1L))).cast("long")
+    // exact INTEGER division (`div`), matching the oracle's `//` at any
+    // id scale — the double-typed Divide+floor twin would drift once
+    // 10·doc_id exceeds 2^53
+    def bucketOf(id: String): Column =
+      expr(s"CAST((10 * $id) div (mx + 1) AS BIGINT)")
     val perSlice = docs.crossJoin(maxId) // 1-row broadcast
-      .select(bucketOf(col("doc_id")).as("bucket"),
+      .select(bucketOf("doc_id").as("bucket"),
         size(col("toks")).cast("long").as("n_toks"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
@@ -1738,7 +1741,7 @@ object TextQueries {
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(min(col("doc_id")).as("first_seen"))
     val newTerms = firstSeen.crossJoin(maxId)
-      .select(bucketOf(col("first_seen")).as("bucket"))
+      .select(bucketOf("first_seen").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
     val cum = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -65,6 +65,9 @@ object MultimodalOps {
       */
     def encode(width: Int, height: Int, px: Int => Int): Array[Byte] = {
       val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      require(width > 0 && height > 0 &&
+        3L * width * height <= Int.MaxValue - header.length,
+        s"raster ${width}x$height does not fit one array")
       val n = width * height * 3
       val out = new Array[Byte](header.length + n)
       System.arraycopy(header, 0, out, 0, header.length)
@@ -105,8 +108,12 @@ object MultimodalOps {
       val c = (bytes(p) & 0xff).toChar // exactly ONE whitespace, then raster
       if (c != ' ' && c != '\n' && c != '\r' && c != '\t') return None
       p += 1
-      val n = w * h * 3
-      if (bytes.length - p != n) return None
+      // raster length in LONG: dims parse up to 5 digits each, so the
+      // Int product 3·w·h can overflow and alias a crafted header onto
+      // a short byte count — reject before the length check
+      val nL = 3L * w * h
+      if (nL > Int.MaxValue - 64 || bytes.length - p != nL) return None
+      val n = nL.toInt
       val raster = java.util.Arrays.copyOfRange(bytes, p, p + n)
       Some((w, h, raster))
     }
@@ -131,7 +138,7 @@ object MultimodalOps {
           quadN(q) += 1
           i += 1
         }
-        val n = (w * h).toLong
+        val n = w.toLong * h // Long product: 5-digit dims overflow Int
         val f = new Array[Float](8)
         var c = 0
         while (c < 3) { f(c) = sums(c) / (255.0f * n); c += 1 }
@@ -164,12 +171,26 @@ object MultimodalOps {
     }
   }
 
-  /** The dispatching decoder every consumer calls: real codec when the
-    * format is decodable in-container, stub otherwise — the swap-in
-    * point for a deployment's codec set.
+  /** The declared media type of the real-PPM fixtures — the dispatch
+    * key [[decodeAny]] routes to [[PpmCodec]].
     */
-  def decodeAny(content: Array[Byte]): (Int, Int, Array[Float]) =
-    PpmCodec.features(content).getOrElse(StubDecoder.decode(content))
+  val PpmMediaType = "image/ppm"
+
+  /** The dispatching decoder every consumer calls: TYPE-DRIVEN, not
+    * content-sniffing — only records declared `image/ppm` go through
+    * the real codec (falling back to the stub if their bytes are
+    * malformed); every other type takes [[StubDecoder]] unconditionally,
+    * so a legacy fixture whose opaque bytes happen to parse as P6 can
+    * never silently diverge from the stub-mirroring oracles. This is
+    * the swap-in point for a deployment's codec set: one new `case`
+    * per (media type, codec).
+    */
+  def decodeAny(mediaType: String,
+      content: Array[Byte]): (Int, Int, Array[Float]) = mediaType match {
+    case PpmMediaType =>
+      PpmCodec.features(content).getOrElse(StubDecoder.decode(content))
+    case _ => StubDecoder.decode(content)
+  }
 
   /** Hex md5 (matches Spark's `md5` function and DuckDB's). */
   def md5Hex(content: Array[Byte]): String =
@@ -186,7 +207,7 @@ object MultimodalOps {
     media.mapPartitions { it =>
       // per-partition setup would go here (codec/model init — once)
       it.map { m =>
-        val (w, h, feats) = decodeAny(m.content)
+        val (w, h, feats) = decodeAny(m.mediaType, m.content)
         MediaFeatures(m.mediaId, m.mediaType, m.content.length.toLong,
           md5Hex(m.content), w, h, feats)
       }
@@ -234,7 +255,7 @@ object MultimodalOps {
       it.map { m =>
         val resized = Array.range(0, m.content.length, factor)
           .map(m.content)
-        val (w, h, _) = decodeAny(m.content)
+        val (w, h, _) = decodeAny(m.mediaType, m.content)
         MediaResized(m.mediaId, m.mediaType, m.content.length.toLong,
           resized.length.toLong, math.max(w / factor, 1),
           math.max(h / factor, 1), md5Hex(resized))
@@ -293,7 +314,7 @@ object MultimodalOps {
           val w = (4 + id % 5).toInt
           val h = (3 + id % 4).toInt
           val bytes = PpmCodec.encode(w, h, i => ((7L * i + 13L * id) % 256).toInt)
-          MediaRecord(id, "image", bytes, s"synthetic://ppm/$id")
+          MediaRecord(id, PpmMediaType, bytes, s"synthetic://ppm/$id")
         }
       }
   }
@@ -314,7 +335,7 @@ object MultimodalOps {
         val sums = new Array[Long](3)
         var i = 0
         while (i < px.length) { sums(i % 3) += px(i) & 0xff; i += 1 }
-        (m.mediaId, w.toLong, h.toLong, (w * h).toLong,
+        (m.mediaId, w.toLong, h.toLong, w.toLong * h,
           sums(0), sums(1), sums(2))
       }
     }.toDF("media_id", "width", "height", "n_pix",

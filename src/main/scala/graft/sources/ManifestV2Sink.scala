@@ -57,11 +57,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the Hadoop `FileSystem` calls one-for-one (same rename-commit
   * contract HDFS and object-store committers provide).
   *
-  * Concurrency note: concurrent APPEND jobs race on the
-  * read-merge-publish of the manifest (last writer wins). A production
-  * deployment serializes publishes through a log/catalog CAS — the
-  * staged-file and manifest layout here is exactly what that CAS would
-  * protect.
+  * Concurrency note: the manifest commit is read-merge-publish, so
+  * concurrent APPENDs to the same head must serialize or the last
+  * pointer rename silently drops the other writer's files from the
+  * committed view. IN-PROCESS writers (the local[32] rig: many
+  * threads, one JVM) serialize through a per-path commit lock held
+  * across read→merge→publish ([[ManifestV2Sink.commitLock]]), so
+  * concurrent appends all land. CROSS-PROCESS concurrent writers to
+  * the same head are NOT supported — that requires the log/catalog
+  * CAS (validate base snapshot, retry whole commit) a production
+  * deployment provides; the staged-file and manifest layout here is
+  * exactly what that CAS would protect. The snapshot MINT stays safe
+  * cross-process regardless (hard-link create-if-absent), so a racing
+  * external writer can lose files from the head but can never corrupt
+  * or overwrite a published snapshot.
   */
 class ManifestV2Sink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -90,6 +99,19 @@ object ManifestV2Sink {
       throw new IllegalArgumentException("graft-manifest requires a path"))
 
   private def manifestFile(path: String): Path = Paths.get(path, "_MANIFEST")
+
+  /** Per-table commit lock for IN-PROCESS writers: held across the
+    * read-merge-publish of a head pointer so two concurrent appends
+    * can never both read the same `previous` and drop each other's
+    * files. Keyed by the normalized absolute path (two spellings of
+    * one table must share a lock). Monitor locks are reentrant, so
+    * composite operations ([[upsert]]) that commit through the normal
+    * write path can hold it around their own read-modify-write.
+    */
+  private val commitLocks = new util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def commitLock(path: String): Object =
+    commitLocks.computeIfAbsent(
+      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
 
   private[sources] def versionFile(path: String, v: Int): Path =
     Paths.get(path, f"_MANIFEST.v$v%05d")
@@ -173,7 +195,11 @@ object ManifestV2Sink {
     * [[graft.streaming.TableStateStore]]'s latest-seq-wins read).
     */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
-      key: String): Unit = {
+      key: String): Unit = commitLock(path).synchronized {
+    // same read-modify-write class as an append commit: the lock spans
+    // read→rewrite→publish so a concurrent writer cannot slip between
+    // the read and the overwrite (the inner commit re-enters the same
+    // monitor on this thread — reentrant by construction)
     val current = readCommitted(spark, path)
     val kept = current.join(updates.select(key), Seq(key), "left_anti")
     kept.unionByName(updates)
@@ -390,7 +416,13 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(path, schema, queryId)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // the whole promote→read-previous→publish section is driver-side
+    // metadata work (file moves + two small reads + one rename);
+    // holding the per-path lock across it makes concurrent in-process
+    // appends to one head serializable — neither writer's files can be
+    // dropped by the other's pointer rename
+    ManifestV2Sink.commitLock(path).synchronized {
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     // promote committed attempts' staged files into the data dir;
@@ -435,7 +467,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     ManifestV2Sink.publish(path, schema, previous ++ promoted, queryId,
       branch)
     cleanupStaged()
-  }
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // job failed after some tasks committed: none of their files were

@@ -85,14 +85,28 @@ class MultimodalSpec extends SparkSuite {
       new Array[Byte](48)).isEmpty)
     val text = "some document text".getBytes("UTF-8")
     assert(PpmCodec.decode(text).isEmpty)
-    // dispatch: text goes to the stub, P6 goes to the real codec
+    // dispatch is TYPE-driven: only declared image/ppm reaches the
+    // real codec; any other type takes the stub even if its bytes
+    // happen to parse as P6 (legacy fixtures stay byte-for-byte stable)
     val (sw, sh, sf) = StubDecoder.decode(text)
-    val (aw, ah, af) = decodeAny(text)
+    val (aw, ah, af) = decodeAny("image", text)
     assert(aw == sw && ah == sh && af.sameElements(sf))
-    val (w, h, f) = decodeAny(good)
+    val (gw, gh, gf) = StubDecoder.decode(good)
+    val (xw, xh, xf) = decodeAny("image", good) // P6 bytes, non-ppm type
+    assert(xw == gw && xh == gh && xf.sameElements(gf))
+    val (w, h, f) = decodeAny(PpmMediaType, good)
     assert(w == 4 && h == 4)
     // constant raster 7 ⇒ every channel/quadrant mean is 7/255
     assert(f.forall(v => math.abs(v - 7.0f / 255.0f) < 1e-6))
+    // malformed bytes under the ppm type still fall back to the stub
+    val (bw, bh, bf) = decodeAny(PpmMediaType, text)
+    assert(bw == sw && bh == sh && bf.sameElements(sf))
+    // overflow guard: a crafted header whose Int32 3·w·h wraps to a
+    // small non-negative count must be rejected, not decoded with
+    // inconsistent dims (99999·99999·3 mod 2^32 = 1_410_065_408·…)
+    val crafted = "P6\n99999 99999\n255\n".getBytes("US-ASCII") ++
+      new Array[Byte](16)
+    assert(PpmCodec.decode(crafted).isEmpty)
   }
 
   test("frame sampling takes every 2nd 16-byte slice, order preserved") {

@@ -117,6 +117,29 @@ class ManifestBranchSpec extends SparkSuite {
       s"a snapshot body was overwritten: $bodies")
   }
 
+  test("concurrent appends to one head all land in the committed view") {
+    // regression: commit was read-modify-write on the pointer — two
+    // concurrent appends could each read `previous` before either
+    // committed, and the last rename dropped the other's files (they
+    // survived only as orphan snapshots). The per-path commit lock
+    // serializes in-process read→merge→publish, so the final state
+    // must UNION every append, not merely mint distinct snapshots.
+    val dir = tmpTable()
+    rows(0).write.format("graft-manifest").mode("append").save(dir)
+    val n = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to n).map { i =>
+      new Thread(() =>
+        try rows(i.toLong).write.format("graft-manifest")
+          .mode("append").save(dir)
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"a concurrent append failed: ${errs.peek()}")
+    assert(idsOf(ManifestV2Sink.readCommitted(spark, dir)) ==
+      (0L to n.toLong))
+  }
+
   test("implicit branch write heals a stale sidecar from a crashed createBranch") {
     // regression: createBranch writes the .base sidecar BEFORE the
     // head rename; a crash in between leaves main's file list as the
