@@ -85,6 +85,13 @@ object Bench {
       case _ => all
     }
     names.foreach(materialize(_, warmDir)) // warmup, unmeasured
+    // ARTIFACT PRE-WARM (unmeasured): force every session artifact
+    // fresh for this code/data before any timed pass, so riding
+    // consumers' samples are artifact-read cost in EVERY pass —
+    // execution-order independent — while the build jobs themselves
+    // still pay the full rebuild in each timed pass
+    SparkEntry.artifactWarmup.filter(names.contains)
+      .foreach(materialize(_, sfDir))
     calibrate() // unrecorded: absorbs the calibration job's own codegen
     // N timed passes, per-query minimum: a single pass is hostage to
     // transient host contention (observed 3-5× swings on individual

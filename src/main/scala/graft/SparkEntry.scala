@@ -33,6 +33,21 @@ object SparkEntry {
     merged
   }
 
+  /** BUILD-JOB queries that (re)publish session artifacts other
+    * queries ride (near-dup pair graph/labels, exact-PPJoin pairs,
+    * trained BPE vocabulary, NND graph, ANN eval ground truths).
+    * [[Bench]] materializes these once UNMEASURED before its timed
+    * passes, so riding consumers' samples reflect artifact-READ cost —
+    * the scaladoc'd claim — in every pass instead of whichever
+    * consumer happens to run first paying a lazy build (bench numbers
+    * must not depend on execution order). The build jobs themselves
+    * stay rebuild-per-call, so their timed passes keep the honest
+    * nightly build cost.
+    */
+  val artifactWarmup: Seq[String] = Seq(
+    "dedup_clusters_persisted", "dedup_setsim_join", "knn_graph_nnd",
+    "text_bpe_train")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */

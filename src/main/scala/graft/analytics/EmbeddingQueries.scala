@@ -3691,7 +3691,12 @@ object EmbeddingQueries {
     * knn_recall_report).
     */
   def knnGraphNnd(spark: SparkSession, dir: String): DataFrame = {
-    val (g0, g) = nndGraphWithInit(spark, dir, NndRounds)
+    val (g0, gBuilt) = nndGraphWithInit(spark, dir, NndRounds)
+    // this IS the nightly build job: publish the built graph through
+    // the artifact seam (rebuild = recompute + republish, honest cost)
+    // and evaluate the READ-BACK — so the eval also proves the sink
+    // round-trip, and knn_graph_search rides the same publish
+    val g = SessionArtifact.rebuild(spark, dir, "nnd_graph")(gBuilt)
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2"))
     val samp = e.where(col("vec_id") % NndEvalStride === 0)
@@ -3834,31 +3839,17 @@ object EmbeddingQueries {
   /** Session-scoped PERSISTED NND graph — the build-once/search-many
     * separation for the graph family ([[knnIvfPersisted]]'s pattern;
     * near-dup twin: [[NearDupArtifact]]): the K-NN graph is an INDEX,
-    * built by the nightly job ([[knnGraphNnd]] is that build, with its
-    * quality eval in-band) and only READ at query time. Built lazily
-    * once per (JVM, dataset) through the graft-manifest sink;
-    * [[knnGraphSearch]]'s oracle re-derives the full construction, so
-    * a wrong persisted graph diverges its hash.
+    * built and PUBLISHED by the nightly job ([[knnGraphNnd]] — its
+    * rebuild republishes through the [[SessionArtifact]] seam, so its
+    * benched cost is the honest build) and only READ at query time.
+    * Content-addressed per (code, dataset): a restarted session on
+    * unchanged data reuses the published graph. [[knnGraphSearch]]'s
+    * oracle re-derives the full construction, so a wrong or stale
+    * persisted graph diverges its hash.
     */
-  private val nndIndexSlots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val nndIndexTag =
-    java.util.UUID.randomUUID().toString.take(8)
-
-  private def nndIndex(spark: SparkSession, dir: String): DataFrame = {
-    val path = nndIndexSlots.computeIfAbsent(dir, _ => {
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_))
-        .mkString
-      val p = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"),
-        s"graft_nndgraph_${nndIndexTag}_$key").toUri.getPath
-      nndGraph(spark, dir, NndRounds)
-        .write.format("graft-manifest").mode("overwrite").save(p)
-      p
-    })
-    graft.sources.ManifestV2Sink.readCommitted(spark, path)
-  }
+  private def nndIndex(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "nnd_graph")(
+      nndGraph(spark, dir, NndRounds))
 
   def knnGraphSearch(spark: SparkSession, dir: String): DataFrame = {
     val g = nndIndex(spark, dir)

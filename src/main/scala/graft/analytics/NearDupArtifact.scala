@@ -1,10 +1,11 @@
 package graft.analytics
 
-import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.{CompletableFuture, ConcurrentHashMap}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.DatasetFingerprint
 import graft.sources.ManifestV2Sink
 
 /** Session-scoped PERSISTED near-dup artifact: the simhash pair graph,
@@ -19,11 +20,12 @@ import graft.sources.ManifestV2Sink
   * recomputes and republishes (paying the honest build cost every run,
   * and re-proving the parquet→manifest round-trip against the shared
   * recursive-CTE oracle). Consumers call [[pairs]]/[[labels]]/
-  * [[baseLabels]], which build lazily on first demand per (JVM,
-  * dataset dir) and then only read. Correctness of the riding
-  * consumers is NOT assumed: every one of them keeps its own
-  * full-recompute DuckDB oracle, so a wrong artifact diverges every
-  * consumer's hash.
+  * [[baseLabels]], which resolve lazily per (code, dataset dir) —
+  * reusing a root a previous session published when data and code are
+  * unchanged ([[DatasetFingerprint]]), building otherwise — and then
+  * only read. Correctness of the riding consumers is NOT assumed:
+  * every one of them keeps its own full-recompute DuckDB oracle, so a
+  * wrong or stale artifact diverges every consumer's hash.
   *
   * Tables (all primitive long columns — the sink's contract):
   *  - `pairs(doc_a, doc_b, hamming)` — exactly
@@ -48,29 +50,38 @@ object NearDupArtifact {
   final case class Artifact(pairs: String, labels: String,
       baseLabels: String)
 
-  // keyed by dataset dir; one artifact per (JVM, dataset). A fresh JVM
-  // gets fresh paths (jvmTag), so a stale artifact from a previous run
-  // can never be read against different data.
-  private val builtTables = new ConcurrentHashMap[String, Artifact]()
-  private val jvmTag = java.util.UUID.randomUUID().toString.take(8)
+  // keyed by dataset dir; one artifact per (code, dataset). The root
+  // is CONTENT-ADDRESSED ([[DatasetFingerprint]]): a fresh JVM on
+  // unchanged data and code REUSES last night's published tables —
+  // the production semantics — while any data or code change moves
+  // the root, so a stale artifact can never be read against different
+  // data or a different derivation. Slots hold futures so the map's
+  // bin lock is never held across the multi-job Spark build.
+  private val builtTables =
+    new ConcurrentHashMap[String, CompletableFuture[Artifact]]()
 
-  private def rootOf(spark: SparkSession, dir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+  /** TEST HOOK: forget in-session slots (simulates a fresh JVM; the
+    * on-disk manifests survive — the point of the reuse specs).
+    */
+  private[graft] def resetSlotsForTest(): Unit = builtTables.clear()
+
+  private def rootOf(spark: SparkSession, dir: String): String =
     // scheme-less path: the warehouse conf qualifies to file:/..., which
     // the sink's java.nio side would treat as a relative "file:" dir
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"),
-      s"graft_neardup_${jvmTag}_$key").toUri.getPath
-  }
+      s"graft_neardup_${DatasetFingerprint.codeTag}_" +
+        DatasetFingerprint.of(dir)).toUri.getPath
+
+  private def artifactAt(root: String): Artifact =
+    Artifact(s"$root/pairs", s"$root/labels", s"$root/base_labels")
 
   /** Build (or rebuild) and publish all three tables at the artifact
     * root for `dir`. Overwrite commits: repeat builds just add
     * snapshots to the same manifest log.
     */
   private def buildAt(spark: SparkSession, dir: String): Artifact = {
-    val root = rootOf(spark, dir)
-    val a = Artifact(s"$root/pairs", s"$root/labels", s"$root/base_labels")
+    val a = artifactAt(rootOf(spark, dir))
     val docs = QueryUtil.table(spark, dir, "documents")
     val pairs = DedupQueries.simhashPairsFrame(docs).localCheckpoint(true)
     pairs.write.format("graft-manifest").mode("overwrite").save(a.pairs)
@@ -93,12 +104,31 @@ object NearDupArtifact {
     */
   def rebuild(spark: SparkSession, dir: String): Artifact = {
     val a = buildAt(spark, dir)
-    builtTables.put(dir, a)
+    builtTables.put(dir, CompletableFuture.completedFuture(a))
     a
   }
 
-  private def ensure(spark: SparkSession, dir: String): Artifact =
-    builtTables.computeIfAbsent(dir, _ => buildAt(spark, dir))
+  private def ensure(spark: SparkSession, dir: String): Artifact = {
+    val fut = new CompletableFuture[Artifact]()
+    val prev = builtTables.putIfAbsent(dir, fut)
+    if (prev != null) prev.join()
+    else
+      try {
+        val a = artifactAt(rootOf(spark, dir))
+        // content-addressed reuse: all three tables committed at the
+        // same (code, data) root ⇒ same artifact — read, don't rebuild
+        val committed = Seq(a.pairs, a.labels, a.baseLabels)
+          .forall(ManifestV2Sink.hasCommitted)
+        val art = if (committed) a else buildAt(spark, dir)
+        fut.complete(art)
+        art
+      } catch {
+        case t: Throwable =>
+          builtTables.remove(dir, fut)
+          fut.completeExceptionally(t)
+          throw t
+      }
+  }
 
   /** `(doc_a, doc_b, hamming)` — the banded simhash near-dup pairs. */
   def pairs(spark: SparkSession, dir: String): DataFrame =

@@ -149,6 +149,12 @@ object ManifestV2Sink {
   private[sources] def readManifest(path: String): Option[(StructType, Seq[String])] =
     parseManifest(manifestFile(path))
 
+  /** True iff a committed manifest exists at `path` — the probe the
+    * content-addressed artifact seam uses to reuse a previous
+    * session's publish without rebuilding.
+    */
+  def hasCommitted(path: String): Boolean = readManifest(path).isDefined
+
   /** The committed view of the table: only manifest-listed files are
     * read, with the manifest's schema — never an inference pass, never
     * a stray (crashed/unreferenced) file.
