@@ -46,7 +46,12 @@ object SparkEntry {
     */
   val artifactWarmup: Seq[String] = Seq(
     "dedup_clusters_persisted", "dedup_setsim_join", "knn_graph_nnd",
-    "text_bpe_train")
+    "text_bpe_train",
+    // ANN eval ground truths + shared family searches (build jobs),
+    // and the graph search whose exact baseline builds lazily on
+    // first demand
+    "knn_brute_force", "knn_brute_heldout", "knn_ivf_trained_heldout",
+    "knn_sq8_heldout", "knn_graph_search")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -105,11 +105,12 @@ object EmbeddingQueries {
       "CAST(ceil(sqrt((SELECT COUNT(*) FROM n))) AS BIGINT)))"
 
   // ------------------------------------------------- brute-force kNN
-  /** Top-10 cosine neighbors for each query vector (vec_id < 10) by
-    * full corpus scan. The query side is broadcast; ranking is a
-    * per-query-partition window over the scored corpus.
+  /** The raw brute-force derivation behind [[knnBruteForce]]: one
+    * corpus scan against the broadcast query block, per-query window
+    * rank. Shared by the gated build (publish every run) and the
+    * artifact slot (build lazily on a cold session).
     */
-  def knnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def bruteForceFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
     val qs = e.where(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("q").as("qq"),
@@ -123,6 +124,30 @@ object EmbeddingQueries {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= TopK)
   }
+
+  /** Top-10 cosine neighbors for each query vector (vec_id < 10) by
+    * full corpus scan — AND the eval family's GROUND-TRUTH BUILD JOB:
+    * the exact top-k is the one table every tuning curve
+    * ([[knnNprobeCurve]], [[knnRerankCurve]], [[knnDimCurve]]) grades
+    * against, so it is published once per sweep through the
+    * [[SessionArtifact]] manifest seam (rebuild = recompute +
+    * republish + read back, so this query's benched cost is the
+    * honest build and its oracle re-proves the sink round-trip) and
+    * READ by every consumer instead of re-derived per query. The
+    * consumers keep their full-recompute DuckDB oracles, so a wrong
+    * published truth diverges every rider's hash.
+    */
+  def knnBruteForce(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.rebuild(spark, dir, "knn_brute_topk")(
+      bruteForceFrame(spark, dir))
+
+  /** The published in-corpus exact top-k `(query_id, vec_id,
+    * score_ppm, rnk)` — artifact-read for riders, built lazily on a
+    * cold session.
+    */
+  private def bruteTopk(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "knn_brute_topk")(
+      bruteForceFrame(spark, dir))
 
   val knnBruteForceSql: String =
     s"""WITH $sqlQuantized,
@@ -1358,11 +1383,8 @@ object EmbeddingQueries {
        |  FROM hq WHERE qrnk <= $HeldoutQueries)""".stripMargin
   }
 
-  /** Brute-force exact top-k for the held-out queries — the recall
-    * baseline the approximate held-out searches are measured against
-    * (Round6OpsSpec asserts the floor).
-    */
-  def knnBruteHeldout(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def bruteHeldoutFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = quantized(spark, dir).cache() // split + queries read it twice
     val corpus = e.where(!isHeldout)
     val scored = corpus.crossJoin(broadcast(heldoutQueries(e)))
@@ -1374,6 +1396,24 @@ object EmbeddingQueries {
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= TopK)
   }
+
+  /** Brute-force exact top-k for the held-out queries — the recall
+    * baseline the approximate held-out searches are measured against
+    * (Round6OpsSpec asserts the floor), and the HELD-OUT ground
+    * truth's build job: published once per sweep through the
+    * [[SessionArtifact]] seam; [[knnRecallReport]] and
+    * [[knnMrrReport]] ride the publish instead of re-paying the
+    * |queries|×n exact scan each (their full-recompute oracles keep
+    * re-proving the published table).
+    */
+  def knnBruteHeldout(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.rebuild(spark, dir, "knn_brute_heldout")(
+      bruteHeldoutFrame(spark, dir))
+
+  /** The published held-out exact top-k — artifact-read for riders. */
+  private def bruteHeldoutArt(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "knn_brute_heldout")(
+      bruteHeldoutFrame(spark, dir))
 
   val knnBruteHeldoutSql: String = {
     val qdot =
@@ -1398,7 +1438,20 @@ object EmbeddingQueries {
     * serves out-of-corpus traffic. Same dataflow scale shape as
     * [[knnIvfTrained]]; only the probe side changed provenance.
     */
-  def knnIvfTrainedHeldout(spark: SparkSession, dir: String): DataFrame = {
+  def knnIvfTrainedHeldout(spark: SparkSession, dir: String): DataFrame =
+    // the held-out IVF search output is SHARED by knn_recall_report
+    // and knn_mrr_report — published per sweep like the ground truth,
+    // so the eval reports join tables instead of re-running searches
+    SessionArtifact.rebuild(spark, dir, "knn_ivf_heldout")(
+      ivfTrainedHeldoutFrame(spark, dir))
+
+  /** The published held-out IVF search — artifact-read for riders. */
+  private def ivfHeldoutArt(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "knn_ivf_heldout")(
+      ivfTrainedHeldoutFrame(spark, dir))
+
+  private[analytics] def ivfTrainedHeldoutFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
     val corpus = e.where(!isHeldout)
     val trained = trainIvf(corpus)
@@ -1512,15 +1565,19 @@ object EmbeddingQueries {
     * (zero hits), via the left join on the brute side's query list.
     */
   def knnRecallReport(spark: SparkSession, dir: String): DataFrame = {
-    val brute = knnBruteHeldout(spark, dir)
+    // both sides are PUBLISHED session artifacts (the ground-truth and
+    // search build jobs above) — this report is two joins over
+    // k·|queries|-row tables, not three corpus scans. The oracle below
+    // still recomputes everything from the raw corpus, so a wrong
+    // artifact diverges this hash.
+    val brute = bruteHeldoutArt(spark, dir)
       .select(col("query_id"), col("vec_id"))
-      .cache() // exact scoring pass feeds both the semi join and the k counts
-    val hits = knnIvfTrainedHeldout(spark, dir)
+    val hits = ivfHeldoutArt(spark, dir)
       .select(col("query_id"), col("vec_id"))
-      .join(brute, Seq("query_id", "vec_id"), "left_semi")
+      .join(broadcast(brute), Seq("query_id", "vec_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     brute.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
-      .join(hits, Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         ppm(coalesce(col("n_hits"), lit(0L)), col("k")).as("recall_ppm"))
@@ -1724,7 +1781,16 @@ object EmbeddingQueries {
     * quantizer does to out-of-distribution components; corpus codes
     * are unaffected since the stats bound them by construction).
     */
-  def knnSq8Heldout(spark: SparkSession, dir: String): DataFrame = {
+  def knnSq8Heldout(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.rebuild(spark, dir, "knn_sq8_heldout")(
+      sq8HeldoutFrame(spark, dir))
+
+  /** The published held-out SQ8 search — artifact-read for riders. */
+  private def sq8HeldoutArt(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "knn_sq8_heldout")(
+      sq8HeldoutFrame(spark, dir))
+
+  private[analytics] def sq8HeldoutFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
     val corpus = e.where(!isHeldout)
     val stats = corpus.select(posexplode(col("q")).as(Seq("i", "x")))
@@ -2531,19 +2597,22 @@ object EmbeddingQueries {
     * the report itself is |families|·|queries| rows.
     */
   def knnMrrReport(spark: SparkSession, dir: String): DataFrame = {
-    val bt = knnBruteHeldout(spark, dir).where(col("rnk") === 1)
+    // ground truth AND both family searches are published session
+    // artifacts — the report is |families|·|queries| rows of joins
+    // over tables other build jobs already paid for; the oracle still
+    // recomputes all three sides from the raw corpus
+    val bt = bruteHeldoutArt(spark, dir).where(col("rnk") === 1)
       .select(col("query_id"), col("vec_id").as("true_top1"))
-      .cache() // both family joins read the exact pass
     def fam(name: String, df: DataFrame): DataFrame = {
       val hits = df.select(col("query_id"),
         col("vec_id").as("true_top1"), col("rnk").as("found"))
-      bt.join(hits, Seq("query_id", "true_top1"), "left")
+      bt.join(broadcast(hits), Seq("query_id", "true_top1"), "left")
         .select(lit(name).as("family"), col("query_id"), col("true_top1"),
           coalesce(col("found"), lit(0L)).as("found_rank"),
           coalesce(expr("1000000 div found"), lit(0L)).as("rr_ppm"))
     }
-    fam("ivf_trained", knnIvfTrainedHeldout(spark, dir))
-      .unionByName(fam("sq8", knnSq8Heldout(spark, dir)))
+    fam("ivf_trained", ivfHeldoutArt(spark, dir))
+      .unionByName(fam("sq8", sq8HeldoutArt(spark, dir)))
   }
 
   val knnMrrReportSql: String = {
@@ -2582,16 +2651,12 @@ object EmbeddingQueries {
 
   def knnNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
-    val qs = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("norm2").as("qnorm2"))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("vec_id").asc)
-    val exact = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
-          .as("score_ppm"))
-      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+    // the exact baseline is the PUBLISHED ground truth (knn_brute_force
+    // is its build job) — k·|queries| rows read, not a corpus scan;
+    // the oracle still derives it from the raw corpus
+    val exact = bruteTopk(spark, dir)
       .select(col("query_id"), col("vec_id"))
     // the SHARED coarse stage at the deepest probe — the curve grades
     // the very index knn_ivf searches, by construction
@@ -2606,7 +2671,7 @@ object EmbeddingQueries {
       val sel = cand.where(col("cell_rank") <= lit(p.toLong))
       val hits = sel
         .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
-        .join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .join(broadcast(exact), Seq("query_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
       val scanned = sel.agg(count(lit(1)).as("n_scanned"))
       hits.crossJoin(scanned)
@@ -2639,16 +2704,8 @@ object EmbeddingQueries {
   def knnRerankCurve(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache()
     try {
-    val qs = e.where(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("q").as("qq"),
-        col("norm2").as("qnorm2"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_ppm").desc, col("vec_id").asc)
-    val exact = broadcast(qs).join(e, col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
-          .as("score_ppm"))
-      .withColumn("rnk", row_number().over(wTop)).where(col("rnk") <= TopK)
+    // exact baseline = the published ground truth (see knnNprobeCurve)
+    val exact = bruteTopk(spark, dir)
       .select(col("query_id"), col("vec_id"))
     val (cells, qprobe) = ivfCoarse(e)
     val cand = broadcast(qprobe.select(col("query_id"), col("cell")))
@@ -2672,7 +2729,7 @@ object EmbeddingQueries {
         val cands = ranked.where(col("crnk") <= rr)
           .select(col("query_id"), col("vec_id"))
         val hits = exactRerank(e, cands)
-          .join(exact, Seq("query_id", "vec_id"), "left_semi")
+          .join(broadcast(exact), Seq("query_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
         val scanned = cands.agg(count(lit(1)).as("n_reranked"))
         hits.crossJoin(scanned)
@@ -3030,9 +3087,15 @@ object EmbeddingQueries {
         .where(col("rnk") <= TopK)
         .select(col("query_id"), col("vec_id"))
     }
-    val exact = topAt(64).cache() // every curve point joins the baseline
+    // the full-dimension baseline IS the published ground truth
+    // (topAt(64) ≡ knn_brute_force: same scores, same tie order) — and
+    // the d = 64 point still computes topAt(64) LIVE and joins it
+    // against the published table, so the by-construction recall-10⁶
+    // self-check now also proves the artifact equals the live search
+    val exact = bruteTopk(spark, dir)
+      .select(col("query_id"), col("vec_id"))
     DimCurve.map { d =>
-      topAt(d).join(exact, Seq("query_id", "vec_id"), "left_semi")
+      topAt(d).join(broadcast(exact), Seq("query_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(d.toLong).as("dims"),
           ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"))
@@ -3851,6 +3914,31 @@ object EmbeddingQueries {
     SessionArtifact.table(spark, dir, "nnd_graph")(
       nndGraph(spark, dir, NndRounds))
 
+  /** Exact L2 top-[[NndK]] for the stride-sampled graph-search query
+    * set — the beam search's in-band recall baseline, published as a
+    * session artifact so repeat searches grade against a table instead
+    * of re-paying the |queries|×n exact scan (the oracle re-derives it
+    * from the raw corpus every verify run).
+    */
+  private[analytics] def gsExactFrame(spark: SparkSession, dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2"))
+    val qs = e.where(col("vec_id") % GsQueryStride === 13)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("u").asc)
+    broadcast(qs)
+      .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+        col("norm2").as("nb")), col("qid") =!= col("u"))
+      .select(col("qid"), col("u"),
+        (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+          .as("d"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= NndK)
+      .select(col("qid"), col("u"))
+  }
+
   def knnGraphSearch(spark: SparkSession, dir: String): DataFrame = {
     val g = nndIndex(spark, dir)
     val adj = g.select(col("v"), col("u"))
@@ -3891,20 +3979,16 @@ object EmbeddingQueries {
       }
       val found = beam.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= NndK)
-      val exact = broadcast(qs)
-        .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
-          col("norm2").as("nb")), col("qid") =!= col("u"))
-        .select(col("qid"), col("u"),
-          (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
-            .as("d"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
+      // ground truth from the PUBLISHED artifact (built lazily once
+      // per (code, dataset); pre-warmed by the bench harness)
+      val exact = SessionArtifact.table(spark, dir, "knn_gs_exact")(
+        gsExactFrame(spark, dir))
       // exact side is |queries|·K rows — broadcast, so the final eval
       // join can never sort-merge (plan-pinned alongside the other
       // search families)
       found.select(col("qid"), col("u"), col("d"))
-        .join(broadcast(exact.select(col("qid"), col("u"))
-          .withColumn("hit", lit(1L))), Seq("qid", "u"), "left_outer")
+        .join(broadcast(exact.withColumn("hit", lit(1L))),
+          Seq("qid", "u"), "left_outer")
         .groupBy(col("qid"))
         .agg(count(lit(1)).as("n_found"),
           sum(coalesce(col("hit"), lit(0L))).as("n_matched"),

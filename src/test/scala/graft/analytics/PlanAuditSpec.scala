@@ -172,11 +172,16 @@ class PlanAuditSpec extends SparkSuite {
     // ≤CentKMax-row broadcast … nothing grows with n". Witness: no
     // sort-merge join anywhere in the search plans — every join is
     // against a broadcast (centroids, codebooks, query sets)
-    for (q <- Seq("knn_brute_force", "knn_ivf", "knn_ivf_trained",
+    for (q <- Seq("knn_ivf", "knn_ivf_trained",
         "knn_pq_adc", "knn_sq8", "knn_binary", "emb_kmeans_train",
         "knn_graph_search")) {
       assert(!plan(q).contains("SortMergeJoin"), s"$q shuffles its corpus")
     }
+    // knn_brute_force is now the ground-truth BUILD job (its query
+    // plan is the artifact read-back) — audit the build frame itself
+    assert(!EmbeddingQueries.bruteForceFrame(spark, sf0001)
+      .queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+      "knn_brute_force build shuffles its corpus")
     // the IVF×PQ chains join two corpus-scaled frames (candidates ×
     // code table) — un-broadcastable by nature, so an SMJ is the
     // RIGHT plan there, but only on the narrow 8-byte vec_id key
@@ -200,10 +205,17 @@ class PlanAuditSpec extends SparkSuite {
     // remaining windows are the query-side probe (10·k rows) and the
     // final per-query top-k, both corpus-independent
     for (q <- Seq("knn_ivf", "knn_ivf_trained", "knn_ivf_stats",
-        "knn_ivf_delta", "knn_ivf_trained_heldout", "emb_kmeans_train")) {
+        "knn_ivf_delta", "emb_kmeans_train")) {
       val p = plan(q).toLowerCase
       assert(p.contains("partial_max_by"), s"$q lost its map-side argmax")
     }
+    // knn_ivf_trained_heldout is now a publishing build job — the
+    // witness lives in its build frame, not the artifact read-back
+    val heldoutBuild = EmbeddingQueries
+      .ivfTrainedHeldoutFrame(spark, sf0001)
+      .queryExecution.sparkPlan.toString.toLowerCase
+    assert(heldoutBuild.contains("partial_max_by"),
+      "knn_ivf_trained_heldout build lost its map-side argmax")
   }
 
   test("Gramian pair expansion collapses map-side before its exchange") {
