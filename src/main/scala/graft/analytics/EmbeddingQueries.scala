@@ -1672,9 +1672,9 @@ object EmbeddingQueries {
     * against brute force.
     */
   val DeltaMod = 11L
-  private def isDelta: Column =
-    graft.functions.CrossHash.md5Long(col("vec_id").cast("string")) %
-      DeltaMod === 3
+  private def isDeltaId(c: Column): Column =
+    graft.functions.CrossHash.md5Long(c.cast("string")) % DeltaMod === 3
+  private def isDelta: Column = isDeltaId(col("vec_id"))
 
   def knnIvfDelta(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir).cache() // split + assignment + probe
@@ -4056,6 +4056,233 @@ object EmbeddingQueries {
        |GROUP BY f.qid""".stripMargin
   }
 
+  // --------------------------- graph ANN: incremental delta insert
+  /** NIGHTLY MAINTENANCE for the graph-ANN family — the counterpart
+    * of [[knnIvfDelta]]'s frozen-quantizer path: tonight's delta
+    * vectors (the shared md5 [[DeltaMod]] split) are INSERTED into
+    * "last night's" graph instead of triggering a full NN-Descent
+    * rebuild. The HNSW insert shape (Malkov & Yashunin, TPAMI'18),
+    * relationally:
+    *
+    *  1. last night's graph = the persisted NND graph restricted to
+    *     base–base edges (what a build that never saw the delta would
+    *     have published);
+    *  2. each delta BEAM-SEARCHES that graph for its neighborhood —
+    *     the same fixed-seed, [[GsHops]]-hop, [[GsBeam]]-beam walk as
+    *     [[knnGraphSearch]], scoring candidates with the exact int64
+    *     squared L2;
+    *  3. LOCAL-JOIN REFINE around the touched vertices only: two
+    *     deltas that selected a common base neighbor are likely
+    *     neighbors themselves (NN-Descent's "neighbor of my neighbor"
+    *     step, restricted to the insert wavefront), so those
+    *     delta–delta pairs are scored exactly and merged into each
+    *     delta's top-[[NndK]].
+    *
+    * Per delta the work is O(hops · beam · degree) + O(refine pairs) —
+    * independent of corpus size, while a full rebuild pays
+    * [[NndRounds]] corpus-wide local joins. The report carries its own
+    * evaluation per delta: `n_refine` (the refine-candidate count the
+    * oracle twin must reproduce — the generated program shares hop,
+    * beam and refine shapes), recall vs the FULL REBUILD on the
+    * delta'd corpus (the persisted graph's own delta rows — how close
+    * nightly maintenance gets to what a rebuild would publish), and
+    * recall vs exact brute force (the absolute floor, spec-pinned).
+    * The in-band exact side scans |delta|·n — at lake scale an
+    * operator strides the eval set exactly like [[knnGraphNnd]]'s
+    * sampled eval; the maintenance path itself never scans the corpus.
+    */
+  def knnGraphDelta(spark: SparkSession, dir: String): DataFrame = {
+    val g = nndIndex(spark, dir) // persisted full graph (v, u, d)
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
+      val base = e.where(!isDelta)
+      val gb = g.where(!isDeltaId(col("v")) && !isDeltaId(col("u")))
+        .select(col("v"), col("u")).localCheckpoint(true)
+      val adjB = gb.union(gb.select(col("u").as("v"), col("v").as("u")))
+        .distinct().localCheckpoint(true)
+      val dq = e.where(isDelta)
+        .select(col("vec_id").as("qid"), col("q").as("qq"),
+          col("norm2").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("u").asc)
+      // exact-score a candidate set against the BASE corpus, keep the
+      // per-delta top-k — the same broadcast-candidate shape as
+      // knnGraphSearch (plan-pinned zero SMJ)
+      def scoredTop(cand: DataFrame, k: Int): DataFrame =
+        broadcast(cand.distinct())
+          .join(base.select(col("vec_id").as("u"), col("q").as("qb"),
+            col("norm2").as("nb")), "u")
+          .join(broadcast(dq), "qid")
+          .select(col("qid"), col("u"),
+            (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+              .as("d"))
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k)
+          .select(col("qid"), col("u"), col("d"))
+      // fixed entry points: the 4 smallest base ids (ids are
+      // uncorrelated with embedding space — the reproducible stand-in
+      // for HNSW's entry point, as in knnGraphSearch)
+      val seeds = dq.select(col("qid")).crossJoin(
+        broadcast(base.orderBy(col("vec_id").asc).limit(4)
+          .select(col("vec_id").as("u"))))
+      var beam = scoredTop(seeds, GsBeam).localCheckpoint(true)
+      for (_ <- 1 to GsHops) {
+        val expanded = broadcast(beam.select(col("qid"), col("u").as("bu")))
+          .join(adjB, col("bu") === col("v"))
+          .select(col("qid"), col("u"))
+        beam = scoredTop(expanded.unionByName(beam.select(col("qid"),
+          col("u"))), GsBeam).localCheckpoint(true)
+      }
+      val inserted = beam.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+        .select(col("qid"), col("u"), col("d"))
+        .localCheckpoint(true) // feeds refine pairs AND the final merge
+      // refine wavefront: delta pairs sharing an inserted base
+      // neighbor, scored exactly over the delta vectors (base u-keys
+      // and delta u-keys are disjoint, so the merge has no dup keys)
+      val pairsDD = inserted.select(col("qid").as("da"), col("u"))
+        .join(inserted.select(col("qid").as("db"), col("u")), Seq("u"))
+        .where(col("da") =!= col("db"))
+        .select(col("da"), col("db")).distinct()
+      val scoredDD = broadcast(pairsDD)
+        .join(broadcast(dq.select(col("qid").as("da"), col("qq").as("qa"),
+          col("qn").as("na"))), Seq("da"))
+        .join(broadcast(dq.select(col("qid").as("db"), col("qq").as("qb2"),
+          col("qn").as("nb2"))), Seq("db"))
+        .select(col("da").as("qid"), col("db").as("u"),
+          (col("na") + col("nb2") - lit(2L) * dot(col("qa"), col("qb2")))
+            .as("d"))
+        .localCheckpoint(true) // feeds the count AND the merge
+      val refCnt = scoredDD.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_refine"))
+      val fin = inserted.unionByName(scoredDD)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+        .select(col("qid"), col("u"))
+      val rebuild = g.where(isDeltaId(col("v")))
+        .select(col("v").as("qid"), col("u")).withColumn("hitr", lit(1L))
+      val exact = broadcast(dq)
+        .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+          col("norm2").as("nb")), col("qid") =!= col("u"))
+        .select(col("qid"), col("u"),
+          (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+            .as("d"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+        .select(col("qid"), col("u")).withColumn("hite", lit(1L))
+      fin
+        .join(broadcast(rebuild), Seq("qid", "u"), "left_outer")
+        .join(broadcast(exact), Seq("qid", "u"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_final"),
+          sum(coalesce(col("hitr"), lit(0L))).as("n_matched_rebuild"),
+          sum(coalesce(col("hite"), lit(0L))).as("n_matched_exact"))
+        .join(broadcast(refCnt), Seq("qid"), "left")
+        .select(col("qid").as("vec_id"), col("n_final"),
+          coalesce(col("n_refine"), lit(0L)).as("n_refine"),
+          col("n_matched_rebuild"),
+          ppm(col("n_matched_rebuild"), lit(NndK.toLong))
+            .as("recall_rebuild_ppm"),
+          col("n_matched_exact"),
+          ppm(col("n_matched_exact"), lit(NndK.toLong))
+            .as("recall_exact_ppm"))
+    } finally e.unpersist()
+  }
+
+  val knnGraphDeltaSql: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("CAST(vec_id AS VARCHAR)")
+    val qeDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
+    val xyDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> x.qv[i] * y.qv[i]))"
+    def beamCte(candSrc: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, u, d FROM (
+         |    SELECT qid, u, d, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d, u) AS rnk
+         |    FROM (SELECT DISTINCT t.qid, t.u,
+         |            q.norm2 + e.norm2 - 2 * $qeDot AS d
+         |          FROM $candSrc t
+         |          JOIN ddq q ON t.qid = q.qid
+         |          JOIN dbse e ON t.u = e.vec_id))
+         |  WHERE rnk <= $GsBeam)""".stripMargin
+    val hops = (1 to GsHops).map { hh =>
+      s"""dc$hh AS (SELECT b.qid, a.u FROM dw${hh - 1} b
+         |  JOIN dgadjb a ON b.u = a.v
+         |  UNION SELECT qid, u FROM dw${hh - 1}),
+         |${beamCte(s"dc$hh", s"dw$hh")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlNndChain,
+       |dgb AS (SELECT v, u FROM g$NndRounds
+       |  WHERE NOT EXISTS (SELECT 1 FROM n WHERE vec_id = v
+       |          AND $h % $DeltaMod = 3)
+       |    AND NOT EXISTS (SELECT 1 FROM n WHERE vec_id = u
+       |          AND $h % $DeltaMod = 3)),
+       |dgadjb AS MATERIALIZED (SELECT v, u FROM dgb
+       |  UNION SELECT u AS v, v AS u FROM dgb),
+       |ddq AS (SELECT vec_id AS qid, qv, norm2 FROM n
+       |  WHERE $h % $DeltaMod = 3),
+       |dbse AS (SELECT vec_id, qv, norm2 FROM n
+       |  WHERE $h % $DeltaMod <> 3),
+       |dseeds AS (
+       |  SELECT q.qid, s.u FROM ddq q,
+       |    (SELECT vec_id AS u FROM dbse ORDER BY vec_id LIMIT 4) s),
+       |${beamCte("dseeds", "dw0")},
+       |$hops,
+       |dins AS MATERIALIZED (
+       |  SELECT qid, u, d FROM (
+       |    SELECT qid, u, d, row_number() OVER (
+       |      PARTITION BY qid ORDER BY d, u) AS rnk
+       |    FROM dw$GsHops)
+       |  WHERE rnk <= $NndK),
+       |ddp AS (
+       |  SELECT DISTINCT a.qid AS da, b.qid AS db
+       |  FROM dins a JOIN dins b ON a.u = b.u AND a.qid <> b.qid),
+       |dds AS MATERIALIZED (
+       |  SELECT p.da AS qid, p.db AS u,
+       |    x.norm2 + y.norm2 - 2 * $xyDot AS d
+       |  FROM ddp p JOIN n x ON p.da = x.vec_id
+       |  JOIN n y ON p.db = y.vec_id),
+       |drefc AS (
+       |  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_refine
+       |  FROM dds GROUP BY qid),
+       |dfin AS (
+       |  SELECT qid, u FROM (
+       |    SELECT qid, u, row_number() OVER (
+       |      PARTITION BY qid ORDER BY d, u) AS rnk
+       |    FROM (SELECT qid, u, d FROM dins
+       |          UNION ALL SELECT qid, u, d FROM dds))
+       |  WHERE rnk <= $NndK),
+       |drebuild AS (
+       |  SELECT g.v AS qid, g.u FROM g$NndRounds g
+       |  WHERE EXISTS (SELECT 1 FROM n WHERE vec_id = g.v
+       |    AND $h % $DeltaMod = 3)),
+       |dexact AS (
+       |  SELECT qid, u FROM (
+       |    SELECT q.qid, e.vec_id AS u, row_number() OVER (
+       |      PARTITION BY q.qid
+       |      ORDER BY q.norm2 + e.norm2 - 2 * $qeDot, e.vec_id) AS rnk
+       |    FROM ddq q JOIN n e ON e.vec_id <> q.qid)
+       |  WHERE rnk <= $NndK)
+       |SELECT f.qid AS vec_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_final,
+       |  CAST(COALESCE(MIN(c.n_refine), 0) AS BIGINT) AS n_refine,
+       |  CAST(SUM(CASE WHEN r.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched_rebuild,
+       |  ${sqlPpm("SUM(CASE WHEN r.u IS NOT NULL THEN 1 ELSE 0 END)",
+           NndK.toString)} AS recall_rebuild_ppm,
+       |  CAST(SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched_exact,
+       |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
+           NndK.toString)} AS recall_exact_ppm
+       |FROM dfin f
+       |LEFT JOIN drebuild r ON f.qid = r.qid AND f.u = r.u
+       |LEFT JOIN dexact x ON f.qid = x.qid AND f.u = x.u
+       |LEFT JOIN drefc c ON f.qid = c.qid
+       |GROUP BY f.qid""".stripMargin
+  }
+
   // --------------------------------- k-center (farthest-point) init
   /** Farthest-point traversal (Gonzalez' 2-approximate k-CENTER) as a
     * quantizer INITIALIZATION, with the coverage radius after every
@@ -4223,6 +4450,7 @@ object EmbeddingQueries {
     "emb_init_quality" -> (embInitQuality _),
     "knn_graph_nnd" -> (knnGraphNnd _),
     "knn_graph_search" -> (knnGraphSearch _),
+    "knn_graph_delta" -> (knnGraphDelta _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
     "knn_hybrid_wand" -> (knnHybridWand _),
@@ -4264,6 +4492,7 @@ object EmbeddingQueries {
   val oracles: Map[String, String] = Map(
     "knn_graph_nnd" -> knnGraphNndSql,
     "knn_graph_search" -> knnGraphSearchSql,
+    "knn_graph_delta" -> knnGraphDeltaSql,
     "emb_kcenter_init" -> embKcenterInitSql,
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,
