@@ -423,8 +423,55 @@ object MultimodalQueries {
        |    AS brightness_ppm
        |FROM a""".stripMargin
 
+  /** REAL-BYTES decode through the WAV codec — the [[multimodalDecode]]
+    * proof ported to audio: deterministic PCM16 WAVs are encoded on
+    * the executors ([[MultimodalOps.wavFromDocuments]]), parsed BACK by
+    * [[MultimodalOps.WavCodec]] (RIFF chunk walk, strict PCM16
+    * checks, little-endian samples), and the decoded stream is walked
+    * for per-channel sums, peak and total amplitude. The oracle
+    * recomputes everything from the closed-form sample rule — any
+    * drift in header layout, endianness, chunk walking, or channel
+    * interleave fails the hash. With PPM (images) and WAV (audio)
+    * both real, the stub now covers only formats whose decoding
+    * genuinely requires codec libraries this container lacks.
+    */
+  def multimodalDecodeWav(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodeWavStats(MultimodalOps.wavFromDocuments(spark, dir))
+      .select(col("media_id"), col("n_channels"), col("sample_rate"),
+        col("n_frames"), col("sum_ch0"), col("sum_ch1"), col("peak_abs"),
+        col("sum_abs"),
+        QueryUtil.ppm(col("sum_abs"),
+          lit(32768L) * col("n_frames") * col("n_channels"))
+          .as("loudness_ppm"))
+
+  val multimodalDecodeWavSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 1 + doc_id % 2 AS nch,
+       |    8000 + (doc_id % 3) * 4000 AS sr, 20 + doc_id % 13 AS nfr
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, nch, sr, nfr, u.i,
+       |    ((31 * u.i + 7 * doc_id) % 65536) - 32768 AS v
+       |  FROM p, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(nfr * nch - 1 AS BIGINT))) AS i) u),
+       |a AS (
+       |  SELECT doc_id, nch, sr, nfr,
+       |    SUM(CASE WHEN i % nch = 0 THEN v ELSE 0 END) AS sum_ch0,
+       |    SUM(CASE WHEN i % nch = 1 THEN v ELSE 0 END) AS sum_ch1,
+       |    MAX(abs(v)) AS peak_abs, SUM(abs(v)) AS sum_abs
+       |  FROM s GROUP BY 1, 2, 3, 4)
+       |SELECT doc_id AS media_id, CAST(nch AS BIGINT) AS n_channels,
+       |  CAST(sr AS BIGINT) AS sample_rate, CAST(nfr AS BIGINT) AS n_frames,
+       |  CAST(sum_ch0 AS BIGINT) AS sum_ch0,
+       |  CAST(sum_ch1 AS BIGINT) AS sum_ch1,
+       |  CAST(peak_abs AS BIGINT) AS peak_abs,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs,
+       |  ${QueryUtil.sqlPpm("sum_abs", "32768 * nfr * nch")} AS loudness_ppm
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _),
+    "multimodal_decode_wav" -> (multimodalDecodeWav _),
     "multimodal_tokens" -> (multimodalTokens _),
     "multimodal_filter" -> (multimodalFilter _),
     "multimodal_dedup_apply" -> (multimodalDedupApply _),
@@ -437,6 +484,7 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
     "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_decode_wav" -> multimodalDecodeWavSql,
     "multimodal_tokens" -> multimodalTokensSql,
     "multimodal_filter" -> multimodalFilterSql,
     "multimodal_dedup_apply" -> multimodalDedupApplySql,

@@ -153,6 +153,100 @@ object MultimodalOps {
       }
   }
 
+  /** The second REAL pure-JVM codec at the decode seam (the
+    * [[PpmCodec]] pattern: fixed binary header, raw payload, no codec
+    * libraries): canonical 44-byte PCM WAV — RIFF/WAVE container,
+    * `fmt ` chunk (PCM, 16-bit only), chunk-walk to `data`, strict
+    * length checks, little-endian samples de-interleaved by
+    * `i mod nChannels`. Real audio bytes flow through it end-to-end in
+    * `multimodal_decode_wav`, whose oracle recomputes every statistic
+    * from the fixture's closed-form sample rule and never sees a byte
+    * — any drift in header layout, endianness, chunk walking, or
+    * interleave order fails the hash.
+    */
+  object WavCodec {
+
+    private def le16(out: Array[Byte], p: Int, v: Int): Unit = {
+      out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(out: Array[Byte], p: Int, v: Int): Unit = {
+      le16(out, p, v & 0xffff); le16(out, p + 2, (v >>> 16) & 0xffff)
+    }
+
+    /** Canonical-header PCM16 WAV bytes for interleaved `samples`. */
+    def encode(nChannels: Int, sampleRate: Int,
+        samples: Array[Short]): Array[Byte] = {
+      require(nChannels > 0 && sampleRate > 0 &&
+        samples.length % nChannels == 0, "malformed WAV fixture request")
+      val dataLen = samples.length * 2
+      val out = new Array[Byte](44 + dataLen)
+      "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+      le32(out, 4, 36 + dataLen)
+      "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+      "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+      le32(out, 16, 16) // PCM fmt chunk size
+      le16(out, 20, 1) // audio format: PCM
+      le16(out, 22, nChannels)
+      le32(out, 24, sampleRate)
+      le32(out, 28, sampleRate * nChannels * 2) // byte rate
+      le16(out, 32, nChannels * 2) // block align
+      le16(out, 34, 16) // bits per sample
+      "data".getBytes("US-ASCII").copyToArray(out, 36)
+      le32(out, 40, dataLen)
+      var i = 0
+      while (i < samples.length) {
+        le16(out, 44 + 2 * i, samples(i) & 0xffff); i += 1
+      }
+      out
+    }
+
+    private def rd16(b: Array[Byte], p: Int): Int =
+      (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], p: Int): Long =
+      (rd16(b, p) & 0xffffL) | ((rd16(b, p + 2) & 0xffffL) << 16)
+    private def tag(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, "US-ASCII")
+
+    /** Strict PCM16 parse: `(nChannels, sampleRate, samples)`; None on
+      * anything malformed (wrong magic, non-PCM, non-16-bit, chunk
+      * overrun, data length not a whole number of frames). Unknown
+      * chunks between `fmt ` and `data` are walked over per the RIFF
+      * spec (word-aligned).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (bytes.length < 44 || tag(bytes, 0) != "RIFF" ||
+        tag(bytes, 8) != "WAVE") return None
+      var p = 12
+      var nCh = -1
+      var rate = -1
+      while (p + 8 <= bytes.length) {
+        val id = tag(bytes, p)
+        val len = rd32(bytes, p + 4)
+        if (len < 0 || p + 8 + len > bytes.length) return None
+        if (id == "fmt ") {
+          if (len < 16) return None
+          if (rd16(bytes, p + 8) != 1) return None // PCM only
+          nCh = rd16(bytes, p + 10)
+          rate = rd32(bytes, p + 12).toInt
+          if (rd16(bytes, p + 22) != 16) return None // 16-bit only
+          if (nCh <= 0 || rate <= 0) return None
+        } else if (id == "data") {
+          if (nCh <= 0) return None // data before fmt
+          val n = len.toInt
+          if (n % 2 != 0 || (n / 2) % nCh != 0) return None
+          val samples = new Array[Short](n / 2)
+          var i = 0
+          while (i < samples.length) {
+            samples(i) = rd16(bytes, p + 8 + 2 * i).toShort; i += 1
+          }
+          return Some((nCh, rate, samples))
+        }
+        p += 8 + len.toInt + (len.toInt & 1) // RIFF chunks word-align
+      }
+      None
+    }
+  }
+
   /** ======= STUB BOUNDARY =======
     * The stand-in for codecs the container lacks (JPEG/PNG/PCM/video
     * frames): deterministic in the content bytes so tests and oracles
@@ -176,6 +270,57 @@ object MultimodalOps {
     */
   val PpmMediaType = "image/ppm"
 
+  /** The declared media type of the real-WAV fixtures — routed to
+    * [[WavCodec]] by [[decodeAny]].
+    */
+  val WavMediaType = "audio/wav"
+
+  /** WAV dims + 8 features through the real codec, on the
+    * [[StubDecoder]] contract shape: "width" = frames, "height" =
+    * channels; features = per-channel normalized means (first two
+    * channels), overall loudness (mean |s|/32768), normalized peak,
+    * and the four quarter-window loudness means (the audio analog of
+    * the PPM quadrant lumas).
+    */
+  private def wavFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    WavCodec.decode(bytes).map { case (nCh, _, s) =>
+      val n = s.length.max(1)
+      val chSum = new Array[Long](2)
+      val chN = new Array[Long](2)
+      val quart = new Array[Long](4)
+      val quartN = new Array[Long](4)
+      var peak = 0L
+      var absSum = 0L
+      var i = 0
+      while (i < s.length) {
+        val v = s(i).toLong
+        val a = math.abs(v)
+        val c = i % nCh
+        if (c < 2) { chSum(c) += v; chN(c) += 1 }
+        val q = (i * 4L / n).toInt.min(3)
+        quart(q) += a; quartN(q) += 1
+        if (a > peak) peak = a
+        absSum += a
+        i += 1
+      }
+      val f = new Array[Float](8)
+      var c = 0
+      while (c < 2) {
+        f(c) = if (chN(c) == 0) 0.0f
+          else chSum(c) / (32768.0f * chN(c))
+        c += 1
+      }
+      f(2) = absSum / (32768.0f * n)
+      f(3) = peak / 32768.0f
+      var q = 0
+      while (q < 4) {
+        f(4 + q) =
+          if (quartN(q) == 0) 0.0f else quart(q) / (32768.0f * quartN(q))
+        q += 1
+      }
+      (s.length / nCh, nCh, f)
+    }
+
   /** The dispatching decoder every consumer calls: TYPE-DRIVEN, not
     * content-sniffing — only records declared `image/ppm` go through
     * the real codec (falling back to the stub if their bytes are
@@ -189,6 +334,8 @@ object MultimodalOps {
       content: Array[Byte]): (Int, Int, Array[Float]) = mediaType match {
     case PpmMediaType =>
       PpmCodec.features(content).getOrElse(StubDecoder.decode(content))
+    case WavMediaType =>
+      wavFeatures(content).getOrElse(StubDecoder.decode(content))
     case _ => StubDecoder.decode(content)
   }
 
@@ -340,6 +487,66 @@ object MultimodalOps {
       }
     }.toDF("media_id", "width", "height", "n_pix",
       "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Deterministic REAL-audio fixture: one small PCM16 WAV per
+    * document — `1 + id%2` channels, rate `8000 + (id%3)·4000`,
+    * `20 + id%13` frames, interleaved sample
+    * `s(i) = ((31i + 7·id) mod 65536) − 32768` — encoded by
+    * [[WavCodec.encode]] into actual RIFF bytes on the executors. The
+    * generative rule is closed form, so the SQL oracle recomputes
+    * every decoded statistic without seeing a byte (the PPM proof,
+    * ported to audio).
+    */
+  def wavFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val nCh = (1 + id % 2).toInt
+          val rate = (8000 + (id % 3) * 4000).toInt
+          val n = (20 + id % 13).toInt * nCh
+          val samples = Array.tabulate(n)(i =>
+            (((31L * i + 7L * id) % 65536L) - 32768L).toShort)
+          MediaRecord(id, WavMediaType, WavCodec.encode(nCh, rate, samples),
+            s"synthetic://wav/$id")
+        }
+      }
+  }
+
+  /** Decoded-sample statistics through the REAL WAV codec: parse the
+    * RIFF bytes back and walk the samples — per-channel sums (first
+    * two channels; ch1 is 0 for mono), peak and total |amplitude|,
+    * all exact integers. Narrow per-partition work; content never
+    * shuffles.
+    */
+  def decodeWavStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (nCh, rate, s) = WavCodec.decode(m.content).getOrElse(
+          throw new IllegalStateException(
+            s"fixture ${m.mediaId} failed WAV parse"))
+        var sum0 = 0L
+        var sum1 = 0L
+        var peak = 0L
+        var absSum = 0L
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toLong
+          if (i % nCh == 0) sum0 += v else if (i % nCh == 1) sum1 += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          absSum += a
+          i += 1
+        }
+        (m.mediaId, nCh.toLong, rate.toLong, (s.length / nCh).toLong,
+          sum0, sum1, peak, absSum)
+      }
+    }.toDF("media_id", "n_channels", "sample_rate", "n_frames",
+      "sum_ch0", "sum_ch1", "peak_abs", "sum_abs")
   }
 
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

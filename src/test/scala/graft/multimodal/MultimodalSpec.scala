@@ -109,6 +109,47 @@ class MultimodalSpec extends SparkSuite {
     assert(PpmCodec.decode(crafted).isEmpty)
   }
 
+  test("WAV codec: encode→decode round-trips PCM16 samples exactly") {
+    val samples = Array.tabulate(30)(i => ((i * 1103) - 16000).toShort)
+    val bytes = WavCodec.encode(2, 16000, samples)
+    assert(bytes.length == 44 + 60)
+    val Some((nCh, rate, s)) = WavCodec.decode(bytes)
+    assert(nCh == 2 && rate == 16000 && s.sameElements(samples))
+    // unknown chunks between fmt and data are walked over (RIFF spec),
+    // including the word-alignment pad on odd-length chunks
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // len 3 + 1 pad byte
+    val withJunk = bytes.take(36) ++ junk ++ bytes.drop(36)
+    // fix the RIFF size field for the inserted chunk
+    val riffLen = withJunk.length - 8
+    withJunk(4) = (riffLen & 0xff).toByte
+    withJunk(5) = ((riffLen >> 8) & 0xff).toByte
+    val Some((nCh2, _, s2)) = WavCodec.decode(withJunk)
+    assert(nCh2 == 2 && s2.sameElements(samples))
+  }
+
+  test("WAV codec: malformed bytes parse to None; decodeAny dispatches") {
+    val good = WavCodec.encode(1, 8000, Array.tabulate(10)(_.toShort))
+    assert(WavCodec.decode(good).isDefined)
+    // wrong magic, truncated data, non-PCM format, 8-bit, ragged frames
+    assert(WavCodec.decode("RIFX".getBytes ++ good.drop(4)).isEmpty)
+    assert(WavCodec.decode(good.dropRight(1)).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float fmt code
+    assert(WavCodec.decode(nonPcm).isEmpty)
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(WavCodec.decode(eightBit).isEmpty)
+    val stereoRagged = good.clone(); stereoRagged(22) = 3 // 10 % 3 != 0
+    assert(WavCodec.decode(stereoRagged).isEmpty)
+    assert(WavCodec.decode("not audio at all".getBytes("UTF-8")).isEmpty)
+    // type-driven dispatch: audio/wav reaches the real codec (frames ×
+    // channels as dims); plain "audio" takes the stub even on WAV bytes
+    val (fr, ch, _) = decodeAny(WavMediaType, good)
+    assert(fr == 10 && ch == 1)
+    val (sw, sh, sf) = StubDecoder.decode(good)
+    val (aw, ah, af) = decodeAny("audio", good)
+    assert(aw == sw && ah == sh && af.sameElements(sf))
+  }
+
   test("frame sampling takes every 2nd 16-byte slice, order preserved") {
     val one = media.filter(_.mediaId == 0L)
     val content = one.collect().head.content
