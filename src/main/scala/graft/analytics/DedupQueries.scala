@@ -997,7 +997,7 @@ object DedupQueries {
     * [[NearDupArtifact]]'s build persists the base fixpoint under the
     * same predicate, so seed and fold always agree on the split.
     */
-  private[analytics] def isDeltaDoc(c: Column): Column = c % 17 === 0
+  private[graft] def isDeltaDoc(c: Column): Column = c % 17 === 0
 
   /** INCREMENTAL cluster maintenance under the oracle gate — the
     * NIGHTLY half only: the base corpus (`doc_id % 17 ≠ 0`) was

@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.DedupQueries
+import graft.analytics.{DedupQueries, QueryUtil, SessionArtifact}
 
 /** Near-duplicate GATE for arriving documents: each new document is
   * checked against a FROZEN corpus LSH index and emits its verified
@@ -68,6 +68,54 @@ object StreamNearDupGate {
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("partners"))
     (buckets, sh.select(col("doc_id").as("doc_old"), col("sh").as("sh_old")))
+  }
+
+  /** The PUBLISHED form of [[corpusIndex]] — the nightly tables the
+    * scaladoc above promises: the flattened bucket membership
+    * `(band, key, doc_id)` and shingle rows `(doc_id, sh)` are
+    * published through the [[SessionArtifact]] manifest seam
+    * (primitive columns — the sink's contract) over the BASE corpus
+    * (the [[DedupQueries.isDeltaDoc]] complement: exactly the corpus
+    * side the batch `dedup_incremental` pass vets deltas against and
+    * [[graft.analytics.NearDupArtifact]] persists labels for), then
+    * regrouped into the probe/verify tables and checkpointed. The
+    * streaming gate and the nightly batch therefore read ONE source of
+    * truth for the frozen base-side state: a restarted session reuses
+    * the publish iff data and code are unchanged, and a nightly
+    * republish is picked up by re-calling this (the gate's contract
+    * keeps the index frozen WITHIN a run — re-resolve at epoch/run
+    * boundaries, not mid-stream).
+    *
+    * Regrouping costs one corpus-keyed shuffle per resolve — paid once
+    * per session, not per micro-batch (the returned frames are
+    * checkpointed); set-valued columns round-trip as exploded rows
+    * because Jaccard verification only consumes them as sets.
+    */
+  def publishedIndex(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    def baseShingled: DataFrame = QueryUtil.table(spark, dir, "documents")
+      .where(!DedupQueries.isDeltaDoc(col("doc_id")))
+      .withColumn("sh", DedupQueries.shingleHashesCol)
+    val flatBuckets =
+      SessionArtifact.table(spark, dir, "gate_lsh_buckets") {
+        baseShingled
+          .select(col("doc_id"),
+            posexplode(DedupQueries.bandKeysOf(col("sh"))))
+          .toDF("doc_id", "band", "key")
+          .select(col("band"), col("key"), col("doc_id"))
+      }
+    val flatShingles =
+      SessionArtifact.table(spark, dir, "gate_lsh_shingles") {
+        baseShingled.select(col("doc_id"), explode(col("sh")).as("sh"))
+      }
+    val buckets = flatBuckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("partners"))
+      .localCheckpoint(true)
+    val shingles = flatShingles.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("sh"))).as("sh_old"))
+      .select(col("doc_id").as("doc_old"), col("sh_old"))
+      .localCheckpoint(true)
+    (buckets, shingles)
   }
 
   /** Gate `stream` (needs `doc_id: long, text: string`) against a

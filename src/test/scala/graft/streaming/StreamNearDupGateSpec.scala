@@ -63,6 +63,64 @@ class StreamNearDupGateSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
+  test("published-index gate replays the timeline to the batch verdicts") {
+    // the gate reading the PUBLISHED nightly tables (SessionArtifact
+    // manifest seam) must give verdicts identical to the batch
+    // artifact consumers' on the same corpus: replay the delta in two
+    // micro-batches against publishedIndex and compare against the
+    // oracle-gated dedup_incremental corpus rows — one source of truth
+    // for the frozen base side, streaming and nightly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val delta = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 17 === 0)
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val (buckets, shingles) = StreamNearDupGate.publishedIndex(spark, sf0001)
+    val ms = MemoryStream[(Long, String)]
+    val gated = StreamNearDupGate(
+      ms.toDS().toDF("doc_id", "text"), buckets, shingles)
+    val q = gated.writeStream.format("memory").queryName("neardup_pub")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = delta.splitAt(delta.size / 2)
+      ms.addData(b1: _*); q.processAllAvailable()
+      ms.addData(b2: _*); q.processAllAvailable()
+      val out = spark.table("neardup_pub")
+      assert(out.select(col("doc_new")).as[Long].collect().toSet ==
+        delta.map(_._1).toSet)
+      val got = out.where(col("doc_old").isNotNull)
+        .select(col("doc_new"), col("doc_old"), col("n_common"),
+          col("n_union"), col("jaccard_ppm"), col("keep"))
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      val want = DedupQueries.dedupIncremental(spark, sf0001)
+        .where(col("vs") === "corpus")
+        .select(col("doc_new"), col("doc_old"), col("n_common"),
+          col("n_union"), col("jaccard_ppm"),
+          (col("jaccard_ppm") < 600000L).as("keep"))
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(want.nonEmpty, "vacuous fixture: no corpus collisions")
+      assert(got == want)
+      // a "restarted" session (cleared slots) REUSES the published
+      // index: resolving again adds no snapshot to either table
+      def snaps(): Seq[Int] = {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val whPath = new org.apache.hadoop.fs.Path(wh).toUri.getPath
+        val tag = graft.core.DatasetFingerprint.codeTag
+        val fp = graft.core.DatasetFingerprint.of(sf0001)
+        Seq("gate_lsh_buckets", "gate_lsh_shingles").map(n =>
+          graft.sources.ManifestV2Sink.versions(
+            s"$whPath/graft_art_${tag}_${fp}_$n").size)
+      }
+      val before = snaps()
+      assert(before.forall(_ >= 1), s"index not published: $before")
+      graft.analytics.SessionArtifact.resetSlotsForTest()
+      StreamNearDupGate.publishedIndex(spark, sf0001)
+      assert(snaps() == before, "re-resolve republished instead of reusing")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("planted duplicate is flagged, clean doc passes, replay self-flags") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
