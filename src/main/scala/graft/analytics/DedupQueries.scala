@@ -838,11 +838,17 @@ object DedupQueries {
         least(col("src"), col("dst")).as("dst"))
       .distinct().localCheckpoint(true)
     var count = edges.count()
+    // data-sized per-round task count — the propagateLabels discipline:
+    // the iterated edge set only ever CONTRACTS, so sizing once from
+    // the input bounds every round
+    val parts = sizedParts(edges)
+    edges = edges.coalesce(parts).localCheckpoint(true)
     var converged = count == 0L // no edges ⇒ nothing to label
     var round = 0
     val maxRounds = 64 // >> log²(any real corpus)
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).coalesce(parts)
+        .localCheckpoint(true)
       val nextCount = next.count()
       // EXACT set-equality fixpoint probe: both sets are distinct, so
       // equal cardinality + empty one-sided difference ⇔ equal sets (a

@@ -57,7 +57,7 @@ object EmbeddingQueries {
     * composition the oracle mirrors, since int addition is
     * associative).
     */
-  private def dot(a: Column, b: Column): Column =
+  private[analytics] def dot(a: Column, b: Column): Column =
     graft.functions.DotLong(a, b)
 
   /** ppm cosine from exact integer dot/norms — identical IEEE ops on
@@ -1672,7 +1672,7 @@ object EmbeddingQueries {
     * against brute force.
     */
   val DeltaMod = 11L
-  private def isDeltaId(c: Column): Column =
+  private[analytics] def isDeltaId(c: Column): Column =
     graft.functions.CrossHash.md5Long(c.cast("string")) % DeltaMod === 3
   private def isDelta: Column = isDeltaId(col("vec_id"))
 
@@ -2370,6 +2370,11 @@ object EmbeddingQueries {
           .as("tq"))
         .withColumn("tnorm2", graft.functions.DotLong(col("tq"), col("tq")))
         .where(col("tnorm2") > 0) // a zero centroid has no direction
+        // materialize the ≤k-row centroid table per round: the next
+        // round's broadcast build would otherwise re-evaluate every
+        // prior round's corpus assignment through the lazy chain —
+        // O(R²) corpus passes instead of the scaladoc'd R+1
+        .coalesce(1).localCheckpoint(true)
     }
     argmaxCell(assign(trained), "cell", Seq("cscore"))
       .groupBy(col("cell"))
@@ -3722,7 +3727,13 @@ object EmbeddingQueries {
         .select(col("vec_id").as("v"),
           explode(sequence(lit(1), lit(NndK))).as("i"))
         .select(col("v"), ((col("v") + col("i")) % n).as("u"))
-      val g0 = topK(scored(ring)).localCheckpoint(true)
+      // data-sized per-round task count (the propagateLabels
+      // discipline): the iterated graph is exactly n·K rows, so tiny
+      // corpora stop scheduling 32 near-empty tasks per stage while
+      // billion-vector graphs still get thousands of partitions
+      val parts = (((n * NndK + 499999L) / 500000L).toInt.max(1))
+        .min(e.rdd.getNumPartitions.max(1))
+      val g0 = topK(scored(ring)).coalesce(parts).localCheckpoint(true)
       var g = g0
       for (_ <- 1 to rounds) {
         // b hangs off the checkpointed g by one small shuffle — cheaper
@@ -3738,7 +3749,8 @@ object EmbeddingQueries {
           .select(col("xv").as("v"), col("yu").as("u"))
           .where(col("v") =!= col("u"))
           .distinct()
-        g = topK(scored(twoHop).union(g)).localCheckpoint(true)
+        g = topK(scored(twoHop).union(g)).coalesce(parts)
+          .localCheckpoint(true)
       }
       (g0, g)
     } finally e.unpersist()
@@ -3899,6 +3911,14 @@ object EmbeddingQueries {
   val GsHops = 3
   private val GsQueryStride = 50
 
+  /** Insert-walk depth for [[knnGraphDelta]] — one hop shallower than
+    * the query-time search: the insert's local-join REFINE stage
+    * supplies the close-neighborhood tail a third hop would find, at
+    * a fraction of the per-hop cost (each hop is a full
+    * score+rank+checkpoint round over the whole delta wavefront).
+    */
+  val GdHops = 2
+
   /** Session-scoped PERSISTED NND graph — the build-once/search-many
     * separation for the graph family ([[knnIvfPersisted]]'s pattern;
     * near-dup twin: [[NearDupArtifact]]): the K-NN graph is an INDEX,
@@ -3953,9 +3973,13 @@ object EmbeddingQueries {
           col("norm2").as("qn"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("d").asc, col("u").asc)
-      // score the candidate set exactly and keep the per-query top-k
+      // score the candidate set exactly and keep the per-query top-k;
+      // dedup AFTER scoring — the oracle's literal `SELECT DISTINCT
+      // qid, u, d` shape — so the candidate broadcast build carries no
+      // shuffle (a duplicate candidate costs one redundant dot, not a
+      // pre-join exchange)
       def scoredTop(cand: DataFrame, k: Int): DataFrame =
-        broadcast(cand.distinct())
+        broadcast(cand)
           .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
             col("norm2").as("nb")), "u")
           .join(broadcast(qs), "qid")
@@ -3963,19 +3987,27 @@ object EmbeddingQueries {
           .select(col("qid"), col("u"),
             (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
               .as("d"))
+          .distinct()
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("qid"), col("u"), col("d"))
       val seeds = qs.select(col("qid"),
         explode(array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
-      var beam = scoredTop(seeds, GsBeam).localCheckpoint(true)
+      // beam frames are |queries|·beam rows — size their task count
+      // from the data (propagateLabels discipline) so each hop's
+      // checkpoint doesn't schedule 32 near-empty tasks
+      val bParts = (((n / GsQueryStride + 1) * GsBeam + 499999L) / 500000L)
+        .toInt.max(1).min(32)
+      var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
+        .localCheckpoint(true)
       for (_ <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
-        beam = scoredTop(cand, GsBeam).localCheckpoint(true)
+        beam = scoredTop(cand, GsBeam).coalesce(bParts)
+          .localCheckpoint(true)
       }
       val found = beam.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= NndK)
@@ -4068,7 +4100,7 @@ object EmbeddingQueries {
     *     base–base edges (what a build that never saw the delta would
     *     have published);
     *  2. each delta BEAM-SEARCHES that graph for its neighborhood —
-    *     the same fixed-seed, [[GsHops]]-hop, [[GsBeam]]-beam walk as
+    *     a fixed-seed, [[GdHops]]-hop, [[GsBeam]]-beam walk like
     *     [[knnGraphSearch]], scoring candidates with the exact int64
     *     squared L2;
     *  3. LOCAL-JOIN REFINE around the touched vertices only: two
@@ -4108,15 +4140,18 @@ object EmbeddingQueries {
         .orderBy(col("d").asc, col("u").asc)
       // exact-score a candidate set against the BASE corpus, keep the
       // per-delta top-k — the same broadcast-candidate shape as
-      // knnGraphSearch (plan-pinned zero SMJ)
+      // knnGraphSearch (plan-pinned zero SMJ); dedup AFTER scoring,
+      // the oracle's literal DISTINCT shape, so the candidate
+      // broadcast build carries no shuffle
       def scoredTop(cand: DataFrame, k: Int): DataFrame =
-        broadcast(cand.distinct())
+        broadcast(cand)
           .join(base.select(col("vec_id").as("u"), col("q").as("qb"),
             col("norm2").as("nb")), "u")
           .join(broadcast(dq), "qid")
           .select(col("qid"), col("u"),
             (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
               .as("d"))
+          .distinct()
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("qid"), col("u"), col("d"))
@@ -4126,13 +4161,19 @@ object EmbeddingQueries {
       val seeds = dq.select(col("qid")).crossJoin(
         broadcast(base.orderBy(col("vec_id").asc).limit(4)
           .select(col("vec_id").as("u"))))
-      var beam = scoredTop(seeds, GsBeam).localCheckpoint(true)
-      for (_ <- 1 to GsHops) {
+      // data-sized hop checkpoints, as in knnGraphSearch: beam state
+      // is |deltas|·beam rows
+      val nDelta = dq.count()
+      val bParts = ((nDelta * GsBeam + 499999L) / 500000L)
+        .toInt.max(1).min(32)
+      var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
+        .localCheckpoint(true)
+      for (_ <- 1 to GdHops) {
         val expanded = broadcast(beam.select(col("qid"), col("u").as("bu")))
           .join(adjB, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         beam = scoredTop(expanded.unionByName(beam.select(col("qid"),
-          col("u"))), GsBeam).localCheckpoint(true)
+          col("u"))), GsBeam).coalesce(bParts).localCheckpoint(true)
       }
       val inserted = beam.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= NndK)
@@ -4207,7 +4248,7 @@ object EmbeddingQueries {
          |          JOIN ddq q ON t.qid = q.qid
          |          JOIN dbse e ON t.u = e.vec_id))
          |  WHERE rnk <= $GsBeam)""".stripMargin
-    val hops = (1 to GsHops).map { hh =>
+    val hops = (1 to GdHops).map { hh =>
       s"""dc$hh AS (SELECT b.qid, a.u FROM dw${hh - 1} b
          |  JOIN dgadjb a ON b.u = a.v
          |  UNION SELECT qid, u FROM dw${hh - 1}),
@@ -4234,7 +4275,7 @@ object EmbeddingQueries {
        |  SELECT qid, u, d FROM (
        |    SELECT qid, u, d, row_number() OVER (
        |      PARTITION BY qid ORDER BY d, u) AS rnk
-       |    FROM dw$GsHops)
+       |    FROM dw$GdHops)
        |  WHERE rnk <= $NndK),
        |ddp AS (
        |  SELECT DISTINCT a.qid AS da, b.qid AS db
