@@ -1228,12 +1228,22 @@ object DedupQueries {
         col("m").as("m_b")), Seq("tok"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "m_a", "m_b").distinct()
+    // verify by ARRAY intersection on the per-doc shingle sets (one
+    // narrow re-derivation pass — shingle sets are array_distinct, so
+    // |sh_a ∩ sh_b| is exactly the exploded-join match count the
+    // oracle computes): the two verify joins shuffle ONE array row per
+    // document instead of every (doc, shingle) token row — O(corpus)
+    // rows through the exchange, not O(corpus·shingles)
+    val arrs = table(spark, dir, "documents")
+      .select(col("doc_id"), shingleHashes.as("sh"))
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"))
-      .groupBy(col("doc_a"), col("doc_b"), col("m_a"), col("m_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .join(arrs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"))
+      .join(arrs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("m_a"), col("m_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+          .as("n_common"))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         ppm(col("n_common"), col("m_a") + col("m_b") - col("n_common"))
           .as("jaccard_ppm"))
