@@ -2730,13 +2730,31 @@ object EmbeddingQueries {
       .withColumn("crnk", row_number().over(wApprox))
       .cache() // every curve point filters the one scored pool
     try {
+      // exact-score the DEEPEST pool once — every curve point is then
+      // a filter + window over this ≤|queries|·max(RerankCurve)-row
+      // frame instead of its own corpus join (the knnNprobeCurve
+      // score-once discipline, applied to the re-rank tail too)
+      val qs = e.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("norm2").as("qnorm2"))
+      val scoredAll = ranked.where(col("crnk") <= RerankCurve.max)
+        .select(col("query_id"), col("vec_id"), col("crnk"))
+        .join(broadcast(qs), "query_id")
+        .join(e.select(col("vec_id"), col("q"), col("norm2")), "vec_id")
+        .select(col("query_id"), col("vec_id"), col("crnk"),
+          scorePpm(dot(col("qq"), col("q")), col("qnorm2"), col("norm2"))
+            .as("score_ppm"))
+        .coalesce(1) // ≤ 10·100 rows
+        .localCheckpoint(true)
+      val wExact = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_ppm").desc, col("vec_id").asc)
       RerankCurve.map { rr =>
-        val cands = ranked.where(col("crnk") <= rr)
-          .select(col("query_id"), col("vec_id"))
-        val hits = exactRerank(e, cands)
+        val sel = scoredAll.where(col("crnk") <= rr)
+        val hits = sel.withColumn("rnk", row_number().over(wExact))
+          .where(col("rnk") <= TopK)
           .join(broadcast(exact), Seq("query_id", "vec_id"), "left_semi")
           .agg(count(lit(1)).as("n_hits"))
-        val scanned = cands.agg(count(lit(1)).as("n_reranked"))
+        val scanned = sel.agg(count(lit(1)).as("n_reranked"))
         hits.crossJoin(scanned)
           .select(lit(rr.toLong).as("rerank"),
             ppm(col("n_hits"), lit(10L * TopK)).as("recall_ppm"),
