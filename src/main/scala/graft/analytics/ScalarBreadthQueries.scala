@@ -478,6 +478,70 @@ object ScalarBreadthQueries {
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
       |FROM v GROUP BY version ORDER BY version""".stripMargin
 
+  /** EXECUTED small-file compaction — the OPTIMIZE rewrite half
+    * (`layout_compaction` is the bin-packing planner): eight tiny
+    * single-file appends land eight committed data files — the
+    * streaming-ingest pathology every lakehouse maintains against —
+    * then [[graft.sources.ManifestV2Sink.compact]] rewrites the
+    * content into two files as ONE copy-on-write commit under the
+    * per-path commit lock. The report carries the content rollup from
+    * the POST-compaction read-back (the oracle recomputes it straight
+    * from `orders`, so a row lost, duplicated, or mangled by the
+    * rewrite diverges the hash) plus the lifecycle observables as
+    * closed-form constants: files 8→2 (every partition writer emits
+    * its file, so both counts are exact), snapshots 9 = 8 appends + 1
+    * compaction (history intact — every pre-compaction state stays
+    * time-travelable), and ZERO unreferenced files while snapshots are
+    * retained (the small files release only at snapshot expiry — the
+    * OPTIMIZE→VACUUM contract, spec-pinned in ManifestSinkSpec).
+    */
+  def sinkManifestCompact(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 31 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      for (b <- 0L until 8L)
+        src.where(col("o_orderkey") % 8 === b).coalesce(1)
+          .write.format("graft-manifest").mode("append").save(out)
+      val filesBefore = graft.sources.ManifestV2Sink.committedFileCount(out)
+      graft.sources.ManifestV2Sink.compact(spark, out, 2)
+      val filesAfter = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val nSnapshots = graft.sources.ManifestV2Sink.versions(out).size
+      val nOrphans =
+        graft.sources.ManifestV2Sink.unreferencedFiles(out).size
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(filesBefore.toLong).as("files_before"),
+          lit(filesAfter.toLong).as("files_after"),
+          lit(nSnapshots.toLong).as("n_snapshots"),
+          lit(nOrphans.toLong).as("n_unreferenced"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestCompactSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(8 AS BIGINT) AS files_before,
+      |  CAST(2 AS BIGINT) AS files_after,
+      |  CAST(9 AS BIGINT) AS n_snapshots,
+      |  CAST(0 AS BIGINT) AS n_unreferenced
+      |FROM orders
+      |WHERE o_orderkey % 31 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -818,6 +882,7 @@ object ScalarBreadthQueries {
     "source_dsv2_sample" -> (sourceDsv2Sample _),
     "source_dsv2_join" -> (sourceDsv2Join _),
     "sink_manifest_roundtrip" -> (sinkManifestRoundtrip _),
+    "sink_manifest_compact" -> (sinkManifestCompact _),
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
     "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
@@ -840,6 +905,7 @@ object ScalarBreadthQueries {
     "source_dsv2_sample" -> sourceDsv2SampleSql,
     "source_dsv2_join" -> sourceDsv2JoinSql,
     "sink_manifest_roundtrip" -> sinkManifestRoundtripSql,
+    "sink_manifest_compact" -> sinkManifestCompactSql,
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
     "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_upsert" -> sinkManifestUpsertSql,

@@ -212,6 +212,33 @@ object ManifestV2Sink {
       .write.format("graft-manifest").mode("overwrite").save(path)
   }
 
+  /** COPY-ON-WRITE COMPACTION — the executed half of the OPTIMIZE
+    * story (`layout_compaction` is the planner): rewrite the table's
+    * committed content into `parts` output files through the normal
+    * transactional write path, published as ONE overwrite commit.
+    * Readers see the pre- or post-compaction state, never a mix; the
+    * small input files stay time-travel-reachable through their
+    * snapshots until retention expires them (then [[unreferencedFiles]]
+    * releases them — the standard OPTIMIZE + VACUUM lifecycle). Holds
+    * the per-path commit lock across read→rewrite→publish so a
+    * concurrent append cannot be dropped by the rewrite (it either
+    * lands before the read or retries after the commit).
+    *
+    * `parts` is the file-count knob a real OPTIMIZE derives from its
+    * target file size; every partition writer emits its file, so the
+    * post-compaction data file count is exactly `parts`.
+    */
+  def compact(spark: SparkSession, path: String, parts: Int): Unit =
+    commitLock(path).synchronized {
+      readCommitted(spark, path)
+        .repartition(parts)
+        .write.format("graft-manifest").mode("overwrite").save(path)
+    }
+
+  /** Committed data-file count — the observable compaction changes. */
+  def committedFileCount(path: String): Int =
+    readManifest(path).map(_._2.size).getOrElse(0)
+
   // ------------------------------------------------------- branching
   /** Nessie/Iceberg-style BRANCHES on the manifest log, in miniature:
     * a branch is just another head pointer (`_MANIFEST.branch-<name>`)

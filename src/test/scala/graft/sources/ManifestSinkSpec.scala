@@ -152,6 +152,31 @@ class ManifestSinkSpec extends SparkSuite {
     ()
   }
 
+  test("compaction rewrites files, keeps content and history, releases on expiry") {
+    import spark.implicits._
+    val dir = tmpTable()
+    // four tiny single-file appends — the small-file pathology
+    for (i <- 1 to 4)
+      Seq((i.toLong, s"row-$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.committedFileCount(dir) == 4)
+    ManifestV2Sink.compact(spark, dir, 1)
+    // one commit: fewer files, identical content
+    assert(ManifestV2Sink.committedFileCount(dir) == 1)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+    // history intact: the pre-compaction state is still time-travelable
+    val vs = ManifestV2Sink.versions(dir)
+    assert(vs.size == 5)
+    assert(ManifestV2Sink.readVersion(spark, dir, 4)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+    // the small files release ONLY at snapshot expiry (OPTIMIZE→VACUUM)
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
+    vs.init.foreach(v =>
+      Files.deleteIfExists(ManifestV2Sink.versionFile(dir, v)))
+    assert(ManifestV2Sink.unreferencedFiles(dir).size == 4)
+  }
+
   test("streaming micro-batches land exactly-once via ledger + manifest") {
     // the composition a production stream-to-lake path uses: the
     // batchId ledger (IdempotentSink) upgrades foreachBatch's
