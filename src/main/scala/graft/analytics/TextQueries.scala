@@ -1232,9 +1232,10 @@ object TextQueries {
       // the final word→segmentation through the artifact seam every
       // run (honest training cost stays in this query's bench slot),
       // so text_bpe_apply and every other consumer ride the publish
-      // instead of lazily re-training
-      SessionArtifact.rebuild(spark, dir, "bpe_vocab")(
-        vocab.localCheckpoint(true))
+      // instead of lazily re-training. The write evaluates straight
+      // off the loop's caches (still alive here) — no separate
+      // checkpoint pass over the vocabulary
+      SessionArtifact.rebuild(spark, dir, "bpe_vocab")(vocab)
       // eager: 4 metadata rows; lets the finally release every cache
       reports.reduce(_ unionAll _).orderBy(col("round")).localCheckpoint(true)
     } finally cachedFrames.foreach(_.unpersist())
