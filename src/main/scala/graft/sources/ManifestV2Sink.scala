@@ -239,6 +239,24 @@ object ManifestV2Sink {
   def committedFileCount(path: String): Int =
     readManifest(path).map(_._2.size).getOrElse(0)
 
+  /** SNAPSHOT EXPIRY — the retention half of the maintenance triad
+    * (compact → expire → vacuum): delete all but the newest
+    * `keepLast` version files, returning the expired version numbers.
+    * Time travel to expired versions is gone by definition; data
+    * files whose ONLY references were expired snapshots become
+    * [[unreferencedFiles]] — released to the vacuum sweep, never
+    * deleted here (retention and reclamation stay separate decisions,
+    * as in any production table format). The current head pointer is
+    * untouched: expiry can never change the committed view.
+    */
+  def expireSnapshots(path: String, keepLast: Int): Seq[Int] =
+    commitLock(path).synchronized {
+      require(keepLast >= 1, "must retain at least the newest snapshot")
+      val expire = versions(path).dropRight(keepLast)
+      expire.foreach(v => Files.deleteIfExists(versionFile(path, v)))
+      expire
+    }
+
   // ------------------------------------------------------- branching
   /** Nessie/Iceberg-style BRANCHES on the manifest log, in miniature:
     * a branch is just another head pointer (`_MANIFEST.branch-<name>`)

@@ -172,8 +172,13 @@ class ManifestSinkSpec extends SparkSuite {
       .select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
     // the small files release ONLY at snapshot expiry (OPTIMIZE→VACUUM)
     assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
-    vs.init.foreach(v =>
-      Files.deleteIfExists(ManifestV2Sink.versionFile(dir, v)))
+    val expired = ManifestV2Sink.expireSnapshots(dir, keepLast = 1)
+    assert(expired == (1 to 4), s"expired $expired")
+    assert(ManifestV2Sink.versions(dir) == Seq(5))
+    // expiry never touches the committed view…
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 4L))
+    // …but the pre-compaction files are now vacuum bait
     assert(ManifestV2Sink.unreferencedFiles(dir).size == 4)
   }
 
