@@ -792,11 +792,11 @@ object DedupQueries {
     * frame already has. One count job against a (checkpointed) input
     * buys every subsequent round its right-sized stages.
     */
-  private def sizedParts(edges: DataFrame): Int = {
-    val n = edges.count()
-    val byRows = ((n + 499999L) / 500000L).toInt.max(1)
-    byRows.min(edges.rdd.getNumPartitions.max(1))
-  }
+  private def sizedParts(edges: DataFrame): Int =
+    sizedPartsOf(edges.count(), edges.rdd.getNumPartitions)
+
+  private def sizedPartsOf(n: Long, numParts: Int): Int =
+    (((n + 499999L) / 500000L).toInt.max(1)).min(numParts.max(1))
 
   /** Scalar Σlabel of a (small, checkpointed) label table — the
     * per-round convergence probe of [[propagateLabels]]. Empty input
@@ -840,9 +840,10 @@ object DedupQueries {
     var count = edges.count()
     // data-sized per-round task count — the propagateLabels discipline:
     // the iterated edge set only ever CONTRACTS, so sizing once from
-    // the input bounds every round
-    val parts = sizedParts(edges)
-    edges = edges.coalesce(parts).localCheckpoint(true)
+    // the input bounds every round. coalesce is NARROW on top of the
+    // existing checkpoint — no second materialization, no second count
+    val parts = sizedPartsOf(count, edges.rdd.getNumPartitions)
+    edges = edges.coalesce(parts)
     var converged = count == 0L // no edges ⇒ nothing to label
     var round = 0
     val maxRounds = 64 // >> log²(any real corpus)

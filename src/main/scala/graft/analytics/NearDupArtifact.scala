@@ -32,21 +32,20 @@ import graft.sources.ManifestV2Sink
   *    [[DedupQueries.simhashPairsFrame]] over `documents`;
   *  - `labels(doc_id, cluster_id, cluster_size)` — connected
   *    components incl. singletons, the [[DedupQueries.dedupClusters]]
-  *    output (derived by FOLDING the delta edges into the base
-  *    fixpoint below via warm-started min-propagation — O(delta)
-  *    rounds, not a second from-scratch contraction);
+  *    output;
   *  - `base_labels(v, label)` — the fixpoint over edges wholly inside
   *    the base corpus ([[DedupQueries.isDeltaDoc]] complement): "last
-  *    night's" labels (star contraction — O(log² n) rounds,
-  *    diameter-independent), the warm seed
+  *    night's" labels, the warm seed
   *    [[DedupQueries.dedupClustersIncremental]] folds the delta into.
   *
   * Scale shape: the build is the already-priced banded pair join plus
-  * ONE fixpoint (the base contraction; the full labeling is a warm
-  * O(delta)-round fold over it); each table is keyed by 8-byte ids
-  * (text never persists). At 100 TB the same three tables land in the
-  * lake and the amortization argument is identical — consumers' cost
-  * drops from O(corpus re-derivation) to O(artifact read).
+  * ONE min-label fixpoint solving BOTH labelings simultaneously over
+  * a disjoint two-copy union graph (see [[buildAt]] — the per-round
+  * job overhead is paid once, rows merely double through the same
+  * shuffles); each table is keyed by 8-byte ids (text never
+  * persists). At 100 TB the same three tables land in the lake and
+  * the amortization argument is identical — consumers' cost drops
+  * from O(corpus re-derivation) to O(artifact read).
   */
 object NearDupArtifact {
 
@@ -133,17 +132,26 @@ object NearDupArtifact {
     */
   def rebuild(spark: SparkSession, dir: String): Artifact = {
     val a = buildAt(spark, dir)
-    builtTables.put(dir, CompletableFuture.completedFuture(a))
+    builtTables.put(a.pairs, CompletableFuture.completedFuture(a))
     a
   }
 
   private def ensure(spark: SparkSession, dir: String): Artifact = {
+    // slot key = the content-addressed root (via the pairs path): the
+    // fingerprint is recomputed per resolve, so an in-session data or
+    // code change moves the key and riders never see a stale root
+    val a = artifactAt(rootOf(spark, dir))
     val fut = new CompletableFuture[Artifact]()
-    val prev = builtTables.putIfAbsent(dir, fut)
-    if (prev != null) prev.join()
+    val prev = builtTables.putIfAbsent(a.pairs, fut)
+    if (prev != null)
+      try prev.join()
+      catch {
+        case e: java.util.concurrent.CompletionException =>
+          // waiters must observe the builder's original exception type
+          throw Option(e.getCause).getOrElse(e)
+      }
     else
       try {
-        val a = artifactAt(rootOf(spark, dir))
         // content-addressed reuse: all three tables committed at the
         // same (code, data) root ⇒ same artifact — read, don't rebuild
         val committed = Seq(a.pairs, a.labels, a.baseLabels)
@@ -153,7 +161,7 @@ object NearDupArtifact {
         art
       } catch {
         case t: Throwable =>
-          builtTables.remove(dir, fut)
+          builtTables.remove(a.pairs, fut)
           fut.completeExceptionally(t)
           throw t
       }

@@ -65,24 +65,38 @@ object SessionArtifact {
 
   private def resolve(spark: SparkSession, dir: String, name: String)(
       build: => DataFrame): String = {
-    val key = s"$dir#$name"
+    // the slot key IS the content-addressed path: the fingerprint is
+    // recomputed on every resolve, so an IN-SESSION data (or code)
+    // change moves the key and the next rider sees a fresh slot —
+    // never a stale root cached under the dataset dir alone
+    val p = pathOf(spark, dir, name)
     val fut = new CompletableFuture[String]()
-    val prev = slots.putIfAbsent(key, fut)
-    if (prev != null) prev.join()
+    val prev = slots.putIfAbsent(p, fut)
+    if (prev != null) joinUnwrapped(prev)
     else
       try {
-        val p = pathOf(spark, dir, name)
         if (!ManifestV2Sink.hasCommitted(p))
           build.write.format("graft-manifest").mode("overwrite").save(p)
         fut.complete(p)
         p
       } catch {
         case t: Throwable =>
-          slots.remove(key, fut)
+          slots.remove(p, fut)
           fut.completeExceptionally(t)
           throw t
       }
   }
+
+  /** join() wraps a failed build in CompletionException for every
+    * WAITER — unwrap so all threads observe the builder's original
+    * exception type, as the pre-future code did.
+    */
+  private def joinUnwrapped[A](f: CompletableFuture[A]): A =
+    try f.join()
+    catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
 
   /** The gated build job: recompute, republish (overwrite commit —
     * repeat builds just add snapshots to the same manifest log), and
@@ -94,7 +108,7 @@ object SessionArtifact {
       build: => DataFrame): DataFrame = {
     val p = pathOf(spark, dir, name)
     build.write.format("graft-manifest").mode("overwrite").save(p)
-    slots.put(s"$dir#$name", CompletableFuture.completedFuture(p))
+    slots.put(p, CompletableFuture.completedFuture(p))
     ManifestV2Sink.readCommitted(spark, p)
   }
 }

@@ -66,26 +66,33 @@ object DatasetFingerprint {
     val src = Option(getClass.getProtectionDomain)
       .flatMap(d => Option(d.getCodeSource))
       .flatMap(s => Option(s.getLocation))
-    src.foreach { url =>
-      val p: Path = Paths.get(url.toURI)
-      md.update(p.toString.getBytes("UTF-8"))
-      if (Files.isDirectory(p)) {
-        var n = 0L
-        var maxM = 0L
-        val s = Files.walk(p)
-        try s.iterator().asScala.foreach { f =>
-          if (Files.isRegularFile(f)) {
-            n += 1
-            val m = Files.getLastModifiedTime(f).toMillis
-            if (m > maxM) maxM = m
-          }
-        } finally s.close()
-        md.update(s"|$n|$maxM".getBytes("UTF-8"))
-      } else if (Files.isRegularFile(p)) {
-        md.update(
-          s"|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
-            .getBytes("UTF-8"))
-      }
+    src match {
+      case Some(url) =>
+        val p: Path = Paths.get(url.toURI)
+        md.update(p.toString.getBytes("UTF-8"))
+        if (Files.isDirectory(p)) {
+          var n = 0L
+          var maxM = 0L
+          val s = Files.walk(p)
+          try s.iterator().asScala.foreach { f =>
+            if (Files.isRegularFile(f)) {
+              n += 1
+              val m = Files.getLastModifiedTime(f).toMillis
+              if (m > maxM) maxM = m
+            }
+          } finally s.close()
+          md.update(s"|$n|$maxM".getBytes("UTF-8"))
+        } else if (Files.isRegularFile(p)) {
+          md.update(
+            s"|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+              .getBytes("UTF-8"))
+        }
+      case None =>
+        // no code source (shaded launcher, container classloader): a
+        // CONSTANT tag here would let a new build silently reuse an
+        // old build's artifacts — degrade to per-process freshness
+        // (the old jvmTag semantics) instead
+        md.update(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
     }
     hex(md).take(8)
   }

@@ -103,15 +103,20 @@ object ManifestV2Sink {
   /** Per-table commit lock for IN-PROCESS writers: held across the
     * read-merge-publish of a head pointer so two concurrent appends
     * can never both read the same `previous` and drop each other's
-    * files. Keyed by the normalized absolute path (two spellings of
-    * one table must share a lock). Monitor locks are reentrant, so
-    * composite operations ([[upsert]]) that commit through the normal
-    * write path can hold it around their own read-modify-write.
+    * files. STRIPED by the normalized absolute path's hash (two
+    * spellings of one table must share a lock) — a hash collision
+    * merely over-serializes two unrelated tables' commits, while a
+    * per-path map would grow one permanent entry for every ephemeral
+    * scratch table ever written. Monitor locks are reentrant, so
+    * composite operations ([[upsert]], [[compact]]) that commit
+    * through the normal write path can hold it around their own
+    * read-modify-write.
     */
-  private val commitLocks = new util.concurrent.ConcurrentHashMap[String, Object]()
-  private[sources] def commitLock(path: String): Object =
-    commitLocks.computeIfAbsent(
-      Paths.get(path).toAbsolutePath.normalize.toString, _ => new Object)
+  private val commitLockStripes = Array.fill(256)(new Object)
+  private[sources] def commitLock(path: String): Object = {
+    val canonical = Paths.get(path).toAbsolutePath.normalize.toString
+    commitLockStripes(math.floorMod(canonical.hashCode, 256))
+  }
 
   private[sources] def versionFile(path: String, v: Int): Path =
     Paths.get(path, f"_MANIFEST.v$v%05d")

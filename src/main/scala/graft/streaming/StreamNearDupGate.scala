@@ -93,9 +93,15 @@ object StreamNearDupGate {
     */
   def publishedIndex(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    def baseShingled: DataFrame = QueryUtil.table(spark, dir, "documents")
+    // ONE shingling pass shared by both builds on the cold path (lazy:
+    // never forced when both artifacts are already committed) — each
+    // build thunk re-deriving the corpus scan + per-shingle md5 would
+    // double the cold publish cost
+    lazy val baseShingled = QueryUtil.table(spark, dir, "documents")
       .where(!DedupQueries.isDeltaDoc(col("doc_id")))
       .withColumn("sh", DedupQueries.shingleHashesCol)
+      .select(col("doc_id"), col("sh"))
+      .localCheckpoint(true)
     val flatBuckets =
       SessionArtifact.table(spark, dir, "gate_lsh_buckets") {
         baseShingled
