@@ -81,6 +81,29 @@ class ArtifactReuseSpec extends SparkSuite {
     assert(builds == 2, "changed data did not force a rebuild")
   }
 
+  test("fingerprint: stable across calls, moved by rename/resize/add") {
+    val dir = copyDataset()
+    import graft.core.DatasetFingerprint
+    val fp0 = DatasetFingerprint.of(dir)
+    // deterministic: same tree ⇒ same tag (walk order must not leak)
+    assert(DatasetFingerprint.of(dir) == fp0)
+    // a RENAME with identical bytes/size/mtime must still move the tag
+    // (the relative path is part of the identity)
+    val f = firstParquet(dir)
+    val renamed = f.resolveSibling(f.getFileName.toString + ".moved")
+    Files.move(f, renamed)
+    val fpRenamed = DatasetFingerprint.of(dir)
+    assert(fpRenamed != fp0, "rename was invisible to the fingerprint")
+    Files.move(renamed, f)
+    assert(DatasetFingerprint.of(dir) == fp0, "rename-back did not restore")
+    // an ADDED file moves it too
+    Files.write(Paths.get(dir, "extra.bin"), Array[Byte](1, 2, 3))
+    assert(DatasetFingerprint.of(dir) != fp0)
+    // codeTag is stable within the process (lazy, content-addressed)
+    assert(DatasetFingerprint.codeTag == DatasetFingerprint.codeTag)
+    assert(DatasetFingerprint.codeTag.length == 8)
+  }
+
   test("near-dup artifact: fresh session reuses, hashes unchanged") {
     val dir = copyDataset()
     val first = NearDupArtifact.labels(spark, dir)
