@@ -118,7 +118,11 @@ object NearDupArtifact {
     labels2.where(col("v") % 2 === 0)
       .select(expr("v div 2").as("v"), expr("label div 2").as("label"))
       .write.format("graft-manifest").mode("overwrite").save(a.baseLabels)
-    val fullLabels = labels2.where(col("v") % 2 === 1)
+    // `=!= 0`, not `=== 1`: Spark's % returns NEGATIVE remainders, so
+    // an odd negative doc id (-3 % 2 = -1) would satisfy neither
+    // parity filter under `=== 1` and silently vanish from both
+    // labelings — the affine decode below is sign-correct either way
+    val fullLabels = labels2.where(col("v") % 2 =!= 0)
       .select(expr("(v - 1) div 2").as("v"),
         expr("(label - 1) div 2").as("label"))
     DedupQueries.clustersFinish(docs, fullLabels)

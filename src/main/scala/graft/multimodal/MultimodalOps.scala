@@ -178,6 +178,11 @@ object MultimodalOps {
         samples: Array[Short]): Array[Byte] = {
       require(nChannels > 0 && sampleRate > 0 &&
         samples.length % nChannels == 0, "malformed WAV fixture request")
+      // 2 bytes/sample + 44-byte header must fit an Int (and the RIFF
+      // length fields): past this the Int products below overflow and
+      // corrupt the container — same guard class as PpmCodec.encode
+      require(samples.length <= (Int.MaxValue - 44) / 2,
+        s"WAV sample count ${samples.length} exceeds the 32-bit RIFF limit")
       val dataLen = samples.length * 2
       val out = new Array[Byte](44 + dataLen)
       "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
