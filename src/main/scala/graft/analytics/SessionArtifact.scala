@@ -30,6 +30,15 @@ import graft.sources.ManifestV2Sink
   * held across a multi-job Spark build — a concurrent first reader
   * parks on the winner's future instead of blocking the whole map bin
   * (and a failed build clears its slot so the next caller retries).
+  * CROSS-PROCESS: content-addressing steers two JVMs with identical
+  * code+data onto the SAME root, where the in-process slots cannot
+  * help; both may race `hasCommitted` false and build. That wastes
+  * one build but can no longer tear the table — manifest commits
+  * serialize through the sink's cross-process head lock
+  * ([[ManifestV2Sink.withHeadLock]]), each overwrite publishes a
+  * COMPLETE file list, and identical code+data make the two builds'
+  * contents equivalent, so whichever commit lands last is a full,
+  * correct artifact.
   */
 object SessionArtifact {
 

@@ -60,17 +60,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Concurrency note: the manifest commit is read-merge-publish, so
   * concurrent APPENDs to the same head must serialize or the last
   * pointer rename silently drops the other writer's files from the
-  * committed view. IN-PROCESS writers (the local[32] rig: many
-  * threads, one JVM) serialize through a per-path commit lock held
-  * across read→merge→publish ([[ManifestV2Sink.commitLock]]), so
-  * concurrent appends all land. CROSS-PROCESS concurrent writers to
-  * the same head are NOT supported — that requires the log/catalog
-  * CAS (validate base snapshot, retry whole commit) a production
-  * deployment provides; the staged-file and manifest layout here is
-  * exactly what that CAS would protect. The snapshot MINT stays safe
-  * cross-process regardless (hard-link create-if-absent), so a racing
-  * external writer can lose files from the head but can never corrupt
-  * or overwrite a published snapshot.
+  * committed view. Two layers make that hold for ANY mix of writers:
+  *  - IN-PROCESS writers (many threads, one JVM) serialize through a
+  *    per-path striped monitor ([[ManifestV2Sink.commitLock]]) — the
+  *    cheap fast path that also keeps one JVM's threads from spinning
+  *    on the OS lock below;
+  *  - CROSS-PROCESS writers serialize through the table's CATALOG CAS
+  *    section ([[ManifestV2Sink.withHeadLock]]): an OS advisory file
+  *    lock (`_MANIFEST.lock`) held across read→merge→publish. A
+  *    writer that arrives while another process is committing blocks,
+  *    then RE-READS the (now advanced) head and merges its files onto
+  *    it — the Iceberg validate-base/re-merge/retry loop with the
+  *    retry bound enforced by the lock instead of by spinning. On a
+  *    POSIX shared FS the advisory lock IS the atomic primitive a
+  *    catalog provides; an object-store port swaps this seam for the
+  *    catalog's conditional-put and turns the blocking re-read into
+  *    the bounded optimistic retry (same section, same contract —
+  *    pure rename-based CAS without such a primitive has an
+  *    unfixable pointer-inversion race, which is why HadoopCatalog-
+  *    style version-hint schemes are deprecated upstream).
+  * The snapshot MINT is additionally safe against writers that bypass
+  * both layers (hard-link create-if-absent: two committers can never
+  * publish the same vNNNNN), so a rogue writer can at worst lose its
+  * own files from the head — never corrupt or overwrite a published
+  * snapshot.
   */
 class ManifestV2Sink extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-manifest"
@@ -120,6 +133,99 @@ object ManifestV2Sink {
 
   private[sources] def versionFile(path: String, v: Int): Path =
     Paths.get(path, f"_MANIFEST.v$v%05d")
+
+  /** The table's cross-process commit section — the catalog CAS seam:
+    * an OS advisory lock (`FileChannel.lock` on `_MANIFEST.lock`)
+    * held across a head's read→merge→publish, so concurrent
+    * committers FROM DIFFERENT PROCESSES serialize and each one
+    * merges onto the head its predecessor actually published (see the
+    * class scaladoc for why a lockless rename-only CAS cannot work on
+    * a plain filesystem). One lock per table dir covers all heads
+    * (main + branches): they share the snapshot version space, so
+    * cross-head commits serialize too.
+    *
+    * Intra-JVM, overlapping `FileChannel` locks THROW rather than
+    * block; in-process writers normally never overlap (the striped
+    * monitor serializes them first), but a same-JVM caller that
+    * bypasses the stripe — or two tables colliding onto one stripe
+    * released between sections — degrades to a short sleep-retry
+    * loop, not a failure.
+    */
+  private final class HeldHeadLock(
+      val ch: java.nio.channels.FileChannel,
+      val lock: java.nio.channels.FileLock,
+      var depth: Int)
+
+  // per-thread re-entrancy table: OS file locks are held per-JVM, not
+  // per-thread, so a composite operation (upsert → inner DSv2 commit)
+  // re-taking the section on the same thread must not spin on itself —
+  // it bumps the depth instead, and the lock releases when the
+  // OUTERMOST scope exits (monitor-lock semantics, hand-rolled)
+  private val heldHeadLocks =
+    new ThreadLocal[scala.collection.mutable.Map[String, HeldHeadLock]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, HeldHeadLock]
+    }
+
+  private[sources] def withHeadLock[A](path: String)(body: => A): A = {
+    val key = Paths.get(path).toAbsolutePath.normalize.toString
+    val held = heldHeadLocks.get()
+    held.get(key) match {
+      case Some(h) =>
+        h.depth += 1
+        try body finally h.depth -= 1
+      case None =>
+        Files.createDirectories(Paths.get(path))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(path, "_MANIFEST.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          var lock: java.nio.channels.FileLock = null
+          while (lock == null) {
+            // another PROCESS holding the lock blocks us inside
+            // ch.lock(); another THREAD of this JVM (possible only for
+            // callers bypassing the striped monitor) surfaces as
+            // OverlappingFileLockException — degrade to sleep-retry
+            try lock = ch.lock()
+            catch {
+              case _: java.nio.channels.OverlappingFileLockException =>
+                Thread.sleep(5)
+            }
+          }
+          held(key) = new HeldHeadLock(ch, lock, 1)
+          try body
+          finally { held.remove(key); lock.release() }
+        } finally ch.close()
+    }
+  }
+
+  /** Commit pre-serialized JSONL rows as ONE data file from outside a
+    * Spark write — the external-committer path (a compaction daemon,
+    * a sidecar ingester, the cross-process commit spec's forked
+    * helper). Same protocol as a sink commit: land the file in
+    * `data/` (unreferenced until published — crash debris at worst,
+    * exactly like an unpromoted staged file), then read→merge→publish
+    * the head under both commit layers. The schema is the committed
+    * manifest's (an external append cannot invent columns); `tag`
+    * must be caller-unique — it names the data file.
+    */
+  def appendExternal(path: String, jsonl: Seq[String], tag: String): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"), s"bad external-commit tag: $tag")
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    val name = s"part-ext-$tag.jsonl"
+    Files.write(dataDir.resolve(name),
+      (jsonl.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, previous) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(
+            s"appendExternal: no committed manifest at $path"))
+        publish(path, schema, previous :+ s"data/$name", tag)
+      }
+    }
+  }
 
   /** Published snapshot versions, ascending. Retention is the
     * caller's policy: deleting old version files bounds history (and
@@ -210,11 +316,16 @@ object ManifestV2Sink {
     // same read-modify-write class as an append commit: the lock spans
     // read→rewrite→publish so a concurrent writer cannot slip between
     // the read and the overwrite (the inner commit re-enters the same
-    // monitor on this thread — reentrant by construction)
-    val current = readCommitted(spark, path)
-    val kept = current.join(updates.select(key), Seq(key), "left_anti")
-    kept.unionByName(updates)
-      .write.format("graft-manifest").mode("overwrite").save(path)
+    // monitor on this thread — reentrant by construction). NOTE the
+    // head lock is REENTRANT per thread, so holding it here keeps a
+    // cross-process writer from landing between this read and the
+    // overwrite while the inner commit re-enters the same section
+    withHeadLock(path) {
+      val current = readCommitted(spark, path)
+      val kept = current.join(updates.select(key), Seq(key), "left_anti")
+      kept.unionByName(updates)
+        .write.format("graft-manifest").mode("overwrite").save(path)
+    }
   }
 
   /** COPY-ON-WRITE COMPACTION — the executed half of the OPTIMIZE
@@ -235,9 +346,11 @@ object ManifestV2Sink {
     */
   def compact(spark: SparkSession, path: String, parts: Int): Unit =
     commitLock(path).synchronized {
-      readCommitted(spark, path)
-        .repartition(parts)
-        .write.format("graft-manifest").mode("overwrite").save(path)
+      withHeadLock(path) {
+        readCommitted(spark, path)
+          .repartition(parts)
+          .write.format("graft-manifest").mode("overwrite").save(path)
+      }
     }
 
   /** Committed data-file count — the observable compaction changes. */
@@ -256,10 +369,12 @@ object ManifestV2Sink {
     */
   def expireSnapshots(path: String, keepLast: Int): Seq[Int] =
     commitLock(path).synchronized {
-      require(keepLast >= 1, "must retain at least the newest snapshot")
-      val expire = versions(path).dropRight(keepLast)
-      expire.foreach(v => Files.deleteIfExists(versionFile(path, v)))
-      expire
+      withHeadLock(path) {
+        require(keepLast >= 1, "must retain at least the newest snapshot")
+        val expire = versions(path).dropRight(keepLast)
+        expire.foreach(v => Files.deleteIfExists(versionFile(path, v)))
+        expire
+      }
     }
 
   // ------------------------------------------------------- branching
@@ -353,7 +468,8 @@ object ManifestV2Sink {
     * non-fast-forwardable git branch. Main having advanced since the
     * fork is fine (that is the point of the fork-base bookkeeping).
     */
-  def mergeBranch(path: String, name: String): Unit = {
+  def mergeBranch(path: String, name: String): Unit =
+      commitLock(path).synchronized { withHeadLock(path) {
     val (bSchema, bFiles) = parseManifest(branchFile(path, name)).getOrElse(
       throw new IllegalArgumentException(s"no branch $name at $path"))
     val baseFiles = readBranchBase(path, name)
@@ -368,7 +484,7 @@ object ManifestV2Sink {
     val merged = mFiles ++ added.filterNot(mFiles.toSet)
     publish(path, mSchema, merged, s"merge-$name")
     deleteBranch(path, name)
-  }
+  } }
 
   /** Drop the branch head + fork-point sidecar. The branch's data
     * files stay reachable through their `.vNNNNN` snapshots until
@@ -475,9 +591,11 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // the whole promote→read-previous→publish section is driver-side
     // metadata work (file moves + two small reads + one rename);
-    // holding the per-path lock across it makes concurrent in-process
-    // appends to one head serializable — neither writer's files can be
-    // dropped by the other's pointer rename
+    // holding the per-path monitor across it serializes concurrent
+    // IN-PROCESS appends; the head lock inside extends the same
+    // guarantee to CROSS-PROCESS committers (catalog CAS seam —
+    // promotion itself needs no lock, staged names are globally
+    // unique, but the read-merge-publish does)
     ManifestV2Sink.commitLock(path).synchronized {
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
@@ -489,6 +607,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
         StandardCopyOption.REPLACE_EXISTING)
       s"data/$name"
     }.sorted
+    ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
     // branch starts empty, forked at the current latest version
     val previous =
@@ -522,6 +641,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // (it references only promoted files and reads consistently)
     ManifestV2Sink.publish(path, schema, previous ++ promoted, queryId,
       branch)
+    } // end head lock (cross-process commit section)
     cleanupStaged()
     }
 

@@ -232,6 +232,52 @@ class ManifestSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cross-process concurrent appends: every writer's commit lands") {
+    // three writers race one head: two FORKED JVMs committing through
+    // appendExternal (the in-process stripe cannot see them) and the
+    // parent committing through the Spark sink. Only the cross-process
+    // head lock serializes their read→merge→publish sections; without
+    // it the last pointer rename would silently drop the other
+    // writers' files (the documented pre-round-11 limitation).
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq(0L).toDF("id").write.format("graft-manifest").mode("append").save(dir)
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    def fork(writerId: Int): Process =
+      new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.sources.ExternalCommitterMain",
+        dir, writerId.toString, "12", "5")
+        .redirectErrorStream(true)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .start()
+    val children = Seq(fork(1), fork(2))
+    // parent commits through the Spark sink CONCURRENTLY with the
+    // children — cross-process interleaving is guaranteed by volume
+    // (24 child commits race 8 parent commits on one head)
+    val parentIds = (1L to 8L).map(_ + 3000000L)
+    parentIds.foreach { i =>
+      Seq(i).toDF("id").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dir)
+    }
+    children.foreach { p =>
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+        "external committer timed out")
+      assert(p.exitValue() == 0, "external committer failed")
+    }
+    val got = ManifestV2Sink.readCommitted(spark, dir)
+      .as[Long].collect().toSet
+    val want = Set(0L) ++ parentIds ++
+      (for (w <- 1 to 2; c <- 0 until 12; r <- 0 until 5)
+        yield w * 1000000L + c.toLong * 5 + r)
+    assert(got == want,
+      s"committed view lost/invented rows: missing=${(want -- got).size} " +
+        s"extra=${(got -- want).size}")
+    // every commit minted its own snapshot: 1 seed + 8 parent + 24 ext
+    assert(ManifestV2Sink.versions(dir).size == 33)
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
+  }
+
   test("non-primitive schemas are rejected at plan time") {
     val dir = tmpTable()
     import spark.implicits._
