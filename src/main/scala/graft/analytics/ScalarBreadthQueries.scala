@@ -542,6 +542,127 @@ object ScalarBreadthQueries {
       |WHERE o_orderkey % 31 = 0
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** MANIFEST DATA SKIPPING under the oracle gate: seven year-sliced
+    * appends land seven data files whose write-time min/max stats the
+    * manifest records per file; a two-year windowed read then goes
+    * through [[graft.sources.ManifestV2Sink.readPruned]], which skips
+    * every file whose recorded range is disjoint from the window —
+    * the mechanism that turns a selective read of a 100-TB table into
+    * a 10-file scan. BOTH directions are hash-gated: the in-band
+    * `files_read`/`files_total` columns equal the oracle's
+    * COUNT(DISTINCT year) twins (one file per populated year by
+    * construction), so reading too MANY files diverges the count
+    * columns and skipping too many loses aggregate rows. The exact
+    * predicate rides on top of the file skip, exactly like a residual
+    * after Iceberg/Delta pruning.
+    */
+  def sinkManifestPrune(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_prune_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      // one commit per populated year = one data file per year with a
+      // tight [min,max] — the layout a date-partitioned nightly ingest
+      // produces naturally
+      val years = src.select(col("yr")).distinct().orderBy(col("yr"))
+        .collect().map(_.getLong(0)) // calendar-bounded, never data-sized
+      years.foreach { y =>
+        src.where(col("yr") === y).coalesce(1)
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      val (lo, hi) = (1993L, 1994L)
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val filesRead = graft.sources.ManifestV2Sink
+        .prunedDataFiles(out, "yr", lo, hi).size
+      graft.sources.ManifestV2Sink.readPruned(spark, out, "yr", lo, hi)
+        .where(col("yr").between(lo, hi)) // exact residual atop the skip
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestPruneSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(o_orderdate) AS yr
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT yr) FROM s
+      |     WHERE yr BETWEEN 1993 AND 1994) AS files_read,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_total
+      |FROM s WHERE yr BETWEEN 1993 AND 1994
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** MERGE-ON-READ DELETE under the oracle gate — the 100-TB shape
+    * copy-on-write cannot afford: deleting 1-in-5 keys of a committed
+    * table lands TOMBSTONE files ([[graft.sources.ManifestV2Sink
+    * .delete]]), rewriting ZERO data files (`files_rewritten` is
+    * in-band and the oracle pins it to 0), and every read reconciles
+    * by anti join. The oracle recomputes the reconciled aggregate
+    * from the slice + delete predicates, so a tombstone that leaks
+    * rows back, over-deletes, or misses a file diverges the hash;
+    * ManifestSinkSpec separately pins COW equivalence, time travel to
+    * the pre-delete snapshot, and compaction materializing the
+    * reconcile.
+    */
+  def sinkManifestMor(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_mor_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.coalesce(4).write.format("graft-manifest").mode("append").save(out)
+      val filesBefore = graft.sources.ManifestV2Sink.committedFileCount(out)
+      graft.sources.ManifestV2Sink.delete(spark, out, "o_orderkey",
+        src.where(col("o_orderkey") % 35 === 0).select(col("o_orderkey")))
+      val filesAfter = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val tombstones =
+        graft.sources.ManifestV2Sink.committedDeleteFileCount(out)
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit((filesAfter - filesBefore).toLong).as("files_rewritten"),
+          lit(if (tombstones > 0) 1L else 0L).as("has_tombstones"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestMorSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 7 = 0)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(0 AS BIGINT) AS files_rewritten,
+      |  CAST(1 AS BIGINT) AS has_tombstones
+      |FROM s WHERE NOT (o_orderkey % 35 = 0)
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -886,6 +1007,8 @@ object ScalarBreadthQueries {
     "sink_manifest_timetravel" -> (sinkManifestTimetravel _),
     "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
+    "sink_manifest_prune" -> (sinkManifestPrune _),
+    "sink_manifest_mor" -> (sinkManifestMor _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
@@ -909,6 +1032,8 @@ object ScalarBreadthQueries {
     "sink_manifest_timetravel" -> sinkManifestTimetravelSql,
     "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
+    "sink_manifest_prune" -> sinkManifestPruneSql,
+    "sink_manifest_mor" -> sinkManifestMorSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,

@@ -254,11 +254,53 @@ object ManifestV2Sink {
       Some((schema, lines.tail.filter(_.nonEmpty)))
     }
 
-  /** Parse the current manifest: (schema, committed relative file
-    * names). Line 1 is the schema json; the rest are file names.
+  /** Parse the current manifest: (schema, committed ENTRIES). Line 1
+    * is the schema json; each further line is one entry:
+    *  - DATA entry: `relpath` (legacy, statless) or
+    *    `relpath<TAB>S|col:K:min:max|...` — per-file min/max column
+    *    stats recorded at write time (K = L for integral, D for
+    *    double), the metadata DATA SKIPPING reads ([[readPruned]]);
+    *  - DELETE entry (merge-on-read, [[delete]]):
+    *    `delete<TAB>keyCol<TAB>relpath` — the file holds keys whose
+    *    rows are anti-joined out of every read of this manifest.
+    * File names never contain tabs and data relpaths always start
+    * with `data/`, so the literal first token `delete` is
+    * unambiguous. Entries flow through merge/branch bookkeeping as
+    * raw strings — stats are deterministic per immutable file, so
+    * string equality remains file identity.
     */
   private[sources] def readManifest(path: String): Option[(StructType, Seq[String])] =
     parseManifest(manifestFile(path))
+
+  /** The relative file name inside an entry (data or delete). */
+  private[sources] def entryFile(entry: String): String = {
+    val parts = entry.split("\t")
+    if (parts(0) == "delete") parts(2) else parts(0)
+  }
+
+  private[sources] def isDeleteEntry(entry: String): Boolean =
+    entry.startsWith("delete\t")
+
+  /** Per-column (min, max) stats of a data entry, exact: integral
+    * bounds parse through BigDecimal(Long), double bounds through
+    * BigDecimal(double) — both lossless, so pruning comparisons never
+    * round. Statless (legacy) entries return empty — treated as
+    * unprunable, never skipped.
+    */
+  private[sources] def entryStats(
+      entry: String): Map[String, (BigDecimal, BigDecimal)] = {
+    val parts = entry.split("\t")
+    if (parts(0) == "delete" || parts.length < 2 ||
+      !parts(1).startsWith("S|")) Map.empty
+    else parts(1).drop(2).split('|').iterator.map { c =>
+      val Array(name, kind, mn, mx) = c.split(":", 4)
+      val (lo, hi) = kind match {
+        case "L" => (BigDecimal(mn.toLong), BigDecimal(mx.toLong))
+        case _ => (BigDecimal(mn.toDouble), BigDecimal(mx.toDouble))
+      }
+      name -> ((lo, hi))
+    }.toMap
+  }
 
   /** True iff a committed manifest exists at `path` — the probe the
     * content-addressed artifact seam uses to reuse a previous
@@ -266,19 +308,133 @@ object ManifestV2Sink {
     */
   def hasCommitted(path: String): Boolean = readManifest(path).isDefined
 
+  /** Read a manifest state: data entries minus merge-on-read
+    * tombstones. Delete files group by key column; each group is one
+    * key-distinct anti join — the reconcile a MOR reader pays instead
+    * of the copy-on-write rewrite the writer skipped.
+    */
+  private def readEntries(spark: SparkSession, path: String,
+      schema: StructType, entries: Seq[String]): DataFrame = {
+    val dataFiles = entries.filterNot(isDeleteEntry).map(entryFile)
+    val base =
+      if (dataFiles.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema).json(
+          dataFiles.map(f => Paths.get(path, f).toString): _*)
+    val dels = entries.filter(isDeleteEntry)
+      .map { e => val p = e.split("\t"); (p(1), p(2)) }
+    dels.groupBy(_._1).toSeq.sortBy(_._1)
+      .foldLeft(base) { case (df, (keyCol, files)) =>
+        val kt = StructType(Seq(schema(keyCol)))
+        val keys = spark.read.schema(kt).json(
+          files.map(f => Paths.get(path, f._2).toString): _*)
+        df.join(keys.distinct(), Seq(keyCol), "left_anti")
+      }
+  }
+
   /** The committed view of the table: only manifest-listed files are
     * read, with the manifest's schema — never an inference pass, never
-    * a stray (crashed/unreferenced) file.
+    * a stray (crashed/unreferenced) file — and merge-on-read
+    * tombstones ([[delete]]) applied.
     */
   def readCommitted(spark: SparkSession, path: String): DataFrame = {
-    val (schema, files) = readManifest(path).getOrElse(
+    val (schema, entries) = readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $path"))
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).json(
-        files.map(f => Paths.get(path, f).toString): _*)
+    readEntries(spark, path, schema, entries)
   }
+
+  /** Data entries whose recorded [min, max] for `column` intersects
+    * [lower, upper] — plus every entry carrying no stats for the
+    * column (legacy or non-numeric: unprunable, never skipped). The
+    * file-skipping decision itself, exposed for plan pins and
+    * in-band file-count columns.
+    */
+  def prunedDataFiles(path: String, column: String, lower: Long,
+      upper: Long): Seq[String] = {
+    val entries = readManifest(path).map(_._2).getOrElse(Seq.empty)
+    val lo = BigDecimal(lower)
+    val hi = BigDecimal(upper)
+    entries.filterNot(isDeleteEntry).filter { e =>
+      entryStats(e).get(column) match {
+        case Some((mn, mx)) => !(mx < lo || mn > hi)
+        case None => true
+      }
+    }.map(entryFile)
+  }
+
+  /** DATA-SKIPPING read: the committed view restricted to the data
+    * files whose per-file column stats can contain `column` ∈
+    * [lower, upper] ([[prunedDataFiles]]) — the manifest-level
+    * min/max pruning that makes a selective read of a 100-TB table a
+    * 10-file scan instead of a 100,000-file scan. CONTRACT: every row
+    * satisfying the range predicate is present (skipped files are
+    * PROVABLY disjoint from the range; statless files are always
+    * read); rows OUTSIDE the range may also be present — apply the
+    * exact predicate on top, exactly as a reader applies its residual
+    * after Iceberg/Delta file skipping. NaN never blocks pruning: a
+    * range predicate is false for NaN rows, and NaN is excluded from
+    * written stats. Tombstones still apply — reconcile correctness
+    * does not depend on pruning.
+    */
+  def readPruned(spark: SparkSession, path: String, column: String,
+      lower: Long, upper: Long): DataFrame = {
+    val (schema, entries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val keep = prunedDataFiles(path, column, lower, upper).toSet
+    readEntries(spark, path, schema, entries.filter(e =>
+      isDeleteEntry(e) || keep(entryFile(e))))
+  }
+
+  /** MERGE-ON-READ DELETE: commit a tombstone-key file instead of
+    * rewriting data — the 100-TB answer to "delete 0.1% of rows"
+    * where copy-on-write ([[upsert]]) would rewrite whole partitions.
+    * Keys are written WHERE THEY LIVE (one jsonl per partition,
+    * straight into `data/`; unreferenced until published = crash
+    * debris at worst) and committed as delete entries under the full
+    * two-layer commit section. Every subsequent read reconciles by
+    * anti join ([[readEntries]]); [[compact]] materializes the
+    * reconcile and drops the tombstones (OPTIMIZE), which is also how
+    * a deleted key becomes re-insertable — tombstones here apply to
+    * the WHOLE committed view, the miniature of Iceberg's
+    * sequence-number scoping (named, not implemented).
+    */
+  def delete(spark: SparkSession, path: String, keyCol: String,
+      keys: DataFrame): Unit = {
+    val tag = java.util.UUID.randomUUID().toString.take(12)
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    val written: Seq[String] = keys.select(keyCol).distinct().toJSON.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val name = s"delete-$tag-$pid.jsonl"
+          val w = Files.newBufferedWriter(
+            Paths.get(path, "data", name), StandardCharsets.UTF_8)
+          try it.foreach { line => w.write(line); w.write("\n") }
+          finally w.close()
+          Iterator(name)
+        }
+      }.collect().toSeq.sorted
+    if (written.nonEmpty) commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, previous) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        require(schema.fieldNames.contains(keyCol),
+          s"delete key $keyCol not in committed schema")
+        publish(path, schema,
+          previous ++ written.map(n => s"delete\t$keyCol\tdata/$n"),
+          s"delete-$tag")
+      }
+    }
+  }
+
+  /** Committed delete-file (tombstone) count — zero again after a
+    * [[compact]] materializes the reconcile.
+    */
+  def committedDeleteFileCount(path: String): Int =
+    readManifest(path).map(_._2.count(isDeleteEntry)).getOrElse(0)
 
   /** TIME TRAVEL: the table exactly as published at snapshot `v`.
     * Valid because data files are immutable once promoted — append
@@ -288,14 +444,10 @@ object ManifestV2Sink {
     * then does [[unreferencedFiles]] release its files).
     */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
-    val (schema, files) = parseManifest(versionFile(path, v)).getOrElse(
+    val (schema, entries) = parseManifest(versionFile(path, v)).getOrElse(
       throw new IllegalArgumentException(s"no snapshot v$v at $path " +
         s"(have: ${versions(path).mkString(",")})"))
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).json(
-        files.map(f => Paths.get(path, f).toString): _*)
+    readEntries(spark, path, schema, entries)
   }
 
   /** Copy-on-write MERGE (upsert): rows of `updates` win on `key`,
@@ -353,9 +505,11 @@ object ManifestV2Sink {
       }
     }
 
-  /** Committed data-file count — the observable compaction changes. */
+  /** Committed data-file count — the observable compaction changes.
+    * Tombstones are counted separately ([[committedDeleteFileCount]]).
+    */
   def committedFileCount(path: String): Int =
-    readManifest(path).map(_._2.size).getOrElse(0)
+    readManifest(path).map(_._2.count(!isDeleteEntry(_))).getOrElse(0)
 
   /** SNAPSHOT EXPIRY — the retention half of the maintenance triad
     * (compact → expire → vacuum): delete all but the newest
@@ -445,15 +599,10 @@ object ManifestV2Sink {
     */
   def readBranch(spark: SparkSession, path: String,
       name: String): DataFrame = {
-    val (schema, files) = parseManifest(branchFile(path, name)).getOrElse(
+    val (schema, entries) = parseManifest(branchFile(path, name)).getOrElse(
       throw new IllegalArgumentException(
         s"no branch $name at $path (have: ${branches(path).mkString(",")})"))
-    if (files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).json(
-        files.map(f => Paths.get(path, f).toString): _*)
+    readEntries(spark, path, schema, entries)
   }
 
   /** Merge an APPEND-ONLY branch back into main: main's current list
@@ -542,6 +691,7 @@ object ManifestV2Sink {
         parseManifest(versionFile(path, v)).map(_._2).getOrElse(Seq.empty)) ++
       branches(path).flatMap(b =>
         parseManifest(branchFile(path, b)).map(_._2).getOrElse(Seq.empty)))
+      .map(entryFile) // stats/tombstone markup is not part of identity
       .toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) Seq.empty
@@ -577,8 +727,12 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     }
 }
 
-private[sources] case class StagedFile(name: String, rows: Long)
-    extends WriterCommitMessage
+/** `stats` is the pre-serialized per-file column-stats blob
+  * (`S|col:K:min:max|...`, empty when nothing numeric was written) —
+  * it becomes the data entry's tab suffix at publish.
+  */
+private[sources] case class StagedFile(name: String, rows: Long,
+    stats: String = "") extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, replace: Boolean,
@@ -601,11 +755,11 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     Files.createDirectories(dataDir)
     // promote committed attempts' staged files into the data dir;
     // names carry (queryId, partition, task) so runs never collide
-    val promoted = messages.collect { case StagedFile(name, _) =>
+    val promoted = messages.collect { case StagedFile(name, _, stats) =>
       val from = Paths.get(path, "_staged", queryId, name)
       Files.move(from, dataDir.resolve(name),
         StandardCopyOption.REPLACE_EXISTING)
-      s"data/$name"
+      if (stats.isEmpty) s"data/$name" else s"data/$name\t$stats"
     }.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
@@ -690,6 +844,60 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
   private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
   private var rows = 0L
 
+  // per-file min/max for NUMERIC columns, tracked as rows stream
+  // through (Iceberg's write-time file stats in miniature): integral
+  // bounds exact in Long, double bounds skip NaN (a range predicate
+  // is false for NaN, so skipping a file can never lose NaN matches —
+  // there are none). Only [A-Za-z0-9_]+ names are recorded: the stats
+  // blob's serialization reserves ':' and '|'.
+  private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if (f.dataType == LongType || f.dataType == IntegerType ||
+      f.dataType == DoubleType) && f.name.matches("[A-Za-z0-9_]+") => i
+  }.toArray
+  private val statN = new Array[Long](schema.length)
+  private val statMinL = Array.fill(schema.length)(Long.MaxValue)
+  private val statMaxL = Array.fill(schema.length)(Long.MinValue)
+  private val statMinD = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val statMaxD = Array.fill(schema.length)(Double.NegativeInfinity)
+
+  private def trackStats(row: InternalRow): Unit = {
+    var s = 0
+    while (s < statIdx.length) {
+      val i = statIdx(s)
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType | IntegerType =>
+          val v = schema.fields(i).dataType match {
+            case LongType => row.getLong(i)
+            case _ => row.getInt(i).toLong
+          }
+          if (v < statMinL(i)) statMinL(i) = v
+          if (v > statMaxL(i)) statMaxL(i) = v
+          statN(i) += 1
+        case DoubleType =>
+          val v = row.getDouble(i)
+          if (!v.isNaN) {
+            if (v < statMinD(i)) statMinD(i) = v
+            if (v > statMaxD(i)) statMaxD(i) = v
+            statN(i) += 1
+          }
+        case _ =>
+      }
+      s += 1
+    }
+  }
+
+  private def statsBlob(): String = {
+    val cols = statIdx.iterator.filter(statN(_) > 0).map { i =>
+      schema.fields(i).dataType match {
+        case DoubleType =>
+          s"${schema.fields(i).name}:D:${statMinD(i)}:${statMaxD(i)}"
+        case _ =>
+          s"${schema.fields(i).name}:L:${statMinL(i)}:${statMaxL(i)}"
+      }
+    }.toSeq
+    if (cols.isEmpty) "" else cols.mkString("S|", "|", "")
+  }
+
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
@@ -725,12 +933,13 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     }
     out.write(fields.mkString("{", ",", "}"))
     out.write("\n")
+    trackStats(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    StagedFile(name, rows)
+    StagedFile(name, rows, statsBlob())
   }
 
   override def abort(): Unit = {

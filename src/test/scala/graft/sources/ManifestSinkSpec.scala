@@ -232,6 +232,84 @@ class ManifestSinkSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("write-time file stats skip disjoint files; statless files always read") {
+    import spark.implicits._
+    val dir = tmpTable()
+    // three appends with disjoint id ranges → three data files whose
+    // recorded [min,max] tile the space
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"r$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dir)
+    slice(0L, 10L); slice(100L, 110L); slice(200L, 210L)
+    assert(ManifestV2Sink.committedFileCount(dir) == 3)
+    // a window touching only the middle file reads exactly one file
+    assert(ManifestV2Sink.prunedDataFiles(dir, "id", 100L, 150L).size == 1)
+    assert(ManifestV2Sink.readPruned(spark, dir, "id", 100L, 150L)
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 110L))
+    // boundary overlap: [9, 100] must keep BOTH touching files
+    assert(ManifestV2Sink.prunedDataFiles(dir, "id", 9L, 100L).size == 2)
+    // a column with no stats (string) can never prune
+    assert(ManifestV2Sink.prunedDataFiles(dir, "s", 0L, 0L).size == 3)
+    // a STATLESS entry (external append writes no stats) is always
+    // read — legacy manifests keep full correctness, zero skipping
+    ManifestV2Sink.appendExternal(dir,
+      Seq("""{"id":9999,"s":"ext"}"""), "statless")
+    assert(ManifestV2Sink.prunedDataFiles(dir, "id", 100L, 150L).size == 2)
+    assert(ManifestV2Sink.readPruned(spark, dir, "id", 100L, 150L)
+      .where(col("id").between(100L, 150L))
+      .select("id").as[Long].collect().sorted.toSeq == (100L until 110L))
+    // compaction rewrites carry fresh stats for the rewritten file
+    ManifestV2Sink.compact(spark, dir, 1)
+    assert(ManifestV2Sink.prunedDataFiles(dir, "id", 100L, 150L).size == 1)
+  }
+
+  test("merge-on-read delete: zero rewrites, exact reconcile, compact materializes") {
+    import spark.implicits._
+    val dir = tmpTable()
+    (1L to 20L).map(i => (i, i * 100)).toDF("id", "v").coalesce(2)
+      .write.format("graft-manifest").mode("append").save(dir)
+    def dataFiles(): Set[String] =
+      ManifestV2Sink.readManifest(dir).get._2
+        .filterNot(ManifestV2Sink.isDeleteEntry)
+        .map(ManifestV2Sink.entryFile).toSet
+    val before = dataFiles()
+    ManifestV2Sink.delete(spark, dir, "id", Seq(3L, 7L, 15L).toDF("id"))
+    // tombstones committed, data files untouched (files-rewritten = 0)
+    assert(dataFiles() == before, "MOR delete must not rewrite data files")
+    assert(ManifestV2Sink.committedDeleteFileCount(dir) >= 1)
+    val want = (1L to 20L).filterNot(Set(3L, 7L, 15L))
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == want)
+    // COW equivalence: the reconciled view equals what a copy-on-write
+    // rewrite of the same delete would have produced
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq ==
+      (1L to 20L).filterNot(Set(3L, 7L, 15L)).map(i => Row(i, i * 100)))
+    // pre-delete snapshot still shows every row (time travel)
+    assert(ManifestV2Sink.readVersion(spark, dir, 1)
+      .select("id").as[Long].collect().sorted.toSeq == (1L to 20L))
+    // pruned reads reconcile too
+    assert(ManifestV2Sink.readPruned(spark, dir, "id", 1L, 10L)
+      .where(col("id") <= 10L)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 10L).filterNot(Set(3L, 7L)))
+    // deleting a missing key is a no-op on content
+    ManifestV2Sink.delete(spark, dir, "id", Seq(999L).toDF("id"))
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == want)
+    // OPTIMIZE materializes the reconcile: tombstones drop, content
+    // holds, and the deleted keys become re-insertable
+    ManifestV2Sink.compact(spark, dir, 1)
+    assert(ManifestV2Sink.committedDeleteFileCount(dir) == 0)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted.toSeq == want)
+    Seq((3L, 333L)).toDF("id", "v")
+      .write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .where(col("id") === 3L).select("v").as[Long].collect().toSeq ==
+      Seq(333L))
+  }
+
   test("cross-process concurrent appends: every writer's commit lands") {
     // three writers race one head: two FORKED JVMs committing through
     // appendExternal (the in-process stripe cannot see them) and the
