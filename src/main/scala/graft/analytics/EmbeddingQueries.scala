@@ -4137,10 +4137,37 @@ object EmbeddingQueries {
     * delta'd corpus (the persisted graph's own delta rows — how close
     * nightly maintenance gets to what a rebuild would publish), and
     * recall vs exact brute force (the absolute floor, spec-pinned).
-    * The in-band exact side scans |delta|·n — at lake scale an
-    * operator strides the eval set exactly like [[knnGraphNnd]]'s
-    * sampled eval; the maintenance path itself never scans the corpus.
+    * The exact side is READ from the published `knn_gd_exact` ground
+    * truth ([[gdExactFrame]], built once per (code, dataset)), so the
+    * maintenance run itself never scans the corpus — neither for the
+    * insert (graph-routed) nor for its own evaluation.
     */
+  /** Exact L2 top-[[NndK]] over the FULL delta'd corpus for the delta
+    * query set — [[knnGraphDelta]]'s absolute recall floor, published
+    * once per (code, dataset) through the artifact seam like
+    * [[gsExactFrame]]: repeat maintenance runs grade against a table
+    * instead of re-paying the |delta|·n broadcast scan in-band.
+    */
+  private[analytics] def gdExactFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2"))
+    val dq = e.where(isDelta)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("u").asc)
+    broadcast(dq)
+      .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+        col("norm2").as("nb")), col("qid") =!= col("u"))
+      .select(col("qid"), col("u"),
+        (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+          .as("d"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= NndK)
+      .select(col("qid"), col("u"))
+  }
+
   def knnGraphDelta(spark: SparkSession, dir: String): DataFrame = {
     val g = nndIndex(spark, dir) // persisted full graph (v, u, d)
     val e = quantized(spark, dir)
@@ -4221,15 +4248,13 @@ object EmbeddingQueries {
         .select(col("qid"), col("u"))
       val rebuild = g.where(isDeltaId(col("v")))
         .select(col("v").as("qid"), col("u")).withColumn("hitr", lit(1L))
-      val exact = broadcast(dq)
-        .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
-          col("norm2").as("nb")), col("qid") =!= col("u"))
-        .select(col("qid"), col("u"),
-          (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
-            .as("d"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
-        .select(col("qid"), col("u")).withColumn("hite", lit(1L))
+      // exact ground truth from the PUBLISHED artifact (the discipline
+      // the rest of the eval family adopted in r10): the |delta|·n
+      // scan is paid once per (code, dataset) by the artifact build,
+      // not per maintenance run — the oracle still re-derives it from
+      // the raw corpus every verify pass
+      val exact = SessionArtifact.table(spark, dir, "knn_gd_exact")(
+        gdExactFrame(spark, dir)).withColumn("hite", lit(1L))
       fin
         .join(broadcast(rebuild), Seq("qid", "u"), "left_outer")
         .join(broadcast(exact), Seq("qid", "u"), "left_outer")
