@@ -469,9 +469,59 @@ object MultimodalQueries {
        |  ${QueryUtil.sqlPpm("sum_abs", "32768 * nfr * nch")} AS loudness_ppm
        |FROM a""".stripMargin
 
+  /** REAL-BYTES decode through the PNG codec — the [[multimodalDecode]]
+    * proof pushed through a COMPRESSED container: deterministic
+    * greyscale/RGB images are encoded on the executors
+    * ([[MultimodalOps.pngFromDocuments]]: deflate, CRC32 chunks, a
+    * different scanline filter per id mod 5), parsed BACK by
+    * [[MultimodalOps.PngCodec]] (signature, per-chunk CRC, strict
+    * inflated length, all five unfilter paths), and the unfiltered
+    * raster is walked for per-channel sums. The oracle recomputes
+    * everything from the closed-form pixel rule — any drift in
+    * deflate round-trip, chunk layout, CRC, filter math, or channel
+    * interleave fails the hash. With PPM, WAV, and PNG real, the stub
+    * now covers only formats that genuinely need external codec
+    * libraries (JPEG/video).
+    */
+  def multimodalDecodePng(spark: SparkSession, dir: String): DataFrame =
+    MultimodalOps.decodePngStats(MultimodalOps.pngFromDocuments(spark, dir))
+      .select(col("media_id"), col("width"), col("height"),
+        col("n_channels"), col("n_pix"),
+        col("sum_ch0"), col("sum_ch1"), col("sum_ch2"),
+        QueryUtil.ppm(col("sum_ch0") + col("sum_ch1") + col("sum_ch2"),
+          lit(255L) * col("n_pix") * col("n_channels"))
+          .as("brightness_ppm"))
+
+  val multimodalDecodePngSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 4 AS h,
+       |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS nch
+       |  FROM documents),
+       |px AS (
+       |  SELECT doc_id, w, h, nch, u.i,
+       |    (11 * u.i + 5 * doc_id) % 256 AS v
+       |  FROM dims, LATERAL (SELECT unnest(generate_series(0,
+       |    CAST(w * h * nch - 1 AS BIGINT))) AS i) u),
+       |a AS (
+       |  SELECT doc_id, w, h, nch,
+       |    SUM(CASE WHEN i % nch = 0 THEN v ELSE 0 END) AS sum_ch0,
+       |    SUM(CASE WHEN i % nch = 1 THEN v ELSE 0 END) AS sum_ch1,
+       |    SUM(CASE WHEN i % nch = 2 THEN v ELSE 0 END) AS sum_ch2
+       |  FROM px GROUP BY 1, 2, 3, 4)
+       |SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+       |  CAST(h AS BIGINT) AS height, CAST(nch AS BIGINT) AS n_channels,
+       |  CAST(w * h AS BIGINT) AS n_pix,
+       |  CAST(sum_ch0 AS BIGINT) AS sum_ch0,
+       |  CAST(sum_ch1 AS BIGINT) AS sum_ch1,
+       |  CAST(sum_ch2 AS BIGINT) AS sum_ch2,
+       |  ${QueryUtil.sqlPpm("sum_ch0 + sum_ch1 + sum_ch2",
+            "255 * w * h * nch")} AS brightness_ppm
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_decode" -> (multimodalDecode _),
     "multimodal_decode_wav" -> (multimodalDecodeWav _),
+    "multimodal_decode_png" -> (multimodalDecodePng _),
     "multimodal_tokens" -> (multimodalTokens _),
     "multimodal_filter" -> (multimodalFilter _),
     "multimodal_dedup_apply" -> (multimodalDedupApply _),
@@ -485,6 +535,7 @@ object MultimodalQueries {
   val oracles: Map[String, String] = Map(
     "multimodal_decode" -> multimodalDecodeSql,
     "multimodal_decode_wav" -> multimodalDecodeWavSql,
+    "multimodal_decode_png" -> multimodalDecodePngSql,
     "multimodal_tokens" -> multimodalTokensSql,
     "multimodal_filter" -> multimodalFilterSql,
     "multimodal_dedup_apply" -> multimodalDedupApplySql,

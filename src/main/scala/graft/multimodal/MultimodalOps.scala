@@ -252,6 +252,208 @@ object MultimodalOps {
     }
   }
 
+  /** The third REAL pure-JVM codec at the decode seam — and the first
+    * COMPRESSED one: PNG via `java.util.zip` (Deflater/Inflater +
+    * CRC32; no codec libraries). Scope: 8-bit greyscale (color type
+    * 0) and 8-bit RGB (color type 2), no interlace — the common
+    * subset; everything else parses to None and falls back to the
+    * stub, like any format outside a deployment's codec set. The
+    * decoder walks chunks strictly (signature, per-chunk CRC, IHDR
+    * first, IDAT concatenation in order, exact inflated length) and
+    * reverses all five scanline filters (None/Sub/Up/Average/Paeth);
+    * the encoder can APPLY any fixed filter type, so round-trip
+    * properties exercise every unfilter path, not just the one the
+    * encoder prefers.
+    */
+  object PngCodec {
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** PNG bytes for a `width`×`height` raster of `channels` (1 =
+      * grey, 3 = RGB) 8-bit samples `px(i)`, every scanline filtered
+      * with `filterType` (0-4). One IDAT, default-level deflate.
+      */
+    def encode(width: Int, height: Int, channels: Int, px: Int => Int,
+        filterType: Int = 0): Array[Byte] = {
+      require(channels == 1 || channels == 3, s"channels=$channels")
+      require(width > 0 && height > 0 &&
+        width.toLong * height * channels <= (64L << 20),
+        "raster exceeds the fixture bound")
+      require(filterType >= 0 && filterType <= 4, s"filter=$filterType")
+      val bpr = width * channels
+      val raw = new Array[Byte](height * (1 + bpr))
+      val prev = new Array[Int](bpr) // previous UNFILTERED row
+      val cur = new Array[Int](bpr)
+      var i = 0
+      var p = 0
+      var y = 0
+      while (y < height) {
+        raw(p) = filterType.toByte; p += 1
+        var x = 0
+        while (x < bpr) { cur(x) = px(i) & 0xff; i += 1; x += 1 }
+        x = 0
+        while (x < bpr) {
+          val a = if (x >= channels) cur(x - channels) else 0
+          val b = prev(x)
+          val c = if (x >= channels) prev(x - channels) else 0
+          val pred = filterType match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case 4 => paeth(a, b, c)
+          }
+          raw(p) = ((cur(x) - pred) & 0xff).toByte; p += 1
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, bpr)
+        y += 1
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val zOut = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!defl.finished()) zOut.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig, 0, Sig.length)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        be32(out, data.length)
+        val t = typ.getBytes("US-ASCII")
+        out.write(t, 0, 4)
+        out.write(data, 0, data.length)
+        val crc = new java.util.zip.CRC32()
+        crc.update(t); crc.update(data)
+        be32(out, crc.getValue.toInt)
+      }
+      val ihdr = new java.io.ByteArrayOutputStream()
+      be32(ihdr, width); be32(ihdr, height)
+      ihdr.write(8) // bit depth
+      ihdr.write(if (channels == 3) 2 else 0) // color type
+      ihdr.write(0); ihdr.write(0); ihdr.write(0) // comp, filter, interlace
+      chunk("IHDR", ihdr.toByteArray)
+      chunk("IDAT", zOut.toByteArray)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    private def rdBe32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    /** Strict parse: `(width, height, channels, raster)` with the
+      * raster unfiltered to plain row-major samples; None on anything
+      * outside the supported subset or malformed (bad signature, CRC
+      * mismatch, chunk overrun, wrong inflated length, bad filter
+      * byte, missing IEND).
+      */
+    def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+      if (bytes.length < Sig.length + 12 ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOf(bytes, Sig.length), Sig)) return None
+      var p = Sig.length
+      var w = -1; var h = -1; var channels = -1
+      var sawIhdr = false; var sawEnd = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawEnd) {
+        if (p + 12 > bytes.length) return None
+        val len = rdBe32(bytes, p)
+        if (len > Int.MaxValue - 12 || p + 12 + len > bytes.length)
+          return None
+        val n = len.toInt
+        val typ = new String(bytes, p + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, p + 4, 4 + n)
+        if (crc.getValue != rdBe32(bytes, p + 8 + n)) return None
+        typ match {
+          case "IHDR" =>
+            if (sawIhdr || n != 13) return None
+            sawIhdr = true
+            val wL = rdBe32(bytes, p + 8)
+            val hL = rdBe32(bytes, p + 12)
+            val depth = bytes(p + 16) & 0xff
+            val ct = bytes(p + 17) & 0xff
+            val comp = bytes(p + 18) & 0xff
+            val filt = bytes(p + 19) & 0xff
+            val inter = bytes(p + 20) & 0xff
+            if (wL < 1 || hL < 1 || wL * hL > (64L << 20) ||
+              depth != 8 || (ct != 0 && ct != 2) || comp != 0 ||
+              filt != 0 || inter != 0) return None
+            w = wL.toInt; h = hL.toInt
+            channels = if (ct == 2) 3 else 1
+          case "IDAT" =>
+            if (!sawIhdr) return None
+            idat.write(bytes, p + 8, n)
+          case "IEND" =>
+            if (!sawIhdr || n != 0) return None
+            sawEnd = true
+          case _ => if (!sawIhdr) return None // ancillary chunks skipped
+        }
+        p += 12 + n
+      }
+      val bpr = w * channels
+      val expect = h.toLong * (1 + bpr)
+      if (expect > Int.MaxValue - 64) return None
+      val raw = new Array[Byte](expect.toInt)
+      val infl = new java.util.zip.Inflater()
+      infl.setInput(idat.toByteArray)
+      var got = 0
+      try {
+        while (got < raw.length && !infl.finished()) {
+          val k = infl.inflate(raw, got, raw.length - got)
+          if (k == 0 && infl.needsInput()) return None // truncated
+          got += k
+        }
+        // must consume the WHOLE stream to exactly the expected length
+        if (got != raw.length ||
+          infl.inflate(new Array[Byte](1)) != 0) return None
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally infl.end()
+      val px = new Array[Byte](h * bpr)
+      val prev = new Array[Int](bpr)
+      val cur = new Array[Int](bpr)
+      var rp = 0
+      var y = 0
+      while (y < h) {
+        val ft = raw(rp) & 0xff; rp += 1
+        if (ft > 4) return None
+        var x = 0
+        while (x < bpr) {
+          val v = raw(rp) & 0xff; rp += 1
+          val a = if (x >= channels) cur(x - channels) else 0
+          val b = prev(x)
+          val c = if (x >= channels) prev(x - channels) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => a
+            case 2 => b
+            case 3 => (a + b) / 2
+            case _ => paeth(a, b, c)
+          }
+          cur(x) = (v + pred) & 0xff
+          px(y * bpr + x) = cur(x).toByte
+          x += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, bpr)
+        y += 1
+      }
+      Some((w, h, channels, px))
+    }
+  }
+
   /** ======= STUB BOUNDARY =======
     * The stand-in for codecs the container lacks (JPEG/PNG/PCM/video
     * frames): deterministic in the content bytes so tests and oracles
@@ -279,6 +481,50 @@ object MultimodalOps {
     * [[WavCodec]] by [[decodeAny]].
     */
   val WavMediaType = "audio/wav"
+
+  /** The declared media type of the real-PNG fixtures — routed to
+    * [[PngCodec]] by [[decodeAny]].
+    */
+  val PngMediaType = "image/png"
+
+  /** PNG dims + 8 features through the real codec, on the
+    * [[StubDecoder]] contract shape ([[PpmCodec.features]] for a
+    * channel-count-aware raster): per-channel means (greyscale fills
+    * all three with the grey mean), overall luma, four quadrant luma
+    * means.
+    */
+  private def pngFeatures(bytes: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    PngCodec.decode(bytes).map { case (w, h, nCh, px) =>
+      val sums = new Array[Long](3)
+      val quad = new Array[Long](4)
+      val quadN = new Array[Long](4)
+      var i = 0
+      while (i < px.length) {
+        val v = px(i) & 0xff
+        sums(i % nCh) += v
+        val pixel = i / nCh
+        val q = (if ((pixel % w) * 2 >= w) 1 else 0) +
+          (if ((pixel / w) * 2 >= h) 2 else 0)
+        quad(q) += v
+        quadN(q) += 1
+        i += 1
+      }
+      val n = w.toLong * h
+      val f = new Array[Float](8)
+      var c = 0
+      while (c < 3) {
+        f(c) = sums(c min (nCh - 1)) / (255.0f * n)
+        c += 1
+      }
+      f(3) = (sums(0) + sums(1) + sums(2)) / (255.0f * n * nCh)
+      var q = 0
+      while (q < 4) {
+        f(4 + q) =
+          if (quadN(q) == 0) 0.0f else quad(q) / (255.0f * quadN(q))
+        q += 1
+      }
+      (w, h, f)
+    }
 
   /** WAV dims + 8 features through the real codec, on the
     * [[StubDecoder]] contract shape: "width" = frames, "height" =
@@ -341,6 +587,8 @@ object MultimodalOps {
       PpmCodec.features(content).getOrElse(StubDecoder.decode(content))
     case WavMediaType =>
       wavFeatures(content).getOrElse(StubDecoder.decode(content))
+    case PngMediaType =>
+      pngFeatures(content).getOrElse(StubDecoder.decode(content))
     case _ => StubDecoder.decode(content)
   }
 
@@ -552,6 +800,56 @@ object MultimodalOps {
       }
     }.toDF("media_id", "n_channels", "sample_rate", "n_frames",
       "sum_ch0", "sum_ch1", "peak_abs", "sum_abs")
+  }
+
+  /** Deterministic REAL-PNG fixture: one small image per document —
+    * greyscale for even ids, RGB for odd; dims
+    * `(3 + id%5) × (2 + id%4)`; raster byte
+    * `i = (11i + 5·id) mod 256` — encoded by [[PngCodec.encode]] into
+    * actual deflate-compressed, CRC'd PNG bytes on the executors,
+    * cycling the scanline filter type `id mod 5` so every filter path
+    * carries real data through the oracle gate. The generative rule
+    * is closed form, so the SQL oracle recomputes every decoded
+    * statistic without seeing a byte (the PPM/WAV proof, now through
+    * a compressed container).
+    */
+  def pngFromDocuments(spark: SparkSession,
+      dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (3 + id % 5).toInt
+          val h = (2 + id % 4).toInt
+          val nCh = if (id % 2 == 0) 1 else 3
+          val bytes = PngCodec.encode(w, h, nCh,
+            i => ((11L * i + 5L * id) % 256).toInt,
+            filterType = (id % 5).toInt)
+          MediaRecord(id, PngMediaType, bytes, s"synthetic://png/$id")
+        }
+      }
+  }
+
+  /** Decoded-pixel statistics through the REAL PNG codec: inflate,
+    * CRC-check, unfilter, walk the raster — per-channel sums, exact
+    * integers. Narrow per-partition work; content never shuffles.
+    */
+  def decodePngStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, nCh, px) = PngCodec.decode(m.content).getOrElse(
+          throw new IllegalStateException(
+            s"fixture ${m.mediaId} failed PNG parse"))
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < px.length) { sums(i % nCh) += px(i) & 0xff; i += 1 }
+        (m.mediaId, w.toLong, h.toLong, nCh.toLong, w.toLong * h,
+          sums(0), sums(1), sums(2))
+      }
+    }.toDF("media_id", "width", "height", "n_channels", "n_pix",
+      "sum_ch0", "sum_ch1", "sum_ch2")
   }
 
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {

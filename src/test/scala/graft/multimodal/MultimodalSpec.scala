@@ -150,6 +150,58 @@ class MultimodalSpec extends SparkSuite {
     assert(aw == sw && ah == sh && af.sameElements(sf))
   }
 
+  test("PNG codec: encode→decode round-trips every filter type exactly") {
+    // all 5 scanline filters, both color types, non-square dims — each
+    // combination must unfilter back to the exact generative raster
+    for (ft <- 0 to 4; nCh <- Seq(1, 3)) {
+      val (w, h) = (7, 4)
+      val rule = (i: Int) => (i * 53 + 19 + ft * 7) % 256
+      val bytes = PngCodec.encode(w, h, nCh, rule, filterType = ft)
+      val Some((dw, dh, dch, px)) = PngCodec.decode(bytes)
+      assert(dw == w && dh == h && dch == nCh, s"dims ft=$ft nCh=$nCh")
+      assert(px.length == w * h * nCh)
+      assert(px.zipWithIndex.forall { case (b, i) =>
+        (b & 0xff) == rule(i) }, s"pixels ft=$ft nCh=$nCh")
+    }
+    // 1×1 edge (no left/up neighbors anywhere)
+    val one = PngCodec.encode(1, 1, 3, i => 200 + i, filterType = 4)
+    assert(PngCodec.decode(one).get._4.map(_ & 0xff).toSeq ==
+      Seq(200, 201, 202))
+  }
+
+  test("PNG codec: malformed bytes parse to None; decodeAny dispatches") {
+    val good = PngCodec.encode(5, 3, 3, i => (i * 31) % 256, 2)
+    assert(PngCodec.decode(good).isDefined)
+    // wrong signature
+    assert(PngCodec.decode("not a png".getBytes("UTF-8")).isEmpty)
+    // flipped bit in IDAT payload → CRC mismatch must reject
+    val corrupt = good.clone()
+    corrupt(good.length - 20) = (corrupt(good.length - 20) ^ 0x40).toByte
+    assert(PngCodec.decode(corrupt).isEmpty)
+    // truncated stream
+    assert(PngCodec.decode(good.dropRight(8)).isEmpty)
+    // unsupported: 16-bit depth (patch IHDR + fix its CRC)
+    val deep = good.clone()
+    deep(24) = 16
+    val crc = new java.util.zip.CRC32()
+    crc.update(deep, 12, 4 + 13)
+    val cv = crc.getValue.toInt
+    var i = 0
+    while (i < 4) { deep(29 + i) = ((cv >>> (24 - 8 * i)) & 0xff).toByte; i += 1 }
+    assert(PngCodec.decode(deep).isEmpty)
+    // type-driven dispatch: image/png reaches the real codec; a plain
+    // "image" type takes the stub even on PNG bytes
+    val (w, h, f) = decodeAny(PngMediaType, good)
+    assert(w == 5 && h == 3 && f.length == 8)
+    val (sw, sh, sf) = StubDecoder.decode(good)
+    val (aw, ah, af) = decodeAny("image", good)
+    assert(aw == sw && ah == sh && af.sameElements(sf))
+    // malformed bytes under the png type fall back to the stub
+    val (bw, bh, _) = decodeAny(PngMediaType, "junk".getBytes)
+    val (tw, th, _) = StubDecoder.decode("junk".getBytes)
+    assert(bw == tw && bh == th)
+  }
+
   test("frame sampling takes every 2nd 16-byte slice, order preserved") {
     val one = media.filter(_.mediaId == 0L)
     val content = one.collect().head.content
