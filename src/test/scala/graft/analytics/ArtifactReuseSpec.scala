@@ -104,6 +104,54 @@ class ArtifactReuseSpec extends SparkSuite {
     assert(DatasetFingerprint.codeTag.length == 8)
   }
 
+  test("withCache memoizes: one walk per dir per scope, recompute outside") {
+    import graft.core.DatasetFingerprint
+    val dir = copyDataset()
+    val w0 = DatasetFingerprint.walkCount.get()
+    val fp = DatasetFingerprint.withCache {
+      val a = DatasetFingerprint.of(dir)
+      // repeat resolves inside the scope hit the cache — this is the
+      // bench-pass contract: hundreds of artifact resolves, ONE walk
+      assert(DatasetFingerprint.of(dir) == a)
+      assert(DatasetFingerprint.of(dir) == a)
+      a
+    }
+    assert(DatasetFingerprint.walkCount.get() == w0 + 1,
+      "cached scope walked more than once for one dir")
+    // scope closed: the per-call staleness guarantee is back
+    assert(DatasetFingerprint.of(dir) == fp)
+    assert(DatasetFingerprint.walkCount.get() == w0 + 2)
+    // an edit after the scope is seen by the very next resolve
+    val f = firstParquet(dir)
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime
+      .fromMillis(Files.getLastModifiedTime(f).toMillis + 60000))
+    assert(DatasetFingerprint.of(dir) != fp)
+  }
+
+  test("content rewrite preserving size AND mtime still moves the tag") {
+    // the coarse-mtime / mtime-preserving-restore hole the head/tail
+    // probe closes: same path, same size, same millisecond mtime,
+    // different bytes — metadata-only fingerprinting reuses stale
+    import graft.core.DatasetFingerprint
+    val dir = copyDataset()
+    val f = firstParquet(dir)
+    val fp0 = DatasetFingerprint.of(dir)
+    val mtime = Files.getLastModifiedTime(f)
+    val bytes = Files.readAllBytes(f)
+    bytes(4) = (bytes(4) ^ 0x01).toByte // head probe window
+    Files.write(f, bytes)
+    Files.setLastModifiedTime(f, mtime)
+    assert(DatasetFingerprint.of(dir) != fp0,
+      "size+mtime-preserving rewrite was invisible to the fingerprint")
+    // and a TAIL-window rewrite is caught too
+    val fp1 = DatasetFingerprint.of(dir)
+    val b2 = Files.readAllBytes(f)
+    b2(b2.length - 5) = (b2(b2.length - 5) ^ 0x01).toByte
+    Files.write(f, b2)
+    Files.setLastModifiedTime(f, mtime)
+    assert(DatasetFingerprint.of(dir) != fp1)
+  }
+
   test("near-dup artifact: fresh session reuses, hashes unchanged") {
     val dir = copyDataset()
     val first = NearDupArtifact.labels(spark, dir)
