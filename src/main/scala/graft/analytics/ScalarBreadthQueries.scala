@@ -576,7 +576,7 @@ object ScalarBreadthQueries {
         src.where(col("yr") === y).coalesce(1)
           .write.format("graft-manifest").mode("append").save(out)
       }
-      val (lo, hi) = (1993L, 1994L)
+      val (lo, hi) = (1996L, 1997L)
       val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
       val filesRead = graft.sources.ManifestV2Sink
         .prunedDataFiles(out, "yr", lo, hi).size
@@ -603,9 +603,9 @@ object ScalarBreadthQueries {
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
       |  (SELECT COUNT(DISTINCT yr) FROM s
-      |     WHERE yr BETWEEN 1993 AND 1994) AS files_read,
+      |     WHERE yr BETWEEN 1996 AND 1997) AS files_read,
       |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_total
-      |FROM s WHERE yr BETWEEN 1993 AND 1994
+      |FROM s WHERE yr BETWEEN 1996 AND 1997
       |GROUP BY o_orderpriority""".stripMargin
 
   /** MERGE-ON-READ DELETE under the oracle gate — the 100-TB shape
