@@ -44,6 +44,64 @@ class FileStreamSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kill-and-resume from checkpoint is exactly-once end-to-end") {
+    // VERDICT r10 item 4: stop a RUNNING query mid-backlog, restart it
+    // against the SAME checkpointLocation, and prove the committed
+    // output equals the uninterrupted run's — no loss, no duplicates.
+    // The write side is the production recipe: foreachBatch +
+    // IdempotentSink ledger + per-batch overwrite directories, so a
+    // batch redelivered after the kill lands on the same path instead
+    // of appending twice.
+    val in = Files.createTempDirectory("graft-killresume-in").toString
+    val out = Files.createTempDirectory("graft-killresume-out").toString
+    val ckpt = Files.createTempDirectory("graft-killresume-ckpt").toString
+    val ledgerDir = Files.createTempDirectory("graft-killresume-led").toString
+    val events = Tables.load(spark, sf0001, "events").cache()
+    val schema = events.schema
+    val nFiles = 8
+    (0 until nFiles).foreach { k =>
+      events.where(pmod(col("event_id"), lit(nFiles)) === k)
+        .coalesce(1).write.mode("append").parquet(in)
+    }
+    val sink = new graft.sources.IdempotentSink("kill_resume", ledgerDir)
+    def startQuery() = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1) // one file per micro-batch
+      .parquet(in)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.commitOnce(id) {
+          batch.write.mode("overwrite").parquet(s"$out/b$id")
+        }
+        ()
+      }
+      .start()
+
+    // Run 1: let SOME batches commit, then kill the query mid-backlog.
+    val q1 = startQuery()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (sink.lastCommitted < 1 && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    q1.stop()
+    val committedAtKill = sink.lastCommitted
+    assert(committedAtKill >= 1, "at least two batches before the kill")
+    assert(committedAtKill < nFiles - 1,
+      s"kill must land mid-backlog, got batch $committedAtKill of $nFiles")
+
+    // Run 2: same checkpoint, same ledger — resume and drain.
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(sink.lastCommitted == nFiles - 1)
+
+    // Exactly-once: the committed view is the input, bit-for-bit.
+    val resumed = spark.read.parquet((0 until nFiles).map(k => s"$out/b$k"): _*)
+    assert(resumed.count() == events.count())
+    assert(resumed.except(events).isEmpty && events.except(resumed).isEmpty)
+    // event_ids are unique in the fixture, so count==distinct ⇒ no dups
+    assert(resumed.select(col("event_id")).distinct().count() == events.count())
+  }
+
   test("Trigger.AvailableNow drains the backlog in bounded batches and stops") {
     val dir = Files.createTempDirectory("graft-availnow").toString
     val events = Tables.load(spark, sf0001, "events")
