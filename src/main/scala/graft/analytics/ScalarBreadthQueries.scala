@@ -663,6 +663,171 @@ object ScalarBreadthQueries {
       |FROM s WHERE NOT (o_orderkey % 35 = 0)
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** OPTIMIZE ZORDER BY under the oracle gate — multi-dimensional data
+    * skipping the linear layouts can't give: orders land as 16
+    * hash-distributed files (every file's o_custkey AND o_orderkey
+    * stats span the full range — the "sorted by nothing" baseline a
+    * real ingest produces), then [[graft.sources.ManifestV2Sink
+    * .compactZOrder]] rewrites them clustered by the 4-bit Morton cell
+    * of (o_custkey, o_orderkey) in ONE atomic commit. A quarter×quarter
+    * box query then shows the whole story in-band, every count pinned
+    * by construction and hash-gated: 16 files before pruning, 16 still
+    * read under the linear layout (all stats straddle the box), 4
+    * under single-column pruning of the z-layout (one x-quarter =
+    * four y-cells), and exactly 1 under conjunctive
+    * [[graft.sources.ManifestV2Sink.readPrunedMulti]] box pruning —
+    * the 1-file-instead-of-a-stripe read that makes 2-D slice queries
+    * on a 100-TB table metadata-bounded. The aggregate itself rides
+    * the pruned read with the exact box predicate as residual, so
+    * skipping a file that held box rows diverges the hash.
+    *
+    * Quarter boundaries use the SAME exact integer quantization as
+    * the Morton cells (`((v - lo) * 4) div span`), so box edges align
+    * with cell edges and the expected file counts are exact, not
+    * probabilistic.
+    */
+  def sinkManifestZorder(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_zorder_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.repartition(16, col("o_orderkey"))
+        .write.format("graft-manifest").mode("append").save(out)
+      val b = src.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_orderkey")), max(col("o_orderkey"))).head
+      val (cLo, cHi, oLo, oHi) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val (cSpan, oSpan) = (cHi - cLo + 1, oHi - oLo + 1)
+      // box = custkey quarter 1 × orderkey quarter 2, cell-aligned:
+      // value bounds of quarter q are [lo+ceil(q·span/4), lo+ceil((q+1)·span/4)-1]
+      def ceilDiv(a: Long, q: Long) = (a + q - 1) / q
+      val box = Seq(
+        ("o_custkey", cLo + ceilDiv(cSpan, 4), cLo + ceilDiv(2 * cSpan, 4) - 1),
+        ("o_orderkey", oLo + ceilDiv(2 * oSpan, 4), oLo + ceilDiv(3 * oSpan, 4) - 1))
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val filesLinear =
+        graft.sources.ManifestV2Sink.prunedDataFilesMulti(out, box).size
+      graft.sources.ManifestV2Sink
+        .compactZOrder(spark, out, Seq("o_custkey", "o_orderkey"), bits = 2)
+      val filesZCust = graft.sources.ManifestV2Sink
+        .prunedDataFiles(out, "o_custkey", box.head._2, box.head._3).size
+      val filesZBox =
+        graft.sources.ManifestV2Sink.prunedDataFilesMulti(out, box).size
+      graft.sources.ManifestV2Sink.readPrunedMulti(spark, out, box)
+        // exact residual predicate, in the same integer-cell arithmetic
+        .where(expr(s"((o_custkey - ${cLo}L) * 4) div ${cSpan}L = 1") &&
+          expr(s"((o_orderkey - ${oLo}L) * 4) div ${oSpan}L = 2"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(filesTotal.toLong).as("files_total"),
+          lit(filesLinear.toLong).as("files_linear"),
+          lit(filesZCust.toLong).as("files_z_custkey"),
+          lit(filesZBox.toLong).as("files_z_box"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestZorderSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_custkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT min(o_custkey) AS clo, max(o_custkey) - min(o_custkey) + 1
+      |    AS cspan, min(o_orderkey) AS olo,
+      |    max(o_orderkey) - min(o_orderkey) + 1 AS ospan FROM s)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(16 AS BIGINT) AS files_total,
+      |  CAST(16 AS BIGINT) AS files_linear,
+      |  CAST(4 AS BIGINT) AS files_z_custkey,
+      |  CAST(1 AS BIGINT) AS files_z_box
+      |FROM s, b
+      |WHERE ((o_custkey - clo) * 4) // cspan = 1
+      |  AND ((o_orderkey - olo) * 4) // ospan = 2
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** STATS-NARROWED COPY-ON-WRITE MERGE under the oracle gate — the
+    * file-level rewrite planning [[sinkManifestUpsert]]'s full COW
+    * deliberately skips: orders land as 8 key-range-sliced files
+    * (disjoint per-file o_orderkey stats, the layout any time- or
+    * key-partitioned ingest produces), then an update targeting keys
+    * inside ONE slice goes through [[graft.sources.ManifestV2Sink
+    * .upsertNarrow]], which plans against the manifest's per-file key
+    * ranges and rewrites exactly that one file — `files_rewritten` is
+    * in-band and the oracle pins it to 1, with the post-merge file
+    * count still 8 (7 untouched entries carried over as pure
+    * metadata). The final aggregate recomputes every updated cent from
+    * the slice + update predicates, so a lost update, a leaked stale
+    * row, or an over-wide rewrite diverges the hash. At 100 TB this is
+    * "update one day's partition = rewrite one day's files", not the
+    * table.
+    */
+  def sinkManifestUpsertNarrow(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_narrow_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val b = src.agg(min(col("o_orderkey")), max(col("o_orderkey"))).head
+      val (oLo, oHi) = (b.getLong(0), b.getLong(1))
+      val oSpan = oHi - oLo + 1
+      val sliceCol = expr(s"((o_orderkey - ${oLo}L) * 8) div ${oSpan}L")
+      // 8 key-range-disjoint files — one commit per slice, like a
+      // key-partitioned nightly ingest
+      (0L until 8L).foreach { i =>
+        src.where(sliceCol === i).coalesce(1)
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      // the update: slice 5's keys divisible by 3 get +7777 cents
+      val updates = src.where(sliceCol === 5 && col("o_orderkey") % 3 === 0)
+        .withColumn("cents", col("cents") + 7777L)
+      val rewritten = graft.sources.ManifestV2Sink
+        .upsertNarrow(spark, out, updates, "o_orderkey")
+      val filesAfter = graft.sources.ManifestV2Sink.committedFileCount(out)
+      graft.sources.ManifestV2Sink.readCommitted(spark, out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(rewritten.toLong).as("files_rewritten"),
+          lit(filesAfter.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestUpsertNarrowSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |b AS (
+      |  SELECT min(o_orderkey) AS olo,
+      |    max(o_orderkey) - min(o_orderkey) + 1 AS ospan FROM s)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ((o_orderkey - olo) * 8) // ospan = 5
+      |    AND o_orderkey % 3 = 0 THEN cents + 7777 ELSE cents END)
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(1 AS BIGINT) AS files_rewritten,
+      |  CAST(8 AS BIGINT) AS files_total
+      |FROM s, b
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -1009,6 +1174,8 @@ object ScalarBreadthQueries {
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
     "sink_manifest_prune" -> (sinkManifestPrune _),
     "sink_manifest_mor" -> (sinkManifestMor _),
+    "sink_manifest_zorder" -> (sinkManifestZorder _),
+    "sink_manifest_upsert_narrow" -> (sinkManifestUpsertNarrow _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
@@ -1034,6 +1201,8 @@ object ScalarBreadthQueries {
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
     "sink_manifest_prune" -> sinkManifestPruneSql,
     "sink_manifest_mor" -> sinkManifestMorSql,
+    "sink_manifest_zorder" -> sinkManifestZorderSql,
+    "sink_manifest_upsert_narrow" -> sinkManifestUpsertNarrowSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,

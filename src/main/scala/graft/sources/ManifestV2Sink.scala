@@ -511,6 +511,228 @@ object ManifestV2Sink {
   def committedFileCount(path: String): Int =
     readManifest(path).map(_._2.count(!isDeleteEntry(_))).getOrElse(0)
 
+  /** Multi-column data skipping: data entries whose recorded ranges
+    * intersect EVERY `(column, lower, upper)` box side — the
+    * conjunctive file-pruning decision a Z-ordered layout exists to
+    * sharpen (per-dimension pruning composes by intersection; on a
+    * Z-clustered table each file covers a small cell of the key space,
+    * so the intersection collapses to the files whose cells the query
+    * box overlaps). Statless entries are never skipped, same contract
+    * as [[prunedDataFiles]].
+    */
+  def prunedDataFilesMulti(path: String,
+      boxes: Seq[(String, Long, Long)]): Seq[String] = {
+    val entries = readManifest(path).map(_._2).getOrElse(Seq.empty)
+    entries.filterNot(isDeleteEntry).filter { e =>
+      val stats = entryStats(e)
+      boxes.forall { case (c, lower, upper) =>
+        stats.get(c) match {
+          case Some((mn, mx)) =>
+            !(mx < BigDecimal(lower) || mn > BigDecimal(upper))
+          case None => true
+        }
+      }
+    }.map(entryFile)
+  }
+
+  /** DATA-SKIPPING read over a conjunction of range predicates
+    * ([[prunedDataFilesMulti]]) — same residual-predicate contract as
+    * [[readPruned]], tombstones still reconciled.
+    */
+  def readPrunedMulti(spark: SparkSession, path: String,
+      boxes: Seq[(String, Long, Long)]): DataFrame = {
+    val (schema, entries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val keep = prunedDataFilesMulti(path, boxes).toSet
+    readEntries(spark, path, schema, entries.filter(e =>
+      isDeleteEntry(e) || keep(entryFile(e))))
+  }
+
+  /** Splice helper for rewrite commits ([[compactZOrder]],
+    * [[upsertNarrow]]): the rewritten rows were written through the
+    * normal DSv2 path into a SCRATCH manifest table under `path` (so
+    * a crash strands debris inside the table dir, never a torn main
+    * state); this promotes the scratch table's data files into the
+    * main data dir and returns their manifest entries (stats blobs
+    * intact, paths re-rooted). Staged names carry the scratch write's
+    * queryId, so they can never collide with committed files.
+    */
+  private def adoptScratchFiles(path: String, scratch: String): Seq[String] = {
+    val (_, entries) = readManifest(scratch).getOrElse(
+      throw new IllegalStateException(s"scratch write left no manifest"))
+    Files.createDirectories(Paths.get(path, "data"))
+    entries.filterNot(isDeleteEntry).map { e =>
+      val f = entryFile(e)
+      Files.move(Paths.get(scratch, f), Paths.get(path, f),
+        StandardCopyOption.REPLACE_EXISTING)
+      e
+    }
+  }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+      ()
+    }
+
+  /** OPTIMIZE ZORDER BY in miniature: rewrite the committed content
+    * CLUSTERED BY the Morton (Z-curve) cell of `zCols`, one data file
+    * per populated cell, published as ONE atomic overwrite commit.
+    *
+    * Each column is normalized to `bits` bits against its exact
+    * committed min/max — read from the manifest's own per-file stats,
+    * no data pass — and the per-row cell id interleaves the columns'
+    * bits. Because every output file holds exactly one cell, its
+    * recorded min/max per z-column spans at most 1/2^bits of that
+    * column's range: a conjunctive box query ([[readPrunedMulti]])
+    * then reads only the files whose cells the box overlaps — the
+    * multi-dimensional data skipping that linear clustering cannot
+    * give (sorting by A makes B's per-file ranges full-width). This is
+    * the difference between reading 1 file and reading a full stripe
+    * of a 100-TB table for every 2-D slice query.
+    *
+    * Crash-safe like every commit here: cell files are written through
+    * the normal DSv2 path into a scratch table under `path`, adopted
+    * into the data dir, and the head moves in ONE pointer rename —
+    * readers see the pre- or post-optimize table, never a mix, and a
+    * crash at any point strands unreferenced files (vacuumable), never
+    * a partial rewrite. Tombstones are materialized by the rewrite
+    * (same as [[compact]]). Z-columns must be integral and
+    * stats-covered on every committed file.
+    *
+    * Returns the number of populated cells (= post-optimize file
+    * count). `bits * zCols.size` is capped at 16 — the cell count is
+    * a driver-side loop and a real OPTIMIZE targets file sizes, not
+    * thousands of micro-files.
+    */
+  def compactZOrder(spark: SparkSession, path: String, zCols: Seq[String],
+      bits: Int): Int = commitLock(path).synchronized {
+    withHeadLock(path) {
+      require(zCols.nonEmpty && bits >= 1 && bits * zCols.size <= 16,
+        s"compactZOrder: need 1..16 total cell bits, got $zCols x $bits")
+      val (schema, entries) = readManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $path"))
+      val dataEntries = entries.filterNot(isDeleteEntry)
+      // exact global bounds per z-column, straight from file stats
+      val bounds: Map[String, (Long, Long)] = zCols.map { c =>
+        val ss = dataEntries.map(e => entryStats(e).get(c).getOrElse(
+          throw new IllegalArgumentException(
+            s"compactZOrder: no recorded stats for $c on ${entryFile(e)}")))
+        require(ss.forall { case (mn, mx) => mn.isValidLong && mx.isValidLong },
+          s"compactZOrder: $c must be an integral column")
+        c -> ((ss.map(_._1.toLongExact).min, ss.map(_._2.toLongExact).max))
+      }.toMap
+      val k = zCols.size
+      // per-row Morton cell: exact integer quantization, bit interleave
+      val cellExpr = zCols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = bounds(c)
+        val span = hi - lo + 1
+        val q = s"(((`$c` - ${lo}L) * ${1L << bits}L) div ${span}L)"
+        (0 until bits).map { b =>
+          s"(shiftleft(shiftright($q, $b) & 1, ${b * k + (k - 1 - i)}))"
+        }.mkString(" + ")
+      }.mkString(" + ")
+      val scratch = Paths.get(path, s"_rewrite-zorder-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      try {
+        val cur = readCommitted(spark, path)
+          .withColumn("_zcell", org.apache.spark.sql.functions.expr(cellExpr))
+          .cache()
+        try {
+          val present = cur.select("_zcell").distinct()
+            .collect().map(_.getLong(0)).sorted // ≤ 2^16, metadata-sized
+          // one commit per cell into the SCRATCH table (crash debris at
+          // worst) — a loop, not repartitionByRange, so cell→file is
+          // exact, deterministic, and each file's stats span one cell
+          present.foreach { cell =>
+            cur.where(org.apache.spark.sql.functions.col("_zcell") === cell)
+              .drop("_zcell")
+              .coalesce(1)
+              .write.format("graft-manifest").mode("append")
+              .save(scratch.toString)
+          }
+          val adopted = adoptScratchFiles(path, scratch.toString)
+          publish(path, schema, adopted, "zorder") // the ONE commit point
+          present.length
+        } finally { cur.unpersist(); () }
+      } finally deleteRecursively(scratch)
+    }
+  }
+
+  /** STATS-NARROWED copy-on-write MERGE — the production answer the
+    * [[upsert]] scaladoc names but deliberately doesn't do: instead of
+    * rewriting the whole table, plan the rewrite against the
+    * manifest's per-file key stats and rewrite ONLY the files whose
+    * [min, max] key range can contain an updated key (statless files
+    * are conservatively rewritten). Untouched files carry over as raw
+    * manifest entries — pure metadata, no rows move — so a targeted
+    * update of one partition's keys in a 100-TB table rewrites one
+    * file, not the table. Rows of `updates` win on `key`; unmatched
+    * update keys are inserts (they land in the rewritten files).
+    *
+    * The rewrite is planned on the updates' key ENVELOPE (one small
+    * agg job), the same first-cut Iceberg/Delta planning uses; keys
+    * scattered across the full range degrade gracefully to [[upsert]]
+    * (every file touched). Publication is ONE atomic commit: scratch
+    * write → adopt → pointer rename, crash-safe as always. Tombstoned
+    * tables must [[compact]] first — narrowing under merge-on-read
+    * deletes would need sequence-number scoping this miniature
+    * deliberately leaves named-not-implemented.
+    *
+    * Returns the number of files rewritten.
+    */
+  def upsertNarrow(spark: SparkSession, path: String, updates: DataFrame,
+      key: String): Int = commitLock(path).synchronized {
+    withHeadLock(path) {
+      val (schema, entries) = readManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"no manifest at $path"))
+      require(schema.fieldNames.contains(key),
+        s"upsert key $key not in committed schema")
+      require(!entries.exists(isDeleteEntry),
+        "upsertNarrow over tombstones unsupported — compact first")
+      val mm = updates.agg(
+        org.apache.spark.sql.functions.min(
+          org.apache.spark.sql.functions.col(key)),
+        org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(key))).head
+      if (mm.isNullAt(0)) 0 // no update keys → no-op commit skipped
+      else {
+        val kLo = mm.getAs[Number](0).longValue
+        val kHi = mm.getAs[Number](1).longValue
+        val (touched, untouched) = entries.partition { e =>
+          entryStats(e).get(key) match {
+            case Some((mn, mx)) =>
+              !(mx < BigDecimal(kLo) || mn > BigDecimal(kHi))
+            case None => true // statless: must assume it holds keys
+          }
+        }
+        val scratch = Paths.get(path, s"_rewrite-upsert-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        try {
+          val touchedRows =
+            if (touched.isEmpty)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            else spark.read.schema(schema).json(
+              touched.map(e => Paths.get(path, entryFile(e)).toString): _*)
+          touchedRows
+            .join(updates.select(key).distinct(), Seq(key), "left_anti")
+            .unionByName(updates.select(schema.fieldNames.map(
+              org.apache.spark.sql.functions.col): _*))
+            // file count tracks the touched set, not shuffle width
+            .repartition(math.max(touched.length, 1))
+            .write.format("graft-manifest").mode("append")
+            .save(scratch.toString)
+          val adopted = adoptScratchFiles(path, scratch.toString)
+          publish(path, schema, untouched ++ adopted, "upsert-narrow")
+          touched.length
+        } finally deleteRecursively(scratch)
+      }
+    }
+  }
+
   /** SNAPSHOT EXPIRY — the retention half of the maintenance triad
     * (compact → expire → vacuum): delete all but the newest
     * `keepLast` version files, returning the expired version numbers.
@@ -754,12 +976,16 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     // promote committed attempts' staged files into the data dir;
-    // names carry (queryId, partition, task) so runs never collide
-    val promoted = messages.collect { case StagedFile(name, _, stats) =>
-      val from = Paths.get(path, "_staged", queryId, name)
-      Files.move(from, dataDir.resolve(name),
-        StandardCopyOption.REPLACE_EXISTING)
-      if (stats.isEmpty) s"data/$name" else s"data/$name\t$stats"
+    // names carry (queryId, partition, task) so runs never collide.
+    // ZERO-ROW files are not promoted (cleanupStaged sweeps them):
+    // an empty shuffle partition would otherwise commit a statless
+    // file that every pruned read must conservatively scan forever
+    val promoted = messages.collect {
+      case StagedFile(name, rows, stats) if rows > 0 =>
+        val from = Paths.get(path, "_staged", queryId, name)
+        Files.move(from, dataDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        if (stats.isEmpty) s"data/$name" else s"data/$name\t$stats"
     }.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created

@@ -356,6 +356,95 @@ class ManifestSinkSpec extends SparkSuite {
     assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
   }
 
+  test("zorder rewrite is one atomic commit: content kept, boxes " +
+    "prune to one file") {
+    import spark.implicits._
+    val dir = tmpTable()
+    // 1024 rows covering every (x, y) in 32×32 — every 4-bit Morton
+    // cell is populated; land as 4 hash-mixed files so every file's
+    // x AND y stats span the full range (the unclustered baseline)
+    val df = spark.range(1024).select(
+      col("id"), (col("id") % 32).as("x"), (col("id") / 32).cast("long").as("y"))
+    df.repartition(4).write.format("graft-manifest").mode("append").save(dir)
+    val before = ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+    val box = Seq(("x", 8L, 15L), ("y", 16L, 23L)) // quarter 1 × quarter 2
+    assert(ManifestV2Sink.prunedDataFilesMulti(dir, box).size == 4,
+      "unclustered baseline must fail to prune")
+    val vsBefore = ManifestV2Sink.versions(dir).size
+
+    val cells = ManifestV2Sink.compactZOrder(spark, dir, Seq("x", "y"), 2)
+
+    assert(cells == 16)
+    assert(ManifestV2Sink.committedFileCount(dir) == 16)
+    // ONE commit: exactly one new snapshot, content bit-identical
+    assert(ManifestV2Sink.versions(dir).size == vsBefore + 1)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq == before)
+    // conjunctive box pruning now reads exactly the one cell file,
+    // and the pruned read + residual equals the exact filter
+    assert(ManifestV2Sink.prunedDataFilesMulti(dir, box).size == 1)
+    assert(ManifestV2Sink.readPrunedMulti(spark, dir, box)
+      .where(col("x").between(8, 15) && col("y").between(16, 23))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      before.map(_.getLong(0)).filter { id =>
+        val (x, y) = (id % 32, id / 32)
+        x >= 8 && x <= 15 && y >= 16 && y <= 23
+      })
+    // pre-optimize files stay snapshot-reachable (no unreferenced
+    // debris) until retention expires them — then vacuum sees them
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
+    ManifestV2Sink.expireSnapshots(dir, keepLast = 1)
+    assert(ManifestV2Sink.unreferencedFiles(dir).size == 4)
+  }
+
+  test("upsertNarrow rewrites only the stats-matching file and " +
+    "matches full-COW semantics") {
+    import spark.implicits._
+    val dir = tmpTable()
+    def slice(lo: Long): Unit =
+      (lo until lo + 10).map(i => (i, s"v$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dir)
+    slice(0); slice(100); slice(200); slice(300)
+    assert(ManifestV2Sink.committedFileCount(dir) == 4)
+    // updates: two keys inside the 100-slice plus one INSERT key whose
+    // envelope still only touches that slice
+    val updates = Seq((105L, "UP105"), (107L, "UP107"), (150L, "NEW150"))
+      .toDF("id", "s")
+    val rewritten = ManifestV2Sink.upsertNarrow(spark, dir, updates, "id")
+    assert(rewritten == 1, "only the 100-slice file may be rewritten")
+    assert(ManifestV2Sink.committedFileCount(dir) == 4)
+    val got = ManifestV2Sink.readCommitted(spark, dir)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 41)
+    assert(got(105L) == "UP105" && got(107L) == "UP107" &&
+      got(150L) == "NEW150")
+    assert(got(106L) == "v106" && got(0L) == "v0" && got(305L) == "v305")
+    // empty updates: no-op, no commit minted
+    val vs = ManifestV2Sink.versions(dir).size
+    assert(ManifestV2Sink.upsertNarrow(spark, dir,
+      updates.where(col("id") < 0), "id") == 0)
+    assert(ManifestV2Sink.versions(dir).size == vs)
+    // tombstoned tables must compact first
+    ManifestV2Sink.delete(spark, dir, "id", Seq(0L).toDF("id"))
+    intercept[IllegalArgumentException] {
+      ManifestV2Sink.upsertNarrow(spark, dir, updates, "id")
+    }
+    ()
+  }
+
+  test("zero-row partitions commit no data files") {
+    import spark.implicits._
+    val dir = tmpTable()
+    spark.range(3).select(col("id")).repartition(8)
+      .write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.committedFileCount(dir) == 3)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .as[Long].collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty,
+      "empty staged files must be swept, not stranded")
+  }
+
   test("non-primitive schemas are rejected at plan time") {
     val dir = tmpTable()
     import spark.implicits._
