@@ -3929,6 +3929,21 @@ object EmbeddingQueries {
   val GsHops = 3
   private val GsQueryStride = 50
 
+  /** Query-set stride for the graph-search eval: FIXED-SIZE (~40
+    * queries), not corpus-proportional. A pure `% 50` stride makes
+    * the query set grow with n, which silently turns the in-band
+    * exact ground truth into an O(n²/50) scan and the beam broadcast
+    * into an n-sized frame — the 100× scale smoke measured exactly
+    * that (437 s at 100× sf0.1 vs 1.9 s at 1×). A benchmark query
+    * set at 100 TB is a fixed eval sample; `max(50, n/40)` keeps the
+    * historical stride (and every oracle hash) at the test SFs while
+    * capping the query count — and with it the ground-truth scan and
+    * the broadcast size — at any scale.
+    */
+  private def gsStride(n: Long): Long = math.max(GsQueryStride.toLong, n / 40)
+  private val sqlGsStride =
+    s"GREATEST($GsQueryStride, (SELECT COUNT(*) FROM n) // 40)"
+
   /** Insert-walk depth for [[knnGraphDelta]] — one hop shallower than
     * the query-time search: the insert's local-join REFINE stage
     * supplies the close-neighborhood tail a third hop would find, at
@@ -3961,7 +3976,7 @@ object EmbeddingQueries {
   private[analytics] def gsExactFrame(spark: SparkSession, dir: String): DataFrame = {
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2"))
-    val qs = e.where(col("vec_id") % GsQueryStride === 13)
+    val qs = e.where(col("vec_id") % gsStride(e.count()) === 13)
       .select(col("vec_id").as("qid"), col("q").as("qq"),
         col("norm2").as("qn"))
     val w = Window.partitionBy(col("qid"))
@@ -3986,7 +4001,7 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("q"), col("norm2")).cache()
     try {
       val n = e.count()
-      val qs = e.where(col("vec_id") % GsQueryStride === 13)
+      val qs = e.where(col("vec_id") % gsStride(n) === 13)
         .select(col("vec_id").as("qid"), col("q").as("qq"),
           col("norm2").as("qn"))
       val w = Window.partitionBy(col("qid"))
@@ -4014,7 +4029,7 @@ object EmbeddingQueries {
       // beam frames are |queries|·beam rows — size their task count
       // from the data (propagateLabels discipline) so each hop's
       // checkpoint doesn't schedule 32 near-empty tasks
-      val bParts = (((n / GsQueryStride + 1) * GsBeam + 499999L) / 500000L)
+      val bParts = (((n / gsStride(n) + 1) * GsBeam + 499999L) / 500000L)
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
         .localCheckpoint(true)
@@ -4076,7 +4091,7 @@ object EmbeddingQueries {
        |gadj AS MATERIALIZED (SELECT v, u FROM g$NndRounds
        |  UNION SELECT u AS v, v AS u FROM g$NndRounds),
        |gqs AS (SELECT vec_id AS qid, qv, norm2 FROM n
-       |  WHERE vec_id % $GsQueryStride = 13),
+       |  WHERE vec_id % $sqlGsStride = 13),
        |gs0 AS (
        |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
        |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))

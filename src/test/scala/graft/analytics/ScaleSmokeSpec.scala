@@ -163,6 +163,9 @@ class ScaleSmokeSpec extends SparkSuite {
       "opt-in: set GRAFT_SCALE_MULT=100 — results recorded in SWEEP_r*.md")
     val dir = genDir(mult)
     // build jobs first: the graph/label artifacts the riders read
+    // (GRAFT_SCALE_ONLY=a,b re-runs a subset after a targeted fix)
+    val only = sys.env.get("GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val targets = Seq(
       "dedup_clusters_persisted", // LSH pairs + star contraction + sink
       "emb_kmeans_train",         // Lloyd rounds, broadcast centroids
@@ -170,6 +173,7 @@ class ScaleSmokeSpec extends SparkSuite {
       "knn_graph_nnd",            // NN-Descent graph build
       "knn_graph_search",         // beam search over the built graph
       "pipeline_e2e")             // funnel: score→filter→dedup→pack
+      .filter(q => only.forall(_.contains(q)))
     val noSmj = Set("emb_kmeans_train", "knn_graph_search")
     val times = targets.map { q =>
       val t0 = System.nanoTime()
