@@ -828,6 +828,61 @@ object ScalarBreadthQueries {
       |FROM s, b
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** PER-FILE BLOOM-FILTER POINT LOOKUP under the oracle gate — the
+    * equality complement of [[sinkManifestPrune]]'s range skipping:
+    * orders land as 8 files HASH-DISTRIBUTED on the key (every file's
+    * recorded [min, max] spans the whole key range, so min/max stats
+    * prune nothing — the layout a keyed ingest naturally produces),
+    * written with `.option("bloomColumns", "o_orderkey")` so each
+    * file carries a sized Bloom filter (~12 bits/key, ~1% FP). The
+    * max-key point lookup then goes through [[graft.sources
+    * .ManifestV2Sink.readPrunedEq]]: only files whose Bloom may
+    * contain the key are read — `bloom_pruned` pins in-band that the
+    * lookup read strictly fewer than all files (the no-false-negative
+    * half is pinned by the result row itself: skipping the file that
+    * holds the key would lose the row and diverge the hash). At
+    * 100 TB this is the difference between a point lookup reading one
+    * file and scanning the table when the predicate is equality on a
+    * hash-distributed key.
+    */
+  def sinkManifestBloom(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_bloom_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.repartition(8, col("o_orderkey"))
+        .write.format("graft-manifest")
+        .option("bloomColumns", "o_orderkey")
+        .mode("append").save(out)
+      val key = src.agg(max(col("o_orderkey"))).head.getLong(0)
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val filesRead = graft.sources.ManifestV2Sink
+        .prunedDataFilesEq(out, "o_orderkey", key).size
+      graft.sources.ManifestV2Sink
+        .readPrunedEq(spark, out, "o_orderkey", key)
+        .where(col("o_orderkey") === key) // exact residual atop the skip
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+          lit(filesTotal.toLong).as("files_total"),
+          lit(if (filesRead < filesTotal) 1L else 0L).as("bloom_pruned"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestBloomSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderkey, o_orderpriority, cents,
+      |  CAST(8 AS BIGINT) AS files_total,
+      |  CAST(1 AS BIGINT) AS bloom_pruned
+      |FROM s WHERE o_orderkey = (SELECT max(o_orderkey) FROM s)""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -1176,6 +1231,7 @@ object ScalarBreadthQueries {
     "sink_manifest_mor" -> (sinkManifestMor _),
     "sink_manifest_zorder" -> (sinkManifestZorder _),
     "sink_manifest_upsert_narrow" -> (sinkManifestUpsertNarrow _),
+    "sink_manifest_bloom" -> (sinkManifestBloom _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
@@ -1203,6 +1259,7 @@ object ScalarBreadthQueries {
     "sink_manifest_mor" -> sinkManifestMorSql,
     "sink_manifest_zorder" -> sinkManifestZorderSql,
     "sink_manifest_upsert_narrow" -> sinkManifestUpsertNarrowSql,
+    "sink_manifest_bloom" -> sinkManifestBloomSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,

@@ -511,6 +511,101 @@ object ManifestV2Sink {
   def committedFileCount(path: String): Int =
     readManifest(path).map(_._2.count(!isDeleteEntry(_))).getOrElse(0)
 
+  // ------------------------------------------ per-file Bloom filters
+  /** Split-mix finalizer — the stateless 64-bit mixer the Bloom
+    * probes derive from (public-domain splitmix64 constants). Two
+    * independent hashes via double-mixing give the standard
+    * Kirsch–Mitzenmacher probe sequence h1 + i·h2.
+    */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private[sources] val BloomK = 4
+
+  /** True iff the serialized Bloom bit set may contain `v` — false is
+    * definitive (no false negatives by construction: every written
+    * value set all K probe bits).
+    */
+  private[sources] def bloomMightContain(bits: Array[Byte], v: Long): Boolean = {
+    val m = bits.length.toLong * 8
+    val h1 = mix64(v)
+    val h2 = mix64(h1) | 1L
+    (0 until BloomK).forall { i =>
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
+      (bits((bit >>> 3).toInt) & (1 << (bit & 7))) != 0
+    }
+  }
+
+  private[sources] def bloomSet(bits: Array[Byte], v: Long): Unit = {
+    val m = bits.length.toLong * 8
+    val h1 = mix64(v)
+    val h2 = mix64(h1) | 1L
+    var i = 0
+    while (i < BloomK) {
+      val bit = java.lang.Long.remainderUnsigned(h1 + i * h2, m)
+      bits((bit >>> 3).toInt) = (bits((bit >>> 3).toInt) |
+        (1 << (bit & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** The per-column Bloom blob of a data entry (`B|col:base64|...`,
+    * the entry's optional third tab field). Absent column → None →
+    * the file is unprunable by equality, never skipped.
+    */
+  private[sources] def entryBloom(entry: String,
+      column: String): Option[Array[Byte]] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("B|")).flatMap { blob =>
+      blob.drop(2).split('|').iterator.map(_.split(":", 2))
+        .collectFirst { case Array(c, b64) if c == column =>
+          java.util.Base64.getDecoder.decode(b64) }
+    }
+  }
+
+  /** POINT-LOOKUP data skipping: data entries whose per-file Bloom
+    * filter (written under `.option("bloomColumns", "k1,k2")`) may
+    * contain `value` — the equality-predicate complement of min/max
+    * range skipping. On a key-hash-distributed layout every file's
+    * [min, max] spans the whole key range and range stats prune
+    * NOTHING; the Bloom answers "is this key possibly in this file"
+    * per file, so a point lookup on a 100-TB table reads the one file
+    * holding the key plus a false-positive tail (~1% at the sized
+    * bits-per-key), instead of every file. No false negatives ever:
+    * a file lacking a Bloom for the column is always read, and the
+    * recorded min/max (when present) is AND-ed in for free.
+    */
+  def prunedDataFilesEq(path: String, column: String,
+      value: Long): Seq[String] = {
+    val entries = readManifest(path).map(_._2).getOrElse(Seq.empty)
+    entries.filterNot(isDeleteEntry).filter { e =>
+      val rangeOk = entryStats(e).get(column) match {
+        case Some((mn, mx)) =>
+          mn <= BigDecimal(value) && BigDecimal(value) <= mx
+        case None => true
+      }
+      rangeOk && entryBloom(e, column).forall(bloomMightContain(_, value))
+    }.map(entryFile)
+  }
+
+  /** Point-lookup read through [[prunedDataFilesEq]] — same
+    * residual-predicate contract as [[readPruned]] (rows with other
+    * keys may appear; apply the equality on top), tombstones still
+    * reconciled.
+    */
+  def readPrunedEq(spark: SparkSession, path: String, column: String,
+      value: Long): DataFrame = {
+    val (schema, entries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val keep = prunedDataFilesEq(path, column, value).toSet
+    readEntries(spark, path, schema, entries.filter(e =>
+      isDeleteEntry(e) || keep(entryFile(e))))
+  }
+
   /** Multi-column data skipping: data entries whose recorded ranges
     * intersect EVERY `(column, lower, upper)` box side — the
     * conjunctive file-pruning decision a Z-ordered layout exists to
@@ -944,25 +1039,30 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestBatchWrite(path, info.schema(), info.queryId(),
-            replace, branch)
+            replace, branch,
+            Option(info.options.get("bloomColumns")).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       }
     }
 }
 
 /** `stats` is the pre-serialized per-file column-stats blob
-  * (`S|col:K:min:max|...`, empty when nothing numeric was written) —
-  * it becomes the data entry's tab suffix at publish.
+  * (`S|col:K:min:max|...`, empty when nothing numeric was written),
+  * `blooms` the per-file Bloom blob (`B|col:base64|...`, empty unless
+  * the write opted in via `bloomColumns`) — each becomes one tab
+  * field of the data entry at publish.
   */
 private[sources] case class StagedFile(name: String, rows: Long,
-    stats: String = "") extends WriterCommitMessage
+    stats: String = "", blooms: String = "") extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, replace: Boolean,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    bloomColumns: Seq[String] = Seq.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema, queryId)
+    new ManifestWriterFactory(path, schema, queryId, bloomColumns)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // the whole promote→read-previous→publish section is driver-side
@@ -981,11 +1081,13 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // an empty shuffle partition would otherwise commit a statless
     // file that every pruned read must conservatively scan forever
     val promoted = messages.collect {
-      case StagedFile(name, rows, stats) if rows > 0 =>
+      case StagedFile(name, rows, stats, blooms) if rows > 0 =>
         val from = Paths.get(path, "_staged", queryId, name)
         Files.move(from, dataDir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
-        if (stats.isEmpty) s"data/$name" else s"data/$name\t$stats"
+        s"data/$name" +
+          (if (stats.isEmpty) "" else s"\t$stats") +
+          (if (blooms.isEmpty) "" else s"\t$blooms")
     }.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
@@ -1044,21 +1146,31 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 }
 
 private[sources] class ManifestWriterFactory(path: String,
-    schema: StructType, queryId: String) extends DataWriterFactory {
+    schema: StructType, queryId: String,
+    bloomColumns: Seq[String] = Seq.empty) extends DataWriterFactory {
   // fail fast on types the JSON writer doesn't cover — at plan time,
   // not per row on an executor
   require(schema.fields.forall(f => f.dataType match {
     case LongType | IntegerType | DoubleType | BooleanType | StringType => true
     case _ => false
   }), s"graft-manifest supports primitive columns only, got: $schema")
+  // Bloom columns must exist, be integral (the probe hashes int64),
+  // and have blob-safe names — also checked at plan time
+  bloomColumns.foreach { c =>
+    require(schema.fieldNames.contains(c) && c.matches("[A-Za-z0-9_]+") &&
+      (schema(c).dataType == LongType || schema(c).dataType == IntegerType),
+      s"bloomColumns: $c must be an existing integral column")
+  }
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ManifestDataWriter(path, schema, queryId, partitionId, taskId)
+    new ManifestDataWriter(path, schema, queryId, partitionId, taskId,
+      bloomColumns)
 }
 
 private[sources] class ManifestDataWriter(path: String, schema: StructType,
-    queryId: String, partitionId: Int, taskId: Long)
+    queryId: String, partitionId: Int, taskId: Long,
+    bloomColumns: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val name = s"part-$queryId-$partitionId-$taskId.jsonl"
@@ -1112,6 +1224,48 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     }
   }
 
+  // opt-in per-file Bloom filters: values buffer during the write
+  // (8 bytes/row/column on the task — a 1M-row file costs 8 MB
+  // transient heap) so the bit array can be SIZED to the file at
+  // commit: 12 bits/key ⇒ ~1% false positives with the 4-probe
+  // Kirsch–Mitzenmacher scheme, power-of-two clamped to [1 Kbit,
+  // 16 Mbit]. Nulls don't enter the filter (an equality predicate is
+  // false for null).
+  private val bloomIdx: Array[Int] =
+    bloomColumns.map(c => schema.fieldIndex(c)).toArray
+  private val bloomVals: Array[scala.collection.mutable.ArrayBuffer[Long]] =
+    Array.fill(bloomIdx.length)(scala.collection.mutable.ArrayBuffer.empty)
+
+  private def trackBloom(row: InternalRow): Unit = {
+    var i = 0
+    while (i < bloomIdx.length) {
+      val f = bloomIdx(i)
+      if (!row.isNullAt(f)) {
+        val v = schema.fields(f).dataType match {
+          case LongType => row.getLong(f)
+          case _ => row.getInt(f).toLong
+        }
+        bloomVals(i) += v
+      }
+      i += 1
+    }
+  }
+
+  private def bloomBlob(): String = {
+    val cols = bloomIdx.indices.iterator.filter(bloomVals(_).nonEmpty)
+      .map { i =>
+        val vs = bloomVals(i)
+        val mBits = math.min(1L << 24,
+          java.lang.Long.highestOneBit(
+            math.max(1024L, 12L * vs.length) * 2 - 1))
+        val bits = new Array[Byte]((mBits / 8).toInt)
+        vs.foreach(ManifestV2Sink.bloomSet(bits, _))
+        s"${schema.fields(bloomIdx(i)).name}:" +
+          java.util.Base64.getEncoder.encodeToString(bits)
+      }.toSeq
+    if (cols.isEmpty) "" else cols.mkString("B|", "|", "")
+  }
+
   private def statsBlob(): String = {
     val cols = statIdx.iterator.filter(statN(_) > 0).map { i =>
       schema.fields(i).dataType match {
@@ -1160,12 +1314,13 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     out.write(fields.mkString("{", ",", "}"))
     out.write("\n")
     trackStats(row)
+    trackBloom(row)
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    StagedFile(name, rows, statsBlob())
+    StagedFile(name, rows, statsBlob(), bloomBlob())
   }
 
   override def abort(): Unit = {

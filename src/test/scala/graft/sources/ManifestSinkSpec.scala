@@ -433,6 +433,51 @@ class ManifestSinkSpec extends SparkSuite {
     ()
   }
 
+  test("per-file Bloom filters prune point lookups, never lose a key") {
+    import spark.implicits._
+    val dir = tmpTable()
+    // EVEN ids 0..998, hash-distributed on the key: every file's
+    // [min, max] spans the full range, so range stats cannot skip —
+    // only the opt-in Bloom can
+    spark.range(500).select((col("id") * 2).as("id"))
+      .repartition(4, col("id"))
+      .write.format("graft-manifest").option("bloomColumns", "id")
+      .mode("append").save(dir)
+    assert(ManifestV2Sink.committedFileCount(dir) == 4)
+    assert(ManifestV2Sink.prunedDataFiles(dir, "id", 500L, 500L).size == 4,
+      "min/max must be useless on the hash layout")
+    // point lookup on a present key: fewer files read, row found
+    val hit = ManifestV2Sink.prunedDataFilesEq(dir, "id", 500L)
+    assert(hit.size < 4, s"bloom pruned nothing: $hit")
+    assert(ManifestV2Sink.readPrunedEq(spark, dir, "id", 500L)
+      .where(col("id") === 500L).count() == 1)
+    // absent key INSIDE the range: blooms say no (≈0.2% FP per file),
+    // and the reconciled result is exactly empty either way
+    assert(ManifestV2Sink.prunedDataFilesEq(dir, "id", 501L).size < 4)
+    assert(ManifestV2Sink.readPrunedEq(spark, dir, "id", 501L)
+      .where(col("id") === 501L).count() == 0)
+    // NO FALSE NEGATIVES: every file's actual keys pass its own bloom
+    val (_, entries) = ManifestV2Sink.readManifest(dir).get
+    entries.foreach { e =>
+      val bloom = ManifestV2Sink.entryBloom(e, "id")
+      assert(bloom.nonEmpty, s"no bloom recorded on $e")
+      val ids = spark.read
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .json(Paths.get(dir, ManifestV2Sink.entryFile(e)).toString)
+        .as[Long].collect()
+      ids.foreach { k =>
+        assert(ManifestV2Sink.bloomMightContain(bloom.get, k),
+          s"false negative for key $k")
+      }
+    }
+    // a write WITHOUT the option carries no bloom → never skipped
+    spark.range(1).select((col("id") + 2000L).as("id")).coalesce(1)
+      .write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.prunedDataFilesEq(dir, "id", 2000L).nonEmpty)
+    assert(ManifestV2Sink.readPrunedEq(spark, dir, "id", 2000L)
+      .where(col("id") === 2000L).count() == 1)
+  }
+
   test("zero-row partitions commit no data files") {
     import spark.implicits._
     val dir = tmpTable()
