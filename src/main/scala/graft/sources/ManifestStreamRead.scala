@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** TABLE-AS-STREAM: the manifest sink readable as a Structured
+  * Streaming source — `spark.readStream.format("graft-manifest")
+  * .load(path)` — the Delta/Iceberg "streaming off a table" shape
+  * that turns every committed batch write into a micro-batch for
+  * downstream consumers, with exactly-once delivery through the
+  * engine's checkpointed offset log.
+  *
+  * Offsets are SNAPSHOT VERSIONS (the committed log position is the
+  * manifest version, the same identification the SyntheticV2Source
+  * stream uses for interval positions): a micro-batch (s, e] reads
+  * exactly the data files snapshot `e` lists that snapshot `s` did
+  * not — work ∝ what arrived, never table size, the streaming twin of
+  * [[ManifestV2Sink.readAppendedSince]]. Restart replays from the
+  * checkpoint's last committed version; files inside a version never
+  * change (immutable once promoted), so replans are deterministic.
+  *
+  * Semantics and limits (documented, spec-pinned):
+  *  - APPEND-ONLY surface: merge-on-read tombstones visible at the
+  *    batch's END snapshot reconcile rows arriving IN that batch
+  *    (never emitted); rows emitted by an earlier batch are not
+  *    retracted by a later delete — retraction is a changelog
+  *    concern (`sink_manifest_changelog`), not an append stream's.
+  *  - REWRITE commits (compact/zorder/upsert/truncate) re-list
+  *    surviving rows under new files, which a file-level diff reports
+  *    as arrivals — same replace-snapshot rule as Iceberg's
+  *    incremental scan; don't run OPTIMIZE mid-stream or consume the
+  *    changelog instead.
+  *  - Streams follow MAIN: `latestOffset` is the newest snapshot
+  *    whose content IS the current main head (every main commit
+  *    writes its snapshot then the pointer with identical bytes, so
+  *    the match always exists); branch snapshots never become
+  *    offsets.
+  *
+  * Tombstone key sets ride the plan (driver-loaded, serialized into
+  * partitions) — right-sized for GDPR-scale deletes; table-scale
+  * deletes belong on the batch surface's anti-join reconcile.
+  */
+private[sources] class ManifestMicroBatchStream(path: String,
+    schema: StructType) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ManifestOffset(0)
+
+  override def latestOffset(): Offset = {
+    val headBody = {
+      val mf = Paths.get(path, "_MANIFEST")
+      if (Files.exists(mf)) Files.readAllBytes(mf).toSeq else Seq.empty
+    }
+    if (headBody.isEmpty) ManifestOffset(0)
+    else {
+      // newest snapshot that IS the main head (see scaladoc); scan
+      // descending — normally the first hit
+      val v = ManifestV2Sink.versions(path).reverse.find { v =>
+        Files.readAllBytes(
+          ManifestV2Sink.versionFile(path, v)).toSeq == headBody
+      }.getOrElse(0)
+      ManifestOffset(v)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    ManifestOffset(json.trim.toInt)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ManifestOffset].v
+    val e = end.asInstanceOf[ManifestOffset].v
+    if (e <= s) return Array.empty
+    val endEntries = ManifestV2Sink
+      .parseManifest(ManifestV2Sink.versionFile(path, e))
+      .map(_._2).getOrElse(Seq.empty)
+    val base: Set[String] =
+      if (s == 0) Set.empty
+      else ManifestV2Sink
+        .parseManifest(ManifestV2Sink.versionFile(path, s))
+        .map(_._2.toSet).getOrElse(Set.empty)
+    // tombstones visible at the END snapshot reconcile this batch's
+    // arrivals; normalized per key type so "3" matches however JSON
+    // spelled it
+    val dels: Array[DeleteSet] = endEntries
+      .filter(ManifestV2Sink.isDeleteEntry)
+      .map { entry =>
+        val p = entry.split("\t")
+        (p(1), ManifestV2Sink.entryFile(entry))
+      }
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .flatMap { case (keyCol, files) =>
+        schema.fields.find(_.name == keyCol).map { f =>
+          val mapper = new ObjectMapper()
+          val keys = files.flatMap { case (_, rel) =>
+            Files.readAllLines(Paths.get(path, rel),
+              StandardCharsets.UTF_8).asScala
+              .filter(_.nonEmpty)
+              .flatMap { line =>
+                Option(mapper.readTree(line).get(keyCol))
+                  .filterNot(_.isNull)
+                  .map(ManifestJsonlReader.renderKey(_, f.dataType))
+              }
+          }.distinct.toArray
+          DeleteSet(keyCol, keys)
+        }
+      }
+    endEntries
+      .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
+      .map { entry =>
+        ManifestFilePartition(
+          Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
+          schema.json, dels): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new ManifestJsonlReader(p.asInstanceOf[ManifestFilePartition])
+    }
+}
+
+private[sources] case class ManifestOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] case class DeleteSet(col: String, keys: Array[String])
+
+private[sources] case class ManifestFilePartition(absPath: String,
+    schemaJson: String, deletes: Array[DeleteSet]) extends InputPartition
+
+/** One data file → InternalRows, mirroring [[ManifestDataWriter]]'s
+  * rendering exactly: primitives only, absent/null fields → null
+  * (the schema-evolution null-fill), NaN/Infinity as their quoted
+  * spellings.
+  */
+private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
+    extends PartitionReader[InternalRow] {
+  private val schema =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val mapper = new ObjectMapper()
+  private val deleted: Map[String, (DataType, Set[String])] =
+    p.deletes.map { d =>
+      d.col -> ((schema(d.col).dataType, d.keys.toSet))
+    }.toMap
+  private val lines = Files.readAllLines(
+    Paths.get(p.absPath), StandardCharsets.UTF_8)
+    .asScala.iterator.filter(_.nonEmpty)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (lines.hasNext) {
+      val node = mapper.readTree(lines.next())
+      val isDeleted = deleted.exists { case (c, (dt, keys)) =>
+        Option(node.get(c)).filterNot(_.isNull)
+          .exists(n => keys.contains(ManifestJsonlReader.renderKey(n, dt)))
+      }
+      if (!isDeleted) {
+        val row = new GenericInternalRow(schema.length)
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
+          val n = node.get(f.name)
+          if (n == null || n.isNull) row.setNullAt(i)
+          else f.dataType match {
+            case LongType => row.setLong(i, n.asLong())
+            case IntegerType => row.setInt(i, n.asInt())
+            case DoubleType => row.setDouble(i,
+              if (n.isTextual) java.lang.Double.parseDouble(n.asText())
+              else n.asDouble())
+            case BooleanType => row.setBoolean(i, n.asBoolean())
+            case StringType =>
+              row.update(i, UTF8String.fromString(n.asText()))
+            case other =>
+              throw new IllegalStateException(s"unreachable: $other")
+          }
+        }
+        current = row
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+private[sources] object ManifestJsonlReader {
+  /** Canonical text form of a key value for tombstone matching —
+    * normalized THROUGH the column's type so every JSON spelling of
+    * the same value matches (3 vs 3.0 vs "NaN").
+    */
+  def renderKey(n: JsonNode, dt: DataType): String = dt match {
+    case LongType => n.asLong().toString
+    case IntegerType => n.asInt().toString
+    case DoubleType =>
+      (if (n.isTextual) java.lang.Double.parseDouble(n.asText())
+       else n.asDouble()).toString
+    case BooleanType => n.asBoolean().toString
+    case _ => n.asText()
+  }
+}

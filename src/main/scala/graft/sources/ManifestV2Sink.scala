@@ -8,8 +8,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -308,6 +310,44 @@ object ManifestV2Sink {
     */
   def hasCommitted(path: String): Boolean = readManifest(path).isDefined
 
+  /** SCHEMA EVOLUTION merge, applied at every append commit: the
+    * published schema is the union of the table's current columns and
+    * the incoming write's, prior columns first (stable reader order),
+    * new columns appended. Rules (the Iceberg add-column subset):
+    *  - ADD: a column the table has never seen joins the schema; rows
+    *    in files written before it existed read back NULL (the JSONL
+    *    data format null-fills absent fields natively, so no file is
+    *    rewritten — evolution is a metadata-only commit).
+    *  - OMIT: a writer missing a table column is fine — its rows read
+    *    back NULL there; the column is never dropped from the schema,
+    *    so older files stay fully readable.
+    *  - TYPE CHANGE: rejected at commit time. Silently re-typing a
+    *    column would make old files parse as NULL (JSON schema
+    *    mismatch) — data loss disguised as evolution. Widening
+    *    (int→long) is also rejected: the stats blobs and Bloom probes
+    *    key on the written type, and a reader mixing widths would
+    *    prune incorrectly.
+    * Every column in the merged schema is nullable by construction —
+    * any file may predate (or omit) any column.
+    * Time travel is unaffected: each snapshot records the schema it
+    * was committed with, so [[readVersion]] before the evolution
+    * reads the narrow schema.
+    */
+  private[sources] def mergeSchemas(prev: StructType,
+      next: StructType): StructType = {
+    next.fields.foreach { f =>
+      prev.fields.find(_.name == f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"schema evolution cannot change column '${f.name}': " +
+            s"${p.dataType.simpleString} -> ${f.dataType.simpleString} " +
+            "(add new columns; never re-type existing ones)")
+      }
+    }
+    StructType(prev.fields.map(_.copy(nullable = true)) ++
+      next.fields.filterNot(f => prev.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)))
+  }
+
   /** Read a manifest state: data entries minus merge-on-read
     * tombstones. Delete files group by key column; each group is one
     * key-distinct anti join — the reconcile a MOR reader pays instead
@@ -448,6 +488,68 @@ object ManifestV2Sink {
       throw new IllegalArgumentException(s"no snapshot v$v at $path " +
         s"(have: ${versions(path).mkString(",")})"))
     readEntries(spark, path, schema, entries)
+  }
+
+  /** INCREMENTAL READ: rows landed AFTER snapshot `sinceV` — the
+    * nightly-backfill/stream-catchup path. File-level, not a diff
+    * join: the new rows are exactly the head's data entries absent
+    * from the base snapshot's entry list, so the scan cost is
+    * proportional to WHAT ARRIVED, never the table (a 100-TB table
+    * that grew 100 GB overnight reads 100 GB). Head tombstones still
+    * reconcile (a consumer must never emit rows the table has since
+    * deleted); a file REMOVED since the base (compaction/truncate
+    * rewrite) never reappears — removal is not arrival. Row-level
+    * change classification between two snapshots is the separate
+    * [[readVersion]]-diff surface (`sink_manifest_changelog`); this
+    * is the append-consumption half a streaming source would poll.
+    * CAVEAT (file-level diff): a REWRITE commit ([[compact]]/
+    * [[compactZOrder]]/[[upsert]]) re-lists surviving rows under new
+    * file names, which this surface reports as arrivals — consume
+    * across rewrites with the changelog diff, or poll between them
+    * (Iceberg's incremental scan has the same replace-snapshot rule).
+    */
+  def readAppendedSince(spark: SparkSession, path: String,
+      sinceV: Int): DataFrame = {
+    val (schema, headEntries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val base = parseManifest(versionFile(path, sinceV)).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$sinceV at $path"))
+      ._2.toSet
+    val fresh = headEntries.filter(e =>
+      isDeleteEntry(e) || !base.contains(e))
+    readEntries(spark, path, schema, fresh)
+  }
+
+  /** Data entries added to the head since snapshot `sinceV` — the
+    * file count [[readAppendedSince]] scans, exposed for in-band
+    * work-proportionality pins.
+    */
+  def appendedFileCount(path: String, sinceV: Int): Int = {
+    val head = readManifest(path).map(_._2).getOrElse(Seq.empty)
+    val base = parseManifest(versionFile(path, sinceV))
+      .map(_._2.toSet).getOrElse(Set.empty)
+    head.count(e => !isDeleteEntry(e) && !base.contains(e))
+  }
+
+  /** METADATA-ONLY column bounds: fold the per-file min/max stats the
+    * writers recorded at commit time — the planner's zero-I/O answer
+    * to `SELECT min(c), max(c)`. Returns None when ANY data entry
+    * lacks stats for the column (legacy/statless files make the
+    * metadata answer unsound — exactly Iceberg's rule) or the table
+    * has no data entries. Cost is the manifest read: O(files)
+    * metadata, zero data bytes at any table size.
+    */
+  def statsMinMax(path: String,
+      column: String): Option[(BigDecimal, BigDecimal)] = {
+    val entries = readManifest(path).map(_._2).getOrElse(Seq.empty)
+      .filterNot(isDeleteEntry)
+    if (entries.isEmpty) None
+    else {
+      val bounds = entries.map(e => entryStats(e).get(column))
+      if (bounds.exists(_.isEmpty)) None
+      else Some(bounds.flatten
+        .reduce((a, b) => (a._1.min(b._1), a._2.max(b._2))))
+    }
   }
 
   /** Copy-on-write MERGE (upsert): rows of `updates` win on `key`,
@@ -944,11 +1046,13 @@ object ManifestV2Sink {
         s"branch $name rewrote fork-point files — not merge-by-union-able")
     val (mSchema, mFiles) = readManifest(path).getOrElse(
       throw new IllegalArgumentException(s"no manifest at $path"))
-    require(mSchema.json == bSchema.json,
-      s"branch $name schema diverged from main")
+    // schema evolution merges like files do: main ∪ branch columns,
+    // type conflicts rejected (mergeSchemas throws) — a branch that
+    // added a column fast-forwards it onto main with the data
+    val merged0 = mergeSchemas(mSchema, bSchema)
     val added = bFiles.filterNot(baseFiles.toSet)
     val merged = mFiles ++ added.filterNot(mFiles.toSet)
-    publish(path, mSchema, merged, s"merge-$name")
+    publish(path, merged0, merged, s"merge-$name")
     deleteBranch(path, name)
   } }
 
@@ -1025,12 +1129,26 @@ object ManifestV2Sink {
 
 private[sources] class ManifestTable(schema0: StructType, path: String,
     branch: Option[String] = None)
-    extends Table with SupportsWrite {
+    extends Table with SupportsWrite with SupportsRead {
   override def name(): String =
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
+
+  // TABLE-AS-STREAM read path (see [[ManifestMicroBatchStream]]);
+  // the batch read surface stays [[ManifestV2Sink.readCommitted]]
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = schema0
+      override def description(): String = s"graft-manifest-stream($path)"
+      override def toMicroBatchStream(
+          checkpointLocation: String): MicroBatchStream =
+        new ManifestMicroBatchStream(path, schema0)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -1073,6 +1191,19 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // promotion itself needs no lock, staged names are globally
     // unique, but the read-merge-publish does)
     ManifestV2Sink.commitLock(path).synchronized {
+    // fail-fast schema validation BEFORE promoting staged files, so a
+    // rejected evolution (type change) leaves zero data-dir garbage;
+    // the authoritative merge re-runs under the head lock below
+    if (!replace) {
+      val pre = branch match {
+        case Some(b) => ManifestV2Sink
+          .parseManifest(ManifestV2Sink.branchFile(path, b))
+        case None => ManifestV2Sink.readManifest(path)
+      }
+      pre.foreach { case (prevSchema, _) =>
+        ManifestV2Sink.mergeSchemas(prevSchema, schema)
+      }
+    }
     val dataDir = Paths.get(path, "data")
     Files.createDirectories(dataDir)
     // promote committed attempts' staged files into the data dir;
@@ -1092,15 +1223,21 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
     // branch starts empty, forked at the current latest version
-    val previous =
-      if (replace) Seq.empty
+    val prior: Option[(StructType, Seq[String])] =
+      if (replace) None
       else branch match {
         case Some(b) => ManifestV2Sink
           .parseManifest(ManifestV2Sink.branchFile(path, b))
-          .map(_._2).getOrElse(Seq.empty)
-        case None =>
-          ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+        case None => ManifestV2Sink.readManifest(path)
       }
+    val previous = prior.map(_._2).getOrElse(Seq.empty)
+    // schema evolution: the published schema is prior ∪ incoming
+    // (add-column only; type changes rejected) — see [[mergeSchemas]]
+    val published = prior match {
+      case Some((prevSchema, _)) =>
+        ManifestV2Sink.mergeSchemas(prevSchema, schema)
+      case None => schema
+    }
     branch.foreach { b =>
       val baseF = ManifestV2Sink.branchBaseFile(path, b)
       // a write to a branch that was never createBranch'd starts the
@@ -1121,7 +1258,7 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // version file whose content never became current, which is the
     // same garbage-not-corruption class as an unpromoted staged file
     // (it references only promoted files and reads consistently)
-    ManifestV2Sink.publish(path, schema, previous ++ promoted, queryId,
+    ManifestV2Sink.publish(path, published, previous ++ promoted, queryId,
       branch)
     } // end head lock (cross-process commit section)
     cleanupStaged()

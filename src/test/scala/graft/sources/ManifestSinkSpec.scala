@@ -499,4 +499,113 @@ class ManifestSinkSpec extends SparkSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("incremental read returns exactly what arrived after the base " +
+    "snapshot, reconciled against later deletes") {
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir) // v1
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir) // v2
+    Seq((4L, "d")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir) // v3
+    ManifestV2Sink.delete(spark, dir, "id", Seq(3L).toDF("id")) // v4
+    assert(ManifestV2Sink.readAppendedSince(spark, dir, 1)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(4L),
+      "since v1: arrivals are v2+v3 rows minus the later delete")
+    assert(ManifestV2Sink.readAppendedSince(spark, dir, 2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(4L))
+    assert(ManifestV2Sink.readAppendedSince(spark, dir, 3)
+      .select("id").as[Long].collect().isEmpty,
+      "nothing but the delete arrived after v3")
+    assert(ManifestV2Sink.appendedFileCount(dir, 1) == 2)
+    assert(ManifestV2Sink.appendedFileCount(dir, 3) == 0)
+  }
+
+  test("metadata bounds fold exactly; a statless file makes them " +
+    "unsound (None), never wrong") {
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq((5L, 2.5), (1L, -3.5)).toDF("id", "d")
+      .write.format("graft-manifest").mode("append").save(dir)
+    Seq((9L, 0.5)).toDF("id", "d")
+      .write.format("graft-manifest").mode("append").save(dir)
+    assert(ManifestV2Sink.statsMinMax(dir, "id") ==
+      Some((BigDecimal(1L), BigDecimal(9L))))
+    assert(ManifestV2Sink.statsMinMax(dir, "d") ==
+      Some((BigDecimal(-3.5), BigDecimal(2.5))))
+    assert(ManifestV2Sink.statsMinMax(dir, "nope").isEmpty,
+      "unknown column has no sound bounds")
+    // a legacy statless entry poisons metadata soundness for ALL
+    // columns — the fold must answer None, not a wrong bound
+    ManifestV2Sink.appendExternal(dir,
+      Seq("""{"id":100,"d":9.9}"""), "legacy")
+    assert(ManifestV2Sink.statsMinMax(dir, "id").isEmpty)
+    // ... while the data itself still reads fully
+    assert(ManifestV2Sink.readCommitted(spark, dir).count() == 4)
+  }
+
+  test("schema evolution: add-column null-fills, omit keeps, " +
+    "time travel reads each snapshot's own schema") {
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir)
+    // gen-2 ADDS v
+    Seq((3L, "c", 30L)).toDF("id", "s", "v")
+      .write.format("graft-manifest").mode("append").save(dir)
+    // gen-3 OMITS s (an older writer still running)
+    Seq((4L, 40L)).toDF("id", "v")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val cur = ManifestV2Sink.readCommitted(spark, dir)
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "s", "v"),
+      "merged schema = prior columns first, additions appended")
+    val rows = cur.orderBy("id")
+      .select("id", "s", "v").collect().toSeq
+    assert(rows == Seq(
+      Row(1L, "a", null), Row(2L, "b", null),
+      Row(3L, "c", 30L), Row(4L, null, 40L)))
+    // time travel: v1 predates the evolution, so it reads 2 columns
+    assert(ManifestV2Sink.readVersion(spark, dir, 1)
+      .schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(ManifestV2Sink.readVersion(spark, dir, 2)
+      .schema.fieldNames.toSeq == Seq("id", "s", "v"))
+  }
+
+  test("schema evolution: re-typing a column fails the commit and " +
+    "leaves the table untouched") {
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.format("graft-manifest").mode("append").save(dir)
+    val before = ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq
+    val e = intercept[Exception] {
+      Seq((2L, "oops")).toDF("id", "v")
+        .write.format("graft-manifest").mode("append").save(dir)
+    }
+    assert(e.getMessage != null)
+    assert(ManifestV2Sink.readCommitted(spark, dir)
+      .orderBy("id").collect().toSeq == before,
+      "a rejected evolution must not advance the table")
+    assert(ManifestV2Sink.versions(dir).size == 1)
+  }
+
+  test("schema evolution merges across a branch: the branch's added " +
+    "column fast-forwards onto main") {
+    import spark.implicits._
+    val dir = tmpTable()
+    Seq((1L, "a")).toDF("id", "s")
+      .write.format("graft-manifest").mode("append").save(dir)
+    ManifestV2Sink.createBranch(dir, "dev")
+    Seq((2L, "b", 20L)).toDF("id", "s", "v")
+      .write.format("graft-manifest").mode("append")
+      .option("branch", "dev").save(dir)
+    ManifestV2Sink.mergeBranch(dir, "dev")
+    val merged = ManifestV2Sink.readCommitted(spark, dir)
+    assert(merged.schema.fieldNames.toSeq == Seq("id", "s", "v"))
+    assert(merged.orderBy("id").select("id", "s", "v").collect().toSeq ==
+      Seq(Row(1L, "a", null), Row(2L, "b", 20L)))
+  }
 }
