@@ -883,6 +883,205 @@ object ScalarBreadthQueries {
       |  CAST(1 AS BIGINT) AS bloom_pruned
       |FROM s WHERE o_orderkey = (SELECT max(o_orderkey) FROM s)""".stripMargin
 
+  /** SCHEMA EVOLUTION on the manifest sink under the oracle gate —
+    * metadata-only add-column, the change a year-long ingest makes
+    * most often. Three writer generations land with THREE DIFFERENT
+    * schemas: gen-1 (o_orderkey, priority, cents), gen-2 ADDS `yr`,
+    * gen-3 OMITS `cents` (an old writer still deploying). The commit
+    * path merges schemas (prior ∪ incoming, type changes rejected —
+    * [[graft.sources.ManifestV2Sink.mergeSchemas]]); no file is ever
+    * rewritten — the JSONL data format null-fills absent fields, so
+    * evolution costs one manifest line at ANY table size. The read
+    * back proves the union semantics: gen-1 rows are the only `yr`
+    * NULLs, gen-3 rows the only `cents` NULLs, and the per-priority
+    * rollup over all three generations hash-matches the oracle's
+    * CASE-built twin. In-band metadata pins the evolution itself:
+    * snapshot v1 still reads with 3 columns (time travel keeps each
+    * snapshot's own schema) while the current head has 4.
+    * ManifestSinkSpec pins the rejection half: re-typing a column
+    * fails the commit.
+    */
+  def sinkManifestSchemaEvo(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_schevo_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      src.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("cents"))
+        .coalesce(2)
+        .write.format("graft-manifest").mode("append").save(out)
+      src.where(col("o_orderkey") % 3 === 1) // ADDS yr
+        .coalesce(2)
+        .write.format("graft-manifest").mode("append").save(out)
+      src.where(col("o_orderkey") % 3 === 2) // OMITS cents
+        .select(col("o_orderkey"), col("o_orderpriority"), col("yr"))
+        .coalesce(2)
+        .write.format("graft-manifest").mode("append").save(out)
+      val v1Cols = graft.sources.ManifestV2Sink
+        .readVersion(spark, out, 1).schema.size
+      val cur = graft.sources.ManifestV2Sink.readCommitted(spark, out)
+      val colsNow = cur.schema.size
+      cur.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).as("sum_cents"),
+          sum(when(col("yr").isNull, 1L).otherwise(0L)).as("yr_nulls"),
+          sum(when(col("cents").isNull, 1L).otherwise(0L))
+            .as("cents_nulls"),
+          sum(col("yr")).as("sum_yr"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("yr_nulls"), col("cents_nulls"), col("sum_yr"),
+          lit(v1Cols.toLong).as("v1_cols"),
+          lit(colsNow.toLong).as("cols_now"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestSchemaEvoSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 <= 1
+      |      THEN CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents,
+      |    CASE WHEN o_orderkey % 3 >= 1
+      |      THEN CAST(year(o_orderdate) AS BIGINT) END AS yr
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN yr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS yr_nulls,
+      |  CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS cents_nulls,
+      |  CAST(SUM(yr) AS BIGINT) AS sum_yr,
+      |  CAST(3 AS BIGINT) AS v1_cols,
+      |  CAST(4 AS BIGINT) AS cols_now
+      |FROM s GROUP BY o_orderpriority""".stripMargin
+
+  /** INCREMENTAL READ off the manifest sink under the oracle gate —
+    * the consume-what-arrived path a nightly backfill or a polling
+    * stream runs: three append generations land, then a merge-on-read
+    * delete; [[graft.sources.ManifestV2Sink.readAppendedSince]] (v1)
+    * returns exactly generations 2+3 MINUS the since-deleted keys,
+    * reading ONLY the files that arrived after the base snapshot —
+    * `files_new` of `files_total` is in-band and pinned by
+    * construction (4 of 6), the work-∝-arrivals property that makes
+    * incremental consumption of a 100-TB table cost its daily growth,
+    * not its size. The oracle recomputes the incremental content from
+    * the generation/delete predicates, so a carried-over base row, a
+    * leaked deleted row, or a skipped arrival diverges the hash.
+    */
+  def sinkManifestIncr(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_incr_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      (0 to 2).foreach { g =>
+        // repartition (not coalesce): each generation must land as
+        // exactly 2 files at EVERY sf — a single-partition source
+        // cannot be coalesced up, and the in-band file counts are
+        // pinned by construction
+        src.where(col("o_orderkey") % 3 === g)
+          .repartition(2, col("o_orderkey"))
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      graft.sources.ManifestV2Sink.delete(spark, out, "o_orderkey",
+        src.where(col("o_orderkey") % 7 === 3).select(col("o_orderkey")))
+      val filesNew =
+        graft.sources.ManifestV2Sink.appendedFileCount(out, 1)
+      val filesTotal =
+        graft.sources.ManifestV2Sink.committedFileCount(out)
+      graft.sources.ManifestV2Sink.readAppendedSince(spark, out, 1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(filesNew.toLong).as("files_new"),
+          lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestIncrSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(4 AS BIGINT) AS files_new,
+      |  CAST(6 AS BIGINT) AS files_total
+      |FROM s
+      |WHERE o_orderkey % 3 <> 0 AND NOT (o_orderkey % 7 = 3)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** METADATA-ONLY AGGREGATES under the oracle gate — the planner's
+    * zero-I/O answer to `SELECT min(c), max(c)`: the per-file stats
+    * recorded at commit time fold to exact table-wide bounds
+    * ([[graft.sources.ManifestV2Sink.statsMinMax]]) without reading
+    * one data byte — O(files) manifest metadata at any table size,
+    * the Iceberg `use-table-stats` shape. Files land hash-distributed
+    * across 4 commits so no single file's bounds equal the table's
+    * (the fold is non-vacuous); the oracle recomputes each bound from
+    * the raw table, so a stats blob that clipped, missed a file, or
+    * rounded a bound diverges the hash. The soundness rule (ANY
+    * statless file ⇒ None, never a wrong answer) is pinned in
+    * ManifestSinkSpec.
+    */
+  def sinkManifestStatsAgg(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_statsagg_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      (0 to 3).foreach { g =>
+        src.where(col("o_orderkey") % 4 === g).coalesce(2)
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      def bounds(c: String): (Long, Long) = {
+        val (lo, hi) = graft.sources.ManifestV2Sink.statsMinMax(out, c)
+          .getOrElse(sys.error(s"no sound metadata bounds for $c"))
+        (lo.longValue, hi.longValue)
+      }
+      val rows = Seq("o_orderkey", "cents", "yr").map { c =>
+        val (lo, hi) = bounds(c); (c, lo, hi)
+      }
+      import spark.implicits._
+      rows.toDF("col_name", "meta_min", "meta_max")
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestStatsAggSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(year(o_orderdate) AS BIGINT) AS yr
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS col_name,
+      |  CAST(min(o_orderkey) AS BIGINT) AS meta_min,
+      |  CAST(max(o_orderkey) AS BIGINT) AS meta_max FROM s
+      |UNION ALL
+      |SELECT 'cents', CAST(min(cents) AS BIGINT),
+      |  CAST(max(cents) AS BIGINT) FROM s
+      |UNION ALL
+      |SELECT 'yr', CAST(min(yr) AS BIGINT),
+      |  CAST(max(yr) AS BIGINT) FROM s""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -1232,6 +1431,9 @@ object ScalarBreadthQueries {
     "sink_manifest_zorder" -> (sinkManifestZorder _),
     "sink_manifest_upsert_narrow" -> (sinkManifestUpsertNarrow _),
     "sink_manifest_bloom" -> (sinkManifestBloom _),
+    "sink_manifest_schema_evo" -> (sinkManifestSchemaEvo _),
+    "sink_manifest_incr" -> (sinkManifestIncr _),
+    "sink_manifest_stats_agg" -> (sinkManifestStatsAgg _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
@@ -1260,6 +1462,9 @@ object ScalarBreadthQueries {
     "sink_manifest_zorder" -> sinkManifestZorderSql,
     "sink_manifest_upsert_narrow" -> sinkManifestUpsertNarrowSql,
     "sink_manifest_bloom" -> sinkManifestBloomSql,
+    "sink_manifest_schema_evo" -> sinkManifestSchemaEvoSql,
+    "sink_manifest_incr" -> sinkManifestIncrSql,
+    "sink_manifest_stats_agg" -> sinkManifestStatsAggSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,
