@@ -3992,8 +3992,15 @@ object EmbeddingQueries {
       .select(col("qid"), col("u"))
   }
 
-  def knnGraphSearch(spark: SparkSession, dir: String): DataFrame = {
-    val g = nndIndex(spark, dir)
+  def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
+    searchOver(spark, dir, nndIndex(spark, dir))
+
+  /** The beam-search eval over an arbitrary adjacency `g` (v, u, …) —
+    * factored out so [[knnGraphPrune]]'s spec can grade search quality
+    * on the PRUNED graph with the identical walk.
+    */
+  private[analytics] def searchOver(spark: SparkSession, dir: String,
+      g: DataFrame): DataFrame = {
     val adj = g.select(col("v"), col("u"))
       .union(g.select(col("u").as("v"), col("v").as("u")))
       .distinct().localCheckpoint(true)
@@ -4544,12 +4551,138 @@ object EmbeddingQueries {
        |$unions)""".stripMargin
   }
 
+  // ------------------------------ graph ANN: Vamana occlusion pruning
+  /** DiskANN/Vamana ROBUST-PRUNE over the persisted K-NN graph
+    * (Subramanya et al., "DiskANN", NeurIPS 2019; α=1 degenerates to
+    * Toussaint's relative-neighborhood rule): per vertex, walk the
+    * neighbor list in (distance, id) order and KEEP a candidate only
+    * if no already-kept neighbor occludes it — kept w occludes u when
+    * `α·d(w,u) ≤ d(v,u)`. Pruning trades raw adjacency recall for
+    * DIVERSE edges (each kept edge opens a direction no earlier edge
+    * covers), which is what keeps beam search's hop count low on a
+    * disk-resident graph; the serving index ships the pruned graph.
+    * α is the rational [[PruneAlphaNum]]/[[PruneAlphaDen]] so the
+    * occlusion test stays exact-integer (`1·dab ≤ 1·dvu`); α=1 is the
+    * right setting for THIS corpus — uniform-random embeddings are
+    * distance-concentrated, so the paper's α=1.2 would occlude almost
+    * nothing (pairwise distances rarely drop 20% below the
+    * vertex-candidate distance) and the query would be vacuous.
+    * Round11OpsSpec pins non-vacuity (edges actually removed, rank-1
+    * always kept) and that beam search over the pruned graph retains
+    * most of the unpruned search's recall.
+    *
+    * Scale shape: the candidate pair frame is degree²-bounded per
+    * vertex (n·K(K−1)/2 rows, NEVER corpus×corpus), shuffled on the
+    * vertex key once; the greedy fold is K−1 rank rounds, each one
+    * v-keyed join over n-row frames with the kept set checkpointed —
+    * the relational form of DiskANN's in-memory per-vertex loop. At
+    * 10⁹ vertices every frame partitions by v; nothing is collected.
+    */
+  val PruneAlphaNum = 1L
+  val PruneAlphaDen = 1L
+
+  /** The pruned adjacency itself — (v, u, d, rnk) rows that survive
+    * robust-prune; shared by the gated report query and the spec's
+    * search-quality pin.
+    */
+  private[analytics] def prunedGraph(spark: SparkSession,
+      dir: String): DataFrame = {
+    val g = nndIndex(spark, dir)
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
+      val w = Window.partitionBy(col("v"))
+        .orderBy(col("d").asc, col("u").asc)
+      val cand = g.withColumn("rnk", row_number().over(w).cast("long"))
+        .localCheckpoint(true)
+      val pw = cand.select(col("v"), col("u").as("ua"), col("rnk").as("ra"))
+        .join(cand.select(col("v"), col("u").as("ub"),
+          col("rnk").as("rb")), Seq("v"))
+        .where(col("ra") < col("rb"))
+        .join(e.select(col("vec_id").as("ua"), col("q").as("qa"),
+          col("norm2").as("na")), "ua")
+        .join(e.select(col("vec_id").as("ub"), col("q").as("qb"),
+          col("norm2").as("nb")), "ub")
+        .select(col("v"), col("ra"), col("rb"),
+          (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+            .as("dab"))
+        .localCheckpoint(true)
+      var kept = cand.where(col("rnk") === 1).select(col("v"), col("rnk"))
+      for (r <- 2 to NndK) {
+        val candR = cand.where(col("rnk") === r).select(col("v"), col("d"))
+        val occluded = pw.where(col("rb") === r)
+          .join(kept.withColumnRenamed("rnk", "ra"), Seq("v", "ra"))
+          .join(candR, "v")
+          .where(col("dab") * lit(PruneAlphaNum) <=
+            col("d") * lit(PruneAlphaDen))
+          .select(col("v")).distinct()
+        kept = kept.unionByName(
+          candR.join(occluded, Seq("v"), "left_anti")
+            .select(col("v"), lit(r.toLong).as("rnk")))
+          .localCheckpoint(true)
+      }
+      kept.join(cand, Seq("v", "rnk"))
+        .select(col("v"), col("u"), col("d"), col("rnk"))
+        .localCheckpoint(true)
+    } finally e.unpersist()
+  }
+
+  def knnGraphPrune(spark: SparkSession, dir: String): DataFrame = {
+    val g = nndIndex(spark, dir)
+    val keptD = prunedGraph(spark, dir).select(col("v"), col("d"))
+    val totals = keptD.agg(count(lit(1)).as("edges_after"))
+      .crossJoin(broadcast(g.agg(count(lit(1)).as("edges_before"))))
+    keptD.groupBy(col("v"))
+      .agg(count(lit(1)).as("degree"), sum(col("d")).as("sumd"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("sumd")).as("sum_d_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("degree"), col("n_vertices"), col("sum_d_kept"),
+        col("edges_before"), col("edges_after"))
+  }
+
+  val knnGraphPruneSql: String = {
+    val dotAB = sqlDot // the canonical a/b quantized-dot fragment
+    val keptChain = (2 to NndK).map { r =>
+      s"""k$r AS (
+         |  SELECT c.v, c.rnk FROM cand c WHERE c.rnk = $r AND NOT EXISTS (
+         |    SELECT 1 FROM ka${r - 1} k JOIN pw p
+         |      ON p.v = k.v AND p.ra = k.rnk AND p.rb = $r
+         |    WHERE p.v = c.v
+         |      AND $PruneAlphaNum * p.dab <= $PruneAlphaDen * c.d)),
+         |ka$r AS MATERIALIZED (SELECT v, rnk FROM ka${r - 1}
+         |  UNION ALL SELECT v, rnk FROM k$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlNndChain,
+       |cand AS MATERIALIZED (
+       |  SELECT v, u, d, CAST(row_number() OVER (
+       |    PARTITION BY v ORDER BY d, u) AS BIGINT) AS rnk
+       |  FROM g$NndRounds),
+       |pw AS MATERIALIZED (
+       |  SELECT t.v, t.ra, t.rb, a.norm2 + b.norm2 - 2 * $dotAB AS dab
+       |  FROM (SELECT x.v, x.u AS ua, x.rnk AS ra, y.u AS ub, y.rnk AS rb
+       |        FROM cand x JOIN cand y ON x.v = y.v AND x.rnk < y.rnk) t
+       |  JOIN n a ON t.ua = a.vec_id JOIN n b ON t.ub = b.vec_id),
+       |ka1 AS (SELECT v, rnk FROM cand WHERE rnk = 1),
+       |$keptChain,
+       |kd AS (SELECT k.v, c.d FROM ka$NndK k
+       |  JOIN cand c ON k.v = c.v AND k.rnk = c.rnk),
+       |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree,
+       |  SUM(d) AS sumd FROM kd GROUP BY v)
+       |SELECT degree, COUNT(*) AS n_vertices,
+       |  CAST(SUM(sumd) AS BIGINT) AS sum_d_kept,
+       |  (SELECT COUNT(*) FROM cand) AS edges_before,
+       |  (SELECT COUNT(*) FROM kd) AS edges_after
+       |FROM deg GROUP BY degree""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kcenter_init" -> (embKcenterInit _),
     "emb_init_quality" -> (embInitQuality _),
     "knn_graph_nnd" -> (knnGraphNnd _),
     "knn_graph_search" -> (knnGraphSearch _),
     "knn_graph_delta" -> (knnGraphDelta _),
+    "knn_graph_prune" -> (knnGraphPrune _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
     "knn_hybrid_wand" -> (knnHybridWand _),
@@ -4592,6 +4725,7 @@ object EmbeddingQueries {
     "knn_graph_nnd" -> knnGraphNndSql,
     "knn_graph_search" -> knnGraphSearchSql,
     "knn_graph_delta" -> knnGraphDeltaSql,
+    "knn_graph_prune" -> knnGraphPruneSql,
     "emb_kcenter_init" -> embKcenterInitSql,
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,

@@ -2714,7 +2714,109 @@ object PipelineQueries {
        |    = cap_tokens AS saturated
        |FROM r""".stripMargin
 
+  // --------------------------------------------- DSIR importance weights
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 —
+    * public paper): score every raw document by how target-like its
+    * HASHED N-GRAM profile is, then select the docs that beat the
+    * corpus-average target share. The target distribution here is the
+    * English slice (`lang = 'en'` — in production, a trusted
+    * high-quality corpus); features are word bigrams hashed into
+    * B=256 buckets ([[graft.functions.CrossHash.md5Long]] mod B, so
+    * both engines bucket identically).
+    *
+    * The paper's importance weight is a log-likelihood ratio under
+    * two bag-of-hashed-ngrams models; logs are libm (ulp drift across
+    * engines), so the checked formulation uses the EXACT-INTEGER
+    * monotone equivalent: per bucket, the smoothed target share
+    * `score(b) = 1e6·(ct(b)+1) div (cr(b)+2)` (ct = target gram
+    * occurrences in the bucket, cr = all — Laplace-smoothed, bounded
+    * in (0, 1e6)); per document, the gram-count-weighted mean bucket
+    * score; selection keeps docs whose weight beats the global target
+    * share `g = 1e6·(T+1) div (R+2)`. Every quantity is an integer
+    * ratio of counts — bit-identical cross-engine, no logarithm.
+    *
+    * Scale shape: ONE gram explode feeds two aggregations — the
+    * bucket table (B=256 rows: map-side combine then a 256-key
+    * shuffle) and the per-(doc,bucket) counts (shuffle keyed by
+    * doc_id×bucket, combine-heavy since docs repeat buckets). The
+    * score join is a 256-row BROADCAST, the global share one
+    * broadcast row, the final rollup a source-keyed partial agg —
+    * nothing corpus-sized crosses an exchange twice, no sort anywhere.
+    */
+  def pipelineDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val grams = table(spark, dir, "documents")
+      .where(size(toks) >= 2)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, (i + 1).cast("int")),
+            element_at(toks, (i + 2).cast("int"))))).as("bg"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        (CrossHash.md5Long(col("bg")) % B).as("b"))
+      .cache() // feeds the bucket table, the doc profile, and the total
+    val scores = grams.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      .select(col("b"),
+        expr("(1000000 * (ct + 1)) div (cr + 2)").as("score"))
+    val weights = grams.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(scores), "b")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("c") * col("score")).as("num"), sum(col("c")).as("den"))
+      .select(col("doc_id"), col("source"),
+        expr("num div den").as("weight_ppm"))
+    val global = grams.agg(count(lit(1)).as("r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t"))
+      .select(expr("(1000000 * (t + 1)) div (r + 2)").as("gshare"))
+    val out = weights.crossJoin(broadcast(global))
+      .groupBy(col("source"), col("gshare"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("weight_ppm")).as("sum_weight"),
+        sum(when(col("weight_ppm") >= col("gshare"), 1L).otherwise(0L))
+          .as("n_selected"))
+      .select(col("source"), col("n_docs"), col("sum_weight"),
+        col("n_selected"), col("gshare").as("target_share_ppm"))
+    grams.unpersist()
+    out
+  }
+
+  val pipelineDsirWeightsSql: String = {
+    val h = graft.functions.CrossHash.sqlMd5Long("bg")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, lang, string_split(text, ' ') AS ts
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |g AS (
+       |  SELECT doc_id, source, lang, ($h) % 256 AS b
+       |  FROM (SELECT doc_id, source, lang, unnest(list_transform(
+       |    generate_series(1, len(ts) - 1),
+       |    i -> ts[i] || ' ' || ts[i+1])) AS bg FROM t)),
+       |sc AS (
+       |  SELECT b, CAST((1000000 * (SUM(CASE WHEN lang = 'en' THEN 1
+       |      ELSE 0 END) + 1)) // (COUNT(*) + 2) AS BIGINT) AS score
+       |  FROM g GROUP BY b),
+       |db AS (
+       |  SELECT doc_id, source, b, COUNT(*) AS c
+       |  FROM g GROUP BY doc_id, source, b),
+       |w AS (
+       |  SELECT doc_id, source,
+       |    CAST(SUM(c * score) // SUM(c) AS BIGINT) AS weight_ppm
+       |  FROM db JOIN sc USING (b) GROUP BY doc_id, source),
+       |gl AS (
+       |  SELECT CAST((1000000 * (SUM(CASE WHEN lang = 'en' THEN 1
+       |      ELSE 0 END) + 1)) // (COUNT(*) + 2) AS BIGINT) AS gshare
+       |  FROM g)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(weight_ppm) AS BIGINT) AS sum_weight,
+       |  CAST(SUM(CASE WHEN weight_ppm >= gshare THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_selected,
+       |  gshare AS target_share_ppm
+       |FROM w, gl GROUP BY source, gshare""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_dsir_weights" -> (pipelineDsirWeights _),
     "pipeline_budget_alloc" -> (pipelineBudgetAlloc _),
     "pipeline_pack_waste" -> (pipelinePackWaste _),
     "pipeline_dedup_weight" -> (pipelineDedupWeight _),
@@ -2756,6 +2858,7 @@ object PipelineQueries {
     "bloom_join_prune" -> (bloomJoinPrune _))
 
   val oracles: Map[String, String] = Map(
+    "pipeline_dsir_weights" -> pipelineDsirWeightsSql,
     "pipeline_budget_alloc" -> pipelineBudgetAllocSql,
     "pipeline_pack_waste" -> pipelinePackWasteSql,
     "pipeline_dedup_weight" -> pipelineDedupWeightSql,
