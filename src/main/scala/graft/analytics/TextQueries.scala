@@ -1796,7 +1796,116 @@ object TextQueries {
        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY bucket""".stripMargin
 
+  // ------------------------------------------------ TextRank keywords
+  /** TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004 — public
+    * paper): build the word co-occurrence graph (undirected, window
+    * ≤[[TextrankWindow]] positions, corpus-summed edge weights) and
+    * power-iterate the damped weighted PageRank
+    * `S(v) = (1−d) + d·Σ_u w(u,v)/W(u)·S(u)` for [[TextrankRounds]]
+    * rounds, all in exact integer micro-units: per-edge contribution
+    * is `(S(u)·w) div W(u)`, the damping fold
+    * `150000 + (850000·Σ) div 1e6` — no libm, bit-identical
+    * cross-engine. Output: every vocabulary word with its final score
+    * and rank, the keyword table a corpus card ships.
+    *
+    * Scale shape: the position frame explodes once and self-joins on
+    * (doc_id, pos+off) — an equi join co-partitioned by doc, window-
+    * bounded rows; edges aggregate map-side to a VOCABULARY²-bounded
+    * frame (never broadcast — the textCooccurrence rule); each
+    * iteration is one edge-keyed join + word-keyed aggregate over
+    * vocabulary-sized frames, checkpointed so the plan stays flat.
+    * Unlike [[graft.analytics.EventQueries.eventsMarkovStationary]]
+    * (driver-folded over the TYPE-pair matrix, bounded by a dozen
+    * types), the word graph is vocabulary-sized — 10⁷ vertices on a
+    * web corpus — so the iteration stays distributed. The final rank
+    * window is over the vocabulary frame, not the corpus.
+    */
+  val TextrankRounds = 5
+  val TextrankWindow = 2
+
+  def textTextrank(spark: SparkSession, dir: String): DataFrame = {
+    val tp = table(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+      .cache() // both sides of the window self-join
+    val pairs = (1 to TextrankWindow).map { off =>
+      tp.select(col("doc_id"), col("pos"), col("w").as("wa"))
+        .join(tp.select(col("doc_id"), (col("pos") - off).as("pos"),
+          col("w").as("wb")), Seq("doc_id", "pos"))
+        .where(col("wa") =!= col("wb"))
+        .select(least(col("wa"), col("wb")).as("u"),
+          greatest(col("wa"), col("wb")).as("v"))
+    }.reduce(_ unionByName _)
+    val und = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("w"))
+    val sym = und.unionByName(
+      und.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .localCheckpoint(true)
+    tp.unpersist()
+    val wsum = sym.groupBy(col("u")).agg(sum(col("w")).as("wtot"))
+    val verts = sym.select(col("u")).distinct()
+    var s = verts.withColumn("score", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to TextrankRounds) {
+      val contrib = sym.join(s, "u").join(wsum, "u")
+        .select(col("v"),
+          expr("(score * w) div wtot").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("inflow"))
+      s = verts.join(contrib, col("u") === col("v"), "left_outer")
+        .select(col("u"),
+          (lit(150000L) +
+            expr("(850000 * coalesce(inflow, 0L)) div 1000000"))
+            .as("score"))
+        .localCheckpoint(true)
+    }
+    // rank window over the VOCABULARY-sized score frame
+    val w = Window.orderBy(col("score").desc, col("word").asc)
+    s.select(col("u").as("word"), col("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  val textTextrankSql: String = {
+    val offs = (1 to TextrankWindow).map { off =>
+      s"""SELECT LEAST(a.w, b.w) AS u, GREATEST(a.w, b.w) AS v
+         |FROM tp a JOIN tp b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + $off
+         |WHERE a.w <> b.w""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val rounds = (1 to TextrankRounds).map { r =>
+      s"""c$r AS (
+         |  SELECT e.v, CAST(SUM((s.score * e.w) // ws.wtot) AS BIGINT)
+         |    AS inflow
+         |  FROM sym e JOIN s${r - 1} s ON e.u = s.u
+         |  JOIN wsum ws ON e.u = ws.u
+         |  GROUP BY e.v),
+         |s$r AS MATERIALIZED (
+         |  SELECT vt.u,
+         |    CAST(150000 + (850000 * COALESCE(c.inflow, 0)) // 1000000
+         |      AS BIGINT) AS score
+         |  FROM verts vt LEFT JOIN c$r c ON vt.u = c.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |tp AS MATERIALIZED (
+       |  SELECT doc_id, i.i AS pos, ts[i.i] AS w
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(ts)))
+       |    AS i) i),
+       |und AS (
+       |  SELECT u, v, COUNT(*) AS w FROM ($offs) GROUP BY u, v),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v, w FROM und
+       |  UNION ALL SELECT v AS u, u AS v, w FROM und),
+       |wsum AS (SELECT u, SUM(w) AS wtot FROM sym GROUP BY u),
+       |verts AS (SELECT DISTINCT u FROM sym),
+       |s0 AS (SELECT u, CAST(1000000 AS BIGINT) AS score FROM verts),
+       |$rounds
+       |SELECT u AS word, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, u ASC) AS BIGINT)
+       |    AS rank
+       |FROM s$TextrankRounds""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_textrank" -> (textTextrank _),
     "text_vocab_growth" -> (textVocabGrowth _),
     "text_watermark" -> (textWatermark _),
     "text_fertility" -> (textFertility _),
@@ -1827,6 +1936,7 @@ object TextQueries {
     "text_inverted_index" -> (textInvertedIndex _))
 
   val oracles: Map[String, String] = Map(
+    "text_textrank" -> textTextrankSql,
     "text_vocab_growth" -> textVocabGrowthSql,
     "text_watermark" -> textWatermarkSql,
     "text_bpe_merge" -> textBpeMergeSql,

@@ -130,6 +130,48 @@ class Round11OpsSpec extends SparkSuite {
     assert(pm * 10 >= bm * 6, s"pruned search collapsed: $pm vs $bm")
   }
 
+  test("TextRank scores match an independent plain-Scala power " +
+    "iteration") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getString(1).split(" ", -1).toSeq)
+    // co-occurrence edges, window <= 2, undirected corpus counts
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { ts =>
+      for (i <- ts.indices; off <- 1 to TextQueries.TextrankWindow) {
+        val j = i + off
+        if (j < ts.length && ts(i) != ts(j)) {
+          val k = if (ts(i) < ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+          pairCounts(k) = pairCounts.getOrElse(k, 0L) + 1L
+        }
+      }
+    }
+    val sym = pairCounts.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w))
+    }
+    val wtot = sym.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val verts = sym.map(_._1).distinct.sorted
+    var s = verts.map(_ -> 1000000L).toMap
+    for (_ <- 1 to TextQueries.TextrankRounds) {
+      val inflow = scala.collection.mutable.Map.empty[String, Long]
+      sym.foreach { case (u, v, w) =>
+        inflow(v) = inflow.getOrElse(v, 0L) + (s(u) * w) / wtot(u)
+      }
+      s = verts.map(v =>
+        v -> (150000L + (850000L * inflow.getOrElse(v, 0L)) / 1000000L))
+        .toMap
+    }
+    val expect = verts.map(v => v -> s(v)).sortBy { case (w, sc) =>
+      (-sc, w)
+    }.zipWithIndex.map { case ((w, sc), i) => (w, sc, i + 1L) }.toSet
+    val got = TextQueries.textTextrank(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == expect)
+    // scores actually separate words (not a fixed point at init)
+    assert(got.map(_._2).size > 1, "degenerate: all scores equal")
+  }
+
   test("manifest schema evolution survives upsert and compaction") {
     import spark.implicits._
     val dir = java.nio.file.Files
