@@ -1369,7 +1369,70 @@ object EventQueries {
       |  MAX(e) - MIN(s) AS covered_s, COUNT(*) AS n_events
       |FROM isl GROUP BY user_id, island""".stripMargin
 
+  // ------------------------------------- CEP pattern matching (journeys)
+  /** Complex-event-processing pattern match over per-user journeys —
+    * the MATCH_RECOGNIZE shape (SQL:2016 row pattern recognition)
+    * re-expressed as regex over the ordered event-type string: each
+    * user's events sort by (ts, event_id) into a journey of type
+    * initials (c/e/p/s/v — the five types have distinct initials),
+    * and each business pattern is a regex counted non-overlapping
+    * left-to-right — identical semantics in Java regex and DuckDB's
+    * RE2 for these quantifier-only patterns (no backrefs, no empty
+    * matches). Patterns: view→≤3 clicks→purchase (conversion with
+    * bounded distraction), ≥2 consecutive errors then any activity
+    * (retry-recovery), signup→browse*→purchase (activation funnel).
+    *
+    * Scale shape: ONE user-keyed aggregation builds journeys
+    * (collect_list is per-user bounded — journeys are entity-bounded
+    * by definition; a production stream windows them per day);
+    * pattern counting is a per-row regex over the journey, the rollup
+    * a |patterns|-sized aggregate. No corpus-sized sort, no second
+    * shuffle.
+    */
+  val EventCepPatterns: Seq[(String, String)] = Seq(
+    ("view_to_purchase", "vc{0,3}p"),
+    ("error_retry_recovery", "e{2,}[cv]"),
+    ("signup_funnel", "s[cv]*p"))
+
+  def eventsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val j = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))),
+        s => s.getField("c")), "").as("journey"))
+    val perPattern = EventCepPatterns.map { case (name, pat) =>
+      j.select(col("user_id"),
+        lit(name).as("pattern_name"),
+        regexp_count(col("journey"), lit(pat)).cast("long").as("n"))
+    }.reduce(_ unionByName _)
+    perPattern.groupBy(col("pattern_name"))
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("users_matched"),
+        sum(col("n")).as("n_matches_total"),
+        max(col("n")).as("max_user_matches"))
+  }
+
+  val eventsPatternMatchSql: String = {
+    val vals = EventCepPatterns
+      .map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
+    s"""WITH j AS (
+       |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+       |    ORDER BY ts, event_id) AS journey
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT j.user_id, p.name AS pattern_name,
+       |    CAST(len(regexp_extract_all(j.journey, p.pat)) AS BIGINT) AS n
+       |  FROM j, (VALUES $vals) p(name, pat))
+       |SELECT pattern_name,
+       |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS users_matched,
+       |  CAST(SUM(n) AS BIGINT) AS n_matches_total,
+       |  CAST(MAX(n) AS BIGINT) AS max_user_matches
+       |FROM m GROUP BY pattern_name""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pattern_match" -> (eventsPatternMatch _),
     "events_dau_wau" -> (eventsDauWau _),
     "events_forecast" -> (eventsForecast _),
     "events_abtest" -> (eventsAbtest _),
@@ -1398,6 +1461,7 @@ object EventQueries {
     "events_range_join" -> (eventsRangeJoin _))
 
   val oracles: Map[String, String] = Map(
+    "events_pattern_match" -> eventsPatternMatchSql,
     "events_dau_wau" -> eventsDauWauSql,
     "events_forecast" -> eventsForecastSql,
     "events_abtest" -> eventsAbtestSql,
