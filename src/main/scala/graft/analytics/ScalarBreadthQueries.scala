@@ -1082,6 +1082,60 @@ object ScalarBreadthQueries {
       |SELECT 'yr', CAST(min(yr) AS BIGINT),
       |  CAST(max(yr) AS BIGINT) FROM s""".stripMargin
 
+  /** PURE-SQL TABLE LIFECYCLE through the [[graft.sources
+    * .ManifestCatalog]] under the oracle gate — proof a SQL-only user
+    * can drive the manifest sink end to end with no DataFrame API:
+    * `CREATE TABLE graft.t`, `INSERT INTO ... SELECT`, `ALTER TABLE
+    * ADD COLUMN` (the metadata-only schema evolution, now reachable
+    * from DDL), a second INSERT with the widened schema, and a
+    * SQL aggregate read back through the DSv2 batch scan. The oracle
+    * recomputes the final rollup from the generation predicates, so a
+    * row lost by the catalog resolver, the scan, or the evolution
+    * diverges the hash. DDL/DML error paths (duplicate create, type
+    * change, rename, drop) are pinned in ManifestCatalogSpec.
+    */
+  def sinkManifestSql(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"t_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      src.where(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderpriority", "cents")
+        .createOrReplaceTempView("graft_sql_gen1")
+      src.where(col("o_orderkey") % 2 === 1)
+        .createOrReplaceTempView("graft_sql_gen2")
+      spark.sql(s"CREATE TABLE graft.$t " +
+        "(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM graft_sql_gen1")
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMN yr BIGINT")
+      spark.sql(s"INSERT INTO graft.$t " +
+        "SELECT o_orderkey, o_orderpriority, cents, yr FROM graft_sql_gen2")
+      spark.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+           |  SUM(cents) AS sum_cents,
+           |  SUM(CASE WHEN yr IS NULL THEN 1 ELSE 0 END) AS yr_nulls,
+           |  SUM(yr) AS sum_yr
+           |FROM graft.$t GROUP BY o_orderpriority""".stripMargin)
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestSqlSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderkey % 2 = 1
+      |      THEN CAST(year(o_orderdate) AS BIGINT) END AS yr
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(CASE WHEN yr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS yr_nulls,
+      |  CAST(SUM(yr) AS BIGINT) AS sum_yr
+      |FROM s GROUP BY o_orderpriority""".stripMargin
+
   /** CHANGELOG RECONSTRUCTION from manifest snapshots — the change
     * data feed a training pipeline derives when the upstream never
     * shipped one: for each consecutive snapshot pair, rows added,
@@ -1434,6 +1488,7 @@ object ScalarBreadthQueries {
     "sink_manifest_schema_evo" -> (sinkManifestSchemaEvo _),
     "sink_manifest_incr" -> (sinkManifestIncr _),
     "sink_manifest_stats_agg" -> (sinkManifestStatsAgg _),
+    "sink_manifest_sql" -> (sinkManifestSql _),
     "source_csv_roundtrip" -> (sourceCsvRoundtrip _),
     "source_orc_roundtrip" -> (sourceOrcRoundtrip _),
     "sink_manifest_changelog" -> (sinkManifestChangelog _),
@@ -1465,6 +1520,7 @@ object ScalarBreadthQueries {
     "sink_manifest_schema_evo" -> sinkManifestSchemaEvoSql,
     "sink_manifest_incr" -> sinkManifestIncrSql,
     "sink_manifest_stats_agg" -> sinkManifestStatsAggSql,
+    "sink_manifest_sql" -> sinkManifestSqlSql,
     "source_csv_roundtrip" -> sourceCsvRoundtripSql,
     "source_orc_roundtrip" -> sourceOrcRoundtripSql,
     "sink_manifest_changelog" -> sinkManifestChangelogSql,

@@ -1824,23 +1824,27 @@ object TextQueries {
   val TextrankWindow = 2
 
   def textTextrank(spark: SparkSession, dir: String): DataFrame = {
-    val tp = table(spark, dir, "documents")
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-      .cache() // both sides of the window self-join
+    // pairs come straight off the token array (one codegen'd explode
+    // per offset — no corpus self-join, no cache): for offset k, the
+    // (i, i+k) word pairs of every document
+    val d = table(spark, dir, "documents")
     val pairs = (1 to TextrankWindow).map { off =>
-      tp.select(col("doc_id"), col("pos"), col("w").as("wa"))
-        .join(tp.select(col("doc_id"), (col("pos") - off).as("pos"),
-          col("w").as("wb")), Seq("doc_id", "pos"))
-        .where(col("wa") =!= col("wb"))
-        .select(least(col("wa"), col("wb")).as("u"),
-          greatest(col("wa"), col("wb")).as("v"))
+      d.where(size(toks) > off)
+        .select(explode(transform(sequence(lit(0), size(toks) - 1 - off),
+          i => struct(
+            least(element_at(toks, (i + 1).cast("int")),
+              element_at(toks, (i + 1 + off).cast("int"))).as("u"),
+            greatest(element_at(toks, (i + 1).cast("int")),
+              element_at(toks, (i + 1 + off).cast("int"))).as("v"))))
+          .as("p"))
+        .where(col("p.u") =!= col("p.v"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
     }.reduce(_ unionByName _)
     val und = pairs.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
     val sym = und.unionByName(
       und.select(col("v").as("u"), col("u").as("v"), col("w")))
       .localCheckpoint(true)
-    tp.unpersist()
     val wsum = sym.groupBy(col("u")).agg(sum(col("w")).as("wtot"))
     val verts = sym.select(col("u")).distinct()
     var s = verts.withColumn("score", lit(1000000L))

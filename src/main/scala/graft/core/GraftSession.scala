@@ -40,4 +40,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+      // SQL-surface catalog for graft-manifest tables:
+      // CREATE/INSERT/SELECT/ALTER/DROP on `graft.<table>`
+      .config("spark.sql.catalog.graft", "graft.sources.ManifestCatalog")
+      .config("spark.sql.catalog.graft.root",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse/graft-catalog")
 }

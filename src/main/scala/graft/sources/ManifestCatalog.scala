@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Column, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL-surface integration for the manifest sink: a Spark
+  * `TableCatalog` so graft-manifest tables are first-class SQL
+  * citizens — `CREATE TABLE graft.t (...)`, `INSERT INTO graft.t
+  * SELECT ...`, `SELECT ... FROM graft.t`, `ALTER TABLE graft.t ADD
+  * COLUMN ...`, `DROP TABLE graft.t` — no DataFrame API required.
+  * Registered in [[graft.core.GraftSession]] as catalog `graft`
+  * (`spark.sql.catalog.graft`); the Iceberg/Delta catalog-plugin
+  * shape in miniature.
+  *
+  * Layout: each identifier maps to `<root>/<namespace...>/<name>`, a
+  * plain manifest-sink table directory — every transactional property
+  * (atomic commits, snapshots, time travel, branches, MOR deletes,
+  * schema evolution) applies unchanged, because the catalog is ONLY a
+  * name→directory resolver plus DDL:
+  *  - CREATE TABLE publishes an empty v1 manifest carrying the schema
+  *    (a metadata-only commit);
+  *  - ALTER TABLE ADD COLUMN republishes the head with the merged
+  *    schema under the commit lock — the add-column evolution path,
+  *    now reachable from SQL; every other change is rejected;
+  *  - DROP TABLE removes the directory (no trash — retention beyond
+  *    the snapshot store is the caller's policy, documented).
+  * Reads serve through the DSv2 batch scan ([[ManifestBatchScan]]),
+  * writes through the normal manifest commit protocol, so SQL and
+  * DataFrame users see the same table.
+  */
+class ManifestCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-catalog")
+    ()
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path = {
+    val parts = (ident.namespace() :+ ident.name()).toSeq
+    require(parts.forall(_.matches("[A-Za-z0-9_]+")),
+      s"graft catalog identifiers are [A-Za-z0-9_]+ parts, got $ident")
+    Paths.get(root, parts: _*)
+  }
+
+  private def exists(ident: Identifier): Boolean =
+    ManifestV2Sink.hasCommitted(dirOf(ident).toString)
+
+  override def tableExists(ident: Identifier): Boolean = exists(ident)
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = Paths.get(root, namespace.toSeq: _*)
+    if (!Files.isDirectory(dir)) Array.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_MANIFEST")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirOf(ident).toString
+    val schema = ManifestV2Sink.readManifest(dir).map(_._1)
+      .getOrElse(throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq))
+    new ManifestTable(schema, dir)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables are unpartitioned (layout is per-commit)")
+    if (exists(ident))
+      throw new TableAlreadyExistsException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    // an empty v1 manifest carrying the schema — the same publish
+    // protocol every commit uses, so CREATE is itself a snapshot
+    ManifestV2Sink.withHeadLock(dir.toString) {
+      ManifestV2Sink.publish(dir.toString, schema, Seq.empty,
+        s"create-${java.util.UUID.randomUUID().toString.take(8)}")
+    }
+    new ManifestTable(schema, dir.toString)
+  }
+
+  // version-proof bridge: build the StructType ourselves instead of
+  // relying on the deprecated-default delegation
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        StructField(c.name(), c.dataType(), c.nullable()))),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident).toString
+    ManifestV2Sink.commitLock(dir).synchronized {
+      ManifestV2Sink.withHeadLock(dir) {
+        val (cur, entries) = ManifestV2Sink.readManifest(dir)
+          .getOrElse(throw new NoSuchTableException(
+            (ident.namespace() :+ ident.name()).toSeq))
+        val next = changes.foldLeft(cur) { (s, ch) =>
+          ch match {
+            case add: TableChange.AddColumn =>
+              require(add.fieldNames().length == 1,
+                "graft catalog supports top-level ADD COLUMN only")
+              val n = add.fieldNames()(0)
+              require(!s.fieldNames.contains(n), s"column $n exists")
+              StructType(s.fields :+
+                StructField(n, add.dataType(), nullable = true))
+            case other => throw new UnsupportedOperationException(
+              s"graft catalog supports ADD COLUMN only, got $other " +
+                "(type changes would null out old files — rejected, " +
+                "the mergeSchemas rule)")
+          }
+        }
+        // metadata-only commit: same entries, widened schema
+        ManifestV2Sink.publish(dir, next, entries,
+          s"alter-${java.util.UUID.randomUUID().toString.take(8)}")
+        new ManifestTable(next, dir)
+      }
+    }
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (!Files.exists(dir)) false
+    else {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.toList.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p)
+        ()
+      }
+      rm(dir)
+      true
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    if (!exists(oldIdent))
+      throw new NoSuchTableException(
+        (oldIdent.namespace() :+ oldIdent.name()).toSeq)
+    if (exists(newIdent))
+      throw new TableAlreadyExistsException(
+        (newIdent.namespace() :+ newIdent.name()).toSeq)
+    Files.createDirectories(dirOf(newIdent).getParent)
+    Files.move(dirOf(oldIdent), dirOf(newIdent))
+    ()
+  }
+}

@@ -92,10 +92,24 @@ private[sources] class ManifestMicroBatchStream(path: String,
       else ManifestV2Sink
         .parseManifest(ManifestV2Sink.versionFile(path, s))
         .map(_._2.toSet).getOrElse(Set.empty)
-    // tombstones visible at the END snapshot reconcile this batch's
-    // arrivals; normalized per key type so "3" matches however JSON
-    // spelled it
-    val dels: Array[DeleteSet] = endEntries
+    ManifestScanPlanner.partitions(path, schema, endEntries, base)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    ManifestScanPlanner.readerFactory
+}
+
+/** Shared partition planning for the DSv2 read paths (batch scan +
+  * micro-batch stream): data entries become one file partition each,
+  * tombstones visible in the planned entry set become plan-riding
+  * key sets every reader filters by (normalized per key type so "3"
+  * matches however JSON spelled it).
+  */
+private[sources] object ManifestScanPlanner {
+
+  def partitions(path: String, schema: StructType,
+      entries: Seq[String], base: Set[String]): Array[InputPartition] = {
+    val dels: Array[DeleteSet] = entries
       .filter(ManifestV2Sink.isDeleteEntry)
       .map { entry =>
         val p = entry.split("\t")
@@ -118,7 +132,7 @@ private[sources] class ManifestMicroBatchStream(path: String,
           DeleteSet(keyCol, keys)
         }
       }
-    endEntries
+    entries
       .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
       .map { entry =>
         ManifestFilePartition(
@@ -127,11 +141,30 @@ private[sources] class ManifestMicroBatchStream(path: String,
       }.toArray
   }
 
+  def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(
+        p: InputPartition): PartitionReader[InternalRow] =
+      new ManifestJsonlReader(p.asInstanceOf[ManifestFilePartition])
+  }
+}
+
+/** BATCH read of the committed state through the DSv2 scan — what
+  * serves `SELECT * FROM graft.<table>` via [[ManifestCatalog]]. Same
+  * reader and tombstone reconcile as the stream; the committed view is
+  * the head manifest's entries. ([[ManifestV2Sink.readCommitted]]
+  * remains the API-level batch surface; its anti-join reconcile
+  * handles table-scale tombstones, while this plan-riding set is
+  * right-sized for GDPR-scale deletes.)
+  */
+private[sources] class ManifestBatchScan(path: String,
+    schema: StructType) extends org.apache.spark.sql.connector.read.Batch {
+  override def planInputPartitions(): Array[InputPartition] = {
+    val entries =
+      ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+    ManifestScanPlanner.partitions(path, schema, entries, Set.empty)
+  }
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new ManifestJsonlReader(p.asInstanceOf[ManifestFilePartition])
-    }
+    ManifestScanPlanner.readerFactory
 }
 
 private[sources] case class ManifestOffset(v: Int) extends Offset {

@@ -1135,15 +1135,18 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
-  // TABLE-AS-STREAM read path (see [[ManifestMicroBatchStream]]);
-  // the batch read surface stays [[ManifestV2Sink.readCommitted]]
+  // DSv2 read paths: BATCH (serves SQL SELECT via [[ManifestCatalog]])
+  // and TABLE-AS-STREAM (see [[ManifestMicroBatchStream]]);
+  // [[ManifestV2Sink.readCommitted]] stays the API-level batch surface
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = schema0
-      override def description(): String = s"graft-manifest-stream($path)"
+      override def description(): String = s"graft-manifest($path)"
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        new ManifestBatchScan(path, schema0)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream =
         new ManifestMicroBatchStream(path, schema0)

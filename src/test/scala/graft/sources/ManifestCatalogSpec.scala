@@ -1,0 +1,107 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** DDL/DML contract of the `graft` TableCatalog: SQL create/insert/
+  * select/alter/rename/drop drive the same transactional manifest
+  * tables the DataFrame API writes, and the two surfaces see each
+  * other's commits.
+  */
+class ManifestCatalogSpec extends SparkSuite {
+
+  private def fresh(): String =
+    s"t_${java.util.UUID.randomUUID().toString.take(8)}"
+
+  test("create + insert + select round-trips through pure SQL") {
+    val t = fresh()
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, s STRING)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO graft.$t VALUES (3, 'c')")
+      val got = spark.sql(s"SELECT id, s FROM graft.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // each INSERT was one manifest commit: create=v1 + 2 inserts
+      val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      assert(ManifestV2Sink.versions(dir).size == 3)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("SQL and DataFrame surfaces share the table") {
+    import spark.implicits._
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      // DataFrame write into the catalog-created table directory
+      Seq(10L, 20L).toDF("id")
+        .write.format("graft-manifest").mode("append").save(dir)
+      assert(spark.sql(s"SELECT id FROM graft.$t ORDER BY id")
+        .as[Long].collect().toSeq == Seq(10L, 20L))
+      // SQL write read back through the API surface
+      spark.sql(s"INSERT INTO graft.$t VALUES (30)")
+      assert(ManifestV2Sink.readCommitted(spark, dir)
+        .orderBy("id").as[Long].collect().toSeq == Seq(10L, 20L, 30L))
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("ALTER TABLE ADD COLUMN is a metadata-only commit; old rows " +
+    "null-fill; other changes are rejected") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1)")
+      val filesBefore = ManifestV2Sink.committedFileCount(dir)
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMN v BIGINT")
+      assert(ManifestV2Sink.committedFileCount(dir) == filesBefore,
+        "evolution must not rewrite any data file")
+      spark.sql(s"INSERT INTO graft.$t VALUES (2, 20)")
+      val got = spark.sql(s"SELECT id, v FROM graft.$t ORDER BY id")
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      assert(got.toSeq == Seq((1L, None), (2L, Some(20L))))
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.$t ALTER COLUMN v TYPE STRING")
+      }
+      assert(e.getMessage != null)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("duplicate create fails; rename moves; drop removes") {
+    val t = fresh(); val t2 = fresh()
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      }
+      spark.sql(s"INSERT INTO graft.$t VALUES (7)")
+      spark.sql(s"ALTER TABLE graft.$t RENAME TO $t2")
+      assert(spark.sql(s"SELECT id FROM graft.$t2").collect()
+        .map(_.getLong(0)).toSeq == Seq(7L))
+      intercept[Exception] { spark.sql(s"SELECT id FROM graft.$t") }
+      spark.sql(s"DROP TABLE graft.$t2")
+      intercept[Exception] { spark.sql(s"SELECT id FROM graft.$t2") }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t2")
+    }
+  }
+
+  test("SQL reads reconcile merge-on-read tombstones") {
+    import spark.implicits._
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, s STRING)")
+      spark.sql(
+        s"INSERT INTO graft.$t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      ManifestV2Sink.delete(spark, dir, "id", Seq(2L).toDF("id"))
+      assert(spark.sql(s"SELECT id FROM graft.$t ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 3L),
+        "the DSv2 batch scan must apply tombstones")
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+}
