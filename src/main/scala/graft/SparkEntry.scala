@@ -51,7 +51,10 @@ object SparkEntry {
     // and the graph search whose exact baseline builds lazily on
     // first demand
     "knn_brute_force", "knn_brute_heldout", "knn_ivf_trained_heldout",
-    "knn_sq8_heldout", "knn_graph_search", "knn_graph_delta")
+    "knn_sq8_heldout", "knn_graph_search", "knn_graph_delta",
+    // the Vamana build job publishes the pruned serving index its
+    // search twin reads
+    "knn_graph_prune")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -4627,9 +4627,22 @@ object EmbeddingQueries {
     } finally e.unpersist()
   }
 
+  /** The pruned graph is itself an INDEX, published through the
+    * artifact seam ("vamana_graph") by [[knnGraphPrune]] — the build
+    * job — and only READ by [[knnGraphSearchPruned]], mirroring the
+    * nnd_graph build/search split.
+    */
+  private def vamanaIndex(spark: SparkSession, dir: String): DataFrame =
+    SessionArtifact.table(spark, dir, "vamana_graph")(
+      prunedGraph(spark, dir))
+
   def knnGraphPrune(spark: SparkSession, dir: String): DataFrame = {
     val g = nndIndex(spark, dir)
-    val keptD = prunedGraph(spark, dir).select(col("v"), col("d"))
+    // this IS the nightly build: republish the pruned index and
+    // report off the READ-BACK, so the hash gate re-proves the sink
+    // round-trip every run (the knnGraphNnd pattern)
+    val keptD = SessionArtifact.rebuild(spark, dir, "vamana_graph")(
+      prunedGraph(spark, dir)).select(col("v"), col("d"))
     val totals = keptD.agg(count(lit(1)).as("edges_after"))
       .crossJoin(broadcast(g.agg(count(lit(1)).as("edges_before"))))
     keptD.groupBy(col("v"))
@@ -4641,7 +4654,11 @@ object EmbeddingQueries {
         col("edges_before"), col("edges_after"))
   }
 
-  val knnGraphPruneSql: String = {
+  /** The robust-prune CTE chain (cand → pairwise → greedy kept set
+    * ka[[NndK]]) over the [[sqlNndChain]] graph — shared by the prune
+    * report oracle and the pruned-search oracle.
+    */
+  private lazy val sqlPruneChain: String = {
     val dotAB = sqlDot // the canonical a/b quantized-dot fragment
     val keptChain = (2 to NndK).map { r =>
       s"""k$r AS (
@@ -4653,8 +4670,7 @@ object EmbeddingQueries {
          |ka$r AS MATERIALIZED (SELECT v, rnk FROM ka${r - 1}
          |  UNION ALL SELECT v, rnk FROM k$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $sqlNndChain,
-       |cand AS MATERIALIZED (
+    s"""cand AS MATERIALIZED (
        |  SELECT v, u, d, CAST(row_number() OVER (
        |    PARTITION BY v ORDER BY d, u) AS BIGINT) AS rnk
        |  FROM g$NndRounds),
@@ -4664,7 +4680,12 @@ object EmbeddingQueries {
        |        FROM cand x JOIN cand y ON x.v = y.v AND x.rnk < y.rnk) t
        |  JOIN n a ON t.ua = a.vec_id JOIN n b ON t.ub = b.vec_id),
        |ka1 AS (SELECT v, rnk FROM cand WHERE rnk = 1),
-       |$keptChain,
+       |$keptChain""".stripMargin
+  }
+
+  val knnGraphPruneSql: String =
+    s"""WITH $sqlNndChain,
+       |$sqlPruneChain,
        |kd AS (SELECT k.v, c.d FROM ka$NndK k
        |  JOIN cand c ON k.v = c.v AND k.rnk = c.rnk),
        |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree,
@@ -4674,6 +4695,77 @@ object EmbeddingQueries {
        |  (SELECT COUNT(*) FROM cand) AS edges_before,
        |  (SELECT COUNT(*) FROM kd) AS edges_after
        |FROM deg GROUP BY degree""".stripMargin
+
+  /** QUERY-TIME SEARCH OVER THE PRUNED INDEX — the serving half of
+    * the Vamana story: the identical beam walk as [[knnGraphSearch]]
+    * ([[searchOver]] is shared code) but through the PUBLISHED pruned
+    * adjacency, so the oracle gate — which re-derives NND
+    * construction, robust-prune, and the unrolled beam — proves that
+    * what the DISK-SHAPED index (fewer, diverse edges) returns is
+    * exactly what the algorithm specifies, per query, with recall vs
+    * the exact top-K in-band. Together with knn_graph_search this
+    * pair quantifies the prune's cost/recall trade under the hash
+    * gate rather than only in a spec.
+    */
+  def knnGraphSearchPruned(spark: SparkSession, dir: String): DataFrame =
+    searchOver(spark, dir, vamanaIndex(spark, dir))
+
+  val knnGraphSearchPrunedSql: String = {
+    val qeDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
+    def beamCte(candSrc: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, u, d FROM (
+         |    SELECT qid, u, d, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d, u) AS rnk
+         |    FROM (SELECT DISTINCT t.qid, t.u,
+         |            q.norm2 + e.norm2 - 2 * $qeDot AS d
+         |          FROM $candSrc t
+         |          JOIN gqs q ON t.qid = q.qid
+         |          JOIN n e ON t.u = e.vec_id
+         |          WHERE t.u <> t.qid))
+         |  WHERE rnk <= $GsBeam)""".stripMargin
+    val hops = (1 to GsHops).map { h =>
+      s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
+         |  JOIN gadj a ON b.u = a.v
+         |  UNION SELECT qid, u FROM gw${h - 1}),
+         |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlNndChain,
+       |$sqlPruneChain,
+       |kd2 AS (SELECT k.v, c.u FROM ka$NndK k
+       |  JOIN cand c ON k.v = c.v AND k.rnk = c.rnk),
+       |gadj AS MATERIALIZED (SELECT v, u FROM kd2
+       |  UNION SELECT u AS v, v AS u FROM kd2),
+       |gqs AS (SELECT vec_id AS qid, qv, norm2 FROM n
+       |  WHERE vec_id % $sqlGsStride = 13),
+       |gs0 AS (
+       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
+       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
+       |    AS i) s),
+       |${beamCte("gs0", "gw0")},
+       |$hops,
+       |gfk AS (
+       |  SELECT qid, u, d FROM (
+       |    SELECT qid, u, d, row_number() OVER (
+       |      PARTITION BY qid ORDER BY d, u) AS rnk
+       |    FROM gw$GsHops)
+       |  WHERE rnk <= $NndK),
+       |gex AS (
+       |  SELECT q.qid, e.vec_id AS u, row_number() OVER (
+       |    PARTITION BY q.qid
+       |    ORDER BY q.norm2 + e.norm2 - 2 * $qeDot, e.vec_id) AS rnk
+       |  FROM gqs q JOIN n e ON e.vec_id <> q.qid),
+       |gexk AS (SELECT qid, u FROM gex WHERE rnk <= $NndK)
+       |SELECT f.qid AS query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched,
+       |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
+             NndK.toString)} AS recall_ppm,
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
+       |GROUP BY f.qid""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4683,6 +4775,7 @@ object EmbeddingQueries {
     "knn_graph_search" -> (knnGraphSearch _),
     "knn_graph_delta" -> (knnGraphDelta _),
     "knn_graph_prune" -> (knnGraphPrune _),
+    "knn_graph_search_pruned" -> (knnGraphSearchPruned _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
     "knn_hybrid_wand" -> (knnHybridWand _),
@@ -4726,6 +4819,7 @@ object EmbeddingQueries {
     "knn_graph_search" -> knnGraphSearchSql,
     "knn_graph_delta" -> knnGraphDeltaSql,
     "knn_graph_prune" -> knnGraphPruneSql,
+    "knn_graph_search_pruned" -> knnGraphSearchPrunedSql,
     "emb_kcenter_init" -> embKcenterInitSql,
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,
