@@ -51,6 +51,24 @@ class ManifestCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** Fail a DDL statement AT THE STATEMENT when it names a type the
+    * JSONL writer/reader cannot hold — otherwise `CREATE TABLE t (d
+    * DATE)` succeeds and the failure surfaces later as a writer
+    * require on INSERT, far from the DDL that caused it.
+    */
+  private def requirePrimitive(col: String,
+      dt: org.apache.spark.sql.types.DataType): Unit = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.BooleanType |
+         org.apache.spark.sql.types.StringType => ()
+    case other => throw new UnsupportedOperationException(
+      s"graft catalog column '$col': unsupported type " +
+        s"${other.simpleString} — tables hold BIGINT/INT/DOUBLE/" +
+        "BOOLEAN/STRING only")
+  }
+
   private def dirOf(ident: Identifier): Path = {
     val parts = (ident.namespace() :+ ident.name()).toSeq
     require(parts.forall(_.matches("[A-Za-z0-9_]+")),
@@ -89,6 +107,7 @@ class ManifestCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
       "graft catalog tables are unpartitioned (layout is per-commit)")
+    schema.fields.foreach(f => requirePrimitive(f.name, f.dataType))
     if (exists(ident))
       throw new TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
@@ -128,6 +147,7 @@ class ManifestCatalog extends TableCatalog {
                 "graft catalog supports top-level ADD COLUMN only")
               val n = add.fieldNames()(0)
               require(!s.fieldNames.contains(n), s"column $n exists")
+              requirePrimitive(n, add.dataType())
               StructType(s.fields :+
                 StructField(n, add.dataType(), nullable = true))
             case other => throw new UnsupportedOperationException(

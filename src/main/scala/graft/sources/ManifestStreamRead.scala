@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util
 
 import scala.jdk.CollectionConverters._
 
@@ -57,42 +58,58 @@ private[sources] class ManifestMicroBatchStream(path: String,
   override def initialOffset(): Offset = ManifestOffset(0)
 
   override def latestOffset(): Offset = {
-    val headBody = {
-      val mf = Paths.get(path, "_MANIFEST")
-      if (Files.exists(mf)) Files.readAllBytes(mf).toSeq else Seq.empty
-    }
+    val mf = Paths.get(path, "_MANIFEST")
+    val headBody =
+      if (Files.exists(mf)) Files.readAllBytes(mf) else Array.empty[Byte]
     if (headBody.isEmpty) ManifestOffset(0)
     else {
-      // newest snapshot that IS the main head (see scaladoc); scan
-      // descending — normally the first hit
-      val v = ManifestV2Sink.versions(path).reverse.find { v =>
-        Files.readAllBytes(
-          ManifestV2Sink.versionFile(path, v)).toSeq == headBody
-      }.getOrElse(0)
+      // fast path: every main publish drops a head-version HINT next
+      // to the pointer; a hint is only trusted after verifying its
+      // snapshot's bytes ARE the head (a crash between pointer move
+      // and hint write leaves a stale hint — detected, never believed)
+      val hinted = ManifestV2Sink.readHeadVersionHint(path).filter { v =>
+        val vf = ManifestV2Sink.versionFile(path, v)
+        Files.exists(vf) &&
+          util.Arrays.equals(Files.readAllBytes(vf), headBody)
+      }
+      val v = hinted.getOrElse {
+        // slow path (pre-hint tables): newest snapshot that IS the
+        // main head; compare sizes before bytes so one poll reads at
+        // most a handful of full snapshots, not the whole history
+        ManifestV2Sink.versions(path).reverse.find { v =>
+          val vf = ManifestV2Sink.versionFile(path, v)
+          Files.size(vf) == headBody.length.toLong &&
+            util.Arrays.equals(Files.readAllBytes(vf), headBody)
+        }.getOrElse(throw new IllegalStateException(
+          s"graft-manifest stream: no retained snapshot matches the " +
+            s"main head at $path — snapshot retention expired the head's " +
+            "version; silently restarting from 0 would replay the table"))
+      }
       ManifestOffset(v)
     }
   }
 
   override def deserializeOffset(json: String): Offset =
-    ManifestOffset(json.trim.toInt)
+    ManifestOffset(json.trim.toLong)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[ManifestOffset].v
-    val e = end.asInstanceOf[ManifestOffset].v
+    val s = Math.toIntExact(start.asInstanceOf[ManifestOffset].v)
+    val e = Math.toIntExact(end.asInstanceOf[ManifestOffset].v)
     if (e <= s) return Array.empty
-    val endEntries = ManifestV2Sink
-      .parseManifest(ManifestV2Sink.versionFile(path, e))
-      .map(_._2).getOrElse(Seq.empty)
-    val base: Set[String] =
-      if (s == 0) Set.empty
-      else ManifestV2Sink
-        .parseManifest(ManifestV2Sink.versionFile(path, s))
-        .map(_._2.toSet).getOrElse(Set.empty)
-    ManifestScanPlanner.partitions(path, schema, endEntries, base)
+    // a checkpointed offset whose snapshot retention has expired must
+    // FAIL, not silently fall back — an empty base for s>0 would
+    // replay the entire table as arrivals (mirrors readAppendedSince)
+    def snapshot(v: Int): Seq[String] = ManifestV2Sink
+      .parseManifest(ManifestV2Sink.versionFile(path, v))
+      .map(_._2).getOrElse(throw new IllegalStateException(
+        s"graft-manifest stream: snapshot v$v at $path was expired — " +
+          "cannot plan the batch exactly-once; re-seed the stream"))
+    val base: Set[String] = if (s == 0) Set.empty else snapshot(s).toSet
+    ManifestScanPlanner.partitions(path, schema, snapshot(e), base)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -116,8 +133,17 @@ private[sources] object ManifestScanPlanner {
         (p(1), ManifestV2Sink.entryFile(entry))
       }
       .groupBy(_._1).toArray.sortBy(_._1)
-      .flatMap { case (keyCol, files) =>
-        schema.fields.find(_.name == keyCol).map { f =>
+      .map { case (keyCol, files) =>
+        // a tombstone keyed on a column the planned schema lacks must
+        // FAIL: silently dropping the group would emit deleted rows
+        // (e.g. a schema frozen at stream start + a later add-column
+        // evolution + a delete keyed on the new column)
+        val f = schema.fields.find(_.name == keyCol).getOrElse(
+          throw new IllegalStateException(
+            s"graft-manifest: delete entries keyed on '$keyCol' but the " +
+              s"planned read schema has no such column — refusing to " +
+              "ignore tombstones"))
+        locally {
           val mapper = new ObjectMapper()
           val keys = files.flatMap { case (_, rel) =>
             Files.readAllLines(Paths.get(path, rel),
@@ -157,17 +183,25 @@ private[sources] object ManifestScanPlanner {
   * right-sized for GDPR-scale deletes.)
   */
 private[sources] class ManifestBatchScan(path: String,
-    schema: StructType) extends org.apache.spark.sql.connector.read.Batch {
+    schema: StructType, branch: Option[String] = None)
+    extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries =
-      ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+    val entries = branch match {
+      case Some(b) => ManifestV2Sink
+        .parseManifest(ManifestV2Sink.branchFile(path, b))
+        .map(_._2).getOrElse(throw new IllegalArgumentException(
+          s"no branch $b at $path " +
+            s"(have: ${ManifestV2Sink.branches(path).mkString(",")})"))
+      case None =>
+        ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
+    }
     ManifestScanPlanner.partitions(path, schema, entries, Set.empty)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestScanPlanner.readerFactory
 }
 
-private[sources] case class ManifestOffset(v: Int) extends Offset {
+private[sources] case class ManifestOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 

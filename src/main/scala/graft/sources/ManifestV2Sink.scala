@@ -93,12 +93,20 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
   // write-side schema comes from the DataFrame being written
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestV2Sink.readManifest(ManifestV2Sink.pathOf(options))
-      .map(_._1)
-      .getOrElse(throw new IllegalArgumentException(
-        s"graft-manifest: no manifest at ${ManifestV2Sink.pathOf(options)}" +
-          " — write first, or read via ManifestV2Sink.readCommitted"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = ManifestV2Sink.pathOf(options)
+    // a branch read must infer the BRANCH head's schema — it may have
+    // evolved independently of main's
+    val head = Option(options.get("branch")) match {
+      case Some(b) => ManifestV2Sink.parseManifest(
+        ManifestV2Sink.branchFile(path, b))
+      case None => ManifestV2Sink.readManifest(path)
+    }
+    head.map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"graft-manifest: no manifest at $path" +
+        Option(options.get("branch")).map(b => s" (branch $b)").getOrElse("") +
+        " — write first, or read via ManifestV2Sink.readCommitted"))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -1095,7 +1103,30 @@ object ManifestV2Sink {
     Files.write(tmp, body)
     Files.move(tmp, pointer,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    if (branch.isEmpty) {
+      // head-version HINT for the streaming source's latestOffset —
+      // written AFTER the pointer move (the commit point) so it is
+      // pure acceleration: a crash in between leaves a stale hint,
+      // which readers detect by comparing the hinted snapshot's bytes
+      // to the head and fall back to the descending scan
+      val hTmp = Paths.get(path, s"_MANIFEST.headvtmp.$tag")
+      Files.write(hTmp, nextV.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(hTmp, Paths.get(path, "_MANIFEST.headv"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
     ()
+  }
+
+  /** The head-version hint [[publish]] maintains for main commits —
+    * UNVERIFIED (callers must check the hinted snapshot's bytes are
+    * the head before trusting it); absent or unparseable → None.
+    */
+  private[sources] def readHeadVersionHint(path: String): Option[Int] = {
+    val h = Paths.get(path, "_MANIFEST.headv")
+    if (!Files.exists(h)) None
+    else scala.util.Try(
+      new String(Files.readAllBytes(h), StandardCharsets.UTF_8)
+        .trim.toInt).toOption
   }
 
   /** Data files present on disk but referenced by NO retained
@@ -1139,17 +1170,29 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
 
   // DSv2 read paths: BATCH (serves SQL SELECT via [[ManifestCatalog]])
   // and TABLE-AS-STREAM (see [[ManifestMicroBatchStream]]);
-  // [[ManifestV2Sink.readCommitted]] stays the API-level batch surface
+  // [[ManifestV2Sink.readCommitted]] stays the API-level batch surface.
+  // A `branch` option threads into the batch scan (the branch head's
+  // entries), so `.option("branch", b).load(dir)` reads the BRANCH —
+  // never silently main's data; streams follow main by contract
+  // (branch snapshots never become offsets), so a branch stream read
+  // is rejected loudly instead
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = schema0
-      override def description(): String = s"graft-manifest($path)"
+      override def description(): String =
+        s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        new ManifestBatchScan(path, schema0)
+        new ManifestBatchScan(path, schema0, branch)
       override def toMicroBatchStream(
-          checkpointLocation: String): MicroBatchStream =
+          checkpointLocation: String): MicroBatchStream = {
+        branch.foreach { b =>
+          throw new UnsupportedOperationException(
+            s"graft-manifest streams follow MAIN; cannot stream branch " +
+              s"'$b' — read it as a batch instead")
+        }
         new ManifestMicroBatchStream(path, schema0)
+      }
     }
   }
 
