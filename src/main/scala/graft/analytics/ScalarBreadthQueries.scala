@@ -1466,7 +1466,78 @@ object ScalarBreadthQueries {
       |FROM t WHERE id >= 1234 AND id < 400000
       |GROUP BY 1""".stripMargin
 
+  /** PARTITIONED WRITES + PARTITION PRUNING under the oracle gate —
+    * the first layout every 100-TB ingest writes (date/source/lang
+    * partitions) and the skip a lake consults BEFORE per-file stats:
+    * two slices commit with `.option("partitionBy",
+    * "o_orderpriority")`, each task fanning out one file per priority
+    * (coalesce(1) per commit ⇒ one file per populated (commit,
+    * priority) cell — exact, closed-form). A one-partition read then
+    * goes through [[graft.sources.ManifestV2Sink.readPartition]].
+    * BOTH directions are hash-gated, and crucially the partition
+    * column is a STRING — no min/max stats exist for it anywhere, so
+    * every skipped file is skipped by the partition value alone: the
+    * in-band `files_read` equals the oracle's populated-cell count
+    * for the queried priority and `files_total` the full cell count,
+    * so reading too many files or losing a partition diverges the
+    * hash. The exact predicate rides on top as the usual residual.
+    */
+  def sinkManifestPartition(spark: SparkSession, dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_part_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath // scheme-less for the nio sink side
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      // two ingest batches (e.g. two nightly loads), each partitioned
+      // by priority: one task per commit ⇒ one file per (commit,
+      // priority) cell, both counts closed-form for the oracle
+      Seq(0L, 1L).foreach { m =>
+        src.where(col("o_orderkey") % 3 === m).coalesce(1)
+          .write.format("graft-manifest")
+          .option("partitionBy", "o_orderpriority")
+          .mode("append").save(out)
+      }
+      val want = "1-URGENT"
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val filesRead = graft.sources.ManifestV2Sink
+        .prunedPartitionFiles(out, "o_orderpriority", want).size
+      graft.sources.ManifestV2Sink
+        .readPartition(spark, out, "o_orderpriority", want)
+        .where(col("o_orderpriority") === want) // residual atop the skip
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestPartitionSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderkey % 3 AS m
+      |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT m) FROM s
+      |     WHERE o_orderpriority = '1-URGENT') AS files_read,
+      |  (SELECT COUNT(*) FROM
+      |     (SELECT DISTINCT m, o_orderpriority FROM s)) AS files_total
+      |FROM s WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_manifest_partition" -> (sinkManifestPartition _),
     "source_dsv2_agg_pushdown" -> (sourceDsv2AggPushdown _),
     "source_dsv2_agg_groupby" -> (sourceDsv2AggGroupBy _),
     "source_dsv2" -> (sourceDsv2 _),
@@ -1499,6 +1570,7 @@ object ScalarBreadthQueries {
     "date_arith_orders" -> (dateArithOrders _))
 
   val oracles: Map[String, String] = Map(
+    "sink_manifest_partition" -> sinkManifestPartitionSql,
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,

@@ -318,6 +318,80 @@ object ManifestV2Sink {
     */
   def hasCommitted(path: String): Boolean = readManifest(path).isDefined
 
+  // --------------------------------------------- partitioned layout
+  /** Escape a STRING partition value for the `P|col:value|...` blob:
+    * percent-encodes the blob's reserved characters. Null renders as
+    * `%00` — unreachable as an escaped real value (real escaping only
+    * emits the codes below), so null never collides with content.
+    */
+  private[sources] def escapePart(s: String): String = {
+    val sb = new StringBuilder(s.length + 4)
+    s.foreach {
+      case '%' => sb ++= "%25"
+      case ':' => sb ++= "%3A"
+      case '|' => sb ++= "%7C"
+      case '\t' => sb ++= "%09"
+      case '\n' => sb ++= "%0A"
+      case '\r' => sb ++= "%0D"
+      case c => sb += c
+    }
+    sb.result()
+  }
+
+  /** The recorded partition values of a data entry (`P|col:value|...`,
+    * an optional tab field) — empty for files written without a
+    * partition spec: those are unprunable by partition, never skipped.
+    * Values are the writer's canonical renderings (escaped strings,
+    * plain integral/boolean text, `%00` for null).
+    */
+  private[sources] def entryPartition(entry: String): Map[String, String] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("P|")).map { blob =>
+      blob.drop(2).split('|').iterator.map(_.split(":", 2))
+        .collect { case Array(c, v) => c -> v }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** PARTITION PRUNING — the skip a lake consults BEFORE per-file
+    * stats: data entries whose recorded partition value for `column`
+    * equals `value` (canonically rendered), plus every entry carrying
+    * no partition value for the column (unpartitioned/legacy:
+    * unprunable, never skipped). Works for string columns, where
+    * min/max stats are never recorded — the date/source/lang
+    * partition layouts every 100-TB ingest writes first.
+    */
+  def prunedPartitionFiles(path: String, column: String,
+      value: String): Seq[String] = {
+    val want = escapePart(value)
+    readManifest(path).map(_._2).getOrElse(Seq.empty)
+      .filterNot(isDeleteEntry)
+      .filter(e => entryPartition(e).get(column).forall(_ == want))
+      .map(entryFile)
+  }
+
+  /** Single-partition read through [[prunedPartitionFiles]] — same
+    * residual-predicate contract as [[readPruned]] (unpartitioned
+    * files may contribute rows with other values; apply the equality
+    * on top), tombstones still reconciled.
+    */
+  def readPartition(spark: SparkSession, path: String, column: String,
+      value: String): DataFrame = {
+    val (schema, entries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no manifest at $path"))
+    val keep = prunedPartitionFiles(path, column, value).toSet
+    readEntries(spark, path, schema, entries.filter(e =>
+      isDeleteEntry(e) || keep(entryFile(e))))
+  }
+
+  /** An entry's partition value for `column` parsed as an exact
+    * number — None when the entry has no partition value there or the
+    * value isn't numeric (string partitions prune by equality only).
+    */
+  private def partValueNum(entry: String,
+      column: String): Option[BigDecimal] =
+    entryPartition(entry).get(column).filter(_ != "%00")
+      .flatMap(v => scala.util.Try(BigDecimal(v)).toOption)
+
   /** SCHEMA EVOLUTION merge, applied at every append commit: the
     * published schema is the union of the table's current columns and
     * the incoming write's, prior columns first (stable reader order),
@@ -405,10 +479,11 @@ object ManifestV2Sink {
     val lo = BigDecimal(lower)
     val hi = BigDecimal(upper)
     entries.filterNot(isDeleteEntry).filter { e =>
-      entryStats(e).get(column) match {
+      val partOk = partValueNum(e, column).forall(v => v >= lo && v <= hi)
+      partOk && (entryStats(e).get(column) match {
         case Some((mn, mx)) => !(mx < lo || mn > hi)
         case None => true
-      }
+      })
     }.map(entryFile)
   }
 
@@ -693,12 +768,14 @@ object ManifestV2Sink {
       value: Long): Seq[String] = {
     val entries = readManifest(path).map(_._2).getOrElse(Seq.empty)
     entries.filterNot(isDeleteEntry).filter { e =>
+      val partOk = partValueNum(e, column).forall(_ == BigDecimal(value))
       val rangeOk = entryStats(e).get(column) match {
         case Some((mn, mx)) =>
           mn <= BigDecimal(value) && BigDecimal(value) <= mx
         case None => true
       }
-      rangeOk && entryBloom(e, column).forall(bloomMightContain(_, value))
+      partOk && rangeOk &&
+        entryBloom(e, column).forall(bloomMightContain(_, value))
     }.map(entryFile)
   }
 
@@ -731,11 +808,13 @@ object ManifestV2Sink {
     entries.filterNot(isDeleteEntry).filter { e =>
       val stats = entryStats(e)
       boxes.forall { case (c, lower, upper) =>
-        stats.get(c) match {
+        val partOk = partValueNum(e, c).forall(v =>
+          v >= BigDecimal(lower) && v <= BigDecimal(upper))
+        partOk && (stats.get(c) match {
           case Some((mn, mx)) =>
             !(mx < BigDecimal(lower) || mn > BigDecimal(upper))
           case None => true
-        }
+        })
       }
     }.map(entryFile)
   }
@@ -1205,6 +1284,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
           new ManifestBatchWrite(path, info.schema(), info.queryId(),
             replace, branch,
             Option(info.options.get("bloomColumns")).toSeq
+              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+            Option(info.options.get("partitionBy")).toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       }
     }
@@ -1213,20 +1294,31 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
 /** `stats` is the pre-serialized per-file column-stats blob
   * (`S|col:K:min:max|...`, empty when nothing numeric was written),
   * `blooms` the per-file Bloom blob (`B|col:base64|...`, empty unless
-  * the write opted in via `bloomColumns`) — each becomes one tab
-  * field of the data entry at publish.
+  * the write opted in via `bloomColumns`), `partition` the per-file
+  * partition-value blob (`P|col:value|...`, empty unless the write
+  * declared `partitionBy`) — each becomes one tab field of the data
+  * entry at publish.
   */
 private[sources] case class StagedFile(name: String, rows: Long,
-    stats: String = "", blooms: String = "") extends WriterCommitMessage
+    stats: String = "", blooms: String = "",
+    partition: String = "") extends WriterCommitMessage
+
+/** A partitioned write's task commit: one staged file PER partition
+  * value the task saw (the Hive/Iceberg fan-out writer shape).
+  */
+private[sources] case class StagedFiles(
+    files: Seq[StagedFile]) extends WriterCommitMessage
 
 private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     queryId: String, replace: Boolean,
     branch: Option[String] = None,
-    bloomColumns: Seq[String] = Seq.empty) extends BatchWrite {
+    bloomColumns: Seq[String] = Seq.empty,
+    partitionBy: Seq[String] = Seq.empty) extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(path, schema, queryId, bloomColumns)
+    new ManifestWriterFactory(path, schema, queryId, bloomColumns,
+      partitionBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     // the whole promote→read-previous→publish section is driver-side
@@ -1257,15 +1349,19 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     // ZERO-ROW files are not promoted (cleanupStaged sweeps them):
     // an empty shuffle partition would otherwise commit a statless
     // file that every pruned read must conservatively scan forever
-    val promoted = messages.collect {
-      case StagedFile(name, rows, stats, blooms) if rows > 0 =>
+    val promoted = messages.iterator.flatMap {
+      case s: StagedFile => Iterator.single(s)
+      case StagedFiles(fs) => fs.iterator
+    }.collect {
+      case StagedFile(name, rows, stats, blooms, part) if rows > 0 =>
         val from = Paths.get(path, "_staged", queryId, name)
         Files.move(from, dataDir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
         s"data/$name" +
           (if (stats.isEmpty) "" else s"\t$stats") +
-          (if (blooms.isEmpty) "" else s"\t$blooms")
-    }.sorted
+          (if (blooms.isEmpty) "" else s"\t$blooms") +
+          (if (part.isEmpty) "" else s"\t$part")
+    }.toArray.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
     // branch starts empty, forked at the current latest version
@@ -1330,7 +1426,8 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
 
 private[sources] class ManifestWriterFactory(path: String,
     schema: StructType, queryId: String,
-    bloomColumns: Seq[String] = Seq.empty) extends DataWriterFactory {
+    bloomColumns: Seq[String] = Seq.empty,
+    partitionBy: Seq[String] = Seq.empty) extends DataWriterFactory {
   // fail fast on types the JSON writer doesn't cover — at plan time,
   // not per row on an executor
   require(schema.fields.forall(f => f.dataType match {
@@ -1344,26 +1441,78 @@ private[sources] class ManifestWriterFactory(path: String,
       (schema(c).dataType == LongType || schema(c).dataType == IntegerType),
       s"bloomColumns: $c must be an existing integral column")
   }
+  // partition columns must exist, be blob-safe names, and be types a
+  // partition VALUE can identify (never double: binary float rendering
+  // is a partition-identity footgun every real format also rejects)
+  partitionBy.foreach { c =>
+    require(schema.fieldNames.contains(c) && c.matches("[A-Za-z0-9_]+") &&
+      (schema(c).dataType match {
+        case LongType | IntegerType | StringType | BooleanType => true
+        case _ => false
+      }),
+      s"partitionBy: $c must be an existing long/int/string/boolean column")
+  }
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new ManifestDataWriter(path, schema, queryId, partitionId, taskId,
-      bloomColumns)
+      bloomColumns, partitionBy)
 }
 
+/** FAN-OUT writer: with no `partitionBy` a task streams to ONE staged
+  * file; with a partition spec it keeps one open [[FileSink]] per
+  * distinct partition-value tuple it sees (the Hive/Iceberg fan-out
+  * writer), so every data file holds exactly one partition value and
+  * its manifest entry records it — the metadata partition pruning
+  * reads ([[ManifestV2Sink.prunedPartitionFiles]]). Callers SHOULD
+  * repartition by the partition columns first (then each task fans
+  * out to ~1 sink); the writer stays correct either way.
+  */
 private[sources] class ManifestDataWriter(path: String, schema: StructType,
     queryId: String, partitionId: Int, taskId: Long,
-    bloomColumns: Seq[String] = Seq.empty)
+    bloomColumns: Seq[String] = Seq.empty,
+    partitionBy: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
-  private val name = s"part-$queryId-$partitionId-$taskId.jsonl"
-  private val staged = {
+  private val stagedDir = {
     val dir = Paths.get(path, "_staged", queryId)
     Files.createDirectories(dir)
-    dir.resolve(name)
+    dir
   }
-  private val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
-  private var rows = 0L
+  private val partIdx: Array[Int] =
+    partitionBy.map(schema.fieldIndex).toArray
+  private val sinks =
+    scala.collection.mutable.LinkedHashMap.empty[Seq[String], FileSink]
+
+  private def sinkFor(row: InternalRow): FileSink = {
+    if (partIdx.isEmpty)
+      sinks.getOrElseUpdate(Seq.empty, new FileSink("", ""))
+    else {
+      val vals: Seq[String] = partIdx.toSeq.map { i =>
+        if (row.isNullAt(i)) "%00" // impossible as an escaped real value
+        else schema.fields(i).dataType match {
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case BooleanType => row.getBoolean(i).toString
+          case _ => ManifestV2Sink.escapePart(row.getUTF8String(i).toString)
+        }
+      }
+      sinks.getOrElseUpdate(vals, {
+        val blob = partitionBy.zip(vals)
+          .map { case (c, v) => s"$c:$v" }.mkString("P|", "|", "")
+        new FileSink(s"-p${sinks.size}", blob)
+      })
+    }
+  }
+
+  /** One staged file's streaming state: writer, row count, per-column
+    * min/max stats, opt-in Bloom value buffers.
+    */
+  private final class FileSink(suffix: String, val partBlob: String) {
+    val name = s"part-$queryId-$partitionId-$taskId$suffix.jsonl"
+    val staged: Path = stagedDir.resolve(name)
+    val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+    var rows = 0L
 
   // per-file min/max for NUMERIC columns, tracked as rows stream
   // through (Iceberg's write-time file stats in miniature): integral
@@ -1461,6 +1610,47 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     if (cols.isEmpty) "" else cols.mkString("S|", "|", "")
   }
 
+    def writeRow(row: InternalRow): Unit = {
+      val fields = schema.fields.indices.map { i =>
+        val f = schema.fields(i)
+        val v =
+          if (row.isNullAt(i)) "null"
+          else f.dataType match {
+            case LongType => row.getLong(i).toString
+            case IntegerType => row.getInt(i).toString
+            case DoubleType =>
+              val d = row.getDouble(i)
+              // bare NaN/Infinity are not JSON; Spark's reader accepts
+              // the quoted spellings with allowNonNumericNumbers
+              if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
+              else d.toString
+            case BooleanType => row.getBoolean(i).toString
+            case StringType =>
+              "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
+            case other =>
+              throw new IllegalStateException(s"unreachable: $other")
+          }
+        "\"" + jsonEscape(f.name) + "\":" + v
+      }
+      out.write(fields.mkString("{", ",", "}"))
+      out.write("\n")
+      trackStats(row)
+      trackBloom(row)
+      rows += 1
+    }
+
+    def finish(): StagedFile = {
+      out.close()
+      StagedFile(name, rows, statsBlob(), bloomBlob(), partBlob)
+    }
+
+    def abortSink(): Unit = {
+      out.close()
+      Files.deleteIfExists(staged)
+      ()
+    }
+  } // end FileSink
+
   private def jsonEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
@@ -1475,44 +1665,17 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     sb.result()
   }
 
-  override def write(row: InternalRow): Unit = {
-    val fields = schema.fields.indices.map { i =>
-      val f = schema.fields(i)
-      val v =
-        if (row.isNullAt(i)) "null"
-        else f.dataType match {
-          case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          case DoubleType =>
-            val d = row.getDouble(i)
-            // bare NaN/Infinity are not JSON; Spark's reader accepts
-            // the quoted spellings with allowNonNumericNumbers
-            if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
-          case BooleanType => row.getBoolean(i).toString
-          case StringType => "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
-          case other => throw new IllegalStateException(s"unreachable: $other")
-        }
-      "\"" + jsonEscape(f.name) + "\":" + v
-    }
-    out.write(fields.mkString("{", ",", "}"))
-    out.write("\n")
-    trackStats(row)
-    trackBloom(row)
-    rows += 1
-  }
+  override def write(row: InternalRow): Unit = sinkFor(row).writeRow(row)
 
-  override def commit(): WriterCommitMessage = {
-    out.close()
-    StagedFile(name, rows, statsBlob(), bloomBlob())
-  }
+  override def commit(): WriterCommitMessage =
+    // empty tasks commit zero files (nothing staged, nothing promoted);
+    // a statless zero-row file would poison pruned reads forever
+    StagedFiles(sinks.values.map(_.finish()).toSeq)
 
-  override def abort(): Unit = {
+  override def abort(): Unit =
     // losing attempt (failure, retry loser, speculation loser): remove
-    // the staged file so only committed attempts can ever be promoted
-    out.close()
-    Files.deleteIfExists(staged)
-    ()
-  }
+    // the staged files so only committed attempts can ever be promoted
+    sinks.values.foreach(_.abortSink())
 
   override def close(): Unit = ()
 }
