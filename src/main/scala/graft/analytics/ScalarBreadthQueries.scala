@@ -1536,8 +1536,82 @@ object ScalarBreadthQueries {
       |FROM s WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** PURE-SQL WRITE lifecycle through the `graft` TableCatalog — the
+    * moment a table is SQL-visible users expect SQL writes, and here
+    * every mutation is a SQL statement riding the same transactional
+    * commit protocol as the DataFrame surface: CTAS creates and
+    * populates in one statement, `INSERT INTO ... SELECT` appends a
+    * second commit, and `DELETE FROM ... WHERE key IN (...)` routes to
+    * the MERGE-ON-READ tombstone path ([[graft.sources.ManifestTable
+    * .deleteWhere]]) — the in-band `files_rewritten` column pins the
+    * delete to ZERO rewritten data files (a literal IN-list is exactly
+    * the GDPR-scale delete shape; table-scale deletes belong on the
+    * batch anti-join surface). The read-back is SQL too, so the whole
+    * loop never touches the DataFrame API; the oracle recomputes the
+    * reconciled aggregate from the slice + delete predicates, so a
+    * tombstone that leaks rows back or over-deletes diverges the hash.
+    */
+  def sinkManifestSqlWrite(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"sqlw_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"orders_src_$t"
+    try {
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE graft.$t AS SELECT * FROM $view " +
+        "WHERE o_orderkey % 11 = 0")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM $view " +
+        "WHERE o_orderkey % 11 = 1")
+      val tableDir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      val filesBefore =
+        graft.sources.ManifestV2Sink.committedFileCount(tableDir)
+      // GDPR-scale SQL delete: a literal key list (1-in-70 of the
+      // slice — entity-sized, never corpus-sized)
+      val delKeys = spark.sql(s"SELECT o_orderkey FROM $view " +
+        "WHERE o_orderkey % 11 IN (0, 1) AND o_orderkey % 70 = 0")
+        .collect().map(_.getLong(0)).sorted
+      if (delKeys.nonEmpty)
+        spark.sql(s"DELETE FROM graft.$t " +
+          s"WHERE o_orderkey IN (${delKeys.mkString(", ")})")
+      val filesAfter =
+        graft.sources.ManifestV2Sink.committedFileCount(tableDir)
+      val tombstones =
+        graft.sources.ManifestV2Sink.committedDeleteFileCount(tableDir)
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit((filesAfter - filesBefore).toLong).as("files_rewritten"),
+          lit(if (tombstones > 0) 1L else 0L).as("has_tombstones"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  val sinkManifestSqlWriteSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 11 IN (0, 1))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(0 AS BIGINT) AS files_rewritten,
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM s WHERE o_orderkey % 70 = 0)
+      |       THEN 1 ELSE 0 END AS BIGINT) AS has_tombstones
+      |FROM s WHERE NOT (o_orderkey % 70 = 0)
+      |GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sink_manifest_partition" -> (sinkManifestPartition _),
+    "sink_manifest_sql_write" -> (sinkManifestSqlWrite _),
     "source_dsv2_agg_pushdown" -> (sourceDsv2AggPushdown _),
     "source_dsv2_agg_groupby" -> (sourceDsv2AggGroupBy _),
     "source_dsv2" -> (sourceDsv2 _),
@@ -1571,6 +1645,7 @@ object ScalarBreadthQueries {
 
   val oracles: Map[String, String] = Map(
     "sink_manifest_partition" -> sinkManifestPartitionSql,
+    "sink_manifest_sql_write" -> sinkManifestSqlWriteSql,
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,

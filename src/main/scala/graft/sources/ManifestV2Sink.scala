@@ -1239,13 +1239,69 @@ object ManifestV2Sink {
 
 private[sources] class ManifestTable(schema0: StructType, path: String,
     branch: Option[String] = None)
-    extends Table with SupportsWrite with SupportsRead {
+    extends Table with SupportsWrite with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  // ------------------------------------------------ SQL DELETE FROM
+  // `DELETE FROM graft.t WHERE key = v` / `key IN (...)` routes to the
+  // MERGE-ON-READ tombstone path ([[ManifestV2Sink.delete]]) — a
+  // metadata-sized commit, zero data files rewritten, exactly what a
+  // GDPR-scale SQL delete should cost on a 100-TB table. A bare
+  // `DELETE FROM graft.t` (no WHERE) is a TRUNCATE: one empty-list
+  // commit. Anything else (complex predicates, multi-column) is
+  // refused at analysis so Spark reports it un-deletable instead of
+  // silently over- or under-deleting.
+  private def deletableKeys(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Option[(String, Seq[Any])] =
+    filters match {
+      case Array(org.apache.spark.sql.sources.EqualTo(c, v))
+        if schema0.fieldNames.contains(c) => Some((c, Seq(v)))
+      case Array(org.apache.spark.sql.sources.In(c, vs))
+        if schema0.fieldNames.contains(c) => Some((c, vs.toSeq))
+      case _ => None
+    }
+
+  override def canDeleteWhere(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Boolean =
+    branch.isEmpty && (filters.isEmpty ||
+      filters.sameElements(Array(
+        org.apache.spark.sql.sources.AlwaysTrue)) ||
+      deletableKeys(filters).isDefined)
+
+  override def deleteWhere(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Unit = {
+    require(branch.isEmpty, "SQL DELETE targets main only")
+    val spark = org.apache.spark.sql.SparkSession.active
+    if (filters.isEmpty || filters.sameElements(Array(
+        org.apache.spark.sql.sources.AlwaysTrue))) {
+      // unconditional delete = truncate: ONE empty-list commit, old
+      // snapshots stay time-travelable until retention expires them
+      ManifestV2Sink.commitLock(path).synchronized {
+        ManifestV2Sink.withHeadLock(path) {
+          val (schema, _) = ManifestV2Sink.readManifest(path).getOrElse(
+            throw new IllegalArgumentException(s"no manifest at $path"))
+          ManifestV2Sink.publish(path, schema, Seq.empty, "sql-truncate")
+        }
+      }
+    } else {
+      val (keyCol, values) = deletableKeys(filters).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-manifest SQL DELETE supports `key = v` / `key IN " +
+            s"(...)` on one column, got: ${filters.mkString(", ")}"))
+      val f = schema0(keyCol)
+      val rows = values.map(v =>
+        org.apache.spark.sql.Row(v)).asJava
+      val keys = spark.createDataFrame(rows,
+        StructType(Seq(f.copy(nullable = true))))
+      ManifestV2Sink.delete(spark, path, keyCol, keys)
+    }
+  }
 
   // DSv2 read paths: BATCH (serves SQL SELECT via [[ManifestCatalog]])
   // and TABLE-AS-STREAM (see [[ManifestMicroBatchStream]]);
