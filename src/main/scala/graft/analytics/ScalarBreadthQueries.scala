@@ -1053,8 +1053,12 @@ object ScalarBreadthQueries {
         src.where(col("o_orderkey") % 4 === g).coalesce(2)
           .write.format("graft-manifest").mode("append").save(out)
       }
+      // the DISTRIBUTED metadata seam: the fold runs as a Spark agg
+      // over the manifest scan (ManifestMeta), so the metadata path
+      // itself survives millions of files — parity with the
+      // driver-side fold is pinned in ManifestMetaSpec
       def bounds(c: String): (Long, Long) = {
-        val (lo, hi) = graft.sources.ManifestV2Sink.statsMinMax(out, c)
+        val (lo, hi) = graft.sources.ManifestMeta.statsMinMax(spark, out, c)
           .getOrElse(sys.error(s"no sound metadata bounds for $c"))
         (lo.longValue, hi.longValue)
       }
