@@ -3687,43 +3687,72 @@ object EmbeddingQueries {
     * The local-join iteration is inherently relational:
     *
     *  - init: a DETERMINISTIC ring in id space (`u = (v+i) mod n`,
-    *    i = 1..K) — id order is uncorrelated with embedding space, so
-    *    it serves as the random start both engines can reproduce;
-    *  - round: B(v) = N(v) ∪ R(v) (the undirected neighborhood),
+    *    i = 1..K — the reproducible "random" start) UNIONED with an
+    *    LSH WARM START: each vertex is seeded with its hyperplane
+    *    bucket's ≤[[NndRepC]] representatives (the same
+    *    [[bucketCol]]/[[sqlBucketed]] planes as `knn_lsh_bucketed`;
+    *    reps chosen per bucket by the shared md5 hash order).
+    *    Bucket-mates are likelier-than-random neighbors, so descent
+    *    starts rounds ahead of a blind init (Dong et al. §5's
+    *    "better-than-random init converges faster"), at the cost of
+    *    one broadcast of a ≤2^Planes·RepC rep list;
+    *  - round: B(v) = N(v) ∪ R_ρ(v) — the out-neighborhood plus the
+    *    SAMPLED reverse edges (Dong et al.'s ρ parameter: only the
+    *    [[NndRevK]] = ρ·K lowest-(d, v) in-edges per target join the
+    *    candidate pool, bounding |B| at K+ρK instead of K+indegree);
     *    candidates = two-hop pairs {(v, u) : m ∈ B(v), u ∈ B(m)} —
     *    "a neighbor of my neighbor is likely my neighbor" — scored
     *    with the EXACT integer squared L2 over quantized vectors
     *    (norm²ₐ + norm²ᵦ − 2·dot, all int64), then per-vertex top-K
     *    by (distance, id) — engine-identical total order;
-    *  - [[NndRounds]] fixed rounds (NN-Descent converges in O(log n)
-    *    local joins empirically; fixed rounds keep the oracle twin
-    *    finite).
+    *  - up to [[NndRounds]] rounds with EXACT-FIXED-POINT early exit:
+    *    a round that changes no edge is a no-op for every later round
+    *    (same B → same candidates → same top-K), so Spark stops while
+    *    the oracle's fixed unrolling provably lands on the identical
+    *    graph. The ε>0 new-edge-rate cutoffs of production NN-Descent
+    *    would diverge from a fixed-round oracle, so only the exact
+    *    fixed point short-circuits here.
     *
     * Scale shape: every round is two vertex-keyed shuffles (the
-    * neighborhood symmetrization and the two-hop join) over K- and
-    * K²-bounded per-vertex rows — never all-pairs; distances ride the
-    * codegen'd [[graft.functions.DotLong]]; each round is
-    * `localCheckpoint`ed so the plan stays flat. The reported query
-    * evaluates graph recall@K against the exact neighbors of a
-    * 1-in-[[NndEvalStride]] vertex sample, so the eval side is
-    * |sample|·n, not n².
+    * reverse-edge sampling and the two-hop join) over K- and
+    * ((1+ρ)K)²-bounded per-vertex rows — never all-pairs; distances
+    * ride the codegen'd [[graft.functions.DotLong]]; each round is
+    * `localCheckpoint`ed so the plan stays flat. Versus the unsampled
+    * B(v), ρ=1/2 cuts the per-round scored-candidate bound from
+    * n·(2K)² to n·(1.5K)² (≈1.8×), and the warm start converts that
+    * into fewer *effective* rounds — measured at the 100× smoke in
+    * SWEEP_r12.md. The reported query evaluates graph recall@K against
+    * the exact neighbors of a 1-in-[[NndEvalStride]] vertex sample, so
+    * the eval side is |sample|·n, not n².
     */
   val NndK = 8
-  val NndRounds = 5
+  /** 4 rounds, not the classical ~5: the LSH warm start stands in for
+    * the first descent round (measured at sf0.001/0.01: recall within
+    * 4% of warm+5 and far above ring+5's init, search-recall floors
+    * unchanged) — and the dominant two-hop cost scales linearly with
+    * rounds, so the warm start converts into a flat 20% build cut.
+    */
+  val NndRounds = 4
+  /** Warm-start representatives per LSH bucket (2K). */
+  val NndRepC = 16
+  /** Dong et al.'s sampled-reverse-edge cap ρ·K with ρ = 1/2. */
+  val NndRevK = NndK / 2
   private val NndEvalStride = 50
 
   private[analytics] def nndGraph(spark: SparkSession, dir: String,
       rounds: Int): DataFrame =
     nndGraphWithInit(spark, dir, rounds)._2
 
-  /** (ring-init graph, after-`rounds` graph) in one derivation — the
-    * init graph is round 0 of the same walk, so the report query gets
-    * both without rebuilding the quantized corpus.
+  /** (init graph, after-`rounds` graph) in one derivation — the init
+    * graph (ring ∪ LSH warm start, top-K'd) is round 0 of the same
+    * walk, so the report query gets both without rebuilding the
+    * quantized corpus.
     */
   private[analytics] def nndGraphWithInit(spark: SparkSession, dir: String,
       rounds: Int): (DataFrame, DataFrame) = {
     val e = quantized(spark, dir)
-      .select(col("vec_id"), col("q"), col("norm2")).cache()
+      .withColumn("bucket", bucketCol)
+      .select(col("vec_id"), col("q"), col("norm2"), col("bucket")).cache()
     try {
       val n = e.count()
       def scored(pairs: DataFrame): DataFrame =
@@ -3745,21 +3774,43 @@ object EmbeddingQueries {
         .select(col("vec_id").as("v"),
           explode(sequence(lit(1), lit(NndK))).as("i"))
         .select(col("v"), ((col("v") + col("i")) % n).as("u"))
+      // LSH warm start: ≤NndRepC representatives per hyperplane bucket
+      // (shared md5 hash order — a uniform in-bucket sample), joined
+      // back to every bucket member. The rep list is ≤2^Planes·RepC
+      // rows — broadcast, so the warm seam adds no exchange.
+      val wrep = Window.partitionBy(col("bucket")).orderBy(
+        graft.functions.CrossHash.md5Long(col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+      val reps = e.select(col("bucket"), col("vec_id"))
+        .withColumn("rnk", row_number().over(wrep))
+        .where(col("rnk") <= NndRepC)
+        .select(col("bucket"), col("vec_id").as("u"))
+      val warm = e.select(col("vec_id").as("v"), col("bucket"))
+        .join(broadcast(reps), "bucket")
+        .where(col("v") =!= col("u"))
+        .select(col("v"), col("u"))
       // data-sized per-round task count (the propagateLabels
       // discipline): the iterated graph is exactly n·K rows, so tiny
       // corpora stop scheduling 32 near-empty tasks per stage while
       // billion-vector graphs still get thousands of partitions
       val parts = (((n * NndK + 499999L) / 500000L).toInt.max(1))
         .min(e.rdd.getNumPartitions.max(1))
-      val g0 = topK(scored(ring)).coalesce(parts).localCheckpoint(true)
+      val g0 = topK(scored(ring.unionByName(warm))).coalesce(parts)
+        .localCheckpoint(true)
       var g = g0
-      for (_ <- 1 to rounds) {
-        // b hangs off the checkpointed g by one small shuffle — cheaper
-        // to recompute for its two consumers than to eagerly checkpoint
-        // (measured: the per-round materialization job dominated at
-        // corpus sizes where the data itself is trivial)
+      var converged = false
+      for (_ <- 1 to rounds if !converged) {
+        // B(v) = out-edges ∪ the NndRevK lowest-(d, v) in-edges per
+        // target (Dong's sampled reverse edges) — b hangs off the
+        // checkpointed g by one small shuffle, cheaper to recompute
+        // for its two consumers than to eagerly checkpoint
+        val wr = Window.partitionBy(col("u"))
+          .orderBy(col("d").asc, col("v").asc)
+        val rev = g.withColumn("rr", row_number().over(wr))
+          .where(col("rr") <= NndRevK)
+          .select(col("u").as("v"), col("v").as("u"))
         val b = g.select(col("v"), col("u"))
-          .union(g.select(col("u").as("v"), col("v").as("u")))
+          .union(rev)
           .distinct()
         val bx = b.select(col("v").as("xv"), col("u").as("xu"))
         val by = b.select(col("v").as("yv"), col("u").as("yu"))
@@ -3767,8 +3818,13 @@ object EmbeddingQueries {
           .select(col("xv").as("v"), col("yu").as("u"))
           .where(col("v") =!= col("u"))
           .distinct()
-        g = topK(scored(twoHop).union(g)).coalesce(parts)
+        val gNext = topK(scored(twoHop).union(g)).coalesce(parts)
           .localCheckpoint(true)
+        // exact fixed point → every later round is a no-op; the
+        // check is an anti-join of two checkpointed n·K frames
+        // (limit-1 via isEmpty), trivial next to the two-hop scoring
+        converged = gNext.join(g, Seq("v", "u"), "left_anti").isEmpty
+        g = gNext
       }
       (g0, g)
     } finally e.unpersist()
@@ -3843,8 +3899,14 @@ object EmbeddingQueries {
          |    FROM (SELECT DISTINCT v, u, d FROM $src))
          |  WHERE rnk <= $NndK)""".stripMargin
     val rounds = (1 to NndRounds).map { r =>
-      s"""b$r AS MATERIALIZED (SELECT v, u FROM g${r - 1}
-         |  UNION SELECT u AS v, v AS u FROM g${r - 1}),
+      // B = out-edges ∪ the NndRevK lowest-(d, v) in-edges per target
+      // (the Spark side's sampled reverse edges, identical total order)
+      s"""rv$r AS (SELECT u AS v, v AS u FROM (
+         |  SELECT v, u, row_number() OVER (
+         |    PARTITION BY u ORDER BY d, v) AS rr FROM g${r - 1})
+         |  WHERE rr <= $NndRevK),
+         |b$r AS MATERIALIZED (SELECT v, u FROM g${r - 1}
+         |  UNION SELECT v, u FROM rv$r),
          |t$r AS (SELECT DISTINCT x.v, y.u FROM b$r x
          |  JOIN b$r y ON x.u = y.v WHERE x.v <> y.u),
          |${distCte(s"t$r", s"c$r")},
@@ -3852,12 +3914,20 @@ object EmbeddingQueries {
          |  UNION ALL SELECT v, u, d FROM g${r - 1}),
          |${rankCte(s"a$r", s"g$r")}""".stripMargin
     }.mkString(",\n")
-    s"""$sqlQuantized,
+    s"""$sqlBucketed,
+       |nreps AS (SELECT bucket, vec_id AS u FROM (
+       |  SELECT bucket, vec_id, row_number() OVER (PARTITION BY bucket
+       |    ORDER BY ${graft.functions.CrossHash.sqlMd5Long(
+             "CAST(vec_id AS VARCHAR)")}, vec_id) AS rnk
+       |  FROM bucketed) WHERE rnk <= $NndRepC),
        |p0 AS (
        |  SELECT a.vec_id AS v,
        |    (a.vec_id + s.i) % (SELECT COUNT(*) FROM n) AS u
        |  FROM n a, LATERAL (SELECT unnest(generate_series(1, $NndK))
-       |    AS i) s),
+       |    AS i) s
+       |  UNION ALL
+       |  SELECT b.vec_id AS v, r.u FROM bucketed b
+       |  JOIN nreps r ON b.bucket = r.bucket AND b.vec_id <> r.u),
        |${distCte("p0", "d0")},
        |${rankCte("d0", "g0")},
        |$rounds""".stripMargin
@@ -4768,6 +4838,202 @@ object EmbeddingQueries {
        |GROUP BY f.qid""".stripMargin
   }
 
+  // ------------------------------- graph ANN: FILTERED beam search
+  /** FILTERED ANN over the pruned Vamana index — "nearest neighbors
+    * WHERE label = ℓ", the retrieval shape production almost always
+    * needs (metadata predicate riding the vector search). The index
+    * here is filter-OBLIVIOUS (one graph for all labels), so the
+    * right recipe is the ACORN one (Patel et al., SIGMOD'24; also
+    * how filter-oblivious HNSW deployments behave): NAVIGATE the
+    * graph unfiltered — pruning navigation to matching vertices would
+    * fragment the walk, since pruned-graph edges cross labels — with
+    * the beam WIDENED by [[FsBeamMult]] to compensate for predicate
+    * selectivity (~10% per label ⇒ 2× beam keeps the expected number
+    * of matching visited vertices at the unfiltered search's level),
+    * then POST-FILTER the visited pool and return the matching
+    * top-[[NndK]]. Naive post-filtering of an UNWIDENED top-K is the
+    * high-selectivity failure mode the widening exists to fix.
+    * (Filtered-DiskANN's per-label entry points need a filter-AWARE
+    * build — StitchedVamana — which is an index-time choice, not a
+    * query-time one; over a shared index the widened walk is the
+    * standard recipe.)
+    *
+    * Per query: n_found (matching candidates the walk surfaced, ≤ K),
+    * recall vs the EXACT filtered brute floor (read from the published
+    * `knn_fs_exact` artifact), best distance. Queries whose visited
+    * pool has no matching vertex produce no row — the oracle twin
+    * group-by drops them identically. Scale shape: identical to
+    * [[searchOver]] (broadcast beam probes, no corpus scan at query
+    * time); the widened beam only scales the |queries|·beam frame.
+    */
+  val FsBeamMult = 2
+
+  /** Exact label-filtered L2 top-[[NndK]] for the search query set —
+    * the filtered walk's recall floor, published once per
+    * (code, dataset) like [[gsExactFrame]].
+    */
+  private[analytics] def fsExactFrame(spark: SparkSession,
+      dir: String): DataFrame = {
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("label"), col("q"), col("norm2"))
+    val qs = e.where(col("vec_id") % gsStride(e.count()) === 13)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("q").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("d").asc, col("u").asc)
+    broadcast(qs)
+      .join(e.select(col("vec_id").as("u"), col("label"),
+        col("q").as("qb"), col("norm2").as("nb")),
+        col("qid") =!= col("u") && col("label") === col("qlabel"))
+      .select(col("qid"), col("u"),
+        (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+          .as("d"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= NndK)
+      .select(col("qid"), col("u"))
+  }
+
+  def knnFilteredSearch(spark: SparkSession, dir: String): DataFrame =
+    filteredSearchFrame(spark, dir, FsBeamMult)
+
+  /** The filtered walk at an explicit beam multiplier — `FsBeamMult`
+    * for the gated query; the spec runs mult=1 alongside to pin that
+    * the widening (not the post-filter alone) carries the recall.
+    */
+  private[analytics] def filteredSearchFrame(spark: SparkSession,
+      dir: String, beamMult: Int): DataFrame = {
+    val fsBeam = GsBeam * beamMult
+    val g = vamanaIndex(spark, dir)
+    val adj = g.select(col("v"), col("u"))
+      .union(g.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint(true)
+    val e = quantized(spark, dir)
+      .select(col("vec_id"), col("label"), col("q"), col("norm2")).cache()
+    try {
+      val n = e.count()
+      val qs = e.where(col("vec_id") % gsStride(n) === 13)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("q").as("qq"), col("norm2").as("qn"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("d").asc, col("u").asc)
+      def scoredTop(cand: DataFrame, k: Int): DataFrame =
+        broadcast(cand)
+          .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
+            col("norm2").as("nb")), "u")
+          .join(broadcast(qs), "qid")
+          .where(col("u") =!= col("qid"))
+          .select(col("qid"), col("u"),
+            (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
+              .as("d"))
+          .distinct()
+          .withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= k)
+          .select(col("qid"), col("u"), col("d"))
+      val seeds = qs.select(col("qid"),
+        explode(array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
+      val bParts = (((n / gsStride(n) + 1) * fsBeam + 499999L) / 500000L)
+        .toInt.max(1).min(32)
+      var beam = scoredTop(seeds, fsBeam).coalesce(bParts)
+        .localCheckpoint(true)
+      var visited = beam
+      for (_ <- 1 to GsHops) {
+        val frontier = beam.select(col("qid"), col("u").as("bu"))
+        val expanded = broadcast(frontier)
+          .join(adj, col("bu") === col("v"))
+          .select(col("qid"), col("u"))
+        val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
+        beam = scoredTop(cand, fsBeam).coalesce(bParts)
+          .localCheckpoint(true)
+        visited = visited.unionByName(beam)
+      }
+      // post-filter the visited pool to the query's label, top-K
+      val filt = visited.distinct()
+        .join(e.select(col("vec_id").as("u"), col("label")), "u")
+        .join(broadcast(qs.select(col("qid"), col("qlabel"))), "qid")
+        .where(col("label") === col("qlabel"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= NndK)
+      val exact = SessionArtifact.table(spark, dir, "knn_fs_exact")(
+        fsExactFrame(spark, dir))
+      filt.select(col("qid"), col("u"), col("d"))
+        .join(broadcast(exact.withColumn("hit", lit(1L))),
+          Seq("qid", "u"), "left_outer")
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_found"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
+          min(col("d")).as("d_best"))
+        .select(col("qid").as("query_id"), col("n_found"),
+          col("n_matched"),
+          ppm(col("n_matched"), lit(NndK.toLong)).as("recall_ppm"),
+          col("d_best"))
+    } finally e.unpersist()
+  }
+
+  val knnFilteredSearchSql: String = {
+    val fsBeam = GsBeam * FsBeamMult
+    val qeDot =
+      "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
+    def beamCte(candSrc: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, u, d FROM (
+         |    SELECT qid, u, d, row_number() OVER (
+         |      PARTITION BY qid ORDER BY d, u) AS rnk
+         |    FROM (SELECT DISTINCT t.qid, t.u,
+         |            q.norm2 + e.norm2 - 2 * $qeDot AS d
+         |          FROM $candSrc t
+         |          JOIN gqs q ON t.qid = q.qid
+         |          JOIN n e ON t.u = e.vec_id
+         |          WHERE t.u <> t.qid))
+         |  WHERE rnk <= $fsBeam)""".stripMargin
+    val hops = (1 to GsHops).map { h =>
+      s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
+         |  JOIN gadj a ON b.u = a.v
+         |  UNION SELECT qid, u FROM gw${h - 1}),
+         |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
+    }.mkString(",\n")
+    val visUnion = (0 to GsHops)
+      .map(h => s"SELECT qid, u, d FROM gw$h").mkString(" UNION ALL ")
+    s"""WITH $sqlNndChain,
+       |$sqlPruneChain,
+       |kd2 AS (SELECT k.v, c.u FROM ka$NndK k
+       |  JOIN cand c ON k.v = c.v AND k.rnk = c.rnk),
+       |gadj AS MATERIALIZED (SELECT v, u FROM kd2
+       |  UNION SELECT u AS v, v AS u FROM kd2),
+       |gqs AS (SELECT vec_id AS qid, label AS qlabel, qv, norm2 FROM n
+       |  WHERE vec_id % $sqlGsStride = 13),
+       |gs0 AS (
+       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
+       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
+       |    AS i) s),
+       |${beamCte("gs0", "gw0")},
+       |$hops,
+       |vis AS (SELECT DISTINCT qid, u, d FROM ($visUnion)),
+       |gfk AS (
+       |  SELECT qid, u, d FROM (
+       |    SELECT v.qid, v.u, v.d, row_number() OVER (
+       |      PARTITION BY v.qid ORDER BY v.d, v.u) AS rnk
+       |    FROM vis v
+       |    JOIN n e ON v.u = e.vec_id
+       |    JOIN gqs q ON v.qid = q.qid AND e.label = q.qlabel)
+       |  WHERE rnk <= $NndK),
+       |gex AS (
+       |  SELECT q.qid, e.vec_id AS u, row_number() OVER (
+       |    PARTITION BY q.qid
+       |    ORDER BY q.norm2 + e.norm2 - 2 * $qeDot, e.vec_id) AS rnk
+       |  FROM gqs q JOIN n e
+       |    ON e.vec_id <> q.qid AND e.label = q.qlabel),
+       |gexk AS (SELECT qid, u FROM gex WHERE rnk <= $NndK)
+       |SELECT f.qid AS query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_found,
+       |  CAST(SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_matched,
+       |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
+             NndK.toString)} AS recall_ppm,
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
+       |GROUP BY f.qid""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kcenter_init" -> (embKcenterInit _),
     "emb_init_quality" -> (embInitQuality _),
@@ -4776,6 +5042,7 @@ object EmbeddingQueries {
     "knn_graph_delta" -> (knnGraphDelta _),
     "knn_graph_prune" -> (knnGraphPrune _),
     "knn_graph_search_pruned" -> (knnGraphSearchPruned _),
+    "knn_filtered_search" -> (knnFilteredSearch _),
     "emb_contrastive_pairs" -> (embContrastivePairs _),
     "knn_hybrid_rrf" -> (knnHybridRrf _),
     "knn_hybrid_wand" -> (knnHybridWand _),
@@ -4820,6 +5087,7 @@ object EmbeddingQueries {
     "knn_graph_delta" -> knnGraphDeltaSql,
     "knn_graph_prune" -> knnGraphPruneSql,
     "knn_graph_search_pruned" -> knnGraphSearchPrunedSql,
+    "knn_filtered_search" -> knnFilteredSearchSql,
     "emb_kcenter_init" -> embKcenterInitSql,
     "emb_init_quality" -> embInitQualitySql,
     "emb_contrastive_pairs" -> embContrastivePairsSql,

@@ -40,7 +40,7 @@ class Round8bOpsSpec extends SparkSuite {
     spark.catalog.clearCache()
   }
 
-  test("knn_graph_nnd: NN-Descent strictly improves the ring init, " +
+  test("knn_graph_nnd: NN-Descent strictly improves the warm init, " +
     "graph invariants hold") {
     import org.apache.spark.sql.functions.{col, sum}
     val g0 = EmbeddingQueries.nndGraph(spark, sf0001, 0)
