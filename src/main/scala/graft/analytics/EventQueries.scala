@@ -1431,7 +1431,96 @@ object EventQueries {
        |FROM m GROUP BY pattern_name""".stripMargin
   }
 
+  // --------------------------------------- CEP per-match span extraction
+  /** MATCH_RECOGNIZE's per-match output — one row per pattern MATCH
+    * (user, pattern, match ordinal, start/end event ordinal in the
+    * user's time-ordered journey), where [[eventsPatternMatch]] only
+    * tallies. Semantics are AFTER MATCH SKIP PAST LAST ROW: matches
+    * are non-overlapping, scanned left to right — exactly the
+    * `Matcher.find()` loop both regex engines implement.
+    *
+    * Span reconstruction: `regexp_extract_all` yields the matched
+    * TEXTS in scan order but not positions, so positions are re-derived
+    * by a cursor fold — match i starts at the FIRST occurrence of its
+    * text at-or-after the previous match's end. That first occurrence
+    * IS the match position: if the text occurred earlier (but past the
+    * previous end), the scanner would have matched there instead —
+    * so the fold is exact, not heuristic. Spark folds with the
+    * `aggregate` HOF (per-row, no extra shuffle); the oracle twin walks
+    * the same cursor with a recursive CTE. Patterns here never match
+    * empty, so the cursor strictly advances.
+    *
+    * Scale shape: identical to [[eventsPatternMatch]] — one user-keyed
+    * journey aggregation per pattern, then PER-ROW string work; output
+    * is matches-sized (≤ journey length / min match length per user),
+    * entity-bounded like the journey itself.
+    */
+  def eventsPatternSpans(spark: SparkSession, dir: String): DataFrame = {
+    val j = table(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))),
+        s => s.getField("c")), "").as("journey"))
+    val perPattern = EventCepPatterns.map { case (name, pat) =>
+      j.select(col("user_id"), lit(name).as("pattern_name"),
+        col("journey"),
+        regexp_extract_all(col("journey"), lit(pat), lit(0)).as("ms"))
+    }.reduce(_ unionByName _)
+    perPattern.where(size(col("ms")) > 0)
+      .withColumn("spans", expr(
+        """aggregate(ms,
+          |  struct(CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>) AS sp,
+          |         1 AS cur),
+          |  (acc, m) -> struct(
+          |    array_append(acc.sp, struct(
+          |      locate(m, journey, acc.cur) AS s,
+          |      locate(m, journey, acc.cur) + length(m) - 1 AS e)),
+          |    locate(m, journey, acc.cur) + length(m) AS cur),
+          |  acc -> acc.sp)""".stripMargin))
+      .select(col("user_id"), col("pattern_name"),
+        posexplode(col("spans")).as(Seq("i", "sp")))
+      .select(col("user_id"), col("pattern_name"),
+        (col("i") + 1).cast("long").as("match_ord"),
+        col("sp.s").cast("long").as("start_ord"),
+        col("sp.e").cast("long").as("end_ord"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("match_len"))
+  }
+
+  val eventsPatternSpansSql: String = {
+    val vals = EventCepPatterns
+      .map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
+    s"""WITH RECURSIVE j AS (
+       |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
+       |    ORDER BY ts, event_id) AS journey
+       |  FROM events GROUP BY user_id),
+       |jm AS (
+       |  SELECT j.user_id, p.name AS pattern_name, j.journey,
+       |    regexp_extract_all(j.journey, p.pat) AS ms
+       |  FROM j, (VALUES $vals) p(name, pat)
+       |  WHERE len(regexp_extract_all(j.journey, p.pat)) > 0),
+       |walk AS (
+       |  SELECT user_id, pattern_name, journey, ms,
+       |    CAST(0 AS BIGINT) AS ord, CAST(1 AS BIGINT) AS nxt,
+       |    CAST(0 AS BIGINT) AS spos, CAST(0 AS BIGINT) AS epos
+       |  FROM jm
+       |  UNION ALL
+       |  SELECT user_id, pattern_name, journey, ms, ord + 1,
+       |    instr(substr(journey, CAST(nxt AS INT)), ms[CAST(ord AS INT) + 1])
+       |      + nxt - 1 + len(ms[CAST(ord AS INT) + 1]),
+       |    instr(substr(journey, CAST(nxt AS INT)), ms[CAST(ord AS INT) + 1])
+       |      + nxt - 1,
+       |    instr(substr(journey, CAST(nxt AS INT)), ms[CAST(ord AS INT) + 1])
+       |      + nxt - 2 + len(ms[CAST(ord AS INT) + 1])
+       |  FROM walk WHERE ord < len(ms))
+       |SELECT user_id, pattern_name, ord AS match_ord,
+       |  spos AS start_ord, epos AS end_ord,
+       |  epos - spos + 1 AS match_len
+       |FROM walk WHERE ord >= 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pattern_spans" -> (eventsPatternSpans _),
     "events_pattern_match" -> (eventsPatternMatch _),
     "events_dau_wau" -> (eventsDauWau _),
     "events_forecast" -> (eventsForecast _),
@@ -1462,6 +1551,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "events_pattern_match" -> eventsPatternMatchSql,
+    "events_pattern_spans" -> eventsPatternSpansSql,
     "events_dau_wau" -> eventsDauWauSql,
     "events_forecast" -> eventsForecastSql,
     "events_abtest" -> eventsAbtestSql,
