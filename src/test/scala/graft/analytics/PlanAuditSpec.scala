@@ -135,6 +135,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SinglePartition"), p.take(400))
   }
 
+  test("textrank's report tail is a top-k, not a global vocab window") {
+    // TextQueries claim: the final ranking top-k's the vocabulary
+    // frame (TakeOrderedAndProject) before any global window forms —
+    // the r11 verdict flagged the previous global row_number as the
+    // query's only single-partition stage at web-corpus vocab sizes.
+    // The ordinal window that remains runs over the ≤TextrankTopK
+    // survivors of the TakeOrderedAndProject, never the full vocab.
+    val p = formatted("text_textrank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("weighted sampling windows by source, never a global partition") {
     // pipelineSampleWeighted claim: "the window never forms a global
     // single partition — each source's line scans independently"; a
