@@ -64,6 +64,18 @@ object Bench {
       }
     }
 
+    // /proc/loadavg (1m, 5m, 15m) sampled at every calibration point:
+    // the calibration job says how fast THIS JVM ran just now; loadavg
+    // says what the rest of the host was doing to it. Together they
+    // make a round-over-round smear adjudication mechanical
+    // (tools/drift_check.py) instead of a per-round investigation.
+    def loadavg(): Seq[Double] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try src.getLines().next().split(" ").take(3).toSeq.map(_.toDouble)
+        finally src.close()
+      } catch { case _: Throwable => Seq.empty }
+
     // fixed CPU-bound marker: wall time tracks host contention only
     // (no IO, no shuffle, single codegen'd stage over an in-memory
     // range). Measured at the start of every timed pass.
@@ -89,6 +101,7 @@ object Bench {
     // artifact resolves (every rider query per pass) cost ONE
     // walk+probe per dataset dir instead of re-walking it each time
     val calibrations = new scala.collection.mutable.ArrayBuffer[Double]
+    val loadavgs = new scala.collection.mutable.ArrayBuffer[Seq[Double]]
     val passes: Seq[Map[String, Option[Double]]] =
         graft.core.DatasetFingerprint.withCache {
     names.foreach(materialize(_, warmDir)) // warmup, unmeasured
@@ -110,10 +123,12 @@ object Bench {
     // A query must succeed in EVERY pass to count — an intermittent
     // crash must surface in failed[], never hide behind a good pass
     val timed: Seq[Map[String, Option[Double]]] = (1 to nPasses).map { _ =>
+      loadavgs += loadavg()
       calibrations += calibrate()
       names.map(n => n -> materialize(n, sfDir)).toMap
     }
-    calibrations += calibrate() // closing book-end after the last pass
+    loadavgs += loadavg() // closing book-ends after the last pass
+    calibrations += calibrate()
     timed
     } // end DatasetFingerprint.withCache: passes is its result
     val samples: Seq[(String, Seq[Option[Double]])] =
@@ -138,12 +153,14 @@ object Bench {
     val passTotals = passes.map(passTotal)
     val passesJson = passTotals.mkString("[", ",", "]")
     val calJson = calibrations.mkString("[", ",", "]")
+    val loadJson = loadavgs
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     // raw per-pass samples per query: lets bench_diff separate a
     // one-pass spike (noise) from a consistent slowdown (regression)
     val samplesJson = samples.map { case (k, ss) =>
       s""""$k":${ss.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")}"""
     }.mkString("{", ",", "}")
-    val detailLine = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passesJson,"calibration":$calJson,"queries":$qs,"samples":$samplesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":$passesJson,"calibration":$calJson,"loadavg":$loadJson,"queries":$qs,"samples":$samplesJson,"failed":$failedJson,"sf":"$sfDir"}"""
 
     // The harness that snapshots this output keeps only the last ~2000
     // characters of stdout; with 90+ queries the full-precision line
