@@ -1487,10 +1487,15 @@ object EventQueries {
         (col("sp.e") - col("sp.s") + 1).cast("long").as("match_len"))
   }
 
-  val eventsPatternSpansSql: String = {
+  /** The recursive cursor-walk CTE chain (`j` → `jm` → `walk`) shared
+    * by the spans and measures oracles — the walk is the span
+    * semantics; keeping it in one string means the twins can't drift.
+    * Callers prepend `WITH RECURSIVE`.
+    */
+  private lazy val sqlCepWalk: String = {
     val vals = EventCepPatterns
       .map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
-    s"""WITH RECURSIVE j AS (
+    s"""j AS (
        |  SELECT user_id, string_agg(substr(event_type, 1, 1), ''
        |    ORDER BY ts, event_id) AS journey
        |  FROM events GROUP BY user_id),
@@ -1512,15 +1517,73 @@ object EventQueries {
        |      + nxt - 1,
        |    instr(substr(journey, CAST(nxt AS INT)), ms[CAST(ord AS INT) + 1])
        |      + nxt - 2 + len(ms[CAST(ord AS INT) + 1])
-       |  FROM walk WHERE ord < len(ms))
+       |  FROM walk WHERE ord < len(ms))""".stripMargin
+  }
+
+  val eventsPatternSpansSql: String =
+    s"""WITH RECURSIVE $sqlCepWalk
        |SELECT user_id, pattern_name, ord AS match_ord,
        |  spos AS start_ord, epos AS end_ord,
        |  epos - spos + 1 AS match_len
        |FROM walk WHERE ord >= 1""".stripMargin
+
+  // ------------------------------------------- CEP per-match measures
+  /** MATCH_RECOGNIZE's MEASURES clause over the span extraction: each
+    * match row carries aggregates of the EVENTS inside the match —
+    * first/last event time, duration, exact value sum, event count —
+    * what a user acts on (alert enrichment, funnel revenue, recovery
+    * latency) once the span tells them WHERE the match is.
+    *
+    * Shape: spans explode to their member ordinals and equi-join the
+    * ordinal-numbered events on (user_id, ord) — a plain co-partitioned
+    * join (no range predicate, no per-user quadratic frame); the
+    * ordinal numbering is the same one user-keyed window the journey
+    * aggregation already implies. Output is matches·match_len-bounded.
+    */
+  def eventsPatternMeasures(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("ord"),
+        unix_timestamp(col("ts")).as("ts_s"), col("value"))
+    val spans = eventsPatternSpans(spark, dir)
+      .select(col("user_id"), col("pattern_name"), col("match_ord"),
+        explode(sequence(col("start_ord"), col("end_ord"))).as("ord"))
+    spans.join(ev, Seq("user_id", "ord"))
+      .groupBy(col("user_id"), col("pattern_name"), col("match_ord"))
+      .agg(min(col("ts_s")).as("start_ts_s"),
+        max(col("ts_s")).as("end_ts_s"),
+        dsum(col("value")).as("value_sum"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("pattern_name"), col("match_ord"),
+        col("start_ts_s"), col("end_ts_s"),
+        (col("end_ts_s") - col("start_ts_s")).as("duration_s"),
+        col("value_sum"), col("n_events"))
   }
+
+  val eventsPatternMeasuresSql: String =
+    s"""WITH RECURSIVE $sqlCepWalk,
+       |eo AS (
+       |  SELECT user_id,
+       |    CAST(row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS BIGINT) AS ord2,
+       |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+       |  FROM events)
+       |SELECT w.user_id, w.pattern_name, w.ord AS match_ord,
+       |  MIN(e.ts_s) AS start_ts_s, MAX(e.ts_s) AS end_ts_s,
+       |  MAX(e.ts_s) - MIN(e.ts_s) AS duration_s,
+       |  ${sqlDsum("e.value")} AS value_sum,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM walk w JOIN eo e ON w.user_id = e.user_id
+       |  AND e.ord2 BETWEEN w.spos AND w.epos
+       |WHERE w.ord >= 1
+       |GROUP BY 1, 2, 3""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_pattern_spans" -> (eventsPatternSpans _),
+    "events_pattern_measures" -> (eventsPatternMeasures _),
     "events_pattern_match" -> (eventsPatternMatch _),
     "events_dau_wau" -> (eventsDauWau _),
     "events_forecast" -> (eventsForecast _),
@@ -1552,6 +1615,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_pattern_match" -> eventsPatternMatchSql,
     "events_pattern_spans" -> eventsPatternSpansSql,
+    "events_pattern_measures" -> eventsPatternMeasuresSql,
     "events_dau_wau" -> eventsDauWauSql,
     "events_forecast" -> eventsForecastSql,
     "events_abtest" -> eventsAbtestSql,
