@@ -1613,7 +1613,77 @@ object ScalarBreadthQueries {
       |FROM s WHERE NOT (o_orderkey % 70 = 0)
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ------------------------------------- SQL time travel (catalog)
+  /** PURE-SQL TIME TRAVEL through the catalog — `VERSION AS OF` over
+    * a table whose whole lifecycle also ran in SQL (CTAS → INSERT →
+    * MOR DELETE): each snapshot is read back AT its version and must
+    * restate the slice exactly as published then — inserts invisible
+    * to earlier snapshots, the tombstone invisible to pre-delete
+    * snapshots, the head equal to the newest. Versions are captured
+    * from the table's own history (no numbering assumptions about how
+    * many commits CTAS takes). The TIMESTAMP AS OF resolution and the
+    * frozen-snapshot write/stream rejections are spec-pinned
+    * (ManifestCatalogSpec) — they need clocks and error shapes, not a
+    * hash.
+    */
+  def sinkManifestSqlTimetravel(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"sqltt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"orders_tt_$t"
+    try {
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .createOrReplaceTempView(view)
+      val tableDir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      def headV: Int = graft.sources.ManifestV2Sink.versions(tableDir).max
+      spark.sql(s"CREATE TABLE graft.$t AS SELECT * FROM $view " +
+        "WHERE o_orderkey % 13 = 0")
+      val vCtas = headV
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM $view " +
+        "WHERE o_orderkey % 13 = 1")
+      val vIns = headV
+      val delKeys = spark.sql(s"SELECT o_orderkey FROM $view " +
+        "WHERE o_orderkey % 39 = 0").collect().map(_.getLong(0)).sorted
+      if (delKeys.nonEmpty)
+        spark.sql(s"DELETE FROM graft.$t " +
+          s"WHERE o_orderkey IN (${delKeys.mkString(", ")})")
+      val vDel = headV
+      def snap(label: String, suffix: String) =
+        s"""SELECT '$label' AS snap, COUNT(*) AS n,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t $suffix""".stripMargin
+      spark.sql(Seq(
+        snap("head", ""),
+        snap("v_ctas", s"VERSION AS OF $vCtas"),
+        snap("v_delete", s"VERSION AS OF $vDel"),
+        snap("v_insert", s"VERSION AS OF $vIns"))
+        .mkString("\nUNION ALL\n"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  val sinkManifestSqlTimetravelSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 IN (0, 1))
+      |SELECT 'head' AS snap, COUNT(*) AS n,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM s WHERE NOT o_orderkey % 39 = 0
+      |UNION ALL
+      |SELECT 'v_ctas', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |FROM s WHERE o_orderkey % 13 = 0
+      |UNION ALL
+      |SELECT 'v_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |FROM s WHERE NOT o_orderkey % 39 = 0
+      |UNION ALL
+      |SELECT 'v_insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_manifest_sql_timetravel" -> (sinkManifestSqlTimetravel _),
     "sink_manifest_partition" -> (sinkManifestPartition _),
     "sink_manifest_sql_write" -> (sinkManifestSqlWrite _),
     "source_dsv2_agg_pushdown" -> (sourceDsv2AggPushdown _),
@@ -1650,6 +1720,7 @@ object ScalarBreadthQueries {
   val oracles: Map[String, String] = Map(
     "sink_manifest_partition" -> sinkManifestPartitionSql,
     "sink_manifest_sql_write" -> sinkManifestSqlWriteSql,
+    "sink_manifest_sql_timetravel" -> sinkManifestSqlTimetravelSql,
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,

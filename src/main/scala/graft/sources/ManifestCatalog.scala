@@ -102,6 +102,49 @@ class ManifestCatalog extends TableCatalog {
     new ManifestTable(schema, dir)
   }
 
+  /** SQL time travel — `SELECT ... FROM graft.t VERSION AS OF 3`:
+    * a read-only table pinned at snapshot `v`, serving the SNAPSHOT's
+    * schema (it may predate an add-column evolution) and its entry
+    * list (tombstones as of `v` reconcile, later deletes don't).
+    * Retention holes fail the query, never read as "empty at v".
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident).toString
+    if (!exists(ident))
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft VERSION AS OF takes a snapshot number, got '$version'")
+    }
+    val schema = ManifestV2Sink
+      .parseManifest(ManifestV2Sink.versionFile(dir, v)).map(_._1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot v$v of graft table $ident " +
+          s"(have: ${ManifestV2Sink.versions(dir).mkString(",")})"))
+    new ManifestTable(schema, dir, None, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` (Spark hands micros): the NEWEST retained
+    * snapshot published at-or-before `t` — snapshot files are written
+    * once and never touched, so their mtime IS the publish time.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident).toString
+    if (!exists(ident))
+      throw new NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val tsMillis = timestamp / 1000L
+    val v = ManifestV2Sink.versions(dir).reverse.find { v =>
+      Files.getLastModifiedTime(ManifestV2Sink.versionFile(dir, v))
+        .toMillis <= tsMillis
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no snapshot of graft table $ident at or before " +
+        s"timestamp $tsMillis ms — the oldest retained snapshot is newer"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {

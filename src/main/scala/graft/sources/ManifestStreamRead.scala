@@ -183,16 +183,25 @@ private[sources] object ManifestScanPlanner {
   * right-sized for GDPR-scale deletes.)
   */
 private[sources] class ManifestBatchScan(path: String,
-    schema: StructType, branch: Option[String] = None)
+    schema: StructType, branch: Option[String] = None,
+    asOfVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = branch match {
-      case Some(b) => ManifestV2Sink
+    val entries = (branch, asOfVersion) match {
+      case (Some(b), _) => ManifestV2Sink
         .parseManifest(ManifestV2Sink.branchFile(path, b))
         .map(_._2).getOrElse(throw new IllegalArgumentException(
           s"no branch $b at $path " +
             s"(have: ${ManifestV2Sink.branches(path).mkString(",")})"))
-      case None =>
+      case (None, Some(v)) => ManifestV2Sink
+        // loud on a retention hole: a silently-empty snapshot read
+        // would look like "the table was empty at v", which it wasn't
+        .parseManifest(ManifestV2Sink.versionFile(path, v))
+        .map(_._2).getOrElse(throw new IllegalArgumentException(
+          s"no snapshot v$v at $path " +
+            s"(have: ${ManifestV2Sink.versions(path).mkString(",")}) — " +
+            "retention expired it"))
+      case (None, None) =>
         ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
     }
     ManifestScanPlanner.partitions(path, schema, entries, Set.empty)

@@ -96,15 +96,22 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = ManifestV2Sink.pathOf(options)
     // a branch read must infer the BRANCH head's schema — it may have
-    // evolved independently of main's
-    val head = Option(options.get("branch")) match {
-      case Some(b) => ManifestV2Sink.parseManifest(
+    // evolved independently of main's; a time-travel read must infer
+    // the SNAPSHOT's schema — it may predate an add-column evolution
+    val head = (Option(options.get("branch")),
+        Option(options.get("asOfVersion"))) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft-manifest: branch and asOfVersion are mutually exclusive")
+      case (Some(b), None) => ManifestV2Sink.parseManifest(
         ManifestV2Sink.branchFile(path, b))
-      case None => ManifestV2Sink.readManifest(path)
+      case (None, Some(v)) => ManifestV2Sink.parseManifest(
+        ManifestV2Sink.versionFile(path, v.trim.toInt))
+      case (None, None) => ManifestV2Sink.readManifest(path)
     }
     head.map(_._1).getOrElse(throw new IllegalArgumentException(
       s"graft-manifest: no manifest at $path" +
         Option(options.get("branch")).map(b => s" (branch $b)").getOrElse("") +
+        Option(options.get("asOfVersion")).map(v => s" (v$v)").getOrElse("") +
         " — write first, or read via ManifestV2Sink.readCommitted"))
   }
 
@@ -112,7 +119,8 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestTable(schema, ManifestV2Sink.pathOf(opts),
-      Option(opts.get("branch")))
+      Option(opts.get("branch")),
+      Option(opts.get("asOfVersion")).map(_.trim.toInt))
   }
 }
 
@@ -1238,15 +1246,23 @@ object ManifestV2Sink {
 }
 
 private[sources] class ManifestTable(schema0: StructType, path: String,
-    branch: Option[String] = None)
+    branch: Option[String] = None, asOfVersion: Option[Int] = None)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  require(branch.isEmpty || asOfVersion.isEmpty,
+    "branch and asOfVersion are mutually exclusive")
   override def name(): String =
-    s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
+    s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
+      s"${asOfVersion.map("@v" + _).getOrElse("")})"
   override def schema(): StructType = schema0
+  // a time-travel relation is a frozen snapshot: read-only by
+  // construction (writes/deletes target the head, never history)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    if (asOfVersion.isDefined)
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   // ------------------------------------------------ SQL DELETE FROM
   // `DELETE FROM graft.t WHERE key = v` / `key IN (...)` routes to the
@@ -1269,7 +1285,7 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
 
   override def canDeleteWhere(filters: Array[
       org.apache.spark.sql.sources.Filter]): Boolean =
-    branch.isEmpty && (filters.isEmpty ||
+    branch.isEmpty && asOfVersion.isEmpty && (filters.isEmpty ||
       filters.sameElements(Array(
         org.apache.spark.sql.sources.AlwaysTrue)) ||
       deletableKeys(filters).isDefined)
@@ -1316,9 +1332,10 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     override def build(): Scan = new Scan {
       override def readSchema(): StructType = schema0
       override def description(): String =
-        s"graft-manifest($path${branch.map("@" + _).getOrElse("")})"
+        s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
+          s"${asOfVersion.map("@v" + _).getOrElse("")})"
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        new ManifestBatchScan(path, schema0, branch)
+        new ManifestBatchScan(path, schema0, branch, asOfVersion)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream = {
         branch.foreach { b =>
@@ -1326,12 +1343,19 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
             s"graft-manifest streams follow MAIN; cannot stream branch " +
               s"'$b' — read it as a batch instead")
         }
+        asOfVersion.foreach { v =>
+          throw new UnsupportedOperationException(
+            s"graft-manifest streams follow the LIVE head; cannot " +
+              s"stream the frozen snapshot v$v")
+        }
         new ManifestMicroBatchStream(path, schema0)
       }
     }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    asOfVersion.foreach(v => throw new UnsupportedOperationException(
+      s"cannot write to the frozen snapshot v$v — writes target the head"))
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
@@ -1345,6 +1369,7 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
       }
     }
+  }
 }
 
 /** `stats` is the pre-serialized per-file column-stats blob

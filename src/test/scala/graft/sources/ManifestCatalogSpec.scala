@@ -154,4 +154,45 @@ class ManifestCatalogSpec extends SparkSuite {
         "the DSv2 batch scan must apply tombstones")
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
+
+  test("VERSION AS OF serves each snapshot's rows AND schema; " +
+    "frozen snapshots reject writes; holes fail loudly") {
+    import spark.implicits._
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1), (2)")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      // evolve: add a column, then write rows that use it
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMN v BIGINT")
+      spark.sql(s"INSERT INTO graft.$t VALUES (3, 30)")
+      // the old snapshot serves the PRE-EVOLUTION schema and rows
+      val old = spark.sql(s"SELECT * FROM graft.$t VERSION AS OF $vBefore")
+      assert(old.schema.fieldNames.toSeq == Seq("id"),
+        s"time travel must serve the snapshot's schema, got ${old.schema}")
+      assert(old.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+      assert(spark.sql(s"SELECT id FROM graft.$t").count() == 3)
+      // a delete after the snapshot stays invisible to it
+      ManifestV2Sink.delete(spark, dir, "id", Seq(1L).toDF("id"))
+      assert(spark.sql(
+        s"SELECT id FROM graft.$t VERSION AS OF $vBefore ORDER BY id")
+        .as[Long].collect().toSeq == Seq(1L, 2L))
+      // TIMESTAMP AS OF now resolves to the head
+      val nowMs = System.currentTimeMillis() + 1000
+      val ts = new java.sql.Timestamp(nowMs)
+      assert(spark.sql(
+        s"SELECT id FROM graft.$t TIMESTAMP AS OF '$ts'").count() == 2)
+      // writes to a frozen snapshot are rejected at analysis
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO graft.$t VERSION AS OF $vBefore VALUES (9)")
+      }
+      assert(e.getMessage != null)
+      // a retention hole fails the read instead of serving "empty"
+      val missing = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.$t VERSION AS OF 9999").collect()
+      }
+      assert(missing.getMessage.contains("9999"), missing.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
 }
