@@ -3700,11 +3700,18 @@ object EmbeddingQueries {
     *    SAMPLED reverse edges (Dong et al.'s ρ parameter: only the
     *    [[NndRevK]] = ρ·K lowest-(d, v) in-edges per target join the
     *    candidate pool, bounding |B| at K+ρK instead of K+indegree);
-    *    candidates = two-hop pairs {(v, u) : m ∈ B(v), u ∈ B(m)} —
-    *    "a neighbor of my neighbor is likely my neighbor" — scored
-    *    with the EXACT integer squared L2 over quantized vectors
-    *    (norm²ₐ + norm²ᵦ − 2·dot, all int64), then per-vertex top-K
-    *    by (distance, id) — engine-identical total order;
+    *    candidates = two-hop pairs {(v, u) : m ∈ B(v), u ∈ B(m)}
+    *    where AT LEAST ONE hop edge is NEW — Dong's incremental
+    *    new/old flags (Alg. 2): an old×old pair through an old path
+    *    was a candidate in the round that created the path, and the
+    *    per-vertex top-K only tightens, so a rejected candidate can
+    *    never win later — rescoring it is pure waste. The changed-
+    *    edge set typically decays geometrically, so late rounds cost
+    *    a fraction of round 1 (the single biggest build-cost lever
+    *    at 100×). Scored with the EXACT integer squared L2 over
+    *    quantized vectors (norm²ₐ + norm²ᵦ − 2·dot, all int64), then
+    *    per-vertex top-K by (distance, id) — engine-identical total
+    *    order;
     *  - up to [[NndRounds]] rounds with EXACT-FIXED-POINT early exit:
     *    a round that changes no edge is a no-op for every later round
     *    (same B → same candidates → same top-K), so Spark stops while
@@ -3798,32 +3805,46 @@ object EmbeddingQueries {
       val g0 = topK(scored(ring.unionByName(warm))).coalesce(parts)
         .localCheckpoint(true)
       var g = g0
+      // Dong's NEW/OLD flags (Alg. 2): only pairs touching an edge
+      // that CHANGED last round are scored — an old×old pair through
+      // an old path was a candidate in the round that created it and
+      // per-vertex top-K only tightens, so rescoring it can't change
+      // anything. Round 0: every edge is new.
+      var nw = g0.select(col("v"), col("u"))
       var converged = false
       for (_ <- 1 to rounds if !converged) {
+        val gN = g.join(nw.withColumn("nf", lit(1)), Seq("v", "u"),
+            "left_outer")
+          .select(col("v"), col("u"), col("d"),
+            coalesce(col("nf"), lit(0)).as("nf"))
         // B(v) = out-edges ∪ the NndRevK lowest-(d, v) in-edges per
-        // target (Dong's sampled reverse edges) — b hangs off the
-        // checkpointed g by one small shuffle, cheaper to recompute
-        // for its two consumers than to eagerly checkpoint
+        // target (Dong's sampled reverse edges); the flag rides along
         val wr = Window.partitionBy(col("u"))
           .orderBy(col("d").asc, col("v").asc)
-        val rev = g.withColumn("rr", row_number().over(wr))
+        val rev = gN.withColumn("rr", row_number().over(wr))
           .where(col("rr") <= NndRevK)
-          .select(col("u").as("v"), col("v").as("u"))
-        val b = g.select(col("v"), col("u"))
-          .union(rev)
-          .distinct()
-        val bx = b.select(col("v").as("xv"), col("u").as("xu"))
-        val by = b.select(col("v").as("yv"), col("u").as("yu"))
+          .select(col("u").as("v"), col("v").as("u"), col("nf"))
+        val b = gN.select(col("v"), col("u"), col("nf")).union(rev)
+          .groupBy(col("v"), col("u")).agg(max(col("nf")).as("nf"))
+        val bx = b.select(col("v").as("xv"), col("u").as("xu"),
+          col("nf").as("xn"))
+        val by = b.select(col("v").as("yv"), col("u").as("yu"),
+          col("nf").as("yn"))
         val twoHop = bx.join(by, col("xu") === col("yv"))
+          .where(col("xn") === 1 || col("yn") === 1)
           .select(col("xv").as("v"), col("yu").as("u"))
           .where(col("v") =!= col("u"))
           .distinct()
         val gNext = topK(scored(twoHop).union(g)).coalesce(parts)
           .localCheckpoint(true)
-        // exact fixed point → every later round is a no-op; the
-        // check is an anti-join of two checkpointed n·K frames
-        // (limit-1 via isEmpty), trivial next to the two-hop scoring
-        converged = gNext.join(g, Seq("v", "u"), "left_anti").isEmpty
+        // the changed-edge set drives BOTH the next round's candidate
+        // generation and the exact-fixed-point exit (empty → every
+        // later round is a no-op); an anti-join of two checkpointed
+        // n·K frames, trivial next to the two-hop scoring
+        nw = gNext.join(g, Seq("v", "u"), "left_anti")
+          .select(col("v"), col("u")).coalesce(parts)
+          .localCheckpoint(true)
+        converged = nw.isEmpty
         g = gNext
       }
       (g0, g)
@@ -3899,20 +3920,34 @@ object EmbeddingQueries {
          |    FROM (SELECT DISTINCT v, u, d FROM $src))
          |  WHERE rnk <= $NndK)""".stripMargin
     val rounds = (1 to NndRounds).map { r =>
-      // B = out-edges ∪ the NndRevK lowest-(d, v) in-edges per target
-      // (the Spark side's sampled reverse edges, identical total order)
-      s"""rv$r AS (SELECT u AS v, v AS u FROM (
-         |  SELECT v, u, row_number() OVER (
-         |    PARTITION BY u ORDER BY d, v) AS rr FROM g${r - 1})
+      // new/old-flagged local join (Dong Alg. 2): B = out-edges ∪ the
+      // NndRevK lowest-(d, v) in-edges per target, each carrying
+      // whether its forward edge changed last round; only pairs with
+      // a new side are scored; nw tracks the changed set round-over-
+      // round (identical total order to the Spark side)
+      val nwNext =
+        if (r == NndRounds) "" // last round's changed set has no reader
+        else s""",
+          |nw$r AS MATERIALIZED (SELECT v, u FROM g$r
+          |  EXCEPT SELECT v, u FROM g${r - 1})""".stripMargin
+      s"""gb$r AS (SELECT g.v, g.u, g.d,
+         |  CASE WHEN n.u IS NULL THEN 0 ELSE 1 END AS nf
+         |  FROM g${r - 1} g LEFT JOIN nw${r - 1} n
+         |    ON g.v = n.v AND g.u = n.u),
+         |rv$r AS (SELECT u AS v, v AS u, nf FROM (
+         |  SELECT v, u, nf, row_number() OVER (
+         |    PARTITION BY u ORDER BY d, v) AS rr FROM gb$r)
          |  WHERE rr <= $NndRevK),
-         |b$r AS MATERIALIZED (SELECT v, u FROM g${r - 1}
-         |  UNION SELECT v, u FROM rv$r),
+         |b$r AS MATERIALIZED (SELECT v, u, MAX(nf) AS nf FROM (
+         |  SELECT v, u, nf FROM gb$r
+         |  UNION ALL SELECT v, u, nf FROM rv$r) GROUP BY v, u),
          |t$r AS (SELECT DISTINCT x.v, y.u FROM b$r x
-         |  JOIN b$r y ON x.u = y.v WHERE x.v <> y.u),
+         |  JOIN b$r y ON x.u = y.v
+         |  WHERE (x.nf = 1 OR y.nf = 1) AND x.v <> y.u),
          |${distCte(s"t$r", s"c$r")},
          |a$r AS (SELECT v, u, d FROM c$r
          |  UNION ALL SELECT v, u, d FROM g${r - 1}),
-         |${rankCte(s"a$r", s"g$r")}""".stripMargin
+         |${rankCte(s"a$r", s"g$r")}$nwNext""".stripMargin
     }.mkString(",\n")
     s"""$sqlBucketed,
        |nreps AS (SELECT bucket, vec_id AS u FROM (
@@ -3930,6 +3965,7 @@ object EmbeddingQueries {
        |  JOIN nreps r ON b.bucket = r.bucket AND b.vec_id <> r.u),
        |${distCte("p0", "d0")},
        |${rankCte("d0", "g0")},
+       |nw0 AS MATERIALIZED (SELECT v, u FROM g0),
        |$rounds""".stripMargin
   }
 
