@@ -1682,7 +1682,75 @@ object ScalarBreadthQueries {
       |SELECT 'v_insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
       |FROM s""".stripMargin
 
+  // --------------------------------------- SQL MERGE INTO (catalog)
+  /** PURE-SQL MERGE: the canonical upsert (`WHEN MATCHED UPDATE SET *
+    * / WHEN NOT MATCHED INSERT *`) routed by [[graft.sources.
+    * ManifestMergeRule]] to the sink's stats-narrowed copy-on-write
+    * merge. The gate proves row semantics (matched keys REPLACED —
+    * never duplicated — unmatched keys inserted), single-commit
+    * atomicity and the pre-merge snapshot's time-travelability
+    * in-band; the rejection shapes are spec-pinned
+    * (ManifestCatalogSpec).
+    */
+  def sinkManifestSqlMerge(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"sqlm_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"orders_m_$t"
+    try {
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      val tableDir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      spark.sql(s"CREATE TABLE graft.$t AS SELECT * FROM $view " +
+        "WHERE o_orderkey % 17 = 0")
+      val vBefore = graft.sources.ManifestV2Sink.versions(tableDir).max
+      val sumBefore = spark.sql(s"SELECT CAST(SUM(cents) AS BIGINT) " +
+        s"FROM graft.$t").head.getLong(0)
+      // source: matched rows (%17=0) get cents+7, plus fresh inserts
+      // (%17=1) at cents+7 — one canonical upsert statement
+      spark.sql(
+        s"""MERGE INTO graft.$t tgt
+           |USING (SELECT o_orderkey, o_orderstatus,
+           |         cents + 7 AS cents FROM $view
+           |       WHERE o_orderkey % 17 IN (0, 1)) src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val vAfter = graft.sources.ManifestV2Sink.versions(tableDir).max
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("sum_keys"),
+          lit((vAfter - vBefore).toLong).as("merge_commits"),
+          // the pre-merge snapshot must still restate its own sum
+          lit(spark.sql(s"SELECT CAST(SUM(cents) AS BIGINT) FROM " +
+            s"graft.$t VERSION AS OF $vBefore").head.getLong(0) ==
+            sumBefore).cast("long").as("pre_merge_travelable"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  val sinkManifestSqlMergeSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) + 7 AS cents
+      |  FROM orders WHERE o_orderkey % 17 IN (0, 1))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(1 AS BIGINT) AS merge_commits,
+      |  CAST(1 AS BIGINT) AS pre_merge_travelable
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_manifest_sql_merge" -> (sinkManifestSqlMerge _),
     "sink_manifest_sql_timetravel" -> (sinkManifestSqlTimetravel _),
     "sink_manifest_partition" -> (sinkManifestPartition _),
     "sink_manifest_sql_write" -> (sinkManifestSqlWrite _),
@@ -1721,6 +1789,7 @@ object ScalarBreadthQueries {
     "sink_manifest_partition" -> sinkManifestPartitionSql,
     "sink_manifest_sql_write" -> sinkManifestSqlWriteSql,
     "sink_manifest_sql_timetravel" -> sinkManifestSqlTimetravelSql,
+    "sink_manifest_sql_merge" -> sinkManifestSqlMergeSql,
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,

@@ -34,5 +34,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_long expects two arguments")
         DotLong(args(0), args(1))
       }))
+    // SQL MERGE INTO on graft-manifest tables: route the canonical
+    // upsert shape to the sink's (stats-narrowed) copy-on-write merge
+    // instead of implementing the generic row-level-ops framework
+    ext.injectResolutionRule(spark =>
+      new graft.sources.ManifestMergeRule(spark))
   }
 }

@@ -1251,6 +1251,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(branch.isEmpty || asOfVersion.isEmpty,
     "branch and asOfVersion are mutually exclusive")
+  /** Table directory — the MERGE rule needs the commit target. */
+  private[sources] def dir: String = path
   override def name(): String =
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
       s"${asOfVersion.map("@v" + _).getOrElse("")})"

@@ -195,4 +195,55 @@ class ManifestCatalogSpec extends SparkSuite {
       assert(missing.getMessage.contains("9999"), missing.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
+
+  test("MERGE INTO routes the canonical upsert to one atomic COW " +
+    "commit; other shapes fail at analysis") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 10), (2, 20), (3, 30)")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (2, 200), (4, 400) AS u(id, v)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val got = spark.sql(s"SELECT id, v FROM graft.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 400L)),
+        s"merge result wrong: $got")
+      // exactly ONE commit, and the pre-merge state stays travelable
+      assert(ManifestV2Sink.versions(dir).max == vBefore + 1,
+        "MERGE must publish exactly one commit")
+      assert(spark.sql(
+        s"SELECT SUM(v) FROM graft.$t VERSION AS OF $vBefore")
+        .head.getLong(0) == 60L)
+      // explicit full SET lists are the same canonical shape
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (4, 444) AS u(id, v)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET id = src.id, v = src.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.v)"""
+        .stripMargin)
+      assert(spark.sql(s"SELECT v FROM graft.$t WHERE id = 4")
+        .head.getLong(0) == 444L)
+      // unsupported shapes are refused loudly, not mis-merged
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.$t tgt
+          |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
+          |ON tgt.id = src.id
+          |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.contains("canonical upsert"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.$t tgt
+          |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
+          |ON tgt.id = src.id
+          |WHEN MATCHED THEN UPDATE SET v = src.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      assert(e2.getMessage.contains("canonical upsert"), e2.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
 }
