@@ -3762,21 +3762,35 @@ object EmbeddingQueries {
       .select(col("vec_id"), col("q"), col("norm2"), col("bucket")).cache()
     try {
       val n = e.count()
+      // shuffle_hash on the corpus side: at 100× the corpus outgrows
+      // the broadcast threshold and these joins fall back to sort-
+      // merge, which SORTS the candidate frame WITH a ~0.5 KiB
+      // quantized vector attached to every row (measured: the 100×
+      // build's dominant cost, not the dot products). A shuffled hash
+      // join builds its per-partition map from the corpus slice
+      // (vectors/partitions-sized) and streams the candidates unsorted
+      val scoredHint = "shuffle_hash"
       def scored(pairs: DataFrame): DataFrame =
         pairs
           .join(e.select(col("vec_id").as("v"), col("q").as("qa"),
-            col("norm2").as("na")), "v")
+            col("norm2").as("na")).hint(scoredHint), "v")
           .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
-            col("norm2").as("nb")), "u")
+            col("norm2").as("nb")).hint(scoredHint), "u")
           .select(col("v"), col("u"),
             (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
               .as("d"))
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("d").asc, col("u").asc)
+      // per-vertex DISTINCT bottom-K of (d, u) as ONE bounded-buffer
+      // aggregation (map-side partials, k tuples per partition across
+      // the shuffle) instead of distinct + a window sort of the whole
+      // candidate frame — bit-identical rows to the oracle's
+      // `SELECT DISTINCT … row_number() ≤ K` spelling, which stays
+      // the DuckDB twin
+      val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
       def topK(cand: DataFrame): DataFrame =
-        cand.distinct()
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= NndK).drop("rnk")
+        cand.groupBy(col("v"))
+          .agg(bk(col("d"), col("u")).as("tk"))
+          .select(col("v"), explode(col("tk")).as("e"))
+          .select(col("v"), col("e._2").as("u"), col("e._1").as("d"))
       val ring = e
         .select(col("vec_id").as("v"),
           explode(sequence(lit(1), lit(NndK))).as("i"))

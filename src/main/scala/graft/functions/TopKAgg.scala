@@ -42,6 +42,51 @@ final case class TopKAgg(k: Int) extends Aggregator[Long, Seq[Long], String] {
   def outputEncoder: Encoder[String] = Encoders.STRING
 }
 
+/** Pair-valued bottom-k: the ≤k smallest DISTINCT `(a, b)` tuples per
+  * group in tuple order, returned as rows to re-explode. Exactly the
+  * `SELECT DISTINCT … row_number() OVER (PARTITION BY g ORDER BY a, b)
+  * ≤ k` shape — as ONE bounded-buffer aggregation that partial-
+  * aggregates map-side, so a group with 10⁸ candidate rows ships k
+  * tuples per partition instead of sorting the whole frame through a
+  * window exchange. The NN-Descent build's per-round top-K rides this
+  * (its candidate frame is the engine's largest recurring window
+  * input); the window form stays the oracle's spelling.
+  */
+final case class BottomKPairsAgg(k: Int)
+    extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+  require(k > 0)
+  private val ord = implicitly[Ordering[(Long, Long)]]
+
+  def zero: Seq[(Long, Long)] = Seq.empty
+
+  def reduce(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] =
+    insert(buf, v)
+
+  def merge(a: Seq[(Long, Long)],
+      b: Seq[(Long, Long)]): Seq[(Long, Long)] = b.foldLeft(a)(insert)
+
+  def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+
+  /** Sorted-ascending, DEDUPED, ≤k buffer — the distinct of the
+    * window spelling is the set semantics here (duplicate tuples
+    * must not occupy two of the k slots).
+    */
+  private def insert(buf: Seq[(Long, Long)],
+      v: (Long, Long)): Seq[(Long, Long)] = {
+    if (buf.size >= k && ord.gteq(v, buf.last)) buf
+    else if (buf.contains(v)) buf
+    else {
+      val (lo, hi) = buf.span(x => ord.lt(x, v))
+      (lo ++ (v +: hi)).take(k)
+    }
+  }
+
+  def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+  def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
 /** Ascending twin of [[TopKAgg]]: bounded-memory bottom-k of a
   * long-valued column per group, emitted as the ascending CSV. Same
   * scale contract — a ≤k buffer that partial-aggregates map-side, so
