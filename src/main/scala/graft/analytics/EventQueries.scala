@@ -1581,7 +1581,56 @@ object EventQueries {
        |WHERE w.ord >= 1
        |GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------ CEP over WINDOWED journeys
+  /** The production form of the journey CEP: journeys bounded per
+    * (user, event-time day) instead of whole-history — the windowing
+    * [[eventsPatternMatch]]'s scaladoc names as the mitigation for
+    * entity-unbounded state (a streaming deployment would use the
+    * same keying with a watermark; a match can no longer span a day
+    * boundary, which is the deliberate trade). State per key is a
+    * day's events, not a lifetime's; the rollup carries the day so
+    * match rates are trendable.
+    */
+  def eventsPatternWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val j = table(spark, dir, "events")
+      .groupBy(col("user_id"), epochDay(col("ts")).as("day"))
+      .agg(array_join(transform(array_sort(collect_list(struct(
+        col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c")))),
+        s => s.getField("c")), "").as("journey"))
+    val perPattern = EventCepPatterns.map { case (name, pat) =>
+      j.select(col("day"),
+        lit(name).as("pattern_name"),
+        regexp_count(col("journey"), lit(pat)).cast("long").as("n"))
+    }.reduce(_ unionByName _)
+    perPattern.groupBy(col("pattern_name"), col("day"))
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("users_matched"),
+        sum(col("n")).as("n_matches_total"))
+      .where(col("n_matches_total") > 0)
+  }
+
+  val eventsPatternWindowedSql: String = {
+    val vals = EventCepPatterns
+      .map { case (n, p) => s"('$n', '$p')" }.mkString(", ")
+    s"""WITH j AS (
+       |  SELECT user_id, ${QueryUtil.sqlEpochDay("ts")} AS day,
+       |    string_agg(substr(event_type, 1, 1), ''
+       |      ORDER BY ts, event_id) AS journey
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT j.day, p.name AS pattern_name,
+       |    CAST(len(regexp_extract_all(j.journey, p.pat)) AS BIGINT) AS n
+       |  FROM j, (VALUES $vals) p(name, pat))
+       |SELECT pattern_name, day,
+       |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS users_matched,
+       |  CAST(SUM(n) AS BIGINT) AS n_matches_total
+       |FROM m GROUP BY pattern_name, day
+       |HAVING SUM(n) > 0""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_pattern_windowed" -> (eventsPatternWindowed _),
     "events_pattern_spans" -> (eventsPatternSpans _),
     "events_pattern_measures" -> (eventsPatternMeasures _),
     "events_pattern_match" -> (eventsPatternMatch _),
@@ -1615,6 +1664,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "events_pattern_match" -> eventsPatternMatchSql,
     "events_pattern_spans" -> eventsPatternSpansSql,
+    "events_pattern_windowed" -> eventsPatternWindowedSql,
     "events_pattern_measures" -> eventsPatternMeasuresSql,
     "events_dau_wau" -> eventsDauWauSql,
     "events_forecast" -> eventsForecastSql,
