@@ -54,6 +54,31 @@ class FunctionsSpec extends SparkSuite {
     assert(withNull.select(DotLong(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("PackS16 round-trips through DotPackedS16 identically to DotLong") {
+    import spark.implicits._
+    val rnd = new Random(13)
+    val rows = Seq.fill(300) {
+      val n = rnd.nextInt(80) + 1
+      // the quantized-embedding envelope: floor(x*4096) of |x| <= ~1
+      (Seq.fill(n)((rnd.nextInt(8193) - 4096).toLong),
+        Seq.fill(n)((rnd.nextInt(8193) - 4096).toLong))
+    } :+ ((Seq(32767L, -32768L), Seq(-32768L, 32767L))) // range edges
+    val df = rows.toDF("a", "b")
+    val mismatches = df.select(
+        DotPackedS16(PackS16(col("a")), PackS16(col("b"))).as("packed"),
+        DotLong(col("a"), col("b")).as("native"))
+      .where(col("packed") =!= col("native"))
+      .count()
+    assert(mismatches == 0)
+    // out-of-range components fail loudly, never wrap
+    val e = intercept[Exception] {
+      Seq(Seq(32768L)).toDF("a").select(PackS16(col("a"))).collect()
+    }
+    assert(e.getMessage.contains("int16") ||
+      Option(e.getCause).exists(_.getMessage.contains("int16")),
+      e.getMessage)
+  }
+
   test("DotLong matches zip_with on edge shapes: length mismatch, null elements") {
     import spark.implicits._
     // zip_with pads the shorter array with nulls → composed sum is
