@@ -174,6 +174,7 @@ object EmbeddingQueries {
     * p-th bit is set when the signed projection is non-negative.
     * Shared by both LSH variants (and mirrored by [[sqlBucketed]]).
     */
+  private[graft] def bucketColForProbe: Column = bucketCol
   private def bucketCol: Column = {
     def sign(p: Int, i: Column): Column =
       ((lit(coefA(p)) * (i + 1) + lit(coefB(p))) % P % 2) * 2 - 1
@@ -3730,7 +3731,8 @@ object EmbeddingQueries {
     * into fewer *effective* rounds — measured at the 100× smoke in
     * SWEEP_r12.md. The reported query evaluates graph recall@K against
     * the exact neighbors of a 1-in-[[NndEvalStride]] vertex sample, so
-    * the eval side is |sample|·n, not n².
+    * the eval side is |sample|·n, not n² (stride = max(50, n/40),
+    * fixed-size at scale — see [[nndEvalStride]]).
     */
   val NndK = 8
   /** 4 rounds, not the classical ~5: the LSH warm start stands in for
@@ -3744,7 +3746,19 @@ object EmbeddingQueries {
   val NndRepC = 16
   /** Dong et al.'s sampled-reverse-edge cap ρ·K with ρ = 1/2. */
   val NndRevK = NndK / 2
+  /** Eval-sample stride: FIXED-SIZE (~40 vertices), not corpus-
+    * proportional — the same r11 lesson gsStride encodes. A pure
+    * `% 50` makes the eval's exact ground truth an O(n²/50) corpus
+    * scan: the 100× smoke measured the BUILD at ~130 s and the
+    * stride-50 EVAL at ~450 s of the query's wall. `max(50, n/40)`
+    * keeps the historical stride (and every oracle hash) at the test
+    * SFs (n ≤ 2000) while capping the eval at sample·n at any scale.
+    */
   private val NndEvalStride = 50
+  private def nndEvalStride(n: Long): Long =
+    math.max(NndEvalStride.toLong, n / 40)
+  private val sqlNndEvalStride =
+    s"GREATEST($NndEvalStride, (SELECT COUNT(*) FROM n) // 40)"
 
   private[analytics] def nndGraph(spark: SparkSession, dir: String,
       rounds: Int): DataFrame =
@@ -3890,8 +3904,8 @@ object EmbeddingQueries {
     // round-trip, and knn_graph_search rides the same publish
     val g = SessionArtifact.rebuild(spark, dir, "nnd_graph")(gBuilt)
     val e = quantized(spark, dir)
-      .select(col("vec_id"), col("q"), col("norm2"))
-    val samp = e.where(col("vec_id") % NndEvalStride === 0)
+      .select(col("vec_id"), col("q"), col("norm2")).cache()
+    val samp = e.where(col("vec_id") % nndEvalStride(e.count()) === 0)
       .select(col("vec_id").as("v"), col("q").as("qa"),
         col("norm2").as("na"))
     val w = Window.partitionBy(col("v"))
@@ -3994,7 +4008,7 @@ object EmbeddingQueries {
   val knnGraphNndSql: String =
     s"""WITH $sqlNndChain,
        |samp AS (SELECT vec_id, qv, norm2 FROM n
-       |  WHERE vec_id % $NndEvalStride = 0),
+       |  WHERE vec_id % $sqlNndEvalStride = 0),
        |ex AS (
        |  SELECT s.vec_id AS v, b.vec_id AS u, row_number() OVER (
        |    PARTITION BY s.vec_id
