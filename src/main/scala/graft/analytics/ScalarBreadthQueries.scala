@@ -1749,7 +1749,60 @@ object ScalarBreadthQueries {
       |  CAST(1 AS BIGINT) AS pre_merge_travelable
       |FROM s GROUP BY o_orderstatus""".stripMargin
 
+  // ----------------------------------------- SQL UPDATE (catalog)
+  /** PURE-SQL UPDATE: copy-on-write rewrite through [[graft.sources.
+    * ManifestMergeRule]]'s UpdateTable branch — `IF(pred, value, old)`
+    * per assigned column, one overwrite commit, pre-update snapshot
+    * travelable (pinned in-band like the MERGE gate). */
+  def sinkManifestSqlUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"squ_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"orders_u_$t"
+    try {
+      table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(view)
+      val tableDir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      spark.sql(s"CREATE TABLE graft.$t AS SELECT * FROM $view " +
+        "WHERE o_orderkey % 19 = 0")
+      val vBefore = graft.sources.ManifestV2Sink.versions(tableDir).max
+      val sumBefore = spark.sql(s"SELECT CAST(SUM(cents) AS BIGINT) " +
+        s"FROM graft.$t").head.getLong(0)
+      spark.sql(s"UPDATE graft.$t SET cents = cents * 2 + 1 " +
+        "WHERE o_orderstatus = 'F'")
+      val vAfter = graft.sources.ManifestV2Sink.versions(tableDir).max
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          lit((vAfter - vBefore).toLong).as("update_commits"),
+          lit(spark.sql(s"SELECT CAST(SUM(cents) AS BIGINT) FROM " +
+            s"graft.$t VERSION AS OF $vBefore").head.getLong(0) ==
+            sumBefore).cast("long").as("pre_update_travelable"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  val sinkManifestSqlUpdateSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN o_orderstatus = 'F'
+      |      THEN CAST(floor(o_totalprice * 100) AS BIGINT) * 2 + 1
+      |      ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents
+      |  FROM orders WHERE o_orderkey % 19 = 0)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS update_commits,
+      |  CAST(1 AS BIGINT) AS pre_update_travelable
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sink_manifest_sql_update" -> (sinkManifestSqlUpdate _),
     "sink_manifest_sql_merge" -> (sinkManifestSqlMerge _),
     "sink_manifest_sql_timetravel" -> (sinkManifestSqlTimetravel _),
     "sink_manifest_partition" -> (sinkManifestPartition _),
@@ -1790,6 +1843,7 @@ object ScalarBreadthQueries {
     "sink_manifest_sql_write" -> sinkManifestSqlWriteSql,
     "sink_manifest_sql_timetravel" -> sinkManifestSqlTimetravelSql,
     "sink_manifest_sql_merge" -> sinkManifestSqlMergeSql,
+    "sink_manifest_sql_update" -> sinkManifestSqlUpdateSql,
     "source_dsv2_agg_pushdown" -> sourceDsv2AggPushdownSql,
     "source_dsv2_agg_groupby" -> sourceDsv2AggGroupBySql,
     "source_dsv2" -> sourceDsv2Sql,

@@ -1,12 +1,13 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, If, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.BooleanType
 
 /** SQL `MERGE INTO` for manifest tables — the upsert the Scala API
   * already has ([[ManifestV2Sink.upsert]]/[[ManifestV2Sink.upsertNarrow]]),
@@ -56,7 +57,52 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case m: MergeIntoTable if m.resolved &&
           m.childrenResolved && graftTarget(m.targetTable).isDefined =>
         rewrite(m, graftTarget(m.targetTable).get)
+      case u: UpdateTable if u.resolved &&
+          u.childrenResolved && graftTarget(u.table).isDefined =>
+        rewriteUpdate(u, graftTarget(u.table).get)
     }
+
+  /** SQL `UPDATE graft.t SET c = expr [WHERE pred]`: a COW rewrite —
+    * the post-update table is the target relation projected through
+    * `IF(pred, value, old)` per assigned column, published as ONE
+    * overwrite commit (readers see pre- or post-update, never a mix;
+    * the pre-update snapshot stays time-travelable). Deterministic
+    * row-local expressions only — subqueries in SET/WHERE are not
+    * row-local and are refused. The whole-table rewrite is the honest
+    * copy-on-write; a stats-narrowed variant would ride the same
+    * metadata [[ManifestV2Sink.upsertNarrow]] plans against.
+    */
+  private def rewriteUpdate(u: UpdateTable,
+      target: DataSourceV2Relation): LogicalPlan = {
+    val table = target.table.asInstanceOf[ManifestTable]
+    def rowLocal(e: Expression): Unit =
+      if (e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        throw new UnsupportedOperationException(
+          "graft UPDATE supports row-local SET/WHERE expressions only " +
+            "(no subqueries)")
+    val cond = u.condition.getOrElse(Literal(true, BooleanType))
+    rowLocal(cond)
+    val assigned = u.assignments.map { a =>
+      a.key match {
+        case t: AttributeReference =>
+          rowLocal(a.value)
+          t.exprId -> a.value
+        case other => throw new UnsupportedOperationException(
+          s"graft UPDATE supports top-level column assignment, got $other")
+      }
+    }.toMap
+    val projected = Project(
+      u.table.output.map { attr =>
+        assigned.get(attr.exprId) match {
+          case Some(v) =>
+            Alias(If(cond, v, attr), attr.name)(): NamedExpression
+          case None => attr: NamedExpression
+        }
+      },
+      u.table)
+    GraftUpdateCommand(table.dir, projected)
+  }
 
   private def unsupported(why: String): Nothing =
     throw new UnsupportedOperationException(
@@ -156,6 +202,26 @@ case class GraftMergeCommand(path: String, key: String,
       ManifestV2Sink.upsertNarrow(spark, path, src, key)
     else
       ManifestV2Sink.upsert(spark, path, src, key)
+    Seq.empty
+  }
+}
+
+/** The eager command SQL UPDATE rewrites to: materialize the
+  * post-update projection of the target (the DSv2 scan reads the
+  * pre-update head lazily while the write stages — the same
+  * read-under-lock discipline as [[ManifestV2Sink.upsert]]) and
+  * publish it as one overwrite commit.
+  */
+case class GraftUpdateCommand(path: String,
+    projected: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(projected)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, projected)
+    ManifestV2Sink.commitLock(path).synchronized {
+      ManifestV2Sink.withHeadLock(path) {
+        df.write.format("graft-manifest").mode("overwrite").save(path)
+      }
+    }
     Seq.empty
   }
 }

@@ -246,4 +246,41 @@ class ManifestCatalogSpec extends SparkSuite {
       assert(e2.getMessage.contains("canonical upsert"), e2.getMessage)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
+
+  test("SQL UPDATE is one COW commit; pre-update stays travelable; " +
+    "subqueries refused") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 10), (2, 20), (3, 30)")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      spark.sql(s"UPDATE graft.$t SET v = v + 1 WHERE id >= 2")
+      val got = spark.sql(s"SELECT id, v FROM graft.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == Seq((1L, 10L), (2L, 21L), (3L, 31L)), s"got $got")
+      assert(ManifestV2Sink.versions(dir).max == vBefore + 1,
+        "UPDATE must publish exactly one commit")
+      assert(spark.sql(
+        s"SELECT SUM(v) FROM graft.$t VERSION AS OF $vBefore")
+        .head.getLong(0) == 60L)
+      // WHERE-less updates every row
+      spark.sql(s"UPDATE graft.$t SET v = 0")
+      assert(spark.sql(s"SELECT SUM(v) FROM graft.$t").head.getLong(0) == 0L)
+      // a MOR tombstone reconciles into the rewrite (deleted rows
+      // must not resurrect through the COW)
+      import spark.implicits._
+      ManifestV2Sink.delete(spark, dir, "id", Seq(2L).toDF("id"))
+      spark.sql(s"UPDATE graft.$t SET v = 7")
+      val ids = spark.sql(s"SELECT id FROM graft.$t ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(1L, 3L), s"deleted row resurrected: $ids")
+      // subqueries are not row-local — refused at analysis
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE graft.$t SET v = " +
+          s"(SELECT MAX(id) FROM graft.$t)")
+      }
+      assert(e.getMessage.contains("row-local"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
 }
