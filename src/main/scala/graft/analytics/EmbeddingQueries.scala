@@ -3713,13 +3713,12 @@ object EmbeddingQueries {
     *    quantized vectors (norm²ₐ + norm²ᵦ − 2·dot, all int64), then
     *    per-vertex top-K by (distance, id) — engine-identical total
     *    order;
-    *  - up to [[NndRounds]] rounds with EXACT-FIXED-POINT early exit:
-    *    a round that changes no edge is a no-op for every later round
-    *    (same B → same candidates → same top-K), so Spark stops while
-    *    the oracle's fixed unrolling provably lands on the identical
-    *    graph. The ε>0 new-edge-rate cutoffs of production NN-Descent
-    *    would diverge from a fixed-round oracle, so only the exact
-    *    fixed point short-circuits here.
+    *  - [[NndRounds]] fixed rounds, but a CONVERGED round is free by
+    *    construction: no changed edges → empty two-hop frame → the
+    *    round degenerates to topK(g) = g. The new/old flags thus
+    *    subsume an explicit fixed-point exit (and the ε>0 new-edge-
+    *    rate cutoffs of production NN-Descent would diverge from a
+    *    fixed-round oracle anyway).
     *
     * Scale shape: every round is two vertex-keyed shuffles (the
     * reverse-edge sampling and the two-hop join) over K- and
@@ -3845,10 +3844,16 @@ object EmbeddingQueries {
       // that CHANGED last round are scored — an old×old pair through
       // an old path was a candidate in the round that created it and
       // per-vertex top-K only tightens, so rescoring it can't change
-      // anything. Round 0: every edge is new.
+      // anything. Round 0: every edge is new. The flags also make a
+      // separate fixed-point early exit redundant: a converged round
+      // has an EMPTY changed set, so its two-hop frame is empty and
+      // the round degenerates to topK(g) = g — a natural no-op, no
+      // extra convergence job. nw itself stays LAZY (an anti-join of
+      // two checkpointed n·K frames, consumed once next round):
+      // checkpointing it doubled the per-round job count, which at
+      // bench SF cost more than the flags saved.
       var nw = g0.select(col("v"), col("u"))
-      var converged = false
-      for (_ <- 1 to rounds if !converged) {
+      for (_ <- 1 to rounds) {
         val gN = g.join(nw.withColumn("nf", lit(1)), Seq("v", "u"),
             "left_outer")
           .select(col("v"), col("u"), col("d"),
@@ -3873,14 +3878,8 @@ object EmbeddingQueries {
           .distinct()
         val gNext = topK(scored(twoHop).union(g)).coalesce(parts)
           .localCheckpoint(true)
-        // the changed-edge set drives BOTH the next round's candidate
-        // generation and the exact-fixed-point exit (empty → every
-        // later round is a no-op); an anti-join of two checkpointed
-        // n·K frames, trivial next to the two-hop scoring
         nw = gNext.join(g, Seq("v", "u"), "left_anti")
-          .select(col("v"), col("u")).coalesce(parts)
-          .localCheckpoint(true)
-        converged = nw.isEmpty
+          .select(col("v"), col("u"))
         g = gNext
       }
       (g0, g)
