@@ -1057,13 +1057,14 @@ object ScalarBreadthQueries {
       // over the manifest scan (ManifestMeta), so the metadata path
       // itself survives millions of files — parity with the
       // driver-side fold is pinned in ManifestMetaSpec
-      def bounds(c: String): (Long, Long) = {
-        val (lo, hi) = graft.sources.ManifestMeta.statsMinMax(spark, out, c)
+      val cols = Seq("o_orderkey", "cents", "yr")
+      // ONE metadata pass answers all three columns (statsMinMaxMany)
+      val folded = graft.sources.ManifestMeta.statsMinMaxMany(
+        spark, out, cols)
+      val rows = cols.map { c =>
+        val (lo, hi) = folded(c)
           .getOrElse(sys.error(s"no sound metadata bounds for $c"))
-        (lo.longValue, hi.longValue)
-      }
-      val rows = Seq("o_orderkey", "cents", "yr").map { c =>
-        val (lo, hi) = bounds(c); (c, lo, hi)
+        (c, lo.longValue, hi.longValue)
       }
       import spark.implicits._
       rows.toDF("col_name", "meta_min", "meta_max")

@@ -130,24 +130,43 @@ object ManifestMeta {
     * unsound ⇒ None. The driver receives one row.
     */
   def statsMinMax(spark: SparkSession, path: String,
-      column: String): Option[(BigDecimal, BigDecimal)] = {
+      column: String): Option[(BigDecimal, BigDecimal)] =
+    statsMinMaxMany(spark, path, Seq(column))(column)
+
+  /** Many-column twin: ONE metadata pass (one Spark agg, grouped by
+    * column) answers every requested column's bounds — the shape a
+    * planner actually wants (`SELECT min(a), max(a), min(b) …` is one
+    * stats question, not |columns| manifest scans). Same per-column
+    * soundness rule as [[statsMinMax]].
+    */
+  def statsMinMaxMany(spark: SparkSession, path: String,
+      columns: Seq[String]): Map[String, Option[(BigDecimal, BigDecimal)]] = {
+    require(columns.nonEmpty)
     val dataFiles = entriesDF(spark, path).where(!col("is_delete"))
       .select(col("file"))
-    val folded = dataFiles
-      .join(statsDF(spark, path).where(col("col_name") === column),
-        Seq("file"), "left")
-      .agg(count(lit(1)).as("n_files"),
-        count(col("col_name")).as("n_stats"),
+    val nFiles = dataFiles.count()
+    val rows = dataFiles
+      .join(statsDF(spark, path)
+        .where(col("col_name").isin(columns: _*)), Seq("file"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_stats"),
         max(col("kind")).as("kind"),
         min(col("min_s").cast("decimal(38,0)")).as("min_l"),
         max(col("max_s").cast("decimal(38,0)")).as("max_l"),
         min(col("min_s").cast("double")).as("min_d"),
         max(col("max_s").cast("double")).as("max_d"))
-      .head()
-    val (nFiles, nStats) = (folded.getLong(0), folded.getLong(1))
-    if (nFiles == 0 || nStats < nFiles) None
-    else if (folded.getString(2) == "L")
-      Some((BigDecimal(folded.getDecimal(3)), BigDecimal(folded.getDecimal(4))))
-    else Some((BigDecimal(folded.getDouble(5)), BigDecimal(folded.getDouble(6))))
+      .collect() // |columns| rows — decision-sized
+      .map { r =>
+        val sound = nFiles > 0 && r.getLong(1) == nFiles
+        r.getString(0) -> (
+          if (!sound) None
+          else if (r.getString(2) == "L")
+            Some((BigDecimal(r.getDecimal(3)), BigDecimal(r.getDecimal(4))))
+          else
+            Some((BigDecimal(r.getDouble(5)), BigDecimal(r.getDouble(6)))))
+      }.toMap
+    // a column with no stats rows at all simply isn't in the fold —
+    // unsound by the same rule (None), including the empty table
+    columns.map(c => c -> rows.getOrElse(c, None)).toMap
   }
 }
