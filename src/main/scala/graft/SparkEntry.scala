@@ -48,10 +48,11 @@ object SparkEntry {
     "dedup_clusters_persisted", "dedup_setsim_join", "knn_graph_nnd",
     "text_bpe_train",
     // ANN eval ground truths + shared family searches (build jobs),
-    // and the graph search whose exact baseline builds lazily on
-    // first demand
+    // and the searches whose exact baselines build lazily on first
+    // demand (knn_gs_exact / knn_fs_exact)
     "knn_brute_force", "knn_brute_heldout", "knn_ivf_trained_heldout",
-    "knn_sq8_heldout", "knn_graph_search", "knn_graph_delta",
+    "knn_sq8_heldout", "knn_graph_search", "knn_filtered_search",
+    "knn_graph_delta",
     // the Vamana build job publishes the pruned serving index its
     // search twin reads
     "knn_graph_prune")
