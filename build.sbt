@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 128 GiB, so default high and let the env override downward
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+
+// Forked `run` output must reach stdout UNPREFIXED: the bench driver
+// machine-parses the final JSON line, and sbt's default LoggedOutput
+// wraps every child line in "[info] " (BENCH_r12.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)

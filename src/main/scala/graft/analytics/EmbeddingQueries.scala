@@ -3904,6 +3904,7 @@ object EmbeddingQueries {
     val g = SessionArtifact.rebuild(spark, dir, "nnd_graph")(gBuilt)
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2")).cache()
+    try {
     val samp = e.where(col("vec_id") % nndEvalStride(e.count()) === 0)
       .select(col("vec_id").as("v"), col("q").as("qa"),
         col("norm2").as("na"))
@@ -3929,6 +3930,7 @@ object EmbeddingQueries {
         col("n_matched_init"),
         ppm(col("n_matched"), lit(NndK)).as("recall_ppm"),
         ppm(col("n_matched_init"), lit(NndK)).as("recall_init_ppm"))
+    } finally e.unpersist()
   }
 
   /** The NN-Descent construction as oracle CTEs (`sqlQuantized` … up

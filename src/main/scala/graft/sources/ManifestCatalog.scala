@@ -127,8 +127,12 @@ class ManifestCatalog extends TableCatalog {
   }
 
   /** `TIMESTAMP AS OF t` (Spark hands micros): the NEWEST retained
-    * snapshot published at-or-before `t` — snapshot files are written
-    * once and never touched, so their mtime IS the publish time.
+    * snapshot published at-or-before `t`. Resolution reads the commit
+    * wall-clock RECORDED inside the table's append-only commit log at
+    * publish time ([[ManifestV2Sink.publishTimeMillis]]) — snapshot
+    * mtimes shift under directory copies/backup restores and are
+    * coarse-grained on some filesystems, so they are only the
+    * fallback for versions published before the log existed.
     */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirOf(ident).toString
@@ -137,8 +141,7 @@ class ManifestCatalog extends TableCatalog {
         (ident.namespace() :+ ident.name()).toSeq)
     val tsMillis = timestamp / 1000L
     val v = ManifestV2Sink.versions(dir).reverse.find { v =>
-      Files.getLastModifiedTime(ManifestV2Sink.versionFile(dir, v))
-        .toMillis <= tsMillis
+      ManifestV2Sink.publishTimeMillis(dir, v) <= tsMillis
     }.getOrElse(throw new IllegalArgumentException(
       s"no snapshot of graft table $ident at or before " +
         s"timestamp $tsMillis ms — the oldest retained snapshot is newer"))

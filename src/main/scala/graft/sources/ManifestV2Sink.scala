@@ -105,7 +105,7 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
       case (Some(b), None) => ManifestV2Sink.parseManifest(
         ManifestV2Sink.branchFile(path, b))
       case (None, Some(v)) => ManifestV2Sink.parseManifest(
-        ManifestV2Sink.versionFile(path, v.trim.toInt))
+        ManifestV2Sink.versionFile(path, ManifestV2Sink.parseVersion(v)))
       case (None, None) => ManifestV2Sink.readManifest(path)
     }
     head.map(_._1).getOrElse(throw new IllegalArgumentException(
@@ -120,7 +120,7 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestTable(schema, ManifestV2Sink.pathOf(opts),
       Option(opts.get("branch")),
-      Option(opts.get("asOfVersion")).map(_.trim.toInt))
+      Option(opts.get("asOfVersion")).map(ManifestV2Sink.parseVersion))
   }
 }
 
@@ -130,6 +130,17 @@ object ManifestV2Sink {
       throw new IllegalArgumentException("graft-manifest requires a path"))
 
   private def manifestFile(path: String): Path = Paths.get(path, "_MANIFEST")
+
+  /** Parse a caller-supplied snapshot-number option with the same
+    * descriptive error on every entry path (catalog `VERSION AS OF`
+    * and the DataFrame reader's `asOfVersion` option) — a malformed
+    * value must never surface as a bare NumberFormatException.
+    */
+  private[sources] def parseVersion(v: String): Int =
+    try v.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft asOfVersion takes a snapshot number, got '$v'")
+    }
 
   /** Per-table commit lock for IN-PROCESS writers: held across the
     * read-merge-publish of a head pointer so two concurrent appends
@@ -1184,6 +1195,19 @@ object ManifestV2Sink {
       catch { case _: java.nio.file.FileAlreadyExistsException => nextV += 1 }
     }
     Files.deleteIfExists(vTmp)
+    // commit wall-clock LOG: snapshot mtimes are not preserved by
+    // directory copies/restores and are coarse on some filesystems, so
+    // TIMESTAMP AS OF resolves against the publish time RECORDED at
+    // publish. Append-only, written before the pointer move — a crash
+    // in between leaves a logged version that never became current,
+    // same garbage-not-corruption class as the snapshot file itself.
+    // Every publish path already holds the head lock, so appends never
+    // interleave.
+    Files.write(Paths.get(path, "_MANIFEST.commits"),
+      s"$nextV ${System.currentTimeMillis()}\n"
+        .getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     val pointer = branch.map(branchFile(path, _))
       .getOrElse(Paths.get(path, "_MANIFEST"))
     val tmp = Paths.get(path, s"_MANIFEST.tmp.$tag")
@@ -1215,6 +1239,34 @@ object ManifestV2Sink {
       new String(Files.readAllBytes(h), StandardCharsets.UTF_8)
         .trim.toInt).toOption
   }
+
+  /** Recorded publish wall-clock (epoch millis) per snapshot version,
+    * from the append-only `_MANIFEST.commits` log [[publish]] writes.
+    * Duplicate lines for a version (a crashed publish retried) keep
+    * the FIRST record — the one whose pointer move could have
+    * succeeded. Versions published before the log existed are absent;
+    * resolvers fall back to the snapshot file's mtime for those.
+    */
+  private[sources] def commitTimes(path: String): Map[Int, Long] = {
+    val f = Paths.get(path, "_MANIFEST.commits")
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split(" ", 2) match {
+          case Array(v, t) =>
+            scala.util.Try((v.toInt, t.toLong)).toOption
+          case _ => None
+        }
+      }.toSeq.groupBy(_._1).map { case (v, ts) => v -> ts.head._2 }
+  }
+
+  /** Publish wall-clock of snapshot `v`: the commit log's record when
+    * present, else the snapshot file's mtime (pre-log tables).
+    */
+  private[sources] def publishTimeMillis(path: String, v: Int): Long =
+    commitTimes(path).getOrElse(v,
+      Files.getLastModifiedTime(versionFile(path, v)).toMillis)
 
   /** Data files present on disk but referenced by NO retained
     * manifest — current, versioned, or any live branch head: crash
