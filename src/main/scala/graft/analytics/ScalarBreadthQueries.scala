@@ -608,6 +608,309 @@ object ScalarBreadthQueries {
       |FROM s WHERE yr BETWEEN 1996 AND 1997
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** TYPED COLUMNS through the transactional sink under the oracle
+    * gate: TPC-H orders lands in a `graft` CATALOG table with native
+    * DATE and DECIMAL(12,2) columns (the columns every real first
+    * table has — r12's primitives-only gap), committed one file per
+    * order-year so each file's manifest entry records tight
+    * DATE-column day stats, then read back through the SQL scan with
+    * a pushed two-year date-range predicate. BOTH directions gated:
+    * the `files_read`/`files_total` columns equal the PLANNED scan
+    * partition count vs the committed file count — so if the pushed
+    * filter stops pruning files via the recorded date stats
+    * ([[graft.sources.ManifestSkipping]]) the counts diverge, and if
+    * pruning over-skips the aggregates lose rows. The decimal rides
+    * as exact cents/100, so the sum re-multiplied is integral on both
+    * engines; min/max date strings pin the DATE round-trip through
+    * the parquet payload.
+    */
+  def sinkManifestTyped(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"typed_${java.util.UUID.randomUUID().toString.take(8)}"
+    val root = spark.conf.get("spark.sql.catalog.graft.root")
+    val out = s"$root/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, price DECIMAL(12,2), od DATE)")
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          // exact decimal from integral cents — engine-identical
+          (floor(col("o_totalprice") * 100).cast("long")
+            .cast(org.apache.spark.sql.types.DecimalType(14, 2)) / 100)
+            .cast(org.apache.spark.sql.types.DecimalType(12, 2))
+            .as("price"),
+          col("o_orderdate").cast("date").as("od"),
+          year(col("o_orderdate")).as("yr"))
+      val years = src.select(col("yr")).distinct().orderBy(col("yr"))
+        .collect().map(_.getInt(0)) // calendar-bounded, never data-sized
+      years.foreach { y =>
+        src.where(col("yr") === y).drop("yr").coalesce(1)
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val window = "od >= DATE'1996-01-01' AND od < DATE'1998-01-01'"
+      // planned partitions = files surviving manifest-level skipping
+      // on the pushed date predicate (one partition per kept file)
+      val filesRead = spark.sql(
+        s"SELECT od FROM graft.$t WHERE $window").rdd.getNumPartitions
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(price) * 100 AS BIGINT) AS sum_cents,
+           |  CAST(MIN(od) AS STRING) AS od_min,
+           |  CAST(MAX(od) AS STRING) AS od_max
+           |FROM graft.$t WHERE $window
+           |GROUP BY o_orderstatus""".stripMargin)
+        .select(col("o_orderstatus"), col("n"), col("sum_cents"),
+          col("od_min"), col("od_max"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestTypedSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(o_orderdate AS DATE) AS od,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MIN(od) AS STRING) AS od_min,
+      |  CAST(MAX(od) AS STRING) AS od_max,
+      |  (SELECT COUNT(DISTINCT yr) FROM s
+      |     WHERE od >= DATE '1996-01-01' AND od < DATE '1998-01-01')
+      |    AS files_read,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_total
+      |FROM s WHERE od >= DATE '1996-01-01' AND od < DATE '1998-01-01'
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** Shared fixture for the predicate-DELETE / narrowed-UPDATE gates:
+    * an orders slice landed in a `graft` catalog table with a DATE
+    * column, ONE data file per order-year (tight per-file day stats +
+    * recorded zero null counts — the metadata the file-narrowed plans
+    * read). Returns the table name; caller drops it.
+    */
+  private def perYearTable(spark: SparkSession, dir: String,
+      tag: String, mod: Int): String = {
+    val t = s"${tag}_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, cents BIGINT, od DATE)")
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    val src = table(spark, dir, "orders")
+      .where(col("o_orderkey") % 13 === mod)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderdate").cast("date").as("od"),
+        year(col("o_orderdate")).as("yr"))
+    val years = src.select(col("yr")).distinct().orderBy(col("yr"))
+      .collect().map(_.getInt(0)) // calendar-bounded, never data-sized
+    years.foreach { y =>
+      src.where(col("yr") === y).drop("yr").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(out)
+    }
+    t
+  }
+
+  /** PREDICATE SQL DELETE under the oracle gate — `DELETE FROM t
+    * WHERE od < cutoff`, the retention cut r12 refused (and the
+    * lifecycle queries worked around with driver-collected IN
+    * lists): the file-narrowed copy-on-write
+    * ([[graft.sources.ManifestV2Sink.deleteWhere]]) DROPS the years
+    * provably inside the cutoff as pure metadata (stats containment +
+    * recorded zero null counts — no bytes read), REWRITES only the
+    * boundary year without its matching rows, and carries everything
+    * else over untouched. All three tiers are pinned in-band against
+    * oracle twins: `files_kept` (years above the boundary, carried as
+    * raw entries), `files_new` (1 iff the boundary year has survivor
+    * rows — the one rewritten file), `files_removed` (years at or
+    * below the boundary: dropped wholes + the rewrite source). On a
+    * time-clustered 100-TB table this is O(boundary), not O(table).
+    */
+  def sinkManifestSqlDeletePred(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "delpred", 5)
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      val before =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      spark.sql(s"DELETE FROM graft.$t WHERE od < DATE'1995-07-01'")
+      val after =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           |  CAST(MIN(od) AS STRING) AS od_min
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit((before & after).size.toLong).as("files_kept"),
+          lit((after -- before).size.toLong).as("files_new"),
+          lit((before -- after).size.toLong).as("files_removed"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestSqlDeletePredSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    CAST(o_orderdate AS DATE) AS od,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 13 = 5)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(MIN(od) AS STRING) AS od_min,
+      |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr > 1995) AS files_kept,
+      |  (SELECT CAST(CASE WHEN EXISTS (SELECT 1 FROM s
+      |     WHERE yr = 1995 AND od >= DATE '1995-07-01') THEN 1 ELSE 0
+      |     END AS BIGINT)) AS files_new,
+      |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr <= 1995)
+      |    AS files_removed
+      |FROM s WHERE od >= DATE '1995-07-01'
+      |GROUP BY o_orderstatus""".stripMargin
+
+  /** STATS-NARROWED SQL UPDATE under the oracle gate — `UPDATE t SET
+    * cents = cents + 7 WHERE od >= boundary` plans against the same
+    * per-file date stats: years before the boundary CARRY OVER as raw
+    * manifest entries (`files_carried`, zero bytes moved) and only
+    * the boundary-and-later years rewrite (`files_new` — one output
+    * file per touched year by construction). r12's UPDATE was an
+    * honest whole-table COW; this is the [[graft.sources
+    * .ManifestV2Sink.upsertNarrow]] treatment applied to SQL UPDATE,
+    * so a one-day touch-up of a 100-TB time-clustered table rewrites
+    * one file. The post-update aggregate is the oracle's CASE twin,
+    * so a lost carry-over file, double-applied update, or mis-skipped
+    * year all diverge the hash.
+    */
+  def sinkManifestSqlUpdateNarrow(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "updnarrow", 6)
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      val before =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      spark.sql(s"UPDATE graft.$t SET cents = cents + 7 " +
+        "WHERE od >= DATE'1997-01-01'")
+      val after =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit((before & after).size.toLong).as("files_carried"),
+          lit((after -- before).size.toLong).as("files_new"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestSqlUpdateNarrowSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      |      THEN CAST(floor(o_totalprice * 100) AS BIGINT) + 7
+      |      ELSE CAST(floor(o_totalprice * 100) AS BIGINT) END AS cents,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 13 = 6)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr < 1997)
+      |    AS files_carried,
+      |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr >= 1997) AS files_new
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
+  /** CDC-APPLY as ONE SQL MERGE under the oracle gate — the general
+    * shape r12 refused at analysis (`events_cdc_apply`'s semantics,
+    * now through the SQL front door): one change batch carrying
+    * deletes, updates, and inserts applies in a single `MERGE INTO`
+    * with a conditional DELETE action, a partial-SET UPDATE action
+    * (first-true-wins, ANSI order), and a conditional INSERT — one
+    * atomic commit (`merge_commits` pinned in-band), pre-merge state
+    * still time-travelable (spec-pinned). The oracle twin recomputes
+    * the post-apply table with the equivalent join/anti-join algebra,
+    * so a mis-ordered action, leaked delete, or double-applied update
+    * diverges the hash.
+    */
+  def sinkManifestSqlMergeCdc(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"cdc_${java.util.UUID.randomUUID().toString.take(8)}"
+    val view = s"cdc_chg_$t"
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "cents BIGINT, o_orderstatus STRING)")
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"))
+      src.where(col("o_orderkey") % 17 === 0)
+        .write.format("graft-manifest").mode("append").save(out)
+      // the change batch: matched keys carry D/U ops, unmatched D/I
+      src.where(col("o_orderkey") % 17 isin (0L, 3L))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 5 === 0, "D")
+            .when(col("o_orderkey") % 17 === 0, "U")
+            .otherwise("I").as("op"),
+          (col("cents") + 1000L).as("nv"))
+        .createOrReplaceTempView(view)
+      val vBefore = graft.sources.ManifestV2Sink.versions(out).max
+      spark.sql(
+        s"""MERGE INTO graft.$t tgt
+           |USING $view src
+           |ON tgt.o_orderkey = src.o_orderkey
+           |WHEN MATCHED AND src.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = src.nv
+           |WHEN NOT MATCHED AND src.op = 'I' THEN
+           |  INSERT (o_orderkey, cents, o_orderstatus)
+           |  VALUES (src.o_orderkey, src.nv, 'NEW')""".stripMargin)
+      val commits = graft.sources.ManifestV2Sink.versions(out).max - vBefore
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"), lit(commits.toLong).as("merge_commits"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(view)
+      ()
+    }
+  }
+
+  val sinkManifestSqlMergeCdcSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT)
+      |    AS cents, o_orderstatus
+      |  FROM orders WHERE o_orderkey % 17 = 0),
+      |chg AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN 'D'
+      |         WHEN o_orderkey % 17 = 0 THEN 'U' ELSE 'I' END AS op,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) + 1000 AS nv
+      |  FROM orders WHERE o_orderkey % 17 IN (0, 3)),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |    CASE WHEN c.op = 'U' THEN c.nv ELSE b.cents END AS cents,
+      |    b.o_orderstatus
+      |  FROM base b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+      |  WHERE c.op IS NULL OR c.op <> 'D'
+      |  UNION ALL
+      |  SELECT c.o_orderkey, c.nv, 'NEW'
+      |  FROM chg c
+      |  WHERE c.op = 'I' AND NOT EXISTS (
+      |    SELECT 1 FROM base b WHERE b.o_orderkey = c.o_orderkey))
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(1 AS BIGINT) AS merge_commits
+      |FROM merged GROUP BY o_orderstatus""".stripMargin
+
   /** MERGE-ON-READ DELETE under the oracle gate — the 100-TB shape
     * copy-on-write cannot afford: deleting 1-in-5 keys of a committed
     * table lands TOMBSTONE files ([[graft.sources.ManifestV2Sink
@@ -1571,10 +1874,13 @@ object ScalarBreadthQueries {
       val tableDir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
       val filesBefore =
         graft.sources.ManifestV2Sink.committedFileCount(tableDir)
-      // GDPR-scale SQL delete: a literal key list (1-in-70 of the
-      // slice — entity-sized, never corpus-sized)
+      // GDPR-scale SQL delete: a literal key list BOUNDED at 20 keys
+      // (the 20 smallest of the 1-in-70 slice) — genuinely
+      // entity-sized at any corpus scale; table-scale predicates go
+      // through sink_manifest_sql_delete_pred's file-narrowed COW
       val delKeys = spark.sql(s"SELECT o_orderkey FROM $view " +
-        "WHERE o_orderkey % 11 IN (0, 1) AND o_orderkey % 70 = 0")
+        "WHERE o_orderkey % 11 IN (0, 1) AND o_orderkey % 70 = 0 " +
+        "ORDER BY o_orderkey LIMIT 20")
         .collect().map(_.getLong(0)).sorted
       if (delKeys.nonEmpty)
         spark.sql(s"DELETE FROM graft.$t " +
@@ -1604,14 +1910,17 @@ object ScalarBreadthQueries {
     """WITH s AS (
       |  SELECT o_orderkey, o_orderstatus,
       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
-      |  FROM orders WHERE o_orderkey % 11 IN (0, 1))
+      |  FROM orders WHERE o_orderkey % 11 IN (0, 1)),
+      |del AS (
+      |  SELECT o_orderkey FROM s WHERE o_orderkey % 70 = 0
+      |  ORDER BY o_orderkey LIMIT 20)
       |SELECT o_orderstatus, COUNT(*) AS n,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
       |  CAST(0 AS BIGINT) AS files_rewritten,
-      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM s WHERE o_orderkey % 70 = 0)
+      |  CAST(CASE WHEN EXISTS (SELECT 1 FROM del)
       |       THEN 1 ELSE 0 END AS BIGINT) AS has_tombstones
-      |FROM s WHERE NOT (o_orderkey % 70 = 0)
+      |FROM s WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
       |GROUP BY o_orderstatus""".stripMargin
 
   // ------------------------------------- SQL time travel (catalog)
@@ -1643,8 +1952,10 @@ object ScalarBreadthQueries {
       spark.sql(s"INSERT INTO graft.$t SELECT * FROM $view " +
         "WHERE o_orderkey % 13 = 1")
       val vIns = headV
+      // bounded at the 25 smallest — entity-sized at any corpus scale
       val delKeys = spark.sql(s"SELECT o_orderkey FROM $view " +
-        "WHERE o_orderkey % 39 = 0").collect().map(_.getLong(0)).sorted
+        "WHERE o_orderkey % 39 = 0 ORDER BY o_orderkey LIMIT 25")
+        .collect().map(_.getLong(0)).sorted
       if (delKeys.nonEmpty)
         spark.sql(s"DELETE FROM graft.$t " +
           s"WHERE o_orderkey IN (${delKeys.mkString(", ")})")
@@ -1669,16 +1980,19 @@ object ScalarBreadthQueries {
 
   val sinkManifestSqlTimetravelSql: String =
     """WITH s AS (
-      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 IN (0, 1))
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 13 IN (0, 1)),
+      |del AS (
+      |  SELECT o_orderkey FROM orders WHERE o_orderkey % 39 = 0
+      |  ORDER BY o_orderkey LIMIT 25)
       |SELECT 'head' AS snap, COUNT(*) AS n,
       |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
-      |FROM s WHERE NOT o_orderkey % 39 = 0
+      |FROM s WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
       |UNION ALL
       |SELECT 'v_ctas', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
       |FROM s WHERE o_orderkey % 13 = 0
       |UNION ALL
       |SELECT 'v_delete', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
-      |FROM s WHERE NOT o_orderkey % 39 = 0
+      |FROM s WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
       |UNION ALL
       |SELECT 'v_insert', COUNT(*), CAST(SUM(o_orderkey) AS BIGINT)
       |FROM s""".stripMargin
@@ -1822,6 +2136,10 @@ object ScalarBreadthQueries {
     "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
     "sink_manifest_prune" -> (sinkManifestPrune _),
+    "sink_manifest_typed" -> (sinkManifestTyped _),
+    "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
+    "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
+    "sink_manifest_sql_merge_cdc" -> (sinkManifestSqlMergeCdc _),
     "sink_manifest_mor" -> (sinkManifestMor _),
     "sink_manifest_zorder" -> (sinkManifestZorder _),
     "sink_manifest_upsert_narrow" -> (sinkManifestUpsertNarrow _),
@@ -1859,6 +2177,10 @@ object ScalarBreadthQueries {
     "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
     "sink_manifest_prune" -> sinkManifestPruneSql,
+    "sink_manifest_typed" -> sinkManifestTypedSql,
+    "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
+    "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,
+    "sink_manifest_sql_merge_cdc" -> sinkManifestSqlMergeCdcSql,
     "sink_manifest_mor" -> sinkManifestMorSql,
     "sink_manifest_zorder" -> sinkManifestZorderSql,
     "sink_manifest_upsert_narrow" -> sinkManifestUpsertNarrowSql,

@@ -52,22 +52,20 @@ class ManifestCatalog extends TableCatalog {
   override def name(): String = catalogName
 
   /** Fail a DDL statement AT THE STATEMENT when it names a type the
-    * JSONL writer/reader cannot hold — otherwise `CREATE TABLE t (d
-    * DATE)` succeeds and the failure surfaces later as a writer
-    * require on INSERT, far from the DDL that caused it.
+    * parquet payload cannot hold — otherwise `CREATE TABLE t (m
+    * MAP<...>)` succeeds and the failure surfaces later as a writer
+    * require on INSERT, far from the DDL that caused it. The
+    * supported set is [[ParquetPayload.supportedType]]: BIGINT/INT/
+    * DOUBLE/BOOLEAN/STRING plus DATE/TIMESTAMP/DECIMAL(p,s) — the
+    * columns TPC-H `orders` needs land natively.
     */
   private def requirePrimitive(col: String,
-      dt: org.apache.spark.sql.types.DataType): Unit = dt match {
-    case org.apache.spark.sql.types.LongType |
-         org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.DoubleType |
-         org.apache.spark.sql.types.BooleanType |
-         org.apache.spark.sql.types.StringType => ()
-    case other => throw new UnsupportedOperationException(
-      s"graft catalog column '$col': unsupported type " +
-        s"${other.simpleString} — tables hold BIGINT/INT/DOUBLE/" +
-        "BOOLEAN/STRING only")
-  }
+      dt: org.apache.spark.sql.types.DataType): Unit =
+    if (!ParquetPayload.supportedType(dt))
+      throw new UnsupportedOperationException(
+        s"graft catalog column '$col': unsupported type " +
+          s"${dt.simpleString} — tables hold BIGINT/INT/DOUBLE/" +
+          "BOOLEAN/STRING/DATE/TIMESTAMP/DECIMAL(p,s) only")
 
   private def dirOf(ident: Identifier): Path = {
     val parts = (ident.namespace() :+ ident.name()).toSeq

@@ -1,9 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, If, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, CaseWhen, Cast, EqualTo, Expression, If, In, IsNull, Literal, NamedExpression, Not}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, Union, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -62,15 +63,22 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewriteUpdate(u, graftTarget(u.table).get)
     }
 
-  /** SQL `UPDATE graft.t SET c = expr [WHERE pred]`: a COW rewrite —
-    * the post-update table is the target relation projected through
-    * `IF(pred, value, old)` per assigned column, published as ONE
-    * overwrite commit (readers see pre- or post-update, never a mix;
-    * the pre-update snapshot stays time-travelable). Deterministic
-    * row-local expressions only — subqueries in SET/WHERE are not
-    * row-local and are refused. The whole-table rewrite is the honest
-    * copy-on-write; a stats-narrowed variant would ride the same
-    * metadata [[ManifestV2Sink.upsertNarrow]] plans against.
+  /** SQL `UPDATE graft.t SET c = expr [WHERE pred]`: a copy-on-write
+    * rewrite, STATS-NARROWED when the metadata allows — the
+    * [[ManifestV2Sink.upsertNarrow]] treatment the r12 scaladoc
+    * admitted was unbuilt. The WHERE predicate translates to source
+    * filters and plans against the manifest's per-file stats
+    * ([[ManifestSkipping.keepEntry]]): files provably disjoint from
+    * the predicate CARRY OVER as raw entries (zero bytes read), and
+    * only intersecting files rewrite through `IF(pred, value, old)`
+    * per assigned column — so a targeted update of one day's rows in
+    * a 100-TB time-clustered table rewrites one file, not the table.
+    * Untranslatable predicates and tombstoned heads degrade to the
+    * honest whole-table COW. Either way it is ONE atomic commit
+    * (readers see pre- or post-update, never a mix; the pre-update
+    * snapshot stays time-travelable). Deterministic row-local
+    * expressions only — subqueries in SET/WHERE are not row-local and
+    * are refused.
     */
   private def rewriteUpdate(u: UpdateTable,
       target: DataSourceV2Relation): LogicalPlan = {
@@ -92,93 +100,269 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           s"graft UPDATE supports top-level column assignment, got $other")
       }
     }.toMap
-    val projected = Project(
+    val projectList: Seq[NamedExpression] =
       u.table.output.map { attr =>
         assigned.get(attr.exprId) match {
           case Some(v) =>
             Alias(If(cond, v, attr), attr.name)(): NamedExpression
           case None => attr: NamedExpression
         }
-      },
-      u.table)
-    GraftUpdateCommand(table.dir, projected)
+      }
+    GraftUpdateCommand(table.dir, Project(projectList, u.table), cond)
   }
 
   private def unsupported(why: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft MERGE INTO supports the canonical upsert only — " +
-        s"ON t.k = s.k, WHEN MATCHED THEN UPDATE SET *, WHEN NOT " +
-        s"MATCHED THEN INSERT * ($why)")
+      s"graft MERGE INTO supports the canonical upsert (ON t.k = s.k, " +
+        "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT " +
+        "*) and the general CDC-apply shape (conditional WHEN MATCHED " +
+        "UPDATE/DELETE actions, partial SET lists, conditional WHEN " +
+        s"NOT MATCHED INSERTs) ($why)")
 
+  /** Two tiers: the CANONICAL upsert shape routes to the
+    * stats-narrowed [[ManifestV2Sink.upsertNarrow]] fast path
+    * (rewrites only files whose key ranges intersect the updates);
+    * everything else in the CDC-apply grammar — `WHEN MATCHED [AND
+    * cond] THEN UPDATE SET a = ..., b = ...` (partial lists fine),
+    * `WHEN MATCHED [AND cond] THEN DELETE`, multiple ordered matched
+    * actions (first whose condition holds wins, ANSI semantics),
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT` — compiles to one
+    * whole-table copy-on-write commit ([[GraftMergeGenericCommand]]).
+    * NOT MATCHED BY SOURCE and schema evolution stay refused at
+    * analysis.
+    */
   private def rewrite(m: MergeIntoTable,
       target: DataSourceV2Relation): LogicalPlan = {
-    val table = target.table.asInstanceOf[ManifestTable]
     if (m.notMatchedBySourceActions.nonEmpty)
       unsupported("NOT MATCHED BY SOURCE actions present")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION not supported")
+    canonical(m, target).getOrElse(rewriteGeneric(m, target))
+  }
+
+  /** The canonical-upsert detector: Some(fast-path command) when the
+    * MERGE is exactly `ON t.k = s.k, WHEN MATCHED THEN UPDATE SET *,
+    * WHEN NOT MATCHED THEN INSERT *` with UPDATE ≡ INSERT values —
+    * None (fall through to the general rewrite) otherwise.
+    */
+  private def canonical(m: MergeIntoTable,
+      target: DataSourceV2Relation): Option[LogicalPlan] = {
+    val table = target.table.asInstanceOf[ManifestTable]
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
     // the analyzer wraps type-widening Casts around source columns
     // (VALUES literals arrive as INT against BIGINT targets) — the
     // column identity is underneath
     def stripCast(e: Expression): Expression = e match {
-      case org.apache.spark.sql.catalyst.expressions.Cast(c, _, _, _) =>
-        stripCast(c)
+      case Cast(c, _, _, _) => stripCast(c)
       case other => other
     }
     // the upsert key: one target=source equality on a shared name
-    val key = (m.mergeCondition match {
+    val keyOpt: Option[String] = (m.mergeCondition match {
       case EqualTo(a, b) => Some((stripCast(a), stripCast(b)))
       case _ => None
-    }) match {
-      case Some((a: AttributeReference, b: AttributeReference)) =>
-        val (t, s) =
-          if (targetOut.contains(a) && sourceOut.contains(b)) (a, b)
-          else if (targetOut.contains(b) && sourceOut.contains(a)) (b, a)
-          else unsupported("ON must compare a target column to a source column")
-        if (t.name != s.name)
-          unsupported(s"ON joins differently-named columns " +
-            s"(${t.name} vs ${s.name}) — the upsert key is one shared name")
-        t.name
-      case _ => unsupported("ON must be a single equality")
+    }) flatMap {
+      case (a: AttributeReference, b: AttributeReference) =>
+        val pair =
+          if (targetOut.contains(a) && sourceOut.contains(b)) Some((a, b))
+          else if (targetOut.contains(b) && sourceOut.contains(a))
+            Some((b, a))
+          else None
+        pair.collect { case (t, s) if t.name == s.name => t.name }
+      case _ => None
     }
     // full-column assignments, target := same-named source expression
-    def fullAssignments(as: Seq[Assignment]): Map[String, Expression] = {
-      val byName = as.map { a =>
+    def fullAssignments(as: Seq[Assignment])
+        : Option[Map[String, Expression]] = {
+      val byName = as.flatMap { a =>
         a.key match {
           case t: AttributeReference if targetOut.contains(t) =>
-            t.name -> a.value
-          case other => unsupported(s"assignment to non-column $other")
+            Some(t.name -> a.value)
+          case _ => None
         }
       }.toMap
-      val targetNames = m.targetTable.output.map(_.name)
-      if (byName.keySet != targetNames.toSet)
-        unsupported(s"SET must cover every target column " +
-          s"(missing: ${targetNames.filterNot(byName.contains).mkString(",")})")
-      byName
+      if (byName.size == as.size &&
+        byName.keySet == m.targetTable.output.map(_.name).toSet)
+        Some(byName)
+      else None
     }
-    val upd = m.matchedActions match {
-      case Seq(UpdateAction(None, as, _)) => fullAssignments(as)
-      case _ => unsupported(
-        "need exactly one unconditional WHEN MATCHED THEN UPDATE")
+    for {
+      key <- keyOpt
+      upd <- m.matchedActions match {
+        case Seq(UpdateAction(None, as, _)) => fullAssignments(as)
+        case _ => None
+      }
+      ins <- m.notMatchedActions match {
+        case Seq(InsertAction(None, as)) => fullAssignments(as)
+        case _ => None
+      }
+      // UPDATE and INSERT must write the same rows, or routing both
+      // through one upsert would silently pick one of two semantics
+      if m.targetTable.output.map(_.name)
+        .forall(n => upd(n).semanticEquals(ins(n)))
+    } yield {
+      val projected = Project(
+        m.targetTable.output.map(t =>
+          Alias(ins(t.name), t.name)(): NamedExpression),
+        m.sourceTable)
+      GraftMergeCommand(table.dir, key, projected)
     }
-    val ins = m.notMatchedActions match {
-      case Seq(InsertAction(None, as)) => fullAssignments(as)
-      case _ => unsupported(
-        "need exactly one unconditional WHEN NOT MATCHED THEN INSERT")
+  }
+
+  /** The general CDC-apply rewrite — ANSI MERGE semantics compiled to
+    * plain relational algebra over the resolved plans:
+    *  - SURVIVORS: target LEFT OUTER source on the merge condition; a
+    *    per-row action ordinal picks the FIRST matched action whose
+    *    condition holds (null = no action → row unchanged); DELETE
+    *    ordinals filter out, UPDATE ordinals project `CASE action`
+    *    per column (partial SET lists leave other columns alone);
+    *  - INSERTS: source LEFT ANTI target on the merge condition, the
+    *    first insert action whose condition holds supplies the
+    *    values; rows matching no insert action drop (ANSI).
+    * The union publishes as ONE atomic overwrite commit — readers see
+    * pre- or post-merge, never a mix, and the pre-merge snapshot
+    * stays time-travelable. Conditions and values must be row-local
+    * (no subqueries), same rule as UPDATE.
+    */
+  private def rewriteGeneric(m: MergeIntoTable,
+      target: DataSourceV2Relation): LogicalPlan = {
+    val table = target.table.asInstanceOf[ManifestTable]
+    def rowLocal(e: Expression): Unit =
+      if (e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        unsupported("conditions and values must be row-local " +
+          "(no subqueries)")
+    rowLocal(m.mergeCondition)
+    val tOut = m.targetTable.output
+
+    def castTo(e: Expression,
+        attr: org.apache.spark.sql.catalyst.expressions.Attribute)
+        : Expression =
+      if (e.dataType == attr.dataType) e else Cast(e, attr.dataType)
+
+    // matched actions in declaration order: Some(assignments) =
+    // UPDATE (possibly partial), None = DELETE
+    val matched: Seq[(Option[Expression], Option[Map[String, Expression]])] =
+      m.matchedActions.map {
+        case UpdateAction(cond, as, _) =>
+          cond.foreach(rowLocal)
+          val byName = as.map { a =>
+            a.key match {
+              case t: AttributeReference =>
+                rowLocal(a.value); t.name -> a.value
+              case other =>
+                unsupported(s"assignment to non-column $other")
+            }
+          }.toMap
+          (cond, Some(byName))
+        case DeleteAction(cond) =>
+          cond.foreach(rowLocal)
+          (cond, None)
+        case other => unsupported(s"unsupported matched action $other")
+      }
+    val inserts: Seq[(Option[Expression], Map[String, Expression])] =
+      m.notMatchedActions.map {
+        case InsertAction(cond, as) =>
+          cond.foreach(rowLocal)
+          val byName = as.map { a =>
+            a.key match {
+              case t: AttributeReference =>
+                rowLocal(a.value); t.name -> a.value
+              case other =>
+                unsupported(s"assignment to non-column $other")
+            }
+          }.toMap
+          (cond, byName)
+        case other => unsupported(s"unsupported not-matched action $other")
+      }
+
+    // ---- survivors: target ⟕ source, first-true action ordinal
+    val survivors: LogicalPlan =
+      if (matched.isEmpty) m.targetTable // insert-only MERGE
+      else {
+        val mTag = Alias(Literal(true), "__graft_matched")()
+        val srcTagged =
+          Project(m.sourceTable.output :+ mTag, m.sourceTable)
+        val joined = Join(m.targetTable, srcTagged, LeftOuter,
+          Some(m.mergeCondition), JoinHint.NONE)
+        val matchedRef = mTag.toAttribute
+        val actAlias = Alias(CaseWhen(
+          matched.zipWithIndex.map { case ((cond, _), i) =>
+            (And(matchedRef,
+              cond.getOrElse(Literal(true)): Expression): Expression,
+              Literal(i): Expression)
+          }, None), "__graft_act")()
+        val withAct = Project(joined.output :+ actAlias, joined)
+        val actRef = actAlias.toAttribute
+        val deleteOrds = matched.zipWithIndex.collect {
+          case ((_, None), i) => Literal(i): Expression
+        }
+        val afterDeletes =
+          if (deleteOrds.isEmpty) withAct
+          else Filter(
+            org.apache.spark.sql.catalyst.expressions.Or(
+              IsNull(actRef), Not(In(actRef, deleteOrds))), withAct)
+        Project(tOut.map { attr =>
+          val branches = matched.zipWithIndex.collect {
+            case ((_, Some(as)), i) if as.contains(attr.name) =>
+              (EqualTo(actRef, Literal(i)): Expression,
+                castTo(as(attr.name), attr))
+          }
+          if (branches.isEmpty) attr: NamedExpression
+          else Alias(CaseWhen(branches, attr), attr.name)()
+            : NamedExpression
+        }, afterDeletes)
+      }
+
+    // ---- inserts: source ⟔ target, first-true insert action
+    val insertRows: Option[LogicalPlan] =
+      if (inserts.isEmpty) None // matched-only MERGE (pure CDC delete)
+      else {
+        val anti = Join(m.sourceTable, m.targetTable, LeftAnti,
+          Some(m.mergeCondition), JoinHint.NONE)
+        val iAlias = Alias(CaseWhen(
+          inserts.zipWithIndex.map { case ((cond, _), i) =>
+            (cond.getOrElse(Literal(true)): Expression,
+              Literal(i): Expression)
+          }, None), "__graft_iact")()
+        val withIAct = Project(anti.output :+ iAlias, anti)
+        val iRef = iAlias.toAttribute
+        Some(Project(tOut.map { attr =>
+          Alias(CaseWhen(
+            inserts.zipWithIndex.map { case ((_, as), i) =>
+              (EqualTo(iRef, Literal(i)): Expression,
+                as.get(attr.name).map(castTo(_, attr))
+                  .getOrElse(Literal(null, attr.dataType)): Expression)
+            }, None), attr.name)(): NamedExpression
+        }, Filter(Not(IsNull(iRef)), withIAct)))
+      }
+
+    GraftMergeGenericCommand(table.dir, insertRows match {
+      case Some(ins) => Union(Seq(survivors, ins))
+      case None => survivors
+    })
+  }
+}
+
+/** The eager command the general CDC-apply MERGE rewrites to: the
+  * post-merge table (survivors ∪ inserts, built by
+  * [[ManifestMergeRule.rewriteGeneric]]) published as ONE atomic
+  * overwrite commit under the table's commit locks. The target scan
+  * inside the plan reads the pre-merge head lazily while the write
+  * stages — the same read-under-lock discipline as every composite
+  * commit here.
+  */
+case class GraftMergeGenericCommand(path: String,
+    merged: LogicalPlan) extends LeafRunnableCommand {
+  override def innerChildren: Seq[QueryPlan[_]] = Seq(merged)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, merged)
+    ManifestV2Sink.commitLock(path).synchronized {
+      ManifestV2Sink.withHeadLock(path) {
+        df.write.format("graft-manifest").mode("overwrite").save(path)
+      }
     }
-    // UPDATE and INSERT must write the same rows, or routing both
-    // through one upsert would silently pick one of two semantics
-    m.targetTable.output.map(_.name).foreach { n =>
-      if (!upd(n).semanticEquals(ins(n)))
-        unsupported(s"UPDATE and INSERT assign column $n differently")
-    }
-    val projected = Project(
-      m.targetTable.output.map(t =>
-        Alias(ins(t.name), t.name)(): NamedExpression),
-      m.sourceTable)
-    GraftMergeCommand(table.dir, key, projected)
+    Seq.empty
   }
 }
 
@@ -206,20 +390,65 @@ case class GraftMergeCommand(path: String, key: String,
   }
 }
 
-/** The eager command SQL UPDATE rewrites to: materialize the
-  * post-update projection of the target (the DSv2 scan reads the
-  * pre-update head lazily while the write stages — the same
-  * read-under-lock discipline as [[ManifestV2Sink.upsert]]) and
-  * publish it as one overwrite commit.
+/** The eager command SQL UPDATE rewrites to. Under the commit locks:
+  * translate the WHERE to source filters, split the head's files into
+  * UNTOUCHED (stats provably disjoint — carried over as raw manifest
+  * entries, zero rows move) and TOUCHED (read back, projected through
+  * the update's `IF(pred, value, old)` expressions rebound onto the
+  * touched-files frame, rewritten via scratch → adopt), then ONE
+  * atomic publish. Falls back to the whole-table COW overwrite when
+  * the predicate is untranslatable, the head carries tombstones, or
+  * nothing can be skipped.
   */
 case class GraftUpdateCommand(path: String,
-    projected: LogicalPlan) extends LeafRunnableCommand {
+    projected: Project, cond: Expression) extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(projected)
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, projected)
     ManifestV2Sink.commitLock(path).synchronized {
       ManifestV2Sink.withHeadLock(path) {
-        df.write.format("graft-manifest").mode("overwrite").save(path)
+        val (schema, entries) = ManifestV2Sink.readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        val filters = org.apache.spark.sql.graftbridge.bridge
+          .translateFilter(cond)
+        val narrowable = filters.isDefined &&
+          !entries.exists(ManifestV2Sink.isDeleteEntry)
+        val (touched, untouched) =
+          if (narrowable)
+            entries.partition(
+              ManifestSkipping.keepEntry(_, filters.toSeq))
+          else (entries, Seq.empty[String])
+        if (narrowable && untouched.nonEmpty) {
+          // rebind the update projection onto the touched-files frame
+          // (same columns by construction: readDataFiles serves the
+          // committed schema the relation resolved against)
+          val touchedDf = ManifestV2Sink.readDataFiles(spark, path,
+            schema, touched.map(ManifestV2Sink.entryFile))
+          val child = touchedDf.queryExecution.analyzed
+          val byName = child.output.map(a => a.name -> a).toMap
+          val rebound = projected.projectList.map(_.transform {
+            case a: AttributeReference if byName.contains(a.name) =>
+              byName(a.name)
+          }.asInstanceOf[NamedExpression])
+          val frame = org.apache.spark.sql.graftbridge.bridge.ofRows(
+            spark, Project(rebound, child))
+          val scratch = java.nio.file.Paths.get(path,
+            s"_rewrite-update-" +
+              java.util.UUID.randomUUID().toString.take(8))
+          try {
+            frame
+              .repartition(math.max(touched.length, 1))
+              .write.format("graft-manifest").mode("append")
+              .save(scratch.toString)
+            val adopted =
+              ManifestV2Sink.adoptScratchFiles(path, scratch.toString)
+            ManifestV2Sink.publish(path, schema,
+              untouched ++ adopted, "update-narrow")
+          } finally ManifestV2Sink.deleteRecursively(scratch)
+        } else {
+          val df = org.apache.spark.sql.graftbridge.bridge.ofRows(
+            spark, projected)
+          df.write.format("graft-manifest").mode("overwrite").save(path)
+        }
       }
     }
     Seq.empty

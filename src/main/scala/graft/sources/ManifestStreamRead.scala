@@ -53,7 +53,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * deletes belong on the batch surface's anti-join reconcile.
   */
 private[sources] class ManifestMicroBatchStream(path: String,
-    schema: StructType) extends MicroBatchStream {
+    schema: StructType, required: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    extends MicroBatchStream {
 
   override def initialOffset(): Offset = ManifestOffset(0)
 
@@ -109,7 +111,8 @@ private[sources] class ManifestMicroBatchStream(path: String,
         s"graft-manifest stream: snapshot v$v at $path was expired — " +
           "cannot plan the batch exactly-once; re-seed the stream"))
     val base: Set[String] = if (s == 0) Set.empty else snapshot(s).toSet
-    ManifestScanPlanner.partitions(path, schema, snapshot(e), base)
+    ManifestScanPlanner.partitions(path, schema, required, filters,
+      snapshot(e), base)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -120,11 +123,19 @@ private[sources] class ManifestMicroBatchStream(path: String,
   * micro-batch stream): data entries become one file partition each,
   * tombstones visible in the planned entry set become plan-riding
   * key sets every reader filters by (normalized per key type so "3"
-  * matches however JSON spelled it).
+  * matches however JSON spelled it). Pushed filters prune WHOLE
+  * FILES here at planning via the manifest's recorded per-file
+  * stats/partitions/Blooms ([[ManifestSkipping]]) — a selective SQL
+  * read of a 100-TB manifest table plans the files that can match,
+  * not the table — then ride into the parquet readers for row-group
+  * skipping. `required` is the pruned read schema every partition
+  * emits (tombstone key columns are read internally when pruned out,
+  * never emitted).
   */
 private[sources] object ManifestScanPlanner {
 
-  def partitions(path: String, schema: StructType,
+  def partitions(path: String, schema: StructType, required: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
       entries: Seq[String], base: Set[String]): Array[InputPartition] = {
     val dels: Array[DeleteSet] = entries
       .filter(ManifestV2Sink.isDeleteEntry)
@@ -160,17 +171,21 @@ private[sources] object ManifestScanPlanner {
       }
     entries
       .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
+      .filter(ManifestSkipping.keepEntry(_, filters))
       .map { entry =>
         ManifestFilePartition(
           Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
-          schema.json, dels): InputPartition
+          schema.json, required.json, dels, filters.toArray): InputPartition
       }.toArray
   }
 
   def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(
-        p: InputPartition): PartitionReader[InternalRow] =
-      new ManifestJsonlReader(p.asInstanceOf[ManifestFilePartition])
+        p: InputPartition): PartitionReader[InternalRow] = {
+      val fp = p.asInstanceOf[ManifestFilePartition]
+      if (fp.absPath.endsWith(".parquet")) new ManifestParquetReader(fp)
+      else new ManifestJsonlReader(fp)
+    }
   }
 }
 
@@ -183,7 +198,9 @@ private[sources] object ManifestScanPlanner {
   * right-sized for GDPR-scale deletes.)
   */
 private[sources] class ManifestBatchScan(path: String,
-    schema: StructType, branch: Option[String] = None,
+    schema: StructType, required: StructType,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    branch: Option[String] = None,
     asOfVersion: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   override def planInputPartitions(): Array[InputPartition] = {
@@ -204,7 +221,8 @@ private[sources] class ManifestBatchScan(path: String,
       case (None, None) =>
         ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
     }
-    ManifestScanPlanner.partitions(path, schema, entries, Set.empty)
+    ManifestScanPlanner.partitions(path, schema, required, filters,
+      entries, Set.empty)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestScanPlanner.readerFactory
@@ -217,17 +235,90 @@ private[sources] case class ManifestOffset(v: Long) extends Offset {
 private[sources] case class DeleteSet(col: String, keys: Array[String])
 
 private[sources] case class ManifestFilePartition(absPath: String,
-    schemaJson: String, deletes: Array[DeleteSet]) extends InputPartition
+    schemaJson: String, requiredJson: String, deletes: Array[DeleteSet],
+    filters: Array[org.apache.spark.sql.sources.Filter])
+    extends InputPartition
 
-/** One data file → InternalRows, mirroring [[ManifestDataWriter]]'s
-  * rendering exactly: primitives only, absent/null fields → null
-  * (the schema-evolution null-fill), NaN/Infinity as their quoted
-  * spellings.
+/** One PARQUET data file → InternalRows through [[ParquetPayload]]'s
+  * projection-aware reader: only the required (pruned) columns plus
+  * any tombstone key columns decode; pushed filters skip row groups
+  * via their statistics. Tombstoned rows are filtered here, and
+  * internally-read key columns never leave the reader.
+  */
+private[sources] class ManifestParquetReader(p: ManifestFilePartition)
+    extends PartitionReader[InternalRow] {
+  private val full =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val required =
+    DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  // tombstone key columns ride the read schema (appended after the
+  // required columns) when pruning removed them
+  private val readSchema = StructType(required.fields ++
+    p.deletes.map(_.col).distinct
+      .filterNot(required.fieldNames.contains).map(full(_)))
+  private val deleted: Array[(Int, DataType, Set[String])] =
+    p.deletes.map { d =>
+      (readSchema.fieldIndex(d.col), readSchema(d.col).dataType,
+        d.keys.toSet)
+    }
+  private val reader = ParquetPayload.reader(p.absPath, readSchema,
+    ParquetPayload.toParquetFilter(p.filters.toSeq, full))
+  private var current: InternalRow = _
+
+  private def render(row: InternalRow, i: Int, dt: DataType): String =
+    dt match {
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case other => throw new IllegalStateException(
+        s"tombstone key of unsupported type $other — delete() rejects")
+    }
+
+  override def next(): Boolean = {
+    var row = reader.read()
+    while (row != null) {
+      val isDeleted = deleted.exists { case (i, dt, keys) =>
+        !row.isNullAt(i) && keys.contains(render(row, i, dt))
+      }
+      if (!isDeleted) {
+        current =
+          if (readSchema.length == required.length) row
+          else {
+            // required fields are the readSchema prefix — truncate
+            val vals = new Array[Any](required.length)
+            var i = 0
+            while (i < required.length) {
+              vals(i) = row.get(i, required.fields(i).dataType)
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+        return true
+      }
+      row = reader.read()
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}
+
+/** One LEGACY JSONL data file → InternalRows, mirroring the retired
+  * JSON writer's rendering exactly: absent/null fields → null (the
+  * schema-evolution null-fill), NaN/Infinity as their quoted
+  * spellings, emitting only the required (pruned) columns. Kept so
+  * pre-parquet snapshots, branches, and external-committer appends
+  * read unchanged.
   */
 private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
     extends PartitionReader[InternalRow] {
   private val schema =
     DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val required =
+    DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
   private val mapper = new ObjectMapper()
   private val deleted: Map[String, (DataType, Set[String])] =
     p.deletes.map { d =>
@@ -246,8 +337,8 @@ private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
           .exists(n => keys.contains(ManifestJsonlReader.renderKey(n, dt)))
       }
       if (!isDeleted) {
-        val row = new GenericInternalRow(schema.length)
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val row = new GenericInternalRow(required.length)
+        required.fields.zipWithIndex.foreach { case (f, i) =>
           val n = node.get(f.name)
           if (n == null || n.isNull) row.setNullAt(i)
           else f.dataType match {
@@ -260,7 +351,14 @@ private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
             case StringType =>
               row.update(i, UTF8String.fromString(n.asText()))
             case other =>
-              throw new IllegalStateException(s"unreachable: $other")
+              // legacy JSONL files never carried the typed columns;
+              // an evolved schema's typed column is simply absent in
+              // them (null above) — a non-null value here means an
+              // external append wrote a type it shouldn't have
+              throw new IllegalStateException(
+                s"JSONL data file with non-null ${other.simpleString} " +
+                  s"column '${f.name}' — external appends carry " +
+                  "primitive columns only")
           }
         }
         current = row

@@ -50,14 +50,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    .unreferencedFiles]] releases a file only when NO retained
   *    manifest — current or snapshot — references it.
   *
-  * Data files are JSON lines (primitive columns), written with a
-  * hand-rolled escaper so the sink has zero codec dependencies and
-  * [[ManifestV2Sink.readCommitted]] can hand the file list straight to
-  * Spark's JSON reader. The FORMAT is deliberately boring — the commit
-  * protocol is the feature. Files here move through `java.nio` against
-  * a shared filesystem (the local[32] rig); a cluster port swaps in
-  * the Hadoop `FileSystem` calls one-for-one (same rename-commit
-  * contract HDFS and object-store committers provide).
+  * Data files are PARQUET ([[ParquetPayload]]): columnar, compressed,
+  * dictionary/RLE-encoded, with row-group statistics — so a committed
+  * table read prunes columns and skips row groups like any production
+  * lake table, which at 100 TB is most of the read cost. Columns
+  * carry BIGINT/INT/DOUBLE/BOOLEAN/STRING plus DATE/TIMESTAMP/
+  * DECIMAL(p,s) natively. The manifest PROTOCOL is format-agnostic:
+  * legacy JSONL data files stay fully readable (readers dispatch on
+  * extension — old snapshots and branches time-travel unchanged), and
+  * the metadata-sized tombstone key files remain JSONL deliberately.
+  * Files here move through `java.nio` against a shared filesystem
+  * (the local[32] rig); a cluster port swaps in the Hadoop
+  * `FileSystem` calls one-for-one (same rename-commit contract HDFS
+  * and object-store committers provide).
   *
   * Concurrency note: the manifest commit is read-merge-publish, so
   * concurrent APPENDs to the same head must serialize or the last
@@ -287,8 +292,9 @@ object ManifestV2Sink {
     * is the schema json; each further line is one entry:
     *  - DATA entry: `relpath` (legacy, statless) or
     *    `relpath<TAB>S|col:K:min:max|...` — per-file min/max column
-    *    stats recorded at write time (K = L for integral, D for
-    *    double), the metadata DATA SKIPPING reads ([[readPruned]]);
+    *    stats recorded at write time (K = L for integral/date/
+    *    timestamp, D for double, B for exact decimal), the metadata
+    *    DATA SKIPPING reads ([[readPruned]]);
     *  - DELETE entry (merge-on-read, [[delete]]):
     *    `delete<TAB>keyCol<TAB>relpath` — the file holds keys whose
     *    rows are anti-joined out of every read of this manifest.
@@ -325,6 +331,7 @@ object ManifestV2Sink {
       val Array(name, kind, mn, mx) = c.split(":", 4)
       val (lo, hi) = kind match {
         case "L" => (BigDecimal(mn.toLong), BigDecimal(mx.toLong))
+        case "B" => (BigDecimal(mn), BigDecimal(mx)) // exact decimal
         case _ => (BigDecimal(mn.toDouble), BigDecimal(mx.toDouble))
       }
       name -> ((lo, hi))
@@ -454,16 +461,32 @@ object ManifestV2Sink {
     * key-distinct anti join — the reconcile a MOR reader pays instead
     * of the copy-on-write rewrite the writer skipped.
     */
+  /** Read a set of committed data files with the table schema,
+    * dispatching on extension: parquet payloads through Spark's
+    * native (vectorized, pruning, pushdown-capable) parquet source,
+    * legacy JSONL through the JSON source — absent columns null-fill
+    * in both (the schema-evolution contract), so mixed-format tables
+    * read as one frame.
+    */
+  private[sources] def readDataFiles(spark: SparkSession, path: String,
+      schema: StructType, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val (pq, jl) = files.partition(_.endsWith(".parquet"))
+      Seq(
+        Option.when(pq.nonEmpty)(spark.read.schema(schema).parquet(
+          pq.map(f => Paths.get(path, f).toString): _*)),
+        Option.when(jl.nonEmpty)(spark.read.schema(schema).json(
+          jl.map(f => Paths.get(path, f).toString): _*))
+      ).flatten.reduce(_.unionByName(_))
+    }
+
   private def readEntries(spark: SparkSession, path: String,
       schema: StructType, entries: Seq[String]): DataFrame = {
-    val dataFiles = entries.filterNot(isDeleteEntry).map(entryFile)
-    val base =
-      if (dataFiles.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else
-        spark.read.schema(schema).json(
-          dataFiles.map(f => Paths.get(path, f).toString): _*)
+    val base = readDataFiles(spark, path, schema,
+      entries.filterNot(isDeleteEntry).map(entryFile))
     val dels = entries.filter(isDeleteEntry)
       .map { e => val p = e.split("\t"); (p(1), p(2)) }
     dels.groupBy(_._1).toSeq.sortBy(_._1)
@@ -565,12 +588,78 @@ object ManifestV2Sink {
           throw new IllegalArgumentException(s"no manifest at $path"))
         require(schema.fieldNames.contains(keyCol),
           s"delete key $keyCol not in committed schema")
+        // tombstone matching normalizes keys through a canonical text
+        // render shared by the JSONL key files and both data readers;
+        // date/timestamp/decimal keys have no such shared spelling —
+        // predicate DELETE (file-narrowed COW) covers those instead
+        require(schema(keyCol).dataType match {
+          case LongType | IntegerType | DoubleType | BooleanType |
+               StringType => true
+          case _ => false
+        }, s"MOR delete keys must be long/int/double/boolean/string; " +
+          s"use a predicate DELETE for ${schema(keyCol).dataType.simpleString}")
         publish(path, schema,
           previous ++ written.map(n => s"delete\t$keyCol\tdata/$n"),
           s"delete-$tag")
       }
     }
   }
+
+  /** PREDICATE DELETE — the file-narrowed copy-on-write the r12
+    * lifecycle queries were missing: `DELETE FROM t WHERE pred` plans
+    * against the manifest's per-file stats and touches each file the
+    * cheapest sound way:
+    *  - provably ALL rows match ([[ManifestSkipping.allMatch]]: range
+    *    containment + recorded zero null count) → the file is DROPPED
+    *    from the manifest, zero bytes read;
+    *  - provably NO row matches ([[ManifestSkipping.keepEntry]]
+    *    false) → the file carries over as a raw entry, zero bytes
+    *    read;
+    *  - otherwise → the file is REWRITTEN without its matching rows
+    *    (the residual predicate applied exactly), via the usual
+    *    scratch-write → adopt → publish shape.
+    * On a time-clustered table a `ts < retention_cutoff` delete drops
+    * old files and rewrites only the boundary file — O(boundary), not
+    * O(table). ONE atomic commit either way; the pre-delete snapshot
+    * stays time-travelable. Tombstoned tables must [[compact]] first
+    * (same sequencing rule as [[upsertNarrow]]).
+    *
+    * Returns (filesDropped, filesRewritten, filesKept).
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Int, Int, Int) =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, entries) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        require(!entries.exists(isDeleteEntry),
+          "predicate DELETE over tombstones unsupported — compact first")
+        val predicate = ManifestSkipping.filtersToColumn(filters)
+          .getOrElse(throw new UnsupportedOperationException(
+            s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
+        val (candidates, keep) =
+          entries.partition(e => ManifestSkipping.keepEntry(e, filters))
+        val (dropWhole, rewrite) =
+          candidates.partition(e => ManifestSkipping.allMatch(e, filters))
+        if (rewrite.isEmpty) {
+          if (dropWhole.nonEmpty)
+            publish(path, schema, keep, "delete-pred")
+        } else {
+          val scratch = Paths.get(path, s"_rewrite-delete-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          try {
+            readDataFiles(spark, path, schema, rewrite.map(entryFile))
+              .where(!predicate || predicate.isNull) // survivors
+              .repartition(math.max(rewrite.length, 1))
+              .write.format("graft-manifest").mode("append")
+              .save(scratch.toString)
+            val adopted = adoptScratchFiles(path, scratch.toString)
+            publish(path, schema, keep ++ adopted, "delete-pred")
+          } finally deleteRecursively(scratch)
+        }
+        (dropWhole.length, rewrite.length, keep.length)
+      }
+    }
 
   /** Committed delete-file (tombstone) count — zero again after a
     * [[compact]] materializes the reconcile.
@@ -709,6 +798,15 @@ object ManifestV2Sink {
       }
     }
 
+  /** Relative data-file names of the committed head — the file-set
+    * identity external gates diff across a commit to observe
+    * carried-over vs dropped vs newly-written files (data files are
+    * immutable once promoted, so name equality IS content identity).
+    */
+  def committedDataFiles(path: String): Seq[String] =
+    readManifest(path).map(_._2.filterNot(isDeleteEntry).map(entryFile))
+      .getOrElse(Seq.empty)
+
   /** Committed data-file count — the observable compaction changes.
     * Tombstones are counted separately ([[committedDeleteFileCount]]).
     */
@@ -754,6 +852,26 @@ object ManifestV2Sink {
       bits((bit >>> 3).toInt) = (bits((bit >>> 3).toInt) |
         (1 << (bit & 7))).toByte
       i += 1
+    }
+  }
+
+  /** Recorded NULL count of `column` in a data entry (`N|col:n|...`,
+    * an optional tab field written alongside the stats blob since the
+    * predicate-DELETE work): `Some(0)` PROVES the file has no nulls in
+    * the column, which is what lets [[ManifestSkipping.allMatch]]
+    * prove a range predicate holds for EVERY row (a null row never
+    * matches a comparison, so min/max containment alone cannot prove
+    * all-match). For double columns the recorded value counts NaN as
+    * null — an over-count, so `Some(0)` stays a sound no-nulls proof.
+    * Absent (legacy entries, stat-less columns) → None → nothing
+    * provable.
+    */
+  private[sources] def entryNullCount(entry: String,
+      column: String): Option[Long] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("N|")).flatMap { blob =>
+      blob.drop(2).split('|').iterator.map(_.split(":", 2))
+        .collectFirst { case Array(c, n) if c == column => n.toLong }
     }
   }
 
@@ -860,7 +978,7 @@ object ManifestV2Sink {
     * intact, paths re-rooted). Staged names carry the scratch write's
     * queryId, so they can never collide with committed files.
     */
-  private def adoptScratchFiles(path: String, scratch: String): Seq[String] = {
+  private[sources] def adoptScratchFiles(path: String, scratch: String): Seq[String] = {
     val (_, entries) = readManifest(scratch).getOrElse(
       throw new IllegalStateException(s"scratch write left no manifest"))
     Files.createDirectories(Paths.get(path, "data"))
@@ -872,7 +990,7 @@ object ManifestV2Sink {
     }
   }
 
-  private def deleteRecursively(dir: Path): Unit =
+  private[sources] def deleteRecursively(dir: Path): Unit =
     if (Files.exists(dir)) {
       val s = Files.walk(dir)
       try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
@@ -1015,11 +1133,7 @@ object ManifestV2Sink {
           java.util.UUID.randomUUID().toString.take(8))
         try {
           val touchedRows =
-            if (touched.isEmpty)
-              spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-            else spark.read.schema(schema).json(
-              touched.map(e => Paths.get(path, entryFile(e)).toString): _*)
+            readDataFiles(spark, path, schema, touched.map(entryFile))
           touchedRows
             .join(updates.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(updates.select(schema.fieldNames.map(
@@ -1319,37 +1433,54 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
         TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   // ------------------------------------------------ SQL DELETE FROM
-  // `DELETE FROM graft.t WHERE key = v` / `key IN (...)` routes to the
-  // MERGE-ON-READ tombstone path ([[ManifestV2Sink.delete]]) — a
-  // metadata-sized commit, zero data files rewritten, exactly what a
-  // GDPR-scale SQL delete should cost on a 100-TB table. A bare
-  // `DELETE FROM graft.t` (no WHERE) is a TRUNCATE: one empty-list
-  // commit. Anything else (complex predicates, multi-column) is
-  // refused at analysis so Spark reports it un-deletable instead of
-  // silently over- or under-deleting.
+  // Three tiers, cheapest sound plan first:
+  //  - bare `DELETE FROM graft.t` → TRUNCATE (one empty-list commit);
+  //  - `key = v` / `key IN (...)` on a primitive column → the
+  //    MERGE-ON-READ tombstone path ([[ManifestV2Sink.delete]]): a
+  //    metadata-sized commit, zero data files rewritten — the
+  //    GDPR-scale point delete;
+  //  - any other supported predicate (ranges, conjunctions, typed
+  //    columns — `WHERE ts < X` included) → the FILE-NARROWED
+  //    copy-on-write ([[ManifestV2Sink.deleteWhere]]): stats-proven
+  //    all-match files drop as pure metadata, disjoint files carry
+  //    over untouched, only boundary files rewrite. Needs a
+  //    tombstone-free head (compact first), else refused at analysis.
+  // Unsupported shapes are refused at analysis so Spark reports the
+  // table un-deletable instead of silently over- or under-deleting.
   private def deletableKeys(filters: Array[
-      org.apache.spark.sql.sources.Filter]): Option[(String, Seq[Any])] =
+      org.apache.spark.sql.sources.Filter]): Option[(String, Seq[Any])] = {
+    def tombstonable(c: String): Boolean =
+      schema0.fieldNames.contains(c) && (schema0(c).dataType match {
+        case LongType | IntegerType | DoubleType | BooleanType |
+             StringType => true
+        case _ => false // typed keys route to the predicate path
+      })
     filters match {
       case Array(org.apache.spark.sql.sources.EqualTo(c, v))
-        if schema0.fieldNames.contains(c) => Some((c, Seq(v)))
+        if tombstonable(c) => Some((c, Seq(v)))
       case Array(org.apache.spark.sql.sources.In(c, vs))
-        if schema0.fieldNames.contains(c) => Some((c, vs.toSeq))
+        if tombstonable(c) => Some((c, vs.toSeq))
       case _ => None
     }
+  }
+
+  private def truncating(filters: Array[
+      org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.isEmpty ||
+      filters.sameElements(Array(org.apache.spark.sql.sources.AlwaysTrue))
 
   override def canDeleteWhere(filters: Array[
       org.apache.spark.sql.sources.Filter]): Boolean =
-    branch.isEmpty && asOfVersion.isEmpty && (filters.isEmpty ||
-      filters.sameElements(Array(
-        org.apache.spark.sql.sources.AlwaysTrue)) ||
-      deletableKeys(filters).isDefined)
+    branch.isEmpty && asOfVersion.isEmpty && (truncating(filters) ||
+      deletableKeys(filters).isDefined ||
+      (ManifestSkipping.filtersToColumn(filters.toSeq).isDefined &&
+        ManifestV2Sink.committedDeleteFileCount(path) == 0))
 
   override def deleteWhere(filters: Array[
       org.apache.spark.sql.sources.Filter]): Unit = {
     require(branch.isEmpty, "SQL DELETE targets main only")
     val spark = org.apache.spark.sql.SparkSession.active
-    if (filters.isEmpty || filters.sameElements(Array(
-        org.apache.spark.sql.sources.AlwaysTrue))) {
+    if (truncating(filters)) {
       // unconditional delete = truncate: ONE empty-list commit, old
       // snapshots stay time-travelable until retention expires them
       ManifestV2Sink.commitLock(path).synchronized {
@@ -1359,17 +1490,17 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
           ManifestV2Sink.publish(path, schema, Seq.empty, "sql-truncate")
         }
       }
-    } else {
-      val (keyCol, values) = deletableKeys(filters).getOrElse(
-        throw new UnsupportedOperationException(
-          s"graft-manifest SQL DELETE supports `key = v` / `key IN " +
-            s"(...)` on one column, got: ${filters.mkString(", ")}"))
-      val f = schema0(keyCol)
-      val rows = values.map(v =>
-        org.apache.spark.sql.Row(v)).asJava
-      val keys = spark.createDataFrame(rows,
-        StructType(Seq(f.copy(nullable = true))))
-      ManifestV2Sink.delete(spark, path, keyCol, keys)
+    } else deletableKeys(filters) match {
+      case Some((keyCol, values)) =>
+        val f = schema0(keyCol)
+        val rows = values.map(v =>
+          org.apache.spark.sql.Row(v)).asJava
+        val keys = spark.createDataFrame(rows,
+          StructType(Seq(f.copy(nullable = true))))
+        ManifestV2Sink.delete(spark, path, keyCol, keys)
+      case None =>
+        ManifestV2Sink.deleteWhere(spark, path, filters.toSeq)
+        ()
     }
   }
 
@@ -1380,16 +1511,51 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
   // entries), so `.option("branch", b).load(dir)` reads the BRANCH —
   // never silently main's data; streams follow main by contract
   // (branch snapshots never become offsets), so a branch stream read
-  // is rejected loudly instead
+  // is rejected loudly instead.
+  //
+  // PUSHDOWN: column pruning reaches the parquet payload (only
+  // requested columns decode) and pushed filters do double duty —
+  // whole-FILE skipping at planning via the manifest's per-file
+  // stats/partitions/Blooms ([[ManifestSkipping]]) and row-GROUP
+  // skipping inside each parquet file. Every filter is also returned
+  // as residual, so Spark re-applies it — skipping is IO savings,
+  // never a semantics change (the same contract Spark's own file
+  // sources use).
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder {
+      options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    private var required: StructType = schema0
+    private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+      Array.empty
+
+    override def pruneColumns(r: StructType): Unit =
+      // intersect defensively: Spark only asks for subsets, and the
+      // readers index the table schema by the required names
+      required = StructType(
+        r.fields.filter(f => schema0.fieldNames.contains(f.name)))
+
+    override def pushFilters(
+        filters: Array[org.apache.spark.sql.sources.Filter])
+        : Array[org.apache.spark.sql.sources.Filter] = {
+      pushed = filters
+      filters // all residual — Spark re-evaluates on top of skipping
+    }
+
+    override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+      pushed
+
     override def build(): Scan = new Scan {
-      override def readSchema(): StructType = schema0
+      private val req = required
+      private val flt = pushed.toSeq
+      override def readSchema(): StructType = req
       override def description(): String =
         s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
-          s"${asOfVersion.map("@v" + _).getOrElse("")})"
+          s"${asOfVersion.map("@v" + _).getOrElse("")}) " +
+          s"PushedFilters: [${flt.mkString(", ")}], " +
+          s"ReadSchema: ${req.catalogString}"
       override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        new ManifestBatchScan(path, schema0, branch, asOfVersion)
+        new ManifestBatchScan(path, schema0, req, flt, branch, asOfVersion)
       override def toMicroBatchStream(
           checkpointLocation: String): MicroBatchStream = {
         branch.foreach { b =>
@@ -1402,7 +1568,7 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
             s"graft-manifest streams follow the LIVE head; cannot " +
               s"stream the frozen snapshot v$v")
         }
-        new ManifestMicroBatchStream(path, schema0)
+        new ManifestMicroBatchStream(path, schema0, req, flt)
       }
     }
   }
@@ -1431,12 +1597,14 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
   * `blooms` the per-file Bloom blob (`B|col:base64|...`, empty unless
   * the write opted in via `bloomColumns`), `partition` the per-file
   * partition-value blob (`P|col:value|...`, empty unless the write
-  * declared `partitionBy`) — each becomes one tab field of the data
-  * entry at publish.
+  * declared `partitionBy`), `nulls` the per-file null-count blob
+  * (`N|col:n|...`, for stats-covered columns — the no-nulls proof
+  * predicate DELETE's whole-file drops need) — each becomes one tab
+  * field of the data entry at publish.
   */
 private[sources] case class StagedFile(name: String, rows: Long,
     stats: String = "", blooms: String = "",
-    partition: String = "") extends WriterCommitMessage
+    partition: String = "", nulls: String = "") extends WriterCommitMessage
 
 /** A partitioned write's task commit: one staged file PER partition
   * value the task saw (the Hive/Iceberg fan-out writer shape).
@@ -1488,14 +1656,15 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
       case s: StagedFile => Iterator.single(s)
       case StagedFiles(fs) => fs.iterator
     }.collect {
-      case StagedFile(name, rows, stats, blooms, part) if rows > 0 =>
+      case StagedFile(name, rows, stats, blooms, part, nulls) if rows > 0 =>
         val from = Paths.get(path, "_staged", queryId, name)
         Files.move(from, dataDir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
         s"data/$name" +
           (if (stats.isEmpty) "" else s"\t$stats") +
           (if (blooms.isEmpty) "" else s"\t$blooms") +
-          (if (part.isEmpty) "" else s"\t$part")
+          (if (part.isEmpty) "" else s"\t$part") +
+          (if (nulls.isEmpty) "" else s"\t$nulls")
     }.toArray.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
@@ -1563,12 +1732,11 @@ private[sources] class ManifestWriterFactory(path: String,
     schema: StructType, queryId: String,
     bloomColumns: Seq[String] = Seq.empty,
     partitionBy: Seq[String] = Seq.empty) extends DataWriterFactory {
-  // fail fast on types the JSON writer doesn't cover — at plan time,
-  // not per row on an executor
-  require(schema.fields.forall(f => f.dataType match {
-    case LongType | IntegerType | DoubleType | BooleanType | StringType => true
-    case _ => false
-  }), s"graft-manifest supports primitive columns only, got: $schema")
+  // fail fast on types the parquet payload doesn't cover — at plan
+  // time, not per row on an executor
+  require(schema.fields.forall(f => ParquetPayload.supportedType(f.dataType)),
+    "graft-manifest columns are BIGINT/INT/DOUBLE/BOOLEAN/STRING/DATE/" +
+      s"TIMESTAMP/DECIMAL(p,s), got: $schema")
   // Bloom columns must exist, be integral (the probe hashes int64),
   // and have blob-safe names — also checked at plan time
   bloomColumns.foreach { c =>
@@ -1644,35 +1812,42 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     * min/max stats, opt-in Bloom value buffers.
     */
   private final class FileSink(suffix: String, val partBlob: String) {
-    val name = s"part-$queryId-$partitionId-$taskId$suffix.jsonl"
+    val name = s"part-$queryId-$partitionId-$taskId$suffix.parquet"
     val staged: Path = stagedDir.resolve(name)
-    val out = Files.newBufferedWriter(staged, StandardCharsets.UTF_8)
+    private val out = ParquetPayload.writer(staged, schema)
     var rows = 0L
 
-  // per-file min/max for NUMERIC columns, tracked as rows stream
-  // through (Iceberg's write-time file stats in miniature): integral
-  // bounds exact in Long, double bounds skip NaN (a range predicate
+  // per-file min/max for ORDERABLE columns, tracked as rows stream
+  // through (Iceberg's write-time file stats in miniature): integral/
+  // date/timestamp bounds exact in Long (days/micros), decimal bounds
+  // exact as decimal text, double bounds skip NaN (a range predicate
   // is false for NaN, so skipping a file can never lose NaN matches —
   // there are none). Only [A-Za-z0-9_]+ names are recorded: the stats
   // blob's serialization reserves ':' and '|'.
   private val statIdx: Array[Int] = schema.fields.zipWithIndex.collect {
-    case (f, i) if (f.dataType == LongType || f.dataType == IntegerType ||
-      f.dataType == DoubleType) && f.name.matches("[A-Za-z0-9_]+") => i
+    case (f, i) if (f.dataType match {
+      case LongType | IntegerType | DoubleType | DateType |
+           TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }) && f.name.matches("[A-Za-z0-9_]+") => i
   }.toArray
   private val statN = new Array[Long](schema.length)
   private val statMinL = Array.fill(schema.length)(Long.MaxValue)
   private val statMaxL = Array.fill(schema.length)(Long.MinValue)
   private val statMinD = Array.fill(schema.length)(Double.PositiveInfinity)
   private val statMaxD = Array.fill(schema.length)(Double.NegativeInfinity)
+  private val statMinB = new Array[java.math.BigDecimal](schema.length)
+  private val statMaxB = new Array[java.math.BigDecimal](schema.length)
 
   private def trackStats(row: InternalRow): Unit = {
     var s = 0
     while (s < statIdx.length) {
       val i = statIdx(s)
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
-        case LongType | IntegerType =>
+        case LongType | IntegerType | DateType | TimestampType =>
           val v = schema.fields(i).dataType match {
-            case LongType => row.getLong(i)
+            case LongType | TimestampType => row.getLong(i)
             case _ => row.getInt(i).toLong
           }
           if (v < statMinL(i)) statMinL(i) = v
@@ -1685,6 +1860,13 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
             if (v > statMaxD(i)) statMaxD(i) = v
             statN(i) += 1
           }
+        case d: DecimalType =>
+          val v = row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal
+          if (statMinB(i) == null || v.compareTo(statMinB(i)) < 0)
+            statMinB(i) = v
+          if (statMaxB(i) == null || v.compareTo(statMaxB(i)) > 0)
+            statMaxB(i) = v
+          statN(i) += 1
         case _ =>
       }
       s += 1
@@ -1738,6 +1920,9 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
       schema.fields(i).dataType match {
         case DoubleType =>
           s"${schema.fields(i).name}:D:${statMinD(i)}:${statMaxD(i)}"
+        case _: DecimalType =>
+          s"${schema.fields(i).name}:B:${statMinB(i).toPlainString}:" +
+            statMaxB(i).toPlainString
         case _ =>
           s"${schema.fields(i).name}:L:${statMinL(i)}:${statMaxL(i)}"
       }
@@ -1745,30 +1930,19 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     if (cols.isEmpty) "" else cols.mkString("S|", "|", "")
   }
 
+  /** Null counts for the stats-covered columns (rows minus non-null
+    * tracked values; NaN counts as null for doubles — a sound
+    * over-count, see [[ManifestV2Sink.entryNullCount]]).
+    */
+  private def nullsBlob(): String = {
+    val cols = statIdx.iterator.filter(statN(_) > 0).map { i =>
+      s"${schema.fields(i).name}:${rows - statN(i)}"
+    }.toSeq
+    if (cols.isEmpty) "" else cols.mkString("N|", "|", "")
+  }
+
     def writeRow(row: InternalRow): Unit = {
-      val fields = schema.fields.indices.map { i =>
-        val f = schema.fields(i)
-        val v =
-          if (row.isNullAt(i)) "null"
-          else f.dataType match {
-            case LongType => row.getLong(i).toString
-            case IntegerType => row.getInt(i).toString
-            case DoubleType =>
-              val d = row.getDouble(i)
-              // bare NaN/Infinity are not JSON; Spark's reader accepts
-              // the quoted spellings with allowNonNumericNumbers
-              if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
-              else d.toString
-            case BooleanType => row.getBoolean(i).toString
-            case StringType =>
-              "\"" + jsonEscape(row.getUTF8String(i).toString) + "\""
-            case other =>
-              throw new IllegalStateException(s"unreachable: $other")
-          }
-        "\"" + jsonEscape(f.name) + "\":" + v
-      }
-      out.write(fields.mkString("{", ",", "}"))
-      out.write("\n")
+      out.write(row) // values consumed immediately — row reuse safe
       trackStats(row)
       trackBloom(row)
       rows += 1
@@ -1776,7 +1950,8 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
 
     def finish(): StagedFile = {
       out.close()
-      StagedFile(name, rows, statsBlob(), bloomBlob(), partBlob)
+      StagedFile(name, rows, statsBlob(), bloomBlob(), partBlob,
+        nullsBlob())
     }
 
     def abortSink(): Unit = {
@@ -1785,20 +1960,6 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
       ()
     }
   } // end FileSink
-
-  private def jsonEscape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '"' => sb ++= "\\\""
-      case '\\' => sb ++= "\\\\"
-      case '\n' => sb ++= "\\n"
-      case '\r' => sb ++= "\\r"
-      case '\t' => sb ++= "\\t"
-      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
-      case c => sb += c
-    }
-    sb.result()
-  }
 
   override def write(row: InternalRow): Unit = sinkFor(row).writeRow(row)
 

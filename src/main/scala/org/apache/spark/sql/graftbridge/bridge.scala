@@ -23,4 +23,13 @@ object bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Catalyst predicate → data-source Filter, re-exported for the
+    * stats-narrowed UPDATE's file planning (`protected[sql]` on
+    * DataSourceStrategy in Spark 4).
+    */
+  def translateFilter(predicate: Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(predicate, supportNestedPredicatePushdown = true)
 }

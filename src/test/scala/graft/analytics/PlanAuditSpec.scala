@@ -56,6 +56,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(pt.contains("In(o_orderkey"), pt.take(800))
   }
 
+  test("manifest-table SQL scans push filters and prune columns") {
+    // a catalog-table read must show the pushed predicate and a
+    // pruned ReadSchema in the scan (the parquet payload decodes only
+    // requested columns; ManifestSkipping prunes whole files) — the
+    // planning-time contract sink_manifest_typed's in-band
+    // files_read/files_total gate end-to-end
+    val t = s"audit_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, v STRING, w DOUBLE)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 'a', 0.5)")
+      val p = spark.sql(s"SELECT v FROM graft.$t WHERE k = 1")
+        .queryExecution.executedPlan.toString()
+      assert(p.contains("PushedFilters: [") && p.contains("EqualTo(k,1)"),
+        p.take(800))
+      assert(p.contains("ReadSchema: struct<") && !p.contains("w:double"),
+        p.take(800))
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("ORC read-back pushes its predicate down to the ORC reader") {
     // sourceOrcRoundtrip's read side (factored pre-checkpoint): the
     // price filter must reach the ORC scan, not sit only in a

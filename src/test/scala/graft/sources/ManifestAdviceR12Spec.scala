@@ -180,11 +180,14 @@ class ManifestAdviceR12Spec extends SparkSuite {
     assert(spark.read.format("graft-manifest").load(dir).count() == 1)
   }
 
-  test("DDL rejects non-primitive column types AT the statement") {
+  test("DDL rejects unsupported column types AT the statement") {
     val t = s"t_${java.util.UUID.randomUUID().toString.take(8)}"
     try {
+      // DATE/TIMESTAMP/DECIMAL are first-class since the parquet
+      // payload; genuinely unholdable types (MAP/ARRAY/STRUCT) still
+      // fail at the statement
       val e = intercept[Exception] {
-        spark.sql(s"CREATE TABLE graft.$t (id BIGINT, d DATE)")
+        spark.sql(s"CREATE TABLE graft.$t (id BIGINT, m MAP<STRING,INT>)")
       }
       def causes(x: Throwable): Seq[Throwable] =
         if (x == null) Seq.empty else x +: causes(x.getCause)
@@ -192,9 +195,10 @@ class ManifestAdviceR12Spec extends SparkSuite {
         .exists(_.contains("unsupported type"))))
       // the failed CREATE left nothing behind
       intercept[Exception] { spark.sql(s"SELECT * FROM graft.$t") }
-      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, d DATE)")
+      spark.sql(s"ALTER TABLE graft.$t ADD COLUMN p DECIMAL(10,2)")
       val e2 = intercept[Exception] {
-        spark.sql(s"ALTER TABLE graft.$t ADD COLUMN d DECIMAL(10,2)")
+        spark.sql(s"ALTER TABLE graft.$t ADD COLUMN a ARRAY<BIGINT>")
       }
       assert(causes(e2).exists(c => Option(c.getMessage)
         .exists(_.contains("unsupported type"))))

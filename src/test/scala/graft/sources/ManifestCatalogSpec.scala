@@ -228,22 +228,67 @@ class ManifestCatalogSpec extends SparkSuite {
         .stripMargin)
       assert(spark.sql(s"SELECT v FROM graft.$t WHERE id = 4")
         .head.getLong(0) == 444L)
-      // unsupported shapes are refused loudly, not mis-merged
+      // still refused: NOT MATCHED BY SOURCE (cannot be expressed by
+      // this rewrite without full-outer semantics — loud, not wrong)
       val e = intercept[Exception] {
         spark.sql(s"""MERGE INTO graft.$t tgt
           |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
           |ON tgt.id = src.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       }
-      assert(e.getMessage.contains("canonical upsert"), e.getMessage)
-      val e2 = intercept[Exception] {
-        spark.sql(s"""MERGE INTO graft.$t tgt
-          |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
-          |ON tgt.id = src.id
-          |WHEN MATCHED THEN UPDATE SET v = src.v
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      }
-      assert(e2.getMessage.contains("canonical upsert"), e2.getMessage)
+      assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("general MERGE: conditional matched actions, DELETE actions, " +
+    "partial SET lists — the CDC-apply shape as one SQL statement") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT, s STRING)")
+      spark.sql(
+        s"INSERT INTO graft.$t VALUES (1, 10, 'a'), (2, 20, 'b'), " +
+          "(3, 30, 'c'), (4, 40, 'd')")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      // one CDC batch: delete id=2, update id=3 (partial SET — only
+      // v, s untouched), upsert id=5; id=4's op matches no action and
+      // must pass through unchanged; the op='X' insert row must DROP
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES
+        |  (2, 0,   'D'), (3, 333, 'U'), (5, 555, 'I'), (6, 0, 'X'),
+        |  (4, 999, 'Z')
+        |  AS u(id, nv, op)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED AND src.op = 'D' THEN DELETE
+        |WHEN MATCHED AND src.op = 'U' THEN UPDATE SET v = src.nv
+        |WHEN NOT MATCHED AND src.op = 'I'
+        |  THEN INSERT (id, v, s) VALUES (src.id, src.nv, 'ins')"""
+        .stripMargin)
+      val got = spark.sql(s"SELECT id, v, s FROM graft.$t ORDER BY id")
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 10L, "a"), (3L, 333L, "c"),
+        (4L, 40L, "d"), (5L, 555L, "ins")), s"cdc-apply wrong: $got")
+      // exactly ONE commit; pre-merge state stays travelable
+      assert(ManifestV2Sink.versions(dir).max == vBefore + 1,
+        "general MERGE must publish exactly one commit")
+      assert(spark.sql(
+        s"SELECT SUM(v) FROM graft.$t VERSION AS OF $vBefore")
+        .head.getLong(0) == 100L)
+      // ordered actions: the FIRST matching action wins (ANSI) — an
+      // unconditional UPDATE after a conditional DELETE never fires
+      // for 'D' rows
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (3, 'D'), (4, 'U')
+        |  AS u(id, op)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED AND src.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = tgt.v + 1""".stripMargin)
+      val got2 = spark.sql(s"SELECT id, v FROM graft.$t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got2 == Seq((1L, 10L), (4L, 41L), (5L, 555L)),
+        s"ordered actions wrong: $got2")
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 

@@ -463,7 +463,7 @@ class ManifestSinkSpec extends SparkSuite {
       assert(bloom.nonEmpty, s"no bloom recorded on $e")
       val ids = spark.read
         .schema(StructType(Seq(StructField("id", LongType))))
-        .json(Paths.get(dir, ManifestV2Sink.entryFile(e)).toString)
+        .parquet(Paths.get(dir, ManifestV2Sink.entryFile(e)).toString)
         .as[Long].collect()
       ids.foreach { k =>
         assert(ManifestV2Sink.bloomMightContain(bloom.get, k),
