@@ -4072,6 +4072,27 @@ object EmbeddingQueries {
   val GsHops = 3
   private val GsQueryStride = 50
 
+  /** COARSE ENTRY LAYER for the graph searches — the HNSW upper-layer
+    * idea in miniature, replacing r12's four fixed id-quartile seeds
+    * (a flat entry whose walks lengthen proportionally at 10⁹
+    * vectors). A deterministic sample of vertices (`vec_id %
+    * layerStride = 0`, stride sized so the layer holds ≤ ~[[GsLayerCap]]
+    * members at ANY corpus size) forms the upper layer; each query
+    * exact-scores the layer and enters the graph at its
+    * [[GsEntrySeeds]] nearest members. Entry lands inside the
+    * query's neighborhood, so the [[GsHops]] beam rounds CONVERGE —
+    * hops revisit a tighter candidate set, and the per-query
+    * scored-candidate count (`n_scanned`, in-band) drops ~8%% while
+    * recall improves (grid-measured at sf0.001 + sf0.01, SWEEP_r13).
+    * At 10⁹ vectors the layer is still ≤32 dots per query — a
+    * bounded routing cost, where a flat entry pays ever-longer walks.
+    */
+  val GsLayerCap = 32L
+  val GsEntrySeeds = 4
+  private def gsLayerStride(n: Long): Long = math.max(7L, n / GsLayerCap)
+  private val sqlGsLayerStride =
+    s"GREATEST(7, (SELECT COUNT(*) FROM n) // $GsLayerCap)"
+
   /** Query-set stride for the graph-search eval: FIXED-SIZE (~40
     * queries), not corpus-proportional. A pure `% 50` stride makes
     * the query set grow with n, which silently turns the in-band
@@ -4106,7 +4127,7 @@ object EmbeddingQueries {
     * oracle re-derives the full construction, so a wrong or stale
     * persisted graph diverges its hash.
     */
-  private def nndIndex(spark: SparkSession, dir: String): DataFrame =
+  private[analytics] def nndIndex(spark: SparkSession, dir: String): DataFrame =
     SessionArtifact.table(spark, dir, "nnd_graph")(
       nndGraph(spark, dir, NndRounds))
 
@@ -4138,12 +4159,22 @@ object EmbeddingQueries {
   def knnGraphSearch(spark: SparkSession, dir: String): DataFrame =
     searchOver(spark, dir, nndIndex(spark, dir))
 
+
+
   /** The beam-search eval over an arbitrary adjacency `g` (v, u, …) —
     * factored out so [[knnGraphPrune]]'s spec can grade search quality
-    * on the PRUNED graph with the identical walk.
+    * on the PRUNED graph with the identical walk. Entry is
+    * LAYER-ROUTED (see [[GsLayerCap]]): each query exact-scores the
+    * bounded coarse layer and walks [[GsHops]] beam rounds from
+    * its [[GsEntrySeeds]] nearest members; `quartileEntry = true`
+    * keeps r12's four fixed id-quartile seeds at the historical
+    * [[GsHops]] — the measured-comparison twin (SWEEP_r13), not a
+    * query surface. `n_scanned` rides in-band: the per-query count of
+    * DISTINCT candidates exact-scored anywhere (layer + every beam
+    * round) — the walk's true cost, pinned by the oracle.
     */
   private[analytics] def searchOver(spark: SparkSession, dir: String,
-      g: DataFrame): DataFrame = {
+      g: DataFrame, quartileEntry: Boolean = false): DataFrame = {
     val adj = g.select(col("v"), col("u"))
       .union(g.select(col("u").as("v"), col("v").as("u")))
       .distinct().localCheckpoint(true)
@@ -4174,8 +4205,19 @@ object EmbeddingQueries {
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("qid"), col("u"), col("d"))
-      val seeds = qs.select(col("qid"),
-        explode(array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
+      // entry candidates: every (query, layer-member) pair — the
+      // bounded routing scan — or the legacy four quartile ids
+      val entryCands =
+        if (quartileEntry)
+          qs.select(col("qid"), explode(
+            array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
+        else
+          qs.select(col("qid")).crossJoin(broadcast(
+            e.where(col("vec_id") % gsLayerStride(n) === 0)
+              .select(col("vec_id").as("u"))))
+      val seeds =
+        if (quartileEntry) entryCands
+        else scoredTop(entryCands, GsEntrySeeds).select(col("qid"), col("u"))
       // beam frames are |queries|·beam rows — size their task count
       // from the data (propagateLabels discipline) so each hop's
       // checkpoint doesn't schedule 32 near-empty tasks
@@ -4183,17 +4225,26 @@ object EmbeddingQueries {
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
         .localCheckpoint(true)
+      // scanned = every candidate ever offered for exact scoring —
+      // |queries|·(layer + hops·beam·degree) rows, checkpointed small
+      var scanned = entryCands.where(col("u") =!= col("qid"))
+        .distinct().coalesce(bParts).localCheckpoint(true)
       for (_ <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
+        scanned = scanned.unionByName(
+          cand.where(col("u") =!= col("qid")))
+          .distinct().coalesce(bParts).localCheckpoint(true)
         beam = scoredTop(cand, GsBeam).coalesce(bParts)
           .localCheckpoint(true)
       }
       val found = beam.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= NndK)
+      val nScanned = scanned.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_scanned"))
       // ground truth from the PUBLISHED artifact (built lazily once
       // per (code, dataset); pre-warmed by the bench harness)
       val exact = SessionArtifact.table(spark, dir, "knn_gs_exact")(
@@ -4208,10 +4259,12 @@ object EmbeddingQueries {
         .agg(count(lit(1)).as("n_found"),
           sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
           min(col("d")).as("d_best"))
+        .join(broadcast(nScanned), Seq("qid"), "left_outer")
         .select(col("qid").as("query_id"), col("n_found"),
           col("n_matched"),
           ppm(col("n_matched"), lit(NndK.toLong)).as("recall_ppm"),
-          col("d_best"))
+          col("d_best"),
+          coalesce(col("n_scanned"), lit(0L)).as("n_scanned"))
     } finally e.unpersist()
   }
 
@@ -4219,7 +4272,7 @@ object EmbeddingQueries {
     val qeDot =
       "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
     // one hop = expand the beam through adj, re-score, keep top-GsBeam
-    def beamCte(candSrc: String, out: String) =
+    def beamCte(candSrc: String, out: String, k: Int = GsBeam) =
       s"""$out AS MATERIALIZED (
          |  SELECT qid, u, d FROM (
          |    SELECT qid, u, d, row_number() OVER (
@@ -4230,23 +4283,33 @@ object EmbeddingQueries {
          |          JOIN gqs q ON t.qid = q.qid
          |          JOIN n e ON t.u = e.vec_id
          |          WHERE t.u <> t.qid))
-         |  WHERE rnk <= $GsBeam)""".stripMargin
+         |  WHERE rnk <= $k)""".stripMargin
     val hops = (1 to GsHops).map { h =>
       s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
          |  JOIN gadj a ON b.u = a.v
          |  UNION SELECT qid, u FROM gw${h - 1}),
          |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
     }.mkString(",\n")
+    // every candidate ever offered for scoring: the entry-layer scan
+    // plus each hop's candidate set — the oracle twin of `n_scanned`
+    val scanCtes =
+      s"""gscan AS (SELECT qid, u FROM gl0 WHERE u <> qid
+         |  ${(1 to GsHops).map(h =>
+             s"UNION SELECT qid, u FROM gc$h WHERE u <> qid")
+             .mkString("\n  ")}),
+         |gns AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |  FROM gscan GROUP BY qid)""".stripMargin
     s"""WITH $sqlNndChain,
        |gadj AS MATERIALIZED (SELECT v, u FROM g$NndRounds
        |  UNION SELECT u AS v, v AS u FROM g$NndRounds),
        |gqs AS (SELECT vec_id AS qid, qv, norm2 FROM n
        |  WHERE vec_id % $sqlGsStride = 13),
-       |gs0 AS (
-       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
-       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
-       |    AS i) s),
-       |${beamCte("gs0", "gw0")},
+       |glayer AS (SELECT vec_id AS u FROM n
+       |  WHERE vec_id % $sqlGsLayerStride = 0),
+       |gl0 AS (SELECT q.qid, l.u FROM gqs q, glayer l),
+       |${beamCte("gl0", "gseed", GsEntrySeeds)},
+       |${beamCte("gseed", "gw0")},
+       |$scanCtes,
        |$hops,
        |gfk AS (
        |  SELECT qid, u, d FROM (
@@ -4266,9 +4329,11 @@ object EmbeddingQueries {
        |    AS n_matched,
        |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
              NndK.toString)} AS recall_ppm,
-       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best,
+       |  sc.n_scanned AS n_scanned
        |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
-       |GROUP BY f.qid""".stripMargin
+       |JOIN gns sc ON f.qid = sc.qid
+       |GROUP BY f.qid, sc.n_scanned""".stripMargin
   }
 
   // --------------------------- graph ANN: incremental delta insert
@@ -4856,7 +4921,7 @@ object EmbeddingQueries {
   val knnGraphSearchPrunedSql: String = {
     val qeDot =
       "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
-    def beamCte(candSrc: String, out: String) =
+    def beamCte(candSrc: String, out: String, k: Int = GsBeam) =
       s"""$out AS MATERIALIZED (
          |  SELECT qid, u, d FROM (
          |    SELECT qid, u, d, row_number() OVER (
@@ -4867,13 +4932,22 @@ object EmbeddingQueries {
          |          JOIN gqs q ON t.qid = q.qid
          |          JOIN n e ON t.u = e.vec_id
          |          WHERE t.u <> t.qid))
-         |  WHERE rnk <= $GsBeam)""".stripMargin
+         |  WHERE rnk <= $k)""".stripMargin
     val hops = (1 to GsHops).map { h =>
       s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
          |  JOIN gadj a ON b.u = a.v
          |  UNION SELECT qid, u FROM gw${h - 1}),
          |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
     }.mkString(",\n")
+    // every candidate ever offered for scoring: the entry-layer scan
+    // plus each hop's candidate set — the oracle twin of `n_scanned`
+    val scanCtes =
+      s"""gscan AS (SELECT qid, u FROM gl0 WHERE u <> qid
+         |  ${(1 to GsHops).map(h =>
+             s"UNION SELECT qid, u FROM gc$h WHERE u <> qid")
+             .mkString("\n  ")}),
+         |gns AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |  FROM gscan GROUP BY qid)""".stripMargin
     s"""WITH $sqlNndChain,
        |$sqlPruneChain,
        |kd2 AS (SELECT k.v, c.u FROM ka$NndK k
@@ -4882,11 +4956,12 @@ object EmbeddingQueries {
        |  UNION SELECT u AS v, v AS u FROM kd2),
        |gqs AS (SELECT vec_id AS qid, qv, norm2 FROM n
        |  WHERE vec_id % $sqlGsStride = 13),
-       |gs0 AS (
-       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
-       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
-       |    AS i) s),
-       |${beamCte("gs0", "gw0")},
+       |glayer AS (SELECT vec_id AS u FROM n
+       |  WHERE vec_id % $sqlGsLayerStride = 0),
+       |gl0 AS (SELECT q.qid, l.u FROM gqs q, glayer l),
+       |${beamCte("gl0", "gseed", GsEntrySeeds)},
+       |${beamCte("gseed", "gw0")},
+       |$scanCtes,
        |$hops,
        |gfk AS (
        |  SELECT qid, u, d FROM (
@@ -4906,9 +4981,11 @@ object EmbeddingQueries {
        |    AS n_matched,
        |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
              NndK.toString)} AS recall_ppm,
-       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best,
+       |  sc.n_scanned AS n_scanned
        |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
-       |GROUP BY f.qid""".stripMargin
+       |JOIN gns sc ON f.qid = sc.qid
+       |GROUP BY f.qid, sc.n_scanned""".stripMargin
   }
 
   // ------------------------------- graph ANN: FILTERED beam search
@@ -5002,19 +5079,30 @@ object EmbeddingQueries {
           .withColumn("rnk", row_number().over(w))
           .where(col("rnk") <= k)
           .select(col("qid"), col("u"), col("d"))
-      val seeds = qs.select(col("qid"),
-        explode(array((0 until 4).map(i => lit(i * (n / 4))): _*)).as("u"))
+      // LAYER-ROUTED entry (see GsLayerCap): the filter-oblivious walk
+      // starts at the query's nearest coarse-layer members, same as
+      // the unfiltered searches — bounded routing at any corpus size
+      val entryCands = qs.select(col("qid")).crossJoin(broadcast(
+        e.where(col("vec_id") % gsLayerStride(n) === 0)
+          .select(col("vec_id").as("u"))))
+      val seeds = scoredTop(entryCands, GsEntrySeeds)
+        .select(col("qid"), col("u"))
       val bParts = (((n / gsStride(n) + 1) * fsBeam + 499999L) / 500000L)
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, fsBeam).coalesce(bParts)
         .localCheckpoint(true)
       var visited = beam
+      var scanned = entryCands.where(col("u") =!= col("qid"))
+        .distinct().coalesce(bParts).localCheckpoint(true)
       for (_ <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
+        scanned = scanned.unionByName(
+          cand.where(col("u") =!= col("qid")))
+          .distinct().coalesce(bParts).localCheckpoint(true)
         beam = scoredTop(cand, fsBeam).coalesce(bParts)
           .localCheckpoint(true)
         visited = visited.unionByName(beam)
@@ -5028,6 +5116,8 @@ object EmbeddingQueries {
         .where(col("rnk") <= NndK)
       val exact = SessionArtifact.table(spark, dir, "knn_fs_exact")(
         fsExactFrame(spark, dir))
+      val nScanned = scanned.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_scanned"))
       filt.select(col("qid"), col("u"), col("d"))
         .join(broadcast(exact.withColumn("hit", lit(1L))),
           Seq("qid", "u"), "left_outer")
@@ -5035,10 +5125,12 @@ object EmbeddingQueries {
         .agg(count(lit(1)).as("n_found"),
           sum(coalesce(col("hit"), lit(0L))).as("n_matched"),
           min(col("d")).as("d_best"))
+        .join(broadcast(nScanned), Seq("qid"), "left_outer")
         .select(col("qid").as("query_id"), col("n_found"),
           col("n_matched"),
           ppm(col("n_matched"), lit(NndK.toLong)).as("recall_ppm"),
-          col("d_best"))
+          col("d_best"),
+          coalesce(col("n_scanned"), lit(0L)).as("n_scanned"))
     } finally e.unpersist()
   }
 
@@ -5046,7 +5138,7 @@ object EmbeddingQueries {
     val fsBeam = GsBeam * FsBeamMult
     val qeDot =
       "list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * e.qv[i]))"
-    def beamCte(candSrc: String, out: String) =
+    def beamCte(candSrc: String, out: String, k: Int = fsBeam) =
       s"""$out AS MATERIALIZED (
          |  SELECT qid, u, d FROM (
          |    SELECT qid, u, d, row_number() OVER (
@@ -5057,13 +5149,22 @@ object EmbeddingQueries {
          |          JOIN gqs q ON t.qid = q.qid
          |          JOIN n e ON t.u = e.vec_id
          |          WHERE t.u <> t.qid))
-         |  WHERE rnk <= $fsBeam)""".stripMargin
+         |  WHERE rnk <= $k)""".stripMargin
     val hops = (1 to GsHops).map { h =>
       s"""gc$h AS (SELECT b.qid, a.u FROM gw${h - 1} b
          |  JOIN gadj a ON b.u = a.v
          |  UNION SELECT qid, u FROM gw${h - 1}),
          |${beamCte(s"gc$h", s"gw$h")}""".stripMargin
     }.mkString(",\n")
+    // every candidate ever offered for scoring: the entry-layer scan
+    // plus each hop's candidate set — the oracle twin of `n_scanned`
+    val scanCtes =
+      s"""gscan AS (SELECT qid, u FROM gl0 WHERE u <> qid
+         |  ${(1 to GsHops).map(h =>
+             s"UNION SELECT qid, u FROM gc$h WHERE u <> qid")
+             .mkString("\n  ")}),
+         |gns AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_scanned
+         |  FROM gscan GROUP BY qid)""".stripMargin
     val visUnion = (0 to GsHops)
       .map(h => s"SELECT qid, u, d FROM gw$h").mkString(" UNION ALL ")
     s"""WITH $sqlNndChain,
@@ -5074,11 +5175,12 @@ object EmbeddingQueries {
        |  UNION SELECT u AS v, v AS u FROM kd2),
        |gqs AS (SELECT vec_id AS qid, label AS qlabel, qv, norm2 FROM n
        |  WHERE vec_id % $sqlGsStride = 13),
-       |gs0 AS (
-       |  SELECT q.qid, s.i * ((SELECT COUNT(*) FROM n) // 4) AS u
-       |  FROM gqs q, LATERAL (SELECT unnest(generate_series(0, 3))
-       |    AS i) s),
-       |${beamCte("gs0", "gw0")},
+       |glayer AS (SELECT vec_id AS u FROM n
+       |  WHERE vec_id % $sqlGsLayerStride = 0),
+       |gl0 AS (SELECT q.qid, l.u FROM gqs q, glayer l),
+       |${beamCte("gl0", "gseed", GsEntrySeeds)},
+       |${beamCte("gseed", "gw0")},
+       |$scanCtes,
        |$hops,
        |vis AS (SELECT DISTINCT qid, u, d FROM ($visUnion)),
        |gfk AS (
@@ -5102,9 +5204,11 @@ object EmbeddingQueries {
        |    AS n_matched,
        |  ${sqlPpm("SUM(CASE WHEN x.u IS NOT NULL THEN 1 ELSE 0 END)",
              NndK.toString)} AS recall_ppm,
-       |  CAST(MIN(f.d) AS BIGINT) AS d_best
+       |  CAST(MIN(f.d) AS BIGINT) AS d_best,
+       |  sc.n_scanned AS n_scanned
        |FROM gfk f LEFT JOIN gexk x ON f.qid = x.qid AND f.u = x.u
-       |GROUP BY f.qid""".stripMargin
+       |JOIN gns sc ON f.qid = sc.qid
+       |GROUP BY f.qid, sc.n_scanned""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

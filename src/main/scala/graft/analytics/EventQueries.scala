@@ -1394,13 +1394,45 @@ object EventQueries {
     ("error_retry_recovery", "e{2,}[cv]"),
     ("signup_funnel", "s[cv]*p"))
 
-  def eventsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
-    val j = table(spark, dir, "events")
+  /** Journey-length CAP: a pathological power user at 100 TB would
+    * otherwise make one giant per-user string (the r12 caveat); the
+    * journey keeps the LAST [[CepJourneyCap]] event initials —
+    * bounded per-user state, the same trade the windowed variant
+    * makes per day. `ord_base` (events dropped from the front) keeps
+    * span ordinals ABSOLUTE, so [[eventsPatternMeasures]]'s
+    * event-ordinal join stays aligned across truncation. No user
+    * approaches the cap at the test SFs (oracle hashes unchanged);
+    * the truncation behavior itself is pinned by Round13OpsSpec on a
+    * constructed fixture.
+    */
+  val CepJourneyCap = 100000
+
+  /** (user_id, journey, ord_base) over an events frame — factored so
+    * the cap is spec-testable on constructed fixtures.
+    */
+  private[analytics] def journeysOf(ev: DataFrame): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    ev.select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .withColumn("rn", row_number().over(wU))
       .groupBy(col("user_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(
-        col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("c")))),
-        s => s.getField("c")), "").as("journey"))
+      .agg(
+        // collect_list drops nulls: only the newest CepJourneyCap
+        // events enter the journey, in one aggregation pass
+        array_join(transform(array_sort(collect_list(
+          when(col("rn") <= lit(CepJourneyCap),
+            struct(col("ts"), col("event_id"), col("c"))))),
+          s => s.getField("c")), "").as("journey"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("journey"),
+        (col("n_events") - length(col("journey"))).cast("long")
+          .as("ord_base"))
+  }
+
+  def eventsPatternMatch(spark: SparkSession, dir: String): DataFrame = {
+    val j = journeysOf(table(spark, dir, "events"))
     val perPattern = EventCepPatterns.map { case (name, pat) =>
       j.select(col("user_id"),
         lit(name).as("pattern_name"),
@@ -1455,16 +1487,14 @@ object EventQueries {
     * is matches-sized (≤ journey length / min match length per user),
     * entity-bounded like the journey itself.
     */
-  def eventsPatternSpans(spark: SparkSession, dir: String): DataFrame = {
-    val j = table(spark, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(array_join(transform(array_sort(collect_list(struct(
-        col("ts"), col("event_id"),
-        substring(col("event_type"), 1, 1).as("c")))),
-        s => s.getField("c")), "").as("journey"))
+  def eventsPatternSpans(spark: SparkSession, dir: String): DataFrame =
+    spansOf(table(spark, dir, "events"))
+
+  private[analytics] def spansOf(ev: DataFrame): DataFrame = {
+    val j = journeysOf(ev)
     val perPattern = EventCepPatterns.map { case (name, pat) =>
       j.select(col("user_id"), lit(name).as("pattern_name"),
-        col("journey"),
+        col("journey"), col("ord_base"),
         regexp_extract_all(col("journey"), lit(pat), lit(0)).as("ms"))
     }.reduce(_ unionByName _)
     perPattern.where(size(col("ms")) > 0)
@@ -1478,12 +1508,13 @@ object EventQueries {
           |      locate(m, journey, acc.cur) + length(m) - 1 AS e)),
           |    locate(m, journey, acc.cur) + length(m) AS cur),
           |  acc -> acc.sp)""".stripMargin))
-      .select(col("user_id"), col("pattern_name"),
+      .select(col("user_id"), col("pattern_name"), col("ord_base"),
         posexplode(col("spans")).as(Seq("i", "sp")))
       .select(col("user_id"), col("pattern_name"),
         (col("i") + 1).cast("long").as("match_ord"),
-        col("sp.s").cast("long").as("start_ord"),
-        col("sp.e").cast("long").as("end_ord"),
+        // ord_base keeps ordinals ABSOLUTE across journey truncation
+        (col("ord_base") + col("sp.s")).cast("long").as("start_ord"),
+        (col("ord_base") + col("sp.e")).cast("long").as("end_ord"),
         (col("sp.e") - col("sp.s") + 1).cast("long").as("match_len"))
   }
 
