@@ -1974,12 +1974,19 @@ object PipelineQueries {
     val nStop = size(filter(split(col("text"), " "),
       t => t === "the" || t === "a")).cast("long")
     val s2 = s1.where(ppm(nStop, col("n_toks")) <= 120000)
-    val wN = Window.partitionBy(col("norm_hash"))
+    // canonical-per-norm-hash via min_by AGGREGATION, not a window:
+    // same survivors, but partial aggregation combines map-side — a
+    // pathological duplicate group (the one a real crawl always has)
+    // ships ONE row per map partition instead of its whole membership
+    // to a single sorting reducer (ProbeE2e measured the swap at 100×;
+    // the skew resistance is the 100-TB point)
     val s3 = s2
       .withColumn("norm_hash", md5(DedupQueries.normText.cast("binary")))
-      .withColumn("canon", min(col("doc_id")).over(wN))
-      .where(col("doc_id") === col("canon"))
-      .select(col("doc_id"), col("text"), col("n_toks"))
+      .groupBy(col("norm_hash"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("n_toks")),
+        col("doc_id")).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+        col("r.n_toks").as("n_toks"))
       .cache() // feeds the pair generator, the CC join, and its count
     val pairs = DedupQueries.simhashPairsFrame(s3)
       .select(col("doc_a"), col("doc_b"))
