@@ -196,6 +196,32 @@ class ManifestCatalogSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
+  test("TIMESTAMP AS OF resolves via the recorded commit log, immune " +
+    "to snapshot-file mtime skew") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1)")
+      val tsBetween = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(20)
+      spark.sql(s"INSERT INTO graft.$t VALUES (2)")
+      // simulate a directory copy / backup restore: every snapshot
+      // file's mtime jumps to "now" — mtime-based resolution would
+      // now find NO snapshot at tsBetween; the recorded publish
+      // times in _MANIFEST.commits must carry the answer
+      ManifestV2Sink.versions(dir).foreach { v =>
+        java.nio.file.Files.setLastModifiedTime(
+          ManifestV2Sink.versionFile(dir, v),
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + 3600 * 1000))
+      }
+      assert(spark.sql(
+        s"SELECT id FROM graft.$t TIMESTAMP AS OF '$tsBetween'")
+        .count() == 1, "commit-log resolution failed under mtime skew")
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("MERGE INTO routes the canonical upsert to one atomic COW " +
     "commit; other shapes fail at analysis") {
     val t = fresh()
