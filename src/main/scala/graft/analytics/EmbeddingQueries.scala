@@ -4225,22 +4225,26 @@ object EmbeddingQueries {
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
         .localCheckpoint(true)
-      // scanned = every candidate ever offered for exact scoring —
-      // |queries|·(layer + hops·beam·degree) rows, checkpointed small
-      var scanned = entryCands.where(col("u") =!= col("qid"))
-        .distinct().coalesce(bParts).localCheckpoint(true)
+      // scanned = every candidate ever offered for exact scoring.
+      // Accumulated LAZILY: each hop's candidate frame builds on the
+      // checkpointed beam, so the deferred union stays shallow and the
+      // one distinct folds into the final plan — zero extra jobs
+      val candFrames = Seq.newBuilder[DataFrame]
+      candFrames += entryCands
       for (_ <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
-        scanned = scanned.unionByName(
-          cand.where(col("u") =!= col("qid")))
-          .distinct().coalesce(bParts).localCheckpoint(true)
+        candFrames += cand
         beam = scoredTop(cand, GsBeam).coalesce(bParts)
           .localCheckpoint(true)
       }
+      val scanned = candFrames.result()
+        .map(_.select(col("qid"), col("u")))
+        .reduce(_ unionByName _)
+        .where(col("u") =!= col("qid")).distinct()
       val found = beam.withColumn("rnk", row_number().over(w))
         .where(col("rnk") <= NndK)
       val nScanned = scanned.groupBy(col("qid"))
@@ -5092,21 +5096,24 @@ object EmbeddingQueries {
       var beam = scoredTop(seeds, fsBeam).coalesce(bParts)
         .localCheckpoint(true)
       var visited = beam
-      var scanned = entryCands.where(col("u") =!= col("qid"))
-        .distinct().coalesce(bParts).localCheckpoint(true)
+      // lazy scanned accumulation — see searchOver
+      val candFrames = Seq.newBuilder[DataFrame]
+      candFrames += entryCands
       for (_ <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
-        scanned = scanned.unionByName(
-          cand.where(col("u") =!= col("qid")))
-          .distinct().coalesce(bParts).localCheckpoint(true)
+        candFrames += cand
         beam = scoredTop(cand, fsBeam).coalesce(bParts)
           .localCheckpoint(true)
         visited = visited.unionByName(beam)
       }
+      val scanned = candFrames.result()
+        .map(_.select(col("qid"), col("u")))
+        .reduce(_ unionByName _)
+        .where(col("u") =!= col("qid")).distinct()
       // post-filter the visited pool to the query's label, top-K
       val filt = visited.distinct()
         .join(e.select(col("vec_id").as("u"), col("label")), "u")
