@@ -824,6 +824,63 @@ object ScalarBreadthQueries {
       |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr >= 1997) AS files_new
       |FROM s GROUP BY o_orderstatus""".stripMargin
 
+  /** SQL `PARTITIONED BY` under the oracle gate — the DDL half of the
+    * partition story (`sink_manifest_partition` gates the DataFrame
+    * option path): a catalog table DECLARES its identity partition
+    * column at CREATE, every INSERT fans out one file per partition
+    * value (no per-write option — the sidecar spec governs), each
+    * file's manifest entry records its value, and a partition-equality
+    * SQL read plans ONLY that partition's files
+    * ([[graft.sources.ManifestSkipping]] consults the recorded
+    * values before any stats). `files_read`/`files_total` pin both
+    * directions against the oracle's distinct-year counts: reading
+    * too many files diverges the counts, over-pruning loses rows.
+    */
+  def sinkManifestPartitionDdl(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"pddl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "cents BIGINT, yr BIGINT) PARTITIONED BY (yr)")
+      table(spark, dir, "orders")
+        .where(col("o_orderkey") % 19 === 0)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        // repartition by the partition column so each task fans out
+        // to ~1 sink (the writer stays correct either way)
+        .repartition(col("yr"))
+        .write.format("graft-manifest").mode("append").save(out)
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(out)
+      val filesRead = spark.sql(
+        s"SELECT cents FROM graft.$t WHERE yr = 1997").rdd.getNumPartitions
+      spark.sql(
+        s"""SELECT COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t WHERE yr = 1997""".stripMargin)
+        .select(col("*"),
+          lit(filesRead.toLong).as("files_read"),
+          lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestPartitionDdlSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 19 = 0)
+      |SELECT COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT yr) FROM s WHERE yr = 1997)
+      |    AS files_read,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_total
+      |FROM s WHERE yr = 1997""".stripMargin
+
   /** CDC-APPLY as ONE SQL MERGE under the oracle gate — the general
     * shape r12 refused at analysis (`events_cdc_apply`'s semantics,
     * now through the SQL front door): one change batch carrying
@@ -2140,6 +2197,7 @@ object ScalarBreadthQueries {
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
     "sink_manifest_sql_merge_cdc" -> (sinkManifestSqlMergeCdc _),
+    "sink_manifest_partition_ddl" -> (sinkManifestPartitionDdl _),
     "sink_manifest_mor" -> (sinkManifestMor _),
     "sink_manifest_zorder" -> (sinkManifestZorder _),
     "sink_manifest_upsert_narrow" -> (sinkManifestUpsertNarrow _),
@@ -2181,6 +2239,7 @@ object ScalarBreadthQueries {
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,
     "sink_manifest_sql_merge_cdc" -> sinkManifestSqlMergeCdcSql,
+    "sink_manifest_partition_ddl" -> sinkManifestPartitionDdlSql,
     "sink_manifest_mor" -> sinkManifestMorSql,
     "sink_manifest_zorder" -> sinkManifestZorderSql,
     "sink_manifest_upsert_narrow" -> sinkManifestUpsertNarrowSql,

@@ -149,14 +149,42 @@ class ManifestCatalog extends TableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables are unpartitioned (layout is per-commit)")
+    // PARTITIONED BY (col, ...): identity transforms only — the
+    // Hive/Iceberg identity-partition subset. The spec persists in a
+    // sidecar next to the manifest, every write fans out one file per
+    // partition tuple, and each file's manifest entry records its
+    // values (the metadata the partition-pruned reads consult).
+    val partCols = partitions.toSeq.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new UnsupportedOperationException(
+        s"graft catalog supports PARTITIONED BY identity columns only, " +
+          s"got $t")
+    }
+    partCols.foreach { c =>
+      require(schema.fieldNames.contains(c) && c.matches("[A-Za-z0-9_]+"),
+        s"partition column $c must be a declared column")
+      require(schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType => true
+        case _ => false
+      }, s"partition column $c must be long/int/string/boolean/date " +
+        "(never double: binary float rendering is a partition-identity " +
+        "footgun every real format also rejects)")
+    }
     schema.fields.foreach(f => requirePrimitive(f.name, f.dataType))
     if (exists(ident))
       throw new TableAlreadyExistsException(
         (ident.namespace() :+ ident.name()).toSeq)
     val dir = dirOf(ident)
     Files.createDirectories(dir)
+    if (partCols.nonEmpty)
+      Files.write(dir.resolve("_MANIFEST.partcols"),
+        (partCols.mkString("\n") + "\n").getBytes("UTF-8"))
     // an empty v1 manifest carrying the schema — the same publish
     // protocol every commit uses, so CREATE is itself a snapshot
     ManifestV2Sink.withHeadLock(dir.toString) {

@@ -798,6 +798,17 @@ object ManifestV2Sink {
       }
     }
 
+  /** Declared identity-partition columns of a catalog table (the
+    * `PARTITIONED BY` DDL sidecar `_MANIFEST.partcols`) — empty for
+    * unpartitioned tables and option-driven DataFrame writes.
+    */
+  private[sources] def tablePartitionColumns(path: String): Seq[String] = {
+    val f = Paths.get(path, "_MANIFEST.partcols")
+    if (!Files.exists(f)) Seq.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
   /** Relative data-file names of the committed head — the file-set
     * identity external gates diff across a commit to observe
     * carried-over vs dropped vs newly-written files (data files are
@@ -1423,6 +1434,10 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
       s"${asOfVersion.map("@v" + _).getOrElse("")})"
   override def schema(): StructType = schema0
+  override def partitioning(): Array[Transform] =
+    ManifestV2Sink.tablePartitionColumns(path).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions
+        .identity(c): Transform).toArray
   // a time-travel relation is a frozen snapshot: read-only by
   // construction (writes/deletes target the head, never history)
   override def capabilities(): util.Set[TableCapability] =
@@ -1580,13 +1595,22 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
+        override def toBatch: BatchWrite = {
+          val optPart = Option(info.options.get("partitionBy")).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // the table's DDL partition spec (PARTITIONED BY sidecar)
+          // governs every write; a conflicting per-write option is an
+          // error, never a silent layout fork
+          val ddlPart = ManifestV2Sink.tablePartitionColumns(path)
+          require(optPart.isEmpty || ddlPart.isEmpty || optPart == ddlPart,
+            s"partitionBy option $optPart conflicts with the table's " +
+              s"PARTITIONED BY spec $ddlPart")
           new ManifestBatchWrite(path, info.schema(), info.queryId(),
             replace, branch,
             Option(info.options.get("bloomColumns")).toSeq
               .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-            Option(info.options.get("partitionBy")).toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+            if (optPart.nonEmpty) optPart else ddlPart)
+        }
       }
     }
   }
@@ -1750,10 +1774,12 @@ private[sources] class ManifestWriterFactory(path: String,
   partitionBy.foreach { c =>
     require(schema.fieldNames.contains(c) && c.matches("[A-Za-z0-9_]+") &&
       (schema(c).dataType match {
-        case LongType | IntegerType | StringType | BooleanType => true
+        case LongType | IntegerType | StringType | BooleanType |
+             DateType => true
         case _ => false
       }),
-      s"partitionBy: $c must be an existing long/int/string/boolean column")
+      s"partitionBy: $c must be an existing long/int/string/boolean/" +
+        "date column")
   }
 
   override def createWriter(partitionId: Int,
@@ -1795,7 +1821,9 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
         if (row.isNullAt(i)) "%00" // impossible as an escaped real value
         else schema.fields(i).dataType match {
           case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
+          // DATE renders as epoch DAYS — the same unit the L-kind
+          // stats record, so numeric partition pruning composes
+          case IntegerType | DateType => row.getInt(i).toString
           case BooleanType => row.getBoolean(i).toString
           case _ => ManifestV2Sink.escapePart(row.getUTF8String(i).toString)
         }

@@ -116,4 +116,65 @@ class ManifestPartitionSpec extends SparkSuite {
         .mode("append").save(dir)
     }
   }
+
+  test("SQL PARTITIONED BY: the DDL sidecar governs every write, " +
+    "date partitions render as days, conflicting options are refused") {
+    import spark.implicits._
+    val t = s"pt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, d DATE) " +
+        "PARTITIONED BY (d)")
+      // plain INSERTs fan out per partition value without any option
+      spark.sql(s"INSERT INTO graft.$t VALUES " +
+        "(1, DATE'2024-01-01'), (2, DATE'2024-01-01'), " +
+        "(3, DATE'2024-01-02')")
+      val entries = ManifestV2Sink.committedDataFiles(dir)
+      assert(entries.size >= 2, s"no fan-out: $entries")
+      // each file's entry records the DATE value in epoch DAYS — the
+      // unit the numeric partition pruning consults
+      val days = java.time.LocalDate.parse("2024-01-01").toEpochDay
+      assert(ManifestV2Sink
+        .prunedPartitionFiles(dir, "d", days.toString).nonEmpty)
+      // a date-equality SQL read plans only that partition's files
+      val q = spark.sql(
+        s"SELECT id FROM graft.$t WHERE d = DATE'2024-01-02'")
+      assert(q.rdd.getNumPartitions == 1,
+        "date partition not pruned at planning")
+      assert(q.as[Long].collect().toSeq == Seq(3L))
+      // table reports its partitioning
+      assert(spark.sql(s"DESCRIBE TABLE EXTENDED graft.$t").collect()
+        .exists(_.toString.contains("d")), "partitioning not reported")
+      // a conflicting per-write option is refused, never a silent fork
+      val e = intercept[Exception] {
+        Seq((9L, java.sql.Date.valueOf("2024-01-03"))).toDF("id", "d")
+          .write.format("graft-manifest").option("partitionBy", "id")
+          .mode("append").save(dir)
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("conflicts")), e.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("PARTITIONED BY rejects non-identity transforms and double " +
+    "columns at the statement") {
+    val t = s"pt_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      val e1 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.$t (id BIGINT, ts TIMESTAMP) " +
+          "PARTITIONED BY (days(ts))")
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e1).exists(_.contains("identity")), e1.toString)
+      val e2 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.$t (id BIGINT, w DOUBLE) " +
+          "PARTITIONED BY (w)")
+      }
+      assert(msgs(e2).exists(_.contains("footgun")), e2.toString)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
 }
