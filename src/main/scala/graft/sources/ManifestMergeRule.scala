@@ -1,10 +1,11 @@
 package graft.sources
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, CaseWhen, Cast, EqualTo, Expression, If, In, IsNull, Literal, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, CaseWhen, Cast, EqualTo, Expression, GreaterThan, If, In, IsNull, Literal, MonotonicallyIncreasingID, NamedExpression, Not}
+import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, Union, UpdateAction, UpdateTable}
-import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, Union, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -337,10 +338,30 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }, Filter(Not(IsNull(iRef)), withIAct)))
       }
 
+    // ---- cardinality guard: ANSI MERGE (and Delta/Iceberg) raise an
+    // error when >1 source row matches one target row with matched
+    // actions present — the LEFT OUTER survivors join would otherwise
+    // silently DUPLICATE the target row (and apply matched actions
+    // once per copy). The check plan yields a row only on violation:
+    // tag each target row with a uid, inner-join to the source on the
+    // merge condition, and look for any uid with >1 match.
+    val cardCheck: Option[LogicalPlan] =
+      if (matched.isEmpty) None
+      else {
+        val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+        val tTagged = Project(m.targetTable.output :+ tid, m.targetTable)
+        val inner = Join(tTagged, m.sourceTable, Inner,
+          Some(m.mergeCondition), JoinHint.NONE)
+        val cnt = Alias(Count(Literal(1)).toAggregateExpression(),
+          "__graft_n")()
+        val agg = Aggregate(Seq(tid.toAttribute), Seq(cnt), inner)
+        Some(Filter(GreaterThan(cnt.toAttribute, Literal(1L)), agg))
+      }
+
     GraftMergeGenericCommand(table.dir, insertRows match {
       case Some(ins) => Union(Seq(survivors, ins))
       case None => survivors
-    })
+    }, cardCheck)
   }
 }
 
@@ -353,12 +374,25 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * commit here.
   */
 case class GraftMergeGenericCommand(path: String,
-    merged: LogicalPlan) extends LeafRunnableCommand {
+    merged: LogicalPlan,
+    cardinalityCheck: Option[LogicalPlan] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(merged)
   override def run(spark: SparkSession): Seq[Row] = {
     val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, merged)
     ManifestV2Sink.commitLock(path).synchronized {
       ManifestV2Sink.withHeadLock(path) {
+        // inside the locks so the checked snapshot IS the merged one
+        cardinalityCheck.foreach { chk =>
+          val hit = org.apache.spark.sql.graftbridge.bridge
+            .ofRows(spark, chk).limit(1).count()
+          if (hit > 0) throw new UnsupportedOperationException(
+            "graft MERGE cardinality violation: more than one source " +
+              "row matched a single target row under the ON condition " +
+              "with WHEN MATCHED actions present — the result would be " +
+              "nondeterministic/duplicated (ANSI MERGE raises here; " +
+              "dedupe the source on the merge keys first)")
+        }
         df.write.format("graft-manifest").mode("overwrite").save(path)
       }
     }

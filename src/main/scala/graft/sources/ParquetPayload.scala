@@ -293,19 +293,34 @@ private[sources] object ParquetPayload {
     */
   def toParquetFilter(filters: Seq[sources.Filter],
       schema: StructType): Option[FilterPredicate] =
-    filters.flatMap(convert(_, schema)).reduceOption(FilterApi.and)
+    filters.flatMap(convert(_, schema, canPartial = true))
+      .reduceOption(FilterApi.and)
 
-  private def convert(f: sources.Filter,
-      schema: StructType): Option[FilterPredicate] = f match {
-    case sources.And(a, b) => (convert(a, schema), convert(b, schema)) match {
-      case (Some(x), Some(y)) => Some(FilterApi.and(x, y))
-      // one convertible conjunct still skips soundly on its own
-      case (x, y) => x.orElse(y)
-    }
+  /** `canPartial` is the POLARITY guard (Spark's
+    * canPartialPushDownConjuncts pattern): in a positive context one
+    * convertible conjunct of an And still skips soundly on its own,
+    * but under a Not the weakened conjunction would NEGATE into a
+    * predicate STRONGER than the original — not(eq(k,5)) skips row
+    * groups that DO contain rows matching NOT(k=5 AND unconvertible) —
+    * so inside any Not an And must convert both sides or drop out
+    * entirely. Spark delivers exactly this shape: its translateFilter
+    * only requires Not-children be expressible as source Filters, not
+    * parquet-convertible.
+    */
+  private def convert(f: sources.Filter, schema: StructType,
+      canPartial: Boolean): Option[FilterPredicate] = f match {
+    case sources.And(a, b) =>
+      (convert(a, schema, canPartial), convert(b, schema, canPartial)) match {
+        case (Some(x), Some(y)) => Some(FilterApi.and(x, y))
+        case (x, y) if canPartial => x.orElse(y)
+        case _ => None
+      }
     case sources.Or(a, b) => for {
-      x <- convert(a, schema); y <- convert(b, schema)
+      x <- convert(a, schema, canPartial)
+      y <- convert(b, schema, canPartial)
     } yield FilterApi.or(x, y)
-    case sources.Not(c) => convert(c, schema).map(FilterApi.not)
+    case sources.Not(c) =>
+      convert(c, schema, canPartial = false).map(FilterApi.not)
     case sources.EqualTo(c, v) if v != null => leaf(c, v, schema, "eq")
     case sources.EqualNullSafe(c, v) if v != null =>
       leaf(c, v, schema, "eq")

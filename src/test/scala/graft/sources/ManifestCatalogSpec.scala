@@ -318,6 +318,50 @@ class ManifestCatalogSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
+  test("general MERGE raises on cardinality violation: >1 source row " +
+    "matching one target row must not silently duplicate it") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 10), (2, 20)")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      // two source rows match target id=1 → ANSI cardinality error
+      val e = intercept[Exception] {
+        spark.sql(s"""MERGE INTO graft.$t tgt
+          |USING (SELECT * FROM VALUES (1, 111), (1, 222), (3, 333)
+          |  AS u(id, nv)) src
+          |ON tgt.id = src.id
+          |WHEN MATCHED AND src.nv > 200 THEN UPDATE SET v = src.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.nv)
+          |""".stripMargin)
+      }
+      def rootMsg(x: Throwable): String = {
+        var c: Throwable = x
+        val sb = new StringBuilder
+        while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+        sb.toString
+      }
+      assert(rootMsg(e).contains("cardinality"), rootMsg(e))
+      // nothing published, table unchanged
+      assert(ManifestV2Sink.versions(dir).max == vBefore,
+        "failed MERGE must not commit")
+      assert(spark.sql(s"SELECT SUM(v) FROM graft.$t").head.getLong(0)
+        == 30L)
+      // duplicate source rows that match NO target row are legal:
+      // each unmatched source row inserts (ANSI)
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (7, 70), (8, 80), (8, 81)
+        |  AS u(id, nv)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET v = src.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (src.id, src.nv)
+        |""".stripMargin)
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.$t WHERE id = 8")
+        .head.getLong(0) == 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("SQL UPDATE is one COW commit; pre-update stays travelable; " +
     "subqueries refused") {
     val t = fresh()

@@ -203,6 +203,49 @@ class ManifestParquetSpec extends SparkSuite {
     assert(keep(withStats, EqualTo("unknown_col", 5L)))
   }
 
+  test("Not over a partially-convertible And never weakens-then-negates " +
+    "(polarity guard)") {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    // StringStartsWith is parquet-unconvertible here; under NOT an And
+    // must convert both sides or drop out — keeping one conjunct would
+    // negate a WEAKER predicate into a STRONGER one and skip row
+    // groups that contain matching rows
+    val partialAnd = And(EqualTo("k", 5L), StringStartsWith("v", "a"))
+    assert(ParquetPayload.toParquetFilter(Seq(Not(partialAnd)), schema)
+      .isEmpty, "negated partial And must drop out entirely")
+    // positive polarity still keeps the convertible conjunct (sound)
+    assert(ParquetPayload.toParquetFilter(Seq(partialAnd), schema)
+      .isDefined)
+    // fully-convertible Not(And) still converts
+    assert(ParquetPayload.toParquetFilter(
+      Seq(Not(And(EqualTo("k", 5L), EqualTo("k", 6L)))), schema).isDefined)
+    // the guard propagates through nesting: Or under Not over the
+    // partial And also drops
+    assert(ParquetPayload.toParquetFilter(
+      Seq(Not(Or(partialAnd, EqualTo("k", 7L)))), schema).isEmpty)
+    // end-to-end at the row-group seam: a file whose single row group
+    // has k uniformly 5 holds rows matching NOT(k=5 AND v LIKE 'a%')
+    // (e.g. (5,'bob')) — the old weaken-then-negate skipped it
+    val dir = Files.createTempDirectory("graft-polarity")
+    val f = dir.resolve("f.parquet")
+    val w = ParquetPayload.writer(f, schema)
+    w.write(new GenericInternalRow(
+      Array[Any](5L, UTF8String.fromString("alice"))))
+    w.write(new GenericInternalRow(
+      Array[Any](5L, UTF8String.fromString("bob"))))
+    w.close()
+    val r = ParquetPayload.reader(f.toString, schema,
+      ParquetPayload.toParquetFilter(Seq(Not(partialAnd)), schema))
+    var n = 0
+    while (r.read() != null) n += 1
+    r.close()
+    assert(n == 2, "row group wrongly skipped under negated partial And")
+  }
+
   test("time travel across the format boundary: pre-parquet JSONL " +
     "snapshots read unchanged") {
     import spark.implicits._
