@@ -138,8 +138,10 @@ class ManifestCatalog extends TableCatalog {
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
     val tsMillis = timestamp / 1000L
+    // load the append-only commit log ONCE for the whole version scan
+    val times = ManifestV2Sink.commitTimes(dir)
     val v = ManifestV2Sink.versions(dir).reverse.find { v =>
-      ManifestV2Sink.publishTimeMillis(dir, v) <= tsMillis
+      ManifestV2Sink.publishTimeMillis(dir, v, times) <= tsMillis
     }.getOrElse(throw new IllegalArgumentException(
       s"no snapshot of graft table $ident at or before " +
         s"timestamp $tsMillis ms — the oldest retained snapshot is newer"))

@@ -393,7 +393,9 @@ case class GraftMergeGenericCommand(path: String,
               "nondeterministic/duplicated (ANSI MERGE raises here; " +
               "dedupe the source on the merge keys first)")
         }
-        df.write.format("graft-manifest").mode("overwrite").save(path)
+        df.write.format("graft-manifest")
+          .options(ManifestV2Sink.layoutOptions(path))
+          .mode("overwrite").save(path)
       }
     }
     Seq.empty
@@ -469,10 +471,17 @@ case class GraftUpdateCommand(path: String,
             s"_rewrite-update-" +
               java.util.UUID.randomUUID().toString.take(8))
           try {
-            frame
-              .repartition(math.max(touched.length, 1))
-              .write.format("graft-manifest").mode("append")
-              .save(scratch.toString)
+            // carry the table's partition/Bloom layout into the
+            // rewritten files (and co-locate partition values per
+            // task) so narrowed updates don't degrade future pruning
+            val partCols = ManifestV2Sink.tablePartitionColumns(path)
+            (if (partCols.nonEmpty)
+               frame.repartition(math.max(touched.length, 1),
+                 partCols.map(org.apache.spark.sql.functions.col): _*)
+             else frame.repartition(math.max(touched.length, 1)))
+              .write.format("graft-manifest")
+              .options(ManifestV2Sink.layoutOptions(path))
+              .mode("append").save(scratch.toString)
             val adopted =
               ManifestV2Sink.adoptScratchFiles(path, scratch.toString)
             ManifestV2Sink.publish(path, schema,
@@ -481,7 +490,10 @@ case class GraftUpdateCommand(path: String,
         } else {
           val df = org.apache.spark.sql.graftbridge.bridge.ofRows(
             spark, projected)
-          df.write.format("graft-manifest").mode("overwrite").save(path)
+          // the whole-table COW keeps the table's Bloom layout too
+          df.write.format("graft-manifest")
+            .options(ManifestV2Sink.layoutOptions(path))
+            .mode("overwrite").save(path)
         }
       }
     }

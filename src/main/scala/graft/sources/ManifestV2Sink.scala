@@ -648,11 +648,20 @@ object ManifestV2Sink {
           val scratch = Paths.get(path, s"_rewrite-delete-" +
             java.util.UUID.randomUUID().toString.take(8))
           try {
-            readDataFiles(spark, path, schema, rewrite.map(entryFile))
-              .where(!predicate || predicate.isNull) // survivors
-              .repartition(math.max(rewrite.length, 1))
-              .write.format("graft-manifest").mode("append")
-              .save(scratch.toString)
+            val layout = layoutOptions(path)
+            val survivors =
+              readDataFiles(spark, path, schema, rewrite.map(entryFile))
+                .where(!predicate || predicate.isNull)
+            // partitioned tables: co-locate partition values per task
+            // so the fan-out writer emits one file per partition, not
+            // one per (task, partition) sliver
+            val partCols = tablePartitionColumns(path)
+            (if (partCols.nonEmpty)
+               survivors.repartition(math.max(rewrite.length, 1),
+                 partCols.map(org.apache.spark.sql.functions.col): _*)
+             else survivors.repartition(math.max(rewrite.length, 1)))
+              .write.format("graft-manifest").options(layout)
+              .mode("append").save(scratch.toString)
             val adopted = adoptScratchFiles(path, scratch.toString)
             publish(path, schema, keep ++ adopted, "delete-pred")
           } finally deleteRecursively(scratch)
@@ -807,6 +816,31 @@ object ManifestV2Sink {
     if (!Files.exists(f)) Seq.empty
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
       .toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Layout options a rewrite's SCRATCH write must carry so rewritten
+    * boundary files keep the table's partition/Bloom metadata: the
+    * DDL partition columns (`_MANIFEST.partcols` sidecar) and the
+    * Bloom columns observed on the head's data entries. Without
+    * these, a predicate DELETE / narrowed UPDATE on a DDL-partitioned
+    * or bloom-indexed table would write rewritten files with no P|/B|
+    * blobs (and mixed partition values in one file) — reads stay
+    * correct but partition/Bloom pruning silently degrades while
+    * `Table.partitioning()` still reports identity partitioning.
+    */
+  private[sources] def layoutOptions(path: String): Map[String, String] = {
+    val part = tablePartitionColumns(path)
+    val blooms = readManifest(path).map(_._2).getOrElse(Seq.empty)
+      .filterNot(isDeleteEntry)
+      .flatMap(e => e.split("\t").iterator.drop(1)
+        .find(_.startsWith("B|")).toSeq
+        .flatMap(_.drop(2).split('|').toSeq
+          .map(_.split(":", 2)(0)).filter(_.nonEmpty)))
+      .distinct
+    (if (part.nonEmpty) Map("partitionBy" -> part.mkString(","))
+     else Map.empty[String, String]) ++
+      (if (blooms.nonEmpty) Map("bloomColumns" -> blooms.mkString(","))
+       else Map.empty[String, String])
   }
 
   /** Relative data-file names of the committed head — the file-set
@@ -1145,14 +1179,20 @@ object ManifestV2Sink {
         try {
           val touchedRows =
             readDataFiles(spark, path, schema, touched.map(entryFile))
-          touchedRows
+          val merged = touchedRows
             .join(updates.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(updates.select(schema.fieldNames.map(
               org.apache.spark.sql.functions.col): _*))
-            // file count tracks the touched set, not shuffle width
-            .repartition(math.max(touched.length, 1))
-            .write.format("graft-manifest").mode("append")
-            .save(scratch.toString)
+          val partCols = tablePartitionColumns(path)
+          // file count tracks the touched set, not shuffle width;
+          // partitioned tables co-locate partition values per task so
+          // rewritten files keep single-partition P| blobs
+          (if (partCols.nonEmpty)
+             merged.repartition(math.max(touched.length, 1),
+               partCols.map(org.apache.spark.sql.functions.col): _*)
+           else merged.repartition(math.max(touched.length, 1)))
+            .write.format("graft-manifest").options(layoutOptions(path))
+            .mode("append").save(scratch.toString)
           val adopted = adoptScratchFiles(path, scratch.toString)
           publish(path, schema, untouched ++ adopted, "upsert-narrow")
           touched.length
@@ -1387,11 +1427,19 @@ object ManifestV2Sink {
   }
 
   /** Publish wall-clock of snapshot `v`: the commit log's record when
-    * present, else the snapshot file's mtime (pre-log tables).
+    * present, else the snapshot file's mtime (pre-log tables). The
+    * `times` overload lets a resolver scanning MANY versions load the
+    * append-only commit log ONCE ([[commitTimes]]) instead of
+    * re-reading and re-parsing it per version — TIMESTAMP AS OF over
+    * a long-lived table was O(versions²) file reads without it.
     */
-  private[sources] def publishTimeMillis(path: String, v: Int): Long =
-    commitTimes(path).getOrElse(v,
+  private[sources] def publishTimeMillis(path: String, v: Int,
+      times: Map[Int, Long]): Long =
+    times.getOrElse(v,
       Files.getLastModifiedTime(versionFile(path, v)).toMillis)
+
+  private[sources] def publishTimeMillis(path: String, v: Int): Long =
+    publishTimeMillis(path, v, commitTimes(path))
 
   /** Data files present on disk but referenced by NO retained
     * manifest — current, versioned, or any live branch head: crash

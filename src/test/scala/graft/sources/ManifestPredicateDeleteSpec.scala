@@ -131,4 +131,55 @@ class ManifestPredicateDeleteSpec extends SparkSuite {
         .as[Long].head() == 3L)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
+
+  test("rewrite paths keep partition and Bloom metadata: a DELETE/" +
+    "UPDATE on a DDL-partitioned bloom-indexed table must not degrade " +
+    "future pruning") {
+    import spark.implicits._
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, p BIGINT, v STRING) " +
+        "PARTITIONED BY (p)")
+      // bloom-indexed append through the DataFrame surface (bloom is a
+      // write option; the DDL sidecar governs the partition fan-out)
+      spark.range(0, 100)
+        .selectExpr("id AS k", "id % 2 AS p", "CAST(id AS STRING) AS v")
+        .coalesce(1)
+        .write.format("graft-manifest").option("bloomColumns", "k")
+        .mode("append").save(dir)
+      def dataEntries() = ManifestV2Sink.readManifest(dir).get._2
+        .filterNot(ManifestV2Sink.isDeleteEntry)
+      def allCarryLayout(tag: String): Unit = dataEntries().foreach { e =>
+        val part = ManifestV2Sink.entryPartition(e)
+        assert(part.get("p").exists(_ != "%00"),
+          s"$tag: entry lost its partition blob: $e")
+        assert(ManifestV2Sink.entryBloom(e, "k").isDefined,
+          s"$tag: entry lost its Bloom blob: $e")
+      }
+      allCarryLayout("pre")
+      // boundary rewrite: both partition files hold k<10 rows
+      val (_, rewritten, _) = ManifestV2Sink.deleteWhere(spark, dir,
+        Seq(org.apache.spark.sql.sources.LessThan("k", 10L)))
+      assert(rewritten > 0, "fixture degenerate: nothing rewritten")
+      allCarryLayout("post-delete")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t").as[Long].head()
+        == 90L)
+      // narrowed UPDATE path (GraftUpdateCommand scratch write)
+      spark.sql(s"UPDATE graft.$t SET v = concat(v, '!') WHERE k >= 50")
+      allCarryLayout("post-update")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t WHERE v LIKE '%!'")
+        .as[Long].head() == 50L)
+      // pruning still works end-to-end: a one-partition read plans
+      // only that partition's files
+      val q = spark.sql(s"SELECT v FROM graft.$t WHERE p = 1")
+      val planned = q.rdd.getNumPartitions
+      val oneSide = dataEntries().count(e =>
+        ManifestV2Sink.entryPartition(e).get("p").contains("1"))
+      assert(planned == oneSide,
+        s"partition pruning degraded: planned $planned of " +
+          s"${dataEntries().size}, partition-1 files $oneSide")
+      assert(q.count() == 45)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
 }
