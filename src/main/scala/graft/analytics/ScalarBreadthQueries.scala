@@ -593,6 +593,82 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** RUNTIME FILE PRUNING (DSv2 dynamic partition pruning) under the
+    * oracle gate: the fact side lands one manifest data file per
+    * order-year (tight per-file `yr` stats), the dim side is a
+    * calendar-bounded year dimension with a selective `tag = 'hot'`
+    * predicate, and the join key `yr` is a declared runtime-filter
+    * attribute of the manifest scan ([[graft.sources.ManifestScan]]).
+    * Executing the join makes Spark plant a dynamic-pruning subquery;
+    * after the broadcast dim runs, the fact scan RE-PLANS to only the
+    * files whose recorded ranges can hold the surviving keys — the
+    * single biggest read saver of a 100-TB star join. BOTH directions
+    * hash-gated: `files_read`/`files_total` (read back from the
+    * planner's post-execution record) equal the oracle's
+    * COUNT(DISTINCT yr) twins, so a scan that stops pruning diverges
+    * the counts and one that over-prunes loses aggregate rows.
+    */
+  def sinkManifestRuntimePrune(spark: SparkSession,
+      dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_rtprune_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = outPath.toUri.getPath + "/fact"
+    val dimOut = outPath.toUri.getPath + "/dim"
+    try {
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+      val years = src.select(col("yr")).distinct().orderBy(col("yr"))
+        .collect().map(_.getLong(0)) // calendar-bounded, never data-sized
+      years.foreach { y =>
+        src.where(col("yr") === y).coalesce(1)
+          .write.format("graft-manifest").mode("append").save(out)
+      }
+      val hot = Set(1996L, 1997L)
+      // the dim is a SECOND manifest table, not a LocalRelation: the
+      // optimizer folds a filtered LocalRelation into literal rows
+      // (no Filter node survives), and without a selective predicate
+      // on the filtering side Spark never plants the pruning subquery
+      spark.createDataFrame(
+        years.map(y => (y, if (hot(y)) "hot" else "cold")).toSeq)
+        .toDF("yr", "tag").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dimOut)
+      val dim = spark.read.format("graft-manifest").load(dimOut)
+      val fact = spark.read.format("graft-manifest").load(out)
+      val agg = fact
+        .join(dim.where(col("tag") === "hot"), Seq("yr"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .localCheckpoint(true) // EXECUTES the join → runtime filter fires
+      val (filesRead, filesTotal) = graft.sources.ManifestV2Sink
+        .lastPlannedFiles(out).getOrElse((-1, -1))
+      agg.select(col("o_orderpriority"), col("n"), col("sum_cents"),
+        col("sum_keys"),
+        lit(filesRead.toLong).as("files_read"),
+        lit(filesTotal.toLong).as("files_total"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestRuntimePruneSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(o_orderdate) AS yr
+      |  FROM orders)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT yr) FROM s
+      |     WHERE yr IN (1996, 1997)) AS files_read,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_total
+      |FROM s WHERE yr IN (1996, 1997)
+      |GROUP BY o_orderpriority""".stripMargin
+
   val sinkManifestPruneSql: String =
     """WITH s AS (
       |  SELECT o_orderkey, o_orderpriority,
@@ -2193,6 +2269,7 @@ object ScalarBreadthQueries {
     "sink_manifest_branch" -> (sinkManifestBranch _),
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
     "sink_manifest_prune" -> (sinkManifestPrune _),
+    "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2235,6 +2312,7 @@ object ScalarBreadthQueries {
     "sink_manifest_branch" -> sinkManifestBranchSql,
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
     "sink_manifest_prune" -> sinkManifestPruneSql,
+    "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -134,9 +134,30 @@ private[sources] class ManifestMicroBatchStream(path: String,
   */
 private[sources] object ManifestScanPlanner {
 
+  /** Last batch-planned (files planned, files total) per table path —
+    * read back by the runtime-prune evidence queries and specs after
+    * an execution (a runtime-filtered re-plan overwrites the entry,
+    * so the recorded value reflects what was actually read).
+    */
+  private val planned =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+  private[sources] def recordPlanned(path: String, files: Int,
+      total: Int): Unit = { planned.put(path, (files, total)); () }
+
+  def lastPlanned(path: String): Option[(Int, Int)] =
+    Option(planned.get(path))
+
+  /** `pruneOnly` filters (runtime/DPP join-key sets) participate in
+    * file-level skipping but do NOT ride into the per-file readers as
+    * residual predicates — they are join artifacts, not query
+    * predicates; the join re-applies its own condition.
+    */
   def partitions(path: String, schema: StructType, required: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter],
-      entries: Seq[String], base: Set[String]): Array[InputPartition] = {
+      entries: Seq[String], base: Set[String],
+      pruneOnly: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      : Array[InputPartition] = {
     val dels: Array[DeleteSet] = entries
       .filter(ManifestV2Sink.isDeleteEntry)
       .map { entry =>
@@ -169,14 +190,21 @@ private[sources] object ManifestScanPlanner {
           DeleteSet(keyCol, keys)
         }
       }
-    entries
+    val planned = entries
       .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
-      .filter(ManifestSkipping.keepEntry(_, filters))
-      .map { entry =>
-        ManifestFilePartition(
-          Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
-          schema.json, required.json, dels, filters.toArray): InputPartition
-      }.toArray
+      .filter(ManifestSkipping.keepEntry(_, filters ++ pruneOnly))
+    // vectorized decode needs a scan-uniform answer: every planned
+    // file parquet AND no tombstones (row-level reconcile needs the
+    // row readers; compaction clears tombstones and restores the
+    // columnar path)
+    val columnarOk = dels.isEmpty &&
+      planned.forall(e => ManifestV2Sink.entryFile(e).endsWith(".parquet"))
+    planned.map { entry =>
+      ManifestFilePartition(
+        Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
+        schema.json, required.json, dels, filters.toArray,
+        columnarOk): InputPartition
+    }.toArray
   }
 
   def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
@@ -186,7 +214,81 @@ private[sources] object ManifestScanPlanner {
       if (fp.absPath.endsWith(".parquet")) new ManifestParquetReader(fp)
       else new ManifestJsonlReader(fp)
     }
+    override def supportColumnarReads(p: InputPartition): Boolean =
+      p.asInstanceOf[ManifestFilePartition].columnarOk
+    override def createColumnarReader(p: InputPartition)
+        : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+      new ManifestParquetColumnarReader(
+        p.asInstanceOf[ManifestFilePartition])
   }
+}
+
+/** VECTORIZED per-file decode — the columnar half of the read path:
+  * one committed parquet file → [[ColumnarBatch]]es through Spark's
+  * own `VectorizedParquetRecordReader` (the identical machinery the
+  * built-in parquet source runs), so the scan exec's codegen'd
+  * ColumnarToRow loop replaces one virtual `next()`/`get()` call pair
+  * per row and column decoding happens straight into column vectors.
+  * Row-group skipping from pushed filters still applies (set on the
+  * Configuration before init); record-level filtering stays off, same
+  * contract as the row reader. Schema evolution null-fills: Spark's
+  * read support clips the file schema against the requested catalyst
+  * schema and serves absent columns as constant-null vectors. Only
+  * planned for tombstone-free all-parquet scans (see
+  * [[ManifestFilePartition.columnarOk]]).
+  */
+private[sources] class ManifestParquetColumnarReader(
+    p: ManifestFilePartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val full =
+    DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
+  private val required =
+    DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet
+        .ParquetReadSupport].getName)
+    c.set(org.apache.spark.sql.execution.datasources.parquet
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+      .RECORD_FILTERING_ENABLED, false)
+    ParquetPayload.toParquetFilter(p.filters.toSeq, full).foreach(f =>
+      org.apache.parquet.hadoop.ParquetInputFormat
+        .setFilterPredicate(c, f))
+    c
+  }
+  private val reader = {
+    val r = new org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+    val file = new java.io.File(p.absPath)
+    // the OLD-API FileSplit (it extends the new-API one): Spark's
+    // reader base casts the split to mapred.FileSplit internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new org.apache.hadoop.fs.Path(file.toURI), 0, file.length(),
+      Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task
+      .TaskAttemptContextImpl(conf,
+        new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try {
+      r.initialize(split, attempt)
+      r.initBatch(new StructType(), InternalRow.empty)
+      r.enableReturningBatches()
+      r
+    } catch { case t: Throwable => r.close(); throw t }
+  }
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** BATCH read of the committed state through the DSv2 scan — what
@@ -197,32 +299,45 @@ private[sources] object ManifestScanPlanner {
   * handles table-scale tombstones, while this plan-riding set is
   * right-sized for GDPR-scale deletes.)
   */
-private[sources] class ManifestBatchScan(path: String,
-    schema: StructType, required: StructType,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    branch: Option[String] = None,
-    asOfVersion: Option[Int] = None)
+private[sources] class ManifestBatchScan(val path: String,
+    val schema: StructType, val required: StructType,
+    val filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    val branch: Option[String] = None,
+    val asOfVersion: Option[Int] = None,
+    // BY-NAME view of the owning scan's runtime filters: BatchScanExec
+    // caches `scan.toBatch` BEFORE calling filter(), then re-plans on
+    // the SAME batch object — a by-value capture would always see the
+    // pre-filter empty seq
+    runtimePrune: () => Seq[org.apache.spark.sql.sources.Filter] =
+      () => Seq.empty)
     extends org.apache.spark.sql.connector.read.Batch {
+  /** VALUE equality (everything but the mutable runtime-filter view):
+    * `BatchScanExec.equals` compares `scan.toBatch`, so exchange
+    * reuse and AQE's dynamic-pruning reuse check need two batches of
+    * the same (table, projection, filters, version) to BE equal —
+    * reference equality silently disables both. Runtime-filter state
+    * is compared by BatchScanExec itself via its own field.
+    */
+  override def equals(other: Any): Boolean = other match {
+    case o: ManifestBatchScan => o.path == path && o.schema == schema &&
+      o.required == required && o.filters == filters &&
+      o.branch == branch && o.asOfVersion == asOfVersion
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (path, schema, required, filters, branch, asOfVersion).hashCode()
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val entries = (branch, asOfVersion) match {
-      case (Some(b), _) => ManifestV2Sink
-        .parseManifest(ManifestV2Sink.branchFile(path, b))
-        .map(_._2).getOrElse(throw new IllegalArgumentException(
-          s"no branch $b at $path " +
-            s"(have: ${ManifestV2Sink.branches(path).mkString(",")})"))
-      case (None, Some(v)) => ManifestV2Sink
-        // loud on a retention hole: a silently-empty snapshot read
-        // would look like "the table was empty at v", which it wasn't
-        .parseManifest(ManifestV2Sink.versionFile(path, v))
-        .map(_._2).getOrElse(throw new IllegalArgumentException(
-          s"no snapshot v$v at $path " +
-            s"(have: ${ManifestV2Sink.versions(path).mkString(",")}) — " +
-            "retention expired it"))
-      case (None, None) =>
-        ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
-    }
-    ManifestScanPlanner.partitions(path, schema, required, filters,
-      entries, Set.empty)
+    // loud on a retention hole / missing branch — a silently-empty
+    // snapshot read would look like "the table was empty at v"
+    val entries = ManifestV2Sink.entriesFor(path, branch, asOfVersion)
+    val parts = ManifestScanPlanner.partitions(path, schema, required,
+      filters, entries, Set.empty, runtimePrune())
+    // observability: the per-path planned/total file counts the
+    // runtime-prune evidence queries read back after execution
+    ManifestScanPlanner.recordPlanned(path, parts.length,
+      entries.count(!ManifestV2Sink.isDeleteEntry(_)))
+    parts
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestScanPlanner.readerFactory
@@ -234,9 +349,15 @@ private[sources] case class ManifestOffset(v: Long) extends Offset {
 
 private[sources] case class DeleteSet(col: String, keys: Array[String])
 
+/** `columnarOk` is a SCAN-UNIFORM flag (computed once over the whole
+  * planned set): Spark's DSv2 scan exec refuses mixed row/columnar
+  * partitions, so either EVERY planned file decodes vectorized
+  * (all-parquet, tombstone-free) or all go through the row readers.
+  */
 private[sources] case class ManifestFilePartition(absPath: String,
     schemaJson: String, requiredJson: String, deletes: Array[DeleteSet],
-    filters: Array[org.apache.spark.sql.sources.Filter])
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    columnarOk: Boolean = false)
     extends InputPartition
 
 /** One PARQUET data file → InternalRows through [[ParquetPayload]]'s

@@ -843,6 +843,14 @@ object ManifestV2Sink {
        else Map.empty[String, String])
   }
 
+  /** Last batch-planned (files planned, files total) for a table —
+    * the runtime-prune evidence surface: after executing a fact-dim
+    * join with dynamic pruning, this reports how many files the fact
+    * scan actually planned vs the committed total.
+    */
+  def lastPlannedFiles(path: String): Option[(Int, Int)] =
+    ManifestScanPlanner.lastPlanned(path)
+
   /** Relative data-file names of the committed head — the file-set
     * identity external gates diff across a commit to observe
     * carried-over vs dropped vs newly-written files (data files are
@@ -918,6 +926,43 @@ object ManifestV2Sink {
       blob.drop(2).split('|').iterator.map(_.split(":", 2))
         .collectFirst { case Array(c, n) if c == column => n.toLong }
     }
+  }
+
+  /** Recorded (rowCount, fileBytes) of a data entry (`R|rows:bytes`,
+    * an optional tab field written at promote time) — the per-file
+    * cardinality/size the scan's reported statistics sum. Absent on
+    * legacy/external entries → None; statistics fall back to the
+    * file's on-disk size and report no row count.
+    */
+  private[sources] def entryRowsBytes(entry: String): Option[(Long, Long)] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("R|")).flatMap { blob =>
+      blob.drop(2).split(":", 2) match {
+        case Array(r, b) =>
+          scala.util.Try((r.toLong, b.toLong)).toOption
+        case _ => None
+      }
+    }
+  }
+
+  /** The entry list a scan of (`branch`, `asOfVersion`) reads — the
+    * shared resolution of [[ManifestBatchScan.planInputPartitions]]
+    * and the scan's reported statistics (they MUST agree, or costing
+    * would describe a different table than the one read). Loud on a
+    * missing branch/snapshot, same contract as the batch scan.
+    */
+  private[sources] def entriesFor(path: String, branch: Option[String],
+      asOfVersion: Option[Int]): Seq[String] = (branch, asOfVersion) match {
+    case (Some(b), _) => parseManifest(branchFile(path, b))
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        s"no branch $b at $path " +
+          s"(have: ${branches(path).mkString(",")})"))
+    case (None, Some(v)) => parseManifest(versionFile(path, v))
+      .map(_._2).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot v$v at $path " +
+          s"(have: ${versions(path).mkString(",")}) — " +
+          "retention expired it"))
+    case (None, None) => readManifest(path).map(_._2).getOrElse(Seq.empty)
   }
 
   /** The per-column Bloom blob of a data entry (`B|col:base64|...`,
@@ -1478,6 +1523,23 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     "branch and asOfVersion are mutually exclusive")
   /** Table directory — the MERGE rule needs the commit target. */
   private[sources] def dir: String = path
+
+  /** VALUE equality: `BatchScanExec` is a case class whose equality
+    * includes its `table` field, and every catalog `loadTable` builds
+    * a fresh instance — without this, two scans of the same table
+    * never canonicalize equal, which silently disables exchange reuse
+    * AND makes AQE drop planted dynamic-pruning filters (its reuse
+    * check is `sameResult` against the join's build side).
+    */
+  override def equals(other: Any): Boolean = other match {
+    case o: ManifestTable => o.dir == path && o.schema() == schema0 &&
+      o.branchOpt == branch && o.asOfVersionOpt == asOfVersion
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (path, schema0, branch, asOfVersion).hashCode()
+  private[sources] def branchOpt: Option[String] = branch
+  private[sources] def asOfVersionOpt: Option[Int] = asOfVersion
   override def name(): String =
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
       s"${asOfVersion.map("@v" + _).getOrElse("")})"
@@ -1608,32 +1670,9 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
       pushed
 
-    override def build(): Scan = new Scan {
-      private val req = required
-      private val flt = pushed.toSeq
-      override def readSchema(): StructType = req
-      override def description(): String =
-        s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
-          s"${asOfVersion.map("@v" + _).getOrElse("")}) " +
-          s"PushedFilters: [${flt.mkString(", ")}], " +
-          s"ReadSchema: ${req.catalogString}"
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        new ManifestBatchScan(path, schema0, req, flt, branch, asOfVersion)
-      override def toMicroBatchStream(
-          checkpointLocation: String): MicroBatchStream = {
-        branch.foreach { b =>
-          throw new UnsupportedOperationException(
-            s"graft-manifest streams follow MAIN; cannot stream branch " +
-              s"'$b' — read it as a batch instead")
-        }
-        asOfVersion.foreach { v =>
-          throw new UnsupportedOperationException(
-            s"graft-manifest streams follow the LIVE head; cannot " +
-              s"stream the frozen snapshot v$v")
-        }
-        new ManifestMicroBatchStream(path, schema0, req, flt)
-      }
-    }
+    override def build(): Scan =
+      new ManifestScan(path, schema0, required, pushed.toSeq, branch,
+        asOfVersion)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1730,13 +1769,18 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     }.collect {
       case StagedFile(name, rows, stats, blooms, part, nulls) if rows > 0 =>
         val from = Paths.get(path, "_staged", queryId, name)
+        // size BEFORE the move: the R| blob records (rows, bytes) per
+        // file — what SupportsReportStatistics sums at plan time so
+        // Catalyst can cost manifest-table joins from metadata alone
+        val bytes = Files.size(from)
         Files.move(from, dataDir.resolve(name),
           StandardCopyOption.REPLACE_EXISTING)
         s"data/$name" +
           (if (stats.isEmpty) "" else s"\t$stats") +
           (if (blooms.isEmpty) "" else s"\t$blooms") +
           (if (part.isEmpty) "" else s"\t$part") +
-          (if (nulls.isEmpty) "" else s"\t$nulls")
+          (if (nulls.isEmpty) "" else s"\t$nulls") +
+          s"\tR|$rows:$bytes"
     }.toArray.sorted
     ManifestV2Sink.withHeadLock(path) {
     // a branch commit appends to the BRANCH head; an un-created
@@ -2050,4 +2094,127 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     sinks.values.foreach(_.abortSink())
 
   override def close(): Unit = ()
+}
+
+
+/** The DSv2 scan over a manifest table head/branch/snapshot. A NAMED
+  * class with VALUE equality (path + projection + pushed filters +
+  * branch/version): Spark's exchange-reuse and AQE dynamic-pruning
+  * machinery compare physical plans by canonicalized equality, and
+  * `BatchScanExec` delegates to `Scan.equals` — an anonymous scan
+  * compares by reference, so the dim side of a DPP join never looks
+  * like "the same exchange" and AQE silently replaces the planted
+  * runtime filter with TRUE. `runtimePrune` (mutable per-execution
+  * DPP state) stays OUTSIDE the equality: BatchScanExec carries the
+  * runtime-filter expressions itself and canonicalizes them.
+  */
+private[sources] class ManifestScan(val path: String,
+    schema0: StructType, val req: StructType,
+    val flt: Seq[org.apache.spark.sql.sources.Filter],
+    val branch: Option[String], val asOfVersion: Option[Int])
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  override def equals(other: Any): Boolean = other match {
+    case o: ManifestScan => o.path == path && o.req == req &&
+      o.flt == flt && o.branch == branch && o.asOfVersion == asOfVersion
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (path, req, flt, branch, asOfVersion).hashCode()
+  // runtime (DPP) join filters arrive per execution via filter();
+  // they prune FILES only — never rows (the join re-applies its
+  // own predicate), the same contract file-source DPP has with
+  // partitions. Oversized In-sets are ignored (best-effort): an
+  // O(files × values) driver loop must stay metadata-sized.
+  private var runtimePrune: Seq[org.apache.spark.sql.sources.Filter] =
+    Seq.empty
+  override def readSchema(): StructType = req
+  override def description(): String =
+    s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
+      s"${asOfVersion.map("@v" + _).getOrElse("")}) " +
+      s"PushedFilters: [${flt.mkString(", ")}], " +
+      s"ReadSchema: ${req.catalogString}"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new ManifestBatchScan(path, schema0, req, flt, branch,
+      asOfVersion, () => runtimePrune)
+
+  /** EXACT post-pushdown statistics from the manifest alone: the
+    * per-file (rows, bytes) recorded at publish (`R|` blobs),
+    * summed over the entries a pushed-filter scan would actually
+    * plan ([[ManifestSkipping.keepEntry]]). This is what lets
+    * Catalyst auto-broadcast a small manifest dimension with no
+    * hint — a DSv2 relation with no reported stats costs at the
+    * conservative default and never broadcasts, which at 100 TB
+    * turns every dimension join into a shuffle. Legacy entries
+    * without an R| blob fall back to on-disk file size and leave
+    * the row count unreported (size alone still drives the
+    * broadcast decision). Tombstoned rows are not subtracted —
+    * the numbers are upper bounds, conservative for costing.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val entries = ManifestV2Sink.entriesFor(path, branch, asOfVersion)
+      .filterNot(ManifestV2Sink.isDeleteEntry)
+      .filter(ManifestSkipping.keepEntry(_, flt))
+    val rb = entries.map(ManifestV2Sink.entryRowsBytes)
+    val rowsKnown = rb.forall(_.isDefined)
+    val totalRows = rb.flatten.map(_._1).sum
+    val totalBytes = entries.zip(rb).map {
+      case (_, Some((_, b))) => b
+      case (e, None) => scala.util.Try(Files.size(
+        Paths.get(path, ManifestV2Sink.entryFile(e)))).getOrElse(0L)
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(totalBytes)
+      override def numRows(): util.OptionalLong =
+        if (rowsKnown) util.OptionalLong.of(totalRows)
+        else util.OptionalLong.empty()
+    }
+  }
+
+  /** Join-key columns eligible for runtime file pruning: those
+    * with ANY skipping metadata (min/max stats or partition
+    * values; Bloom-indexed columns are integral and always
+    * stats-covered) on the scanned entry set. Declaring them
+    * makes Spark's PartitionPruning rule plant a dynamic-pruning
+    * subquery on fact-dim joins keyed by them — after the build
+    * side runs, [[filter]] receives the surviving key set and the
+    * re-plan reads only the files that can hold those keys (the
+    * DSv2 analog of partition-directory DPP, the single biggest
+    * read saver in a 100 TB star join).
+    */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val entries = ManifestV2Sink.entriesFor(path, branch, asOfVersion)
+      .filterNot(ManifestV2Sink.isDeleteEntry)
+    val metaCols = entries.iterator.flatMap(e =>
+      ManifestV2Sink.entryStats(e).keysIterator ++
+        ManifestV2Sink.entryPartition(e).keysIterator).toSet
+    req.fieldNames.filter(metaCols.contains).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c))
+  }
+
+  override def filter(
+      fs: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimePrune = fs.toSeq.filter {
+      case org.apache.spark.sql.sources.In(_, vs) => vs.length <= 10000
+      case _ => true
+    }
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream = {
+    branch.foreach { b =>
+      throw new UnsupportedOperationException(
+        s"graft-manifest streams follow MAIN; cannot stream branch " +
+          s"'$b' — read it as a batch instead")
+    }
+    asOfVersion.foreach { v =>
+      throw new UnsupportedOperationException(
+        s"graft-manifest streams follow the LIVE head; cannot " +
+          s"stream the frozen snapshot v$v")
+    }
+    new ManifestMicroBatchStream(path, schema0, req, flt)
+  }
 }
