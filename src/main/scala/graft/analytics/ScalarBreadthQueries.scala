@@ -593,6 +593,65 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** STREAMING INGEST into the transactional sink under the oracle
+    * gate — the production shape of the reference's ingestion API
+    * (app.js:106-155): a 4-file staged copy of an orders slice is
+    * consumed as an AvailableNow file stream with maxFilesPerTrigger=1
+    * (4 deterministic micro-batches), `writeStream.format("graft-
+    * manifest")` lands each epoch as ONE committed, snapshotted table
+    * version via the txn-ledger streaming write
+    * ([[graft.sources.ManifestStreamingWrite]]), and the committed
+    * table is read back through the normal scan. Gated BOTH ways: the
+    * aggregates must equal the batch slice exactly (any replayed or
+    * lost epoch diverges counts/sums — the exactly-once contract),
+    * and `n_versions`/`n_epochs` pin that each micro-batch minted
+    * exactly one commit and the ledger recorded every epoch.
+    */
+  def sinkManifestStreamWrite(spark: SparkSession,
+      dir: String): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      s"graft_swrite_${java.util.UUID.randomUUID().toString.take(8)}")
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = outPath.toUri.getPath
+    try {
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.repartition(4).write.parquet(s"$base/in")
+      val q = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+        .writeStream.format("graft-manifest")
+        .option("checkpointLocation", s"$base/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/t")
+      q.awaitTermination()
+      val nVersions =
+        graft.sources.ManifestV2Sink.versions(s"$base/t").size.toLong
+      val nEpochs = graft.sources.ManifestV2Sink.streamTxns(s"$base/t")
+        .values.maxOption.map(_ + 1).getOrElse(0L)
+      spark.read.format("graft-manifest").load(s"$base/t")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("o_orderpriority"), col("n"), col("sum_cents"),
+          col("sum_keys"), lit(nVersions).as("n_versions"),
+          lit(nEpochs).as("n_epochs"))
+        .localCheckpoint(true) // eager: the finally deletes the table
+    } finally fs.delete(outPath, true)
+  }
+
+  val sinkManifestStreamWriteSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(4 AS BIGINT) AS n_versions,
+      |  CAST(4 AS BIGINT) AS n_epochs
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |GROUP BY o_orderpriority""".stripMargin
+
   /** RUNTIME FILE PRUNING (DSv2 dynamic partition pruning) under the
     * oracle gate: the fact side lands one manifest data file per
     * order-year (tight per-file `yr` stats), the dim side is a
@@ -2270,6 +2329,7 @@ object ScalarBreadthQueries {
     "sink_manifest_upsert" -> (sinkManifestUpsert _),
     "sink_manifest_prune" -> (sinkManifestPrune _),
     "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
+    "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2313,6 +2373,7 @@ object ScalarBreadthQueries {
     "sink_manifest_upsert" -> sinkManifestUpsertSql,
     "sink_manifest_prune" -> sinkManifestPruneSql,
     "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
+    "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -285,8 +285,46 @@ object ManifestV2Sink {
     else {
       val lines = Files.readAllLines(mf, StandardCharsets.UTF_8).asScala.toSeq
       val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
-      Some((schema, lines.tail.filter(_.nonEmpty)))
+      // txn ledger lines (see [[parseTxns]]) are commit metadata, not
+      // entries — filtered here so every entry consumer stays blind
+      // to them
+      Some((schema, lines.tail.filter(l =>
+        l.nonEmpty && !l.startsWith("txn\t"))))
     }
+
+  /** The STREAMING-COMMIT ledger carried INSIDE the manifest body
+    * (`txn<TAB>writerId<TAB>epoch` lines after the schema, before the
+    * entries — Delta's SetTransaction action in miniature): the
+    * highest epoch each streaming writer has committed to this
+    * pointer. Because the ledger rides the same atomic pointer rename
+    * as the entry list, "did epoch N commit?" and the commit itself
+    * can never disagree — the crash window a sidecar ledger file
+    * would have between publish and ledger update does not exist.
+    * [[publish]] carries the previous ledger forward on every commit
+    * (one line per writer id, latest epoch wins), so the ledger
+    * survives unrelated commits, overwrites, and compactions.
+    */
+  private[sources] def parseTxns(mf: Path): Map[String, Long] =
+    if (!Files.exists(mf)) Map.empty
+    else Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
+      .iterator.filter(_.startsWith("txn\t"))
+      .flatMap { l =>
+        l.split("\t", 3) match {
+          case Array(_, q, e) => scala.util.Try(q -> e.toLong).toOption
+          case _ => None
+        }
+      }.toMap
+
+  /** Highest committed streaming epoch of `writerId` on main, or -1. */
+  def streamEpochCommitted(path: String, writerId: String): Long =
+    parseTxns(manifestFile(path)).getOrElse(writerId, -1L)
+
+  /** The full streaming-commit ledger of main (writerId → highest
+    * committed epoch) — the evidence surface of the streamed-ingest
+    * lifecycle queries.
+    */
+  def streamTxns(path: String): Map[String, Long] =
+    parseTxns(manifestFile(path))
 
   /** Parse the current manifest: (schema, committed ENTRIES). Line 1
     * is the schema json; each further line is one entry:
@@ -1383,13 +1421,149 @@ object ManifestV2Sink {
     ()
   }
 
+  /** Delete a write's staging directory (committed batch, aborted
+    * job, or replayed streaming epoch): nothing in it was promoted or
+    * referenced, so this restores the exact pre-job state.
+    */
+  private[sources] def cleanupStaged(path: String, queryId: String): Unit = {
+    val staged = Paths.get(path, "_staged", queryId)
+    if (Files.exists(staged)) {
+      val s = Files.list(staged)
+      val leftovers = try s.iterator().asScala.toList finally s.close()
+      leftovers.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(staged)
+    }
+    ()
+  }
+
+  /** The shared promote→read-previous→publish commit section of the
+    * batch AND streaming writes — driver-side metadata work (file
+    * moves + two small reads + one rename). The per-path monitor
+    * serializes concurrent IN-PROCESS committers; the head lock
+    * inside extends the guarantee to CROSS-PROCESS ones (promotion
+    * itself needs no lock, staged names are globally unique, but the
+    * read-merge-publish does). `txn` (streaming epochs) makes the
+    * commit IDEMPOTENT: inside the head lock, an epoch at or below
+    * the pointer's recorded ledger entry SKIPS the publish — its
+    * staged files stay unpromoted garbage for the vacuum sweep, the
+    * exactly-once contract of a replayed micro-batch.
+    */
+  private[sources] def promoteAndPublish(path: String, schema: StructType,
+      queryId: String, replace: Boolean, branch: Option[String],
+      messages: Array[WriterCommitMessage],
+      txn: Option[(String, Long)] = None): Unit =
+    ManifestV2Sink.commitLock(path).synchronized {
+    // epoch replay fast-path: skip promotion entirely (re-checked
+    // authoritatively under the head lock below)
+    val pointer = branch.map(ManifestV2Sink.branchFile(path, _))
+      .getOrElse(Paths.get(path, "_MANIFEST"))
+    def isReplay: Boolean = txn.exists { case (q, e) =>
+      ManifestV2Sink.parseTxns(pointer).getOrElse(q, -1L) >= e }
+    if (isReplay) return
+    // fail-fast schema validation BEFORE promoting staged files, so a
+    // rejected evolution (type change) leaves zero data-dir garbage;
+    // the authoritative merge re-runs under the head lock below
+    if (!replace) {
+      val pre = branch match {
+        case Some(b) => ManifestV2Sink
+          .parseManifest(ManifestV2Sink.branchFile(path, b))
+        case None => ManifestV2Sink.readManifest(path)
+      }
+      pre.foreach { case (prevSchema, _) =>
+        ManifestV2Sink.mergeSchemas(prevSchema, schema)
+      }
+    }
+    val dataDir = Paths.get(path, "data")
+    Files.createDirectories(dataDir)
+    // promote committed attempts' staged files into the data dir;
+    // names carry (queryId, partition, task) so runs never collide.
+    // ZERO-ROW files are not promoted (cleanupStaged sweeps them):
+    // an empty shuffle partition would otherwise commit a statless
+    // file that every pruned read must conservatively scan forever
+    val promoted = messages.iterator.flatMap {
+      case s: StagedFile => Iterator.single(s)
+      case StagedFiles(fs) => fs.iterator
+    }.collect {
+      case StagedFile(name, rows, stats, blooms, part, nulls) if rows > 0 =>
+        val from = Paths.get(path, "_staged", queryId, name)
+        // size BEFORE the move: the R| blob records (rows, bytes) per
+        // file — what SupportsReportStatistics sums at plan time so
+        // Catalyst can cost manifest-table joins from metadata alone
+        val bytes = Files.size(from)
+        Files.move(from, dataDir.resolve(name),
+          StandardCopyOption.REPLACE_EXISTING)
+        s"data/$name" +
+          (if (stats.isEmpty) "" else s"\t$stats") +
+          (if (blooms.isEmpty) "" else s"\t$blooms") +
+          (if (part.isEmpty) "" else s"\t$part") +
+          (if (nulls.isEmpty) "" else s"\t$nulls") +
+          s"\tR|$rows:$bytes"
+    }.toArray.sorted
+    ManifestV2Sink.withHeadLock(path) {
+    // a branch commit appends to the BRANCH head; an un-created
+    // branch starts empty, forked at the current latest version
+    val prior: Option[(StructType, Seq[String])] =
+      if (replace) None
+      else branch match {
+        case Some(b) => ManifestV2Sink
+          .parseManifest(ManifestV2Sink.branchFile(path, b))
+        case None => ManifestV2Sink.readManifest(path)
+      }
+    val previous = prior.map(_._2).getOrElse(Seq.empty)
+    // schema evolution: the published schema is prior ∪ incoming
+    // (add-column only; type changes rejected) — see [[mergeSchemas]]
+    val published = prior match {
+      case Some((prevSchema, _)) =>
+        ManifestV2Sink.mergeSchemas(prevSchema, schema)
+      case None => schema
+    }
+    branch.foreach { b =>
+      val baseF = ManifestV2Sink.branchBaseFile(path, b)
+      // a write to a branch that was never createBranch'd starts the
+      // branch EMPTY — its fork point is the empty file list, so
+      // merge-by-union later adds exactly what the branch wrote.
+      // OVERWRITE (not skip) when the head doesn't exist: a crashed
+      // createBranch (sidecar written, head rename never happened)
+      // leaves a stale .base that would otherwise poison mergeBranch
+      val headMissing =
+        !Files.exists(ManifestV2Sink.branchFile(path, b))
+      if (headMissing || !Files.exists(baseF))
+        Files.write(baseF, "\n".getBytes(StandardCharsets.UTF_8))
+    }
+    // publish: write-then-atomic-rename; readers see old or new state,
+    // never a torn manifest. The SNAPSHOT (versioned) copy lands
+    // first, the target pointer (main or branch head) last — the
+    // pointer move is the commit point; a crash in between leaves a
+    // version file whose content never became current, which is the
+    // same garbage-not-corruption class as an unpromoted staged file
+    // (it references only promoted files and reads consistently)
+    // zero-row append epochs publish nothing: an idle trigger must
+    // not mint a version, and replaying an empty epoch is vacuously
+    // exactly-once (complete-mode epochs always publish — an empty
+    // epoch legitimately truncates)
+    if (!isReplay && (promoted.nonEmpty || replace || txn.isEmpty))
+      ManifestV2Sink.publish(path, published, previous ++ promoted,
+        queryId, branch, txn)
+    } // end head lock (cross-process commit section)
+    }
+
+
   /** Publish `files` as the new state of `pointer` (main when
     * `branch` is None): versioned snapshot first, pointer rename as
     * the commit point — the single protocol every commit path shares.
     */
   private[sources] def publish(path: String, schema: StructType,
-      files: Seq[String], tag: String, branch: Option[String] = None): Unit = {
-    val body = ((schema.json +: files).mkString("\n") + "\n")
+      files: Seq[String], tag: String, branch: Option[String] = None,
+      txn: Option[(String, Long)] = None): Unit = {
+    // carry the streaming-commit ledger forward (and fold in this
+    // commit's txn record, if any): the ledger must survive unrelated
+    // commits/overwrites or a replayed epoch after an intervening
+    // commit would re-apply — see [[parseTxns]]
+    val pointer0 = branch.map(branchFile(path, _))
+      .getOrElse(manifestFile(path))
+    val txns = (parseTxns(pointer0) ++ txn.toMap).toSeq.sortBy(_._1)
+      .map { case (q, e) => s"txn\t$q\t$e" }
+    val body = ((schema.json +: (txns ++ files)).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$tag")
     Files.write(vTmp, body)
@@ -1555,7 +1729,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
       util.EnumSet.of(TableCapability.BATCH_READ)
     else
       util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+        TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.STREAMING_WRITE)
 
   // ------------------------------------------------ SQL DELETE FROM
   // Three tiers, cheapest sound plan first:
@@ -1681,22 +1856,34 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     new WriteBuilder with SupportsTruncate {
       private var replace = false
       override def truncate(): WriteBuilder = { replace = true; this }
+      private def layout(): (Seq[String], Seq[String]) = {
+        val optPart = Option(info.options.get("partitionBy")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        // the table's DDL partition spec (PARTITIONED BY sidecar)
+        // governs every write; a conflicting per-write option is an
+        // error, never a silent layout fork
+        val ddlPart = ManifestV2Sink.tablePartitionColumns(path)
+        require(optPart.isEmpty || ddlPart.isEmpty || optPart == ddlPart,
+          s"partitionBy option $optPart conflicts with the table's " +
+            s"PARTITIONED BY spec $ddlPart")
+        val bloom = Option(info.options.get("bloomColumns")).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        ((if (optPart.nonEmpty) optPart else ddlPart), bloom)
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = {
-          val optPart = Option(info.options.get("partitionBy")).toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-          // the table's DDL partition spec (PARTITIONED BY sidecar)
-          // governs every write; a conflicting per-write option is an
-          // error, never a silent layout fork
-          val ddlPart = ManifestV2Sink.tablePartitionColumns(path)
-          require(optPart.isEmpty || ddlPart.isEmpty || optPart == ddlPart,
-            s"partitionBy option $optPart conflicts with the table's " +
-              s"PARTITIONED BY spec $ddlPart")
+          val (part, bloom) = layout()
           new ManifestBatchWrite(path, info.schema(), info.queryId(),
-            replace, branch,
-            Option(info.options.get("bloomColumns")).toSeq
-              .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-            if (optPart.nonEmpty) optPart else ddlPart)
+            replace, branch, bloom, part)
+        }
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          branch.foreach(b => throw new UnsupportedOperationException(
+            s"graft-manifest streaming writes target MAIN; cannot " +
+              s"stream into branch '$b'"))
+          val (part, bloom) = layout()
+          new ManifestStreamingWrite(path, info.schema(), info.queryId(),
+            replace, bloom, part)
         }
       }
     }
@@ -1734,114 +1921,68 @@ private[sources] class ManifestBatchWrite(path: String, schema: StructType,
     new ManifestWriterFactory(path, schema, queryId, bloomColumns,
       partitionBy)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    // the whole promote→read-previous→publish section is driver-side
-    // metadata work (file moves + two small reads + one rename);
-    // holding the per-path monitor across it serializes concurrent
-    // IN-PROCESS appends; the head lock inside extends the same
-    // guarantee to CROSS-PROCESS committers (catalog CAS seam —
-    // promotion itself needs no lock, staged names are globally
-    // unique, but the read-merge-publish does)
-    ManifestV2Sink.commitLock(path).synchronized {
-    // fail-fast schema validation BEFORE promoting staged files, so a
-    // rejected evolution (type change) leaves zero data-dir garbage;
-    // the authoritative merge re-runs under the head lock below
-    if (!replace) {
-      val pre = branch match {
-        case Some(b) => ManifestV2Sink
-          .parseManifest(ManifestV2Sink.branchFile(path, b))
-        case None => ManifestV2Sink.readManifest(path)
-      }
-      pre.foreach { case (prevSchema, _) =>
-        ManifestV2Sink.mergeSchemas(prevSchema, schema)
-      }
-    }
-    val dataDir = Paths.get(path, "data")
-    Files.createDirectories(dataDir)
-    // promote committed attempts' staged files into the data dir;
-    // names carry (queryId, partition, task) so runs never collide.
-    // ZERO-ROW files are not promoted (cleanupStaged sweeps them):
-    // an empty shuffle partition would otherwise commit a statless
-    // file that every pruned read must conservatively scan forever
-    val promoted = messages.iterator.flatMap {
-      case s: StagedFile => Iterator.single(s)
-      case StagedFiles(fs) => fs.iterator
-    }.collect {
-      case StagedFile(name, rows, stats, blooms, part, nulls) if rows > 0 =>
-        val from = Paths.get(path, "_staged", queryId, name)
-        // size BEFORE the move: the R| blob records (rows, bytes) per
-        // file — what SupportsReportStatistics sums at plan time so
-        // Catalyst can cost manifest-table joins from metadata alone
-        val bytes = Files.size(from)
-        Files.move(from, dataDir.resolve(name),
-          StandardCopyOption.REPLACE_EXISTING)
-        s"data/$name" +
-          (if (stats.isEmpty) "" else s"\t$stats") +
-          (if (blooms.isEmpty) "" else s"\t$blooms") +
-          (if (part.isEmpty) "" else s"\t$part") +
-          (if (nulls.isEmpty) "" else s"\t$nulls") +
-          s"\tR|$rows:$bytes"
-    }.toArray.sorted
-    ManifestV2Sink.withHeadLock(path) {
-    // a branch commit appends to the BRANCH head; an un-created
-    // branch starts empty, forked at the current latest version
-    val prior: Option[(StructType, Seq[String])] =
-      if (replace) None
-      else branch match {
-        case Some(b) => ManifestV2Sink
-          .parseManifest(ManifestV2Sink.branchFile(path, b))
-        case None => ManifestV2Sink.readManifest(path)
-      }
-    val previous = prior.map(_._2).getOrElse(Seq.empty)
-    // schema evolution: the published schema is prior ∪ incoming
-    // (add-column only; type changes rejected) — see [[mergeSchemas]]
-    val published = prior match {
-      case Some((prevSchema, _)) =>
-        ManifestV2Sink.mergeSchemas(prevSchema, schema)
-      case None => schema
-    }
-    branch.foreach { b =>
-      val baseF = ManifestV2Sink.branchBaseFile(path, b)
-      // a write to a branch that was never createBranch'd starts the
-      // branch EMPTY — its fork point is the empty file list, so
-      // merge-by-union later adds exactly what the branch wrote.
-      // OVERWRITE (not skip) when the head doesn't exist: a crashed
-      // createBranch (sidecar written, head rename never happened)
-      // leaves a stale .base that would otherwise poison mergeBranch
-      val headMissing =
-        !Files.exists(ManifestV2Sink.branchFile(path, b))
-      if (headMissing || !Files.exists(baseF))
-        Files.write(baseF, "\n".getBytes(StandardCharsets.UTF_8))
-    }
-    // publish: write-then-atomic-rename; readers see old or new state,
-    // never a torn manifest. The SNAPSHOT (versioned) copy lands
-    // first, the target pointer (main or branch head) last — the
-    // pointer move is the commit point; a crash in between leaves a
-    // version file whose content never became current, which is the
-    // same garbage-not-corruption class as an unpromoted staged file
-    // (it references only promoted files and reads consistently)
-    ManifestV2Sink.publish(path, published, previous ++ promoted, queryId,
-      branch)
-    } // end head lock (cross-process commit section)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    ManifestV2Sink.promoteAndPublish(path, schema, queryId, replace,
+      branch, messages)
     cleanupStaged()
-    }
-
+  }
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // job failed after some tasks committed: none of their files were
     // promoted or referenced, so deleting the staging dir restores the
     // exact pre-job state
     cleanupStaged()
 
-  private def cleanupStaged(): Unit = {
-    val staged = Paths.get(path, "_staged", queryId)
-    if (Files.exists(staged)) {
-      val s = Files.list(staged)
-      val leftovers = try s.iterator().asScala.toList finally s.close()
-      leftovers.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(staged)
+  private def cleanupStaged(): Unit =
+    ManifestV2Sink.cleanupStaged(path, queryId)
+}
+
+/** STREAMING_WRITE into a manifest table — the production shape of
+  * the reference's ingestion path: `writeStream.format("graft-
+  * manifest")` lands each micro-batch as ONE committed, snapshotted,
+  * time-travelable table version, EXACTLY-ONCE. Exactly-once comes
+  * from the txn ledger carried inside the manifest body
+  * ([[ManifestV2Sink.parseTxns]]): Structured Streaming delivers
+  * `commit(epochId, ...)` at-least-once with deterministic replayed
+  * contents, and the ledger (keyed by the STABLE streaming query id,
+  * which survives restarts with the checkpoint) rides the same atomic
+  * pointer rename as the entry list — so a replayed epoch is
+  * recognized under the head lock and skipped, with its staged files
+  * left as vacuumable garbage. Zero-row append epochs publish nothing
+  * (idle triggers mint no versions). Complete mode (`truncate`)
+  * replaces the table every epoch. Partition fan-out and Bloom
+  * options ride unchanged from the batch writer — the data-file and
+  * manifest formats are IDENTICAL, so streamed commits time-travel,
+  * prune, and compact exactly like batch ones.
+  */
+private[sources] class ManifestStreamingWrite(path: String,
+    schema: StructType, queryId: String, replaceEachEpoch: Boolean,
+    bloomColumns: Seq[String], partitionBy: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite
+    with Serializable { // the writer factory ships to executors
+
+  private def epochQueryId(epochId: Long): String = s"$queryId-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write
+        .streaming.StreamingDataWriterFactory =
+    new org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new ManifestWriterFactory(path, schema, epochQueryId(epochId),
+          bloomColumns, partitionBy).createWriter(partitionId, taskId)
     }
-    ()
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    ManifestV2Sink.promoteAndPublish(path, schema, epochQueryId(epochId),
+      replaceEachEpoch, None, messages, Some((queryId, epochId)))
+    ManifestV2Sink.cleanupStaged(path, epochQueryId(epochId))
   }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    ManifestV2Sink.cleanupStaged(path, epochQueryId(epochId))
 }
 
 private[sources] class ManifestWriterFactory(path: String,
