@@ -593,6 +593,66 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** DELETION VECTORS under the oracle gate — the merge-on-read tier
+    * predicate DELETE takes for point-ish matches: deleting ONE row
+    * (the table's minimum order key, spelled as a half-open range so
+    * it routes to the predicate path, not the key-tombstone path) of
+    * a per-year table writes a positions sidecar against the one file
+    * whose key range can hold it — ZERO data files move
+    * (`files_changed` = 0, `dv_files` = 1, both oracle-pinned), the
+    * GDPR answer at 100 TB where a COW rewrite would move terabytes.
+    * Every read surface applies the DV (the aggregates are the
+    * oracle's `<> MIN(key)` twins), and a follow-up compaction merges
+    * the DV away (`dv_after` = 0) with counts unchanged — the
+    * OPTIMIZE lifecycle.
+    */
+  def sinkManifestDv(spark: SparkSession, dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "dv", 9)
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      val filesBefore =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      val minKey = spark.sql(s"SELECT MIN(o_orderkey) FROM graft.$t")
+        .head.getLong(0)
+      spark.sql(s"DELETE FROM graft.$t " +
+        s"WHERE o_orderkey >= $minKey AND o_orderkey < ${minKey + 1}")
+      val filesAfter =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      def dvCount(): Long =
+        graft.sources.ManifestV2Sink.dvFileCount(out).toLong
+      val dvFiles = dvCount()
+      val changed = ((filesAfter -- filesBefore) ++
+        (filesBefore -- filesAfter)).size.toLong
+      // OPTIMIZE merges the deletion vector away
+      graft.sources.ManifestV2Sink.compact(spark, out, 2)
+      val dvAfter = dvCount()
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit(dvFiles).as("dv_files"),
+          lit(changed).as("files_changed"),
+          lit(dvAfter).as("dv_after"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestDvSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 9)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(1 AS BIGINT) AS dv_files,
+      |  CAST(0 AS BIGINT) AS files_changed,
+      |  CAST(0 AS BIGINT) AS dv_after
+      |FROM s WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM s)
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** STREAMING INGEST into the transactional sink under the oracle
     * gate — the production shape of the reference's ingestion API
     * (app.js:106-155): a 4-file staged copy of an orders slice is
@@ -2330,6 +2390,7 @@ object ScalarBreadthQueries {
     "sink_manifest_prune" -> (sinkManifestPrune _),
     "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
+    "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2374,6 +2435,7 @@ object ScalarBreadthQueries {
     "sink_manifest_prune" -> sinkManifestPruneSql,
     "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
+    "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

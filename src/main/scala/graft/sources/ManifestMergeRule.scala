@@ -457,8 +457,9 @@ case class GraftUpdateCommand(path: String,
           // rebind the update projection onto the touched-files frame
           // (same columns by construction: readDataFiles serves the
           // committed schema the relation resolved against)
-          val touchedDf = ManifestV2Sink.readDataFiles(spark, path,
-            schema, touched.map(ManifestV2Sink.entryFile))
+          // DV-aware: never resurrect deletion-vector-deleted rows
+          val touchedDf = ManifestV2Sink.readDataEntries(spark, path,
+            schema, touched)
           val child = touchedDf.queryExecution.analyzed
           val byName = child.output.map(a => a.name -> a).toMap
           val rebound = projected.projectList.map(_.transform {

@@ -194,16 +194,20 @@ private[sources] object ManifestScanPlanner {
       .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
       .filter(ManifestSkipping.keepEntry(_, filters ++ pruneOnly))
     // vectorized decode needs a scan-uniform answer: every planned
-    // file parquet AND no tombstones (row-level reconcile needs the
-    // row readers; compaction clears tombstones and restores the
-    // columnar path)
+    // file parquet, no tombstones, no deletion vectors (row-level
+    // reconcile and positional skips need the row readers; compaction
+    // clears both and restores the columnar path)
     val columnarOk = dels.isEmpty &&
-      planned.forall(e => ManifestV2Sink.entryFile(e).endsWith(".parquet"))
+      planned.forall(e =>
+        ManifestV2Sink.entryFile(e).endsWith(".parquet") &&
+          ManifestV2Sink.entryDv(e).isEmpty)
     planned.map { entry =>
       ManifestFilePartition(
         Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
         schema.json, required.json, dels, filters.toArray,
-        columnarOk): InputPartition
+        columnarOk,
+        ManifestV2Sink.entryDv(entry).map { case (rel, _) =>
+          Paths.get(path, rel).toString }): InputPartition
     }.toArray
   }
 
@@ -357,7 +361,11 @@ private[sources] case class DeleteSet(col: String, keys: Array[String])
 private[sources] case class ManifestFilePartition(absPath: String,
     schemaJson: String, requiredJson: String, deletes: Array[DeleteSet],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    columnarOk: Boolean = false)
+    columnarOk: Boolean = false,
+    // absolute path of the file's deletion-vector sidecar, if any:
+    // the reader skips these row positions (and disables row-group
+    // skipping so positions stay in full-file coordinates)
+    dvPath: Option[String] = None)
     extends InputPartition
 
 /** One PARQUET data file → InternalRows through [[ParquetPayload]]'s
@@ -382,8 +390,21 @@ private[sources] class ManifestParquetReader(p: ManifestFilePartition)
       (readSchema.fieldIndex(d.col), readSchema(d.col).dataType,
         d.keys.toSet)
     }
+  // a deletion vector pins row positions to FULL-file decode order:
+  // row-group skipping must stay off for DV'd files
   private val reader = ParquetPayload.reader(p.absPath, readSchema,
-    ParquetPayload.toParquetFilter(p.filters.toSeq, full))
+    if (p.dvPath.isDefined) None
+    else ParquetPayload.toParquetFilter(p.filters.toSeq, full))
+  private val dv: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dvPath.foreach { f =>
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(f),
+        StandardCharsets.UTF_8).asScala.iterator
+        .map(_.trim).filter(_.nonEmpty).foreach(l => set.add(l.toLong))
+    }
+    set
+  }
+  private var pos = -1L
   private var current: InternalRow = _
 
   private def render(row: InternalRow, i: Int, dt: DataType): String =
@@ -400,9 +421,11 @@ private[sources] class ManifestParquetReader(p: ManifestFilePartition)
   override def next(): Boolean = {
     var row = reader.read()
     while (row != null) {
-      val isDeleted = deleted.exists { case (i, dt, keys) =>
-        !row.isNullAt(i) && keys.contains(render(row, i, dt))
-      }
+      pos += 1
+      val isDeleted = (!dv.isEmpty && dv.contains(pos)) ||
+        deleted.exists { case (i, dt, keys) =>
+          !row.isNullAt(i) && keys.contains(render(row, i, dt))
+        }
       if (!isDeleted) {
         current =
           if (readSchema.length == required.length) row
@@ -448,12 +471,24 @@ private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
   private val lines = Files.readAllLines(
     Paths.get(p.absPath), StandardCharsets.UTF_8)
     .asScala.iterator.filter(_.nonEmpty)
+  private val dv: java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    p.dvPath.foreach { f =>
+      Files.readAllLines(Paths.get(f), StandardCharsets.UTF_8)
+        .asScala.iterator.map(_.trim).filter(_.nonEmpty)
+        .foreach(l => set.add(l.toLong))
+    }
+    set
+  }
+  private var pos = -1L
   private var current: InternalRow = _
 
   override def next(): Boolean = {
     while (lines.hasNext) {
       val node = mapper.readTree(lines.next())
-      val isDeleted = deleted.exists { case (c, (dt, keys)) =>
+      pos += 1
+      val isDeleted = (!dv.isEmpty && dv.contains(pos)) ||
+        deleted.exists { case (c, (dt, keys)) =>
         Option(node.get(c)).filterNot(_.isNull)
           .exists(n => keys.contains(ManifestJsonlReader.renderKey(n, dt)))
       }

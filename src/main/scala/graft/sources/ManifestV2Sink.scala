@@ -521,10 +521,58 @@ object ManifestV2Sink {
       ).flatten.reduce(_.unionByName(_))
     }
 
+  /** DV-APPLIED read of specific data entries through the per-file
+    * readers (one task per file — positions are only defined by the
+    * sequential per-file decode, which Spark's splitting raw readers
+    * destroy). Serves the rewrite paths and the API reads for entries
+    * carrying deletion vectors; clean entries keep the fast raw path.
+    */
+  private[sources] def readEntriesLive(spark: SparkSession, path: String,
+      schema: StructType, entries: Seq[String]): DataFrame = {
+    val schemaJson = schema.json
+    val parts: Seq[(String, Option[String])] = entries.map(e =>
+      (Paths.get(path, entryFile(e)).toString,
+        entryDv(e).map { case (rel, _) =>
+          Paths.get(path, rel).toString }))
+    val rdd = spark.sparkContext
+      .parallelize(parts, math.max(parts.length, 1))
+      .flatMap { case (ap, dv) =>
+        val part = ManifestFilePartition(ap, schemaJson, schemaJson,
+          Array.empty, Array.empty, columnarOk = false, dvPath = dv)
+        val reader: org.apache.spark.sql.connector.read.PartitionReader[
+          InternalRow] =
+          if (ap.endsWith(".parquet")) new ManifestParquetReader(part)
+          else new ManifestJsonlReader(part)
+        new Iterator[InternalRow] {
+          private var done = false
+          override def hasNext: Boolean =
+            if (done) false
+            else if (reader.next()) true
+            else { reader.close(); done = true; false }
+          override def next(): InternalRow = reader.get()
+        }
+      }
+    org.apache.spark.sql.graftbridge.bridge
+      .ofInternalRows(spark, rdd, schema)
+  }
+
+  /** Rows of specific DATA entries with their deletion vectors
+    * applied (mixed fast raw path for clean entries + per-file live
+    * path for DV'd ones) — what every rewrite reads, so a rewrite
+    * never resurrects DV-deleted rows.
+    */
+  private[sources] def readDataEntries(spark: SparkSession, path: String,
+      schema: StructType, entries: Seq[String]): DataFrame = {
+    val (dvd, clean) = entries.partition(e => entryDv(e).isDefined)
+    val raw = readDataFiles(spark, path, schema, clean.map(entryFile))
+    if (dvd.isEmpty) raw
+    else raw.unionByName(readEntriesLive(spark, path, schema, dvd))
+  }
+
   private def readEntries(spark: SparkSession, path: String,
       schema: StructType, entries: Seq[String]): DataFrame = {
-    val base = readDataFiles(spark, path, schema,
-      entries.filterNot(isDeleteEntry).map(entryFile))
+    val base = readDataEntries(spark, path, schema,
+      entries.filterNot(isDeleteEntry))
     val dels = entries.filter(isDeleteEntry)
       .map { e => val p = e.split("\t"); (p(1), p(2)) }
     dels.groupBy(_._1).toSeq.sortBy(_._1)
@@ -664,8 +712,20 @@ object ManifestV2Sink {
     *
     * Returns (filesDropped, filesRewritten, filesKept).
     */
+  /** Positions-per-DV knob: above this, a deletion vector stops being
+    * the cheap tier and the file rewrites instead.
+    */
+  private[sources] val DvMaxPositions = 10000
+
+  /** Matched-fraction knob: a DV is only taken when the matching rows
+    * are ≤ this fraction of the file (point-ish deletes); bulk deletes
+    * rewrite — the sidecar would otherwise grow toward the file.
+    */
+  private[sources] val DvMaxFraction = 0.10
+
   def deleteWhere(spark: SparkSession, path: String,
-      filters: Seq[org.apache.spark.sql.sources.Filter]): (Int, Int, Int) =
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : (Int, Int, Int, Int) =
     commitLock(path).synchronized {
       withHeadLock(path) {
         val (schema, entries) = readManifest(path).getOrElse(
@@ -677,18 +737,58 @@ object ManifestV2Sink {
             s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
         val (candidates, keep) =
           entries.partition(e => ManifestSkipping.keepEntry(e, filters))
-        val (dropWhole, rewrite) =
+        val (dropWhole, boundary) =
           candidates.partition(e => ManifestSkipping.allMatch(e, filters))
+        // DELETION-VECTOR tier for boundary files: probe the exact
+        // matching positions (one bounded task per file); a point-ish
+        // match set becomes a KB-sized sidecar instead of a rewrite.
+        // The probe runs in FULL-file coordinates (no DV applied), so
+        // a second delete over an already-DV'd file UNIONS positions.
+        var dvd = Vector.empty[String] // replaced entries (new blob)
+        var probedDrop = Vector.empty[String] // probe proved all-match
+        var probedKeep = Vector.empty[String] // probe proved no-match
+        var rewrite = Vector.empty[String]
+        boundary.foreach { e =>
+          val fileRows = entryRowsBytes(e).map(_._1)
+          val cap = fileRows
+            .map(r => math.min((r * DvMaxFraction).toLong,
+              DvMaxPositions.toLong).toInt)
+            .getOrElse(DvMaxPositions)
+          dvProbe(spark, path, schema, entryFile(e), filters,
+            math.max(cap, 1)) match {
+            case Some(pos) if pos.isEmpty && entryDv(e).isEmpty =>
+              probedKeep :+= e // stats couldn't prove it; the data did
+            case Some(pos) =>
+              val existing = entryDv(e).map { case (rel, _) =>
+                readDv(path, rel) }.getOrElse(Array.empty[Long])
+              val union = (existing.toSet ++ pos).toArray.sorted
+              if (fileRows.exists(_ <= union.length)) probedDrop :+= e
+              else if (union.length > math.max(cap, 1)) rewrite :+= e
+              else if (union.sameElements(existing)) probedKeep :+= e
+              else {
+                val rel = s"${entryFile(e)}.dv-" +
+                  java.util.UUID.randomUUID().toString.take(8)
+                Files.write(Paths.get(path, rel),
+                  (union.mkString("\n") + "\n")
+                    .getBytes(StandardCharsets.UTF_8))
+                dvd :+= withDvBlob(e, rel, union.length)
+              }
+            case None => rewrite :+= e
+          }
+        }
+        val carried = keep ++ probedKeep
         if (rewrite.isEmpty) {
-          if (dropWhole.nonEmpty)
-            publish(path, schema, keep, "delete-pred")
+          if (dropWhole.nonEmpty || probedDrop.nonEmpty || dvd.nonEmpty)
+            publish(path, schema, carried ++ dvd, "delete-pred")
         } else {
           val scratch = Paths.get(path, s"_rewrite-delete-" +
             java.util.UUID.randomUUID().toString.take(8))
           try {
             val layout = layoutOptions(path)
+            // DV-aware read: a rewrite must never resurrect rows an
+            // earlier deletion vector already removed
             val survivors =
-              readDataFiles(spark, path, schema, rewrite.map(entryFile))
+              readDataEntries(spark, path, schema, rewrite)
                 .where(!predicate || predicate.isNull)
             // partitioned tables: co-locate partition values per task
             // so the fan-out writer emits one file per partition, not
@@ -701,10 +801,11 @@ object ManifestV2Sink {
               .write.format("graft-manifest").options(layout)
               .mode("append").save(scratch.toString)
             val adopted = adoptScratchFiles(path, scratch.toString)
-            publish(path, schema, keep ++ adopted, "delete-pred")
+            publish(path, schema, carried ++ dvd ++ adopted, "delete-pred")
           } finally deleteRecursively(scratch)
         }
-        (dropWhole.length, rewrite.length, keep.length)
+        (dropWhole.length + probedDrop.length, dvd.length,
+          rewrite.length, carried.length)
       }
     }
 
@@ -1017,6 +1118,96 @@ object ManifestV2Sink {
     }
   }
 
+  // -------------------------------------------- deletion vectors (MOR)
+  /** The DELETION-VECTOR blob of a data entry (`V|relpath:count`, an
+    * optional tab field): a sidecar file of newline-separated ROW
+    * INDEXES (positions in the data file's sequential decode order,
+    * ascending) whose rows are deleted — merge-on-read for point-ish
+    * predicate deletes, so removing 0.01% of a wide file's rows
+    * writes a KB-sized sidecar instead of rewriting gigabytes
+    * (Delta/Iceberg deletion vectors in miniature). Applied by every
+    * read surface; merged away by any rewrite of the file
+    * (compaction, COW update). Positions are in the file's FULL
+    * decode order, so readers with a DV disable row-group skipping
+    * for that file (stable coordinates beat a partial IO win).
+    */
+  private[sources] def entryDv(entry: String): Option[(String, Long)] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("V|")).flatMap { blob =>
+      val i = blob.lastIndexOf(':')
+      if (i <= 2) None
+      else scala.util.Try(
+        (blob.substring(2, i), blob.substring(i + 1).toLong)).toOption
+    }
+  }
+
+  /** `entry` with its DV blob replaced (or appended). */
+  private[sources] def withDvBlob(entry: String, rel: String,
+      count: Long): String = {
+    val kept = entry.split("\t").filterNot(_.startsWith("V|"))
+    (kept :+ s"V|$rel:$count").mkString("\t")
+  }
+
+  /** Read a DV sidecar into a sorted position array. */
+  private[sources] def readDv(path: String, rel: String): Array[Long] = {
+    val f = Paths.get(path, rel)
+    Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .toArray.sorted
+  }
+
+  /** MATCHING ROW POSITIONS of `filters` in one committed file — the
+    * DV probe. One executor task streams the file through the SAME
+    * per-file reader the scan uses (no row-group skipping, no DV
+    * applied → positions in full-file coordinates) and evaluates the
+    * predicate row-locally ([[ManifestSkipping.evalFilters]]).
+    * Returns None when more than `cap` rows match (the caller falls
+    * back to a rewrite — a DV bigger than that stops being the cheap
+    * tier). Distributed (never a driver-side file scan), bounded
+    * collect (≤ cap positions).
+    */
+  private[sources] def dvProbe(spark: SparkSession, path: String,
+      schema: StructType, relFile: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      cap: Int): Option[Array[Long]] = {
+    val absPath = Paths.get(path, relFile).toString
+    val schemaJson = schema.json
+    val filterArr = filters.toArray
+    val res = spark.sparkContext.parallelize(Seq(absPath), 1)
+      .map { ap =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val part = ManifestFilePartition(ap, schemaJson, schemaJson,
+          Array.empty, Array.empty)
+        val reader: org.apache.spark.sql.connector.read
+            .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
+          if (ap.endsWith(".parquet")) new ManifestParquetReader(part)
+          else new ManifestJsonlReader(part)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var pos = 0L
+        var overflow = false
+        try {
+          while (!overflow && reader.next()) {
+            if (ManifestSkipping.evalFilters(sch, filterArr.toSeq,
+                reader.get())) {
+              buf += pos
+              if (buf.length > cap) overflow = true
+            }
+            pos += 1
+          }
+        } finally reader.close()
+        if (overflow) null else buf.toArray
+      }.collect()
+    Option(res.head)
+  }
+
+  /** Committed data entries carrying a deletion vector — the
+    * merge-on-read evidence surface (0 again after a rewrite/OPTIMIZE
+    * merges them away).
+    */
+  def dvFileCount(path: String): Int =
+    readManifest(path).map(_._2.count(e => entryDv(e).isDefined))
+      .getOrElse(0)
+
   /** POINT-LOOKUP data skipping: data entries whose per-file Bloom
     * filter (written under `.option("bloomColumns", "k1,k2")`) may
     * contain `value` — the equality-predicate complement of min/max
@@ -1260,8 +1451,8 @@ object ManifestV2Sink {
         val scratch = Paths.get(path, s"_rewrite-upsert-" +
           java.util.UUID.randomUUID().toString.take(8))
         try {
-          val touchedRows =
-            readDataFiles(spark, path, schema, touched.map(entryFile))
+          val touchedRows = // DV-aware: never resurrect deleted rows
+            readDataEntries(spark, path, schema, touched)
           val merged = touchedRows
             .join(updates.select(key).distinct(), Seq(key), "left_anti")
             .unionByName(updates.select(schema.fieldNames.map(
@@ -1674,7 +1865,9 @@ object ManifestV2Sink {
         parseManifest(versionFile(path, v)).map(_._2).getOrElse(Seq.empty)) ++
       branches(path).flatMap(b =>
         parseManifest(branchFile(path, b)).map(_._2).getOrElse(Seq.empty)))
-      .map(entryFile) // stats/tombstone markup is not part of identity
+      // stats/tombstone markup is not part of identity, but a
+      // deletion-vector sidecar IS a referenced file
+      .flatMap(e => entryFile(e) +: entryDv(e).map(_._1).toList)
       .toSet
     val dataDir = Paths.get(path, "data")
     if (!Files.exists(dataDir)) Seq.empty
@@ -2301,7 +2494,13 @@ private[sources] class ManifestScan(val path: String,
       .filter(ManifestSkipping.keepEntry(_, flt))
     val rb = entries.map(ManifestV2Sink.entryRowsBytes)
     val rowsKnown = rb.forall(_.isDefined)
-    val totalRows = rb.flatten.map(_._1).sum
+    // deletion vectors subtract from the live row count
+    val totalRows = entries.zip(rb).map {
+      case (e, Some((r, _))) =>
+        math.max(0L,
+          r - ManifestV2Sink.entryDv(e).map(_._2).getOrElse(0L))
+      case _ => 0L
+    }.sum
     val totalBytes = entries.zip(rb).map {
       case (_, Some((_, b))) => b
       case (e, None) => scala.util.Try(Files.size(

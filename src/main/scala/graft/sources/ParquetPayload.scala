@@ -594,6 +594,104 @@ private[sources] object ManifestSkipping {
     }
   }
 
+  /** ROW-LEVEL evaluation of the supported filter shapes against an
+    * [[InternalRow]] in `schema` order — the deletion-vector probe's
+    * predicate engine: positions are computed by streaming a file
+    * through the SAME per-file reader the scan uses and evaluating
+    * the DELETE predicate here, so DV row indexes and read-time row
+    * indexes can never disagree. SQL three-valued logic: a comparison
+    * against a NULL row value is false (never deletes), IsNull/
+    * EqualNullSafe handle nulls explicitly. Throws on unsupported
+    * shapes — callers gate on [[filtersToColumn]] first.
+    */
+  def evalFilters(schema: org.apache.spark.sql.types.StructType,
+      filters: Seq[sources.Filter],
+      row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    filters.forall(evalOne(schema, _, row))
+
+  private def fieldValue(schema: org.apache.spark.sql.types.StructType,
+      c: String, row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val i = schema.fieldIndex(c)
+    if (row.isNullAt(i)) null
+    else schema(i).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.TimestampType => row.getLong(i)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => row.getInt(i)
+      case org.apache.spark.sql.types.DoubleType => row.getDouble(i)
+      case org.apache.spark.sql.types.BooleanType => row.getBoolean(i)
+      case org.apache.spark.sql.types.StringType =>
+        row.getUTF8String(i).toString
+      case d: org.apache.spark.sql.types.DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toBigDecimal
+      case other => throw new IllegalStateException(
+        s"unreachable (validated at plan time): $other")
+    }
+  }
+
+  /** Normalize a row value and a filter constant into one comparable
+    * domain: numerics/dates/timestamps/decimals via [[ParquetPayload
+    * .statsValue]]-style exact BigDecimal, strings as strings,
+    * booleans as booleans. None = incomparable (never matches).
+    */
+  private def cmpPair(rv: Any, fv: Any): Option[Int] = (rv, fv) match {
+    case (null, _) | (_, null) => None
+    case (a: String, b: String) => Some(a.compareTo(b))
+    case (a: Boolean, b: java.lang.Boolean) =>
+      Some(java.lang.Boolean.compare(a, b))
+    case _ =>
+      val ra = rv match {
+        case n: Long => Some(BigDecimal(n))
+        case n: Int => Some(BigDecimal(n))
+        case n: Double => Some(BigDecimal(n))
+        case b: scala.math.BigDecimal => Some(b)
+        case _ => None
+      }
+      for (a <- ra; b <- ParquetPayload.statsValue(fv)) yield a.compare(b)
+  }
+
+  private def evalOne(schema: org.apache.spark.sql.types.StructType,
+      f: sources.Filter,
+      row: org.apache.spark.sql.catalyst.InternalRow): Boolean = f match {
+    case sources.And(a, b) =>
+      evalOne(schema, a, row) && evalOne(schema, b, row)
+    case sources.Or(a, b) =>
+      evalOne(schema, a, row) || evalOne(schema, b, row)
+    case sources.Not(c) => !evalOne(schema, c, row)
+    case sources.IsNull(c) => fieldValue(schema, c, row) == null
+    case sources.IsNotNull(c) => fieldValue(schema, c, row) != null
+    case sources.EqualTo(c, v) =>
+      cmpPair(fieldValue(schema, c, row), v).contains(0)
+    case sources.EqualNullSafe(c, v) =>
+      val rv = fieldValue(schema, c, row)
+      if (rv == null || v == null) rv == null && v == null
+      else cmpPair(rv, v).contains(0)
+    case sources.GreaterThan(c, v) =>
+      cmpPair(fieldValue(schema, c, row), v).exists(_ > 0)
+    case sources.GreaterThanOrEqual(c, v) =>
+      cmpPair(fieldValue(schema, c, row), v).exists(_ >= 0)
+    case sources.LessThan(c, v) =>
+      cmpPair(fieldValue(schema, c, row), v).exists(_ < 0)
+    case sources.LessThanOrEqual(c, v) =>
+      cmpPair(fieldValue(schema, c, row), v).exists(_ <= 0)
+    case sources.In(c, vs) =>
+      val rv = fieldValue(schema, c, row)
+      vs.exists(v => v != null && cmpPair(rv, v).contains(0))
+    case sources.StringStartsWith(c, s) =>
+      fieldValue(schema, c, row) match {
+        case x: String => x.startsWith(s); case _ => false }
+    case sources.StringEndsWith(c, s) =>
+      fieldValue(schema, c, row) match {
+        case x: String => x.endsWith(s); case _ => false }
+    case sources.StringContains(c, s) =>
+      fieldValue(schema, c, row) match {
+        case x: String => x.contains(s); case _ => false }
+    case _: sources.AlwaysTrue => true
+    case _: sources.AlwaysFalse => false
+    case other => throw new UnsupportedOperationException(
+      s"DV probe: unsupported filter $other (gate on filtersToColumn)")
+  }
+
   private def eqMight(e: String, c: String, v: Any): Boolean =
     ParquetPayload.statsValue(v) match {
       case Some(x) =>

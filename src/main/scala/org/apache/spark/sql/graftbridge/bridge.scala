@@ -24,6 +24,19 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** `internalCreateDataFrame` re-export (also `private[sql]`): turn
+    * an RDD of InternalRows from graft's per-file readers into a
+    * DataFrame — the deletion-vector-aware rewrite reads need row
+    * positions only the per-file readers define.
+    */
+  def ofInternalRows(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Catalyst predicate → data-source Filter, re-exported for the
     * stats-narrowed UPDATE's file planning (`protected[sql]` on
     * DataSourceStrategy in Spark 4).

@@ -35,10 +35,10 @@ class ManifestPredicateDeleteSpec extends SparkSuite {
       val before = ManifestV2Sink.committedDataFiles(dir).toSet
       // k < 150: file [0,100) drops whole (max 99 < 150, zero nulls
       // recorded), file [100,200) rewrites (boundary), [200,300) keeps
-      val (dropped, rewritten, kept) = ManifestV2Sink.deleteWhere(
+      val (dropped, dvd, rewritten, kept) = ManifestV2Sink.deleteWhere(
         spark, dir, Seq(org.apache.spark.sql.sources.LessThan("k", 150L)))
-      assert((dropped, rewritten, kept) == ((1, 1, 1)),
-        s"tiers: dropped=$dropped rewritten=$rewritten kept=$kept")
+      assert((dropped, dvd, rewritten, kept) == ((1, 0, 1, 1)),
+        s"tiers: dropped=$dropped dv=$dvd rewritten=$rewritten kept=$kept")
       val after = ManifestV2Sink.committedDataFiles(dir).toSet
       assert((before & after).size == 1, "exactly the disjoint file kept")
       assert((after -- before).size == 1, "exactly one rewritten file")
@@ -65,7 +65,7 @@ class ManifestPredicateDeleteSpec extends SparkSuite {
       // every non-null k < 100, but the null row must SURVIVE a
       // `k < 100` delete (null never matches) — so the file cannot
       // drop whole; it rewrites down to exactly the null row
-      val (dropped, rewritten, _) = ManifestV2Sink.deleteWhere(
+      val (dropped, _, rewritten, _) = ManifestV2Sink.deleteWhere(
         spark, dir, Seq(org.apache.spark.sql.sources.LessThan("k", 100L)))
       assert(dropped == 0 && rewritten == 1,
         s"null row must force a rewrite: dropped=$dropped")
@@ -158,13 +158,14 @@ class ManifestPredicateDeleteSpec extends SparkSuite {
           s"$tag: entry lost its Bloom blob: $e")
       }
       allCarryLayout("pre")
-      // boundary rewrite: both partition files hold k<10 rows
-      val (_, rewritten, _) = ManifestV2Sink.deleteWhere(spark, dir,
-        Seq(org.apache.spark.sql.sources.LessThan("k", 10L)))
+      // boundary rewrite: a BULK delete (30% of each partition file —
+      // above the DV fraction, so the rewrite tier fires)
+      val (_, _, rewritten, _) = ManifestV2Sink.deleteWhere(spark, dir,
+        Seq(org.apache.spark.sql.sources.LessThan("k", 30L)))
       assert(rewritten > 0, "fixture degenerate: nothing rewritten")
       allCarryLayout("post-delete")
       assert(spark.sql(s"SELECT count(*) FROM graft.$t").as[Long].head()
-        == 90L)
+        == 70L)
       // narrowed UPDATE path (GraftUpdateCommand scratch write)
       spark.sql(s"UPDATE graft.$t SET v = concat(v, '!') WHERE k >= 50")
       allCarryLayout("post-update")
@@ -179,7 +180,7 @@ class ManifestPredicateDeleteSpec extends SparkSuite {
       assert(planned == oneSide,
         s"partition pruning degraded: planned $planned of " +
           s"${dataEntries().size}, partition-1 files $oneSide")
-      assert(q.count() == 45)
+      assert(q.count() == 35)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 }
