@@ -593,6 +593,74 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** STORAGE-PARTITIONED JOIN between two manifest tables under the
+    * oracle gate: both tables are `PARTITIONED BY (yr)` catalog
+    * tables, so their scans report a KeyGroupedPartitioning built
+    * from the per-file P| blobs ([[graft.sources.ManifestScan
+    * .outputPartitioning]]); the equi-join on `yr` and the post-join
+    * `(yr, status)` aggregate then run with ZERO shuffle exchanges —
+    * at 100 TB the plan's only data movement is the scan itself (the
+    * DSv2 bucketed-table join). Gated both ways: the pair aggregates
+    * are the oracle's join twins, and `n_exchanges` (counted off the
+    * EXECUTED plan) is pinned to the oracle's literal 0 — if the
+    * layout claim ever breaks, the shuffle shows up in-band. The
+    * merge hint only keeps the test-scale side off the broadcast
+    * path.
+    */
+  def sinkManifestSpj(spark: SparkSession, dir: String): DataFrame = {
+    val ta = s"spja_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tb = s"spjb_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$ta (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT, yr INT) PARTITIONED BY (yr)")
+      spark.sql(s"CREATE TABLE graft.$tb (o_orderkey BIGINT, yr INT) " +
+        "PARTITIONED BY (yr)")
+      val src = table(spark, dir, "orders")
+      src.where(col("o_orderkey") % 13 === 3)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          year(col("o_orderdate")).as("yr"))
+        .write.insertInto(s"graft.$ta")
+      src.where(col("o_orderkey") % 13 === 7)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+        .write.insertInto(s"graft.$tb")
+      val a = spark.table(s"graft.$ta").select(col("yr"),
+        col("o_orderkey").as("a_key"), col("o_orderstatus"),
+        col("cents"))
+      val b = spark.table(s"graft.$tb").select(col("yr"),
+        col("o_orderkey").as("b_key"))
+      val agg = a.hint("merge").join(b, Seq("yr"))
+        .groupBy(col("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cents")).as("sum_cents"),
+          max(col("a_key") + col("b_key")).as("max_keysum"))
+      val materialized = agg.localCheckpoint(true) // executes the join
+      val nExchanges = "(?<![A-Za-z])Exchange(?![A-Za-z])".r
+        .findAllIn(agg.queryExecution.executedPlan.toString()).length
+      materialized.select(col("*"),
+        lit(nExchanges.toLong).as("n_exchanges"))
+        .localCheckpoint(true) // eager: the finally drops the tables
+    } finally Seq(ta, tb).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t"))
+  }
+
+  val sinkManifestSpjSql: String =
+    """WITH a AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    o_orderkey AS a_key, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 3),
+      |b AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |    o_orderkey AS b_key
+      |  FROM orders WHERE o_orderkey % 13 = 7)
+      |SELECT a.yr, o_orderstatus, COUNT(*) AS n_pairs,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  MAX(a_key + b_key) AS max_keysum,
+      |  CAST(0 AS BIGINT) AS n_exchanges
+      |FROM a JOIN b ON a.yr = b.yr
+      |GROUP BY a.yr, o_orderstatus""".stripMargin
+
   /** DELETION VECTORS under the oracle gate — the merge-on-read tier
     * predicate DELETE takes for point-ish matches: deleting ONE row
     * (the table's minimum order key, spelled as a half-open range so
@@ -2391,6 +2459,7 @@ object ScalarBreadthQueries {
     "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
     "sink_manifest_dv" -> (sinkManifestDv _),
+    "sink_manifest_spj" -> (sinkManifestSpj _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2436,6 +2505,7 @@ object ScalarBreadthQueries {
     "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
+    "sink_manifest_spj" -> sinkManifestSpjSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -10,7 +10,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -201,13 +201,19 @@ private[sources] object ManifestScanPlanner {
       planned.forall(e =>
         ManifestV2Sink.entryFile(e).endsWith(".parquet") &&
           ManifestV2Sink.entryDv(e).isEmpty)
+    val partCols = ManifestV2Sink.tablePartitionColumns(path)
     planned.map { entry =>
+      val pv = ManifestV2Sink.entryPartition(entry)
+      val keyed = partCols.nonEmpty && partCols.forall(pv.contains)
       ManifestFilePartition(
         Paths.get(path, ManifestV2Sink.entryFile(entry)).toString,
         schema.json, required.json, dels, filters.toArray,
         columnarOk,
         ManifestV2Sink.entryDv(entry).map { case (rel, _) =>
-          Paths.get(path, rel).toString }): InputPartition
+          Paths.get(path, rel).toString },
+        if (keyed) partCols.toArray else Array.empty,
+        if (keyed) partCols.map(pv).toArray else Array.empty)
+        : InputPartition
     }.toArray
   }
 
@@ -365,8 +371,34 @@ private[sources] case class ManifestFilePartition(absPath: String,
     // absolute path of the file's deletion-vector sidecar, if any:
     // the reader skips these row positions (and disables row-group
     // skipping so positions stay in full-file coordinates)
-    dvPath: Option[String] = None)
-    extends InputPartition
+    dvPath: Option[String] = None,
+    // the file's recorded partition key (DDL partition columns, in
+    // sidecar order; rendered values) — what HasPartitionKey exposes
+    // so Spark's key-grouped machinery can storage-partition joins
+    partKeyCols: Array[String] = Array.empty,
+    partKeyVals: Array[String] = Array.empty)
+    extends InputPartition with HasPartitionKey {
+
+  /** Typed key row for Spark's partition grouping (driver-side;
+    * called only when the scan reports a KeyGroupedPartitioning,
+    * which itself requires every planned entry be keyed).
+    */
+  override def partitionKey(): InternalRow = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    InternalRow.fromSeq(partKeyCols.zip(partKeyVals).toSeq.map {
+      case (_, "%00") => null
+      case (c, v) => schema(c).dataType match {
+        case LongType => v.toLong
+        case IntegerType | DateType => v.toInt
+        case BooleanType => v.toBoolean
+        case StringType =>
+          UTF8String.fromString(ManifestV2Sink.unescapePart(v))
+        case other => throw new IllegalStateException(
+          s"partition key of unsupported type $other") // writer rejects
+      }
+    })
+  }
+}
 
 /** One PARQUET data file → InternalRows through [[ParquetPayload]]'s
   * projection-aware reader: only the required (pruned) columns plus

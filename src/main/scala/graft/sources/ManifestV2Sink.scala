@@ -402,6 +402,29 @@ object ManifestV2Sink {
     sb.result()
   }
 
+  /** Inverse of [[escapePart]] — the actual string value of a
+    * recorded partition blob (callers handle `%00` null sentinels
+    * before calling).
+    */
+  private[sources] def unescapePart(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length + 1 && i + 3 <= s.length) {
+        s.substring(i + 1, i + 3) match {
+          case "25" => sb += '%'; i += 3
+          case "3A" => sb += ':'; i += 3
+          case "7C" => sb += '|'; i += 3
+          case "09" => sb += '\t'; i += 3
+          case "0A" => sb += '\n'; i += 3
+          case "0D" => sb += '\r'; i += 3
+          case _ => sb += s.charAt(i); i += 1
+        }
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.result()
+  }
+
   /** The recorded partition values of a data entry (`P|col:value|...`,
     * an optional tab field) — empty for files written without a
     * partition spec: those are unprunable by partition, never skipped.
@@ -2448,7 +2471,44 @@ private[sources] class ManifestScan(val path: String,
     val branch: Option[String], val asOfVersion: Option[Int])
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOIN surface: when the table is
+    * DDL-partitioned, every planned file carries its partition values
+    * (the fan-out writer's P| blobs), and the partition columns
+    * survive column pruning, the scan reports a
+    * KeyGroupedPartitioning over them — each file partition exposes
+    * its key ([[ManifestFilePartition.partitionKey]]), Spark's
+    * key-grouped machinery groups same-key files, and an equi-join on
+    * the partition keys between two such tables drops BOTH exchanges
+    * (the DSv2 bucketed-table shape; at 100 TB the join's only data
+    * movement is the scan). Legacy/unkeyed entries, pruned-away
+    * partition columns, or an unpartitioned table fall back to
+    * UnknownPartitioning — never a wrong layout claim.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val partCols = ManifestV2Sink.tablePartitionColumns(path)
+    def unknown =
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    if (partCols.isEmpty || !partCols.forall(req.fieldNames.contains))
+      return unknown
+    val entries = ManifestV2Sink.entriesFor(path, branch, asOfVersion)
+      .filterNot(ManifestV2Sink.isDeleteEntry)
+      .filter(ManifestSkipping.keepEntry(_, flt))
+    if (entries.isEmpty) return unknown
+    val keys = entries.map(e => ManifestV2Sink.entryPartition(e))
+    if (!keys.forall(pv => partCols.forall(pv.contains))) return unknown
+    val distinct = keys.map(pv => partCols.map(pv)).distinct.size
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        partCols.map(c => org.apache.spark.sql.connector.expressions
+          .Expressions.identity(c)
+          : org.apache.spark.sql.connector.expressions.Transform).toArray,
+        distinct)
+  }
 
   override def equals(other: Any): Boolean = other match {
     case o: ManifestScan => o.path == path && o.req == req &&
