@@ -593,6 +593,67 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** ALTER TABLE RENAME/DROP COLUMN under the oracle gate: half the
+    * order slice lands BEFORE `RENAME COLUMN cents TO pennies`, half
+    * after (the new files carry the new name natively), and a
+    * `DROP COLUMN flag` retires a column — all metadata-only commits
+    * (`files_changed` = 0 pinned in-band; data files keep their
+    * write-time names forever and resolve through the column-identity
+    * ledger [[graft.sources.ManifestV2Sink.columnAliases]]). The
+    * post-ALTER aggregate under the NEW name must equal the oracle's
+    * whole-slice twin — losing either era's files (the classic
+    * rename-by-name bug: new-name reads null out pre-rename files)
+    * diverges count and sums immediately.
+    */
+  def sinkManifestRenameDrop(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"ren_${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT, flag BIGINT)")
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 13 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          (col("o_orderkey") % 2).as("flag"))
+      src.where(col("flag") === 0).write.insertInto(s"graft.$t")
+      val filesBefore =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      spark.sql(s"ALTER TABLE graft.$t RENAME COLUMN cents TO pennies")
+      spark.sql(s"ALTER TABLE graft.$t DROP COLUMN flag")
+      val filesAfter =
+        graft.sources.ManifestV2Sink.committedDataFiles(out).toSet
+      // the post-ALTER half lands under the new 3-column schema
+      src.where(col("flag") === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("cents").as("pennies"))
+        .write.insertInto(s"graft.$t")
+      val changed = ((filesAfter -- filesBefore) ++
+        (filesBefore -- filesAfter)).size.toLong
+      val nCols = spark.table(s"graft.$t").columns.length.toLong
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(pennies) AS BIGINT) AS sum_pennies,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit(changed).as("files_changed"),
+          lit(nCols).as("n_cols"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestRenameDropSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_pennies,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(0 AS BIGINT) AS files_changed,
+      |  CAST(3 AS BIGINT) AS n_cols
+      |FROM orders WHERE o_orderkey % 13 = 1
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** STORAGE-PARTITIONED JOIN between two manifest tables under the
     * oracle gate: both tables are `PARTITIONED BY (yr)` catalog
     * tables, so their scans report a KeyGroupedPartitioning built
@@ -2460,6 +2521,7 @@ object ScalarBreadthQueries {
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
+    "sink_manifest_rename_drop" -> (sinkManifestRenameDrop _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2506,6 +2568,7 @@ object ScalarBreadthQueries {
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,
+    "sink_manifest_rename_drop" -> sinkManifestRenameDropSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -214,6 +214,16 @@ class ManifestCatalog extends TableCatalog {
         val (cur, entries) = ManifestV2Sink.readManifest(dir)
           .getOrElse(throw new NoSuchTableException(
             (ident.namespace() :+ ident.name()).toSeq))
+        // ALTER TABLE semantics ride the COLUMN-IDENTITY ledger
+        // ([[ManifestV2Sink.loadColIds]]): data files keep write-time
+        // names forever, so RENAME appends a name to the column's id
+        // history (readers resolve old files through the past names)
+        // and DROP tombstones the id. Names that EVER belonged to a
+        // column (renamed-away or dropped) are retired — re-binding
+        // them would silently resurrect old files' data under a new
+        // column, so ADD/RENAME onto a retired name is refused loudly
+        // (Iceberg avoids this with in-file field ids; the miniature
+        // refuses instead of mapping).
         val next = changes.foldLeft(cur) { (s, ch) =>
           ch match {
             case add: TableChange.AddColumn =>
@@ -221,13 +231,68 @@ class ManifestCatalog extends TableCatalog {
                 "graft catalog supports top-level ADD COLUMN only")
               val n = add.fieldNames()(0)
               require(!s.fieldNames.contains(n), s"column $n exists")
+              require(!ManifestV2Sink.retiredColumnNames(dir).contains(n),
+                s"column name $n was renamed away or dropped — old " +
+                  "files still carry it; re-binding it would resurrect " +
+                  "their data (pick a fresh name)")
               requirePrimitive(n, add.dataType())
+              val ids = ManifestV2Sink.loadColIds(dir)
+              val nextId = ids.map(_._1).maxOption.getOrElse(-1) + 1
+              ManifestV2Sink.saveColIds(dir,
+                ids :+ ((nextId, true, Seq(n))))
               StructType(s.fields :+
                 StructField(n, add.dataType(), nullable = true))
+            case rn: TableChange.RenameColumn =>
+              require(rn.fieldNames().length == 1,
+                "graft catalog supports top-level RENAME COLUMN only")
+              val from = rn.fieldNames()(0)
+              val to = rn.newName()
+              require(s.fieldNames.contains(from), s"no column $from")
+              require(!s.fieldNames.contains(to), s"column $to exists")
+              require(
+                !ManifestV2Sink.retiredColumnNames(dir).contains(to),
+                s"column name $to was renamed away or dropped — old " +
+                  "files still carry it; re-binding it would resurrect " +
+                  "their data (pick a fresh name)")
+              // ledger first (crash-safe direction: an alias for a
+              // rename that never committed is an unused fallback)
+              val ids = ManifestV2Sink.loadColIds(dir)
+              ManifestV2Sink.saveColIds(dir, ids.map {
+                case (id, true, names) if names.last == from =>
+                  (id, true, names :+ to)
+                case other => other
+              })
+              // a renamed partition column renames its DDL sidecar too
+              val parts = ManifestV2Sink.tablePartitionColumns(dir)
+              if (parts.contains(from))
+                ManifestV2Sink.savePartitionColumns(dir,
+                  parts.map(c => if (c == from) to else c))
+              StructType(s.fields.map(f =>
+                if (f.name == from) f.copy(name = to) else f))
+            case del: TableChange.DeleteColumn =>
+              require(del.fieldNames().length == 1,
+                "graft catalog supports top-level DROP COLUMN only")
+              val n = del.fieldNames()(0)
+              require(s.fieldNames.contains(n), s"no column $n")
+              require(s.fields.length > 1,
+                "cannot drop the table's last column")
+              require(
+                !ManifestV2Sink.tablePartitionColumns(dir).contains(n),
+                s"cannot drop partition column $n")
+              require(!entries.exists(ManifestV2Sink.isDeleteEntry),
+                "DROP COLUMN over merge-on-read tombstones " +
+                  "unsupported — compact first")
+              val ids = ManifestV2Sink.loadColIds(dir)
+              ManifestV2Sink.saveColIds(dir, ids.map {
+                case (id, true, names) if names.last == n =>
+                  (id, false, names)
+                case other => other
+              })
+              StructType(s.fields.filterNot(_.name == n))
             case other => throw new UnsupportedOperationException(
-              s"graft catalog supports ADD COLUMN only, got $other " +
-                "(type changes would null out old files — rejected, " +
-                "the mergeSchemas rule)")
+              s"graft catalog supports ADD/RENAME/DROP COLUMN, got " +
+                s"$other (type changes would null out old files — " +
+                "rejected, the mergeSchemas rule)")
           }
         }
         // metadata-only commit: same entries, widened schema

@@ -158,6 +158,9 @@ private[sources] object ManifestScanPlanner {
       entries: Seq[String], base: Set[String],
       pruneOnly: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : Array[InputPartition] = {
+    val aliasMap = ManifestV2Sink.columnAliases(path)
+    val aliasesEnc = aliasMap.toArray.sortBy(_._1).map { case (c, past) =>
+      s"$c=${past.mkString(",")}" }
     val dels: Array[DeleteSet] = entries
       .filter(ManifestV2Sink.isDeleteEntry)
       .map { entry =>
@@ -169,8 +172,14 @@ private[sources] object ManifestScanPlanner {
         // a tombstone keyed on a column the planned schema lacks must
         // FAIL: silently dropping the group would emit deleted rows
         // (e.g. a schema frozen at stream start + a later add-column
-        // evolution + a delete keyed on the new column)
-        val f = schema.fields.find(_.name == keyCol).getOrElse(
+        // evolution + a delete keyed on the new column). A RENAAMED
+        // key column resolves through the column-identity ledger.
+        val curName =
+          if (schema.fieldNames.contains(keyCol)) keyCol
+          else aliasMap.collectFirst {
+            case (cur, past) if past.contains(keyCol) => cur
+          }.getOrElse(keyCol)
+        val f = schema.fields.find(_.name == curName).getOrElse(
           throw new IllegalStateException(
             s"graft-manifest: delete entries keyed on '$keyCol' but the " +
               s"planned read schema has no such column — refusing to " +
@@ -187,7 +196,7 @@ private[sources] object ManifestScanPlanner {
                   .map(ManifestJsonlReader.renderKey(_, f.dataType))
               }
           }.distinct.toArray
-          DeleteSet(keyCol, keys)
+          DeleteSet(curName, keys)
         }
       }
     val planned = entries
@@ -212,8 +221,8 @@ private[sources] object ManifestScanPlanner {
         ManifestV2Sink.entryDv(entry).map { case (rel, _) =>
           Paths.get(path, rel).toString },
         if (keyed) partCols.toArray else Array.empty,
-        if (keyed) partCols.map(pv).toArray else Array.empty)
-        : InputPartition
+        if (keyed) partCols.map(pv).toArray else Array.empty,
+        aliasesEnc): InputPartition
     }.toArray
   }
 
@@ -254,13 +263,36 @@ private[sources] class ManifestParquetColumnarReader(
     DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
   private val required =
     DataType.fromJson(p.requiredJson).asInstanceOf[StructType]
+  // renamed columns: translate the requested names to whatever THIS
+  // file calls them (one footer read, only on alias-carrying tables);
+  // ColumnarBatch columns are positional, so downstream binding is
+  // untouched
+  private val fileRequired: StructType = {
+    val aliasMap = p.aliasMap
+    if (!required.fieldNames.exists(aliasMap.contains)) required
+    else {
+      val inFile = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(
+            new java.io.File(p.absPath).toURI),
+          new org.apache.hadoop.conf.Configuration()))
+      val fileSchema =
+        try inFile.getFooter.getFileMetaData.getSchema
+        finally inFile.close()
+      StructType(required.fields.map { f =>
+        val name = (f.name +: aliasMap.getOrElse(f.name, Seq.empty))
+          .find(fileSchema.containsField).getOrElse(f.name)
+        f.copy(name = name)
+      })
+    }
+  }
   private val conf = {
     val c = new org.apache.hadoop.conf.Configuration()
     c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
       classOf[org.apache.spark.sql.execution.datasources.parquet
         .ParquetReadSupport].getName)
     c.set(org.apache.spark.sql.execution.datasources.parquet
-      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+      .ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, fileRequired.json)
     c.setBoolean("spark.sql.caseSensitive", false)
     c.setBoolean("spark.sql.parquet.binaryAsString", false)
     c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
@@ -268,9 +300,12 @@ private[sources] class ManifestParquetColumnarReader(
     c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
     c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
       .RECORD_FILTERING_ENABLED, false)
-    ParquetPayload.toParquetFilter(p.filters.toSeq, full).foreach(f =>
-      org.apache.parquet.hadoop.ParquetInputFormat
-        .setFilterPredicate(c, f))
+    // renamed-column filters drop out (missing-column row-group stats
+    // would skip pre-rename files) — same rule as the row reader
+    if (!p.filters.flatMap(_.references).exists(p.aliasMap.contains))
+      ParquetPayload.toParquetFilter(p.filters.toSeq, full).foreach(f =>
+        org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(c, f))
     c
   }
   private val reader = {
@@ -376,8 +411,19 @@ private[sources] case class ManifestFilePartition(absPath: String,
     // sidecar order; rendered values) — what HasPartitionKey exposes
     // so Spark's key-grouped machinery can storage-partition joins
     partKeyCols: Array[String] = Array.empty,
-    partKeyVals: Array[String] = Array.empty)
+    partKeyVals: Array[String] = Array.empty,
+    // column-identity aliases ("current=past1,past2" per renamed
+    // column): readers resolve file columns current-name-first, then
+    // past names — pre-rename files keep serving their data
+    aliases: Array[String] = Array.empty)
     extends InputPartition with HasPartitionKey {
+
+  /** Decoded alias map (current → past names, newest first). */
+  def aliasMap: Map[String, Seq[String]] =
+    aliases.iterator.map { a =>
+      val Array(cur, past) = a.split("=", 2)
+      cur -> past.split(",").toSeq
+    }.toMap
 
   /** Typed key row for Spark's partition grouping (driver-side;
     * called only when the scan reports a KeyGroupedPartitioning,
@@ -423,10 +469,16 @@ private[sources] class ManifestParquetReader(p: ManifestFilePartition)
         d.keys.toSet)
     }
   // a deletion vector pins row positions to FULL-file decode order:
-  // row-group skipping must stay off for DV'd files
+  // row-group skipping must stay off for DV'd files. Filters touching
+  // RENAMED columns also drop out: parquet's stats filter treats a
+  // missing column as all-null and would skip pre-rename files that
+  // DO hold matching rows under the old name (Spark re-applies every
+  // pushed filter as residual, so this costs IO only).
   private val reader = ParquetPayload.reader(p.absPath, readSchema,
-    if (p.dvPath.isDefined) None
-    else ParquetPayload.toParquetFilter(p.filters.toSeq, full))
+    if (p.dvPath.isDefined ||
+        p.filters.flatMap(_.references).exists(p.aliasMap.contains)) None
+    else ParquetPayload.toParquetFilter(p.filters.toSeq, full),
+    p.aliasMap)
   private val dv: java.util.HashSet[java.lang.Long] = {
     val set = new java.util.HashSet[java.lang.Long]()
     p.dvPath.foreach { f =>
@@ -515,19 +567,27 @@ private[sources] class ManifestJsonlReader(p: ManifestFilePartition)
   private var pos = -1L
   private var current: InternalRow = _
 
+  private val aliasMap = p.aliasMap
+  private def lookup(node: JsonNode, name: String): JsonNode = {
+    val direct = node.get(name)
+    if (direct != null) direct
+    else aliasMap.getOrElse(name, Seq.empty).iterator
+      .map(node.get).find(_ != null).orNull
+  }
+
   override def next(): Boolean = {
     while (lines.hasNext) {
       val node = mapper.readTree(lines.next())
       pos += 1
       val isDeleted = (!dv.isEmpty && dv.contains(pos)) ||
         deleted.exists { case (c, (dt, keys)) =>
-        Option(node.get(c)).filterNot(_.isNull)
+        Option(lookup(node, c)).filterNot(_.isNull)
           .exists(n => keys.contains(ManifestJsonlReader.renderKey(n, dt)))
       }
       if (!isDeleted) {
         val row = new GenericInternalRow(required.length)
         required.fields.zipWithIndex.foreach { case (f, i) =>
-          val n = node.get(f.name)
+          val n = lookup(node, f.name)
           if (n == null || n.isNull) row.setNullAt(i)
           else f.dataType match {
             case LongType => row.setLong(i, n.asLong())

@@ -402,6 +402,72 @@ object ManifestV2Sink {
     sb.result()
   }
 
+  // ------------------------------------------ column-identity ledger
+  /** The COLUMN-IDENTITY ledger (`_MANIFEST.colids` sidecar): one line
+    * per column id ever assigned — `id<TAB>live|dropped<TAB>
+    * name1,name2,...` with the name history chronological (last =
+    * current). This is Iceberg's field-id idea in name-mapping form:
+    * data files keep their WRITE-TIME column names forever (immutable
+    * files), so a rename must not re-resolve them by the new name —
+    * readers search the current name first, then the id's past names
+    * ([[columnAliases]]), and a DROP tombstones the id so its names
+    * can never be silently re-bound to old data (re-ADD of any past
+    * name is refused loudly). Absent sidecar (legacy tables) lazily
+    * initializes from the current schema. Ids are never reused.
+    */
+  private[sources] def colIdsFile(path: String): Path =
+    Paths.get(path, "_MANIFEST.colids")
+
+  private[sources] def loadColIds(
+      path: String): Seq[(Int, Boolean, Seq[String])] = {
+    val f = colIdsFile(path)
+    if (Files.exists(f))
+      Files.readAllLines(f, StandardCharsets.UTF_8).asScala.toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(id, status, names) = line.split("\t", 3)
+          (id.toInt, status == "live", names.split(",").toSeq)
+        }
+    else readManifest(path).map(_._1).map { schema =>
+      schema.fields.zipWithIndex.map { case (fd, i) =>
+        (i, true, Seq(fd.name))
+      }.toSeq
+    }.getOrElse(Seq.empty)
+  }
+
+  private[sources] def saveColIds(path: String,
+      ids: Seq[(Int, Boolean, Seq[String])]): Unit = {
+    val body = ids.map { case (id, live, names) =>
+      s"$id\t${if (live) "live" else "dropped"}\t${names.mkString(",")}"
+    }.mkString("\n") + "\n"
+    val tmp = Paths.get(path, "_MANIFEST.colids.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, colIdsFile(path), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** current name → past names (newest-first), for live renamed
+    * columns only; empty for never-renamed tables.
+    */
+  def columnAliases(path: String): Map[String, Seq[String]] =
+    loadColIds(path).collect {
+      case (_, true, names) if names.length > 1 =>
+        names.last -> names.init.reverse
+    }.toMap
+
+  /** Every name ever used by any column id (live or dropped) EXCEPT
+    * the live current names — the set ADD/RENAME must not collide
+    * with (binding a new column to a name old files still carry would
+    * silently resurrect their data under it).
+    */
+  private[sources] def retiredColumnNames(path: String): Set[String] = {
+    val ids = loadColIds(path)
+    val current = ids.collect { case (_, true, names) => names.last }
+    ids.flatMap { case (_, live, names) =>
+      if (live) names.init else names
+    }.toSet -- current
+  }
+
   /** Inverse of [[escapePart]] — the actual string value of a
     * recorded partition blob (callers handle `%00` null sentinels
     * before calling).
@@ -553,6 +619,8 @@ object ManifestV2Sink {
   private[sources] def readEntriesLive(spark: SparkSession, path: String,
       schema: StructType, entries: Seq[String]): DataFrame = {
     val schemaJson = schema.json
+    val aliasesEnc = columnAliases(path).toArray.sortBy(_._1)
+      .map { case (c, past) => s"$c=${past.mkString(",")}" }
     val parts: Seq[(String, Option[String])] = entries.map(e =>
       (Paths.get(path, entryFile(e)).toString,
         entryDv(e).map { case (rel, _) =>
@@ -561,7 +629,8 @@ object ManifestV2Sink {
       .parallelize(parts, math.max(parts.length, 1))
       .flatMap { case (ap, dv) =>
         val part = ManifestFilePartition(ap, schemaJson, schemaJson,
-          Array.empty, Array.empty, columnarOk = false, dvPath = dv)
+          Array.empty, Array.empty, columnarOk = false, dvPath = dv,
+          aliases = aliasesEnc)
         val reader: org.apache.spark.sql.connector.read.PartitionReader[
           InternalRow] =
           if (ap.endsWith(".parquet")) new ManifestParquetReader(part)
@@ -586,6 +655,10 @@ object ManifestV2Sink {
     */
   private[sources] def readDataEntries(spark: SparkSession, path: String,
       schema: StructType, entries: Seq[String]): DataFrame = {
+    // renamed tables read per-file (the raw spark.read path resolves
+    // columns by current name only — pre-rename files would null out)
+    if (columnAliases(path).nonEmpty)
+      return readEntriesLive(spark, path, schema, entries)
     val (dvd, clean) = entries.partition(e => entryDv(e).isDefined)
     val raw = readDataFiles(spark, path, schema, clean.map(entryFile))
     if (dvd.isEmpty) raw
@@ -598,12 +671,21 @@ object ManifestV2Sink {
       entries.filterNot(isDeleteEntry))
     val dels = entries.filter(isDeleteEntry)
       .map { e => val p = e.split("\t"); (p(1), p(2)) }
+    val aliasMap = columnAliases(path)
     dels.groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft(base) { case (df, (keyCol, files)) =>
-        val kt = StructType(Seq(schema(keyCol)))
+        // tombstone key files keep their WRITE-TIME column name; a
+        // since-renamed key column resolves through the ledger
+        val cur =
+          if (schema.fieldNames.contains(keyCol)) keyCol
+          else aliasMap.collectFirst {
+            case (c, past) if past.contains(keyCol) => c
+          }.getOrElse(keyCol)
+        val kt = StructType(Seq(schema(cur).copy(name = keyCol)))
         val keys = spark.read.schema(kt).json(
           files.map(f => Paths.get(path, f._2).toString): _*)
-        df.join(keys.distinct(), Seq(keyCol), "left_anti")
+          .toDF(cur)
+        df.join(keys.distinct(), Seq(cur), "left_anti")
       }
   }
 
@@ -980,6 +1062,20 @@ object ManifestV2Sink {
       .toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Rewrite the `PARTITIONED BY` sidecar (atomic) — RENAME COLUMN of
+    * a partition column keeps the DDL spec naming the live column.
+    */
+  private[sources] def savePartitionColumns(path: String,
+      cols: Seq[String]): Unit = {
+    val tmp = Paths.get(path, "_MANIFEST.partcols.tmp")
+    Files.write(tmp,
+      (cols.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, "_MANIFEST.partcols"),
+      StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   /** Layout options a rewrite's SCRATCH write must carry so rewritten
     * boundary files keep the table's partition/Bloom metadata: the
     * DDL partition columns (`_MANIFEST.partcols` sidecar) and the
@@ -1195,12 +1291,14 @@ object ManifestV2Sink {
       cap: Int): Option[Array[Long]] = {
     val absPath = Paths.get(path, relFile).toString
     val schemaJson = schema.json
+    val aliasesEnc = columnAliases(path).toArray.sortBy(_._1)
+      .map { case (c, past) => s"$c=${past.mkString(",")}" }
     val filterArr = filters.toArray
     val res = spark.sparkContext.parallelize(Seq(absPath), 1)
       .map { ap =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val part = ManifestFilePartition(ap, schemaJson, schemaJson,
-          Array.empty, Array.empty)
+          Array.empty, Array.empty, aliases = aliasesEnc)
         val reader: org.apache.spark.sql.connector.read
             .PartitionReader[org.apache.spark.sql.catalyst.InternalRow] =
           if (ap.endsWith(".parquet")) new ManifestParquetReader(part)

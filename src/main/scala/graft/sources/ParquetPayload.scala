@@ -196,30 +196,44 @@ private[sources] object ParquetPayload {
     * schema-evolution contract), materializing [[InternalRow]]s in
     * `out` field order.
     */
-  private final class RowReadSupport(out: StructType)
+  private final class RowReadSupport(out: StructType,
+      aliases: Map[String, Seq[String]])
       extends ReadSupport[InternalRow] {
     override def init(ctx: InitContext): ReadSupport.ReadContext = {
       val file = ctx.getFileSchema
+      // per-field resolution against THIS file: current name first,
+      // then the column-identity ledger's past names (a renamed
+      // column's pre-rename files carry the old name forever)
       val kept: Seq[Type] = out.fields.toSeq
-        .filter(f => file.containsField(f.name))
-        .map(f => file.getType(Array(f.name): _*))
+        .flatMap { f =>
+          (f.name +: aliases.getOrElse(f.name, Seq.empty))
+            .find(file.containsField)
+            .map(n => file.getType(Array(n): _*))
+        }
       new ReadSupport.ReadContext(
         new MessageType("graft", kept: _*))
     }
     override def prepareForRead(conf: Configuration,
         kv: java.util.Map[String, String], fileSchema: MessageType,
         rc: ReadSupport.ReadContext): RecordMaterializer[InternalRow] =
-      new RowMaterializer(out, rc.getRequestedSchema)
+      new RowMaterializer(out, rc.getRequestedSchema, aliases)
   }
 
   private final class RowMaterializer(out: StructType,
-      requested: MessageType) extends RecordMaterializer[InternalRow] {
+      requested: MessageType,
+      aliases: Map[String, Seq[String]])
+      extends RecordMaterializer[InternalRow] {
+    // file column name → out index (identity for unrenamed columns)
+    private val outIndexOf: Map[String, Int] =
+      out.fields.zipWithIndex.flatMap { case (f, i) =>
+        (f.name +: aliases.getOrElse(f.name, Seq.empty)).map(_ -> i)
+      }.toMap
     private val values = new Array[Any](out.length)
     private val root: GroupConverter = new GroupConverter {
       private val converters: Array[Converter] =
         requested.getFields.asScala.map { pt =>
-          fieldConverter(out(out.fieldIndex(pt.getName)).dataType,
-            out.fieldIndex(pt.getName))
+          fieldConverter(out(outIndexOf(pt.getName)).dataType,
+            outIndexOf(pt.getName))
         }.toArray
       override def getConverter(fieldIndex: Int): Converter =
         converters(fieldIndex)
@@ -274,10 +288,12 @@ private[sources] object ParquetPayload {
     * every pushed filter as residual, so skipping is pure IO savings.
     */
   def reader(absPath: String, out: StructType,
-      filter: Option[FilterPredicate]): ParquetReader[InternalRow] = {
+      filter: Option[FilterPredicate],
+      aliases: Map[String, Seq[String]] = Map.empty)
+      : ParquetReader[InternalRow] = {
     val conf = new Configuration()
     conf.setBoolean(ParquetInputFormat.RECORD_FILTERING_ENABLED, false)
-    val b = ParquetReader.builder(new RowReadSupport(out),
+    val b = ParquetReader.builder(new RowReadSupport(out, aliases),
         new HadoopPath(new java.io.File(absPath).toURI.toString))
       .withConf(conf)
     filter.fold(b)(f => b.withFilter(FilterCompat.get(f)))
