@@ -593,6 +593,53 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** SQL MAINTENANCE PROCEDURES under the oracle gate — the full
+    * OPTIMIZE / retention / reclamation lifecycle as `CALL graft
+    * .system.*` statements ([[graft.sources.ManifestProcedures]],
+    * Spark 4's ProcedureCatalog): a per-year table compacts 7→2
+    * files, snapshot expiry retains only the post-compaction head,
+    * and vacuum reclaims exactly the de-referenced pre-compaction
+    * files — every count in-band against oracle year-count twins, and
+    * the post-lifecycle aggregate proves not a row moved. This is the
+    * day-two surface a 100-TB table owner runs from a SQL console.
+    */
+  def sinkManifestProc(spark: SparkSession, dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "proc", 11)
+    try {
+      val c = spark.sql(s"CALL graft.system.compact('$t', 2)").collect()(0)
+      val e = spark.sql(
+        s"CALL graft.system.expire_snapshots(table => '$t', keep => 1)")
+        .collect()(0)
+      val v = spark.sql(s"CALL graft.system.vacuum('$t')").collect()(0)
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit(c.getInt(0).toLong).as("files_before"),
+          lit(c.getInt(1).toLong).as("files_after"),
+          lit(e.getInt(0).toLong).as("expired"),
+          lit(v.getInt(0).toLong).as("vacuumed"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestProcSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 13 = 11)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS files_before,
+      |  CAST(2 AS BIGINT) AS files_after,
+      |  (SELECT COUNT(DISTINCT yr) + 1 FROM s) AS expired,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS vacuumed
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
   /** ALTER TABLE RENAME/DROP COLUMN under the oracle gate: half the
     * order slice lands BEFORE `RENAME COLUMN cents TO pennies`, half
     * after (the new files carry the new name natively), and a
@@ -2522,6 +2569,7 @@ object ScalarBreadthQueries {
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
     "sink_manifest_rename_drop" -> (sinkManifestRenameDrop _),
+    "sink_manifest_proc" -> (sinkManifestProc _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2569,6 +2617,7 @@ object ScalarBreadthQueries {
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,
     "sink_manifest_rename_drop" -> sinkManifestRenameDropSql,
+    "sink_manifest_proc" -> sinkManifestProcSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writes through the normal manifest commit protocol, so SQL and
   * DataFrame users see the same table.
   */
-class ManifestCatalog extends TableCatalog {
+class ManifestCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -319,6 +320,37 @@ class ManifestCatalog extends TableCatalog {
       true
     }
   }
+
+  // ------------------------------------- maintenance procedures
+  /** `CALL graft.system.<proc>(...)` — see [[ManifestProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"graft procedures live in the `system` namespace, got $ident")
+    val dirOfName: String => String = { n =>
+      val id = Identifier.of(Array.empty[String], n)
+      if (!exists(id)) throw new NoSuchTableException(Seq(n))
+      dirOf(id).toString
+    }
+    ident.name() match {
+      case "compact" => ManifestProcedures.compact(dirOfName)
+      case "zorder" => ManifestProcedures.zorder(dirOfName)
+      case "expire_snapshots" =>
+        ManifestProcedures.expireSnapshots(dirOfName)
+      case "vacuum" => ManifestProcedures.vacuum(dirOfName)
+      case other => throw new UnsupportedOperationException(
+        s"no graft procedure $other (have: compact, zorder, " +
+          "expire_snapshots, vacuum)")
+    }
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("compact", "zorder", "expire_snapshots", "vacuum")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = {

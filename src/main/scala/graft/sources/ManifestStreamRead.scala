@@ -54,10 +54,89 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[sources] class ManifestMicroBatchStream(path: String,
     schema: StructType, required: StructType,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
-    extends MicroBatchStream {
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = ManifestOffset(0)
+
+  // Trigger.AvailableNow: freeze the head ONCE at query start so the
+  // run drains exactly what existed, in rate-limited batches, then
+  // stops (without this Spark wraps the stream and bypasses the read
+  // limit). Admission control still paces every batch below.
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(latestOffset().asInstanceOf[ManifestOffset].v)
+
+  /** ADMISSION CONTROL (`.option("maxFilesPerTrigger", n)`): a
+    * micro-batch consumes at most `n` newly-committed data FILES —
+    * the Delta-style rate limit that turns a 100-TB backfill from one
+    * impossible giant batch into a bounded stream of them. The end
+    * offset advances version-by-version from `start`, accumulating
+    * each snapshot's file-level arrivals, and stops before the budget
+    * overflows — but always admits at least ONE version when anything
+    * is pending (a single commit larger than the budget must still
+    * make progress; versions are the atomic replay unit). Without the
+    * option the default read limit is all-available.
+    */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    maxFilesPerTrigger
+      .map(n => org.apache.spark.sql.connector.read.streaming
+        .ReadLimit.maxFiles(n))
+      .getOrElse(org.apache.spark.sql.connector.read.streaming
+        .ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val resolved = latestOffset().asInstanceOf[ManifestOffset].v
+    val head = ManifestOffset(
+      availableNowTarget.fold(resolved)(math.min(resolved, _)))
+    val headV = Math.toIntExact(head.v)
+    val s = Math.toIntExact(start.asInstanceOf[ManifestOffset].v)
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+          if headV > s =>
+        var prev: Set[String] = if (s == 0) Set.empty
+          else ManifestV2Sink
+            .parseManifest(ManifestV2Sink.versionFile(path, s))
+            .map(_._2.filterNot(ManifestV2Sink.isDeleteEntry).toSet)
+            .getOrElse(throw new IllegalStateException(
+              s"graft-manifest stream: snapshot v$s at $path was " +
+                "expired — cannot plan the batch exactly-once"))
+        var budget = mf.maxFiles()
+        var v = s
+        var stop = false
+        while (!stop && v < headV) {
+          val next = ManifestV2Sink
+            .parseManifest(ManifestV2Sink.versionFile(path, v + 1))
+            .map(_._2.filterNot(ManifestV2Sink.isDeleteEntry).toSet)
+          next match {
+            case Some(entries) =>
+              val arrivals = (entries -- prev).size
+              if (arrivals <= budget || v == s) {
+                budget -= arrivals
+                prev = entries
+                v += 1
+                // a version that exactly drains (or overflows via the
+                // always-admit-one rule) ends the batch
+                if (budget <= 0) stop = true
+              } else stop = true
+            case None =>
+              // an expired INTERMEDIATE version: the diff basis is
+              // gone; fall through to the head (the full planner
+              // handles/fails exactly-once as before)
+              v = headV
+          }
+        }
+        ManifestOffset(v.toLong)
+      case _ => head
+    }
+  }
 
   override def latestOffset(): Offset = {
     val mf = Paths.get(path, "_MANIFEST")

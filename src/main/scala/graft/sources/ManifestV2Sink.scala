@@ -2139,6 +2139,14 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    // admission control for the table-as-stream read: cap the number
+    // of newly-committed data FILES consumed per micro-batch
+    private val maxFilesPerTrigger: Option[Int] =
+      Option(options.get("maxFilesPerTrigger")).map { v =>
+        val n = v.toInt
+        require(n >= 1, s"maxFilesPerTrigger must be >= 1, got $n")
+        n
+      }
     private var required: StructType = schema0
     private var pushed: Array[org.apache.spark.sql.sources.Filter] =
       Array.empty
@@ -2161,7 +2169,7 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
 
     override def build(): Scan =
       new ManifestScan(path, schema0, required, pushed.toSeq, branch,
-        asOfVersion)
+        asOfVersion, maxFilesPerTrigger)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2184,7 +2192,34 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         ((if (optPart.nonEmpty) optPart else ddlPart), bloom)
       }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        /** Partitioned writes require a CLUSTERED distribution on the
+          * partition columns: Spark inserts the shuffle itself, so
+          * every partition value lands in exactly ONE task and the
+          * fan-out writer emits ONE file per value — without it, an
+          * unclustered 1000-task insert writes up to 1000 slivers PER
+          * partition (the classic small-files problem; Iceberg's
+          * write distribution does the same). Unpartitioned writes
+          * are unconstrained.
+          */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          val (part, _) = layout()
+          if (part.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions
+              .clustered(part.map(c =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c): org.apache.spark.sql.connector
+                  .expressions.Expression).toArray)
+        }
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite = {
           val (part, bloom) = layout()
           new ManifestBatchWrite(path, info.schema(), info.queryId(),
@@ -2566,7 +2601,8 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
 private[sources] class ManifestScan(val path: String,
     schema0: StructType, val req: StructType,
     val flt: Seq[org.apache.spark.sql.sources.Filter],
-    val branch: Option[String], val asOfVersion: Option[Int])
+    val branch: Option[String], val asOfVersion: Option[Int],
+    val maxFilesPerTrigger: Option[Int] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2713,6 +2749,7 @@ private[sources] class ManifestScan(val path: String,
         s"graft-manifest streams follow the LIVE head; cannot " +
           s"stream the frozen snapshot v$v")
     }
-    new ManifestMicroBatchStream(path, schema0, req, flt)
+    new ManifestMicroBatchStream(path, schema0, req, flt,
+      maxFilesPerTrigger)
   }
 }

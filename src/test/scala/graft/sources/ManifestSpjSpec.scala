@@ -64,6 +64,34 @@ class ManifestSpjSpec extends SparkSuite {
     }
   }
 
+  test("partitioned writes require a clustered distribution: an " +
+    "unclustered many-task insert still lands ONE file per partition " +
+    "value") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, p BIGINT) " +
+        "PARTITIONED BY (p)")
+      // 16 input tasks, every task holding every partition value —
+      // without the write's required distribution this would commit
+      // up to 16 files PER value
+      spark.range(0, 1600, 1, 16)
+        .selectExpr("id AS k", "id % 4 AS p")
+        .write.format("graft-manifest").mode("append").save(dir)
+      val entries = ManifestV2Sink.committedDataFiles(dir)
+      assert(entries.size == 4,
+        s"want one file per partition value, got ${entries.size}")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t").head.getLong(0)
+        == 1600L)
+      // every file carries a single partition value
+      ManifestV2Sink.readManifest(dir).get._2
+        .filterNot(ManifestV2Sink.isDeleteEntry).foreach { e =>
+          assert(ManifestV2Sink.entryPartition(e).contains("p"),
+            s"unkeyed file: $e")
+        }
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("mixed keyed/legacy files fall back to UnknownPartitioning " +
     "and stay correct") {
     import spark.implicits._

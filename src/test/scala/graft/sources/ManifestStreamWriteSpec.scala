@@ -71,6 +71,50 @@ class ManifestStreamWriteSpec extends SparkSuite {
       java.nio.file.Paths.get(dir, "_MANIFEST")).nonEmpty)
   }
 
+  test("maxFilesPerTrigger paces the table-as-stream read: one " +
+    "file-sized version per micro-batch, totals exact") {
+    import spark.implicits._
+    val dir = tmp()
+    val cp = tmp()
+    // three single-file commits = three versions of one file each
+    (0 until 3).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("id", "s").coalesce(1)
+        .write.format("graft-manifest").mode("append").save(dir)
+    }
+    val q = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream.format("memory").queryName("mft_paced")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mft_paced").count() == 3L)
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 3,
+        s"want 3 paced micro-batches, got $dataBatches: " +
+          q.recentProgress.map(p => p.batchId -> p.numInputRows)
+            .mkString(","))
+    } finally q.stop()
+    // a single oversized commit still makes progress (admit-one rule)
+    val dir2 = tmp()
+    val cp2 = tmp()
+    spark.range(0, 10).selectExpr("id", "CAST(id AS STRING) AS s")
+      .repartition(4)
+      .write.format("graft-manifest").mode("append").save(dir2)
+    val q2 = spark.readStream.format("graft-manifest")
+      .option("maxFilesPerTrigger", "1").load(dir2)
+      .writeStream.format("memory").queryName("mft_big")
+      .option("checkpointLocation", cp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("mft_big").count() == 10L,
+        "oversized single version must still be consumed whole")
+    } finally q2.stop()
+  }
+
   test("a replayed epoch is a no-op: same epoch re-commit publishes " +
     "nothing and leaves the table unchanged") {
     val dir = tmp()
