@@ -593,6 +593,43 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** METADATA TABLES under the oracle gate — `graft.t.files` and
+    * `graft.t.snapshots` ([[graft.sources.ManifestMetaTables]],
+    * Iceberg's metadata tables in miniature) audited against the
+    * data's own profile: the per-file `row_count`s recorded at commit
+    * must SUM to the slice's true cardinality, the file count must
+    * equal the per-year layout's distinct years, and the snapshot log
+    * must show one commit per year plus the CREATE, with the current
+    * head listing every file. A wrong R| record, a lost commit, or a
+    * stale head pointer each diverges a pinned column — this is the
+    * ops surface a 100-TB table owner trusts for layout health.
+    */
+  def sinkManifestMeta(spark: SparkSession, dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "meta", 12)
+    try {
+      spark.sql(
+        s"""SELECT f.format, COUNT(*) AS n_files,
+           |  CAST(SUM(f.row_count) AS BIGINT) AS total_rows,
+           |  (SELECT COUNT(*) FROM graft.$t.snapshots) AS n_snapshots,
+           |  (SELECT CAST(s.n_files AS BIGINT)
+           |     FROM graft.$t.snapshots s
+           |     WHERE s.is_current) AS current_files
+           |FROM graft.$t.files f
+           |GROUP BY f.format""".stripMargin)
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestMetaSql: String =
+    """WITH s AS (
+      |  SELECT year(o_orderdate) AS yr
+      |  FROM orders WHERE o_orderkey % 13 = 12)
+      |SELECT 'parquet' AS format,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS n_files,
+      |  (SELECT COUNT(*) FROM s) AS total_rows,
+      |  (SELECT COUNT(DISTINCT yr) + 1 FROM s) AS n_snapshots,
+      |  (SELECT COUNT(DISTINCT yr) FROM s) AS current_files""".stripMargin
+
   /** SQL MAINTENANCE PROCEDURES under the oracle gate — the full
     * OPTIMIZE / retention / reclamation lifecycle as `CALL graft
     * .system.*` statements ([[graft.sources.ManifestProcedures]],
@@ -2570,6 +2607,7 @@ object ScalarBreadthQueries {
     "sink_manifest_spj" -> (sinkManifestSpj _),
     "sink_manifest_rename_drop" -> (sinkManifestRenameDrop _),
     "sink_manifest_proc" -> (sinkManifestProc _),
+    "sink_manifest_meta" -> (sinkManifestMeta _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2618,6 +2656,7 @@ object ScalarBreadthQueries {
     "sink_manifest_spj" -> sinkManifestSpjSql,
     "sink_manifest_rename_drop" -> sinkManifestRenameDropSql,
     "sink_manifest_proc" -> sinkManifestProcSql,
+    "sink_manifest_meta" -> sinkManifestMetaSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -95,10 +95,38 @@ class ManifestCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident).toString
-    val schema = ManifestV2Sink.readManifest(dir).map(_._1)
-      .getOrElse(throw new NoSuchTableException(
-        (ident.namespace() :+ ident.name()).toSeq))
-    new ManifestTable(schema, dir)
+    ManifestV2Sink.readManifest(dir).map(_._1) match {
+      case Some(schema) => new ManifestTable(schema, dir)
+      case None => metadataTable(ident).getOrElse(
+        throw new NoSuchTableException(
+          (ident.namespace() :+ ident.name()).toSeq))
+    }
+  }
+
+  /** `graft.<t>.files` / `.snapshots` / `.txns` — the manifest's own
+    * bookkeeping as SQL tables ([[ManifestMetaTables]]); resolved
+    * only when `<t>` is a real table and the name is a known
+    * metadata suffix, so plain missing tables still fail loudly.
+    */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    val base = Identifier.of(ident.namespace().init,
+      ident.namespace().last)
+    if (!exists(base)) return None
+    val dir = dirOf(base).toString
+    val label = s"graft.${base.name()}.${ident.name()}"
+    ident.name() match {
+      case "files" => Some(new ManifestMetaTable(label,
+        ManifestMetaTables.FilesSchema,
+        () => ManifestMetaTables.filesRows(dir)))
+      case "snapshots" => Some(new ManifestMetaTable(label,
+        ManifestMetaTables.SnapshotsSchema,
+        () => ManifestMetaTables.snapshotsRows(dir)))
+      case "txns" => Some(new ManifestMetaTable(label,
+        ManifestMetaTables.TxnsSchema,
+        () => ManifestMetaTables.txnsRows(dir)))
+      case _ => None
+    }
   }
 
   /** SQL time travel — `SELECT ... FROM graft.t VERSION AS OF 3`:
