@@ -344,9 +344,14 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // silently DUPLICATE the target row (and apply matched actions
     // once per copy). The check plan yields a row only on violation:
     // tag each target row with a uid, inner-join to the source on the
-    // merge condition, and look for any uid with >1 match.
+    // merge condition, and look for any uid with >1 match. SKIPPED
+    // when the source is PROVABLY unique on a single equi-join key
+    // (grouped or dropDuplicates-keyed on it — the deduped-CDC shape)
+    // so the common production merge pays nothing for the guard.
     val cardCheck: Option[LogicalPlan] =
-      if (matched.isEmpty) None
+      if (matched.isEmpty ||
+          ManifestMergeRule.sourceUniqueOnKey(m.mergeCondition,
+            m.sourceTable)) None
       else {
         val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
         val tTagged = Project(m.targetTable.output :+ tid, m.targetTable)
@@ -362,6 +367,54 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(ins) => Union(Seq(survivors, ins))
       case None => survivors
     }, cardCheck)
+  }
+}
+
+object ManifestMergeRule {
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate => LAggregate, Deduplicate, Distinct => LDistinct}
+
+  /** True iff the MERGE source is PROVABLY unique on the single
+    * equi-join key — one row per key by construction, so the
+    * cardinality-violation check is vacuous and skipped:
+    *  - an Aggregate grouping on (exactly or among) the key,
+    *  - a `dropDuplicates(key)` (Deduplicate keyed on it) — NOTE a
+    *    whole-row Distinct does NOT qualify (distinct (k, v) rows can
+    *    still repeat k),
+    * walked through Filters and key-preserving Projects (the key's
+    * exprId must survive — an aliasing rebind gets a fresh id and
+    * soundly fails the walk). Anything unprovable keeps the check.
+    */
+  private[sources] def sourceUniqueOnKey(cond: Expression,
+      source: LogicalPlan): Boolean = cond match {
+    case EqualTo(x, y) =>
+      Seq(x, y).collectFirst {
+        case a: AttributeReference if source.outputSet.contains(a) => a
+      }.exists { k =>
+        def walk(p: LogicalPlan): Boolean = p match {
+          case Project(projList, child) =>
+            projList.exists {
+              case a: AttributeReference => a.exprId == k.exprId
+              case _ => false
+            } && walk(child)
+          case Filter(_, child) => walk(child)
+          // unique on k requires k be the ONLY grouping expression —
+          // grouping on (k, other) is unique per PAIR, not per k
+          case LAggregate(groupExprs, _, _, _) =>
+            groupExprs.nonEmpty && groupExprs.forall {
+              case a: AttributeReference => a.exprId == k.exprId
+              case _ => false
+            }
+          case d: Deduplicate => d.keys.exists(_.exprId == k.exprId) &&
+            d.keys.length == 1
+          case LDistinct(child) =>
+            // whole-row distinct is key-unique only for a 1-column row
+            child.output.length == 1 &&
+              child.output.head.exprId == k.exprId
+          case _ => false
+        }
+        walk(source)
+      }
+    case _ => false
   }
 }
 

@@ -362,6 +362,52 @@ class ManifestCatalogSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
+  test("the cardinality guard is skipped for provably key-unique " +
+    "sources and stays sound for multi-key grouping") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.EqualTo
+    import org.apache.spark.sql.catalyst.plans.logical.Deduplicate
+    val k = Symbol("k").long
+    val v = Symbol("v").long
+    val tk = Symbol("tk").long
+    val rel = org.apache.spark.sql.catalyst.plans.logical
+      .LocalRelation(k, v)
+    def unique(src: org.apache.spark.sql.catalyst.plans.logical
+        .LogicalPlan): Boolean =
+      ManifestMergeRule.sourceUniqueOnKey(EqualTo(tk, k), src)
+    // grouped ONLY on the key → unique → guard skipped
+    assert(unique(rel.groupBy(k)(k, org.apache.spark.sql.catalyst
+      .expressions.aggregate.Max(v).toAggregateExpression().as("mv"))))
+    // dropDuplicates on exactly the key → unique
+    assert(unique(Deduplicate(Seq(k), rel)))
+    // raw relation, whole-row distinct, and (k, other) grouping are
+    // NOT provably key-unique → guard stays
+    assert(!unique(rel))
+    assert(!unique(org.apache.spark.sql.catalyst.plans.logical
+      .Distinct(rel)))
+    assert(!unique(rel.groupBy(k, v)(k, v)))
+    assert(!unique(Deduplicate(Seq(k, v), rel)))
+    // filters and key-preserving projects walk through
+    assert(unique(Deduplicate(Seq(k), rel).where(v > 1L).select(k, v)))
+    // the end-to-end duplicate-source error still fires (cross-check
+    // with the cardinality test above: raw VALUES sources keep the
+    // guard), and a GROUPED duplicate source merges cleanly
+    val t = fresh()
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 10), (2, 20)")
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT id, MAX(nv) AS nv FROM VALUES (1, 111), (1, 222)
+        |  AS u(id, nv) GROUP BY id) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED AND src.nv > 200 THEN UPDATE SET v = src.nv
+        |""".stripMargin)
+      assert(spark.sql(s"SELECT v FROM graft.$t WHERE id = 1")
+        .head.getLong(0) == 222L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("SQL UPDATE is one COW commit; pre-update stays travelable; " +
     "subqueries refused") {
     val t = fresh()
