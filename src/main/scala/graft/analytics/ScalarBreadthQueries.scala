@@ -593,6 +593,66 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** FULL ANSI MERGE (table-sync idiom) under the oracle gate: the
+    * target starts as a STALE copy of an orders slice (a third of the
+    * keys missing, every key's cents off by −1), the source is the
+    * truth (half the slice, cents+5), and ONE statement syncs them —
+    * `WHEN MATCHED UPDATE`, `WHEN NOT MATCHED INSERT`, `WHEN NOT
+    * MATCHED BY SOURCE DELETE` (r13 refused BY SOURCE; this round's
+    * general rewrite covers the whole ANSI action surface). The final
+    * table must equal the source EXACTLY — a missed delete leaves
+    * stale rows, a missed update leaves the −1 skew, a missed insert
+    * loses keys — and the aggregate is the oracle's direct twin over
+    * the source slice, so every action is hash-gated.
+    */
+  def sinkManifestSqlMergeSync(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"sync_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT)")
+      val slice = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 13 === 2)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      // stale target: a third of keys missing, cents skewed by -1
+      slice.where(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("cents") - 1).as("cents"))
+        .write.insertInto(s"graft.$t")
+      slice.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("cents") + 5).as("nv"))
+        .createOrReplaceTempView(s"src_$t")
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING src_$t src
+        |ON tgt.o_orderkey = src.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET cents = src.nv
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, cents)
+        |  VALUES (src.o_orderkey, src.o_orderstatus, src.nv)
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+      spark.catalog.dropTempView(s"src_$t")
+      ()
+    }
+  }
+
+  val sinkManifestSqlMergeSyncSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT) + 5)
+      |    AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM orders
+      |WHERE o_orderkey % 13 = 2 AND o_orderkey % 2 = 0
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** METADATA TABLES under the oracle gate — `graft.t.files` and
     * `graft.t.snapshots` ([[graft.sources.ManifestMetaTables]],
     * Iceberg's metadata tables in miniature) audited against the
@@ -2608,6 +2668,7 @@ object ScalarBreadthQueries {
     "sink_manifest_rename_drop" -> (sinkManifestRenameDrop _),
     "sink_manifest_proc" -> (sinkManifestProc _),
     "sink_manifest_meta" -> (sinkManifestMeta _),
+    "sink_manifest_sql_merge_sync" -> (sinkManifestSqlMergeSync _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2657,6 +2718,7 @@ object ScalarBreadthQueries {
     "sink_manifest_rename_drop" -> sinkManifestRenameDropSql,
     "sink_manifest_proc" -> sinkManifestProcSql,
     "sink_manifest_meta" -> sinkManifestMetaSql,
+    "sink_manifest_sql_merge_sync" -> sinkManifestSqlMergeSyncSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

@@ -37,8 +37,9 @@ import org.apache.spark.sql.types.BooleanType
   *    hand-written full-column SET lists match too);
   *  - rows-to-merge = the source projected to the target's columns.
   * Any OTHER shape on a graft table fails loudly AT ANALYSIS with the
-  * supported grammar (conditional actions, DELETE actions, partial
-  * SET lists, and NOT MATCHED BY SOURCE are not silently mis-merged).
+  * supported grammar (the general CDC-apply rewrite covers
+  * conditional actions, DELETE actions, partial SET lists, and NOT
+  * MATCHED BY SOURCE — the full ANSI MERGE action surface).
   *
   * Execution picks [[ManifestV2Sink.upsertNarrow]] when its
   * preconditions hold (integral key, no merge-on-read tombstones in
@@ -118,7 +119,8 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT " +
         "*) and the general CDC-apply shape (conditional WHEN MATCHED " +
         "UPDATE/DELETE actions, partial SET lists, conditional WHEN " +
-        s"NOT MATCHED INSERTs) ($why)")
+        "NOT MATCHED INSERTs, WHEN NOT MATCHED BY SOURCE " +
+        s"UPDATE/DELETE) ($why)")
 
   /** Two tiers: the CANONICAL upsert shape routes to the
     * stats-narrowed [[ManifestV2Sink.upsertNarrow]] fast path
@@ -127,15 +129,15 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * cond] THEN UPDATE SET a = ..., b = ...` (partial lists fine),
     * `WHEN MATCHED [AND cond] THEN DELETE`, multiple ordered matched
     * actions (first whose condition holds wins, ANSI semantics),
-    * `WHEN NOT MATCHED [AND cond] THEN INSERT` — compiles to one
-    * whole-table copy-on-write commit ([[GraftMergeGenericCommand]]).
-    * NOT MATCHED BY SOURCE and schema evolution stay refused at
-    * analysis.
+    * `WHEN NOT MATCHED [AND cond] THEN INSERT`, and `WHEN NOT MATCHED
+    * BY SOURCE [AND cond] THEN UPDATE/DELETE` (the table-sync idiom:
+    * target rows with no source match update or retire) — compiles to
+    * one whole-table copy-on-write commit
+    * ([[GraftMergeGenericCommand]]). Schema evolution stays refused
+    * at analysis.
     */
   private def rewrite(m: MergeIntoTable,
       target: DataSourceV2Relation): LogicalPlan = {
-    if (m.notMatchedBySourceActions.nonEmpty)
-      unsupported("NOT MATCHED BY SOURCE actions present")
     if (m.withSchemaEvolution)
       unsupported("WITH SCHEMA EVOLUTION not supported")
     canonical(m, target).getOrElse(rewriteGeneric(m, target))
@@ -148,6 +150,7 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     */
   private def canonical(m: MergeIntoTable,
       target: DataSourceV2Relation): Option[LogicalPlan] = {
+    if (m.notMatchedBySourceActions.nonEmpty) return None
     val table = target.table.asInstanceOf[ManifestTable]
     val targetOut = m.targetTable.outputSet
     val sourceOut = m.sourceTable.outputSet
@@ -276,10 +279,38 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (cond, byName)
         case other => unsupported(s"unsupported not-matched action $other")
       }
+    // NOT MATCHED BY SOURCE actions (target rows with NO source match):
+    // UPDATE (possibly partial) or DELETE, same encoding as `matched`
+    val bySource
+        : Seq[(Option[Expression], Option[Map[String, Expression]])] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, as, _) =>
+          cond.foreach(rowLocal)
+          val byName = as.map { a =>
+            a.key match {
+              case t: AttributeReference =>
+                rowLocal(a.value); t.name -> a.value
+              case other =>
+                unsupported(s"assignment to non-column $other")
+            }
+          }.toMap
+          // BY SOURCE conditions/values may reference TARGET columns
+          // only (there is no source row) — the analyzer enforces it
+          (cond, Some(byName))
+        case DeleteAction(cond) =>
+          cond.foreach(rowLocal)
+          (cond, None)
+        case other =>
+          unsupported(s"unsupported not-matched-by-source action $other")
+      }
 
-    // ---- survivors: target ⟕ source, first-true action ordinal
+    // ---- survivors: target ⟕ source; ONE ordinal space covers the
+    // matched actions (ordinals 0..m-1, gated on a source match) and
+    // the NOT MATCHED BY SOURCE actions (ordinals m.., gated on NO
+    // match) — first-true-wins within each family, ANSI semantics
     val survivors: LogicalPlan =
-      if (matched.isEmpty) m.targetTable // insert-only MERGE
+      if (matched.isEmpty && bySource.isEmpty)
+        m.targetTable // insert-only MERGE
       else {
         val mTag = Alias(Literal(true), "__graft_matched")()
         val srcTagged =
@@ -287,15 +318,22 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val joined = Join(m.targetTable, srcTagged, LeftOuter,
           Some(m.mergeCondition), JoinHint.NONE)
         val matchedRef = mTag.toAttribute
-        val actAlias = Alias(CaseWhen(
-          matched.zipWithIndex.map { case ((cond, _), i) =>
+        val allActs: Seq[(Expression,
+            Option[Map[String, Expression]])] =
+          matched.zipWithIndex.map { case ((cond, as), _) =>
             (And(matchedRef,
-              cond.getOrElse(Literal(true)): Expression): Expression,
-              Literal(i): Expression)
+              cond.getOrElse(Literal(true)): Expression): Expression, as)
+          } ++ bySource.map { case (cond, as) =>
+            (And(IsNull(matchedRef),
+              cond.getOrElse(Literal(true)): Expression): Expression, as)
+          }
+        val actAlias = Alias(CaseWhen(
+          allActs.zipWithIndex.map { case ((gate, _), i) =>
+            (gate, Literal(i): Expression)
           }, None), "__graft_act")()
         val withAct = Project(joined.output :+ actAlias, joined)
         val actRef = actAlias.toAttribute
-        val deleteOrds = matched.zipWithIndex.collect {
+        val deleteOrds = allActs.zipWithIndex.collect {
           case ((_, None), i) => Literal(i): Expression
         }
         val afterDeletes =
@@ -304,7 +342,7 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.expressions.Or(
               IsNull(actRef), Not(In(actRef, deleteOrds))), withAct)
         Project(tOut.map { attr =>
-          val branches = matched.zipWithIndex.collect {
+          val branches = allActs.zipWithIndex.collect {
             case ((_, Some(as)), i) if as.contains(attr.name) =>
               (EqualTo(actRef, Literal(i)): Expression,
                 castTo(as(attr.name), attr))
@@ -349,7 +387,7 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // (grouped or dropDuplicates-keyed on it — the deduped-CDC shape)
     // so the common production merge pays nothing for the guard.
     val cardCheck: Option[LogicalPlan] =
-      if (matched.isEmpty ||
+      if ((matched.isEmpty && bySource.isEmpty) ||
           ManifestMergeRule.sourceUniqueOnKey(m.mergeCondition,
             m.sourceTable)) None
       else {

@@ -254,16 +254,17 @@ class ManifestCatalogSpec extends SparkSuite {
         .stripMargin)
       assert(spark.sql(s"SELECT v FROM graft.$t WHERE id = 4")
         .head.getLong(0) == 444L)
-      // still refused: NOT MATCHED BY SOURCE (cannot be expressed by
-      // this rewrite without full-outer semantics — loud, not wrong)
-      val e = intercept[Exception] {
-        spark.sql(s"""MERGE INTO graft.$t tgt
-          |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
-          |ON tgt.id = src.id
-          |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-      }
-      assert(e.getMessage.contains("NOT MATCHED BY SOURCE"), e.getMessage)
+      // NOT MATCHED BY SOURCE routes to the general rewrite (it can
+      // never take the canonical upsert fast path) and works: update
+      // the matched row, retire everything else
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (1, 0) AS u(id, v)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET v = src.v
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val fin = spark.sql(s"SELECT id, v FROM graft.$t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(fin == Seq((1L, 0L)), s"sync wrong: $fin")
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
@@ -359,6 +360,50 @@ class ManifestCatalogSpec extends SparkSuite {
         |""".stripMargin)
       assert(spark.sql(s"SELECT COUNT(*) FROM graft.$t WHERE id = 8")
         .head.getLong(0) == 2L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("NOT MATCHED BY SOURCE completes ANSI MERGE: the table-sync " +
+    "idiom in one statement") {
+    val t = fresh()
+    val dir = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (id BIGINT, v BIGINT, " +
+        "state STRING)")
+      spark.sql(s"INSERT INTO graft.$t VALUES (1, 10, 'live'), " +
+        "(2, 20, 'live'), (3, 30, 'live'), (4, 40, 'live')")
+      val vBefore = ManifestV2Sink.versions(dir).max
+      // full sync against a source holding {2 (changed), 3 (same),
+      // 5 (new)}: 1 retires (conditional UPDATE), 4 deletes
+      // (unconditional BY SOURCE after the conditional one), 2
+      // updates, 5 inserts — ONE atomic statement
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (2, 222), (3, 30), (5, 555)
+        |  AS u(id, nv)) src
+        |ON tgt.id = src.id
+        |WHEN MATCHED THEN UPDATE SET v = src.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v, state)
+        |  VALUES (src.id, src.nv, 'live')
+        |WHEN NOT MATCHED BY SOURCE AND tgt.id = 1
+        |  THEN UPDATE SET state = 'retired'
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val got = spark.sql(s"SELECT id, v, state FROM graft.$t " +
+        "ORDER BY id").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == Seq((1L, 10L, "retired"), (2L, 222L, "live"),
+        (3L, 30L, "live"), (5L, 555L, "live")), s"sync wrong: $got")
+      // one commit, pre-merge travelable
+      assert(ManifestV2Sink.versions(dir).max == vBefore + 1)
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.$t VERSION AS OF $vBefore")
+        .head.getLong(0) == 4L)
+      // BY-SOURCE-only merge (no matched/insert actions): pure purge
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (2), (3), (5) AS u(id)) src
+        |ON tgt.id = src.id
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t")
+        .head.getLong(0) == 3L)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
