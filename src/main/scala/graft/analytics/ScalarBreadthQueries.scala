@@ -593,6 +593,62 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** STRING data skipping under the oracle gate: orders lands one
+    * file per o_orderstatus (a category-clustered layout), each
+    * file's manifest entry records truncated STRING bounds (`T|`
+    * blobs — Iceberg's truncate-down/up in miniature), and a pushed
+    * string range predicate (`>= 'P'`) plans only the files whose
+    * bounds can match — the skip every date=string or
+    * category-partitioned 100-TB layout needs where numeric stats
+    * never apply. BOTH directions gated: `files_read`/`files_total`
+    * equal the oracle's COUNT(DISTINCT status) twins, and the
+    * aggregates lose rows if pruning over-skips.
+    */
+  def sinkManifestStringPrune(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"sprune_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT)")
+      val src = table(spark, dir, "orders")
+        .where(col("o_orderkey") % 13 === 6)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val statuses = src.select(col("o_orderstatus")).distinct()
+        .orderBy(col("o_orderstatus"))
+        .collect().map(_.getString(0)) // 3 TPC-H statuses, never data-sized
+      statuses.foreach { st =>
+        src.where(col("o_orderstatus") === st).coalesce(1)
+          .write.insertInto(s"graft.$t")
+      }
+      val filesTotal = graft.sources.ManifestV2Sink.committedFileCount(
+        spark.conf.get("spark.sql.catalog.graft.root") + s"/$t").toLong
+      val q = spark.sql(s"SELECT o_orderstatus, o_orderkey, cents " +
+        s"FROM graft.$t WHERE o_orderstatus >= 'P'")
+      val filesRead = q.rdd.getNumPartitions.toLong
+      q.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .select(col("*"), lit(filesRead).as("files_read"),
+          lit(filesTotal).as("files_total"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestStringPruneSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 6)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  (SELECT COUNT(DISTINCT o_orderstatus) FROM s
+      |     WHERE o_orderstatus >= 'P') AS files_read,
+      |  (SELECT COUNT(DISTINCT o_orderstatus) FROM s) AS files_total
+      |FROM s WHERE o_orderstatus >= 'P'
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** FULL ANSI MERGE (table-sync idiom) under the oracle gate: the
     * target starts as a STALE copy of an orders slice (a third of the
     * keys missing, every key's cents off by −1), the source is the
@@ -2669,6 +2725,7 @@ object ScalarBreadthQueries {
     "sink_manifest_proc" -> (sinkManifestProc _),
     "sink_manifest_meta" -> (sinkManifestMeta _),
     "sink_manifest_sql_merge_sync" -> (sinkManifestSqlMergeSync _),
+    "sink_manifest_string_prune" -> (sinkManifestStringPrune _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2719,6 +2776,7 @@ object ScalarBreadthQueries {
     "sink_manifest_proc" -> sinkManifestProcSql,
     "sink_manifest_meta" -> sinkManifestMetaSql,
     "sink_manifest_sql_merge_sync" -> sinkManifestSqlMergeSyncSql,
+    "sink_manifest_string_prune" -> sinkManifestStringPruneSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

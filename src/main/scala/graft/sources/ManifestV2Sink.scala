@@ -1166,6 +1166,59 @@ object ManifestV2Sink {
     }
   }
 
+  /** Byte-wise unsigned comparison — Spark's own UTF8String order. */
+  private[sources] def compareBytes(a: Array[Byte],
+      b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** An INCLUSIVE upper bound (≥ `b`) of at most `len` bytes: `b`
+    * itself when it fits untruncated (exact), else the `len`-byte
+    * prefix with its last non-0xFF byte incremented and the tail
+    * dropped (Iceberg's truncate-up — strictly above every extension
+    * of the prefix). None when the truncated prefix is all 0xFF — no
+    * finite prefix bound exists.
+    */
+  private[sources] def upperBoundPrefix(b: Array[Byte],
+      len: Int): Option[Array[Byte]] = {
+    if (b.length <= len) return Some(b)
+    val p = b.take(len)
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = p.take(i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+
+  /** Truncated string bounds of a data entry (`T|col:b64:b64|...`):
+    * (lowerBound, Some(inclusiveUpperBound) | None). The lower bound
+    * is ≤ every value; the upper bound (when present) is ≥ every
+    * value — both possibly truncated, so they prune soundly but never
+    * prove equality.
+    */
+  private[sources] def entryStringStats(entry: String)
+      : Map[String, (Array[Byte], Option[Array[Byte]])] = {
+    val parts = entry.split("\t")
+    parts.iterator.drop(1).find(_.startsWith("T|")).map { blob =>
+      val dec = java.util.Base64.getDecoder
+      blob.drop(2).split('|').iterator.map(_.split(":", 3))
+        .collect { case Array(c, lo, hi) =>
+          c -> ((dec.decode(lo),
+            if (hi.isEmpty) None else Some(dec.decode(hi))))
+        }.toMap
+    }.getOrElse(Map.empty)
+  }
+
   /** Recorded NULL count of `column` in a data entry (`N|col:n|...`,
     * an optional tab field written alongside the stats blob since the
     * predicate-DELETE work): `Some(0)` PROVES the file has no nulls in
@@ -1796,7 +1849,8 @@ object ManifestV2Sink {
       case s: StagedFile => Iterator.single(s)
       case StagedFiles(fs) => fs.iterator
     }.collect {
-      case StagedFile(name, rows, stats, blooms, part, nulls) if rows > 0 =>
+      case StagedFile(name, rows, stats, blooms, part, nulls, strs)
+          if rows > 0 =>
         val from = Paths.get(path, "_staged", queryId, name)
         // size BEFORE the move: the R| blob records (rows, bytes) per
         // file — what SupportsReportStatistics sums at plan time so
@@ -1809,6 +1863,7 @@ object ManifestV2Sink {
           (if (blooms.isEmpty) "" else s"\t$blooms") +
           (if (part.isEmpty) "" else s"\t$part") +
           (if (nulls.isEmpty) "" else s"\t$nulls") +
+          (if (strs.isEmpty) "" else s"\t$strs") +
           s"\tR|$rows:$bytes"
     }.toArray.sorted
     ManifestV2Sink.withHeadLock(path) {
@@ -2251,7 +2306,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
   */
 private[sources] case class StagedFile(name: String, rows: Long,
     stats: String = "", blooms: String = "",
-    partition: String = "", nulls: String = "") extends WriterCommitMessage
+    partition: String = "", nulls: String = "",
+    strs: String = "") extends WriterCommitMessage
 
 /** A partitioned write's task commit: one staged file PER partition
   * value the task saw (the Hive/Iceberg fan-out writer shape).
@@ -2442,6 +2498,17 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
       case _ => false
     }) && f.name.matches("[A-Za-z0-9_]+") => i
   }.toArray
+  // STRING bounds (Iceberg-style truncated): byte-wise unsigned
+  // min/max tracked as copies (the writer's rows are consumed
+  // immediately, buffers may be reused); serialized as a 16-byte
+  // lower-bound prefix and an INCREMENTED upper-bound prefix — the
+  // truncation direction that keeps range/equality skipping sound
+  private val strIdx: Array[Int] = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType &&
+      f.name.matches("[A-Za-z0-9_]+") => i
+  }.toArray
+  private val strMin = new Array[Array[Byte]](schema.length)
+  private val strMax = new Array[Array[Byte]](schema.length)
   private val statN = new Array[Long](schema.length)
   private val statMinL = Array.fill(schema.length)(Long.MaxValue)
   private val statMaxL = Array.fill(schema.length)(Long.MinValue)
@@ -2480,6 +2547,19 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
         case _ =>
       }
       s += 1
+    }
+    var t = 0
+    while (t < strIdx.length) {
+      val i = strIdx(t)
+      if (!row.isNullAt(i)) {
+        val b = row.getUTF8String(i).getBytes // fresh array per call
+        if (strMin(i) == null ||
+            ManifestV2Sink.compareBytes(b, strMin(i)) < 0) strMin(i) = b
+        if (strMax(i) == null ||
+            ManifestV2Sink.compareBytes(b, strMax(i)) > 0) strMax(i) = b
+        statN(i) += 1
+      }
+      t += 1
     }
   }
 
@@ -2545,10 +2625,28 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     * over-count, see [[ManifestV2Sink.entryNullCount]]).
     */
   private def nullsBlob(): String = {
-    val cols = statIdx.iterator.filter(statN(_) > 0).map { i =>
-      s"${schema.fields(i).name}:${rows - statN(i)}"
-    }.toSeq
+    val cols = (statIdx.iterator ++ strIdx.iterator)
+      .filter(statN(_) > 0).map { i =>
+        s"${schema.fields(i).name}:${rows - statN(i)}"
+      }.toSeq
     if (cols.isEmpty) "" else cols.mkString("N|", "|", "")
+  }
+
+  /** `T|col:b64(min16):b64(maxUpper16)|...` — truncated string
+    * bounds. The min prefix is a valid LOWER bound as-is (a prefix
+    * byte-compares ≤ its extension); the max prefix is INCREMENTED at
+    * its last non-0xFF byte to a strict UPPER bound, or omitted
+    * (empty b64) when no finite prefix bound exists.
+    */
+  private def stringStatsBlob(): String = {
+    val enc = java.util.Base64.getEncoder
+    val cols = strIdx.iterator.filter(statN(_) > 0).map { i =>
+      val lo = strMin(i).take(16)
+      val hi = ManifestV2Sink.upperBoundPrefix(strMax(i), 16)
+      s"${schema.fields(i).name}:${enc.encodeToString(lo)}:" +
+        hi.map(enc.encodeToString).getOrElse("")
+    }.toSeq
+    if (cols.isEmpty) "" else cols.mkString("T|", "|", "")
   }
 
     def writeRow(row: InternalRow): Unit = {
@@ -2561,7 +2659,7 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     def finish(): StagedFile = {
       out.close()
       StagedFile(name, rows, statsBlob(), bloomBlob(), partBlob,
-        nullsBlob())
+        nullsBlob(), stringStatsBlob())
     }
 
     def abortSink(): Unit = {

@@ -482,6 +482,19 @@ private[sources] object ManifestSkipping {
       c: String): Option[(BigDecimal, BigDecimal)] =
     ManifestV2Sink.entryStats(entry).get(c)
 
+  /** Truncated string bounds of `c`: (lower ≤ all, Some(upper ≥ all)
+    * or None when no finite upper prefix exists).
+    */
+  private def strRange(entry: String,
+      c: String): Option[(Array[Byte], Option[Array[Byte]])] =
+    ManifestV2Sink.entryStringStats(entry).get(c)
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def cmpB(a: Array[Byte], b: Array[Byte]): Int =
+    ManifestV2Sink.compareBytes(a, b)
+
   /** The entry's partition value for `c` as an exact number (None =
     * unpartitioned there or non-numeric).
     */
@@ -497,24 +510,53 @@ private[sources] object ManifestSkipping {
     case sources.In(c, vs) if vs.nonEmpty =>
       vs.exists(v => v != null && eqMight(e, c, v))
     case sources.GreaterThan(c, v) if v != null =>
-      ParquetPayload.statsValue(v).forall { x =>
-        partNum(e, c).forall(_ > x) &&
-          statsRange(e, c).forall { case (_, mx) => mx > x }
+      ParquetPayload.statsValue(v) match {
+        case Some(x) =>
+          partNum(e, c).forall(_ > x) &&
+            statsRange(e, c).forall { case (_, mx) => mx > x }
+        case None => v match {
+          // rows > s exist only if max > s; upper ≥ max, so
+          // upper ≤ s proves none (truncated bounds stay sound)
+          case str: String => strRange(e, c).forall {
+            case (_, up) => up.forall(u => cmpB(u, utf8(str)) > 0) }
+          case _ => true
+        }
       }
     case sources.GreaterThanOrEqual(c, v) if v != null =>
-      ParquetPayload.statsValue(v).forall { x =>
-        partNum(e, c).forall(_ >= x) &&
-          statsRange(e, c).forall { case (_, mx) => mx >= x }
+      ParquetPayload.statsValue(v) match {
+        case Some(x) =>
+          partNum(e, c).forall(_ >= x) &&
+            statsRange(e, c).forall { case (_, mx) => mx >= x }
+        case None => v match {
+          case str: String => strRange(e, c).forall {
+            case (_, up) => up.forall(u => cmpB(u, utf8(str)) >= 0) }
+          case _ => true
+        }
       }
     case sources.LessThan(c, v) if v != null =>
-      ParquetPayload.statsValue(v).forall { x =>
-        partNum(e, c).forall(_ < x) &&
-          statsRange(e, c).forall { case (mn, _) => mn < x }
+      ParquetPayload.statsValue(v) match {
+        case Some(x) =>
+          partNum(e, c).forall(_ < x) &&
+            statsRange(e, c).forall { case (mn, _) => mn < x }
+        case None => v match {
+          // rows < s exist only if min < s; lower ≤ min, but a
+          // truncated lower could be < s while min ≥ s — only the
+          // sound direction skips: lower ≥ s proves min ≥ s
+          case str: String => strRange(e, c).forall {
+            case (lo, _) => cmpB(lo, utf8(str)) < 0 }
+          case _ => true
+        }
       }
     case sources.LessThanOrEqual(c, v) if v != null =>
-      ParquetPayload.statsValue(v).forall { x =>
-        partNum(e, c).forall(_ <= x) &&
-          statsRange(e, c).forall { case (mn, _) => mn <= x }
+      ParquetPayload.statsValue(v) match {
+        case Some(x) =>
+          partNum(e, c).forall(_ <= x) &&
+            statsRange(e, c).forall { case (mn, _) => mn <= x }
+        case None => v match {
+          case str: String => strRange(e, c).forall {
+            case (lo, _) => cmpB(lo, utf8(str)) <= 0 }
+          case _ => true
+        }
       }
     case _ => true // IsNull etc: null counts aren't recorded — read
   }
@@ -717,9 +759,15 @@ private[sources] object ManifestSkipping {
             ManifestV2Sink.entryBloom(e, c)
               .forall(ManifestV2Sink.bloomMightContain(_, l)))
       case None => v match {
-        // string equality prunes by recorded partition value only
-        case s: String => ManifestV2Sink.entryPartition(e).get(c)
-          .forall(_ == ManifestV2Sink.escapePart(s))
+        // string equality prunes by recorded partition value AND the
+        // truncated T| bounds (lower ≤ s ≤ upper or no match)
+        case s: String =>
+          ManifestV2Sink.entryPartition(e).get(c)
+            .forall(_ == ManifestV2Sink.escapePart(s)) &&
+            strRange(e, c).forall { case (lo, up) =>
+              cmpB(lo, utf8(s)) <= 0 &&
+                up.forall(u => cmpB(utf8(s), u) <= 0)
+            }
         case _ => true
       }
     }
