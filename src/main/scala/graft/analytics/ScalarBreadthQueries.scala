@@ -593,6 +593,68 @@ object ScalarBreadthQueries {
     } finally fs.delete(outPath, true)
   }
 
+  /** BIN-PACKED OPTIMIZE under the oracle gate — the compaction a
+    * real table runs nightly: one RIGHT-SIZED file (a full order
+    * slice) plus five SMALL commits (the slice's %5 shards, the
+    * trickle-ingest shape); `CALL graft.system.binpack` with
+    * min_bytes = the big file's recorded size rewrites ONLY the five
+    * small files into one bin while the big file CARRIES OVER as a
+    * raw manifest entry — zero bytes moved for it, O(small), never
+    * O(table), unlike whole-table OPTIMIZE. All three tier counts and
+    * the final file count are in-band literals, and the post-pack
+    * aggregate over BOTH slices proves not a row moved.
+    */
+  def sinkManifestBinpack(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"bp_${java.util.UUID.randomUUID().toString.take(8)}"
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT)")
+      val src = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      src.where(col("o_orderkey") % 13 === 4).coalesce(1)
+        .write.insertInto(s"graft.$t")
+      (0 until 5).foreach { i =>
+        src.where(col("o_orderkey") % 13 === 10 &&
+            col("o_orderkey") % 5 === i).coalesce(1)
+          .write.insertInto(s"graft.$t")
+      }
+      // dogfood the metadata table for the size threshold
+      val bigSize = spark.sql(
+        s"SELECT max(size_bytes) FROM graft.$t.files").head.getLong(0)
+      val r = spark.sql(s"CALL graft.system.binpack(table => '$t', " +
+        s"target_bytes => ${1L << 30}, min_bytes => $bigSize)")
+        .collect()(0)
+      val filesAfter = graft.sources.ManifestV2Sink
+        .committedFileCount(out).toLong
+      spark.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+        .select(col("*"),
+          lit(r.getInt(0).toLong).as("files_compacted"),
+          lit(r.getInt(1).toLong).as("bins_written"),
+          lit(r.getInt(2).toLong).as("files_carried"),
+          lit(filesAfter).as("files_after"))
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestBinpackSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+      |  CAST(5 AS BIGINT) AS files_compacted,
+      |  CAST(1 AS BIGINT) AS bins_written,
+      |  CAST(1 AS BIGINT) AS files_carried,
+      |  CAST(2 AS BIGINT) AS files_after
+      |FROM orders
+      |WHERE o_orderkey % 13 = 4 OR o_orderkey % 13 = 10
+      |GROUP BY o_orderstatus""".stripMargin
+
   /** STRING data skipping under the oracle gate: orders lands one
     * file per o_orderstatus (a category-clustered layout), each
     * file's manifest entry records truncated STRING bounds (`T|`
@@ -2726,6 +2788,7 @@ object ScalarBreadthQueries {
     "sink_manifest_meta" -> (sinkManifestMeta _),
     "sink_manifest_sql_merge_sync" -> (sinkManifestSqlMergeSync _),
     "sink_manifest_string_prune" -> (sinkManifestStringPrune _),
+    "sink_manifest_binpack" -> (sinkManifestBinpack _),
     "sink_manifest_typed" -> (sinkManifestTyped _),
     "sink_manifest_sql_delete_pred" -> (sinkManifestSqlDeletePred _),
     "sink_manifest_sql_update_narrow" -> (sinkManifestSqlUpdateNarrow _),
@@ -2777,6 +2840,7 @@ object ScalarBreadthQueries {
     "sink_manifest_meta" -> sinkManifestMetaSql,
     "sink_manifest_sql_merge_sync" -> sinkManifestSqlMergeSyncSql,
     "sink_manifest_string_prune" -> sinkManifestStringPruneSql,
+    "sink_manifest_binpack" -> sinkManifestBinpackSql,
     "sink_manifest_typed" -> sinkManifestTypedSql,
     "sink_manifest_sql_delete_pred" -> sinkManifestSqlDeletePredSql,
     "sink_manifest_sql_update_narrow" -> sinkManifestSqlUpdateNarrowSql,

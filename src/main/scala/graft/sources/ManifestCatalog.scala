@@ -363,20 +363,22 @@ class ManifestCatalog extends TableCatalog
     }
     ident.name() match {
       case "compact" => ManifestProcedures.compact(dirOfName)
+      case "binpack" => ManifestProcedures.binpack(dirOfName)
       case "zorder" => ManifestProcedures.zorder(dirOfName)
       case "expire_snapshots" =>
         ManifestProcedures.expireSnapshots(dirOfName)
       case "vacuum" => ManifestProcedures.vacuum(dirOfName)
       case other => throw new UnsupportedOperationException(
-        s"no graft procedure $other (have: compact, zorder, " +
-          "expire_snapshots, vacuum)")
+        s"no graft procedure $other (have: compact, binpack, " +
+          "zorder, expire_snapshots, vacuum)")
     }
   }
 
   override def listProcedures(
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
-      Array("compact", "zorder", "expire_snapshots", "vacuum")
+      Array("compact", "binpack", "zorder", "expire_snapshots",
+        "vacuum")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

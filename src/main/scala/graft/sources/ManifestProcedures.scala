@@ -78,6 +78,20 @@ private[sources] object ManifestProcedures {
           InternalRow(before, after))
       })
 
+  def binpack(dirOf: String => String): UnboundProcedure =
+    proc("binpack",
+      Array(param("table", StringType),
+        param("target_bytes", LongType), param("min_bytes", LongType)),
+      { input =>
+        val dir = dirOf(input.getUTF8String(0).toString)
+        val (compacted, bins, carried) = ManifestV2Sink.compactBinPack(
+          SparkSession.active, dir, input.getLong(1), input.getLong(2))
+        (StructType(Seq(StructField("files_compacted", IntegerType),
+          StructField("bins_written", IntegerType),
+          StructField("files_carried", IntegerType))),
+          InternalRow(compacted, bins, carried))
+      })
+
   def zorder(dirOf: String => String): UnboundProcedure =
     proc("zorder",
       Array(param("table", StringType), param("cols", StringType),

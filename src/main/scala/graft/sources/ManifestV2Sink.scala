@@ -1051,6 +1051,52 @@ object ManifestV2Sink {
       }
     }
 
+  /** BIN-PACKED OPTIMIZE — the compaction a 100-TB table actually
+    * runs: only files SMALLER than `minBytes` rewrite, packed into
+    * bins of ~`targetBytes` (by their recorded R| sizes), while
+    * right-sized files CARRY OVER as raw manifest entries — zero
+    * bytes moved for them, so the cost is O(small files), never
+    * O(table), unlike [[compact]]'s whole-table rewrite. Small files'
+    * deletion vectors merge away in the rewrite; big files keep
+    * theirs. Tombstoned heads refuse (same sequencing rule as every
+    * narrowed rewrite — compact first). ONE atomic commit.
+    *
+    * Returns (filesCompacted, binsWritten, filesCarried).
+    */
+  def compactBinPack(spark: SparkSession, path: String,
+      targetBytes: Long, minBytes: Long): (Int, Int, Int) =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, entries) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        require(!entries.exists(isDeleteEntry),
+          "binpack over tombstones unsupported — compact first")
+        require(targetBytes > 0 && minBytes > 0, "positive sizes")
+        def sizeOf(e: String): Long = entryRowsBytes(e).map(_._2)
+          .getOrElse(scala.util.Try(
+            Files.size(Paths.get(path, entryFile(e)))).getOrElse(0L))
+        val (small, big) = entries.partition(e => sizeOf(e) < minBytes)
+        if (small.length <= 1) return (0, 0, entries.length)
+        val bins = math.max(1,
+          math.ceil(small.map(sizeOf).sum.toDouble / targetBytes).toInt)
+        val scratch = Paths.get(path, s"_rewrite-binpack-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        try {
+          val rows = readDataEntries(spark, path, schema, small)
+          val partCols = tablePartitionColumns(path)
+          (if (partCols.nonEmpty)
+             rows.repartition(bins,
+               partCols.map(org.apache.spark.sql.functions.col): _*)
+           else rows.repartition(bins))
+            .write.format("graft-manifest").options(layoutOptions(path))
+            .mode("append").save(scratch.toString)
+          val adopted = adoptScratchFiles(path, scratch.toString)
+          publish(path, schema, big ++ adopted, "binpack")
+          (small.length, adopted.length, big.length)
+        } finally deleteRecursively(scratch)
+      }
+    }
+
   /** Declared identity-partition columns of a catalog table (the
     * `PARTITIONED BY` DDL sidecar `_MANIFEST.partcols`) — empty for
     * unpartitioned tables and option-driven DataFrame writes.

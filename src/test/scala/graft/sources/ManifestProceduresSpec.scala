@@ -49,6 +49,46 @@ class ManifestProceduresSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
+  test("binpack compacts ONLY small files: right-sized files carry " +
+    "over untouched") {
+    val t = fresh()
+    val dir = s"$root/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, v STRING)")
+      // one BIG file (5000 rows) + 6 tiny ones (10 rows each)
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ id, " +
+        "repeat(CAST(id AS STRING), 8) FROM range(0, 5000)")
+      (0 until 6).foreach { i =>
+        spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ id, " +
+          s"CAST(id AS STRING) FROM range(${5000 + i * 10}, " +
+          s"${5000 + i * 10 + 10})")
+      }
+      val bigFile = ManifestV2Sink.readManifest(dir).get._2
+        .maxBy(e => ManifestV2Sink.entryRowsBytes(e).map(_._2).getOrElse(0L))
+      val bigName = ManifestV2Sink.entryFile(bigFile)
+      val bigSize = ManifestV2Sink.entryRowsBytes(bigFile).get._2
+      val r = spark.sql(s"CALL graft.system.binpack(table => '$t', " +
+        s"target_bytes => ${1L << 30}, min_bytes => $bigSize)").collect()
+      assert(r(0).getInt(0) == 6 && r(0).getInt(1) == 1 &&
+        r(0).getInt(2) == 1, r.mkString(","))
+      // the big file is byte-identical and still listed — zero bytes
+      // moved for it
+      val after = ManifestV2Sink.committedDataFiles(dir)
+      assert(after.size == 2 && after.contains(bigName),
+        s"big file not carried: $after")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t").head.getLong(0)
+        == 5060L)
+      // nothing to pack (all files right-sized) → no-op, no commit
+      val vNow = ManifestV2Sink.versions(dir).max
+      val r2 = spark.sql(s"CALL graft.system.binpack(table => '$t', " +
+        s"target_bytes => ${1L << 30}, min_bytes => 1)").collect()
+      assert(r2(0).getInt(0) == 0 && r2(0).getInt(2) == 2,
+        r2.mkString(","))
+      assert(ManifestV2Sink.versions(dir).max == vNow,
+        "no-op binpack must not mint a version")
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
   test("zorder via CALL re-clusters; unknown procedure/table fail " +
     "loudly") {
     val t = fresh()
