@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference
 import org.apache.spark.sql.catalyst.expressions.aggregate.Count
 import org.apache.spark.sql.catalyst.plans.QueryPlan
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Assignment, DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, Union, UpdateAction, UpdateTable}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -311,7 +311,43 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val survivors: LogicalPlan =
       if (matched.isEmpty && bySource.isEmpty)
         m.targetTable // insert-only MERGE
-      else {
+      else if (matched.isEmpty) {
+        // BY-SOURCE-ONLY shape: no WHEN MATCHED actions, so matched
+        // target rows pass through UNTOUCHED — and ANSI permits many
+        // source matches per target row here. A LeftOuter join would
+        // emit one copy per match; decompose instead: semi (matched,
+        // verbatim, exactly once) ∪ anti (unmatched, actions applied).
+        val semi = Join(m.targetTable, m.sourceTable, LeftSemi,
+          Some(m.mergeCondition), JoinHint.NONE)
+        val anti = Join(m.targetTable, m.sourceTable, LeftAnti,
+          Some(m.mergeCondition), JoinHint.NONE)
+        val actAlias = Alias(CaseWhen(
+          bySource.zipWithIndex.map { case ((cond, _), i) =>
+            (cond.getOrElse(Literal(true)): Expression,
+              Literal(i): Expression)
+          }, None), "__graft_act")()
+        val withAct = Project(anti.output :+ actAlias, anti)
+        val actRef = actAlias.toAttribute
+        val deleteOrds = bySource.zipWithIndex.collect {
+          case ((_, None), i) => Literal(i): Expression
+        }
+        val afterDeletes =
+          if (deleteOrds.isEmpty) withAct
+          else Filter(
+            org.apache.spark.sql.catalyst.expressions.Or(
+              IsNull(actRef), Not(In(actRef, deleteOrds))), withAct)
+        val applied = Project(tOut.map { attr =>
+          val branches = bySource.zipWithIndex.collect {
+            case ((_, Some(as)), i) if as.contains(attr.name) =>
+              (EqualTo(actRef, Literal(i)): Expression,
+                castTo(as(attr.name), attr))
+          }
+          if (branches.isEmpty) attr: NamedExpression
+          else Alias(CaseWhen(branches, attr), attr.name)()
+            : NamedExpression
+        }, afterDeletes)
+        Union(Seq(semi, applied))
+      } else {
         val mTag = Alias(Literal(true), "__graft_matched")()
         val srcTagged =
           Project(m.sourceTable.output :+ mTag, m.sourceTable)
@@ -386,10 +422,14 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // when the source is PROVABLY unique on a single equi-join key
     // (grouped or dropDuplicates-keyed on it — the deduped-CDC shape)
     // so the common production merge pays nothing for the guard.
+    // ALSO skipped whenever there are no WHEN MATCHED actions at all:
+    // insert-only and by-source-only MERGEs are multi-match-legal per
+    // ANSI (matched rows are never acted on), and their rewrites
+    // (anti join / semi∪anti decomposition) never duplicate.
     val cardCheck: Option[LogicalPlan] =
-      if ((matched.isEmpty && bySource.isEmpty) ||
+      if (matched.isEmpty ||
           ManifestMergeRule.sourceUniqueOnKey(m.mergeCondition,
-            m.sourceTable)) None
+            m.sourceTable, m.targetTable)) None
       else {
         val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
         val tTagged = Project(m.targetTable.output :+ tid, m.targetTable)
@@ -420,14 +460,21 @@ object ManifestMergeRule {
     *    still repeat k),
     * walked through Filters and key-preserving Projects (the key's
     * exprId must survive — an aliasing rebind gets a fresh id and
-    * soundly fails the walk). Anything unprovable keeps the check.
+    * soundly fails the walk). The OTHER operand must be a TARGET
+    * attribute: a condition like `ON s.a = s.b` touches no target
+    * column, so source-side uniqueness on `a` says nothing about
+    * matches-per-target-row — the guard must stay. Anything
+    * unprovable keeps the check.
     */
   private[sources] def sourceUniqueOnKey(cond: Expression,
-      source: LogicalPlan): Boolean = cond match {
+      source: LogicalPlan, target: LogicalPlan): Boolean = cond match {
     case EqualTo(x, y) =>
-      Seq(x, y).collectFirst {
-        case a: AttributeReference if source.outputSet.contains(a) => a
-      }.exists { k =>
+      val pair = Seq((x, y), (y, x)).collectFirst {
+        case (k: AttributeReference, t: AttributeReference)
+          if source.outputSet.contains(k) &&
+            target.outputSet.contains(t) => k
+      }
+      pair.exists { k =>
         def walk(p: LogicalPlan): Boolean = p match {
           case Project(projList, child) =>
             projList.exists {

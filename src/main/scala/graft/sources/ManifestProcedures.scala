@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
@@ -120,12 +118,16 @@ private[sources] object ManifestProcedures {
       })
 
   def vacuum(dirOf: String => String): UnboundProcedure =
-    proc("vacuum", Array(param("table", StringType)),
+    proc("vacuum", Array(param("table", StringType),
+      ProcedureParameter.in("min_age_ms", LongType)
+        .defaultValue("0").build()),
       { input =>
         val dir = dirOf(input.getUTF8String(0).toString)
-        val orphans = ManifestV2Sink.unreferencedFiles(dir)
-        orphans.foreach(rel =>
-          Files.deleteIfExists(Paths.get(dir, rel)))
+        val minAge = if (input.numFields > 1 && !input.isNullAt(1))
+          input.getLong(1) else 0L
+        // delete under commitLock+headLock (see ManifestV2Sink.vacuum):
+        // an unlocked sweep races the move-then-publish commit window
+        val orphans = ManifestV2Sink.vacuum(dir, minAge)
         (StructType(Seq(StructField("files_removed", IntegerType),
           StructField("example", StringType))),
           InternalRow(orphans.length,

@@ -2102,6 +2102,32 @@ object ManifestV2Sink {
       finally s.close()
     }
   }
+
+  /** Delete unreferenced data files — the reclamation sweep, taken
+    * UNDER the table's commit locks. Commit paths move data files
+    * into `data/` BEFORE the pointer rename that references them
+    * ([[promoteAndPublish]], scratch adoption), so an unlocked sweep
+    * racing that window would delete a file the about-to-publish
+    * manifest references — permanent loss. Holding
+    * [[commitLock]]+[[withHeadLock]] serializes against every
+    * in-process and cross-process committer on this host.
+    * `minAgeMillis` additionally skips files younger than the
+    * threshold (Delta-style retention) as defense in depth for
+    * committers not covered by the advisory file lock (e.g. a remote
+    * writer on a shared filesystem). Returns the deleted paths.
+    */
+  def vacuum(path: String, minAgeMillis: Long = 0L): Seq[String] =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
+        val victims = unreferencedFiles(path).filter { rel =>
+          val p = Paths.get(path, rel)
+          Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff
+        }
+        victims.foreach(rel => Files.deleteIfExists(Paths.get(path, rel)))
+        victims
+      }
+    }
 }
 
 private[sources] class ManifestTable(schema0: StructType, path: String,
@@ -2598,11 +2624,18 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     while (t < strIdx.length) {
       val i = strIdx(t)
       if (!row.isNullAt(i)) {
-        val b = row.getUTF8String(i).getBytes // fresh array per call
+        // getBytes returns the BACKING array (no copy) when the
+        // string exactly spans it — compare against the retained
+        // bounds first, and copy ONLY when we retain, so a reused
+        // upstream buffer can never mutate published T| bounds
+        val u = row.getUTF8String(i)
+        val b = u.getBytes
         if (strMin(i) == null ||
-            ManifestV2Sink.compareBytes(b, strMin(i)) < 0) strMin(i) = b
+            ManifestV2Sink.compareBytes(b, strMin(i)) < 0)
+          strMin(i) = java.util.Arrays.copyOf(b, b.length)
         if (strMax(i) == null ||
-            ManifestV2Sink.compareBytes(b, strMax(i)) > 0) strMax(i) = b
+            ManifestV2Sink.compareBytes(b, strMax(i)) > 0)
+          strMax(i) = java.util.Arrays.copyOf(b, b.length)
         statN(i) += 1
       }
       t += 1

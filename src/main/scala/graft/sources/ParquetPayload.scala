@@ -657,15 +657,18 @@ private[sources] object ManifestSkipping {
     * predicate engine: positions are computed by streaming a file
     * through the SAME per-file reader the scan uses and evaluating
     * the DELETE predicate here, so DV row indexes and read-time row
-    * indexes can never disagree. SQL three-valued logic: a comparison
-    * against a NULL row value is false (never deletes), IsNull/
-    * EqualNullSafe handle nulls explicitly. Throws on unsupported
-    * shapes — callers gate on [[filtersToColumn]] first.
+    * indexes can never disagree. FULL SQL three-valued logic: each
+    * node evaluates to Some(true)/Some(false)/None(=NULL) with Kleene
+    * And/Or and Not(NULL)=NULL, so `NOT (x = 5)` over a NULL x is
+    * NULL — never a delete — matching ANSI and the copy-on-write
+    * rewrite tier (`!p || p.isNull` keeps the row). A row is deleted
+    * only when every filter is definitively TRUE. Throws on
+    * unsupported shapes — callers gate on [[filtersToColumn]] first.
     */
   def evalFilters(schema: org.apache.spark.sql.types.StructType,
       filters: Seq[sources.Filter],
       row: org.apache.spark.sql.catalyst.InternalRow): Boolean =
-    filters.forall(evalOne(schema, _, row))
+    filters.forall(evalOne(schema, _, row).contains(true))
 
   private def fieldValue(schema: org.apache.spark.sql.types.StructType,
       c: String, row: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -708,47 +711,76 @@ private[sources] object ManifestSkipping {
       for (a <- ra; b <- ParquetPayload.statsValue(fv)) yield a.compare(b)
   }
 
+  /** Three-valued (Kleene) evaluation: Some(true)/Some(false)/None
+    * where None is SQL NULL. `FALSE AND NULL = FALSE`, `TRUE OR NULL
+    * = TRUE`, `NOT NULL = NULL`; a comparison with a NULL operand is
+    * NULL (not false), so Not over it stays NULL instead of flipping
+    * to a spurious delete (ADVICE r14 HIGH).
+    */
   private def evalOne(schema: org.apache.spark.sql.types.StructType,
       f: sources.Filter,
-      row: org.apache.spark.sql.catalyst.InternalRow): Boolean = f match {
+      row: org.apache.spark.sql.catalyst.InternalRow): Option[Boolean] =
+    f match {
     case sources.And(a, b) =>
-      evalOne(schema, a, row) && evalOne(schema, b, row)
+      (evalOne(schema, a, row), evalOne(schema, b, row)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
     case sources.Or(a, b) =>
-      evalOne(schema, a, row) || evalOne(schema, b, row)
-    case sources.Not(c) => !evalOne(schema, c, row)
-    case sources.IsNull(c) => fieldValue(schema, c, row) == null
-    case sources.IsNotNull(c) => fieldValue(schema, c, row) != null
+      (evalOne(schema, a, row), evalOne(schema, b, row)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+    case sources.Not(c) => evalOne(schema, c, row).map(!_)
+    case sources.IsNull(c) => Some(fieldValue(schema, c, row) == null)
+    case sources.IsNotNull(c) => Some(fieldValue(schema, c, row) != null)
     case sources.EqualTo(c, v) =>
-      cmpPair(fieldValue(schema, c, row), v).contains(0)
+      cmp3(fieldValue(schema, c, row), v).map(_ == 0)
     case sources.EqualNullSafe(c, v) =>
       val rv = fieldValue(schema, c, row)
-      if (rv == null || v == null) rv == null && v == null
-      else cmpPair(rv, v).contains(0)
+      if (rv == null || v == null) Some(rv == null && v == null)
+      else Some(cmpPair(rv, v).contains(0))
     case sources.GreaterThan(c, v) =>
-      cmpPair(fieldValue(schema, c, row), v).exists(_ > 0)
+      cmp3(fieldValue(schema, c, row), v).map(_ > 0)
     case sources.GreaterThanOrEqual(c, v) =>
-      cmpPair(fieldValue(schema, c, row), v).exists(_ >= 0)
+      cmp3(fieldValue(schema, c, row), v).map(_ >= 0)
     case sources.LessThan(c, v) =>
-      cmpPair(fieldValue(schema, c, row), v).exists(_ < 0)
+      cmp3(fieldValue(schema, c, row), v).map(_ < 0)
     case sources.LessThanOrEqual(c, v) =>
-      cmpPair(fieldValue(schema, c, row), v).exists(_ <= 0)
+      cmp3(fieldValue(schema, c, row), v).map(_ <= 0)
     case sources.In(c, vs) =>
+      // ANSI IN: TRUE on a match; NULL when the probe is NULL or the
+      // list holds a NULL and nothing matched; FALSE otherwise.
       val rv = fieldValue(schema, c, row)
-      vs.exists(v => v != null && cmpPair(rv, v).contains(0))
+      if (rv == null) None
+      else if (vs.exists(v => v != null && cmpPair(rv, v).contains(0)))
+        Some(true)
+      else if (vs.contains(null)) None
+      else Some(false)
     case sources.StringStartsWith(c, s) =>
       fieldValue(schema, c, row) match {
-        case x: String => x.startsWith(s); case _ => false }
+        case x: String => Some(x.startsWith(s)); case _ => None }
     case sources.StringEndsWith(c, s) =>
       fieldValue(schema, c, row) match {
-        case x: String => x.endsWith(s); case _ => false }
+        case x: String => Some(x.endsWith(s)); case _ => None }
     case sources.StringContains(c, s) =>
       fieldValue(schema, c, row) match {
-        case x: String => x.contains(s); case _ => false }
-    case _: sources.AlwaysTrue => true
-    case _: sources.AlwaysFalse => false
+        case x: String => Some(x.contains(s)); case _ => None }
+    case _: sources.AlwaysTrue => Some(true)
+    case _: sources.AlwaysFalse => Some(false)
     case other => throw new UnsupportedOperationException(
       s"DV probe: unsupported filter $other (gate on filtersToColumn)")
   }
+
+  /** Comparison with NULL propagation: None when either side is NULL
+    * (SQL NULL result). Non-null incomparable pairs are unreachable —
+    * shapes are validated at plan time — but conservatively map to
+    * None (no delete) rather than a definite boolean.
+    */
+  private def cmp3(rv: Any, fv: Any): Option[Int] =
+    if (rv == null || fv == null) None else cmpPair(rv, fv)
 
   private def eqMight(e: String, c: String, v: Any): Boolean =
     ParquetPayload.statsValue(v) match {

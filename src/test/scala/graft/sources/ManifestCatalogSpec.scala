@@ -404,6 +404,20 @@ class ManifestCatalogSpec extends SparkSuite {
         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
       assert(spark.sql(s"SELECT count(*) FROM graft.$t")
         .head.getLong(0) == 3L)
+      // ANSI: multiple source matches per target row are LEGAL when
+      // only BY SOURCE actions exist (matched rows pass through once,
+      // untouched) — the semi∪anti decomposition must neither raise
+      // the cardinality error nor duplicate the matched rows
+      spark.sql(s"""MERGE INTO graft.$t tgt
+        |USING (SELECT * FROM VALUES (2), (2), (2), (3) AS u(id)) src
+        |ON tgt.id = src.id
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET state = 'stale'
+        |""".stripMargin)
+      val after = spark.sql(s"SELECT id, state FROM graft.$t " +
+        "ORDER BY id").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq
+      assert(after == Seq((2L, "live"), (3L, "live"), (5L, "stale")),
+        s"by-source-only multi-match wrong: $after")
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
 
@@ -418,9 +432,11 @@ class ManifestCatalogSpec extends SparkSuite {
     val tk = Symbol("tk").long
     val rel = org.apache.spark.sql.catalyst.plans.logical
       .LocalRelation(k, v)
+    val trel = org.apache.spark.sql.catalyst.plans.logical
+      .LocalRelation(tk)
     def unique(src: org.apache.spark.sql.catalyst.plans.logical
         .LogicalPlan): Boolean =
-      ManifestMergeRule.sourceUniqueOnKey(EqualTo(tk, k), src)
+      ManifestMergeRule.sourceUniqueOnKey(EqualTo(tk, k), src, trel)
     // grouped ONLY on the key → unique → guard skipped
     assert(unique(rel.groupBy(k)(k, org.apache.spark.sql.catalyst
       .expressions.aggregate.Max(v).toAggregateExpression().as("mv"))))
@@ -435,6 +451,11 @@ class ManifestCatalogSpec extends SparkSuite {
     assert(!unique(Deduplicate(Seq(k, v), rel)))
     // filters and key-preserving projects walk through
     assert(unique(Deduplicate(Seq(k), rel).where(v > 1L).select(k, v)))
+    // a condition touching only SOURCE columns (ON s.k = s.v) proves
+    // nothing about matches-per-target-row → guard stays even when
+    // the source is deduped on k
+    assert(!ManifestMergeRule.sourceUniqueOnKey(EqualTo(k, v),
+      Deduplicate(Seq(k), rel), trel))
     // the end-to-end duplicate-source error still fires (cross-check
     // with the cardinality test above: raw VALUES sources keep the
     // guard), and a GROUPED duplicate source merges cleanly

@@ -153,4 +153,87 @@ class ManifestDvSpec extends SparkSuite {
       assert(ManifestV2Sink.committedDataFiles(dir).toSet == before)
     } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
   }
+
+  test("three-valued logic in the DV probe: NOT over a NULL " +
+    "comparison never deletes (parity with the rewrite tier)") {
+    import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn,
+      Not => SNot, Or => SOr}
+    val t = fresh()
+    val dir = s"$root/$t"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, x BIGINT)")
+      // x = 5 everywhere except: 7 for k<5, NULL for 5<=k<10
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ id, " +
+        "CASE WHEN id < 5 THEN 7 WHEN id < 10 THEN NULL ELSE 5 END " +
+        "FROM range(0, 1000)")
+      // `x <> 5`: TRUE only for x=7 (5 rows); NULL for the NULL rows
+      // — ANSI deletes nothing whose predicate is NULL. Point-ish
+      // match count → the DV tier (the tier that had the bug).
+      val (dropped, dvd, rewritten, kept) = ManifestV2Sink.deleteWhere(
+        spark, dir, Seq(SNot(SEq("x", 5L))))
+      assert(dvd == 1 && dropped == 0 && rewritten == 0,
+        s"tiers: $dropped/$dvd/$rewritten/$kept")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t").head.getLong(0)
+        == 995L, "only the 5 x=7 rows may be deleted")
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.$t WHERE x IS NULL")
+        .head.getLong(0) == 5L, "NULL rows must survive NOT(x=5)")
+      // Kleene OR: NULL OR TRUE = TRUE — a disjunct that IS true on
+      // the NULL-x rows still deletes them
+      val (_, dvd2, _, _) = ManifestV2Sink.deleteWhere(spark, dir,
+        Seq(SOr(SNot(SEq("x", 5L)), SIn("k", Array(5L, 6L)))))
+      assert(dvd2 == 1, "second DV delete expected")
+      assert(spark.sql(
+        s"SELECT count(*) FROM graft.$t WHERE x IS NULL")
+        .head.getLong(0) == 3L, "k=5,6 deleted via the TRUE disjunct")
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t").head.getLong(0)
+        == 993L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  test("evalFilters is Kleene-correct on NULLs: Not/And/Or/In") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("x", LongType),
+      StructField("s", StringType)))
+    def row(x: java.lang.Long, s: String): GenericInternalRow =
+      new GenericInternalRow(Array[Any](
+        if (x == null) null else x.longValue(),
+        if (s == null) null
+        else org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+    def ev(f: Filter, r: GenericInternalRow): Boolean =
+      ManifestSkipping.evalFilters(schema, Seq(f), r)
+    val nullRow = row(null, null)
+    // NOT(x=5) over NULL x is NULL → not a match
+    assert(!ev(Not(EqualTo("x", 5L)), nullRow))
+    assert(ev(Not(EqualTo("x", 5L)), row(7L, "a")))
+    assert(!ev(Not(EqualTo("x", 5L)), row(5L, "a")))
+    // NOT(IS NULL) stays two-valued
+    assert(!ev(Not(IsNull("x")), nullRow))
+    assert(ev(Not(IsNull("x")), row(1L, null)))
+    // FALSE AND NULL = FALSE → NOT of it = TRUE
+    assert(ev(Not(And(EqualTo("x", 5L), EqualTo("s", "z"))),
+      row(4L, null)))
+    // TRUE AND NULL = NULL → NOT of it = NULL (no match)
+    assert(!ev(Not(And(EqualTo("x", 4L), EqualTo("s", "z"))),
+      row(4L, null)))
+    assert(!ev(And(EqualTo("x", 4L), EqualTo("s", "z")), row(4L, null)))
+    // TRUE OR NULL = TRUE even with the NULL side first
+    assert(ev(Or(EqualTo("s", "z"), EqualTo("x", 4L)), row(4L, null)))
+    // NOT(FALSE OR NULL) = NOT(NULL) = NULL → no match
+    assert(!ev(Not(Or(EqualTo("x", 9L), EqualTo("s", "z"))),
+      row(4L, null)))
+    // ANSI IN: x IN (4, NULL) = TRUE on match; 9 IN (4, NULL) = NULL
+    // → NOT IN over it must NOT match
+    assert(ev(In("x", Array[Any](4L, null)), row(4L, "a")))
+    assert(!ev(Not(In("x", Array[Any](4L, null))), row(9L, "a")))
+    assert(ev(Not(In("x", Array[Any](4L, 5L))), row(9L, "a")))
+    // EqualNullSafe is two-valued through NOT
+    assert(!ev(Not(EqualNullSafe("x", null)), nullRow))
+    assert(ev(Not(EqualNullSafe("x", 5L)), nullRow))
+    // string predicates over NULL are NULL through NOT
+    assert(!ev(Not(StringStartsWith("s", "a")), nullRow))
+    assert(ev(Not(StringStartsWith("s", "a")), row(1L, "bc")))
+  }
 }

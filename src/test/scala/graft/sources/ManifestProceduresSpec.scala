@@ -40,7 +40,13 @@ class ManifestProceduresSpec extends SparkSuite {
       assert(e(0).getInt(0) == nV - 1 && e(0).getInt(1) == 1,
         e.mkString(","))
       // reclamation: the 6 pre-compaction files lost their last
-      // references with the expiry — vacuum deletes them
+      // references with the expiry — but a min_age_ms far in the
+      // future skips them all (Delta-style retention guard) …
+      val v0 = spark.sql(s"CALL graft.system.vacuum(table => '$t', " +
+        "min_age_ms => 3600000)").collect()
+      assert(v0(0).getInt(0) == 0, v0.mkString(","))
+      assert(ManifestV2Sink.unreferencedFiles(dir).size == 6)
+      // … and the default sweep deletes them
       val v = spark.sql(s"CALL graft.system.vacuum('$t')").collect()
       assert(v(0).getInt(0) == 6, v.mkString(","))
       assert(ManifestV2Sink.unreferencedFiles(dir).isEmpty)
