@@ -1044,6 +1044,145 @@ object ScalarBreadthQueries {
       |FROM s WHERE o_orderkey <> (SELECT MIN(o_orderkey) FROM s)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** AGGREGATE PUSHDOWN under the oracle gate: COUNT/MIN/MAX over a
+    * partitioned manifest table — grouped by the partition column —
+    * answered ENTIRELY from manifest metadata (the `R|`/`S|`/`N|`/
+    * `P|` blobs recorded at publish): the executed plan is a
+    * LocalTableScan, zero data files read, the Aggregate erased
+    * (complete DSv2 pushdown, [[graft.sources.ManifestAggPushdown]]).
+    * Pinned in-band: `meta_grouped`/`meta_count` = 1 iff the plans
+    * were metadata-only; after a one-row deletion-vector delete,
+    * COUNT(*) stays pushable (DV position counts are exact,
+    * `n_after_dv`) while MIN must DECLINE to the row scan
+    * (`dv_min_declined` — the deleted row could have been the
+    * extreme) yet still answers correctly (`min_after_dv`). At
+    * 100 TB this is the difference between a count that reads a
+    * manifest and one that scans the table.
+    */
+  def sinkManifestAggPushdown(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"aggpd_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "cents BIGINT, o_orderstatus STRING) " +
+        "PARTITIONED BY (o_orderstatus)")
+      table(spark, dir, "orders").where(col("o_orderkey") % 13 === 8)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderstatus"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM ${t}_src")
+      val grouped = spark.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  min(o_orderkey) AS mn_key, max(o_orderkey) AS mx_key,
+           |  count(cents) AS n_cents
+           |FROM graft.$t GROUP BY o_orderstatus""".stripMargin)
+      val metaGrouped = {
+        val p = grouped.queryExecution.executedPlan.toString()
+        p.contains("LocalTableScan") && !p.contains("BatchScan")
+      }
+      val g = grouped.localCheckpoint(true)
+      val minKey = spark.sql(s"SELECT min(o_orderkey) FROM graft.$t")
+        .head.getLong(0)
+      spark.sql(s"DELETE FROM graft.$t WHERE o_orderkey >= $minKey " +
+        s"AND o_orderkey < ${minKey + 1}")
+      val cq = spark.sql(s"SELECT count(*) AS c FROM graft.$t")
+      val metaCount = cq.queryExecution.executedPlan.toString()
+        .contains("LocalTableScan")
+      val nAfter = cq.head.getLong(0)
+      val mq = spark.sql(s"SELECT min(o_orderkey) AS m FROM graft.$t")
+      val declined = mq.queryExecution.executedPlan.toString()
+        .contains("BatchScan")
+      val minAfter = mq.head.getLong(0)
+      g.select(col("*"),
+        lit(if (metaGrouped) 1L else 0L).as("meta_grouped"),
+        lit(if (metaCount) 1L else 0L).as("meta_count"),
+        lit(if (declined) 1L else 0L).as("dv_min_declined"),
+        lit(nAfter).as("n_after_dv"),
+        lit(minAfter).as("min_after_dv"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestAggPushdownSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+      |    o_orderstatus
+      |  FROM orders WHERE o_orderkey % 13 = 8)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+      |  COUNT(cents) AS n_cents,
+      |  CAST(1 AS BIGINT) AS meta_grouped,
+      |  CAST(1 AS BIGINT) AS meta_count,
+      |  CAST(1 AS BIGINT) AS dv_min_declined,
+      |  (SELECT COUNT(*) - 1 FROM s) AS n_after_dv,
+      |  (SELECT MIN(o_orderkey) FROM s
+      |   WHERE o_orderkey > (SELECT MIN(o_orderkey) FROM s))
+      |    AS min_after_dv
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
+  /** LIMIT / TOP-N PUSHDOWN under the oracle gate: over a 7-file
+    * year-clustered manifest table, `ORDER BY key LIMIT 10` (both
+    * directions) plans ONLY the files whose stats bounds can hold
+    * the 10 extreme rows ([[graft.sources.ManifestScanPlanner
+    * .boundEntries]] — zone-map top-k pruning over the `S|`/`R|`/`N|`
+    * blobs), pinned in-band as `bounded` = 1 iff files_planned <
+    * files_total. The row VALUES are the real gate: whatever the
+    * bound does, the 10 keys must equal DuckDB's. A year-clustered
+    * 100 TB table answers "latest k" from its newest files only.
+    */
+  def sinkManifestLimitPushdown(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = perYearTable(spark, dir, "limpd", 10)
+    val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+    try {
+      val total = graft.sources.ManifestV2Sink.committedFileCount(out)
+      def run(q: String): (Seq[Long], Int) = {
+        val rows = spark.sql(q).collect().map(_.getLong(0)).toSeq
+        (rows, graft.sources.ManifestV2Sink.lastPlannedFiles(out)
+          .map(_._1).getOrElse(-1))
+      }
+      // order by the CLUSTERED column (files are year-partitioned on
+      // od, so their od ranges are disjoint and zone-map pruning can
+      // bite; o_orderkey ranges overlap across every file) with the
+      // key as deterministic tiebreak — bounding uses the PRIMARY key
+      val (ascRows, ascPlanned) = run(
+        s"SELECT o_orderkey FROM graft.$t " +
+          "ORDER BY od, o_orderkey LIMIT 10")
+      val (descRows, descPlanned) = run(
+        s"SELECT o_orderkey FROM graft.$t " +
+          "ORDER BY od DESC, o_orderkey DESC LIMIT 10")
+      // bare LIMIT may return ANY rows — only its cardinality and
+      // file bound are pinnable
+      val (bareRows, barePlanned) = run(
+        s"SELECT o_orderkey FROM graft.$t LIMIT 10")
+      import spark.implicits._
+      val asc = ascRows.map(k => ("asc", k,
+        if (ascPlanned < total) 1L else 0L))
+      val desc = descRows.map(k => ("desc", k,
+        if (descPlanned < total) 1L else 0L))
+      val bare = Seq(("bare", bareRows.length.toLong,
+        if (barePlanned < total) 1L else 0L))
+      (asc ++ desc ++ bare)
+        .toDF("dirn", "o_orderkey", "bounded")
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestLimitPushdownSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+      |  FROM orders WHERE o_orderkey % 13 = 10),
+      |a AS (SELECT 'asc' AS dirn, o_orderkey,
+      |        CAST(1 AS BIGINT) AS bounded
+      |      FROM s ORDER BY od, o_orderkey LIMIT 10),
+      |d AS (SELECT 'desc' AS dirn, o_orderkey,
+      |        CAST(1 AS BIGINT) AS bounded
+      |      FROM s ORDER BY od DESC, o_orderkey DESC LIMIT 10)
+      |SELECT * FROM a
+      |UNION ALL SELECT * FROM d
+      |UNION ALL SELECT 'bare', CAST(10 AS BIGINT),
+      |  CAST(1 AS BIGINT)""".stripMargin
+
   /** STREAMING INGEST into the transactional sink under the oracle
     * gate — the production shape of the reference's ingestion API
     * (app.js:106-155): a 4-file staged copy of an orders slice is
@@ -2781,6 +2920,8 @@ object ScalarBreadthQueries {
     "sink_manifest_prune" -> (sinkManifestPrune _),
     "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
+    "sink_manifest_agg_pushdown" -> (sinkManifestAggPushdown _),
+    "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
     "sink_manifest_rename_drop" -> (sinkManifestRenameDrop _),
@@ -2833,6 +2974,8 @@ object ScalarBreadthQueries {
     "sink_manifest_prune" -> sinkManifestPruneSql,
     "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
+    "sink_manifest_agg_pushdown" -> sinkManifestAggPushdownSql,
+    "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,
     "sink_manifest_rename_drop" -> sinkManifestRenameDropSql,

@@ -235,7 +235,9 @@ private[sources] object ManifestScanPlanner {
   def partitions(path: String, schema: StructType, required: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter],
       entries: Seq[String], base: Set[String],
-      pruneOnly: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+      pruneOnly: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+      limit: Option[Int] = None,
+      topn: Option[(String, Boolean, Int)] = None)
       : Array[InputPartition] = {
     val aliasMap = ManifestV2Sink.columnAliases(path)
     val aliasesEnc = aliasMap.toArray.sortBy(_._1).map { case (c, past) =>
@@ -278,9 +280,16 @@ private[sources] object ManifestScanPlanner {
           DeleteSet(curName, keys)
         }
       }
-    val planned = entries
+    val planned0 = entries
       .filterNot(x => ManifestV2Sink.isDeleteEntry(x) || base.contains(x))
       .filter(ManifestSkipping.keepEntry(_, filters ++ pruneOnly))
+    // limit/top-N file bounding: only sound with no tombstones (a
+    // key-delete could reconcile away counted rows) — bounding is
+    // pure IO savings, Spark's own Limit/TakeOrdered stays on top
+    val planned =
+      if (dels.isEmpty && (limit.isDefined || topn.isDefined))
+        boundEntries(planned0, limit, topn)
+      else planned0
     // vectorized decode needs a scan-uniform answer: every planned
     // file parquet, no tombstones, no deletion vectors (row-level
     // reconcile and positional skips need the row readers; compaction
@@ -303,6 +312,79 @@ private[sources] object ManifestScanPlanner {
         if (keyed) partCols.map(pv).toArray else Array.empty,
         aliasesEnc): InputPartition
     }.toArray
+  }
+
+  /** LIMIT/TOP-N FILE BOUNDING — the scan-side half of
+    * `SupportsPushDownLimit`/`SupportsPushDownTopN` (partial push):
+    * keep only as many files as the k requested rows can live in,
+    * decided from manifest metadata. Bare LIMIT k: walk the planned
+    * entries summing recorded live rows (R| minus V| DV counts) and
+    * stop once ≥ k — any suffix of files is unreachable by a limit
+    * that may return ANY k rows. ORDER BY col LIMIT k: every entry
+    * needs exact `S|` bounds, a ZERO `N|` null count (no null-ordering
+    * cases, and no hidden NaN for doubles) and a recorded live count;
+    * entries sort by the bound at the sorted end, accumulate until
+    * ≥ k live rows → threshold τ; a file whose whole range lies
+    * strictly beyond τ cannot hold any of the k extreme rows
+    * (standard min/max zone-map top-k pruning). ANY missing metadata
+    * → no-op (all files planned; Spark's Limit is still exact).
+    */
+  private[sources] def boundEntries(planned: Seq[String],
+      limit: Option[Int],
+      topn: Option[(String, Boolean, Int)]): Seq[String] = {
+    def live(e: String): Option[Long] =
+      ManifestV2Sink.entryRowsBytes(e).map { case (r, _) =>
+        math.max(0L, r - ManifestV2Sink.entryDv(e).map(_._2)
+          .getOrElse(0L))
+      }
+    topn match {
+      case Some((c, asc, k)) =>
+        val meta = planned.map { e =>
+          for {
+            l <- live(e)
+            b <- ManifestV2Sink.entryStats(e).get(c)
+            n <- ManifestV2Sink.entryNullCount(e, c) if n == 0L
+          } yield (e, l, b._1, b._2)
+        }
+        if (meta.exists(_.isEmpty)) planned
+        else {
+          val ms = meta.flatten
+          val sorted =
+            if (asc) ms.sortBy(_._4)
+            else ms.sortBy(_._3)(Ordering[BigDecimal].reverse)
+          var cum = 0L
+          var tau: Option[BigDecimal] = None
+          val it = sorted.iterator
+          while (cum < k && it.hasNext) {
+            val m = it.next()
+            cum += m._2
+            tau = Some(if (asc) m._4 else m._3)
+          }
+          tau match {
+            case Some(t) if cum >= k =>
+              ms.filter(m => if (asc) m._3 <= t else m._4 >= t)
+                .map(_._1)
+            case _ => planned // fewer than k rows in total
+          }
+        }
+      case None => limit match {
+        case Some(k) =>
+          val ls = planned.map(live)
+          if (ls.exists(_.isEmpty)) planned
+          else {
+            var cum = 0L
+            val keep = Seq.newBuilder[String]
+            val it = planned.iterator.zip(ls.iterator.map(_.get))
+            while (cum < k && it.hasNext) {
+              val (e, l) = it.next()
+              keep += e
+              cum += l
+            }
+            keep.result()
+          }
+        case None => planned
+      }
+    }
   }
 
   def readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
@@ -433,7 +515,9 @@ private[sources] class ManifestBatchScan(val path: String,
     // the SAME batch object — a by-value capture would always see the
     // pre-filter empty seq
     runtimePrune: () => Seq[org.apache.spark.sql.sources.Filter] =
-      () => Seq.empty)
+      () => Seq.empty,
+    val limit: Option[Int] = None,
+    val topn: Option[(String, Boolean, Int)] = None)
     extends org.apache.spark.sql.connector.read.Batch {
   /** VALUE equality (everything but the mutable runtime-filter view):
     * `BatchScanExec.equals` compares `scan.toBatch`, so exchange
@@ -445,18 +529,20 @@ private[sources] class ManifestBatchScan(val path: String,
   override def equals(other: Any): Boolean = other match {
     case o: ManifestBatchScan => o.path == path && o.schema == schema &&
       o.required == required && o.filters == filters &&
-      o.branch == branch && o.asOfVersion == asOfVersion
+      o.branch == branch && o.asOfVersion == asOfVersion &&
+      o.limit == limit && o.topn == topn
     case _ => false
   }
   override def hashCode(): Int =
-    (path, schema, required, filters, branch, asOfVersion).hashCode()
+    (path, schema, required, filters, branch, asOfVersion, limit, topn)
+      .hashCode()
 
   override def planInputPartitions(): Array[InputPartition] = {
     // loud on a retention hole / missing branch — a silently-empty
     // snapshot read would look like "the table was empty at v"
     val entries = ManifestV2Sink.entriesFor(path, branch, asOfVersion)
     val parts = ManifestScanPlanner.partitions(path, schema, required,
-      filters, entries, Set.empty, runtimePrune())
+      filters, entries, Set.empty, runtimePrune(), limit, topn)
     // observability: the per-path planned/total file counts the
     // runtime-prune evidence queries read back after execution
     ManifestScanPlanner.recordPlanned(path, parts.length,

@@ -2265,7 +2265,10 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+      with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
     // admission control for the table-as-stream read: cap the number
     // of newly-committed data FILES consumed per micro-batch
     private val maxFilesPerTrigger: Option[Int] =
@@ -2294,9 +2297,71 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
       pushed
 
-    override def build(): Scan =
-      new ManifestScan(path, schema0, required, pushed.toSeq, branch,
-        asOfVersion, maxFilesPerTrigger)
+    // ---- aggregate pushdown: COUNT/MIN/MAX (± partition grouping)
+    // answered from manifest metadata alone when exact — zero data
+    // files read, Aggregate erased ([[ManifestAggPushdown]]); any
+    // inexactness (filters, tombstones, DVs on extremes, missing
+    // stats) declines to the row scan.
+    private var aggPlan: Option[(StructType,
+      Array[org.apache.spark.sql.catalyst.InternalRow])] = None
+
+    override def supportCompletePushDown(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean =
+      ManifestAggPushdown.tryPlan(path, schema0, branch, asOfVersion,
+        pushed.nonEmpty, agg).isDefined
+
+    override def pushAggregation(
+        agg: org.apache.spark.sql.connector.expressions.aggregate
+          .Aggregation): Boolean = {
+      aggPlan = ManifestAggPushdown.tryPlan(path, schema0, branch,
+        asOfVersion, pushed.nonEmpty, agg)
+      aggPlan.isDefined
+    }
+
+    // ---- limit/top-N pushdown: PARTIAL (Spark keeps its Limit /
+    // TakeOrdered — these only bound how many FILES the scan plans).
+    // A bare LIMIT k stops planning files once the recorded live-row
+    // counts reach k; an ORDER BY col LIMIT k keeps only files whose
+    // stats bounds can intersect the k extreme rows
+    // ([[ManifestScanPlanner.boundEntries]]). Declined under pushed
+    // filters (residual filters make per-file row counts meaningless
+    // for the bound).
+    private var limitK: Option[Int] = None
+    private var topn: Option[(String, Boolean, Int)] = None
+
+    override def isPartiallyPushed(): Boolean = true
+
+    override def pushLimit(k: Int): Boolean =
+      if (pushed.nonEmpty || k <= 0) false
+      else { limitK = Some(k); true }
+
+    override def pushTopN(
+        orders: Array[org.apache.spark.sql.connector.expressions
+          .SortOrder], k: Int): Boolean =
+      if (pushed.nonEmpty || k <= 0 || orders.isEmpty) false
+      else orders.head.expression() match {
+        // bounding by the PRIMARY sort key is sound for a multi-key
+        // order: lexicographic top-k rows carry exactly the k
+        // smallest (largest) primary-key values as a multiset
+        case f: org.apache.spark.sql.connector.expressions
+            .NamedReference if f.fieldNames.length == 1 &&
+          schema0.fieldNames.contains(f.fieldNames.head) =>
+          val asc = orders.head.direction() ==
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING
+          topn = Some((f.fieldNames.head, asc, k))
+          true
+        case _ => false
+      }
+
+    override def build(): Scan = aggPlan match {
+      case Some((outSchema, rows)) =>
+        new ManifestAggScan(path, outSchema, rows)
+      case None =>
+        new ManifestScan(path, schema0, required, pushed.toSeq, branch,
+          asOfVersion, maxFilesPerTrigger, limitK, topn)
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -2704,10 +2769,12 @@ private[sources] class ManifestDataWriter(path: String, schema: StructType,
     * over-count, see [[ManifestV2Sink.entryNullCount]]).
     */
   private def nullsBlob(): String = {
-    val cols = (statIdx.iterator ++ strIdx.iterator)
-      .filter(statN(_) > 0).map { i =>
-        s"${schema.fields(i).name}:${rows - statN(i)}"
-      }.toSeq
+    // emitted even when statN == 0: `N|col:rows` PROVES an all-null
+    // file, which lets aggregate pushdown fold MIN/MAX over it (the
+    // file contributes no value) instead of declining
+    val cols = (statIdx.iterator ++ strIdx.iterator).map { i =>
+      s"${schema.fields(i).name}:${rows - statN(i)}"
+    }.toSeq
     if (cols.isEmpty) "" else cols.mkString("N|", "|", "")
   }
 
@@ -2779,7 +2846,9 @@ private[sources] class ManifestScan(val path: String,
     schema0: StructType, val req: StructType,
     val flt: Seq[org.apache.spark.sql.sources.Filter],
     val branch: Option[String], val asOfVersion: Option[Int],
-    val maxFilesPerTrigger: Option[Int] = None)
+    val maxFilesPerTrigger: Option[Int] = None,
+    val limit: Option[Int] = None,
+    val topn: Option[(String, Boolean, Int)] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2823,11 +2892,12 @@ private[sources] class ManifestScan(val path: String,
 
   override def equals(other: Any): Boolean = other match {
     case o: ManifestScan => o.path == path && o.req == req &&
-      o.flt == flt && o.branch == branch && o.asOfVersion == asOfVersion
+      o.flt == flt && o.branch == branch &&
+      o.asOfVersion == asOfVersion && o.limit == limit && o.topn == topn
     case _ => false
   }
   override def hashCode(): Int =
-    (path, req, flt, branch, asOfVersion).hashCode()
+    (path, req, flt, branch, asOfVersion, limit, topn).hashCode()
   // runtime (DPP) join filters arrive per execution via filter();
   // they prune FILES only — never rows (the join re-applies its
   // own predicate), the same contract file-source DPP has with
@@ -2840,10 +2910,14 @@ private[sources] class ManifestScan(val path: String,
     s"graft-manifest($path${branch.map("@" + _).getOrElse("")}" +
       s"${asOfVersion.map("@v" + _).getOrElse("")}) " +
       s"PushedFilters: [${flt.mkString(", ")}], " +
+      limit.map(k => s"PushedLimit: $k, ").getOrElse("") +
+      topn.map { case (c, asc, k) =>
+        s"PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $k, "
+      }.getOrElse("") +
       s"ReadSchema: ${req.catalogString}"
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new ManifestBatchScan(path, schema0, req, flt, branch,
-      asOfVersion, () => runtimePrune)
+      asOfVersion, () => runtimePrune, limit, topn)
 
   /** EXACT post-pushdown statistics from the manifest alone: the
     * per-file (rows, bytes) recorded at publish (`R|` blobs),
