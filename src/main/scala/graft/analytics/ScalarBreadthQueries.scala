@@ -1183,6 +1183,76 @@ object ScalarBreadthQueries {
       |UNION ALL SELECT 'bare', CAST(10 AS BIGINT),
       |  CAST(1 AS BIGINT)""".stripMargin
 
+  /** CHANGE FEED under the oracle gate: replay an insert → DV-delete
+    * → MERGE → compact history through `graft_table_changes` and pin
+    * the EXACT per-commit delta multiset against DuckDB's closed
+    * form. The insert commit emits its slice; the deletion-vector
+    * commit emits exactly the newly-dead keys; the MERGE (stats-
+    * narrowed copy-on-write) emits the rewritten file's pre-image as
+    * deletes and post-image as inserts (the CDC encoding of an
+    * update); the compaction emits NOTHING (kind=rewrite in the
+    * commit log) — the property that makes a change feed usable on a
+    * 100 TB table that compacts nightly.
+    */
+  def sinkManifestCdf(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"cdf_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT, cents BIGINT)") // v1
+      table(spark, dir, "orders").where(col("o_orderkey") % 13 === 7)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ * " +
+        s"FROM ${t}_src") // v2
+      val minKey = spark.sql(s"SELECT min(k) FROM graft.$t")
+        .head.getLong(0)
+      spark.sql(s"DELETE FROM graft.$t WHERE k >= $minKey " +
+        s"AND k < ${minKey + 40}") // v3: the DV tier
+      spark.sql(
+        s"""MERGE INTO graft.$t tgt
+           |USING (SELECT k, cents * 2 AS cents FROM ${t}_src
+           |       WHERE k % 2 = 0) src
+           |ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET cents = src.cents
+           |""".stripMargin) // v4: COW rewrite
+      val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      graft.sources.ManifestV2Sink.compact(spark, out, 1) // v5: silent
+      val head = graft.sources.ManifestV2Sink.versions(out).max
+      spark.sql(
+        s"""SELECT _commit_version AS v, _change_type AS ct,
+           |  count(*) AS n, sum(k) AS sum_k, sum(cents) AS sum_cents
+           |FROM graft_table_changes('$t', 0, $head)
+           |GROUP BY 1, 2""".stripMargin)
+        .localCheckpoint(true) // eager: the finally drops the table
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestCdfSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 7),
+      |mn AS (SELECT MIN(k) AS m FROM s),
+      |dead AS (SELECT k, cents FROM s, mn
+      |         WHERE k >= m AND k < m + 40),
+      |live3 AS (SELECT k, cents FROM s
+      |          WHERE k NOT IN (SELECT k FROM dead)),
+      |post AS (SELECT k, CASE WHEN k % 2 = 0 THEN cents * 2
+      |                        ELSE cents END AS cents FROM live3)
+      |SELECT CAST(2 AS BIGINT) AS v, 'insert' AS ct,
+      |  COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM s
+      |UNION ALL
+      |SELECT 3, 'delete', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT) FROM dead
+      |UNION ALL
+      |SELECT 4, 'delete', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT) FROM live3
+      |UNION ALL
+      |SELECT 4, 'insert', COUNT(*), CAST(SUM(k) AS BIGINT),
+      |  CAST(SUM(cents) AS BIGINT) FROM post""".stripMargin
+
   /** STREAMING INGEST into the transactional sink under the oracle
     * gate — the production shape of the reference's ingestion API
     * (app.js:106-155): a 4-file staged copy of an orders slice is
@@ -2921,6 +2991,7 @@ object ScalarBreadthQueries {
     "sink_manifest_runtime_prune" -> (sinkManifestRuntimePrune _),
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
     "sink_manifest_agg_pushdown" -> (sinkManifestAggPushdown _),
+    "sink_manifest_cdf" -> (sinkManifestCdf _),
     "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
@@ -2975,6 +3046,7 @@ object ScalarBreadthQueries {
     "sink_manifest_runtime_prune" -> sinkManifestRuntimePruneSql,
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
     "sink_manifest_agg_pushdown" -> sinkManifestAggPushdownSql,
+    "sink_manifest_cdf" -> sinkManifestCdfSql,
     "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,

@@ -39,5 +39,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // instead of implementing the generic row-level-ops framework
     ext.injectResolutionRule(spark =>
       new graft.sources.ManifestMergeRule(spark))
+    // CHANGE FEED as a SQL table function (Delta's table_changes):
+    //   SELECT * FROM graft_table_changes('t', 1, 5)
+    // — rows that became (in)visible in (v1, v2], tagged with
+    // _change_type/_commit_version (graft.sources.ManifestCdf). The
+    // table argument resolves under the graft catalog root, or is
+    // taken as a literal directory when absolute.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table_changes"),
+      new ExpressionInfo("graft.sources.ManifestCdf",
+        "graft_table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "graft_table_changes(table, from_version, to_version)")
+        def lit(e: Expression): Any = {
+          require(e.foldable,
+            s"graft_table_changes arguments must be literals, got $e")
+          e.eval()
+        }
+        val name = String.valueOf(lit(args(0)))
+        def asInt(a: Any): Int = a match {
+          case n: java.lang.Number => n.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_table_changes: integer version expected, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        val dir =
+          if (name.startsWith("/")) name
+          else spark.conf.getOption("spark.sql.catalog.graft.root")
+            .map(r => s"$r/$name").getOrElse(name)
+        graft.sources.ManifestCdf.readChanges(spark, dir,
+          asInt(lit(args(1))), asInt(lit(args(2))))
+          .queryExecution.analyzed
+      }))
   }
 }

@@ -55,10 +55,36 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] class ManifestMicroBatchStream(path: String,
     schema: StructType, required: StructType,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    cdf: Boolean = false)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
+
+  // CHANGE-FEED mode (`.option("readChangeFeed", "true")`): `schema`/
+  // `required` carry the two metadata columns; partitions read the
+  // DATA columns and the reader factory appends the constants. Data
+  // deltas stream per VERSION (each commit's arrivals tagged with its
+  // version); `rewrite` commits are silent; commits that REMOVE
+  // visibility (overwrite, deletes) are rejected loudly — their
+  // retractions belong to the batch surface (graft_table_changes),
+  // not an append stream.
+  private val metaCols =
+    Set(ManifestCdf.ChangeTypeCol, ManifestCdf.CommitVersionCol)
+  private val dataSchema: StructType =
+    if (!cdf) schema
+    else StructType(schema.fields.filterNot(f => metaCols(f.name)))
+  private val dataRequired: StructType =
+    if (!cdf) required
+    else StructType(required.fields.filterNot(f => metaCols(f.name)))
+  /** Output projection: ≥0 = index into the data row, -1 =
+    * _change_type, -2 = _commit_version.
+    */
+  private val cdfProj: Array[Int] = required.fields.map(_.name match {
+    case ManifestCdf.ChangeTypeCol => -1
+    case ManifestCdf.CommitVersionCol => -2
+    case n => dataRequired.fieldIndex(n)
+  })
 
   override def initialOffset(): Offset = ManifestOffset(0)
 
@@ -189,13 +215,57 @@ private[sources] class ManifestMicroBatchStream(path: String,
       .map(_._2).getOrElse(throw new IllegalStateException(
         s"graft-manifest stream: snapshot v$v at $path was expired — " +
           "cannot plan the batch exactly-once; re-seed the stream"))
-    val base: Set[String] = if (s == 0) Set.empty else snapshot(s).toSet
-    ManifestScanPlanner.partitions(path, schema, required, filters,
-      snapshot(e), base)
+    if (!cdf) {
+      val base: Set[String] =
+        if (s == 0) Set.empty else snapshot(s).toSet
+      return ManifestScanPlanner.partitions(path, schema, required,
+        filters, snapshot(e), base)
+    }
+    // CDF: one partition group per VERSION so each row carries its
+    // commit version
+    val kinds = ManifestV2Sink.commitKinds(path)
+    ((s + 1) to e).flatMap { v =>
+      if (kinds.get(v).contains("rewrite")) Array.empty[InputPartition]
+      else {
+        val prev = if (v - 1 == 0) Seq.empty else snapshot(v - 1)
+        val cur = snapshot(v)
+        val prevData =
+          prev.filterNot(ManifestV2Sink.isDeleteEntry)
+        val prevFiles = prevData.map(ManifestV2Sink.entryFile).toSet
+        val curData = cur.filterNot(ManifestV2Sink.isDeleteEntry)
+        val curFiles = curData.map(ManifestV2Sink.entryFile).toSet
+        val prevTombs = prev.filter(ManifestV2Sink.isDeleteEntry).toSet
+        val removed = prevFiles -- curFiles
+        val newTombs =
+          cur.filter(ManifestV2Sink.isDeleteEntry).filterNot(prevTombs)
+        val dvDelta = curData.exists { en =>
+          prevFiles(ManifestV2Sink.entryFile(en)) &&
+            !prevData.exists(pe =>
+              ManifestV2Sink.entryFile(pe) ==
+                ManifestV2Sink.entryFile(en) &&
+                ManifestV2Sink.entryDv(pe) == ManifestV2Sink.entryDv(en))
+        }
+        if (removed.nonEmpty || newTombs.nonEmpty || dvDelta)
+          throw new UnsupportedOperationException(
+            s"graft-manifest CDF stream: commit v$v at $path removes " +
+              "row visibility (overwrite/delete) — an append stream " +
+              "cannot retract; replay the range in batch via " +
+              s"graft_table_changes('<table>', ${v - 1}, $v)")
+        // base is the ENTRY-string set: carried-over files have
+        // byte-identical entries (no DV/tombstone delta — checked)
+        ManifestScanPlanner.partitions(path, dataSchema, dataRequired,
+          filters, cur, prevData.toSet)
+          .map(p => CdfInputPartition(
+            p.asInstanceOf[ManifestFilePartition], "insert", v.toLong,
+            cdfProj): InputPartition)
+      }
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    ManifestScanPlanner.readerFactory
+    if (cdf)
+      new CdfReaderFactory(ManifestScanPlanner.readerFactory)
+    else ManifestScanPlanner.readerFactory
 }
 
 /** Shared partition planning for the DSv2 read paths (batch scan +
@@ -551,6 +621,46 @@ private[sources] class ManifestBatchScan(val path: String,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     ManifestScanPlanner.readerFactory
+}
+
+/** One change-feed file partition: the wrapped data partition plus
+  * the constant change metadata its rows carry. `proj` maps each
+  * output column to a data-row index (≥0) or a constant (-1 =
+  * _change_type, -2 = _commit_version) — projection order follows
+  * the stream's pruned schema, so SELECTing any column subset works.
+  */
+private[sources] case class CdfInputPartition(
+    inner: ManifestFilePartition, changeType: String, version: Long,
+    proj: Array[Int]) extends InputPartition
+
+private[sources] class CdfReaderFactory(base: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[CdfInputPartition]
+    val ir = base.createReader(cp.inner)
+    val dataTypes = DataType.fromJson(cp.inner.requiredJson)
+      .asInstanceOf[StructType].fields.map(_.dataType)
+    val ct = UTF8String.fromString(cp.changeType)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = ir.next()
+      override def get(): InternalRow = {
+        val row = ir.get()
+        val vals = new Array[Any](cp.proj.length)
+        var i = 0
+        while (i < cp.proj.length) {
+          vals(i) = cp.proj(i) match {
+            case -1 => ct
+            case -2 => cp.version
+            case j => row.get(j, dataTypes(j))
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ir.close()
+    }
+  }
 }
 
 private[sources] case class ManifestOffset(v: Long) extends Offset {

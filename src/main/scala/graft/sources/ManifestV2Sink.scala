@@ -113,11 +113,17 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
         ManifestV2Sink.versionFile(path, ManifestV2Sink.parseVersion(v)))
       case (None, None) => ManifestV2Sink.readManifest(path)
     }
-    head.map(_._1).getOrElse(throw new IllegalArgumentException(
+    val base = head.map(_._1).getOrElse(
+      throw new IllegalArgumentException(
       s"graft-manifest: no manifest at $path" +
         Option(options.get("branch")).map(b => s" (branch $b)").getOrElse("") +
         Option(options.get("asOfVersion")).map(v => s" (v$v)").getOrElse("") +
         " — write first, or read via ManifestV2Sink.readCommitted"))
+    // a change-feed read serves the table schema PLUS the two change
+    // metadata columns (Delta's readChangeFeed shape)
+    if (options.getBoolean("readChangeFeed", false))
+      ManifestCdf.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -125,7 +131,8 @@ class ManifestV2Sink extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new ManifestTable(schema, ManifestV2Sink.pathOf(opts),
       Option(opts.get("branch")),
-      Option(opts.get("asOfVersion")).map(ManifestV2Sink.parseVersion))
+      Option(opts.get("asOfVersion")).map(ManifestV2Sink.parseVersion),
+      cdf = opts.getBoolean("readChangeFeed", false))
   }
 }
 
@@ -256,7 +263,8 @@ object ManifestV2Sink {
         val (schema, previous) = readManifest(path).getOrElse(
           throw new IllegalArgumentException(
             s"appendExternal: no committed manifest at $path"))
-        publish(path, schema, previous :+ s"data/$name", tag)
+        publish(path, schema, previous :+ s"data/$name", tag,
+          kind = "append")
       }
     }
   }
@@ -665,7 +673,7 @@ object ManifestV2Sink {
     else raw.unionByName(readEntriesLive(spark, path, schema, dvd))
   }
 
-  private def readEntries(spark: SparkSession, path: String,
+  private[sources] def readEntries(spark: SparkSession, path: String,
       schema: StructType, entries: Seq[String]): DataFrame = {
     val base = readDataEntries(spark, path, schema,
       entries.filterNot(isDeleteEntry))
@@ -791,7 +799,7 @@ object ManifestV2Sink {
           s"use a predicate DELETE for ${schema(keyCol).dataType.simpleString}")
         publish(path, schema,
           previous ++ written.map(n => s"delete\t$keyCol\tdata/$n"),
-          s"delete-$tag")
+          s"delete-$tag", kind = "delete")
       }
     }
   }
@@ -884,7 +892,8 @@ object ManifestV2Sink {
         val carried = keep ++ probedKeep
         if (rewrite.isEmpty) {
           if (dropWhole.nonEmpty || probedDrop.nonEmpty || dvd.nonEmpty)
-            publish(path, schema, carried ++ dvd, "delete-pred")
+            publish(path, schema, carried ++ dvd, "delete-pred",
+            kind = "delete")
         } else {
           val scratch = Paths.get(path, s"_rewrite-delete-" +
             java.util.UUID.randomUUID().toString.take(8))
@@ -906,7 +915,8 @@ object ManifestV2Sink {
               .write.format("graft-manifest").options(layout)
               .mode("append").save(scratch.toString)
             val adopted = adoptScratchFiles(path, scratch.toString)
-            publish(path, schema, carried ++ dvd ++ adopted, "delete-pred")
+            publish(path, schema, carried ++ dvd ++ adopted, "delete-pred",
+              kind = "delete")
           } finally deleteRecursively(scratch)
         }
         (dropWhole.length + probedDrop.length, dvd.length,
@@ -1021,8 +1031,10 @@ object ManifestV2Sink {
     withHeadLock(path) {
       val current = readCommitted(spark, path)
       val kept = current.join(updates.select(key), Seq(key), "left_anti")
-      kept.unionByName(updates)
-        .write.format("graft-manifest").mode("overwrite").save(path)
+      withCommitKind("upsert") {
+        kept.unionByName(updates)
+          .write.format("graft-manifest").mode("overwrite").save(path)
+      }
     }
   }
 
@@ -1045,11 +1057,34 @@ object ManifestV2Sink {
   def compact(spark: SparkSession, path: String, parts: Int): Unit =
     commitLock(path).synchronized {
       withHeadLock(path) {
-        readCommitted(spark, path)
-          .repartition(parts)
-          .write.format("graft-manifest").mode("overwrite").save(path)
+        // the overwrite below preserves row content exactly — mark
+        // the commit `rewrite` so the change feed emits nothing
+        withCommitKind("rewrite") {
+          readCommitted(spark, path)
+            .repartition(parts)
+            .write.format("graft-manifest").mode("overwrite").save(path)
+        }
       }
     }
+
+  /** Override the commit KIND the write path records for commits
+    * made inside `body` on THIS thread — how composite operations
+    * whose inner commit is a plain DataFrame write (e.g. [[compact]]:
+    * an overwrite that preserves row content, or [[upsert]]: an
+    * overwrite that is semantically an upsert) tell the change feed
+    * what the commit MEANS. Sound because V2 write commands execute
+    * eagerly on the calling thread ([[promoteAndPublish]] runs inside
+    * `DataFrameWriter.save`); a missing override just records the
+    * literal write mode — conservative, never wrong-er than before.
+    */
+  private val commitKindOverride = new ThreadLocal[String]()
+  private[sources] def withCommitKind[A](kind: String)(body: => A): A = {
+    val prev = commitKindOverride.get()
+    commitKindOverride.set(kind)
+    try body finally commitKindOverride.set(prev)
+  }
+  private[sources] def currentKindOr(default: String): String =
+    Option(commitKindOverride.get()).getOrElse(default)
 
   /** BIN-PACKED OPTIMIZE — the compaction a 100-TB table actually
     * runs: only files SMALLER than `minBytes` rewrite, packed into
@@ -1091,7 +1126,8 @@ object ManifestV2Sink {
             .write.format("graft-manifest").options(layoutOptions(path))
             .mode("append").save(scratch.toString)
           val adopted = adoptScratchFiles(path, scratch.toString)
-          publish(path, schema, big ++ adopted, "binpack")
+          publish(path, schema, big ++ adopted, "binpack",
+            kind = "rewrite")
           (small.length, adopted.length, big.length)
         } finally deleteRecursively(scratch)
       }
@@ -1614,7 +1650,8 @@ object ManifestV2Sink {
               .save(scratch.toString)
           }
           val adopted = adoptScratchFiles(path, scratch.toString)
-          publish(path, schema, adopted, "zorder") // the ONE commit point
+          publish(path, schema, adopted, "zorder",
+            kind = "rewrite") // the ONE commit point
           present.length
         } finally { cur.unpersist(); () }
       } finally deleteRecursively(scratch)
@@ -1688,7 +1725,8 @@ object ManifestV2Sink {
             .write.format("graft-manifest").options(layoutOptions(path))
             .mode("append").save(scratch.toString)
           val adopted = adoptScratchFiles(path, scratch.toString)
-          publish(path, schema, untouched ++ adopted, "upsert-narrow")
+          publish(path, schema, untouched ++ adopted, "upsert-narrow",
+            kind = "upsert")
           touched.length
         } finally deleteRecursively(scratch)
       }
@@ -1817,7 +1855,7 @@ object ManifestV2Sink {
     val merged0 = mergeSchemas(mSchema, bSchema)
     val added = bFiles.filterNot(baseFiles.toSet)
     val merged = mFiles ++ added.filterNot(mFiles.toSet)
-    publish(path, merged0, merged, s"merge-$name")
+    publish(path, merged0, merged, s"merge-$name", kind = "append")
     deleteBranch(path, name)
   } }
 
@@ -1956,7 +1994,8 @@ object ManifestV2Sink {
     // epoch legitimately truncates)
     if (!isReplay && (promoted.nonEmpty || replace || txn.isEmpty))
       ManifestV2Sink.publish(path, published, previous ++ promoted,
-        queryId, branch, txn)
+        queryId, branch, txn,
+        kind = currentKindOr(if (replace) "overwrite" else "append"))
     } // end head lock (cross-process commit section)
     }
 
@@ -1967,7 +2006,8 @@ object ManifestV2Sink {
     */
   private[sources] def publish(path: String, schema: StructType,
       files: Seq[String], tag: String, branch: Option[String] = None,
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      kind: String = "write"): Unit = {
     // carry the streaming-commit ledger forward (and fold in this
     // commit's txn record, if any): the ledger must survive unrelated
     // commits/overwrites or a replayed epoch after an intervening
@@ -2000,8 +2040,13 @@ object ManifestV2Sink {
     // same garbage-not-corruption class as the snapshot file itself.
     // Every publish path already holds the head lock, so appends never
     // interleave.
+    // the third field is the COMMIT KIND (append/overwrite/rewrite/
+    // delete/...): what the change-feed reader classifies on — a
+    // `rewrite` commit (compact/zorder/binpack) preserves row content
+    // and emits NO change rows; pre-kind log lines parse as `unknown`
+    // (conservative file-diff semantics)
     Files.write(Paths.get(path, "_MANIFEST.commits"),
-      s"$nextV ${System.currentTimeMillis()}\n"
+      s"$nextV ${System.currentTimeMillis()} $kind\n"
         .getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
@@ -2050,12 +2095,34 @@ object ManifestV2Sink {
     else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
       .iterator.map(_.trim).filter(_.nonEmpty)
       .flatMap { line =>
-        line.split(" ", 2) match {
-          case Array(v, t) =>
-            scala.util.Try((v.toInt, t.toLong)).toOption
+        // "v time [kind]" — the kind field arrived with the change
+        // feed; older two-field lines parse identically
+        line.split(" ") match {
+          case a if a.length >= 2 =>
+            scala.util.Try((a(0).toInt, a(1).toLong)).toOption
           case _ => None
         }
       }.toSeq.groupBy(_._1).map { case (v, ts) => v -> ts.head._2 }
+  }
+
+  /** Recorded COMMIT KIND per snapshot version (the commit log's
+    * third field): `append`/`overwrite`/`rewrite`/`delete`/`upsert`.
+    * Pre-kind log lines and pre-log versions are absent — the change
+    * feed treats them as `unknown` (conservative file-diff
+    * semantics, never a silent skip).
+    */
+  private[sources] def commitKinds(path: String): Map[Int, String] = {
+    val f = Paths.get(path, "_MANIFEST.commits")
+    if (!Files.exists(f)) Map.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { line =>
+        line.split(" ") match {
+          case a if a.length >= 3 =>
+            scala.util.Try((a(0).toInt, a(2))).toOption
+          case _ => None
+        }
+      }.toSeq.groupBy(_._1).map { case (v, ks) => v -> ks.head._2 }
   }
 
   /** Publish wall-clock of snapshot `v`: the commit log's record when
@@ -2131,11 +2198,14 @@ object ManifestV2Sink {
 }
 
 private[sources] class ManifestTable(schema0: StructType, path: String,
-    branch: Option[String] = None, asOfVersion: Option[Int] = None)
+    branch: Option[String] = None, asOfVersion: Option[Int] = None,
+    cdf: Boolean = false)
     extends Table with SupportsWrite with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(branch.isEmpty || asOfVersion.isEmpty,
     "branch and asOfVersion are mutually exclusive")
+  require(!cdf || (branch.isEmpty && asOfVersion.isEmpty),
+    "readChangeFeed composes with neither branch nor asOfVersion")
   /** Table directory — the MERGE rule needs the commit target. */
   private[sources] def dir: String = path
 
@@ -2148,11 +2218,13 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     */
   override def equals(other: Any): Boolean = other match {
     case o: ManifestTable => o.dir == path && o.schema() == schema0 &&
-      o.branchOpt == branch && o.asOfVersionOpt == asOfVersion
+      o.branchOpt == branch && o.asOfVersionOpt == asOfVersion &&
+      o.cdfOpt == cdf
     case _ => false
   }
   override def hashCode(): Int =
-    (path, schema0, branch, asOfVersion).hashCode()
+    (path, schema0, branch, asOfVersion, cdf).hashCode()
+  private[sources] def cdfOpt: Boolean = cdf
   private[sources] def branchOpt: Option[String] = branch
   private[sources] def asOfVersionOpt: Option[Int] = asOfVersion
   override def name(): String =
@@ -2228,7 +2300,8 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
         ManifestV2Sink.withHeadLock(path) {
           val (schema, _) = ManifestV2Sink.readManifest(path).getOrElse(
             throw new IllegalArgumentException(s"no manifest at $path"))
-          ManifestV2Sink.publish(path, schema, Seq.empty, "sql-truncate")
+          ManifestV2Sink.publish(path, schema, Seq.empty, "sql-truncate",
+            kind = "delete")
         }
       }
     } else deletableKeys(filters) match {
@@ -2308,12 +2381,13 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     override def supportCompletePushDown(
         agg: org.apache.spark.sql.connector.expressions.aggregate
           .Aggregation): Boolean =
-      ManifestAggPushdown.tryPlan(path, schema0, branch, asOfVersion,
-        pushed.nonEmpty, agg).isDefined
+      !cdf && ManifestAggPushdown.tryPlan(path, schema0, branch,
+        asOfVersion, pushed.nonEmpty, agg).isDefined
 
     override def pushAggregation(
         agg: org.apache.spark.sql.connector.expressions.aggregate
           .Aggregation): Boolean = {
+      if (cdf) return false
       aggPlan = ManifestAggPushdown.tryPlan(path, schema0, branch,
         asOfVersion, pushed.nonEmpty, agg)
       aggPlan.isDefined
@@ -2333,13 +2407,13 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
     override def isPartiallyPushed(): Boolean = true
 
     override def pushLimit(k: Int): Boolean =
-      if (pushed.nonEmpty || k <= 0) false
+      if (cdf || pushed.nonEmpty || k <= 0) false
       else { limitK = Some(k); true }
 
     override def pushTopN(
         orders: Array[org.apache.spark.sql.connector.expressions
           .SortOrder], k: Int): Boolean =
-      if (pushed.nonEmpty || k <= 0 || orders.isEmpty) false
+      if (cdf || pushed.nonEmpty || k <= 0 || orders.isEmpty) false
       else orders.head.expression() match {
         // bounding by the PRIMARY sort key is sound for a multi-key
         // order: lexicographic top-k rows carry exactly the k
@@ -2360,7 +2434,7 @@ private[sources] class ManifestTable(schema0: StructType, path: String,
         new ManifestAggScan(path, outSchema, rows)
       case None =>
         new ManifestScan(path, schema0, required, pushed.toSeq, branch,
-          asOfVersion, maxFilesPerTrigger, limitK, topn)
+          asOfVersion, maxFilesPerTrigger, limitK, topn, cdf)
     }
   }
 
@@ -2848,7 +2922,8 @@ private[sources] class ManifestScan(val path: String,
     val branch: Option[String], val asOfVersion: Option[Int],
     val maxFilesPerTrigger: Option[Int] = None,
     val limit: Option[Int] = None,
-    val topn: Option[(String, Boolean, Int)] = None)
+    val topn: Option[(String, Boolean, Int)] = None,
+    val cdf: Boolean = false)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
@@ -2893,11 +2968,12 @@ private[sources] class ManifestScan(val path: String,
   override def equals(other: Any): Boolean = other match {
     case o: ManifestScan => o.path == path && o.req == req &&
       o.flt == flt && o.branch == branch &&
-      o.asOfVersion == asOfVersion && o.limit == limit && o.topn == topn
+      o.asOfVersion == asOfVersion && o.limit == limit &&
+      o.topn == topn && o.cdf == cdf
     case _ => false
   }
   override def hashCode(): Int =
-    (path, req, flt, branch, asOfVersion, limit, topn).hashCode()
+    (path, req, flt, branch, asOfVersion, limit, topn, cdf).hashCode()
   // runtime (DPP) join filters arrive per execution via filter();
   // they prune FILES only — never rows (the join re-applies its
   // own predicate), the same contract file-source DPP has with
@@ -2915,9 +2991,14 @@ private[sources] class ManifestScan(val path: String,
         s"PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $k, "
       }.getOrElse("") +
       s"ReadSchema: ${req.catalogString}"
-  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    if (cdf) throw new UnsupportedOperationException(
+      "graft-manifest: batch change-feed reads go through SQL " +
+        "graft_table_changes('t', v1, v2) or ManifestCdf.readChanges " +
+        "— the readChangeFeed option is the STREAMING surface")
     new ManifestBatchScan(path, schema0, req, flt, branch,
       asOfVersion, () => runtimePrune, limit, topn)
+  }
 
   /** EXACT post-pushdown statistics from the manifest alone: the
     * per-file (rows, bytes) recorded at publish (`R|` blobs),
@@ -3001,6 +3082,6 @@ private[sources] class ManifestScan(val path: String,
           s"stream the frozen snapshot v$v")
     }
     new ManifestMicroBatchStream(path, schema0, req, flt,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, cdf)
   }
 }
