@@ -1183,6 +1183,61 @@ object ScalarBreadthQueries {
       |UNION ALL SELECT 'bare', CAST(10 AS BIGINT),
       |  CAST(1 AS BIGINT)""".stripMargin
 
+  /** ALTER COLUMN TYPE widening under the oracle gate: an INT-keyed
+    * table widens to BIGINT as a metadata-only commit, a post-widen
+    * insert lands a beyond-int value, and every read tier serves
+    * BOTH file eras promoted — aggregates, filters, and the
+    * manifest's width-agnostic `L`-kind stats skipping (the
+    * beyond-int point lookup pins that the pre-widen file is still
+    * PRUNED, `pruned` = 1). On a 100 TB table this is the evolution
+    * path that avoids rewriting every historical file when ids
+    * outgrow int32.
+    */
+  def sinkManifestWiden(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"widen_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k INT, cents BIGINT)")
+      table(spark, dir, "orders").where(col("o_orderkey") % 13 === 3)
+        .select(col("o_orderkey").cast("int").as("k"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ * " +
+        s"FROM ${t}_src")
+      spark.sql(s"ALTER TABLE graft.$t ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"INSERT INTO graft.$t VALUES (4000000005, 999)")
+      val isLong = spark.table(s"graft.$t").schema("k").dataType ==
+        org.apache.spark.sql.types.LongType
+      val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      val nBig = spark.sql(
+        s"SELECT count(*) FROM graft.$t WHERE k = 4000000005")
+        .head.getLong(0)
+      // the beyond-int lookup must PRUNE the pre-widen file by stats
+      spark.sql(s"SELECT * FROM graft.$t WHERE k = 4000000005").collect()
+      val pruned = graft.sources.ManifestV2Sink.lastPlannedFiles(out)
+        .contains((1, 2))
+      spark.sql(
+        s"""SELECT count(*) AS n, sum(k) AS sum_k,
+           |  sum(cents) AS sum_cents FROM graft.$t""".stripMargin)
+        .select(col("*"),
+          lit(nBig).as("n_big"),
+          lit(if (pruned) 1L else 0L).as("pruned"),
+          lit(if (isLong) 1L else 0L).as("is_long"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestWidenSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 3)
+      |SELECT CAST((SELECT COUNT(*) FROM s) + 1 AS BIGINT) AS n,
+      |  CAST((SELECT SUM(k) FROM s) + 4000000005 AS BIGINT) AS sum_k,
+      |  CAST((SELECT SUM(cents) FROM s) + 999 AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS n_big,
+      |  CAST(1 AS BIGINT) AS pruned,
+      |  CAST(1 AS BIGINT) AS is_long""".stripMargin
+
   /** CHANGE FEED under the oracle gate: replay an insert → DV-delete
     * → MERGE → compact history through `graft_table_changes` and pin
     * the EXACT per-commit delta multiset against DuckDB's closed
@@ -2992,6 +3047,7 @@ object ScalarBreadthQueries {
     "sink_manifest_stream_write" -> (sinkManifestStreamWrite _),
     "sink_manifest_agg_pushdown" -> (sinkManifestAggPushdown _),
     "sink_manifest_cdf" -> (sinkManifestCdf _),
+    "sink_manifest_widen" -> (sinkManifestWiden _),
     "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
@@ -3047,6 +3103,7 @@ object ScalarBreadthQueries {
     "sink_manifest_stream_write" -> sinkManifestStreamWriteSql,
     "sink_manifest_agg_pushdown" -> sinkManifestAggPushdownSql,
     "sink_manifest_cdf" -> sinkManifestCdfSql,
+    "sink_manifest_widen" -> sinkManifestWidenSql,
     "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,

@@ -318,10 +318,44 @@ class ManifestCatalog extends TableCatalog
                 case other => other
               })
               StructType(s.fields.filterNot(_.name == n))
+            case up: TableChange.UpdateColumnType =>
+              require(up.fieldNames().length == 1,
+                "graft catalog supports top-level ALTER COLUMN only")
+              val n = up.fieldNames()(0)
+              require(s.fieldNames.contains(n), s"no column $n")
+              val from = s(n).dataType
+              val to = up.newDataType()
+              requirePrimitive(n, to)
+              require(
+                !ManifestV2Sink.tablePartitionColumns(dir).contains(n),
+                s"cannot change the type of partition column $n — " +
+                  "partition values are rendered identity")
+              import org.apache.spark.sql.types._
+              // WIDENING only: every old value must be exactly
+              // representable in the new type (Delta/Iceberg's type
+              // evolution rule). Anything else — narrowing, cross-
+              // family — is refused loudly, never a silent null-out.
+              val widens = (from, to) match {
+                case (IntegerType, LongType) => true
+                case (FloatType, DoubleType) => true
+                case (a: DecimalType, b: DecimalType) =>
+                  b.scale == a.scale && b.precision > a.precision
+                case _ => false
+              }
+              require(widens,
+                s"ALTER COLUMN $n TYPE: ${from.simpleString} -> " +
+                  s"${to.simpleString} is not a widening " +
+                  "(supported: int->bigint, float->double, " +
+                  "decimal(p,s)->decimal(p2>p,s))")
+              // sidecar first (crash-safe direction: a recorded widen
+              // whose schema commit never landed only over-suppresses
+              // parquet filters — IO, not correctness)
+              ManifestV2Sink.recordWidened(dir, n)
+              StructType(s.fields.map(f =>
+                if (f.name == n) f.copy(dataType = to) else f))
             case other => throw new UnsupportedOperationException(
-              s"graft catalog supports ADD/RENAME/DROP COLUMN, got " +
-                s"$other (type changes would null out old files — " +
-                "rejected, the mergeSchemas rule)")
+              s"graft catalog supports ADD/RENAME/DROP COLUMN and " +
+                s"widening ALTER COLUMN TYPE, got $other")
           }
         }
         // metadata-only commit: same entries, widened schema

@@ -312,6 +312,7 @@ private[sources] object ManifestScanPlanner {
     val aliasMap = ManifestV2Sink.columnAliases(path)
     val aliasesEnc = aliasMap.toArray.sortBy(_._1).map { case (c, past) =>
       s"$c=${past.mkString(",")}" }
+    val widenedArr = ManifestV2Sink.widenedColumns(path).toArray.sorted
     val dels: Array[DeleteSet] = entries
       .filter(ManifestV2Sink.isDeleteEntry)
       .map { entry =>
@@ -380,7 +381,7 @@ private[sources] object ManifestScanPlanner {
           Paths.get(path, rel).toString },
         if (keyed) partCols.toArray else Array.empty,
         if (keyed) partCols.map(pv).toArray else Array.empty,
-        aliasesEnc): InputPartition
+        aliasesEnc, widenedArr): InputPartition
     }.toArray
   }
 
@@ -532,8 +533,11 @@ private[sources] class ManifestParquetColumnarReader(
     c.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
       .RECORD_FILTERING_ENABLED, false)
     // renamed-column filters drop out (missing-column row-group stats
-    // would skip pre-rename files) — same rule as the row reader
-    if (!p.filters.flatMap(_.references).exists(p.aliasMap.contains))
+    // would skip pre-rename files), and so do WIDENED-column filters
+    // (wide-typed predicates physically mismatch pre-widen files) —
+    // same rule as the row reader
+    if (!p.filters.flatMap(_.references).exists(r =>
+        p.aliasMap.contains(r) || p.widened.contains(r)))
       ParquetPayload.toParquetFilter(p.filters.toSeq, full).foreach(f =>
         org.apache.parquet.hadoop.ParquetInputFormat
           .setFilterPredicate(c, f))
@@ -690,7 +694,11 @@ private[sources] case class ManifestFilePartition(absPath: String,
     // column-identity aliases ("current=past1,past2" per renamed
     // column): readers resolve file columns current-name-first, then
     // past names — pre-rename files keep serving their data
-    aliases: Array[String] = Array.empty)
+    aliases: Array[String] = Array.empty,
+    // columns whose type was ever WIDENED: parquet-level filters on
+    // them are dropped (physical-type mismatch vs pre-widen files);
+    // decode-time promotion serves the values
+    widened: Array[String] = Array.empty)
     extends InputPartition with HasPartitionKey {
 
   /** Decoded alias map (current → past names, newest first). */
@@ -751,7 +759,8 @@ private[sources] class ManifestParquetReader(p: ManifestFilePartition)
   // pushed filter as residual, so this costs IO only).
   private val reader = ParquetPayload.reader(p.absPath, readSchema,
     if (p.dvPath.isDefined ||
-        p.filters.flatMap(_.references).exists(p.aliasMap.contains)) None
+        p.filters.flatMap(_.references).exists(r =>
+          p.aliasMap.contains(r) || p.widened.contains(r))) None
     else ParquetPayload.toParquetFilter(p.filters.toSeq, full),
     p.aliasMap)
   private val dv: java.util.HashSet[java.lang.Long] = {

@@ -454,6 +454,34 @@ object ManifestV2Sink {
     ()
   }
 
+  // ------------------------------------------ type-widening sidecar
+  /** Columns whose type was ever WIDENED (`_MANIFEST.widened`, one
+    * name per line): pre-widen files keep their narrower physical
+    * encoding forever (immutable files), and both read tiers promote
+    * at decode time (Spark's parquet readers natively, the row
+    * materializer via its promotion converters). The sidecar's one
+    * load-bearing job is FILTER hygiene: a parquet row-group
+    * predicate built with the WIDE type against a narrow file column
+    * is a physical-type mismatch, so readers drop parquet-level
+    * filters referencing these columns (manifest-level stats
+    * skipping still applies — `L`-kind bounds are width-agnostic —
+    * and Spark re-applies every filter as residual).
+    */
+  private[sources] def widenedColumns(path: String): Set[String] = {
+    val f = Paths.get(path, "_MANIFEST.widened")
+    if (!Files.exists(f)) Set.empty
+    else Files.readAllLines(f, StandardCharsets.UTF_8).asScala
+      .map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private[sources] def recordWidened(path: String, col: String): Unit = {
+    Files.write(Paths.get(path, "_MANIFEST.widened"),
+      s"$col\n".getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
   /** current name → past names (newest-first), for live renamed
     * columns only; empty for never-renamed tables.
     */

@@ -246,14 +246,19 @@ private[sources] object ParquetPayload {
 
     private def fieldConverter(dt: DataType, i: Int): PrimitiveConverter =
       dt match {
+        // addInt/addFloat overrides are TYPE-WIDENING promotion: a
+        // pre-widen file's int32/float column decodes straight into
+        // the widened long/double slot (ALTER COLUMN TYPE evolution)
         case LongType | TimestampType => new PrimitiveConverter {
           override def addLong(v: Long): Unit = values(i) = v
+          override def addInt(v: Int): Unit = values(i) = v.toLong
         }
         case IntegerType | DateType => new PrimitiveConverter {
           override def addInt(v: Int): Unit = values(i) = v
         }
         case DoubleType => new PrimitiveConverter {
           override def addDouble(v: Double): Unit = values(i) = v
+          override def addFloat(v: Float): Unit = values(i) = v.toDouble
         }
         case BooleanType => new PrimitiveConverter {
           override def addBoolean(v: Boolean): Unit = values(i) = v
@@ -266,11 +271,26 @@ private[sources] object ParquetPayload {
           new PrimitiveConverter {
             override def addLong(v: Long): Unit =
               values(i) = Decimal.createUnsafe(v, d.precision, d.scale)
+            // pre-widen files of a then-smaller precision may use
+            // int32 physical encoding
+            override def addInt(v: Int): Unit =
+              values(i) = Decimal.createUnsafe(v.toLong,
+                d.precision, d.scale)
           }
         case d: DecimalType => new PrimitiveConverter {
           override def addBinary(v: Binary): Unit =
             values(i) = Decimal(new java.math.BigDecimal(
               new java.math.BigInteger(v.getBytes), d.scale),
+              d.precision, d.scale)
+          // precision-widened across the INT64/binary encoding
+          // boundary: pre-widen files stay INT64
+          override def addLong(v: Long): Unit =
+            values(i) = Decimal(
+              java.math.BigDecimal.valueOf(v, d.scale),
+              d.precision, d.scale)
+          override def addInt(v: Int): Unit =
+            values(i) = Decimal(
+              java.math.BigDecimal.valueOf(v.toLong, d.scale),
               d.precision, d.scale)
         }
         case other => throw new IllegalStateException(
