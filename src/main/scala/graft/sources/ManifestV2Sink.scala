@@ -1663,25 +1663,45 @@ object ManifestV2Sink {
       try {
         val cur = readCommitted(spark, path)
           .withColumn("_zcell", org.apache.spark.sql.functions.expr(cellExpr))
-          .cache()
-        try {
-          val present = cur.select("_zcell").distinct()
-            .collect().map(_.getLong(0)).sorted // ≤ 2^16, metadata-sized
-          // one commit per cell into the SCRATCH table (crash debris at
-          // worst) — a loop, not repartitionByRange, so cell→file is
-          // exact, deterministic, and each file's stats span one cell
-          present.foreach { cell =>
-            cur.where(org.apache.spark.sql.functions.col("_zcell") === cell)
-              .drop("_zcell")
-              .coalesce(1)
-              .write.format("graft-manifest").mode("append")
-              .save(scratch.toString)
+        val zIdx = cur.schema.fieldIndex("_zcell")
+        val present = cur.select("_zcell").distinct()
+          .collect().map(_.getLong(0)).sorted // ≤ 2^16, metadata-sized
+        val idxOf = present.zipWithIndex.toMap
+        val bc = spark.sparkContext.broadcast(idxOf)
+        val n = schema.length
+        val fieldTypes = schema.fields.map(_.dataType)
+        // ONE table-wide shuffle: an EXACT partitioner (cell → dense
+        // partition index) sends every row of a cell to its own
+        // partition, each task writes ONE file, and each file's
+        // recorded stats span exactly one cell. repartitionByRange
+        // would SAMPLE boundaries (cells could split or merge); hash
+        // partitioning would collide cells into shared files. The old
+        // shape — one write job per cell — scanned the table per cell;
+        // this is one scan + one shuffle at any cell count.
+        val shuffled = cur.queryExecution.toRdd
+          .map(r => (r.getLong(zIdx), r.copy()))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = math.max(bc.value.size, 1)
+            override def getPartition(key: Any): Int =
+              bc.value(key.asInstanceOf[Long])
+          })
+          .map { case (_, r) =>
+            // project the transient _zcell column away (it is LAST)
+            val vals = new Array[Any](n)
+            var i = 0
+            while (i < n) { vals(i) = r.get(i, fieldTypes(i)); i += 1 }
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals)
+              : org.apache.spark.sql.catalyst.InternalRow
           }
-          val adopted = adoptScratchFiles(path, scratch.toString)
-          publish(path, schema, adopted, "zorder",
-            kind = "rewrite") // the ONE commit point
-          present.length
-        } finally { cur.unpersist(); () }
+        org.apache.spark.sql.graftbridge.bridge
+          .ofInternalRows(spark, shuffled, schema)
+          .write.format("graft-manifest").mode("append")
+          .save(scratch.toString)
+        val adopted = adoptScratchFiles(path, scratch.toString)
+        publish(path, schema, adopted, "zorder",
+          kind = "rewrite") // the ONE commit point
+        present.length
       } finally deleteRecursively(scratch)
     }
   }
