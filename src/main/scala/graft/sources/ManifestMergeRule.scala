@@ -351,9 +351,25 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val mTag = Alias(Literal(true), "__graft_matched")()
         val srcTagged =
           Project(m.sourceTable.output :+ mTag, m.sourceTable)
-        val joined = Join(m.targetTable, srcTagged, LeftOuter,
+        // cardinality guard: unless the source is PROVABLY unique on
+        // the merge key, tag target rows with a unique id and let
+        // [[MergeCardinalityGuard]] detect a twice-matched id from
+        // inside this very join — no second join, no second job
+        val needGuard = !ManifestMergeRule.sourceUniqueOnKey(
+          m.mergeCondition, m.sourceTable, m.targetTable)
+        val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
+        val tBase =
+          if (needGuard) Project(m.targetTable.output :+ tid,
+            m.targetTable)
+          else m.targetTable
+        val joined0 = Join(tBase, srcTagged, LeftOuter,
           Some(m.mergeCondition), JoinHint.NONE)
         val matchedRef = mTag.toAttribute
+        val joined =
+          if (needGuard)
+            Filter(Not(MergeCardinalityGuard(tid.toAttribute,
+              matchedRef)), joined0)
+          else joined0
         val allActs: Seq[(Expression,
             Option[Map[String, Expression]])] =
           matched.zipWithIndex.map { case ((cond, as), _) =>
@@ -412,39 +428,16 @@ class ManifestMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }, Filter(Not(IsNull(iRef)), withIAct)))
       }
 
-    // ---- cardinality guard: ANSI MERGE (and Delta/Iceberg) raise an
-    // error when >1 source row matches one target row with matched
-    // actions present — the LEFT OUTER survivors join would otherwise
-    // silently DUPLICATE the target row (and apply matched actions
-    // once per copy). The check plan yields a row only on violation:
-    // tag each target row with a uid, inner-join to the source on the
-    // merge condition, and look for any uid with >1 match. SKIPPED
-    // when the source is PROVABLY unique on a single equi-join key
-    // (grouped or dropDuplicates-keyed on it — the deduped-CDC shape)
-    // so the common production merge pays nothing for the guard.
-    // ALSO skipped whenever there are no WHEN MATCHED actions at all:
-    // insert-only and by-source-only MERGEs are multi-match-legal per
-    // ANSI (matched rows are never acted on), and their rewrites
-    // (anti join / semi∪anti decomposition) never duplicate.
-    val cardCheck: Option[LogicalPlan] =
-      if (matched.isEmpty ||
-          ManifestMergeRule.sourceUniqueOnKey(m.mergeCondition,
-            m.sourceTable, m.targetTable)) None
-      else {
-        val tid = Alias(MonotonicallyIncreasingID(), "__graft_tid")()
-        val tTagged = Project(m.targetTable.output :+ tid, m.targetTable)
-        val inner = Join(tTagged, m.sourceTable, Inner,
-          Some(m.mergeCondition), JoinHint.NONE)
-        val cnt = Alias(Count(Literal(1)).toAggregateExpression(),
-          "__graft_n")()
-        val agg = Aggregate(Seq(tid.toAttribute), Seq(cnt), inner)
-        Some(Filter(GreaterThan(cnt.toAttribute, Literal(1L)), agg))
-      }
-
+    // ANSI cardinality guard: rides INSIDE the survivors join via
+    // [[MergeCardinalityGuard]] (see the general branch above) —
+    // no second join, no second job. Skipped when the source is
+    // provably key-unique, and vacuous for insert-only /
+    // by-source-only shapes (multi-match-legal per ANSI; their
+    // rewrites never duplicate).
     GraftMergeGenericCommand(table.dir, insertRows match {
       case Some(ins) => Union(Seq(survivors, ins))
       case None => survivors
-    }, cardCheck)
+    })
   }
 }
 
@@ -512,25 +505,16 @@ object ManifestMergeRule {
   * commit here.
   */
 case class GraftMergeGenericCommand(path: String,
-    merged: LogicalPlan,
-    cardinalityCheck: Option[LogicalPlan] = None)
+    merged: LogicalPlan)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[QueryPlan[_]] = Seq(merged)
   override def run(spark: SparkSession): Seq[Row] = {
     val df = org.apache.spark.sql.graftbridge.bridge.ofRows(spark, merged)
     ManifestV2Sink.commitLock(path).synchronized {
       ManifestV2Sink.withHeadLock(path) {
-        // inside the locks so the checked snapshot IS the merged one
-        cardinalityCheck.foreach { chk =>
-          val hit = org.apache.spark.sql.graftbridge.bridge
-            .ofRows(spark, chk).limit(1).count()
-          if (hit > 0) throw new UnsupportedOperationException(
-            "graft MERGE cardinality violation: more than one source " +
-              "row matched a single target row under the ON condition " +
-              "with WHEN MATCHED actions present — the result would be " +
-              "nondeterministic/duplicated (ANSI MERGE raises here; " +
-              "dedupe the source on the merge keys first)")
-        }
+        // cardinality violations surface FROM THE REWRITE JOB itself
+        // ([[MergeCardinalityGuard]] rides the survivors join) — the
+        // transactional write aborts, nothing publishes
         df.write.format("graft-manifest")
           .options(ManifestV2Sink.layoutOptions(path))
           .mode("overwrite").save(path)
@@ -538,6 +522,58 @@ case class GraftMergeGenericCommand(path: String,
     }
     Seq.empty
   }
+}
+
+/** IN-JOB MERGE cardinality detection — zero extra jobs, zero extra
+  * joins: rides the survivors LeftOuter join as a never-true Filter
+  * predicate and throws when one target row matches twice.
+  *
+  * WHY ADJACENCY SUFFICES: for a LeftOuter join Spark always streams
+  * the LEFT (target) side — broadcast/shuffled-hash build the right,
+  * sort-merge buffers right matches — so all N join copies of one
+  * target row are emitted CONSECUTIVELY by one task. Detecting two
+  * adjacent matched rows with the same `__graft_tid` therefore
+  * catches every multi-match, with two longs of per-partition state
+  * instead of the old second join + groupBy + count (which re-ran
+  * the whole join — at 100 TB, twice the merge cost just to guard).
+  * Nondeterministic on purpose: the optimizer neither folds,
+  * combines (And would short-circuit past the state update), nor
+  * pushes this predicate anywhere else in the plan.
+  */
+case class MergeCardinalityGuard(tid: Expression, matched: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+    with org.apache.spark.sql.catalyst.expressions.codegen
+      .CodegenFallback {
+  override def children: Seq[Expression] = Seq(tid, matched)
+  override def nullable: Boolean = false
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  @transient private var prevSet = false
+  @transient private var prev = 0L
+  override protected def initializeInternal(partitionIndex: Int): Unit = {
+    prevSet = false
+    prev = 0L
+  }
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    if (matched.eval(input) == true) {
+      val t = tid.eval(input).asInstanceOf[Long]
+      if (prevSet && prev == t)
+        throw new UnsupportedOperationException(
+          "graft MERGE cardinality violation: more than one source " +
+            "row matched a single target row under the ON condition " +
+            "with WHEN MATCHED actions present — the result would be " +
+            "nondeterministic/duplicated (ANSI MERGE raises here; " +
+            "dedupe the source on the merge keys first)")
+      prev = t
+      prevSet = true
+    }
+    false
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tid = newChildren(0), matched = newChildren(1))
 }
 
 /** The eager command the rule rewrites to: project the source to the
