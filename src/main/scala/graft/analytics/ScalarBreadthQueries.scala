@@ -1238,6 +1238,74 @@ object ScalarBreadthQueries {
       |  CAST(1 AS BIGINT) AS pruned,
       |  CAST(1 AS BIGINT) AS is_long""".stripMargin
 
+  /** PARTITION EVOLUTION under the oracle gate: an unpartitioned
+    * table evolves to PARTITIONED BY (o_orderstatus) mid-history
+    * (`CALL graft.system.set_partition_spec`) — no data moves, the
+    * old-era file keeps its untagged layout, the new-era insert
+    * fans out one file per status, and the mixed-era read stays
+    * exact with CONSERVATIVE pruning (a status filter skips only
+    * new-era files that recorded a different value; the old era is
+    * always read — pinned by `pruned_mixed`). One compaction then
+    * migrates every file to the new spec, after which the
+    * partition-grouped COUNT folds from metadata again
+    * (`meta_after`). The 100 TB story: re-layout is a sidecar write
+    * plus the compactions you were running anyway.
+    */
+  def sinkManifestPartEvolve(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = s"pevo_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, cents BIGINT)")
+      table(spark, dir, "orders").where(col("o_orderkey") % 13 === 12)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ * " +
+        s"FROM ${t}_src WHERE o_orderkey % 2 = 0") // era A: untagged
+      spark.sql(
+        s"CALL graft.system.set_partition_spec('$t', 'o_orderstatus')")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM ${t}_src " +
+        "WHERE o_orderkey % 2 = 1") // era B: one file per status
+      val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      spark.sql(s"SELECT count(*) FROM graft.$t " +
+        "WHERE o_orderstatus = 'F'").collect()
+      val (p1, t1) = graft.sources.ManifestV2Sink
+        .lastPlannedFiles(out).get
+      val prunedMixed = p1 < t1 // era-B pruning bites, era-A carried
+      graft.sources.ManifestV2Sink.compact(spark, out, 2)
+      val migrated = spark
+        .sql(s"SELECT partition FROM graft.$t.files").collect()
+        .forall(r => !r.isNullAt(0) &&
+          r.getString(0).startsWith("o_orderstatus="))
+      val gq = spark.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.$t GROUP BY o_orderstatus")
+      // metadata-fold probe is count-only: SUM can never fold from
+      // file stats, COUNT over a fully-migrated spec does.
+      val metaAfter = spark.sql(s"SELECT o_orderstatus, count(*) " +
+          s"FROM graft.$t GROUP BY o_orderstatus")
+        .queryExecution.executedPlan.toString()
+        .contains("LocalTableScan")
+      gq.select(col("*"),
+        lit(if (prunedMixed) 1L else 0L).as("pruned_mixed"),
+        lit(if (migrated) 1L else 0L).as("migrated"),
+        lit(if (metaAfter) 1L else 0L).as("meta_after"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestPartEvolveSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 13 = 12)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS pruned_mixed,
+      |  CAST(1 AS BIGINT) AS migrated,
+      |  CAST(1 AS BIGINT) AS meta_after
+      |FROM s GROUP BY o_orderstatus""".stripMargin
+
   /** CHANGE FEED under the oracle gate: replay an insert → DV-delete
     * → MERGE → compact history through `graft_table_changes` and pin
     * the EXACT per-commit delta multiset against DuckDB's closed
@@ -3048,6 +3116,7 @@ object ScalarBreadthQueries {
     "sink_manifest_agg_pushdown" -> (sinkManifestAggPushdown _),
     "sink_manifest_cdf" -> (sinkManifestCdf _),
     "sink_manifest_widen" -> (sinkManifestWiden _),
+    "sink_manifest_part_evolve" -> (sinkManifestPartEvolve _),
     "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
@@ -3104,6 +3173,7 @@ object ScalarBreadthQueries {
     "sink_manifest_agg_pushdown" -> sinkManifestAggPushdownSql,
     "sink_manifest_cdf" -> sinkManifestCdfSql,
     "sink_manifest_widen" -> sinkManifestWidenSql,
+    "sink_manifest_part_evolve" -> sinkManifestPartEvolveSql,
     "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,

@@ -402,6 +402,8 @@ class ManifestCatalog extends TableCatalog
       case "expire_snapshots" =>
         ManifestProcedures.expireSnapshots(dirOfName)
       case "vacuum" => ManifestProcedures.vacuum(dirOfName)
+      case "set_partition_spec" =>
+        ManifestProcedures.setPartitionSpec(dirOfName)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure $other (have: compact, binpack, " +
           "zorder, expire_snapshots, vacuum)")

@@ -117,6 +117,20 @@ private[sources] object ManifestProcedures {
             ManifestV2Sink.versions(dir).length))
       })
 
+  def setPartitionSpec(dirOf: String => String): UnboundProcedure =
+    proc("set_partition_spec",
+      Array(param("table", StringType), param("cols", StringType)),
+      { input =>
+        val dir = dirOf(input.getUTF8String(0).toString)
+        val cols = input.getUTF8String(1).toString.split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        ManifestV2Sink.setPartitionSpec(dir, cols)
+        (StructType(Seq(StructField("partition_spec", StringType))),
+          InternalRow(UTF8String.fromString(
+            if (cols.isEmpty) "(unpartitioned)"
+            else cols.mkString(","))))
+      })
+
   def vacuum(dirOf: String => String): UnboundProcedure =
     proc("vacuum", Array(param("table", StringType),
       ProcedureParameter.in("min_age_ms", LongType)

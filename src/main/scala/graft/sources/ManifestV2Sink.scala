@@ -1172,6 +1172,47 @@ object ManifestV2Sink {
       .toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** PARTITION EVOLUTION — change an existing table's partition spec
+    * (Iceberg's evolve-spec in miniature): only the DDL sidecar
+    * changes; NO data moves. Files are forever tagged with the spec
+    * they were WRITTEN under (their `P|` blobs), so a mixed-era table
+    * stays exactly readable: partition pruning skips only files that
+    * recorded a conflicting value (old-era files are conservatively
+    * unprunable for new columns), storage-partitioned joins and
+    * partition-grouped aggregate pushdown claim nothing until every
+    * live file carries the current spec, and `graft.t.files` reports
+    * each file's own values. New writes — including every rewrite
+    * (compact/binpack/OPTIMIZE read the sidecar at write time) —
+    * cluster under the NEW spec, so one compaction migrates the
+    * whole table to the new layout. A metadata-only `rewrite`-kind
+    * commit records the change in the snapshot history (silent in
+    * the change feed: row content is untouched).
+    */
+  def setPartitionSpec(path: String, cols: Seq[String]): Unit =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, entries) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        require(cols.distinct.length == cols.length,
+          s"duplicate partition columns: $cols")
+        cols.foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"partition column $c not in schema " +
+              s"(${schema.fieldNames.mkString(", ")})")
+          require(schema(c).dataType match {
+            case LongType | IntegerType | StringType | BooleanType |
+                 DateType => true
+            case _ => false
+          }, s"partition column $c must be " +
+            "long/int/string/boolean/date")
+        }
+        savePartitionColumns(path, cols)
+        publish(path, schema, entries,
+          s"set-part-${java.util.UUID.randomUUID().toString.take(8)}",
+          kind = "rewrite")
+      }
+    }
+
   /** Rewrite the `PARTITIONED BY` sidecar (atomic) — RENAME COLUMN of
     * a partition column keeps the DDL spec naming the live column.
     */
