@@ -1306,6 +1306,57 @@ object ScalarBreadthQueries {
       |  CAST(1 AS BIGINT) AS meta_after
       |FROM s GROUP BY o_orderstatus""".stripMargin
 
+  /** SEGMENTED MANIFEST METADATA under the oracle gate: 24 small
+    * commits against one table force the head past the inline
+    * threshold, so entries spill to immutable `_MANIFEST.seg.*`
+    * files and later commits REUSE them (`seg_reused` pins at least
+    * one segment carried across a commit unchanged; `head_small`
+    * pins the head below 8 KB — i.e. commit cost stopped scaling
+    * with table file count). The aggregate itself is checked
+    * value-exact against DuckDB over the same source rows. The
+    * 100 TB story: a streaming trigger's commit writes KBs of
+    * metadata, not a re-serialization of the whole file inventory.
+    */
+  def sinkManifestSeg(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"seg_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, cents BIGINT)")
+      table(spark, dir, "orders").where(col("o_orderkey") % 17 === 3)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${t}_src")
+      for (i <- 0 until 24)
+        spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ * " +
+          s"FROM ${t}_src WHERE o_orderkey % 24 = $i")
+      val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      val headP = java.nio.file.Paths.get(out, "_MANIFEST")
+      val refsBefore = graft.sources.ManifestV2Sink.segRefsOf(headP).toSet
+      spark.sql(s"INSERT INTO graft.$t VALUES (-1, 0)")
+      val refsAfter = graft.sources.ManifestV2Sink.segRefsOf(headP).toSet
+      val segReused = refsBefore.nonEmpty &&
+        refsBefore.intersect(refsAfter) == refsBefore
+      val headSmall = java.nio.file.Files.size(headP) < 8192
+      spark.sql(s"SELECT o_orderkey % 3 AS g, count(*) AS n, " +
+        s"sum(cents) AS sum_cents FROM graft.$t WHERE o_orderkey >= 0 " +
+        "GROUP BY o_orderkey % 3")
+        .select(col("*"),
+          lit(if (segReused) 1L else 0L).as("seg_reused"),
+          lit(if (headSmall) 1L else 0L).as("head_small"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestSegSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 17 = 3)
+      |SELECT o_orderkey % 3 AS g, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS seg_reused,
+      |  CAST(1 AS BIGINT) AS head_small
+      |FROM s GROUP BY o_orderkey % 3""".stripMargin
+
   /** CHANGE FEED under the oracle gate: replay an insert → DV-delete
     * → MERGE → compact history through `graft_table_changes` and pin
     * the EXACT per-commit delta multiset against DuckDB's closed
@@ -3117,6 +3168,7 @@ object ScalarBreadthQueries {
     "sink_manifest_cdf" -> (sinkManifestCdf _),
     "sink_manifest_widen" -> (sinkManifestWiden _),
     "sink_manifest_part_evolve" -> (sinkManifestPartEvolve _),
+    "sink_manifest_seg" -> (sinkManifestSeg _),
     "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
@@ -3174,6 +3226,7 @@ object ScalarBreadthQueries {
     "sink_manifest_cdf" -> sinkManifestCdfSql,
     "sink_manifest_widen" -> sinkManifestWidenSql,
     "sink_manifest_part_evolve" -> sinkManifestPartEvolveSql,
+    "sink_manifest_seg" -> sinkManifestSegSql,
     "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,

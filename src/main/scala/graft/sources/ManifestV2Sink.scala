@@ -295,10 +295,99 @@ object ManifestV2Sink {
       val schema = DataType.fromJson(lines.head).asInstanceOf[StructType]
       // txn ledger lines (see [[parseTxns]]) are commit metadata, not
       // entries — filtered here so every entry consumer stays blind
-      // to them
-      Some((schema, lines.tail.filter(l =>
-        l.nonEmpty && !l.startsWith("txn\t"))))
+      // to them; `seg` lines expand to the referenced SEGMENT file's
+      // entries (see [[publish]] — two-level metadata), so every
+      // entry consumer stays blind to the sharding too
+      val entries = lines.tail.iterator
+        .filter(l => l.nonEmpty && !l.startsWith("txn\t"))
+        .flatMap { l =>
+          if (l.startsWith("seg\t")) loadSegment(mf.getParent, l.split("\t")(1))
+          else Iterator.single(l)
+        }.toSeq
+      Some((schema, entries))
     }
+
+  // ------------------------------------------ manifest segmentation
+  /** TWO-LEVEL manifest metadata (Iceberg's manifest-list shape, in
+    * miniature): a head (or branch head, or `.vNNNNN` snapshot) body
+    * may carry, in place of inline entry lines,
+    * `seg<TAB><name><TAB><count>` references to IMMUTABLE segment
+    * files (`_MANIFEST.seg.*` in the table dir, entry lines only).
+    * [[publish]] reuses every referenced segment whose entries all
+    * survive into the new commit verbatim, so the bytes a commit
+    * writes are O(changed entries + segment count), NOT O(table
+    * files) — the difference between a streaming trigger costing a
+    * few KB and re-serializing the whole file inventory (at 100 TB:
+    * hundreds of MB) on every micro-batch. Version snapshots
+    * hard-link the same small body, so time travel and branches get
+    * the savings for free; segments are shared structurally across
+    * heads and history, and reclaimed by [[vacuum]] only when NO
+    * retained head/branch/snapshot references them. Segments are
+    * immutable once published, so [[loadSegment]] caches by absolute
+    * path process-wide — repeated query planning re-reads only
+    * segments it has never seen.
+    */
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Entry count at or below which a commit's residual (entries not
+    * covered by a reused segment) stays INLINE in the head — small
+    * tables keep the flat single-file format (and its fixture cost)
+    * exactly as before segmentation existed. Tunable for tests/ops
+    * via `-Dgraft.manifest.seg.inlineMax`.
+    */
+  private def SegInlineMax: Int =
+    sys.props.get("graft.manifest.seg.inlineMax").map(_.toInt).getOrElse(16)
+
+  /** Referenced-segment count that triggers a FOLD: the commit
+    * ignores reuse and rewrites all entries into one segment —
+    * amortized O(table) every ~SegFoldAt commits, bounding both head
+    * size and planning fan-out (Iceberg's rewrite-manifests, inlined
+    * into the commit path). Tunable via `-Dgraft.manifest.seg.foldAt`.
+    */
+  private def SegFoldAt: Int =
+    sys.props.get("graft.manifest.seg.foldAt").map(_.toInt).getOrElse(64)
+
+  private[sources] def loadSegment(dir: Path, name: String): Seq[String] = {
+    val key = dir.resolve(name).toAbsolutePath.normalize.toString
+    val hit = segCache.get(key)
+    if (hit != null) hit
+    else {
+      val es = Files.readAllLines(Paths.get(key), StandardCharsets.UTF_8)
+        .asScala.toSeq.filter(_.nonEmpty)
+      if (segCache.size > 8192) segCache.clear() // unbounded-growth guard
+      segCache.putIfAbsent(key, es)
+      es
+    }
+  }
+
+  /** Raw `seg` reference names of a manifest body (no expansion) —
+    * the reclamation scan ([[unreferencedSegments]]) and the O(new)
+    * reuse pass in [[publish]] read refs without loading entries.
+    * Public as the segmentation observability surface (which
+    * segments a head references — the evidence the commit-cost
+    * lifecycle query pins).
+    */
+  def segRefsOf(mf: Path): Seq[String] =
+    if (!Files.exists(mf)) Seq.empty
+    else Files.readAllLines(mf, StandardCharsets.UTF_8).asScala
+      .iterator.filter(_.startsWith("seg\t")).map(_.split("\t")(1)).toSeq
+
+  /** Write one immutable segment file holding `entries`; returns its
+    * `seg` reference line. Unique name → CREATE_NEW can never clash;
+    * a crash before the head publish leaves an unreferenced segment —
+    * garbage, not corruption ([[vacuum]] reclaims it).
+    */
+  private def writeSegment(path: String, tag: String,
+      entries: Seq[String]): String = {
+    val safe = tag.replaceAll("[^A-Za-z0-9_-]", "_").take(24)
+    val name = s"_MANIFEST.seg.$safe." +
+      java.util.UUID.randomUUID().toString.take(12)
+    Files.write(Paths.get(path, name),
+      (entries.mkString("\n") + "\n").getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    s"seg\t$name\t${entries.length}"
+  }
 
   /** The STREAMING-COMMIT ledger carried INSIDE the manifest body
     * (`txn<TAB>writerId<TAB>epoch` lines after the schema, before the
@@ -2105,7 +2194,50 @@ object ManifestV2Sink {
       .getOrElse(manifestFile(path))
     val txns = (parseTxns(pointer0) ++ txn.toMap).toSeq.sortBy(_._1)
       .map { case (q, e) => s"txn\t$q\t$e" }
-    val body = ((schema.json +: (txns ++ files)).mkString("\n") + "\n")
+    // SEGMENT REUSE (see the segmentation Scaladoc above
+    // [[loadSegment]]): keep every previously-referenced segment
+    // whose entries ALL survive into `files` (multiplicity-exact),
+    // then write only the residual — commit bytes are O(changed),
+    // not O(table). Entry ORDER is preserved within each kept
+    // segment and within the residual; the expanded sequence is
+    // kept-segments-then-residual, which is exactly `previous ++
+    // new` for every append-shaped caller.
+    val remaining = new java.util.HashMap[String, Integer]()
+    files.foreach(f => remaining.merge(f, 1, (a, b) => a + b))
+    val keptRefs = segRefsOf(pointer0).filter { name =>
+      scala.util.Try {
+        val es = loadSegment(Paths.get(path), name)
+        val need = new java.util.HashMap[String, Integer]()
+        es.foreach(e => need.merge(e, 1, (a, b) => a + b))
+        val covered = need.entrySet.asScala.forall { en =>
+          val have = remaining.get(en.getKey)
+          have != null && have >= en.getValue
+        }
+        if (covered)
+          es.foreach(e => remaining.merge(e, -1, (a, b) => a + b))
+        covered
+      }.getOrElse(false) // unreadable segment → rewrite its entries
+    }
+    val residual = files.filter { f =>
+      val c = remaining.get(f)
+      if (c != null && c > 0) { remaining.put(f, c - 1); true }
+      else false
+    }
+    val items: Seq[String] =
+      if (files.isEmpty) Seq.empty
+      else if (keptRefs.length >= SegFoldAt)
+        Seq(writeSegment(path, tag, files)) // fold: rebound head size
+      else {
+        val refs = keptRefs.map(n => {
+          val es = loadSegment(Paths.get(path), n)
+          s"seg\t$n\t${es.length}"
+        })
+        if (residual.isEmpty) refs
+        else if (residual.length <= SegInlineMax)
+          refs ++ residual // no refs → the pre-segmentation flat format
+        else refs :+ writeSegment(path, tag, residual)
+      }
+    val body = ((schema.json +: (txns ++ items)).mkString("\n") + "\n")
       .getBytes(StandardCharsets.UTF_8)
     val vTmp = Paths.get(path, s"_MANIFEST.vtmp.$tag")
     Files.write(vTmp, body)
@@ -2272,11 +2404,32 @@ object ManifestV2Sink {
     * committers not covered by the advisory file lock (e.g. a remote
     * writer on a shared filesystem). Returns the deleted paths.
     */
+  /** Segment files (`_MANIFEST.seg.*`) referenced by NO retained
+    * head, branch head, or version snapshot — orphans from expired
+    * snapshots or crashed publishes. Raw ref scan (no expansion):
+    * O(retained manifests), never O(entries).
+    */
+  private[sources] def unreferencedSegments(path: String): Seq[String] = {
+    val live = (segRefsOf(manifestFile(path)) ++
+      versions(path).flatMap(v => segRefsOf(versionFile(path, v))) ++
+      branches(path).flatMap(b => segRefsOf(branchFile(path, b)))).toSet
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("_MANIFEST.seg.") && !live(n))
+        .toSeq.sorted
+      finally s.close()
+    }
+  }
+
   def vacuum(path: String, minAgeMillis: Long = 0L): Seq[String] =
     commitLock(path).synchronized {
       withHeadLock(path) {
         val cutoff = System.currentTimeMillis() - math.max(0L, minAgeMillis)
-        val victims = unreferencedFiles(path).filter { rel =>
+        val victims = (unreferencedFiles(path) ++
+          unreferencedSegments(path)).filter { rel =>
           val p = Paths.get(path, rel)
           Files.exists(p) && Files.getLastModifiedTime(p).toMillis <= cutoff
         }
