@@ -125,6 +125,9 @@ class ManifestCatalog extends TableCatalog
       case "txns" => Some(new ManifestMetaTable(label,
         ManifestMetaTables.TxnsSchema,
         () => ManifestMetaTables.txnsRows(dir)))
+      case "manifests" => Some(new ManifestMetaTable(label,
+        ManifestMetaTables.ManifestsSchema,
+        () => ManifestMetaTables.manifestsRows(dir)))
       case _ => None
     }
   }
@@ -404,9 +407,12 @@ class ManifestCatalog extends TableCatalog
       case "vacuum" => ManifestProcedures.vacuum(dirOfName)
       case "set_partition_spec" =>
         ManifestProcedures.setPartitionSpec(dirOfName)
+      case "rewrite_manifests" =>
+        ManifestProcedures.rewriteManifests(dirOfName)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure $other (have: compact, binpack, " +
-          "zorder, expire_snapshots, vacuum)")
+          "zorder, expire_snapshots, vacuum, set_partition_spec, " +
+          "rewrite_manifests)")
     }
   }
 
@@ -414,7 +420,7 @@ class ManifestCatalog extends TableCatalog
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("compact", "binpack", "zorder", "expire_snapshots",
-        "vacuum")
+        "vacuum", "set_partition_spec", "rewrite_manifests")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

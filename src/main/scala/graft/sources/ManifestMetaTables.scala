@@ -39,6 +39,12 @@ private[sources] object ManifestMetaTables {
     StructField("writer_id", StringType),
     StructField("epoch", LongType)))
 
+  val ManifestsSchema: StructType = StructType(Seq(
+    StructField("segment", StringType), // "(inline)" for head-resident
+    StructField("entries", LongType),
+    StructField("size_bytes", LongType),
+    StructField("shared_by_snapshots", LongType)))
+
   def filesRows(path: String): Array[InternalRow] =
     ManifestV2Sink.readManifest(path).map(_._2).getOrElse(Seq.empty)
       .filterNot(ManifestV2Sink.isDeleteEntry)
@@ -79,6 +85,38 @@ private[sources] object ManifestMetaTables {
     ManifestV2Sink.streamTxns(path).toSeq.sortBy(_._1).map {
       case (q, e) => InternalRow(UTF8String.fromString(q), e)
     }.toArray
+
+  /** `graft.<t>.manifests` — the segmentation layout of the CURRENT
+    * head: one row per referenced `_MANIFEST.seg.*` file (entry
+    * count, on-disk size, and how many retained version snapshots
+    * share it — structural sharing made visible), plus one
+    * `(inline)` row when the head carries flat entries. The
+    * compaction-health view for the metadata itself: many small
+    * segments → time to `CALL graft.system.rewrite_manifests`.
+    */
+  def manifestsRows(path: String): Array[InternalRow] = {
+    val head = Paths.get(path, "_MANIFEST")
+    val headRefs = ManifestV2Sink.segRefsOf(head)
+    val snapRefs = ManifestV2Sink.versions(path).map(v =>
+      ManifestV2Sink.segRefsOf(ManifestV2Sink.versionFile(path, v)).toSet)
+    val segRows = headRefs.map { n =>
+      val count = scala.util.Try(
+        ManifestV2Sink.loadSegment(Paths.get(path), n).length.toLong)
+        .getOrElse(-1L)
+      InternalRow(
+        UTF8String.fromString(n), count,
+        scala.util.Try(Files.size(Paths.get(path, n))).getOrElse(-1L),
+        snapRefs.count(_(n)).toLong)
+    }
+    val inline = ManifestV2Sink.readManifest(path).map(_._2.length)
+      .getOrElse(0) - segRows.map(_.getLong(1)).sum
+    val inlineRow =
+      if (inline > 0)
+        Seq(InternalRow(UTF8String.fromString("(inline)"),
+          inline, null, null))
+      else Seq.empty
+    (segRows ++ inlineRow).toArray
+  }
 }
 
 /** One metadata table (schema + row builder evaluated at SCAN time,

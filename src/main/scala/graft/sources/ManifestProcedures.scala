@@ -117,6 +117,19 @@ private[sources] object ManifestProcedures {
             ManifestV2Sink.versions(dir).length))
       })
 
+  def rewriteManifests(dirOf: String => String): UnboundProcedure =
+    proc("rewrite_manifests",
+      Array(param("table", StringType)),
+      { input =>
+        val dir = dirOf(input.getUTF8String(0).toString)
+        val (before, after, entries) = ManifestV2Sink.rewriteManifests(dir)
+        (StructType(Seq(
+          StructField("segments_before", IntegerType),
+          StructField("segments_after", IntegerType),
+          StructField("entries", IntegerType))),
+          InternalRow(before, after, entries))
+      })
+
   def setPartitionSpec(dirOf: String => String): UnboundProcedure =
     proc("set_partition_spec",
       Array(param("table", StringType), param("cols", StringType)),

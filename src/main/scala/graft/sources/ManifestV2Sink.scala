@@ -1261,6 +1261,27 @@ object ManifestV2Sink {
       .toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Explicit metadata compaction (Iceberg's rewrite_manifests): fold
+    * the head's segment fan-out back to one segment (or flat inline
+    * for small tables) in a metadata-only `rewrite` commit — row
+    * content untouched, silent in the change feed. The on-demand
+    * twin of the automatic fold the commit path performs past
+    * `SegFoldAt` refs. Returns (segments before, segments after,
+    * live entries).
+    */
+  def rewriteManifests(path: String): (Int, Int, Int) =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val (schema, entries) = readManifest(path).getOrElse(
+          throw new IllegalArgumentException(s"no manifest at $path"))
+        val before = segRefsOf(manifestFile(path)).length
+        publish(path, schema, entries,
+          s"rewrite-manifests-${java.util.UUID.randomUUID().toString.take(8)}",
+          kind = "rewrite", foldSegments = true)
+        (before, segRefsOf(manifestFile(path)).length, entries.length)
+      }
+    }
+
   /** PARTITION EVOLUTION — change an existing table's partition spec
     * (Iceberg's evolve-spec in miniature): only the DDL sidecar
     * changes; NO data moves. Files are forever tagged with the spec
@@ -2185,7 +2206,7 @@ object ManifestV2Sink {
   private[sources] def publish(path: String, schema: StructType,
       files: Seq[String], tag: String, branch: Option[String] = None,
       txn: Option[(String, Long)] = None,
-      kind: String = "write"): Unit = {
+      kind: String = "write", foldSegments: Boolean = false): Unit = {
     // carry the streaming-commit ledger forward (and fold in this
     // commit's txn record, if any): the ledger must survive unrelated
     // commits/overwrites or a replayed epoch after an intervening
@@ -2225,7 +2246,9 @@ object ManifestV2Sink {
     }
     val items: Seq[String] =
       if (files.isEmpty) Seq.empty
-      else if (keptRefs.length >= SegFoldAt)
+      else if (foldSegments && files.length <= SegInlineMax)
+        files // explicit fold of a small table: back to flat inline
+      else if (foldSegments || keptRefs.length >= SegFoldAt)
         Seq(writeSegment(path, tag, files)) // fold: rebound head size
       else {
         val refs = keptRefs.map(n => {

@@ -133,6 +133,40 @@ class ManifestSegmentSpec extends SparkSuite {
     }
   }
 
+  test("graft.t.manifests reports the segmentation layout and " +
+    "rewrite_manifests folds it in a metadata-only commit") {
+    val t = fresh(); val dir = s"$root/$t"
+    sys.props("graft.manifest.seg.inlineMax") = "0"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (k BIGINT)")
+      for (i <- 0 until 6)
+        spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ id " +
+          s"FROM range($i, ${i + 1})")
+      val rows = spark.sql(s"SELECT segment, entries, " +
+        s"shared_by_snapshots FROM graft.$t.manifests").collect()
+      assert(rows.length == 6 &&
+        rows.forall(_.getString(0).startsWith("_MANIFEST.seg.")),
+        rows.mkString(", "))
+      assert(rows.map(_.getLong(1)).sum == 6L)
+      // structural sharing: early segments ride many snapshots
+      assert(rows.map(_.getLong(2)).max >= 2L)
+      val vBefore = ManifestV2Sink.versions(dir).max
+      val r = spark.sql(
+        s"CALL graft.system.rewrite_manifests('$t')").collect()(0)
+      assert(r.getInt(0) == 6 && r.getInt(1) == 1 && r.getInt(2) == 6, r)
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t")
+        .head.getLong(0) == 6L)
+      // metadata-only rewrite commit: silent in the change feed
+      assert(ManifestCdf.readChanges(spark, dir, vBefore,
+        ManifestV2Sink.versions(dir).max).count() == 0L)
+      assert(spark.sql(s"SELECT count(*) FROM graft.$t.manifests")
+        .head.getLong(0) == 1L)
+    } finally {
+      sys.props -= "graft.manifest.seg.inlineMax"
+      spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+    }
+  }
+
   test("time travel, branches and vacuum stay exact across segment " +
     "eras; orphaned segments are reclaimed, shared ones kept") {
     val t = fresh(); val dir = s"$root/$t"
