@@ -1357,6 +1357,61 @@ object ScalarBreadthQueries {
       |  CAST(1 AS BIGINT) AS head_small
       |FROM s GROUP BY o_orderkey % 3""".stripMargin
 
+  /** TAGS under the oracle gate: pin the "audit corpus" with
+    * `CALL graft.system.tag`, then mutate the table (append + DELETE),
+    * expire history down to 1 retained snapshot and vacuum — and read
+    * the EXACT pinned corpus back through `VERSION AS OF 'tag'`,
+    * value-checked against DuckDB recomputing the same subset. The
+    * in-band pins: `tag_survived` (the tagged version walked around
+    * expiry — a tag is a retention promise) and `reclaimed` (vacuum
+    * still deleted something, i.e. the pin is precise, not a vacuum
+    * no-op). The 100 TB story: "the exact corpus the model saw" is a
+    * named, immutable, GC-exempt ref — not a copied dataset.
+    */
+  def sinkManifestTag(spark: SparkSession, dir: String): DataFrame = {
+    val t = s"tag_${java.util.UUID.randomUUID().toString.take(8)}"
+    try {
+      spark.sql(s"CREATE TABLE graft.$t (o_orderkey BIGINT, cents BIGINT)")
+      table(spark, dir, "orders").where(col("o_orderkey") % 19 === 7)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView(s"${t}_src")
+      spark.sql(s"INSERT INTO graft.$t SELECT * FROM ${t}_src")
+      spark.sql(s"CALL graft.system.tag('$t', 'audit')")
+      val out = spark.conf.get("spark.sql.catalog.graft.root") + s"/$t"
+      val vTagged = graft.sources.ManifestV2Sink.tags(out)
+        .toMap.apply("audit")
+      // post-tag mutations the pinned read must NOT see; the insert's
+      // files are later whole-file-dropped, so after expiry they are
+      // referenced by NO retained snapshot — vacuum provably reclaims
+      spark.sql(s"INSERT INTO graft.$t SELECT /*+ COALESCE(1) */ " +
+        "id * 2 + 1000000000, id FROM range(50)")
+      spark.sql(s"DELETE FROM graft.$t WHERE o_orderkey >= 1000000000")
+      spark.sql(s"CALL graft.system.expire_snapshots('$t', 1)").collect()
+      val reclaimedN = spark.sql(s"CALL graft.system.vacuum('$t')").count()
+      val tagSurvived = graft.sources.ManifestV2Sink.versions(out)
+        .contains(vTagged)
+      spark.sql(s"SELECT o_orderkey % 4 AS g, count(*) AS n, " +
+        "sum(cents) AS sum_cents " +
+        s"FROM graft.$t VERSION AS OF 'audit' GROUP BY o_orderkey % 4")
+        .select(col("*"),
+          lit(if (tagSurvived) 1L else 0L).as("tag_survived"),
+          lit(if (reclaimedN > 0) 1L else 0L).as("reclaimed"))
+        .localCheckpoint(true)
+    } finally spark.sql(s"DROP TABLE IF EXISTS graft.$t")
+  }
+
+  val sinkManifestTagSql: String =
+    """WITH s AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 19 = 7)
+      |SELECT o_orderkey % 4 AS g, COUNT(*) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(1 AS BIGINT) AS tag_survived,
+      |  CAST(1 AS BIGINT) AS reclaimed
+      |FROM s GROUP BY o_orderkey % 4""".stripMargin
+
   /** CHANGE FEED under the oracle gate: replay an insert → DV-delete
     * → MERGE → compact history through `graft_table_changes` and pin
     * the EXACT per-commit delta multiset against DuckDB's closed
@@ -3169,6 +3224,7 @@ object ScalarBreadthQueries {
     "sink_manifest_widen" -> (sinkManifestWiden _),
     "sink_manifest_part_evolve" -> (sinkManifestPartEvolve _),
     "sink_manifest_seg" -> (sinkManifestSeg _),
+    "sink_manifest_tag" -> (sinkManifestTag _),
     "sink_manifest_limit_pushdown" -> (sinkManifestLimitPushdown _),
     "sink_manifest_dv" -> (sinkManifestDv _),
     "sink_manifest_spj" -> (sinkManifestSpj _),
@@ -3227,6 +3283,7 @@ object ScalarBreadthQueries {
     "sink_manifest_widen" -> sinkManifestWidenSql,
     "sink_manifest_part_evolve" -> sinkManifestPartEvolveSql,
     "sink_manifest_seg" -> sinkManifestSegSql,
+    "sink_manifest_tag" -> sinkManifestTagSql,
     "sink_manifest_limit_pushdown" -> sinkManifestLimitPushdownSql,
     "sink_manifest_dv" -> sinkManifestDvSql,
     "sink_manifest_spj" -> sinkManifestSpjSql,

@@ -128,6 +128,9 @@ class ManifestCatalog extends TableCatalog
       case "manifests" => Some(new ManifestMetaTable(label,
         ManifestMetaTables.ManifestsSchema,
         () => ManifestMetaTables.manifestsRows(dir)))
+      case "refs" => Some(new ManifestMetaTable(label,
+        ManifestMetaTables.RefsSchema,
+        () => ManifestMetaTables.refsRows(dir)))
       case _ => None
     }
   }
@@ -143,10 +146,13 @@ class ManifestCatalog extends TableCatalog
     if (!exists(ident))
       throw new NoSuchTableException(
         (ident.namespace() :+ ident.name()).toSeq)
-    val v = try version.trim.toInt catch {
-      case _: NumberFormatException =>
+    // a non-numeric version resolves as a TAG name (immutable ref)
+    val v = scala.util.Try(version.trim.toInt).getOrElse {
+      ManifestV2Sink.tags(dir).toMap.getOrElse(version.trim,
         throw new IllegalArgumentException(
-          s"graft VERSION AS OF takes a snapshot number, got '$version'")
+          s"graft VERSION AS OF takes a snapshot number or tag name, " +
+            s"got '$version' (tags: ${ManifestV2Sink.tags(dir)
+              .map(_._1).mkString(",")})"))
     }
     val schema = ManifestV2Sink
       .parseManifest(ManifestV2Sink.versionFile(dir, v)).map(_._1)
@@ -409,10 +415,12 @@ class ManifestCatalog extends TableCatalog
         ManifestProcedures.setPartitionSpec(dirOfName)
       case "rewrite_manifests" =>
         ManifestProcedures.rewriteManifests(dirOfName)
+      case "tag" => ManifestProcedures.tag(dirOfName)
+      case "drop_tag" => ManifestProcedures.dropTag(dirOfName)
       case other => throw new UnsupportedOperationException(
         s"no graft procedure $other (have: compact, binpack, " +
           "zorder, expire_snapshots, vacuum, set_partition_spec, " +
-          "rewrite_manifests)")
+          "rewrite_manifests, tag, drop_tag)")
     }
   }
 
@@ -420,7 +428,8 @@ class ManifestCatalog extends TableCatalog
       namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.sameElements(Array("system")))
       Array("compact", "binpack", "zorder", "expire_snapshots",
-        "vacuum", "set_partition_spec", "rewrite_manifests")
+        "vacuum", "set_partition_spec", "rewrite_manifests",
+        "tag", "drop_tag")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

@@ -39,6 +39,12 @@ private[sources] object ManifestMetaTables {
     StructField("writer_id", StringType),
     StructField("epoch", LongType)))
 
+  val RefsSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("type", StringType),   // "branch" | "tag"
+    StructField("version", IntegerType), // tags: pinned; branches: null
+    StructField("n_files", LongType)))
+
   val ManifestsSchema: StructType = StructType(Seq(
     StructField("segment", StringType), // "(inline)" for head-resident
     StructField("entries", LongType),
@@ -85,6 +91,31 @@ private[sources] object ManifestMetaTables {
     ManifestV2Sink.streamTxns(path).toSeq.sortBy(_._1).map {
       case (q, e) => InternalRow(UTF8String.fromString(q), e)
     }.toArray
+
+  /** `graft.<t>.refs` — every named head into the snapshot space:
+    * branches (independent mutable heads) and tags (immutable pinned
+    * versions, retention-exempt). The one view that answers "what is
+    * still keeping data alive on this table".
+    */
+  def refsRows(path: String): Array[InternalRow] = {
+    val branchRows = ManifestV2Sink.branches(path).map { b =>
+      val n = ManifestV2Sink
+        .parseManifest(ManifestV2Sink.branchFile(path, b))
+        .map(_._2.count(!ManifestV2Sink.isDeleteEntry(_)).toLong)
+        .getOrElse(0L)
+      InternalRow(UTF8String.fromString(b),
+        UTF8String.fromString("branch"), null, n)
+    }
+    val tagRows = ManifestV2Sink.tags(path).map { case (n, v) =>
+      val files = ManifestV2Sink
+        .parseManifest(ManifestV2Sink.versionFile(path, v))
+        .map(_._2.count(!ManifestV2Sink.isDeleteEntry(_)).toLong)
+        .getOrElse(0L)
+      InternalRow(UTF8String.fromString(n),
+        UTF8String.fromString("tag"), v, files)
+    }
+    (branchRows ++ tagRows).toArray
+  }
 
   /** `graft.<t>.manifests` — the segmentation layout of the CURRENT
     * head: one row per referenced `_MANIFEST.seg.*` file (entry

@@ -117,6 +117,33 @@ private[sources] object ManifestProcedures {
             ManifestV2Sink.versions(dir).length))
       })
 
+  def tag(dirOf: String => String): UnboundProcedure =
+    proc("tag",
+      Array(param("table", StringType), param("name", StringType),
+        ProcedureParameter.in("version", IntegerType)
+          .defaultValue("CAST(NULL AS INT)").build()),
+      { input =>
+        val dir = dirOf(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val version = if (input.numFields > 2 && !input.isNullAt(2))
+          Some(input.getInt(2)) else None
+        val v = ManifestV2Sink.createTag(dir, name, version)
+        (StructType(Seq(StructField("tag", StringType),
+          StructField("version", IntegerType))),
+          InternalRow(UTF8String.fromString(name), v))
+      })
+
+  def dropTag(dirOf: String => String): UnboundProcedure =
+    proc("drop_tag",
+      Array(param("table", StringType), param("name", StringType)),
+      { input =>
+        val dir = dirOf(input.getUTF8String(0).toString)
+        val name = input.getUTF8String(1).toString
+        val existed = ManifestV2Sink.dropTag(dir, name)
+        (StructType(Seq(StructField("dropped", BooleanType))),
+          InternalRow(existed))
+      })
+
   def rewriteManifests(dirOf: String => String): UnboundProcedure =
     proc("rewrite_manifests",
       Array(param("table", StringType)),

@@ -1946,11 +1946,106 @@ object ManifestV2Sink {
     commitLock(path).synchronized {
       withHeadLock(path) {
         require(keepLast >= 1, "must retain at least the newest snapshot")
+        // TAGGED versions are pinned: a tag is a retention promise
+        // (Iceberg's tag semantics) — expiry walks around them, and
+        // vacuum keeps their files alive because the version file
+        // itself survives
+        val pinned = tags(path).map(_._2).toSet
         val expire = versions(path).dropRight(keepLast)
+          .filterNot(pinned)
         expire.foreach(v => Files.deleteIfExists(versionFile(path, v)))
         expire
       }
     }
+
+  // ------------------------------------------------------------ tags
+  /** TAGS — immutable named refs into the snapshot log (`audit-2026q3`
+    * → v17): the reproducibility primitive a training-data table
+    * needs ("the exact corpus the model saw") made first-class.
+    * A tag is a tiny sidecar pinning one version; it cannot be
+    * re-pointed (create-if-absent — drop and re-create is the only
+    * mutation, and that is visibly two operations), [[expireSnapshots]]
+    * walks around tagged versions, and [[vacuum]] therefore keeps
+    * every file the tagged snapshot references. Read back via SQL
+    * `VERSION AS OF 'name'` (the catalog resolves non-numeric
+    * versions through the tag), or [[tags]] / `graft.t.refs`.
+    */
+  private[sources] def tagFile(path: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"bad tag name: $name")
+    Paths.get(path, s"_MANIFEST.tag-$name")
+  }
+
+  /** All tags of a table: (name, pinned version), name-sorted. */
+  def tags(path: String): Seq[(String, Int)] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) Seq.empty
+    else {
+      val t = "_MANIFEST\\.tag-([A-Za-z0-9_.-]+)".r
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .collect { case t(n) => n }.toSeq.sorted.flatMap { n =>
+          scala.util.Try(new String(Files.readAllBytes(tagFile(path, n)),
+            StandardCharsets.UTF_8).trim.toInt).toOption.map(n -> _)
+        }
+      finally s.close()
+    }
+  }
+
+  /** Pin `version` (default: the current main head's version) under
+    * `name`. Fails if the tag exists (immutability) or the snapshot
+    * is not retained. Returns the pinned version.
+    */
+  def createTag(path: String, name: String,
+      version: Option[Int] = None): Int =
+    commitLock(path).synchronized {
+      withHeadLock(path) {
+        val v = version.getOrElse(currentVersion(path).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed manifest at $path — nothing to tag")))
+        require(Files.exists(versionFile(path, v)),
+          s"no retained snapshot v$v at $path " +
+            s"(have: ${versions(path).mkString(",")})")
+        try Files.write(tagFile(path, name),
+          s"$v\n".getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalArgumentException(
+            s"tag $name already exists at $path (tags are immutable — " +
+              "drop_tag first to re-point)")
+        }
+        v
+      }
+    }
+
+  /** Remove a tag (the pinned version becomes expirable again). */
+  def dropTag(path: String, name: String): Boolean =
+    commitLock(path).synchronized {
+      withHeadLock(path) { Files.deleteIfExists(tagFile(path, name)) }
+    }
+
+  /** The main head's snapshot VERSION, verified: the hint is trusted
+    * only after byte-comparing its snapshot to the head; otherwise
+    * the newest byte-identical snapshot (size-gated scan). None for
+    * an uncommitted table.
+    */
+  def currentVersion(path: String): Option[Int] = {
+    val mf = manifestFile(path)
+    if (!Files.exists(mf)) None
+    else {
+      val headBody = Files.readAllBytes(mf)
+      readHeadVersionHint(path).filter { v =>
+        val vf = versionFile(path, v)
+        Files.exists(vf) &&
+          java.util.Arrays.equals(Files.readAllBytes(vf), headBody)
+      }.orElse {
+        versions(path).reverse.find { v =>
+          val vf = versionFile(path, v)
+          Files.size(vf) == headBody.length.toLong &&
+            java.util.Arrays.equals(Files.readAllBytes(vf), headBody)
+        }
+      }
+    }
+  }
 
   // ------------------------------------------------------- branching
   /** Nessie/Iceberg-style BRANCHES on the manifest log, in miniature:
