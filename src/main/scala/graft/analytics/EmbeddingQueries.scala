@@ -3805,13 +3805,18 @@ object EmbeddingQueries {
       // the shuffle) instead of distinct + a window sort of the whole
       // candidate frame — bit-identical rows to the oracle's
       // `SELECT DISTINCT … row_number() ≤ K` spelling, which stays
-      // the DuckDB twin
-      val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+      // the DuckDB twin. The TAGGED variant carries an old/new flag
+      // per tuple (max over duplicates; never part of the ordering),
+      // so the round's new-edge set falls out of the aggregation
+      // itself instead of a per-round left-outer + left-anti join
+      // pair (guide §2.4: remove shuffles outright).
+      val bk = udaf(graft.functions.BottomKPairsTagAgg(NndK))
       def topK(cand: DataFrame): DataFrame =
         cand.groupBy(col("v"))
-          .agg(bk(col("d"), col("u")).as("tk"))
+          .agg(bk(col("d"), col("u"), col("old")).as("tk"))
           .select(col("v"), explode(col("tk")).as("e"))
-          .select(col("v"), col("e._2").as("u"), col("e._1").as("d"))
+          .select(col("v"), col("e._2").as("u"), col("e._1").as("d"),
+            (lit(1L) - col("e._3")).as("nf"))
       val ring = e
         .select(col("vec_id").as("v"),
           explode(sequence(lit(1), lit(NndK))).as("i"))
@@ -3837,35 +3842,37 @@ object EmbeddingQueries {
       // billion-vector graphs still get thousands of partitions
       val parts = (((n * NndK + 499999L) / 500000L).toInt.max(1))
         .min(e.rdd.getNumPartitions.max(1))
-      val g0 = topK(scored(ring.unionByName(warm))).coalesce(parts)
+      val g0 = topK(scored(ring.unionByName(warm)).withColumn("old",
+          lit(0L))).coalesce(parts)
         .localCheckpoint(true)
-      var g = g0
+      var g = g0 // (v, u, d, nf): round 0 — every edge is new (nf=1)
       // Dong's NEW/OLD flags (Alg. 2): only pairs touching an edge
       // that CHANGED last round are scored — an old×old pair through
       // an old path was a candidate in the round that created it and
       // per-vertex top-K only tightens, so rescoring it can't change
-      // anything. Round 0: every edge is new. The flags also make a
-      // separate fixed-point early exit redundant: a converged round
-      // has an EMPTY changed set, so its two-hop frame is empty and
-      // the round degenerates to topK(g) = g — a natural no-op, no
-      // extra convergence job. nw itself stays LAZY (an anti-join of
-      // two checkpointed n·K frames, consumed once next round):
-      // checkpointing it doubled the per-round job count, which at
-      // bench SF cost more than the flags saved.
-      var nw = g0.select(col("v"), col("u"))
+      // anything. The flags also make a separate fixed-point early
+      // exit redundant: a converged round has an EMPTY changed set,
+      // so its two-hop frame is empty and the round degenerates to
+      // topK(g) = g — a natural no-op, no extra convergence job.
+      // The flag is computed INSIDE the top-K aggregation (candidates
+      // tagged old=0 union'd with last round's edges tagged old=1; a
+      // surviving tuple's max-tag says whether it existed last round),
+      // which deletes the per-round flag-attach left-outer join and
+      // the new-edge left-anti join the previous formulation paid.
+      val revAgg = udaf(graft.functions.BottomKPairsTagAgg(NndRevK))
       for (_ <- 1 to rounds) {
-        val gN = g.join(nw.withColumn("nf", lit(1)), Seq("v", "u"),
-            "left_outer")
-          .select(col("v"), col("u"), col("d"),
-            coalesce(col("nf"), lit(0)).as("nf"))
         // B(v) = out-edges ∪ the NndRevK lowest-(d, v) in-edges per
-        // target (Dong's sampled reverse edges); the flag rides along
-        val wr = Window.partitionBy(col("u"))
-          .orderBy(col("d").asc, col("v").asc)
-        val rev = gN.withColumn("rr", row_number().over(wr))
-          .where(col("rr") <= NndRevK)
-          .select(col("u").as("v"), col("v").as("u"), col("nf"))
-        val b = gN.select(col("v"), col("u"), col("nf")).union(rev)
+        // target (Dong's sampled reverse edges); the flag rides along.
+        // Bottom-K as a bounded-buffer aggregation, not a window sort:
+        // same selected rows (tuple order (d, v) == the window's
+        // ORDER BY d, v), but map-side partials ship ≤RevK tuples per
+        // partition instead of sorting the whole frame (guide §2.3).
+        val rev = g.groupBy(col("u"))
+          .agg(revAgg(col("d"), col("v"), col("nf")).as("tk"))
+          .select(col("u"), explode(col("tk")).as("e"))
+          .select(col("u").as("v"), col("e._2").as("u"),
+            col("e._3").as("nf"))
+        val b = g.select(col("v"), col("u"), col("nf")).union(rev)
           .groupBy(col("v"), col("u")).agg(max(col("nf")).as("nf"))
         val bx = b.select(col("v").as("xv"), col("u").as("xu"),
           col("nf").as("xn"))
@@ -3876,13 +3883,15 @@ object EmbeddingQueries {
           .select(col("xv").as("v"), col("yu").as("u"))
           .where(col("v") =!= col("u"))
           .distinct()
-        val gNext = topK(scored(twoHop).union(g)).coalesce(parts)
+        val gNext = topK(scored(twoHop).withColumn("old", lit(0L))
+            .unionByName(g.select(col("v"), col("u"), col("d"))
+              .withColumn("old", lit(1L))))
+          .coalesce(parts)
           .localCheckpoint(true)
-        nw = gNext.join(g, Seq("v", "u"), "left_anti")
-          .select(col("v"), col("u"))
         g = gNext
       }
-      (g0, g)
+      (g0.select(col("v"), col("u"), col("d")),
+        g.select(col("v"), col("u"), col("d")))
     } finally e.unpersist()
   }
 

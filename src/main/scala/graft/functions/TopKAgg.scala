@@ -87,6 +87,63 @@ final case class BottomKPairsAgg(k: Int)
     ExpressionEncoder[Seq[(Long, Long)]]()
 }
 
+/** [[BottomKPairsAgg]] with a tag that rides each tuple: the ≤k
+  * smallest DISTINCT `(a, b)` tuples per group in tuple order, where
+  * duplicate tuples collapse to the MAX of their tags. Selection is
+  * identical to [[BottomKPairsAgg]] (the tag never participates in
+  * ordering or distinctness), so swapping the untagged form for this
+  * one cannot move a single selected tuple.
+  *
+  * This is what lets NN-Descent's new/old edge flags ride the top-K
+  * aggregation itself: candidates enter tagged 0, the previous
+  * round's edges enter tagged 1, and a surviving tuple's max-tag says
+  * whether it existed last round — the same fact the previous
+  * formulation paid a left-outer join (flag attach) plus a left-anti
+  * join (new-edge diff) per round to compute. Order-independence: the
+  * final k smallest distinct tuples are order-independent, and a
+  * tuple that survives to the final buffer can never have had a copy
+  * rejected by the capacity bound (rejection requires k strictly
+  * smaller tuples, which would also survive and evict it), so every
+  * copy's tag is folded in.
+  */
+final case class BottomKPairsTagAgg(k: Int)
+    extends Aggregator[(Long, Long, Long), Seq[(Long, Long, Long)],
+      Seq[(Long, Long, Long)]] {
+  require(k > 0)
+  private val ord = implicitly[Ordering[(Long, Long)]]
+
+  def zero: Seq[(Long, Long, Long)] = Seq.empty
+
+  def reduce(buf: Seq[(Long, Long, Long)],
+      v: (Long, Long, Long)): Seq[(Long, Long, Long)] = insert(buf, v)
+
+  def merge(a: Seq[(Long, Long, Long)],
+      b: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    b.foldLeft(a)(insert)
+
+  def finish(r: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] = r
+
+  private def insert(buf: Seq[(Long, Long, Long)],
+      v: (Long, Long, Long)): Seq[(Long, Long, Long)] = {
+    val vk = (v._1, v._2)
+    val idx = buf.indexWhere(x => x._1 == v._1 && x._2 == v._2)
+    if (idx >= 0) {
+      if (buf(idx)._3 >= v._3) buf
+      else buf.updated(idx, v)
+    } else if (buf.size >= k &&
+        ord.gteq(vk, (buf.last._1, buf.last._2))) buf
+    else {
+      val (lo, hi) = buf.span(x => ord.lt((x._1, x._2), vk))
+      (lo ++ (v +: hi)).take(k)
+    }
+  }
+
+  def bufferEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long, Long)]]()
+  def outputEncoder: Encoder[Seq[(Long, Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long, Long)]]()
+}
+
 /** Ascending twin of [[TopKAgg]]: bounded-memory bottom-k of a
   * long-valued column per group, emitted as the ascending CSV. Same
   * scale contract — a ≤k buffer that partial-aggregates map-side, so

@@ -30,6 +30,36 @@ class FunctionsSpec extends SparkSuite {
     assert(buf.size == 3 && buf == Seq(100L, 99L, 98L))
   }
 
+  // ---- BottomKPairsTagAgg ----
+  test("BottomKPairsTagAgg selects exactly BottomKPairsAgg's tuples " +
+      "with max-of-duplicates tags, any merge order") {
+    val rnd = new Random(4242)
+    val k = 4
+    val tagged = BottomKPairsTagAgg(k)
+    val plain = BottomKPairsAgg(k)
+    for (_ <- 1 to 300) {
+      // small key space so duplicate (a, b) tuples with different tags
+      // are common — the case the tag-merge exists for
+      val xs = Seq.fill(rnd.nextInt(40))(
+        (rnd.nextInt(6).toLong, rnd.nextInt(6).toLong,
+          rnd.nextInt(2).toLong))
+      val bufsT = xs.grouped(math.max(1, rnd.nextInt(5) + 1))
+        .map(_.foldLeft(tagged.zero)(tagged.reduce)).toSeq
+      val mergedT = tagged.finish(
+        bufsT.foldLeft(tagged.zero)(tagged.merge))
+      val bufsP = xs.map(x => (x._1, x._2))
+        .grouped(math.max(1, rnd.nextInt(5) + 1))
+        .map(_.foldLeft(plain.zero)(plain.reduce)).toSeq
+      val mergedP = plain.finish(bufsP.foldLeft(plain.zero)(plain.merge))
+      // identical tuple selection (tag never affects ordering/distinct)
+      assert(mergedT.map(x => (x._1, x._2)) == mergedP)
+      // tag = max over every duplicate of a surviving tuple
+      val maxTag = xs.groupBy(x => (x._1, x._2))
+        .view.mapValues(_.map(_._3).max).toMap
+      mergedT.foreach { case (a, b, t) => assert(t == maxTag((a, b))) }
+    }
+  }
+
   // ---- DotLong ----
   test("native DotLong equals the aggregate/zip_with composition") {
     import spark.implicits._
