@@ -756,29 +756,48 @@ object DedupQueries {
   def propagateLabelsWithRounds(edges: DataFrame,
       init: DataFrame): (DataFrame, Int) = {
     val parts = sizedParts(edges)
-    val e = edges.coalesce(parts) // narrow on the caller's checkpoint
-    var labels = init.select(col("v"), col("label")).coalesce(parts)
-      .localCheckpoint(true)
+    // THE ROUND-STRUCTURE DISCIPLINE (guide §2.4 — remove shuffles
+    // outright; measured per ProbeCc job counts, not argued):
+    //  - the STATIC edge table is hash-partitioned by dst ONCE, before
+    //    the loop; Dataset.localCheckpoint preserves outputPartitioning
+    //    through LogicalRDD, so every round's neighbor join reads it
+    //    CO-PARTITIONED — the per-round shuffle of the edge set (the
+    //    big frame at 100 TB) is gone;
+    //  - labels leave each round hash-partitioned by v with the SAME
+    //    partition count, so the neighbor join (keyed dst = renamed v)
+    //    needs no exchange on either side;
+    //  - own-label ∪ neighbor-labels collapse in ONE min-aggregation
+    //    (identical result to the old nbr-min groupBy + left-outer
+    //    least(): min over {own} ∪ neighbors == least(own, nbr_min),
+    //    and every v appears because labels carries every v);
+    //  - checkpoints are LAZY: the convergence probe that follows is
+    //    the action that materializes them, so each round is one job
+    //    wave, not an eager-checkpoint job plus a probe job.
+    import org.apache.spark.sql.graftbridge.bridge.checkpointKeyed
+    val e = checkpointKeyed(edges, parts, "dst")
+    var labels = checkpointKeyed(
+      init.select(col("v"), col("label")), parts, "v")
     var currentSum = sumLabels(labels)
     var converged = false
     var round = 0
     val maxRounds = 64 // >> any real near-dup component diameter
     while (!converged && round < maxRounds) {
-      val nbrMin = e
-        .join(labels.withColumnRenamed("v", "dst"), "dst")
-        .groupBy(col("src").as("v"))
-        .agg(min(col("label")).as("nbr_min"))
-      val stepped = labels.join(nbrMin, Seq("v"), "left_outer")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"))
+      // shuffle_hash on the label side: both sides arrive
+      // co-partitioned (zero exchange), and hashing the label slice
+      // streams the EDGE slice unsorted — sort-merge would re-sort the
+      // big edge frame every round for nothing
+      val nbr = e
+        .join(labels.withColumnRenamed("v", "dst").hint("shuffle_hash"),
+          "dst")
+        .select(col("src").as("v"), col("label"))
+      val stepped = labels.unionByName(nbr)
+        .groupBy(col("v")).agg(min(col("label")).as("label"))
       val ptr = stepped.select(col("v").as("pv"), col("label").as("plabel"))
-      labels = stepped.join(ptr, stepped("label") === ptr("pv"),
-          "left_outer")
-        .select(stepped("v"),
-          coalesce(col("plabel"), stepped("label")).as("label"))
-        .coalesce(parts)
-        .localCheckpoint(true)
+      labels = checkpointKeyed(
+        stepped.join(ptr, stepped("label") === ptr("pv"), "left_outer")
+          .select(stepped("v"),
+            coalesce(col("plabel"), stepped("label")).as("label")),
+        parts, "v") // materialized by the probe below
       val nextSum = sumLabels(labels)
       converged = nextSum == currentSum
       currentSum = nextSum
@@ -833,10 +852,13 @@ object DedupQueries {
     * diameter-independence spec.
     */
   def starContractWithRounds(edges0: DataFrame): (DataFrame, Int) = {
+    // LAZY checkpoint + count probe fused into one job per round (the
+    // propagateLabels discipline): the count that immediately follows
+    // is the action that materializes the checkpoint.
     var edges = edges0.where(col("src") =!= col("dst"))
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     var count = edges.count()
     // data-sized per-round task count — the propagateLabels discipline:
     // the iterated edge set only ever CONTRACTS, so sizing once from
@@ -848,8 +870,8 @@ object DedupQueries {
     var round = 0
     val maxRounds = 64 // >> log²(any real corpus)
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).coalesce(parts)
-        .localCheckpoint(true)
+      val next = smallStar(largeStar(edges, parts)).coalesce(parts)
+        .localCheckpoint(false) // materialized by the count below
       val nextCount = next.count()
       // EXACT set-equality fixpoint probe: both sets are distinct, so
       // equal cardinality + empty one-sided difference ⇔ equal sets (a
@@ -870,20 +892,28 @@ object DedupQueries {
   /** Large-star: every vertex points its LARGER neighbors at the
     * minimum of its closed neighborhood. Output keeps the src > dst
     * invariant (v > u ≥ m).
+    *
+    * The output is explicitly hash-partitioned by `src` so the
+    * trailing distinct runs exchange-free on that partitioning (same
+    * src ⇒ same (src, dst) colocated) AND [[smallStar]]'s min-
+    * aggregation + join — both keyed src — inherit it: one exchange
+    * where the naive composition pays three (guide §2.4).
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, parts: Int): DataFrame = {
     val sym = e.select(col("src").as("u"), col("dst").as("v"))
       .union(e.select(col("dst").as("u"), col("src").as("v")))
     val mins = sym.groupBy(col("u")).agg(min(col("v")).as("nm"))
       .select(col("u"), least(col("u"), col("nm")).as("m"))
     sym.join(mins, "u").where(col("v") > col("u"))
       .select(col("v").as("src"), col("m").as("dst"))
+      .repartition(parts, col("src"))
       .distinct()
   }
 
   /** Small-star: every vertex points its smaller neighbors (and
     * itself) at the minimum of its closed neighborhood. Input and
-    * output both satisfy src > dst.
+    * output both satisfy src > dst. Input comes src-partitioned from
+    * [[largeStar]], so the aggregation and the join plan no exchange.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))

@@ -2371,11 +2371,13 @@ object EmbeddingQueries {
           .as("tq"))
         .withColumn("tnorm2", graft.functions.DotLong(col("tq"), col("tq")))
         .where(col("tnorm2") > 0) // a zero centroid has no direction
-        // materialize the ≤k-row centroid table per round: the next
+        // checkpoint the ≤k-row centroid table per round: the next
         // round's broadcast build would otherwise re-evaluate every
         // prior round's corpus assignment through the lazy chain —
-        // O(R²) corpus passes instead of the scaladoc'd R+1
-        .coalesce(1).localCheckpoint(true)
+        // O(R²) corpus passes instead of the scaladoc'd R+1. LAZY:
+        // the next round's broadcast build is the action that
+        // materializes it, so each round costs one job, not two.
+        .coalesce(1).localCheckpoint(false)
     }
     argmaxCell(assign(trained), "cell", Seq("cscore"))
       .groupBy(col("cell"))

@@ -45,4 +45,47 @@ object bridge {
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(predicate, supportNestedPredicatePushdown = true)
+
+  /** Hash-partitioned local checkpoint that KEEPS its partitioning.
+    *
+    * `Dataset.localCheckpoint` under AQE wraps the checkpointed RDD in
+    * a LogicalRDD with `UnknownPartitioning` (the adaptive plan's
+    * partitioning is not trusted at construction time), so every
+    * downstream join/aggregation keyed the same way re-shuffles a
+    * frame that is ALREADY correctly distributed — in an iterative
+    * fixpoint (connected components, NN-Descent) that is one avoidable
+    * full shuffle of the iterated frame PER ROUND. This helper
+    * repartitions by `keys` into exactly `parts` partitions (explicit
+    * user repartition — AQE never coalesces it, so the physical layout
+    * is hash(keys, parts) by construction), locally checkpoints the
+    * result lazily, and wraps it in a LogicalRDD that DECLARES that
+    * partitioning, which EnsureRequirements then honors.
+    *
+    * The declared partitioning is a fact about the rows, not a hint:
+    * rows were placed by `HashPartitioning(keys, parts)` evaluation in
+    * the repartition exchange, and localCheckpoint pins blocks in
+    * place. Keys are resolved by name against the frame's output.
+    */
+  def checkpointKeyed(df: org.apache.spark.sql.DataFrame,
+      parts: Int, keys: String*): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val pre = df.repartition(parts, keys.map(df.col): _*)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[
+        org.apache.spark.sql.Row]]
+    val qe = pre.queryExecution
+    // same materialization shape as Dataset.checkpoint: per-row copy
+    // (unsafe rows reuse buffers), lazy local checkpoint — the first
+    // action computes AND persists, later plans read the blocks
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val attrs = qe.analyzed.output
+    val keyAttrs = keys.map(k => attrs.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"no column $k")))
+    val part = org.apache.spark.sql.catalyst.plans.physical
+      .HashPartitioning(keyAttrs, parts)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark,
+      org.apache.spark.sql.execution.LogicalRDD(
+        attrs, rdd, part, Nil, isStreaming = false)(spark))
+  }
 }
