@@ -4188,7 +4188,7 @@ object EmbeddingQueries {
       g: DataFrame, quartileEntry: Boolean = false): DataFrame = {
     val adj = g.select(col("v"), col("u"))
       .union(g.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false) // first hop materializes
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2")).cache()
     try {
@@ -4196,13 +4196,14 @@ object EmbeddingQueries {
       val qs = e.where(col("vec_id") % gsStride(n) === 13)
         .select(col("vec_id").as("qid"), col("q").as("qq"),
           col("norm2").as("qn"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("d").asc, col("u").asc)
-      // score the candidate set exactly and keep the per-query top-k;
-      // dedup AFTER scoring — the oracle's literal `SELECT DISTINCT
-      // qid, u, d` shape — so the candidate broadcast build carries no
-      // shuffle (a duplicate candidate costs one redundant dot, not a
-      // pre-join exchange)
+      // score the candidate set exactly and keep the per-query top-k.
+      // The per-query DISTINCT bottom-k of (d, u) runs as ONE bounded-
+      // buffer aggregation (map-side partials, ≤k tuples per partition
+      // across the one exchange) — the previous distinct + row_number
+      // window spelling paid an extra exchange plus a full sort of the
+      // scored frame per hop. Same rows: tuple order (d, u) == the
+      // window's ORDER BY d, u, and the aggregate's dedup == DISTINCT
+      // (the oracle keeps that literal spelling).
       def scoredTop(cand: DataFrame, k: Int): DataFrame =
         broadcast(cand)
           .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
@@ -4212,10 +4213,11 @@ object EmbeddingQueries {
           .select(col("qid"), col("u"),
             (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
               .as("d"))
-          .distinct()
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= k)
-          .select(col("qid"), col("u"), col("d"))
+          .groupBy(col("qid"))
+          .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(k))
+            bk(col("d"), col("u")) }.as("tk"))
+          .select(col("qid"), explode(col("tk")).as("bk"))
+          .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
       // entry candidates: every (query, layer-member) pair — the
       // bounded routing scan — or the legacy four quartile ids
       val entryCands =
@@ -4234,12 +4236,14 @@ object EmbeddingQueries {
       // checkpoint doesn't schedule 32 near-empty tasks
       val bParts = (((n / gsStride(n) + 1) * GsBeam + 499999L) / 500000L)
         .toInt.max(1).min(32)
+      // LAZY per-hop checkpoints: the next hop's frontier broadcast is
+      // the action that materializes each beam — one job per hop
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // scanned = every candidate ever offered for exact scoring.
       // Accumulated LAZILY: each hop's candidate frame builds on the
       // checkpointed beam, so the deferred union stays shallow and the
-      // one distinct folds into the final plan — zero extra jobs
+      // one dedup folds into the final plan — zero extra jobs
       val candFrames = Seq.newBuilder[DataFrame]
       candFrames += entryCands
       for (_ <- 1 to GsHops) {
@@ -4250,16 +4254,23 @@ object EmbeddingQueries {
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
         candFrames += cand
         beam = scoredTop(cand, GsBeam).coalesce(bParts)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       val scanned = candFrames.result()
         .map(_.select(col("qid"), col("u")))
         .reduce(_ unionByName _)
-        .where(col("u") =!= col("qid")).distinct()
-      val found = beam.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
+        .where(col("u") =!= col("qid"))
+      // the final top-K over the last beam: same bounded bottom-k
+      // aggregation (beam rows are already distinct per (qid, u))
+      val found = beam.groupBy(col("qid"))
+        .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+          bk(col("d"), col("u")) }.as("tk"))
+        .select(col("qid"), explode(col("tk")).as("bk"))
+        .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
+      // count-distinct aggregation instead of distinct + count: one
+      // exchange, identical n_scanned (distinct (qid, u) pairs)
       val nScanned = scanned.groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_scanned"))
+        .agg(countDistinct(col("u")).as("n_scanned"))
       // ground truth from the PUBLISHED artifact (built lazily once
       // per (code, dataset); pre-warmed by the bench harness)
       val exact = SessionArtifact.table(spark, dir, "knn_gs_exact")(
@@ -4441,10 +4452,11 @@ object EmbeddingQueries {
           .select(col("qid"), col("u"),
             (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
               .as("d"))
-          .distinct()
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= k)
-          .select(col("qid"), col("u"), col("d"))
+          .groupBy(col("qid"))
+          .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(k))
+            bk(col("d"), col("u")) }.as("tk"))
+          .select(col("qid"), explode(col("tk")).as("bk"))
+          .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
       // fixed entry points: the 4 smallest base ids (ids are
       // uncorrelated with embedding space — the reproducible stand-in
       // for HNSW's entry point, as in knnGraphSearch)
@@ -4457,18 +4469,22 @@ object EmbeddingQueries {
       val bParts = ((nDelta * GsBeam + 499999L) / 500000L)
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // next hop's broadcast materializes
       for (_ <- 1 to GdHops) {
         val expanded = broadcast(beam.select(col("qid"), col("u").as("bu")))
           .join(adjB, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         beam = scoredTop(expanded.unionByName(beam.select(col("qid"),
-          col("u"))), GsBeam).coalesce(bParts).localCheckpoint(true)
+          col("u"))), GsBeam).coalesce(bParts).localCheckpoint(false)
       }
-      val inserted = beam.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
-        .select(col("qid"), col("u"), col("d"))
-        .localCheckpoint(true) // feeds refine pairs AND the final merge
+      // bounded bottom-k aggregation, as in scoredTop (beam rows are
+      // already distinct per (qid, u))
+      val inserted = beam.groupBy(col("qid"))
+        .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+          bk(col("d"), col("u")) }.as("tk"))
+        .select(col("qid"), explode(col("tk")).as("bk"))
+        .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
+        .localCheckpoint(false) // feeds refine pairs AND the final merge
       // refine wavefront: delta pairs sharing an inserted base
       // neighbor, scored exactly over the delta vectors (base u-keys
       // and delta u-keys are disjoint, so the merge has no dup keys)
@@ -4484,13 +4500,15 @@ object EmbeddingQueries {
         .select(col("da").as("qid"), col("db").as("u"),
           (col("na") + col("nb2") - lit(2L) * dot(col("qa"), col("qb2")))
             .as("d"))
-        .localCheckpoint(true) // feeds the count AND the merge
+        .localCheckpoint(false) // feeds the count AND the merge
       val refCnt = scoredDD.groupBy(col("qid"))
         .agg(count(lit(1)).as("n_refine"))
       val fin = inserted.unionByName(scoredDD)
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
-        .select(col("qid"), col("u"))
+        .groupBy(col("qid"))
+        .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+          bk(col("d"), col("u")) }.as("tk"))
+        .select(col("qid"), explode(col("tk")).as("bk"))
+        .select(col("qid"), col("bk._2").as("u"))
       val rebuild = g.where(isDeltaId(col("v")))
         .select(col("v").as("qid"), col("u")).withColumn("hitr", lit(1L))
       // exact ground truth from the PUBLISHED artifact (the discipline
@@ -5071,7 +5089,7 @@ object EmbeddingQueries {
     val g = vamanaIndex(spark, dir)
     val adj = g.select(col("v"), col("u"))
       .union(g.select(col("u").as("v"), col("v").as("u")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false) // first hop materializes
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("label"), col("q"), col("norm2")).cache()
     try {
@@ -5079,8 +5097,8 @@ object EmbeddingQueries {
       val qs = e.where(col("vec_id") % gsStride(n) === 13)
         .select(col("vec_id").as("qid"), col("label").as("qlabel"),
           col("q").as("qq"), col("norm2").as("qn"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("d").asc, col("u").asc)
+      // bounded bottom-k aggregation instead of distinct + window —
+      // see searchOver: same rows, one exchange, no sort
       def scoredTop(cand: DataFrame, k: Int): DataFrame =
         broadcast(cand)
           .join(e.select(col("vec_id").as("u"), col("q").as("qb"),
@@ -5090,10 +5108,11 @@ object EmbeddingQueries {
           .select(col("qid"), col("u"),
             (col("qn") + col("nb") - lit(2L) * dot(col("qq"), col("qb")))
               .as("d"))
-          .distinct()
-          .withColumn("rnk", row_number().over(w))
-          .where(col("rnk") <= k)
-          .select(col("qid"), col("u"), col("d"))
+          .groupBy(col("qid"))
+          .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(k))
+            bk(col("d"), col("u")) }.as("tk"))
+          .select(col("qid"), explode(col("tk")).as("bk"))
+          .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
       // LAYER-ROUTED entry (see GsLayerCap): the filter-oblivious walk
       // starts at the query's nearest coarse-layer members, same as
       // the unfiltered searches — bounded routing at any corpus size
@@ -5105,7 +5124,7 @@ object EmbeddingQueries {
       val bParts = (((n / gsStride(n) + 1) * fsBeam + 499999L) / 500000L)
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, fsBeam).coalesce(bParts)
-        .localCheckpoint(true)
+        .localCheckpoint(false) // next hop's broadcast materializes
       var visited = beam
       // lazy scanned accumulation — see searchOver
       val candFrames = Seq.newBuilder[DataFrame]
@@ -5118,24 +5137,29 @@ object EmbeddingQueries {
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
         candFrames += cand
         beam = scoredTop(cand, fsBeam).coalesce(bParts)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         visited = visited.unionByName(beam)
       }
       val scanned = candFrames.result()
         .map(_.select(col("qid"), col("u")))
         .reduce(_ unionByName _)
-        .where(col("u") =!= col("qid")).distinct()
-      // post-filter the visited pool to the query's label, top-K
-      val filt = visited.distinct()
+        .where(col("u") =!= col("qid"))
+      // post-filter the visited pool to the query's label, top-K —
+      // the bounded bottom-k aggregation dedups the visited pool as
+      // it selects, so the separate distinct exchange is gone too
+      val filt = visited
         .join(e.select(col("vec_id").as("u"), col("label")), "u")
         .join(broadcast(qs.select(col("qid"), col("qlabel"))), "qid")
         .where(col("label") === col("qlabel"))
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= NndK)
+        .groupBy(col("qid"))
+        .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+          bk(col("d"), col("u")) }.as("tk"))
+        .select(col("qid"), explode(col("tk")).as("bk"))
+        .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
       val exact = SessionArtifact.table(spark, dir, "knn_fs_exact")(
         fsExactFrame(spark, dir))
       val nScanned = scanned.groupBy(col("qid"))
-        .agg(count(lit(1)).as("n_scanned"))
+        .agg(countDistinct(col("u")).as("n_scanned"))
       filt.select(col("qid"), col("u"), col("d"))
         .join(broadcast(exact.withColumn("hit", lit(1L))),
           Seq("qid", "u"), "left_outer")

@@ -1251,16 +1251,21 @@ object TextQueries {
       cachedFrames: scala.collection.mutable.ArrayBuffer[DataFrame])
       : (Seq[DataFrame], DataFrame) = {
     {
+      // `seq` stays an ARRAY across rounds (the string form is built
+      // once at the end for the published artifact): the old string
+      // join → split round-trip rebuilt and re-tokenized every word's
+      // segmentation once per round for nothing.
       var cur = table(spark, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .where(length(col("w")) >= 2)
         .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-        .withColumn("seq", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+        .withColumn("seq",
+          split(trim(regexp_replace(col("w"), "(.)", "$1 ")), " "))
       val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
       val reports = (1 to BpeRounds).map { r =>
         val tk = cur
           .select(col("w"), col("wc"),
-            posexplode(split(col("seq"), " ")).as(Seq("pos", "tok")))
+            posexplode(col("seq")).as(Seq("pos", "tok")))
           .withColumn("nxt", lead(col("tok"), 1).over(wWin))
           .cache() // feeds the pair argmax AND the merge pass
         cachedFrames += tk
@@ -1270,7 +1275,16 @@ object TextQueries {
           .orderBy(col("pair_count").desc,
             concat(col("pa"), lit(" "), col("pb")).asc)
           .limit(1) // TakeOrderedAndProject: one row leaves the cluster
-        // candidate marking → island grouping → even-offset merge
+        // candidate marking → island grouping → even-offset merge.
+        // The island-first cidx is carried FORWARD along the same
+        // (w, pos) ordering every other window here uses (a run start
+        // is a candidate whose predecessor is not; last(_, ignoreNulls)
+        // propagates its cidx through the run) — the previous
+        // min-over-(w, pos−cidx) spelling forced a second in-partition
+        // SORT by (w, grp) plus a third back to (w, pos) per round.
+        // Equal by construction: distinct candidate runs can never
+        // share a (pos − cidx) value, so the min over that island IS
+        // the run-first cidx.
         val marked = tk.crossJoin(broadcast(top1))
           .withColumn("cand", coalesce(
             col("tok") === col("pa") && col("nxt") === col("pb"),
@@ -1278,11 +1292,15 @@ object TextQueries {
           .withColumn("cidx", sum(when(col("cand"), 1L).otherwise(0L))
             .over(wWin.rowsBetween(Window.unboundedPreceding,
               Window.currentRow)))
-          .withColumn("grp", col("pos") - col("cidx"))
+        val runFirst = last(
+          when(col("cand") &&
+            !coalesce(lag(col("cand"), 1).over(wWin), lit(false)),
+            col("cidx")), ignoreNulls = true)
+          .over(wWin.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow))
         val merged = marked
-          .withColumn("mrg", col("cand") &&
-            (col("cidx") - min(when(col("cand"), col("cidx")))
-              .over(Window.partitionBy(col("w"), col("grp")))) % 2 === 0)
+          .withColumn("mrg",
+            col("cand") && (col("cidx") - runFirst) % 2 === 0)
           .withColumn("skip",
             coalesce(lag(col("mrg"), 1).over(wWin), lit(false)))
           .cache() // feeds the round report AND the reassembly
@@ -1300,12 +1318,13 @@ object TextQueries {
             when(col("mrg"), concat(col("pa"), col("pb")))
               .otherwise(col("tok")))
           .groupBy(col("w"), col("wc"))
-          .agg(array_join(expr(
+          .agg(expr(
             "transform(array_sort(collect_list(struct(pos, out)))," +
-              " s -> s.out)"), " ").as("seq"))
+              " s -> s.out)").as("seq"))
         repR
       }
-      (reports, cur)
+      // artifact/oracle surface keeps the space-joined string form
+      (reports, cur.withColumn("seq", array_join(col("seq"), " ")))
     }
   }
 
