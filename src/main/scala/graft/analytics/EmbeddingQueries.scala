@@ -3199,7 +3199,12 @@ object EmbeddingQueries {
       .join(broadcast(candKeys), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("rel_ppm"), col("q"),
         col("norm2"))
-      .localCheckpoint() // ≤ 10·MmrPool rows; ends the corpus's lineage
+      .localCheckpoint(false) // ≤ 10·MmrPool rows; ends the corpus's
+      // lineage. LAZY, like every checkpoint in this derivation: the
+      // caller's one action materializes the whole greedy walk (each
+      // step persists, so nothing is recomputed across steps) instead
+      // of one eager job per checkpoint — and the corpus cache has no
+      // unpersist here, so deferral is safe
     val sims = cands
       .select(col("query_id"), col("vec_id").as("a_id"), col("q").as("aq"),
         col("norm2").as("an"))
@@ -3209,7 +3214,7 @@ object EmbeddingQueries {
       .select(col("query_id"), col("a_id"), col("b_id"),
         scorePpm(dot(col("aq"), col("bq")), col("an"), col("bn"))
           .as("sim_ppm"))
-      .localCheckpoint() // ≤ 10·MmrPool² rows
+      .localCheckpoint(false) // ≤ 10·MmrPool² rows
     val slim = cands.select(col("query_id"), col("vec_id"), col("rel_ppm"))
     var selected = slim.withColumn("r", row_number().over(wRel))
       .where(col("r") === 1)
@@ -3231,6 +3236,10 @@ object EmbeddingQueries {
         .withColumn("r", row_number().over(wMmr)).where(col("r") === 1)
         .select(col("query_id"), col("vec_id"), lit(t.toLong).as("rnk"),
           col("rel_ppm"), col("mmr").as("mmr_ppm"))
+      // EAGER per step: each step's selKeys feed two lazy-broadcast
+      // builds; leaving the chain lazy made those broadcast threads
+      // re-materialize overlapping prefixes (measured: tasks 2x). The
+      // first eager step also materializes the lazy cands/sims above.
       selected = selected.unionByName(step).localCheckpoint()
     }
     selected
@@ -4246,15 +4255,20 @@ object EmbeddingQueries {
       // one dedup folds into the final plan — zero extra jobs
       val candFrames = Seq.newBuilder[DataFrame]
       candFrames += entryCands
-      for (_ <- 1 to GsHops) {
+      for (h <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
         candFrames += cand
+        // intermediate hops lazy (each materializes transitively with
+        // the next); the LAST hop is eager so the whole walk runs NOW,
+        // while the corpus cache is live — the finally-unpersist below
+        // fires before the caller's action, so anything left lazy past
+        // this point would re-derive the corpus uncached at scale
         beam = scoredTop(cand, GsBeam).coalesce(bParts)
-          .localCheckpoint(false)
+          .localCheckpoint(h == GsHops)
       }
       val scanned = candFrames.result()
         .map(_.select(col("qid"), col("u")))
@@ -4470,12 +4484,15 @@ object EmbeddingQueries {
         .toInt.max(1).min(32)
       var beam = scoredTop(seeds, GsBeam).coalesce(bParts)
         .localCheckpoint(false) // next hop's broadcast materializes
-      for (_ <- 1 to GdHops) {
+      for (h <- 1 to GdHops) {
         val expanded = broadcast(beam.select(col("qid"), col("u").as("bu")))
           .join(adjB, col("bu") === col("v"))
           .select(col("qid"), col("u"))
+        // last hop eager — the walk must materialize while the corpus
+        // cache is live (finally-unpersist below)
         beam = scoredTop(expanded.unionByName(beam.select(col("qid"),
-          col("u"))), GsBeam).coalesce(bParts).localCheckpoint(false)
+          col("u"))), GsBeam).coalesce(bParts)
+          .localCheckpoint(h == GdHops)
       }
       // bounded bottom-k aggregation, as in scoredTop (beam rows are
       // already distinct per (qid, u))
@@ -4484,7 +4501,7 @@ object EmbeddingQueries {
           bk(col("d"), col("u")) }.as("tk"))
         .select(col("qid"), explode(col("tk")).as("bk"))
         .select(col("qid"), col("bk._2").as("u"), col("bk._1").as("d"))
-        .localCheckpoint(false) // feeds refine pairs AND the final merge
+        .localCheckpoint(true) // feeds refine pairs AND the final merge
       // refine wavefront: delta pairs sharing an inserted base
       // neighbor, scored exactly over the delta vectors (base u-keys
       // and delta u-keys are disjoint, so the merge has no dup keys)
@@ -4500,7 +4517,7 @@ object EmbeddingQueries {
         .select(col("da").as("qid"), col("db").as("u"),
           (col("na") + col("nb2") - lit(2L) * dot(col("qa"), col("qb2")))
             .as("d"))
-        .localCheckpoint(false) // feeds the count AND the merge
+        .localCheckpoint(true) // feeds the count AND the merge
       val refCnt = scoredDD.groupBy(col("qid"))
         .agg(count(lit(1)).as("n_refine"))
       val fin = inserted.unionByName(scoredDD)
@@ -4828,26 +4845,49 @@ object EmbeddingQueries {
     */
   private[analytics] def prunedGraph(spark: SparkSession,
       dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.bridge.checkpointKeyedEager
     val g = nndIndex(spark, dir)
     val e = quantized(spark, dir)
       .select(col("vec_id"), col("q"), col("norm2")).cache()
     try {
-      val w = Window.partitionBy(col("v"))
-        .orderBy(col("d").asc, col("u").asc)
-      val cand = g.withColumn("rnk", row_number().over(w).cast("long"))
-        .localCheckpoint(true)
-      val pw = cand.select(col("v"), col("u").as("ua"), col("rnk").as("ra"))
-        .join(cand.select(col("v"), col("u").as("ub"),
-          col("rnk").as("rb")), Seq("v"))
-        .where(col("ra") < col("rb"))
-        .join(e.select(col("vec_id").as("ua"), col("q").as("qa"),
-          col("norm2").as("na")), "ua")
-        .join(e.select(col("vec_id").as("ub"), col("q").as("qb"),
-          col("norm2").as("nb")), "ub")
-        .select(col("v"), col("ra"), col("rb"),
-          (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
-            .as("dab"))
-        .localCheckpoint(true)
+      // every frame the K−1 greedy rounds touch is keyed by the vertex.
+      // DATA-ADAPTIVE materialization (guide §2 — scale-adaptive, not
+      // tuned to one mode): when the per-round frames fit one ~500k-row
+      // partition, AQE broadcasts them and plain eager checkpoints are
+      // exchange-free and cheapest; past that, checkpointKeyed pins the
+      // vertex partitioning so the occlusion joins, the distinct and
+      // the anti-join plan ZERO exchanges per round instead of
+      // re-shuffling n-row frames ×(K−1) rounds. Eager either way: the
+      // frames feed concurrent broadcast builds (see checkpointKeyedEager).
+      // The rank itself comes from the bounded bottom-K aggregation
+      // (buffer position == row_number over (d, u) — the graph is
+      // unique per (v, u)), not a window sort.
+      val parts = {
+        val n = g.count()
+        (((n + 499999L) / 500000L).toInt.max(1)).min(32)
+      }
+      def pin(df: DataFrame): DataFrame =
+        if (parts == 1) df.localCheckpoint(true)
+        else checkpointKeyedEager(df, parts, eager = true, "v")
+      val cand = pin(
+        g.groupBy(col("v"))
+          .agg({ val bk = udaf(graft.functions.BottomKPairsAgg(NndK))
+            bk(col("d"), col("u")) }.as("tk"))
+          .select(col("v"), posexplode(col("tk")).as(Seq("p", "bk")))
+          .select(col("v"), col("bk._2").as("u"), col("bk._1").as("d"),
+            (col("p") + 1).cast("long").as("rnk")))
+      val pw = pin(
+        cand.select(col("v"), col("u").as("ua"), col("rnk").as("ra"))
+          .join(cand.select(col("v"), col("u").as("ub"),
+            col("rnk").as("rb")), Seq("v"))
+          .where(col("ra") < col("rb"))
+          .join(e.select(col("vec_id").as("ua"), col("q").as("qa"),
+            col("norm2").as("na")), "ua")
+          .join(e.select(col("vec_id").as("ub"), col("q").as("qb"),
+            col("norm2").as("nb")), "ub")
+          .select(col("v"), col("ra"), col("rb"),
+            (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+              .as("dab")))
       var kept = cand.where(col("rnk") === 1).select(col("v"), col("rnk"))
       for (r <- 2 to NndK) {
         val candR = cand.where(col("rnk") === r).select(col("v"), col("d"))
@@ -4857,10 +4897,10 @@ object EmbeddingQueries {
           .where(col("dab") * lit(PruneAlphaNum) <=
             col("d") * lit(PruneAlphaDen))
           .select(col("v")).distinct()
-        kept = kept.unionByName(
-          candR.join(occluded, Seq("v"), "left_anti")
-            .select(col("v"), lit(r.toLong).as("rnk")))
-          .localCheckpoint(true)
+        kept = pin(
+          kept.unionByName(
+            candR.join(occluded, Seq("v"), "left_anti")
+              .select(col("v"), lit(r.toLong).as("rnk"))))
       }
       kept.join(cand, Seq("v", "rnk"))
         .select(col("v"), col("u"), col("d"), col("rnk"))
@@ -5129,15 +5169,17 @@ object EmbeddingQueries {
       // lazy scanned accumulation — see searchOver
       val candFrames = Seq.newBuilder[DataFrame]
       candFrames += entryCands
-      for (_ <- 1 to GsHops) {
+      for (h <- 1 to GsHops) {
         val frontier = beam.select(col("qid"), col("u").as("bu"))
         val expanded = broadcast(frontier)
           .join(adj, col("bu") === col("v"))
           .select(col("qid"), col("u"))
         val cand = expanded.unionByName(beam.select(col("qid"), col("u")))
         candFrames += cand
+        // last hop eager — see searchOver: the walk must materialize
+        // while the corpus cache is live (finally-unpersist below)
         beam = scoredTop(cand, fsBeam).coalesce(bParts)
-          .localCheckpoint(false)
+          .localCheckpoint(h == GsHops)
         visited = visited.unionByName(beam)
       }
       val scanned = candFrames.result()

@@ -67,7 +67,18 @@ object bridge {
     * place. Keys are resolved by name against the frame's output.
     */
   def checkpointKeyed(df: org.apache.spark.sql.DataFrame,
-      parts: Int, keys: String*): org.apache.spark.sql.DataFrame = {
+      parts: Int, keys: String*): org.apache.spark.sql.DataFrame =
+    checkpointKeyedEager(df, parts, eager = false, keys: _*)
+
+  /** [[checkpointKeyed]] with explicit materialization control: eager
+    * when the frame feeds multiple lazy broadcast builds (concurrent
+    * broadcast threads would otherwise race to materialize the same
+    * unpersisted prefix and duplicate its compute — measured on the
+    * MMR greedy loop), lazy when a single downstream action follows.
+    */
+  def checkpointKeyedEager(df: org.apache.spark.sql.DataFrame,
+      parts: Int, eager: Boolean,
+      keys: String*): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val pre = df.repartition(parts, keys.map(df.col): _*)
@@ -79,6 +90,7 @@ object bridge {
     // action computes AND persists, later plans read the blocks
     val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
+    if (eager) rdd.count() // materialize + pin blocks now
     val attrs = qe.analyzed.output
     val keyAttrs = keys.map(k => attrs.find(_.name == k).getOrElse(
       throw new IllegalArgumentException(s"no column $k")))
